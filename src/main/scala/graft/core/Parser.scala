@@ -1,0 +1,417 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Compatibility parser for the reference's equation DSL (SURVEY §1.3).
+  *
+  * The reference interprets equation STRINGS at runtime with family-specific
+  * extractors that all split terms on '+' only — so minus-signed sub-terms are
+  * silently dropped (cubic terms in B/D2 families, SURVEY §2.4-1) and A2C's
+  * extractor drops EVERYTHING (`'e' in rhs` filter, a2c.py:226-251 — shipped
+  * A2C data is pure noise, verified empirically). This parser reproduces those
+  * effective semantics term-for-term; `truthLinks` reproduces each family's
+  * published ground-truth link dict and is golden-tested against the output of
+  * the reference's own extractor functions on all 153 equation sets.
+  *
+  * Reference extractors mirrored here:
+  *   a1.py:214-235, a1c.py:278-301, a2.py:108-129, a2c.py:252-277,
+  *   b1c.py:62-93 & 160-202, b2.py:160-221, c1.py:248-290, c1c.py:301-347,
+  *   d3c.py:121-169, d1.py:237, d2.py:199-253.
+  */
+object Parser {
+
+  /** A raw link in the family's native key format (for golden parity tests). */
+  final case class RawLink(parts: Vector[String], coef: Double)
+
+  // Python str.split(sep) semantics: keep all fields.
+  private def psplit(s: String, sep: String): Array[String] =
+    s.split(java.util.regex.Pattern.quote(sep), -1)
+
+  private def after(s: String, sep: String): String = {
+    val i = s.indexOf(sep); s.substring(i + sep.length)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Truth-link extraction (per-family native formats)
+  // ---------------------------------------------------------------------------
+
+  /** Truth links in the family's native key format, insertion-ordered. */
+  def truthLinksRaw(family: String, nVars: Int, maxLag: Int): Vector[RawLink] = {
+    val eqs = Catalog.equations((family, nVars, maxLag))
+    family match {
+      case "A1" | "D1"           => aStyle(eqs, allowU = false)
+      case "A1C" | "A2C" | "D1C" => aStyle(eqs, allowU = true)
+      case "A2"                  => a2Style(eqs)
+      case "B1" | "B2" | "D2"    => bGraphStyle(eqs, allowU = false, sum = false)
+      case "B1C"                 => bGraphStyle(eqs, allowU = true, sum = true)
+      case "B2C" | "D2C"         => bGraphStyle(eqs, allowU = true, sum = false)
+      case "C1" | "C2"           => cIntStyle(eqs)
+      case "C1C"                 => c1cStyle(eqs)
+      case "C2C" | "D3" | "D3C"  => d3cStyle(eqs)
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+  }
+
+  /** Normalized Dataset-friendly truth links (lag stored non-negative). */
+  def truthLinks(family: String, nVars: Int, maxLag: Int): Vector[CausalLink] =
+    truthLinksRaw(family, nVars, maxLag).map { rl =>
+      val (src, lag, tgt, func) = rl.parts match {
+        case Vector(s, l, t)    => (name(s), math.abs(l.toInt), name(t), "linear")
+        case Vector(s, l, t, f) => (name(s), math.abs(l.toInt), name(t), f)
+        case p => throw new IllegalStateException(s"bad raw link $p")
+      }
+      CausalLink(family, nVars, maxLag, src, lag, tgt, func, rl.coef)
+    }
+
+  private def name(s: String): String = if (s.forall(_.isDigit)) s"X$s" else s
+
+  /** a1.py:214-235 / a1c.py:278-301: (src, -lag, target) -> coef. */
+  private def aStyle(eqs: Vector[String], allowU: Boolean): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val target = psplit(left, "[")(0)
+      if (!(allowU && target == "U")) {
+        for (term0 <- psplit(right, "+"); term = term0.trim) {
+          val ok =
+            if (allowU) term.contains('*') && (term.contains('X') || term.contains('U'))
+            else term.contains('*') && term.contains('X')
+          if (ok) {
+            val parts = psplit(term, "*")
+            val coef = parts(0).trim.toDouble
+            val varPart = parts(1).trim
+            val v = psplit(varPart, "[")(0)
+            val lagPart = psplit(psplit(varPart, "[")(1), "]")(0)
+            val lag = if (lagPart == "t") 0 else -psplit(lagPart, "-")(1).toInt
+            links(Vector(v, lag.toString, target)) = coef
+          }
+        }
+      }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  /** a2.py:108-129: skips any equation containing 'noise' (exogenous marker). */
+  private def a2Style(eqs: Vector[String]): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=') && !eq.contains("noise")) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val target = psplit(left, "[")(0)
+      for (term0 <- psplit(right, "+"); term = term0.trim)
+        if (term.contains('*') && term.contains('X')) {
+          val parts = psplit(term, "*").map(_.trim)
+          val varPart = parts(1)
+          val v = psplit(varPart, "[")(0)
+          val lagPart = psplit(psplit(varPart, "[")(1), "]")(0)
+          val lag = if (lagPart == "t") 0 else -psplit(lagPart, "-")(1).toInt
+          links(Vector(v, lag.toString, target)) = parts(0).toDouble
+        }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  /** b2.py:196-221 / b1c.py:62-93: power stripped from the var name; only the
+    * leading (quadratic) coefficient of each '+'-term survives (§2.4-1).
+    */
+  private def bGraphStyle(eqs: Vector[String], allowU: Boolean, sum: Boolean): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val target = psplit(left, "[")(0)
+      if (!(allowU && target == "U")) {
+        for (term0 <- psplit(right, "+"); term = term0.trim) {
+          val ok =
+            if (allowU) term.contains('*') && (term.contains('X') || term.contains('U'))
+            else term.contains('*') && term.contains('X')
+          if (ok) {
+            val parts = psplit(term, "*")
+            val coef = parts(0).trim.toDouble
+            val varPart = parts(1).trim
+            val v = psplit(psplit(varPart, "^")(0), "[")(0)
+            val lagPart = psplit(psplit(varPart, "[")(1), "]")(0)
+            val lag = if (lagPart == "t") 0 else -psplit(lagPart, "-")(1).toInt
+            val key = Vector(v, lag.toString, target)
+            if (sum) links(key) = links.getOrElse(key, 0.0) + coef
+            else links(key) = coef
+          }
+        }
+      }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  /** c1.py:248-290: integer variable ids + func tag, positive lag. */
+  private def cIntStyle(eqs: Vector[String]): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=") // NOT stripped (c1.py:256)
+      val target = psplit(psplit(after(left, "X"), "[")(0), "]")(0).trim.toInt
+      for (term0 <- psplit(right, "+"); term = term0.trim if term.contains('X')) {
+        val coef = psplit(term, "*")(0).trim.toDouble
+        val source = psplit(after(term, "X"), "[")(0).toInt
+        val func =
+          if (term.contains("cos(")) "cos"
+          else if (term.contains("sin(")) "sin"
+          else if (term.contains('^')) s"power${psplit(term, "^")(1).trim}"
+          else "linear"
+        val lag = if (term.contains("[t-")) psplit(psplit(term, "-")(1), "]")(0).toInt else 0
+        links(Vector(source.toString, lag.toString, target.toString, func)) = coef
+      }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  /** c1c.py:301-347: name keys, U tagged 'confounder'. */
+  private def c1cStyle(eqs: Vector[String]): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=') && !eq.startsWith("U[")) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val target = s"X${psplit(after(left, "X"), "[")(0).toInt}"
+      for (term0 <- psplit(right, "+"); term = term0.trim) {
+        if (term.contains('U')) {
+          val coef = psplit(term, "*")(0).trim.toDouble
+          links(Vector("U", "0", target, "confounder")) = coef
+        } else if (term.contains('X')) {
+          val coef = psplit(term, "*")(0).trim.toDouble
+          val source = s"X${psplit(after(term, "X"), "[")(0).toInt}"
+          val func =
+            if (term.contains("cos(")) "cos"
+            else if (term.contains("sin(")) "sin"
+            else if (term.contains('^')) s"power${psplit(term, "^")(1).trim}"
+            else "linear"
+          val lag = if (term.contains("[t-")) psplit(psplit(term, "-")(1), "]")(0).toInt else 0
+          links(Vector(source, lag.toString, target, func)) = coef
+        }
+      }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  /** d3c.py:121-169 (also c2c.py:309, d3.py:268): name keys, U func = powerK/linear. */
+  private def d3cStyle(eqs: Vector[String]): Vector[RawLink] = {
+    val links = mutable.LinkedHashMap.empty[Vector[String], Double]
+    for (eq <- eqs if eq.contains('=') && !eq.startsWith("U[")) {
+      val Array(left, right) = psplit(eq, "=")
+      val target = psplit(left, "[")(0).trim
+      for (term0 <- psplit(right, "+"); term = term0.trim) {
+        val relevant = (term.contains('X') || term.contains('U')) && !term.startsWith("e")
+        if (relevant) {
+          val coef = psplit(term, "*")(0).trim.toDouble
+          if (term.contains("U[")) {
+            val func = if (term.contains('^')) s"power${psplit(term, "^")(1).trim.toInt}" else "linear"
+            links(Vector("U", "0", target, func)) = coef
+          } else {
+            val source = psplit(after(term, "X"), "[")(0)
+            val func =
+              if (term.contains("cos(")) "cos"
+              else if (term.contains("sin(")) "sin"
+              else if (term.contains('^')) s"power${psplit(term, "^")(1).trim}"
+              else "linear"
+            val lag = if (term.contains("[t-")) psplit(psplit(term, "-")(1), "]")(0).toInt else 0
+            links(Vector(s"X$source", lag.toString, target, func)) = coef
+          }
+        }
+      }
+    }
+    links.iterator.map { case (k, c) => RawLink(k, c) }.toVector
+  }
+
+  // ---------------------------------------------------------------------------
+  // Generation-side compile (per-family effective semantics)
+  // ---------------------------------------------------------------------------
+
+  object Func { val Linear = 0; val Cos = 1; val Sin = 2; val Pow = 3 }
+
+  sealed trait GTerm
+  object GTerm {
+    case object Noise extends GTerm
+    case object Trend extends GTerm
+    case object Season extends GTerm
+    /** causal dependency term; `func` ∈ Func; `pow` only for Func.Pow. */
+    final case class Dep(srcName: String, srcIdx: Int, isU: Boolean, lag: Int,
+                         func: Int, pow: Int, coef: Double) extends GTerm
+  }
+
+  final case class GenEq(
+      targetName: String, targetIdx: Int, terms: Vector[GTerm],
+      /** D1 two-pass: true iff no rhs term contains "t]" (d1.py:152). */
+      pass1Eligible: Boolean,
+      /** name var_values records after pass-1 eval (d1.py:163-169 shadowing quirk). */
+      shadowName: String)
+
+  sealed trait Strategy
+  object Strategy {
+    case object EqReverse extends Strategy     // a1.py:147-192
+    case object ListOrder extends Strategy     // c1.py:196-222, d3c.py:333-363
+    case object TwoPassShadow extends Strategy // d1.py:136-204
+    case object ToposortRetry extends Strategy // a1c.py:160-253
+    case object LinkReverse extends Strategy   // b2.py:109-132, b1c.py:111-138
+    case object LinkPrePass extends Strategy   // a2.py:169-201
+  }
+
+  final case class GenProgram(
+      family: String, nVars: Int, maxLag: Int,
+      eqs: Vector[GenEq],             // eq-based families, equation-list order (U eq excluded)
+      byVar: Array[Vector[GTerm.Dep]], // link-based families: deps per target var idx
+      linkTargets: Set[Int],          // link-based: target var idxs (A2 exog pre-pass)
+      strategy: Strategy)
+
+  /** Families whose kernel applies U's declared power (B-extractor kernels);
+    * C2C/D3C hit the dead `expr == 'U[t]'` branch and apply U LINEARLY despite
+    * declaring U^2 (c2c.py:178-186, d3c.py:275-283) — a must-preserve quirk.
+    */
+  private val uPowerApplied = Set("B1C", "B2C", "D2C")
+
+  def compileGen(family: String, nVars: Int, maxLag: Int): GenProgram = {
+    val eqs = Catalog.equations((family, nVars, maxLag))
+    family match {
+      case "A1"                 => eqProgram(family, nVars, maxLag, eqs, Strategy.EqReverse)
+      case "A1C"                => eqProgram(family, nVars, maxLag, eqs, Strategy.ToposortRetry)
+      case "D1" | "D1C"         => eqProgram(family, nVars, maxLag, eqs, Strategy.TwoPassShadow)
+      case "C1" | "C1C" | "C2" | "C2C" | "D3" | "D3C" =>
+        eqProgram(family, nVars, maxLag, eqs, Strategy.ListOrder)
+      case "A2" | "A2C" =>
+        linkProgram(family, nVars, maxLag, genLinksA(family, eqs), Strategy.LinkPrePass)
+      case "B1" | "B1C" | "B2" | "B2C" | "D2" | "D2C" =>
+        linkProgram(family, nVars, maxLag, genLinksBPower(eqs), Strategy.LinkReverse)
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+  }
+
+  /** Generation links for A2 ('noise'-eq filter) / A2C ('e' in rhs filter →
+    * ALWAYS empty, a2c.py:226-251: shipped A2C data is pure noise).
+    */
+  private[core] def genLinksA(family: String, eqs: Vector[String]): Vector[(GTerm.Dep, String)] = {
+    val out = mutable.LinkedHashMap.empty[(String, Int, String), Double]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val keep = if (family == "A2C") !right.contains('e') else !eq.contains("noise")
+      if (keep) {
+        val target = psplit(left, "[")(0)
+        for (term0 <- psplit(right, "+"); term = term0.trim)
+          if (term.contains('*') && term.contains('X')) {
+            val parts = psplit(term, "*").map(_.trim)
+            val varPart = parts(1)
+            val v = psplit(varPart, "[")(0)
+            val lagPart = psplit(psplit(varPart, "[")(1), "]")(0)
+            val lag = if (lagPart == "t") 0 else -psplit(lagPart, "-")(1).toInt
+            out((v, lag, target)) = parts(0).toDouble
+          }
+      }
+    }
+    out.iterator.map { case ((src, lag, tgt), c) =>
+      (GTerm.Dep(src, varIdx(src), src == "U", math.abs(lag), Func.Linear, 1, c), tgt)
+    }.toVector
+  }
+
+  /** b2.py:160-194 / b1c.py:160-202 / d2c.py:266-303: power-aware link dict;
+    * only the leading term of "a*X^2 - b*X^3" survives (power '2 - 0.1' →
+    * split(' ')[0] → 2; cubic dropped, §2.4-1).
+    */
+  private[core] def genLinksBPower(eqs: Vector[String]): Vector[(GTerm.Dep, String)] = {
+    val out = mutable.LinkedHashMap.empty[(String, Int, String, Int), Double]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val pureNoise = right.contains('e') && psplit(right, "+").length == 1
+      if (!pureNoise) {
+        val target = psplit(left, "[")(0)
+        for (term0 <- psplit(right, "+"); term = term0.trim)
+          if (term.contains('*') && (term.contains('X') || term.contains('U'))) {
+            val parts = psplit(term, "*")
+            val coef = parts(0).trim.toDouble
+            val varPart = parts(1).trim
+            val baseVar = if (varPart.contains('^')) psplit(varPart, "^")(0) else varPart
+            val v = psplit(baseVar, "[")(0)
+            val power =
+              if (varPart.contains('^')) psplit(psplit(varPart, "^")(1), " ")(0).toInt else 1
+            val lagPart = psplit(psplit(baseVar, "[")(1), "]")(0)
+            val lag = if (lagPart == "t") 0 else -psplit(lagPart, "-")(1).toInt
+            out((v, lag, target, power)) = coef
+          }
+      }
+    }
+    out.iterator.map { case ((src, lag, tgt, pow), c) =>
+      (GTerm.Dep(src, varIdx(src), src == "U", math.abs(lag),
+        if (pow == 1) Func.Linear else Func.Pow, pow, c), tgt)
+    }.toVector
+  }
+
+  private def varIdx(name: String): Int =
+    if (name == "U") -1 else name.drop(1).toInt - 1
+
+  private def linkProgram(family: String, nVars: Int, maxLag: Int,
+      pairs: Vector[(GTerm.Dep, String)], strategy: Strategy): GenProgram = {
+    val byVar = Array.fill(nVars)(Vector.empty[GTerm.Dep])
+    pairs.foreach { case (dep, tgt) =>
+      val ti = varIdx(tgt)
+      if (ti >= 0 && ti < nVars) byVar(ti) = byVar(ti) :+ dep
+    }
+    val targets = pairs.map(p => varIdx(p._2)).filter(i => i >= 0 && i < nVars).toSet
+    GenProgram(family, nVars, maxLag, Vector.empty, byVar, targets, strategy)
+  }
+
+  private def eqProgram(family: String, nVars: Int, maxLag: Int,
+      eqs: Vector[String], strategy: Strategy): GenProgram = {
+    val genEqs = eqs.flatMap { eq =>
+      if (!eq.contains('=') || eq.startsWith("U[")) None
+      else {
+        val Array(left, right) = psplit(eq, "=").map(_.trim)
+        val targetName = psplit(left, "[")(0)
+        val targetIdx = varIdx(targetName)
+        val rawTerms = psplit(right, "+").map(_.trim).toVector
+        var shadow = targetName
+        val terms = rawTerms.map { term =>
+          if (term.startsWith("e")) GTerm.Noise
+          else if (term.startsWith("trend")) GTerm.Trend
+          else if (term.startsWith("season")) GTerm.Season
+          else {
+            val d = parseDepTerm(family, term)
+            if (!d.isU) shadow = d.srcName // d1.py:163-169: var_name reassigned per dep term
+            d
+          }
+        }
+        val pass1 = !rawTerms.exists(_.contains("t]"))
+        Some(GenEq(targetName, targetIdx, terms, pass1, shadow))
+      }
+    }
+    GenProgram(family, nVars, maxLag, genEqs, Array.fill(nVars)(Vector.empty), Set.empty, strategy)
+  }
+
+  /** evaluate_term-compatible parse of one dep term (c1.py:143-187,
+    * d3c.py:268-331, a1.py:165-189).
+    */
+  private def parseDepTerm(family: String, term: String): GTerm.Dep = {
+    val parts = psplit(term, "*")
+    val coef = parts(0).trim.toDouble
+    val expr = parts(1).trim
+    if (expr.startsWith("U[") || expr.contains("U[t]")) {
+      // U is always contemporaneous; C2C/D3C apply it LINEARLY even when the
+      // equation declares U^2 (dead `expr == 'U[t]'` branch quirk).
+      val pow = if (expr.contains('^') && uPowerApplied(family)) psplit(expr, "^")(1).trim.toInt else 1
+      GTerm.Dep("U", -1, isU = true, lag = 0,
+        if (pow == 1) Func.Linear else Func.Pow, pow, coef)
+    } else if (term.contains("cos(")) {
+      val inner = psplit(after(term, "cos("), ")")(0)
+      val src = psplit(after(inner, "X"), "[")(0).toInt
+      val lag = lagOf(inner)
+      GTerm.Dep(s"X$src", src - 1, isU = false, lag, Func.Cos, 1, coef)
+    } else if (term.contains("sin(")) {
+      val inner = psplit(after(term, "sin("), ")")(0)
+      val src = psplit(after(inner, "X"), "[")(0).toInt
+      val lag = lagOf(inner)
+      GTerm.Dep(s"X$src", src - 1, isU = false, lag, Func.Sin, 1, coef)
+    } else if (expr.contains('^')) {
+      val pow = psplit(expr, "^")(1).trim.toInt
+      val src = psplit(after(expr, "X"), "[")(0).toInt
+      val lag = lagOf(expr)
+      GTerm.Dep(s"X$src", src - 1, isU = false, lag, Func.Pow, pow, coef)
+    } else {
+      val src = psplit(after(expr, "X"), "[")(0).toInt
+      val lag = lagOf(expr)
+      GTerm.Dep(s"X$src", src - 1, isU = false, lag, Func.Linear, 1, coef)
+    }
+  }
+
+  private def lagOf(s: String): Int =
+    if (s.contains("[t-")) psplit(psplit(s, "[t-")(1), "]")(0).toInt else 0
+}

@@ -1,0 +1,68 @@
+package graft.generate
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Spark fan-out of the generation kernel (SURVEY §4 lifecycle equivalent):
+  * Dataset[GenConfig] → flatMap(kernel) → Dataset[SeriesRow] → wide DataFrame.
+  *
+  * Scale design: the config grid is the parallelism unit. Series are
+  * independent, so generation is embarrassingly parallel with ZERO shuffle —
+  * `repartition` on the config set only (tiny), then a single narrow flatMap
+  * stage. At 100 TB the grid would hold millions of configs; rows never move
+  * between executors until a downstream op asks for it. Writers partition
+  * output by family so partition pruning serves per-family queries.
+  */
+object Generate {
+
+  def configDs(spark: SparkSession, cfgs: Seq[GenConfig]): Dataset[GenConfig] = {
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    // spread configs round-robin so the few large (n=5000) series don't skew tasks
+    spark.createDataset(cfgs).repartition(math.min(cfgs.size, parallelism * 2))
+  }
+
+  /** All rows for the given configs; no shuffle, one task per config batch. */
+  def series(spark: SparkSession, cfgs: Seq[GenConfig]): Dataset[SeriesRow] = {
+    import spark.implicits._
+    configDs(spark, cfgs).flatMap(cfg => Kernel.rows(cfg))
+  }
+
+  /** Wide DataFrame with reference column names X1..Xn, U, time. */
+  def wide(ds: Dataset[SeriesRow]): DataFrame =
+    ds.toDF()
+      .withColumnRenamed("x1", "X1").withColumnRenamed("x2", "X2")
+      .withColumnRenamed("x3", "X3").withColumnRenamed("x4", "X4")
+      .withColumnRenamed("x5", "X5").withColumnRenamed("x6", "X6")
+      .withColumnRenamed("x7", "X7").withColumnRenamed("x8", "X8")
+      .withColumnRenamed("u", "U")
+
+  /** The "missing" view: masked X cells → null (D families' *_missing.csv). */
+  def missingView(df: DataFrame): DataFrame = {
+    (1 to 8).foldLeft(df) { (d, i) =>
+      d.withColumn(s"X$i",
+        when((shiftright(col("maskBits"), i - 1).bitwiseAND(lit(1))) === 1, lit(null))
+          .otherwise(col(s"X$i")))
+    }
+  }
+
+  /** Truth links for all families as a Dataset (tiny dimension table). */
+  def truthLinks(spark: SparkSession): Dataset[CausalLink] = {
+    import spark.implicits._
+    val all = for {
+      fam <- Catalog.families
+      v <- Seq(4, 6, 8); lag <- Seq(2, 3, 4)
+      link <- Parser.truthLinks(fam, v, lag)
+    } yield link
+    spark.createDataset(all)
+  }
+
+  /** Partitioned parquet sink: family/nVars/maxLag directories give Catalyst
+    * partition pruning on the standard access pattern (per-config reads).
+    */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("family")
+      .parquet(path)
+}
