@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.generate.Generate
+import graft.ops.{AsOf, Lagged}
+import graft.text.{Dedup, TextOps}
+import graft.sim.Similarity
+
+/** Driver contract: one `queries` entry per implemented operator (SURVEY §3),
+  * each with an equivalent DuckDB oracle in `oracleSql`. Column names are
+  * aligned on both sides; double outputs are rounded identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  private def lineitem(s: SparkSession, d: String) = s.read.parquet(t(d, "lineitem"))
+  private def orders(s: SparkSession, d: String) = s.read.parquet(t(d, "orders"))
+  private def customer(s: SparkSession, d: String) = s.read.parquet(t(d, "customer"))
+  private def nation(s: SparkSession, d: String) = s.read.parquet(t(d, "nation"))
+  private def region(s: SparkSession, d: String) = s.read.parquet(t(d, "region"))
+  private def events(s: SparkSession, d: String) = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects natively;
+    // read as raw long ns (ts/1000 == DuckDB epoch_us for positive epochs)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(t(d, "events"))
+  }
+  private def documents(s: SparkSession, d: String) = s.read.parquet(t(d, "documents"))
+  private def embeddings(s: SparkSession, d: String) = s.read.parquet(t(d, "embeddings"))
+
+  /** Flagship: generation kernel fan-out → per-family summary (driver smoke). */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfgs = Catalog.families.flatMap(f => Grid.forFamily(f).take(2))
+    Generate.wide(Generate.series(spark, cfgs))
+      .groupBy("family")
+      .agg(count(lit(1)).as("rows"), avg("X1").as("mean_x1"))
+  }
+
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational core --
+    "q01_pricing_summary" -> ((s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d)
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    "q03_lagged_projection" -> ((s, d) =>
+      Lagged.laggedView(events(s, d).select("user_id", "event_id", "value"),
+          Seq("user_id"), "event_id", Seq("value"), 2)
+        .select(col("user_id"), col("event_id"),
+          round(col("value_0"), 4).as("value_0"),
+          round(col("value_1"), 4).as("value_1"),
+          round(col("value_2"), 4).as("value_2"))),
+
+    "q04_asof_join" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", floor(col("ts") / 1000L))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+                col("value").as("view_value"), col("ts_us"))
+      AsOf.asofBackward(purchases, views, Seq("user_id"), "ts_us", Seq("view_id", "view_value"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_view_id").as("view_id"),
+          round(col("asof_view_value"), 4).as("view_value"))
+    }),
+
+    "q05_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+                round(col("o_totalprice"), 4).as("o_totalprice"), col("rk"))
+    }),
+
+    "q06_summary_stats" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(stddev("l_quantity"), 4).as("std_qty"),
+        round(min("l_quantity"), 4).as("min_qty"),
+        round(max("l_quantity"), 4).as("max_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(stddev("l_extendedprice"), 4).as("std_price"))),
+
+    "q07_time_gaps" -> ((s, d) =>
+      Lagged.timeGaps(events(s, d).withColumn("ts_us", floor(col("ts") / 1000L))
+          .select("user_id", "event_id", "ts_us"), Seq("user_id"), "ts_us")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+             round(avg(col("gap") / 1e6), 4).as("avg_gap_s"),
+             round(max(col("gap") / 1e6), 4).as("max_gap_s"))),
+
+    // -- dedup / text analysis --
+    "q08_exact_dedup" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(documents(s, d), "doc_id", "text")),
+
+    "q09_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(documents(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("total_tokens"),
+             round(avg("n_distinct_tokens"), 4).as("avg_distinct"))),
+
+    "q10_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+                col("stopword_ratio"), col("type_token_ratio"), col("quality_score"))),
+
+    "q11_langid" -> ((s, d) =>
+      TextOps.langId(documents(s, d))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))),
+
+    "q12_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(documents(s, d)).select("doc_id", "fingerprint")),
+
+    "q13_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3,
+        minJaccard = 0.8, maxDocFreq = 100000L)),
+
+    // -- similarity search --
+    "q14_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // -- generation engine (deterministic derivations, VALUES oracles) --
+    "q20_truth_links" -> ((s, d) => {
+      Generate.truthLinks(s)
+        .toDF()
+        .select(col("family"), col("nVars").as("n_vars"), col("maxLag").as("max_lag"),
+                col("source"), col("lag"), col("target"), col("func"), col("coef"))
+    }),
+
+    "q21_grid_configs" -> ((s, d) => {
+      import s.implicits._
+      s.createDataset(Grid.all()).toDF()
+        .select(col("family"), col("nPoints").as("n_points"), col("nVars").as("n_vars"),
+                col("maxLag").as("max_lag"), col("noiseType").as("noise_type"),
+                col("mixRatio").as("mix_ratio"), col("mcarProb").as("mcar_prob"),
+                col("blockProb").as("block_prob"))
+    }),
+
+    // -- generation kernel smoke (no SQL oracle: rows-only check) --
+    "q30_generate_families" -> ((s, d) => {
+      val cfgs = Catalog.families.map(f =>
+        Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
+      Generate.wide(Generate.series(s, cfgs))
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_rows"),
+             round(avg("X1"), 2).as("mean_x1"),
+             round(avg("X6"), 2).as("mean_x6"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+
+  private val stopList = "'the','a','of','and','to','in','is','on','for','with'"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q03_lagged_projection" ->
+      """SELECT user_id, event_id,
+        |  round(value_0, 4) AS value_0, round(value_1, 4) AS value_1,
+        |  round(value_2, 4) AS value_2
+        |FROM (
+        |  SELECT user_id, event_id, value AS value_0,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_1,
+        |    lag(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS value_2
+        |  FROM events)
+        |WHERE value_1 IS NOT NULL AND value_2 IS NOT NULL""".stripMargin,
+
+    "q04_asof_join" ->
+      """SELECT p.user_id, p.event_id, v.view_id, round(v.view_value, 4) AS view_value
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS view_id, value AS view_value,
+        |                epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
+
+    "q05_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q06_summary_stats" ->
+      """SELECT count(*) AS n,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev(l_quantity), 4) AS std_qty,
+        |  round(min(l_quantity), 4) AS min_qty,
+        |  round(max(l_quantity), 4) AS max_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(stddev(l_extendedprice), 4) AS std_price
+        |FROM lineitem""".stripMargin,
+
+    "q07_time_gaps" ->
+      """SELECT user_id, count(*) AS n_gaps,
+        |  round(avg(gap / 1e6), 4) AS avg_gap_s,
+        |  round(max(gap / 1e6), 4) AS max_gap_s
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+        |  FROM events)
+        |WHERE gap IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    "q08_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS group_size
+        |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
+
+    "q09_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  round(avg(len(list_distinct(string_split(text, ' ')))), 4) AS avg_distinct
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q10_quality_score" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+         |        / len(string_split(text, ' ')), 6) AS mean_token_len,
+         |  round(len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE
+         |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |        / len(string_split(text, ' ')), 6) AS type_token_ratio,
+         |  round(least(1.0, len(string_split(text, ' ')) / 100.0) *
+         |        (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE
+         |         / len(string_split(text, ' '))), 6) AS quality_score
+         |FROM documents""".stripMargin,
+
+    "q11_langid" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val de = score(Seq("der", "die", "und", "nicht", "das", "ist", "du", "ich", "ein", "mit"))
+      val en = score(Seq("the", "and", "is", "of", "to", "a", "in", "that", "it", "for"))
+      val es = score(Seq("el", "la", "que", "de", "no", "los", "una", "por", "con", "para"))
+      val fr = score(Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"))
+      val zh = score(Seq("de", "shi", "bu", "wo", "ni", "ta", "zai", "le", "you", "men"))
+      s"""SELECT lang_pred, count(*) AS n_docs FROM (
+         |  SELECT CASE
+         |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |    WHEN $fr >= $zh THEN 'fr'
+         |    ELSE 'zh' END AS lang_pred
+         |  FROM documents)
+         |GROUP BY lang_pred""".stripMargin
+    },
+
+    "q12_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q13_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' '))) AS shset
+        |  FROM documents),
+        |ex AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+        |FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.8""".stripMargin,
+
+    "q14_cosine_topk" ->
+      """SELECT query_id, cand_id, cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q20_truth_links" -> OracleData.truthLinksSql,
+
+    "q21_grid_configs" -> {
+      def grid(fams: Seq[String], noises: Seq[String], ratios: Seq[Double],
+               mcars: Seq[Double], blocks: Seq[Double]) = {
+        val f = fams.map(x => s"('$x')").mkString(",")
+        val no = noises.map(x => s"('$x')").mkString(",")
+        val ra = ratios.map(x => s"($x::DOUBLE)").mkString(",")
+        val mc = mcars.map(x => s"($x::DOUBLE)").mkString(",")
+        val bl = blocks.map(x => s"($x::DOUBLE)").mkString(",")
+        s"""SELECT family, n_points, n_vars, max_lag, noise_type, mix_ratio, mcar_prob, block_prob
+           |FROM (VALUES $f) f(family)
+           |CROSS JOIN (VALUES (500),(1000),(3000),(5000)) s(n_points)
+           |CROSS JOIN (VALUES (4),(6),(8)) v(n_vars)
+           |CROSS JOIN (VALUES (2),(3),(4)) l(max_lag)
+           |CROSS JOIN (VALUES $no) n(noise_type)
+           |CROSS JOIN (VALUES $ra) r(mix_ratio)
+           |CROSS JOIN (VALUES $mc) m(mcar_prob)
+           |CROSS JOIN (VALUES $bl) b(block_prob)""".stripMargin
+      }
+      Seq(
+        grid(Seq("A1", "A1C", "A2", "A2C", "B1", "B1C", "C2", "C2C"),
+          Seq("gaussian", "student_t"), Seq(1.0), Seq(0.0), Seq(0.0)),
+        grid(Seq("B2", "B2C"), Seq("mixed"), Seq(0.3, 0.5, 0.7), Seq(0.0), Seq(0.0)),
+        grid(Seq("C1", "C1C"), Seq("gaussian"), Seq(1.0), Seq(0.0), Seq(0.0)),
+        grid(Seq("D1", "D1C"), Seq("gaussian", "student_t"), Seq(1.0), Seq(0.1, 0.2, 0.3), Seq(0.0)),
+        grid(Seq("D2", "D2C"), Seq("gaussian", "student_t"), Seq(1.0), Seq(0.0), Seq(0.1, 0.2, 0.3)),
+        grid(Seq("D3", "D3C"), Seq("mixed"), Seq(0.3, 0.5, 0.7), Seq(0.05, 0.1), Seq(0.05, 0.1))
+      ).mkString("\n UNION ALL \n")
+    }
+  )
 }

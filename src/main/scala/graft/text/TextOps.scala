@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID, document fingerprinting.
+  *
+  * All implemented with codegen'd built-in functions (no UDFs) so they stay
+  * inside whole-stage codegen and are exactly reproducible in the DuckDB
+  * oracle. Every op is a narrow projection — embarrassingly parallel at any
+  * scale, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space corpus). */
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** Token count + distinct-token count per doc. */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(tokensCol(col(textCol))))
+      .withColumn("n_distinct_tokens", size(array_distinct(tokensCol(col(textCol)))))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Quality heuristics: length, mean token length, stopword ratio,
+    * type-token ratio, digit ratio. Deterministic arithmetic only.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val nTok = size(toks)
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    df.withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        round((length(col(textCol)) - nTok + 1).cast("double") / nTok, 6))
+      .withColumn("stopword_ratio", round(nStop.cast("double") / nTok, 6))
+      .withColumn("type_token_ratio",
+        round(size(array_distinct(toks)).cast("double") / nTok, 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - nStop.cast("double") / nTok), 6))
+  }
+
+  /** Language-ID by stopword-list voting: score per language = matching token
+    * count; prediction = argmax with deterministic tie-break on language code.
+    * (The real-world analogue is an n-gram profile model; the vote keeps the
+    * operator SQL-expressible for the oracle.)
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das", "ist", "du", "ich", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "que", "de", "no", "los", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "ni", "ta", "zai", "le", "you", "men"))
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (d, (code, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      d.withColumn(s"score_$code", size(filter(toks, t => array_contains(arr, t))))
+    }
+    // argmax with tie-break on language code order (greatest of structs)
+    val structs = LangMarkers.map { case (code, _) =>
+      struct(col(s"score_$code").as("s"), lit(LangMarkers.size - LangMarkers.indexWhere(_._1 == code)).as("prio"), lit(code).as("code"))
+    }
+    scored.withColumn("lang_pred", greatest(structs: _*).getField("code"))
+  }
+
+  /** 31-polynomial rolling hash of the text modulo 2^31-1 — a deterministic
+    * document fingerprint computable with identical integer arithmetic in
+    * Spark (`aggregate` higher-order fn) and DuckDB (`list_reduce` over
+    * `ascii(substr(...))`) — verified bit-identical.
+    */
+  def fingerprint(textCol: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(textCol)),
+        i => ascii(textCol.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 2147483647L)
+
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Word n-gram shingles (for Jaccard/MinHash dedup). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
