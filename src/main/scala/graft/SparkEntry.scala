@@ -165,6 +165,67 @@ object SparkEntry {
                 col("blockProb").as("block_prob"))
     }),
 
+    "q15_minhash_signatures" -> ((s, d) =>
+      Dedup.minhashSignatures(documents(s, d), "doc_id", "text", n = 3, numHashes = 16)
+        .withColumnRenamed("id", "doc_id")),
+
+    // LSH banding uses Spark's hash() — rows-only check (no SQL oracle)
+    "q16_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)),
+
+    "q17_simhash" -> ((s, d) =>
+      Dedup.simhash(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    "q18_stream_window" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsWindowed(s, d, windowSec = 300L,
+        queryName = s"graft_stream_${System.nanoTime()}")),
+
+    "q19_embedding_neardups" -> ((s, d) =>
+      Similarity.embeddingNearDups(
+        embeddings(s, d).where(col("vec_id") < 1000), "vec_id", "embedding", 0.2)),
+
+    "q22_graph_metrics" -> ((s, d) => {
+      val links = Generate.truthLinks(s).toDF()
+        .select(col("family"), concat_ws("_", col("nVars"), col("maxLag")).as("graph_id"),
+                col("nVars").as("n_vars"), col("maxLag").as("max_lag"),
+                col("source"), col("target"), col("lag"))
+      def side(fam: String) = links.where(col("family") === fam)
+        .select("graph_id", "source", "target", "lag").distinct()
+        .withColumnRenamed("graph_id", "graphId")
+      val truth = side("A1")
+      val pred = side("B2")
+      val totals = links.where(col("family") === "A1")
+        .select(col("graph_id").as("graphId"),
+          (col("n_vars") * col("n_vars") * (col("max_lag") + 1)).as("total")).distinct()
+      graft.metrics.Metrics.f1(graft.metrics.Metrics.tprFdr(
+          graft.metrics.Metrics.confusion(truth, pred, totals)))
+        .select(col("graphId").as("graph_id"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tpr"), 6).as("tpr"), round(col("fdr"), 6).as("fdr"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
+    "q23_graph_shd" -> ((s, d) => {
+      val links = Generate.truthLinks(s).toDF()
+        .select(col("family"), concat_ws("_", col("nVars"), col("maxLag")).as("graphId"),
+                col("source"), col("target"), col("lag"))
+      def side(fam: String) = links.where(col("family") === fam)
+        .select("graphId", "source", "target", "lag").distinct()
+      val xor = graft.metrics.Metrics.shdXor(side("A1"), side("B2"))
+      val structural = graft.metrics.Metrics.shdStructural(side("A1"), side("B2"))
+      xor.join(structural, Seq("graphId"))
+        .select(col("graphId").as("graph_id"), col("shd"), col("shd_structural"))
+    }),
+
+    "q24_graph_tensor" -> ((s, d) => {
+      val links = Generate.truthLinks(s).toDF()
+        .where(col("family").isin("A1", "A1C"))
+        .select(col("family"), col("nVars").as("n_vars"), col("maxLag").as("max_lag"),
+                col("source"), col("lag"), col("target"), col("func"), col("coef"))
+      Generate.tensorCells(links)
+    }),
+
     // -- generation kernel smoke (no SQL oracle: rows-only check) --
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
@@ -330,6 +391,128 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin,
+
+    "q15_minhash_signatures" -> {
+      val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
+      }.mkString(",\n  ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+         |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
+         |  FROM documents),
+         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)
+         |SELECT doc_id,
+         |  $mins
+         |FROM h GROUP BY doc_id""".stripMargin
+    },
+
+    "q17_simhash" -> {
+      val bits = (0 until 32).map { b =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" +\n  ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM tok)
+         |SELECT doc_id,
+         |  ($bits)::BIGINT AS simhash
+         |FROM h GROUP BY doc_id""".stripMargin
+    },
+
+    "q18_stream_window" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
+        |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.2""".stripMargin,
+
+    "q22_graph_metrics" ->
+      s"""WITH links AS (${OracleData.truthLinksSql}),
+         |t AS (SELECT DISTINCT n_vars::VARCHAR || '_' || max_lag::VARCHAR AS graph_id,
+         |        source, target, lag FROM links WHERE family = 'A1'),
+         |p AS (SELECT DISTINCT n_vars::VARCHAR || '_' || max_lag::VARCHAR AS graph_id,
+         |        source, target, lag FROM links WHERE family = 'B2'),
+         |tot AS (SELECT DISTINCT n_vars::VARCHAR || '_' || max_lag::VARCHAR AS graph_id,
+         |        n_vars * n_vars * (max_lag + 1) AS total FROM links WHERE family = 'A1'),
+         |conf AS (
+         |  SELECT coalesce(t.graph_id, p.graph_id) AS graph_id,
+         |    sum(CASE WHEN t.source IS NOT NULL AND p.source IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN t.source IS NULL THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN p.source IS NULL THEN 1 ELSE 0 END)::BIGINT AS fn
+         |  FROM t FULL OUTER JOIN p
+         |    ON t.graph_id = p.graph_id AND t.source = p.source
+         |   AND t.target = p.target AND t.lag = p.lag
+         |  GROUP BY 1)
+         |SELECT c.graph_id, tp, fp, fn, (total - tp - fp - fn)::BIGINT AS tn,
+         |  round(CASE WHEN tp + fn = 0 THEN 0 ELSE tp::DOUBLE / (tp + fn) END, 6) AS tpr,
+         |  round(CASE WHEN fp + tp = 0 THEN 0 ELSE fp::DOUBLE / (fp + tp) END, 6) AS fdr,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0 ELSE tp::DOUBLE / (tp + fp) END)
+         |           + (CASE WHEN tp + fn = 0 THEN 0 ELSE tp::DOUBLE / (tp + fn) END) = 0 THEN 0
+         |        ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0 ELSE tp::DOUBLE / (tp + fp) END)
+         |               * (CASE WHEN tp + fn = 0 THEN 0 ELSE tp::DOUBLE / (tp + fn) END)
+         |             / ((CASE WHEN tp + fp = 0 THEN 0 ELSE tp::DOUBLE / (tp + fp) END)
+         |              + (CASE WHEN tp + fn = 0 THEN 0 ELSE tp::DOUBLE / (tp + fn) END)) END, 6) AS f1
+         |FROM conf c JOIN tot ON c.graph_id = tot.graph_id""".stripMargin,
+
+    "q23_graph_shd" ->
+      s"""WITH links AS (${OracleData.truthLinksSql}),
+         |t AS (SELECT DISTINCT n_vars::VARCHAR || '_' || max_lag::VARCHAR AS graph_id,
+         |        source, target, lag FROM links WHERE family = 'A1'),
+         |p AS (SELECT DISTINCT n_vars::VARCHAR || '_' || max_lag::VARCHAR AS graph_id,
+         |        source, target, lag FROM links WHERE family = 'B2'),
+         |x AS (
+         |  SELECT coalesce(t.graph_id, p.graph_id) AS graph_id,
+         |    sum(CASE WHEN t.source IS NULL OR p.source IS NULL THEN 1 ELSE 0 END)::BIGINT AS shd
+         |  FROM t FULL OUTER JOIN p
+         |    ON t.graph_id = p.graph_id AND t.source = p.source
+         |   AND t.target = p.target AND t.lag = p.lag
+         |  GROUP BY 1),
+         |tc AS (SELECT graph_id, least(source, target) AS u, greatest(source, target) AS v, lag,
+         |        max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+         |        max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+         |       FROM t GROUP BY 1, 2, 3, 4),
+         |pc AS (SELECT graph_id, least(source, target) AS u, greatest(source, target) AS v, lag,
+         |        max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+         |        max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+         |       FROM p GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT coalesce(tc.graph_id, pc.graph_id) AS graph_id,
+         |        coalesce(t_fwd, 0) AS t_fwd, coalesce(t_rev, 0) AS t_rev,
+         |        coalesce(p_fwd, 0) AS p_fwd, coalesce(p_rev, 0) AS p_rev
+         |      FROM tc FULL OUTER JOIN pc
+         |        ON tc.graph_id = pc.graph_id AND tc.u = pc.u AND tc.v = pc.v AND tc.lag = pc.lag),
+         |st AS (SELECT graph_id,
+         |        sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1 AND t_fwd <> p_fwd THEN 1
+         |            ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)::BIGINT AS shd_structural
+         |       FROM j GROUP BY 1)
+         |SELECT x.graph_id, x.shd, st.shd_structural
+         |FROM x JOIN st ON x.graph_id = st.graph_id""".stripMargin,
+
+    "q24_graph_tensor" ->
+      s"""WITH links AS (${OracleData.truthLinksSql}),
+         |base AS (SELECT family, n_vars, max_lag,
+         |    CASE WHEN source = 'U' THEN n_vars ELSE substr(source, 2)::INT - 1 END AS i,
+         |    CASE WHEN target = 'U' THEN n_vars ELSE substr(target, 2)::INT - 1 END AS j,
+         |    lag AS k, coef FROM links WHERE family IN ('A1', 'A1C')),
+         |allc AS (
+         |  SELECT family, n_vars, max_lag, i, j, k, coef AS value, 1 AS edge FROM base
+         |  UNION ALL
+         |  SELECT family, n_vars, max_lag, j AS i, i AS j, k, coef AS value, 0 AS edge
+         |  FROM base WHERE k = 0)
+         |SELECT family, n_vars, max_lag, i, j, k,
+         |  round(max(value), 6) AS value, max(edge)::INT AS edge
+         |FROM allc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

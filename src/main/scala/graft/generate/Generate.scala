@@ -65,4 +65,28 @@ object Generate {
     df.write.mode("overwrite")
       .partitionBy("family")
       .parquet(path)
+
+  /** Truth-tensor cells in long form (S3, a1.py:251-266): cell (i,j,k) =
+    * "var i at t−k → var j at t"; contemporaneous entries are symmetric in the
+    * value tensor but stay directed in the boolean graph tensor; confounded
+    * variants place U at index nVars (a1c.py:315).
+    */
+  def tensorCells(links: DataFrame): DataFrame = {
+    val base = links
+      .withColumn("i",
+        when(col("source") === "U", col("n_vars"))
+          .otherwise(substring(col("source"), 2, 2).cast("int") - 1))
+      .withColumn("j",
+        when(col("target") === "U", col("n_vars"))
+          .otherwise(substring(col("target"), 2, 2).cast("int") - 1))
+      .withColumn("k", col("lag"))
+    val fwd = base.select(col("family"), col("n_vars"), col("max_lag"),
+      col("i"), col("j"), col("k"), col("coef").as("value"), lit(1).as("edge"))
+    val sym = base.where(col("k") === 0).select(col("family"), col("n_vars"),
+      col("max_lag"), col("j").as("i"), col("i").as("j"), col("k"),
+      col("coef").as("value"), lit(0).as("edge"))
+    fwd.union(sym)
+      .groupBy("family", "n_vars", "max_lag", "i", "j", "k")
+      .agg(round(max("value"), 6).as("value"), max("edge").as("edge"))
+  }
 }

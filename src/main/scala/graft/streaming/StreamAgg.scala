@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §3.4: reference is batch-only; the
+  * engine adds event-time streaming as the natural extension for the events
+  * table): file source → event-time tumbling window aggregation → sink.
+  *
+  * For the synchronous local check the sink is a memory table driven with
+  * `processAllAvailable()`; in production the same plan writes to a parquet
+  * sink with a watermark bounding state. Complete output mode makes the
+  * result equal to the batch aggregation over static input — which is exactly
+  * what the DuckDB oracle computes.
+  */
+object StreamAgg {
+
+  /** Tumbling-window counts/sums by event_type over the events parquet dir,
+    * computed as a real streaming query. windowSec buckets on epoch-µs.
+    */
+  def eventsWindowed(spark: SparkSession, sfDir: String, windowSec: Long = 300L,
+      queryName: String = "graft_stream_agg"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    // the file stream source requires a directory: stream the sf dir with a
+    // glob filter selecting only the events file
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+
+    val agg = stream
+      .withColumn("ts_us", floor(col("ts") / 1000L))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(
+        window(col("event_time"), s"$windowSec seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // materialize before the memory sink table goes away with a new query
+    val out = spark.table(queryName)
+    out.cache()
+    out.count()
+    out
+  }
+}

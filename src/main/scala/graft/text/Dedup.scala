@@ -63,15 +63,34 @@ object Dedup {
 
   private def shingleHash(c: Column): Column = TextOps.fingerprint(c)
 
+  /** Fixed affine hash-family coefficients (h_i(x) = (a_i x + b_i) mod p) —
+    * deterministic constants so the DuckDB oracle can mirror the arithmetic.
+    */
+  val MinhashCoefs: Vector[(Long, Long)] = Vector(
+    (1373158607L, 239081663L),
+    (53710185L, 1592467581L),
+    (590620972L, 525901256L),
+    (479341424L, 299655412L),
+    (1581559893L, 220106707L),
+    (1453201079L, 1590571865L),
+    (1915941033L, 1171165722L),
+    (186699714L, 1268073012L),
+    (906070221L, 68252793L),
+    (63989048L, 201209005L),
+    (469521478L, 499635468L),
+    (1085242217L, 1292825378L),
+    (56985562L, 1205264595L),
+    (427000597L, 1537640408L),
+    (1395616197L, 1506083910L),
+    (1170252924L, 900911954L))
+
   /** MinHash signatures (numHashes values per doc) over word n-gram shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= MinhashCoefs.size, s"at most ${MinhashCoefs.size} hashes")
     val sh = df.select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
       .withColumn("h", shingleHash(col("shingle")))
-    val rng = new scala.util.Random(42)
-    val coefs = Seq.fill(numHashes)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1,
-                                      math.abs(rng.nextLong()) % MinhashP))
-    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = MinhashCoefs.take(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashP))).as(s"mh_$i")
     }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
