@@ -1,0 +1,195 @@
+package graft.generate
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Reference-parity sinks (S2-S4):
+  *  - wide CSV corpus with the reference's file-name grammar (FIXTURES.md §1),
+  *    header `X1..Xn[,U],time`, missing cells empty, dual missing/complete
+  *    files for D families (d1.py:267-271)
+  *  - structure text files (a1.py:297-306 "(src, lag, tgt) => coef" format;
+  *    d3c.py:512-522 "src --(func, lag=k)--> tgt: coef" format)
+  *  - .npy tensor sink (a1.py:268-270) via a minimal NPY v1 writer
+  *
+  * Scale note: CSV corpus write is one partitionBy(configId) job (no driver
+  * loop over data); only the final file renames run on the driver.
+  */
+object Sinks {
+
+  /** File-name stem per the reference grammar (FIXTURES.md). */
+  def fileStem(c: GenConfig): String = {
+    val n = c.nPoints; val v = c.nVars; val l = c.maxLag
+    val noise = c.noiseType
+    c.family match {
+      case "A1" => s"linear_ts_n${n}_vars${v}_lag$l"
+      case "A1C" => s"linear_ts_with_confounder_n${n}_vars${v}_lag${l}_$noise"
+      case "A2" => s"multivariate_ts_n${n}_vars${v}_lag${l}_" +
+        (if (noise == "student_t") "t" else noise)
+      case "A2C" => s"multivariate_ts_n${n}_vars${v}_lag${l}_" +
+        (if (noise == "student_t") "t" else noise) + "_with_confounder"
+      case "B1" => s"nonlinear_ts_t_dist_n${n}_vars${v}_lag$l"
+      case "B1C" => s"nonlinear_confounded_n${n}_vars${v}_lag${l}_" +
+        (if (noise == "student_t") "t" else noise)
+      case "B2" => s"mixed_ts_n${n}_vars${v}_lag$l"
+      case "B2C" => s"mixed_confounded_ts_n${n}_vars${v}_lag$l"
+      case "C1" => s"nonlinear_ts_n${n}_vars${v}_lag$l"
+      case "C1C" => s"nonlinear_ts_with_confounder_n${n}_vars${v}_lag$l"
+      case "C2" | "C2C" => s"nonlinear_ts_n${n}_vars${v}_lag${l}_$noise"
+      case "D1" | "D1C" => s"linear_ts_n${n}_vars${v}_lag${l}_${noise}_mcar${(c.mcarProb * 100).toInt}"
+      case "D2" | "D2C" => s"nonlinear_ts_n${n}_vars${v}_lag${l}_${noise}_block${(c.blockProb * 100).toInt}"
+      case "D3" | "D3C" =>
+        s"nonlinear_ts_n${n}_vars${v}_lag${l}_noise${(c.mixRatio * 100).toInt}" +
+          s"_mcar${(c.mcarProb * 100).toInt}_block${(c.blockProb * 100).toInt}"
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** Structure text (S4). Format A ("(src, lag, tgt) => coef") for A/B/D1/D2
+    * families, format C ("src --(func, lag=k)--> tgt: coef") for C/D3 families
+    * — link lines exactly as the reference writes them (raw extractor keys).
+    */
+  def structureText(family: String, nVars: Int, maxLag: Int): String = {
+    val eqs = Catalog.equations((family, nVars, maxLag))
+    val raw = Parser.truthLinksRaw(family, nVars, maxLag)
+    val sb = new StringBuilder
+    sb.append(s"Causal structure for family $family (vars=$nVars, max_lag=$maxLag)\n")
+    sb.append("\nEquations:\n")
+    eqs.foreach(e => sb.append(e).append('\n'))
+    sb.append("\nCausal Links:\n")
+    def nm(s: String) = if (s.forall(_.isDigit)) s"X$s" else s
+    // per-family link-line formats as written by each save function:
+    // tuple-repr (a2.py:293, b2.py:287), "[base coefficient]" (d2.py:309),
+    // plain (a1.py:305), arrow (d3c.py:519-521)
+    val quoted = Set("A2", "A2C", "B1", "B1C", "B2", "B2C")
+    val baseCoefSuffix = Set("D2", "D2C")
+    raw.foreach { rl =>
+      rl.parts match {
+        case Vector(src, lag, tgt) if quoted.contains(family) =>
+          sb.append(s"('$src', $lag, '$tgt') => ${fmt(rl.coef)}\n")
+        case Vector(src, lag, tgt) if baseCoefSuffix.contains(family) =>
+          sb.append(s"($src, $lag, $tgt) => ${fmt(rl.coef)} [base coefficient]\n")
+        case Vector(src, lag, tgt) =>
+          sb.append(s"($src, $lag, $tgt) => ${fmt(rl.coef)}\n")
+        case Vector(src, lag, tgt, func) =>
+          sb.append(s"${nm(src)} --($func, lag=$lag)--> ${nm(tgt)}: ${fmt(rl.coef)}\n")
+        case other => throw new IllegalStateException(other.toString)
+      }
+    }
+    sb.toString
+  }
+
+  /** Python-str float rendering for the short decimals in the catalogs. */
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString
+
+  def writeStructureText(family: String, nVars: Int, maxLag: Int, path: String): Unit =
+    Files.write(Paths.get(path), structureText(family, nVars, maxLag).getBytes(StandardCharsets.UTF_8))
+
+  /** Minimal NPY v1.0 writer for float64 / bool tensors (S3, a1.py:268-270). */
+  def writeNpy(path: String, shape: Seq[Int], doubles: Array[Double]): Unit =
+    writeNpyRaw(path, shape, "<f8", doubles.length * 8) { buf =>
+      doubles.foreach(buf.putDouble)
+    }
+
+  def writeNpyBool(path: String, shape: Seq[Int], bools: Array[Boolean]): Unit =
+    writeNpyRaw(path, shape, "|b1", bools.length) { buf =>
+      bools.foreach(b => buf.put(if (b) 1.toByte else 0.toByte))
+    }
+
+  private def writeNpyRaw(path: String, shape: Seq[Int], dtype: String, dataLen: Int)
+      (fill: ByteBuffer => Unit): Unit = {
+    val headerDict = s"{'descr': '$dtype', 'fortran_order': False, 'shape': (${shape.mkString(", ")}), }"
+    val headerLen = headerDict.length + 1 // newline
+    val pad = (64 - ((10 + headerLen) % 64)) % 64
+    val header = headerDict + " " * pad + "\n"
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      out.write(Array[Byte]((header.length & 0xff).toByte, ((header.length >> 8) & 0xff).toByte))
+      out.write(header.getBytes(StandardCharsets.US_ASCII))
+      val buf = ByteBuffer.allocate(dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      fill(buf)
+      out.write(buf.array())
+    } finally out.close()
+  }
+
+  /** Truth tensors for one (family, nVars, maxLag) as dense arrays (val, graph)
+    * with U appended at index nVars for confounded variants (a1c.py:315).
+    */
+  def truthTensors(family: String, nVars: Int, maxLag: Int): (Array[Double], Array[Boolean], Int) = {
+    val links = Parser.truthLinks(family, nVars, maxLag)
+    val hasU = links.exists(l => l.source == "U" || l.target == "U")
+    val p = if (hasU) nVars + 1 else nVars
+    val l1 = maxLag + 1
+    val vals = new Array[Double](p * p * l1)
+    val graph = new Array[Boolean](p * p * l1)
+    def idx(i: Int, j: Int, k: Int) = (i * p + j) * l1 + k
+    def vi(name: String) = if (name == "U") nVars else name.drop(1).toInt - 1
+    links.foreach { ln =>
+      val i = vi(ln.source); val j = vi(ln.target); val k = ln.lag
+      vals(idx(i, j, k)) = ln.coef
+      graph(idx(i, j, k)) = true
+      if (k == 0) vals(idx(j, i, 0)) = ln.coef // symmetric val, directed graph (a1.py:264-266)
+    }
+    (vals, graph, p)
+  }
+
+  /** CSV corpus write (S2): one partitionBy(configId) job per (nVars, hasU)
+    * schema group (≤ 6 jobs total, no per-config driver loop over data);
+    * driver renames part files to the reference grammar. `missing=true`
+    * writes the masked view (D families' *_missing.csv).
+    */
+  def writeCsvCorpus(rows: Dataset[SeriesRow], cfgs: Seq[GenConfig], outDir: String,
+      missing: Boolean): Unit = {
+    val byId = cfgs.map(c => c.configId -> c).toMap
+    val wide0 = Generate.wide(rows)
+    val view = if (missing) Generate.missingView(wide0) else wide0
+    Files.createDirectories(Paths.get(outDir))
+
+    val groups = cfgs.groupBy(c => (c.nVars, Kernel.specs(c.family).hasU))
+    for (((v, hasU), groupCfgs) <- groups) {
+      val ids = groupCfgs.map(_.configId)
+      val xCols = (1 to v).map(i => col(s"X$i"))
+      val uCol = if (hasU) Seq(col("U")) else Seq.empty
+      val regularFams = Kernel.specs.filter(!_._2.irregular).keys.toSeq
+      val timeCol = when(col("family").isin(regularFams: _*),
+          col("time").cast("long").cast("string"))
+        .otherwise(col("time").cast("string")).as("time")
+      val subset = view.where(col("configId").isin(ids: _*))
+        .repartition(col("configId"))
+        .sortWithinPartitions("t")
+        .select(Seq(col("configId")) ++ xCols ++ uCol :+ timeCol: _*)
+      val rawDir = s"$outDir/_raw_${v}_$hasU"
+      subset.write.mode("overwrite")
+        .partitionBy("configId")
+        .option("header", "true")
+        .option("emptyValue", "")
+        .csv(rawDir)
+      // rename part files to grammar names
+      Files.list(Paths.get(rawDir)).forEach { dir =>
+        val name = dir.getFileName.toString
+        if (name.startsWith("configId=")) {
+          val id = name.stripPrefix("configId=").toLong
+          byId.get(id).foreach { c =>
+            val suffix =
+              if (Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
+                (if (missing) "_missing" else "_complete")
+              else ""
+            val target = Paths.get(s"$outDir/${fileStem(c)}$suffix.csv")
+            val part = Files.list(dir)
+              .filter(p => p.getFileName.toString.startsWith("part-"))
+              .findFirst()
+            if (part.isPresent) Files.move(part.get(), target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+  }
+}

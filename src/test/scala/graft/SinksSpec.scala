@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.generate.Sinks
+
+/** Structure-text link lines must match the shipped reference corpus byte-for-
+  * byte for every family that ships structure files.
+  */
+class SinksSpec extends AnyFunSuite {
+
+  private def linkLines(text: String): Vector[String] =
+    text.linesIterator.filter(l =>
+      !l.startsWith("Format:") &&
+        ((l.contains("=>") && l.contains("(")) || l.contains("--("))).toVector
+
+  private def shipped(path: String): Vector[String] =
+    linkLines(Files.readString(Paths.get(path)))
+
+  test("D3C structure links match shipped file (6 vars, lag 2)") {
+    val ref = shipped("/root/reference/Datasets/D3C/lag 2/" +
+      "nonlinear_ts_n1000_vars6_lag2_noise30_mcar10_block5_structure.txt")
+    val got = linkLines(Sinks.structureText("D3C", 6, 2))
+    assert(got == ref)
+  }
+
+  test("C2C structure links match shipped file (6 vars, lag 3)") {
+    val ref = shipped("/root/reference/Datasets/C2C/Gaussian/" +
+      "nonlinear_ts_n3000_vars6_lag3_gaussian_structure.txt")
+    val got = linkLines(Sinks.structureText("C2C", 6, 3))
+    assert(got == ref)
+  }
+
+  test("B2 structure links match shipped file (4 vars, lag 4, quoted tuples)") {
+    val ref = shipped("/root/reference/Datasets/B2/gaussian_70_laplace_30/" +
+      "mixed_ts_n500_vars4_lag4_structure.txt")
+    val got = linkLines(Sinks.structureText("B2", 4, 4))
+    assert(got == ref)
+  }
+
+  test("D2C structure links match shipped file (8 vars, lag 2, base-coefficient suffix)") {
+    val ref = shipped("/root/reference/Datasets/D2C/lag 2/" +
+      "nonlinear_ts_n3000_vars8_lag2_gaussian_block10_causal_structure.txt")
+    val got = linkLines(Sinks.structureText("D2C", 8, 2))
+    assert(got == ref)
+  }
+
+  test("D3 structure links match shipped file (4 vars, lag 2)") {
+    val ref = shipped("/root/reference/Datasets/D3/lag 2/" +
+      "nonlinear_ts_n5000_vars4_lag2_noise30_mcar5_block5_structure.txt")
+    val got = linkLines(Sinks.structureText("D3", 4, 2))
+    assert(got == ref)
+  }
+
+  test("file-name grammar matches shipped corpus layout") {
+    def cfg(family: String, n: Int, v: Int, l: Int, noise: String = "gaussian",
+        ratio: Double = 0.5, mcar: Double = 0.0, block: Double = 0.0) =
+      GenConfig(0, family, v, l, n, noise, 0.1, ratio, mcar, block, 0.0, 0.0, 42)
+    assert(Sinks.fileStem(cfg("A1", 1000, 6, 2)) == "linear_ts_n1000_vars6_lag2")
+    assert(Sinks.fileStem(cfg("A2", 500, 6, 2, "student_t")) ==
+      "multivariate_ts_n500_vars6_lag2_t")
+    assert(Sinks.fileStem(cfg("B2", 500, 4, 4)) == "mixed_ts_n500_vars4_lag4")
+    assert(Sinks.fileStem(cfg("D1", 5000, 4, 3, "gaussian", mcar = 0.1)) ==
+      "linear_ts_n5000_vars4_lag3_gaussian_mcar10")
+    assert(Sinks.fileStem(cfg("D3C", 1000, 6, 2, "mixed", 0.3, 0.1, 0.05)) ==
+      "nonlinear_ts_n1000_vars6_lag2_noise30_mcar10_block5")
+  }
+
+  test("npy writer emits parseable v1 headers") {
+    val dir = Files.createTempDirectory("npy")
+    val p = dir.resolve("t.npy").toString
+    Sinks.writeNpy(p, Seq(2, 2, 1), Array(1.0, 2.0, 3.0, 4.0))
+    val bytes = Files.readAllBytes(Paths.get(p))
+    assert(bytes(0) == 0x93.toByte && new String(bytes.slice(1, 6)) == "NUMPY")
+    val headerLen = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val header = new String(bytes.slice(10, 10 + headerLen))
+    assert(header.contains("'descr': '<f8'") && header.contains("(2, 2, 1)"))
+    assert((10 + headerLen) % 64 == 0, "header must pad to 64-byte alignment")
+    assert(bytes.length == 10 + headerLen + 4 * 8)
+  }
+
+  test("truth tensors: symmetric val, directed graph, U at index p") {
+    val (vals, graph, p) = Sinks.truthTensors("A1C", 4, 2)
+    assert(p == 5) // U appended
+    val l1 = 3
+    def at(i: Int, j: Int, k: Int) = (i * p + j) * l1 + k
+    // (X2, 0, X1) => 0.4: val symmetric, graph directed
+    assert(vals(at(1, 0, 0)) == 0.4 && vals(at(0, 1, 0)) == 0.4)
+    assert(graph(at(1, 0, 0)) && !graph(at(0, 1, 0)))
+    // U -> X1 at lag 0 coef 0.5, U index 4
+    assert(vals(at(4, 0, 0)) == 0.5 && graph(at(4, 0, 0)))
+  }
+}
