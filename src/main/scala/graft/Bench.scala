@@ -1,23 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Grid}
+import graft.generate.Generate
+
+/** Per-round benchmark: one JSON line with per-query seconds plus the
+  * full-sweep generation metric (the reference's actual workload — BASELINE
+  * extrapolates ≈6-10 min single-threaded Python for the 2,268-config corpus;
+  * the JVM kernel fan-out runs the complete grid here).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warmup: touch every input table + run one small query so JIT/codegen
+    // and file-listing costs don't land on the first timed query
+    Seq("lineitem", "orders", "customer", "nation", "region", "part",
+        "supplier", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable =>
+          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        }
+      }
+    }
+
+    // full-sweep generation: every config of all 18 families (BASELINE headline)
+    results("gen_full_sweep") = time {
+      Generate.series(spark, Grid.all()).toDF()
+        .agg(count(lit(1)), sum("x1")).collect()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -75,7 +75,7 @@ object SparkEntry {
           round(col("value_2"), 4).as("value_2"))),
 
     "q04_asof_join" -> ((s, d) => {
-      val ev = events(s, d).withColumn("ts_us", floor(col("ts") / 1000L))
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us"))
       val views = ev.where(col("event_type") === "view")
@@ -108,7 +108,7 @@ object SparkEntry {
         round(stddev("l_extendedprice"), 4).as("std_price"))),
 
     "q07_time_gaps" -> ((s, d) =>
-      Lagged.timeGaps(events(s, d).withColumn("ts_us", floor(col("ts") / 1000L))
+      Lagged.timeGaps(events(s, d).withColumn("ts_us", expr("ts div 1000"))
           .select("user_id", "event_id", "ts_us"), Seq("user_id"), "ts_us")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_gaps"),
@@ -146,6 +146,24 @@ object SparkEntry {
     "q14_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    "q25_sessionize" -> ((s, d) =>
+      graft.ops.Sessionize.sessionStats(
+        events(s, d).withColumn("ts_us", expr("ts div 1000"))
+          .select("user_id", "event_id", "ts_us"),
+        "user_id", "ts_us", gapUs = 1800L * 1000000L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+                col("start_us"), col("end_us"), col("duration_us"))),
+
+    "q26_media_features" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(documents(s, d)))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("kind"),
+                col("nBytes").as("n_bytes"), col("contentHash").as("content_hash"),
+                col("width"), col("height"),
+                round(col("meanIntensity"), 6).as("mean_intensity"))
     }),
 
     // -- generation engine (deterministic derivations, VALUES oracles) --
@@ -513,6 +531,35 @@ object SparkEntry {
          |SELECT family, n_vars, max_lag, i, j, k,
          |  round(max(value), 6) AS value, max(edge)::INT AS edge
          |FROM allc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q26_media_features" ->
+      """SELECT doc_id AS media_id, 'image/' || source AS kind,
+        |  length(text)::BIGINT AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS content_hash,
+        |  greatest(1, floor(sqrt(length(text)))::INT) AS width,
+        |  (length(text) // greatest(1, floor(sqrt(length(text)))::INT))::INT AS height,
+        |  round(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) AS mean_intensity
+        |FROM documents""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media payloads are
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run as batched partition-local kernels
+  * (`mapPartitions` — the JVM analogue of mapInPandas batches).
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` derives a deterministic fake raster from the payload bytes.
+  * Everything around it — schema, batch shape, partition locality, feature
+  * extraction over the decoded batch — is real and tested; swapping in a
+  * codec (e.g. TwelveMonkeys/JavaCV) only replaces `decodeStub`'s body.
+  */
+object Multimodal {
+
+  final case class MediaRow(mediaId: Long, kind: String, content: Array[Byte],
+      declaredWidth: Int, declaredHeight: Int)
+
+  final case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
+      contentHash: Long, width: Int, height: Int, meanIntensity: Double)
+
+  /** A decoded frame/raster (stub form). */
+  final case class Decoded(width: Int, height: Int, pixels: Array[Byte])
+
+  /** STUB decode: a real implementation calls the codec here. The fake is
+    * deterministic in the payload: dimensions from byte length, "pixels" are
+    * the payload bytes themselves.
+    */
+  def decodeStub(content: Array[Byte]): Decoded = {
+    val w = math.max(1, math.sqrt(content.length.toDouble).toInt)
+    val h = math.max(1, content.length / w)
+    Decoded(w, h, content)
+  }
+
+  /** STUB resize: nearest-neighbor subsampling of the fake raster. */
+  def resizeStub(d: Decoded, targetW: Int, targetH: Int): Decoded = {
+    val out = new Array[Byte](targetW * targetH)
+    var i = 0
+    while (i < out.length) {
+      val srcIdx = ((i.toLong * d.pixels.length) / out.length).toInt
+      out(i) = d.pixels(math.min(srcIdx, d.pixels.length - 1))
+      i += 1
+    }
+    Decoded(targetW, targetH, out)
+  }
+
+  /** STUB frame sampling for video-ish payloads: every k-th "frame" (chunk). */
+  def frameSampleStub(content: Array[Byte], frameBytes: Int, everyK: Int): Seq[Array[Byte]] =
+    content.grouped(frameBytes).zipWithIndex.collect {
+      case (chunk, i) if i % everyK == 0 => chunk
+    }.toSeq
+
+  private val P = 2147483647L
+
+  /** 31-polynomial hash over payload bytes mod 2^31-1 — same arithmetic as
+    * TextOps.fingerprint so an ASCII payload hashes identically.
+    */
+  def contentHash(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Batched feature extraction: decode + hash + mean intensity, processed in
+    * fixed-size batches per partition (the mapInPandas batch shape) so a real
+    * codec could amortize model/codec setup per batch.
+    */
+  def extractFeatures(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would init the codec/model here (once per batch)
+        batch.iterator.map { m =>
+          val d = decodeStub(m.content)
+          val mean =
+            if (d.pixels.isEmpty) 0.0
+            else d.pixels.map(b => (b & 0xff).toDouble).sum / d.pixels.length
+          MediaFeatures(m.mediaId, m.kind, m.content.length.toLong,
+            contentHash(m.content), d.width, d.height, mean)
+        }
+      }
+    }
+  }
+
+  /** Wrap the documents table as a fake media corpus (payload = UTF-8 text
+    * bytes) to exercise the plumbing on real data.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("mediaId"),
+        concat(lit("image/"), col("source")).as("kind"),
+        col("text").cast("binary").as("content"),
+        lit(0).as("declaredWidth"), lit(0).as("declaredHeight"))
+      .as[MediaRow]
+  }
+}

@@ -32,11 +32,15 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // hoist norms: computed once per vector, not once per pair — same
+    // arithmetic as dot/(sqrt·sqrt) so results stay bit-identical
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -83,9 +87,11 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")
   }

@@ -34,7 +34,7 @@ object StreamAgg {
       .parquet(sfDir)
 
     val agg = stream
-      .withColumn("ts_us", floor(col("ts") / 1000L))
+      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "10 minutes")
       .groupBy(

@@ -41,9 +41,11 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered = exploded.withColumn("df_",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // doc-frequency cap as a partial-agg groupBy + join (map-side combine)
+    // instead of a window count, which would sort every shingle partition
+    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df_"))
       .where(col("df_") <= maxDocFreq)
+    val filtered = exploded.join(docFreq, Seq("shingle"))
     val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
