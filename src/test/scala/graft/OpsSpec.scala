@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AsOf, Lagged, Sessionize}
+import graft.text.{Dedup, TextOps}
+import graft.sim.Similarity
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dfOf[A <: Product : org.apache.spark.sql.Encoder](rows: Seq[A]): DataFrame = {
+    spark.createDataset(rows)(implicitly).toDF()
+  }
+
+  test("laggedView matches hand-rolled shift semantics") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 4L, 40.0),
+                 (2L, 1L, 5.0), (2L, 2L, 6.0))
+      .toDF("g", "t", "v")
+    val out = Lagged.laggedView(df, Seq("g"), "t", Seq("v"), 2)
+      .orderBy("g", "t").collect()
+    // only rows with a full 2-lag frame survive
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L), (1L, 4L)))
+    val r3 = out(0)
+    assert(r3.getDouble(2) == 30.0 && r3.getDouble(3) == 20.0 && r3.getDouble(4) == 10.0)
+  }
+
+  test("asofBackward matches brute-force nearest-past join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (i % 5L, i.toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 300).map(i => (i % 5L, 1000L + i, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val l = left.toDF("k", "lid", "ts")
+    val r = right.toDF("k", "rid", "ts", "rv")
+    val got = AsOf.asofBackward(l, r, Seq("k"), "ts", Seq("rid", "rv"))
+      .select("k", "lid", "asof_rid").as[(Long, Long, Option[Long])].collect().toSet
+    val expected = left.map { case (k, lid, ts) =>
+      val cands = right.filter(rr => rr._1 == k && rr._3 <= ts)
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(rr => (rr._3, rr._2))._2)
+      (k, lid, best)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("asofNearest picks the closer of past/future (reference §2.4-5 semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "ts")
+    val r = Seq((1L, 1L, 90L, 1.0), (1L, 2L, 104L, 2.0)).toDF("k", "rid", "ts", "rv")
+    val out = AsOf.asofNearest(l, r, Seq("k"), "ts", Seq("rv")).collect()(0)
+    assert(out.getAs[Double]("asof_rv") == 2.0) // 104 is closer to 100 than 90
+  }
+
+  test("exact dedup finds synthetic duplicate groups") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (4L, "a b c"), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(groups.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L), (3L, 2L)))
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("minhash est_jaccard tracks true jaccard on near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "changed" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.3).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined, "near-dup pair must surface through LSH")
+    assert(p12.get.getDouble(2) > 0.5)
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = base + " extra"
+    val docs = Seq((1L, base), (2L, near),
+      (3L, (100 to 160).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 3)
+    assert(hamming(sh(1L), sh(3L)) > 6)
+  }
+
+  test("cosineTopK: exact ranking on constructed vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("lsh ANN recall: top-1 matches brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    // 20 clusters of 10 points each — the near-duplicate regime LSH targets
+    val centers = Array.fill(20, dim)(rnd.nextGaussian())
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(df, queries, "vec_id", "embedding", 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val approx = Similarity.lshCosineTopK(df, queries, "vec_id", "embedding", dim, 1, nBits = 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val agree = exact.count { case (q, c) => approx.get(q).contains(c) }
+    assert(agree >= 16, s"LSH top-1 recall too low on clustered data: $agree/20")
+  }
+
+  test("sessionize: gap splits sessions, durations in integer us") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 1000L), (1L, 3L, 5000000L),
+      (2L, 4L, 0L)).toDF("user_id", "event_id", "ts_us")
+    val out = Sessionize.sessionStats(ev, "user_id", "ts_us", gapUs = 1000000L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Long]("duration_us") == 1000L)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("streaming windowed agg equals batch aggregation") {
+    val streamed = graft.streaming.StreamAgg.eventsWindowed(spark, "/root/testdata/sf0.001",
+      windowSec = 300L, queryName = s"ops_stream_${System.nanoTime()}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+}
