@@ -60,15 +60,31 @@ object Kernel {
     val n = cfg.nPoints
     val v = cfg.nVars
 
-    def noiseDraw(): Double = cfg.noiseType match {
-      case "gaussian" => rng.gaussian(cfg.noiseScale)
-      case "student_t" => rng.studentT(TDf, cfg.noiseScale)
-      case "mixed" =>
-        if (rng.nextDouble() < cfg.mixRatio) rng.gaussian(cfg.noiseScale)
-        else rng.laplace(cfg.noiseScale)
-      case other => throw new IllegalArgumentException(s"noise $other")
-    }
-    def noiseVec(k: Int): Array[Double] = Array.fill(k)(noiseDraw())
+    // A2/A2C/B1/B1C pass an INT random_state into stats.t.rvs, which re-seeds
+    // scipy on EVERY call — so every student-t noise draw returns the same
+    // vector and the recurrence collapses to a fixed point (shipped t-dist
+    // CSVs for these families are near-constant: A2C-t columns have exactly
+    // one distinct value; verified empirically). Reproduce with a frozen
+    // per-series noise vector.
+    val frozenT = cfg.noiseType == "student_t" &&
+      Set("A2", "A2C", "B1", "B1C").contains(cfg.family)
+    val frozenNoise: Array[Double] =
+      if (frozenT) Array.fill(cfg.nVars + 1)(rng.studentT(TDf, cfg.noiseScale))
+      else null
+
+    def noiseDraw(): Double =
+      if (frozenT) frozenNoise(0)
+      else cfg.noiseType match {
+        case "gaussian" => rng.gaussian(cfg.noiseScale)
+        case "student_t" => rng.studentT(TDf, cfg.noiseScale)
+        case "mixed" =>
+          if (rng.nextDouble() < cfg.mixRatio) rng.gaussian(cfg.noiseScale)
+          else rng.laplace(cfg.noiseScale)
+        case other => throw new IllegalArgumentException(s"noise $other")
+      }
+    def noiseVec(k: Int): Array[Double] =
+      if (frozenT) java.util.Arrays.copyOfRange(frozenNoise, 0, k)
+      else Array.fill(k)(noiseDraw())
 
     // -- timestamps (G9) --
     val times: Array[Double] =

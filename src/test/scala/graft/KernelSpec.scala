@@ -133,15 +133,30 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(m4 - 30.0) < 0.5 && math.abs(s4 - 17.32) < 0.5)
   }
 
-  test("student-t noise has heavier tails than gaussian") {
-    val g = Kernel.generate(cfg("A2C", n = 5000, noise = "gaussian"))
-    val t = Kernel.generate(cfg("A2C", n = 5000, noise = "student_t", seed = 43L))
+  test("A2/A2C student-t noise is frozen (scipy re-seed quirk): degenerate series") {
+    // shipped A2C-t columns have exactly ONE distinct value; A2-t ~17
+    val a2c = Kernel.generate(cfg("A2C", v = 4, n = 2000, noise = "student_t"))
+    for (j <- 0 until 4)
+      assert(a2c.x.drop(2).map(_(j)).distinct.length == 1, s"A2C-t X${j + 1} must be constant")
+    val a2 = Kernel.generate(cfg("A2", v = 4, n = 2000, noise = "student_t"))
+    for (j <- 0 until 4)
+      assert(a2.x.map(_(j)).distinct.length < 40, s"A2-t X${j + 1} must be near-degenerate")
+    // gaussian path unaffected
+    val g = Kernel.generate(cfg("A2", v = 4, n = 2000, noise = "gaussian"))
+    assert(g.x.map(_(0)).distinct.length > 1900)
+  }
+
+  test("student-t noise has heavier tails than gaussian (D1's X2 is pure noise)") {
+    // A2/A2C/B1/B1C t-noise is frozen by the scipy re-seed quirk, so measure
+    // tails on D1 whose X2 = 0.3·X3[t-1] + e2 with X3 ≡ 0 (shadow quirk)
+    val g = Kernel.generate(cfg("D1", n = 5000, noise = "gaussian"))
+    val t = Kernel.generate(cfg("D1", n = 5000, noise = "student_t", seed = 43L))
     def kurt(a: Array[Double]): Double = {
       val m = mean(a); val v = variance(a)
       a.map(x => math.pow(x - m, 4)).sum / a.length / (v * v)
     }
-    assert(kurt(col(g, 0)) < 4.0)
-    assert(kurt(col(t, 0)) > 5.0)
+    assert(kurt(col(g, 1)) < 4.0)
+    assert(kurt(col(t, 1)) > 5.0)
   }
 
   test("rows emission: wide schema with nulls beyond nVars, U populated only for C-variants") {
