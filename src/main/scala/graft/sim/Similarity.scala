@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, left-to-right. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double, left-to-right — native codegen'd Catalyst expression
+    * (DotProduct); numerically identical to the higher-order-function
+    * formulation kept below for reference/verification.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** HOF formulation (interpreted lambda) — retained as the parity baseline. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
