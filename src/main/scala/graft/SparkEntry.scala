@@ -166,6 +166,51 @@ object SparkEntry {
                 round(col("meanIntensity"), 6).as("mean_intensity"))
     }),
 
+    "q27_rollup_revenue" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("q27_lineitem")
+      orders(s, d).createOrReplaceTempView("q27_orders")
+      customer(s, d).createOrReplaceTempView("q27_customer")
+      nation(s, d).createOrReplaceTempView("q27_nation")
+      region(s, d).createOrReplaceTempView("q27_region")
+      s.sql(
+        """SELECT r_name, n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |  count(*) AS n_items
+          |FROM q27_lineitem
+          |JOIN q27_orders ON l_orderkey = o_orderkey
+          |JOIN q27_customer ON o_custkey = c_custkey
+          |JOIN q27_nation ON c_nationkey = n_nationkey
+          |JOIN q27_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    }),
+
+    // -- descriptive stats over GENERATED data (R12; rows-only check:
+    //    DuckDB cannot run the kernel) --
+    "q28_generated_missing_stats" -> ((s, d) => {
+      val cfgs = Seq("D1", "D1C", "D2", "D2C", "D3", "D3C").map(f =>
+        Grid.forFamily(f).find(c => c.nPoints == 3000 && c.nVars == 8 && c.maxLag == 2).get)
+      val wide = Generate.missingView(Generate.wide(Generate.series(s, cfgs)))
+      val aggs = count(lit(1)).as("n_rows") +: (1 to 8).map(i =>
+        round(avg(col(s"X$i").isNull.cast("int")), 3).as(s"miss_x$i"))
+      wide.groupBy("family").agg(aggs.head, aggs.tail: _*)
+    }),
+
+    "q29_lagged_ols" -> ((s, d) => {
+      // OLS recovery of A1's declared lag coefficients via the lagged view +
+      // regr_slope over the generated series (rows-only)
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
+      val wide = Generate.wide(Generate.series(s, Seq(cfg)))
+      val lagged = Lagged.laggedView(wide.select(col("configId"), col("t"),
+        col("X1"), col("X2"), col("X3"), col("X4")), Seq("configId"), "t",
+        Seq("X1", "X2", "X3", "X4"), 2)
+      lagged.agg(
+        round(expr("regr_slope(X1_0, X2_0)"), 3).as("b_x2_x1"),      // declared 0.4
+        round(expr("regr_slope(X3_0, X4_0)"), 3).as("b_x4_x3"),      // declared 0.35
+        round(expr("regr_slope(X2_0, X3_1)"), 3).as("b_x3l1_x2"),    // declared 0.3
+        round(expr("regr_slope(X4_0, X1_2)"), 3).as("b_x1l2_x4"))    // declared 0.25
+    }),
+
     // -- generation engine (deterministic derivations, VALUES oracles) --
     "q20_truth_links" -> ((s, d) => {
       Generate.truthLinks(s)
@@ -392,6 +437,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
         |FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  AND a.n_sh >= 0.8 * b.n_sh AND b.n_sh >= 0.8 * a.n_sh
         |GROUP BY a.doc_id, b.doc_id
         |HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.8""".stripMargin,
 
@@ -560,6 +606,17 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(1, length(text) + 1),
         |    i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "q27_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

@@ -47,7 +47,9 @@ object Generate {
     }
   }
 
-  /** Truth links for all families as a Dataset (tiny dimension table). */
+  /** Truth links for all families as a Dataset (tiny dimension table —
+    * single partition so downstream joins don't fan empty tasks).
+    */
   def truthLinks(spark: SparkSession): Dataset[CausalLink] = {
     import spark.implicits._
     val all = for {
@@ -55,7 +57,7 @@ object Generate {
       v <- Seq(4, 6, 8); lag <- Seq(2, 3, 4)
       link <- Parser.truthLinks(fam, v, lag)
     } yield link
-    spark.createDataset(all)
+    spark.createDataset(all).coalesce(1)
   }
 
   /** Partitioned parquet sink: family/nVars/maxLag directories give Catalyst

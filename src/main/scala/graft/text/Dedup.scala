@@ -48,8 +48,12 @@ object Dedup {
     val filtered = exploded.join(docFreq, Seq("shingle"))
     val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    // length filter (exactness-preserving): J >= t implies
+    // min(|A|,|B|) >= t * max(|A|,|B|), pruning pairs before aggregation
     a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        col("n_a") >= lit(minJaccard) * col("n_b") &&
+        col("n_b") >= lit(minJaccard) * col("n_a"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
