@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Custom stateful streaming operator: gap-based sessionization with
+  * `flatMapGroupsWithState` — the KeyValueGroupedDataset state API the batch
+  * Sessionize operator maps onto in continuous mode. State per user is O(1)
+  * (open-session accumulator); closed sessions are emitted when a later event
+  * arrives past the gap, and the final open session on event-time timeout.
+  */
+object StreamSession {
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double,
+      event_time: java.sql.Timestamp)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, sum_value: Double)
+
+  def update(gapUs: Long)(userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.value))
+    var out = Vector.empty[SessionOut]
+    var cur = state.getOption
+    if (state.hasTimedOut) {
+      cur.foreach(s => out :+= SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum))
+      state.remove()
+      return out.iterator
+    }
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+          cur = Some(OpenSession(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          out :+= SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      if (state.getOption.isDefined)
+        state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000) // ms event-time
+    }
+    out.iterator
+  }
+
+  /** Run sessionization as a streaming query over the events parquet and
+    * return all sessions emitted (closed by gap or by watermark timeout).
+    */
+  def sessionizeEvents(spark: SparkSession, sfDir: String, gapUs: Long,
+      queryName: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "1 hour")
+      .as[Ev]
+
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(gapUs))
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(queryName).as[SessionOut]
+    out.cache(); out.count()
+    out
+  }
+}

@@ -151,6 +151,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_events") == 1)
   }
 
+  test("stateful streaming sessionization matches batch sessionize on closed sessions") {
+    import spark.implicits._
+    val streamed = graft.streaming.StreamSession.sessionizeEvents(
+      spark, "/root/testdata/sf0.001", gapUs = 1800L * 1000000L,
+      queryName = s"ops_sess_${System.nanoTime()}")
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = Sessionize.sessionStats(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000")).select("user_id", "event_id", "ts_us"),
+      "user_id", "ts_us", gapUs = 1800L * 1000000L)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
+    // every streamed (closed) session must be a batch session; and most
+    // sessions close within the data (the last per user may stay open if the
+    // watermark never passes it)
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= batch.size - 200) // ≤ 1 open session per user withheld
+  }
+
   test("streaming windowed agg equals batch aggregation") {
     val streamed = graft.streaming.StreamAgg.eventsWindowed(spark, "/root/testdata/sf0.001",
       windowSec = 300L, queryName = s"ops_stream_${System.nanoTime()}")
