@@ -84,6 +84,25 @@ object Sinks {
     sb.toString
   }
 
+  /** CSV scan (S6): read a reference-layout wide CSV back with an explicit
+    * schema (X1..Xn [,U], time) — the consumption path of py_tetrad_helper.
+    */
+  def readWideCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val header = scala.io.Source.fromFile(
+      if (new java.io.File(path).isFile) path
+      else new java.io.File(path).listFiles().filter(_.getName.endsWith(".csv")).head.getPath)
+    val cols = try header.getLines().next().split(",").toSeq finally header.close()
+    val fields = cols.map {
+      case "time" => StructField("time", DoubleType, nullable = false)
+      case c => StructField(c, DoubleType, nullable = true)
+    }
+    spark.read
+      .option("header", "true")
+      .schema(StructType(fields))
+      .csv(path)
+  }
+
   /** Python-str float rendering for the short decimals in the catalogs. */
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) s"${d.toLong}.0" else d.toString

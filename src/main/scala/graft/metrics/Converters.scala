@@ -126,6 +126,20 @@ object Converters {
     out
   }
 
+  /** R11 (py_tetrad_helper.py:185-203): human-readable edge list. */
+  def prettyPrintTensor(tensor: Array[Array[Array[Boolean]]], baseVars: Seq[String]): Seq[String] = {
+    val p = tensor.length
+    val l = tensor(0)(0).length - 1
+    val edges = for {
+      i <- 0 until p; j <- 0 until p; k <- 0 to l
+      if tensor(i)(j)(k)
+    } yield
+      if (k == 0) s"${baseVars(i)}_t -> ${baseVars(j)}_t    (contemporaneous)"
+      else s"${baseVars(i)}_{t-$k} -> ${baseVars(j)}_t  (lag $k)"
+    if (edges.isEmpty) Seq("No directed edges found under current interpretation.")
+    else edges
+  }
+
   /** Local (driver-side) metrics over tiny tensors — exact mirrors of
     * metrics_helper.py:7-43 for converter round-trip tests; the distributed
     * versions live in Metrics.

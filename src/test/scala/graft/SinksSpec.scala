@@ -81,6 +81,26 @@ class SinksSpec extends AnyFunSuite {
     assert(bytes.length == 10 + headerLen + 4 * 8)
   }
 
+  test("wide CSV scan reads a shipped reference CSV with nulls for NaN cells") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val df = Sinks.readWideCsv(spark,
+      "/root/reference/Datasets/D1/Lag 3/linear_ts_n5000_vars4_lag3_gaussian_mcar10_missing.csv")
+    assert(df.columns.toSeq == Seq("X1", "X2", "X3", "X4", "time"))
+    assert(df.count() == 5000)
+    val nNull = df.where(org.apache.spark.sql.functions.col("X2").isNull).count()
+    assert(nNull > 300 && nNull < 700) // mcar 10%
+  }
+
+  test("pretty-print tensor edges (R11)") {
+    val t = Array.fill(2, 2, 2)(false)
+    t(0)(1)(0) = true; t(1)(0)(1) = true
+    val lines = graft.metrics.Converters.prettyPrintTensor(t, Seq("X1", "X2"))
+    assert(lines == Seq("X1_t -> X2_t    (contemporaneous)", "X2_{t-1} -> X1_t  (lag 1)"))
+    assert(graft.metrics.Converters.prettyPrintTensor(Array.fill(1, 1, 1)(false), Seq("X1"))
+      == Seq("No directed edges found under current interpretation."))
+  }
+
   test("truth tensors: symmetric val, directed graph, U at index p") {
     val (vals, graph, p) = Sinks.truthTensors("A1C", 4, 2)
     assert(p == 5) // U appended
