@@ -87,6 +87,25 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Scale path for near-dup pairs: candidates share an LSH bucket (single
+    * equi-join shuffle on the bucket id — never all-pairs), then exact cosine
+    * on candidates only. Recall < 1 by construction; raise nBits probes or
+    * lower nBits for denser buckets.
+    */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshSignature(col("v"), dim, nBits, seed))
+      .withColumn("n", norm(col("v")))
+    val a = sig.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"), col("bucket"))
+    val b = sig.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (exact for the
     * broadcastable side; LSH variant for scale).
     */
