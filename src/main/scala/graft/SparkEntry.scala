@@ -211,6 +211,9 @@ object SparkEntry {
         round(expr("regr_slope(X4_0, X1_2)"), 3).as("b_x1l2_x4"))    // declared 0.25
     }),
 
+    "q31_trend_season" -> ((s, d) =>
+      Generate.trendSeason(s, nVars = 8, n = 200, trendStrength = 0.01, seasonalStrength = 0.5)),
+
     // -- generation engine (deterministic derivations, VALUES oracles) --
     "q20_truth_links" -> ((s, d) => {
       Generate.truthLinks(s)
@@ -617,6 +620,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q31_trend_season" ->
+      """SELECT t, var_idx,
+        |  round(0.01 * var_idx * 0.5 * t, 6) AS trend,
+        |  round(0.5 * (sin(2 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8) +
+        |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
+        |FROM range(0, 200) r(t)
+        |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

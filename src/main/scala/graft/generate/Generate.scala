@@ -68,6 +68,25 @@ object Generate {
       .partitionBy("family")
       .parquet(path)
 
+  /** Trend + seasonality components as pure DataFrame ops (G7/G8 Spark
+    * mapping, c1.py:126-141): for each var 1..nVars and index 0..n-1,
+    *   trend = strength · (var)·0.5 · t
+    *   season = s·[sin(2πτ/12 + φ) + 0.5·cos(4πτ/12 + φ)], φ = 2π(var−1)/8
+    * (discrete τ = t; the continuous-τ variant substitutes the timestamp).
+    */
+  def trendSeason(spark: SparkSession, nVars: Int, n: Int,
+      trendStrength: Double, seasonalStrength: Double): DataFrame = {
+    val period = 12.0
+    spark.range(n).toDF("t")
+      .crossJoin(spark.range(1, nVars + 1).toDF("var_idx"))
+      .withColumn("phase", lit(2.0 * math.Pi) * (col("var_idx") - 1) / 8.0)
+      .withColumn("trend", round(lit(trendStrength) * col("var_idx") * 0.5 * col("t"), 6))
+      .withColumn("season", round(lit(seasonalStrength) *
+        (sin(lit(2.0 * math.Pi) * col("t") / period + col("phase")) +
+         lit(0.5) * cos(lit(4.0 * math.Pi) * col("t") / period + col("phase"))), 6))
+      .select(col("t"), col("var_idx"), col("trend"), col("season"))
+  }
+
   /** Truth-tensor cells in long form (S3, a1.py:251-266): cell (i,j,k) =
     * "var i at t−k → var j at t"; contemporaneous entries are symmetric in the
     * value tensor but stay directed in the boolean graph tensor; confounded
