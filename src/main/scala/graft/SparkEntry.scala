@@ -214,6 +214,43 @@ object SparkEntry {
     "q31_trend_season" -> ((s, d) =>
       Generate.trendSeason(s, nVars = 8, n = 200, trendStrength = 0.01, seasonalStrength = 0.5)),
 
+    "q32_quantiles" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+             round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))),
+
+    "q33_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // integer cents end-to-end: window aggregation trees are FP-order
+      // sensitive, exact integer sums are not
+      val daily = lineitem(s, d)
+        .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01").cast("date")))
+        .withColumn("cents", round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+        .groupBy("day")
+        .agg(sum("cents").as("rev_cents"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily.withColumn("ma7_cents", sum("rev_cents").over(w))
+        .select(col("day"), col("rev_cents"), col("ma7_cents"))
+    }),
+
+    "q34_semi_anti_join" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.unionByName(noOrders)
+    }),
+
+    "q35_set_ops" -> ((s, d) => {
+      val ev = events(s, d)
+      def users(t: String) = ev.where(col("event_type") === t).select("user_id").distinct()
+      users("view").intersect(users("purchase"))
+        .exceptAll(users("error"))
+        .withColumn("cohort", lit("viewed_purchased_no_error"))
+    }),
+
     // -- generation engine (deterministic derivations, VALUES oracles) --
     "q20_truth_links" -> ((s, d) => {
       Generate.truthLinks(s)
@@ -628,6 +665,38 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q32_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q33_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS day,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, rev_cents,
+        |  sum(rev_cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS ma7_cents
+        |FROM daily""".stripMargin,
+
+    "q34_semi_anti_join" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q35_set_ops" ->
+      """WITH vp AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'viewed_purchased_no_error' AS cohort
+        |FROM (SELECT user_id FROM vp EXCEPT ALL SELECT user_id FROM err)""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 
