@@ -217,6 +217,69 @@ object Parser {
   }
 
   // ---------------------------------------------------------------------------
+  // Strict parser (declared semantics — for validation, SURVEY §8.1-2)
+  // ---------------------------------------------------------------------------
+
+  /** A declared term under proper +/- splitting: what the equations SAY,
+    * including the minus-signed cubic terms the compat extractors drop.
+    */
+  final case class StrictLink(source: String, lag: Int, target: String,
+      func: String, power: Int, coef: Double)
+
+  /** Parse the DECLARED equation semantics: split the rhs on top-level +/-
+    * (sign attached to the coefficient), keep every causal term. Diffing
+    * against the compat parser surfaces exactly the §2.4-1 dropped terms.
+    */
+  def strictLinks(family: String, nVars: Int, maxLag: Int): Vector[StrictLink] = {
+    val eqs = Catalog.equations((family, nVars, maxLag))
+    val out = Vector.newBuilder[StrictLink]
+    for (eq <- eqs if eq.contains('=')) {
+      val Array(left, right) = psplit(eq, "=").map(_.trim)
+      val target = psplit(left, "[")(0)
+      if (target != "U") {
+        // split on +/- outside parentheses; leading sign belongs to first term
+        val terms = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        var depth = 0; var sign = 1; var cur = new StringBuilder
+        right.foreach {
+          case c @ ('(' | '[') => depth += 1; cur += c
+          case c @ (')' | ']') => depth -= 1; cur += c
+          case c @ ('+' | '-') if depth == 0 =>
+            if (cur.toString.trim.nonEmpty) terms += ((sign, cur.toString.trim))
+            sign = if (c == '-') -1 else 1
+            cur = new StringBuilder
+          case c => cur += c
+        }
+        if (cur.toString.trim.nonEmpty) terms += ((sign, cur.toString.trim))
+
+        terms.foreach { case (sg, term) =>
+          val causal = (term.contains('X') || term.contains("U[")) &&
+            !term.startsWith("trend") && !term.startsWith("season") && term.contains('*')
+          if (causal) {
+            val parts = psplit(term, "*")
+            val coef = sg * parts(0).trim.toDouble
+            if (term.contains("U[")) {
+              val pow = if (term.contains('^')) psplit(term, "^")(1).trim.toInt else 1
+              out += StrictLink("U", 0, target, if (pow == 1) "linear" else s"power$pow", pow, coef)
+            } else {
+              val src = s"X${psplit(after(term, "X"), "[")(0)}"
+              val lag = lagOf(term)
+              val (func, pow) =
+                if (term.contains("cos(")) ("cos", 1)
+                else if (term.contains("sin(")) ("sin", 1)
+                else if (term.contains('^')) {
+                  val p = psplit(term, "^")(1).trim.takeWhile(_.isDigit).toInt
+                  (s"power$p", p)
+                } else ("linear", 1)
+              out += StrictLink(src, lag, target, func, pow, coef)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------------
   // Generation-side compile (per-family effective semantics)
   // ---------------------------------------------------------------------------
 

@@ -38,6 +38,17 @@ object Generate {
       .withColumnRenamed("x7", "X7").withColumnRenamed("x8", "X8")
       .withColumnRenamed("u", "U")
 
+  /** Canonical long format (SURVEY §1.4): one row per (config, t, var).
+    * Unpivot via stack — no shuffle; nulls (absent vars) dropped.
+    */
+  def long(ds: Dataset[SeriesRow]): DataFrame = {
+    val wideDf = wide(ds)
+    val varCols = (1 to 8).map(i => s"'X$i', X$i") :+ "'U', U"
+    wideDf.select(col("configId"), col("family"), col("t"), col("time"),
+        expr(s"stack(${varCols.size}, ${varCols.mkString(", ")}) AS (var, value)"))
+      .where(col("value").isNotNull)
+  }
+
   /** The "missing" view: masked X cells → null (D families' *_missing.csv). */
   def missingView(df: DataFrame): DataFrame = {
     (1 to 8).foldLeft(df) { (d, i) =>

@@ -55,6 +55,24 @@ class ParserSpec extends AnyFunSuite {
     assert(uDeps.nonEmpty && uDeps.forall(_.pow == 2))
   }
 
+  test("strict parser recovers the dropped cubic terms (declared vs effective)") {
+    val strict = Parser.strictLinks("B2", 4, 2)
+    // declared: quadratic + cubic per edge = 8 causal terms
+    assert(strict.length == 8)
+    val cubics = strict.filter(_.power == 3)
+    assert(cubics.length == 4)
+    assert(cubics.forall(_.coef < 0), "cubic terms are minus-signed")
+    assert(cubics.map(c => (c.source, c.lag, c.target)).toSet ==
+      Set(("X1", 2, "X4"), ("X4", 0, "X3"), ("X3", 1, "X2"), ("X2", 0, "X1")))
+    // effective (compat) keeps only the 4 quadratics
+    val compat = Parser.compileGen("B2", 4, 2).byVar.flatten
+    assert(compat.length == 4 && compat.forall(_.pow == 2))
+    // linear family: strict == compat link set
+    val strictA1 = Parser.strictLinks("A1", 4, 2).map(l => (l.source, l.lag, l.target, l.coef)).toSet
+    val compatA1 = Parser.truthLinks("A1", 4, 2).map(l => (l.source, l.lag, l.target, l.coef)).toSet
+    assert(strictA1 == compatA1)
+  }
+
   test("catalog covers all 18 families x 9 shapes") {
     assert(Catalog.families.size == 18)
     for (fam <- Catalog.families; v <- Seq(4, 6, 8); lag <- Seq(2, 3, 4))
