@@ -214,6 +214,19 @@ object SparkEntry {
     "q31_trend_season" -> ((s, d) =>
       Generate.trendSeason(s, nVars = 8, n = 200, trendStrength = 0.01, seasonalStrength = 0.5)),
 
+    "q36_asof_nearest" -> ((s, d) => {
+      // the reference's literal nearest-lag semantics (§2.4-5): nearest in
+      // ABSOLUTE time, which may be LATER than the probe
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      AsOf.asofNearest(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id").as("click_id"),
+                col("asof_ts").as("click_ts_us"))
+    }),
+
     "q32_quantiles" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
@@ -665,6 +678,24 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q36_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS cts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us),
+        |f AS (SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS cts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us < c.ts_us)
+        |SELECT p.user_id, p.event_id,
+        |  CASE WHEN f.cts IS NULL OR (b.cts IS NOT NULL AND (p.ts_us - b.cts) <= (f.cts - p.ts_us))
+        |       THEN b.click_id ELSE f.click_id END AS click_id,
+        |  CASE WHEN f.cts IS NULL OR (b.cts IS NOT NULL AND (p.ts_us - b.cts) <= (f.cts - p.ts_us))
+        |       THEN b.cts ELSE f.cts END AS click_ts_us
+        |FROM p
+        |LEFT JOIN b ON p.event_id = b.event_id
+        |LEFT JOIN f ON p.event_id = f.event_id""".stripMargin,
 
     "q32_quantiles" ->
       """SELECT l_returnflag,
