@@ -214,6 +214,12 @@ object SparkEntry {
     "q31_trend_season" -> ((s, d) =>
       Generate.trendSeason(s, nVars = 8, n = 200, trendStrength = 0.01, seasonalStrength = 0.5)),
 
+    "q37_regex_tokens" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        size(TextOps.regexTokens(col("text"))).as("n_bpeish_tokens"),
+        size(array_distinct(TextOps.regexTokens(col("text")))).as("n_distinct_bpeish"),
+        size(TextOps.tokensCol(col("text"))).as("n_ws_tokens"))),
+
     "q36_asof_nearest" -> ((s, d) => {
       // the reference's literal nearest-lag semantics (§2.4-5): nearest in
       // ABSOLUTE time, which may be LATER than the probe
@@ -678,6 +684,13 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q37_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish_tokens,
+        |  len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS n_distinct_bpeish,
+        |  len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents""".stripMargin,
 
     "q36_asof_nearest" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

@@ -21,6 +21,15 @@ object TextOps {
     df.withColumn("n_tokens", size(tokensCol(col(textCol))))
       .withColumn("n_distinct_tokens", size(array_distinct(tokensCol(col(textCol)))))
 
+  /** BPE-ish subword-boundary tokenization: letter runs, digit runs, and
+    * single punctuation marks — the regex analogue of a byte-pair pretokenizer
+    * (identical match semantics in Spark's Java regex and DuckDB's RE2 for
+    * this POSIX-safe pattern).
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def regexTokens(text: Column): Column = regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Quality heuristics: length, mean token length, stopword ratio,
