@@ -139,6 +139,19 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= 16, s"LSH top-1 recall too low on clustered data: $agree/20")
   }
 
+  test("salted join equals plain join under synthetic skew") {
+    import spark.implicits._
+    // hot key 1L carries 10k rows; dim has 5 keys
+    val large = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 5 + 1).toLong, i.toLong))).toDF("k", "v")
+    val small = (1L to 5L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("s")).collect().toSet
+    val salted = graft.ops.Salted.saltedJoin(large, small, "k", saltFactor = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s")).collect().toSet
+    assert(salted == plain)
+  }
+
   test("sessionize: gap splits sessions, durations in integer us") {
     import spark.implicits._
     val ev = Seq(
