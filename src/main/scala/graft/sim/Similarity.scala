@@ -87,6 +87,43 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCells` deterministic centroids
+    * (first rows by id — swap for k-means iterates offline); every vector is
+    * assigned to its nearest centroid (one broadcast pass), queries probe the
+    * `nProbe` nearest cells. Candidate set = vectors in probed cells — one
+    * equi-join shuffle on cell id, never Q×N.
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    val cDist = broadcast(cents)
+
+    def assign(df: DataFrame, id: String, v: String, topCells: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cdist").desc, col("cell_id"))
+      df.crossJoin(cDist)
+        .withColumn("cdist", dot(col(v), col("centroid")) /
+          (norm(col(v)) * norm(col("centroid"))))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= topCells)
+        .drop("centroid", "cdist", "crank")
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cand_id", "cv", 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+
+    val cand = corpusCells.join(queryCells, Seq("cell_id"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qv", "cand_id", "cv").distinct()
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** Scale path for near-dup pairs: candidates share an LSH bucket (single
     * equi-join shuffle on the bucket id — never all-pairs), then exact cosine
     * on candidates only. Recall < 1 by construction; raise nBits probes or

@@ -139,6 +139,26 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= 16, s"LSH top-1 recall too low on clustered data: $agree/20")
   }
 
+  test("IVF ANN recall: top-1 matches brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val centers = Array.fill(16, dim)(rnd.nextGaussian())
+    val vecs = (0L until 160L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 16)
+    val exact = Similarity.cosineTopK(df, queries, "vec_id", "embedding", 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfCosineTopK(df, queries, "vec_id", "embedding", 1,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val agree = exact.count { case (q, c) => ivf.get(q).contains(c) }
+    assert(agree >= 13, s"IVF top-1 recall too low: $agree/16")
+  }
+
   test("salted join equals plain join under synthetic skew") {
     import spark.implicits._
     // hot key 1L carries 10k rows; dim has 5 keys
