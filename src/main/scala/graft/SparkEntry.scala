@@ -348,6 +348,27 @@ object SparkEntry {
       Generate.tensorCells(links)
     }),
 
+    "q39_pivot_events" -> ((s, d) =>
+      events(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click"), col("error"),
+                col("purchase"), col("signup"), col("view"))),
+
+    // broader generation smoke: one config per (family, nVars) — rows-only
+    "q38_generate_shapes" -> ((s, d) => {
+      val cfgs = for {
+        fam <- Catalog.families
+        v <- Seq(4, 6, 8)
+      } yield Grid.forFamily(fam).find(c => c.nPoints == 500 && c.nVars == v && c.maxLag == 3).get
+      Generate.wide(Generate.series(s, cfgs.toSeq))
+        .groupBy("family", "nVars")
+        .agg(count(lit(1)).as("n_rows"),
+             round(avg("X1"), 1).as("mean_x1"),
+             sum(col("maskBits")).as("mask_sum"))
+    }),
+
     // -- generation kernel smoke (no SQL oracle: rows-only check) --
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
@@ -684,6 +705,15 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q39_pivot_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q37_regex_tokens" ->
       """SELECT doc_id,
