@@ -682,9 +682,10 @@ object SparkEntry {
         |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS content_hash,
         |  greatest(1, floor(sqrt(length(text)))::INT) AS width,
-        |  (length(text) // greatest(1, floor(sqrt(length(text)))::INT))::INT AS height,
-        |  round(list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) AS mean_intensity
+        |  greatest(1, (length(text) // greatest(1, floor(sqrt(length(text)))::INT)))::INT AS height,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    round(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) END AS mean_intensity
         |FROM documents""".stripMargin,
 
     "q27_rollup_revenue" ->

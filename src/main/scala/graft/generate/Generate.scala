@@ -76,7 +76,7 @@ object Generate {
     */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
-      .partitionBy("family")
+      .partitionBy("family", "nVars", "maxLag")
       .parquet(path)
 
   /** Trend + seasonality components as pure DataFrame ops (G7/G8 Spark

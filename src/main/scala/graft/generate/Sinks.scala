@@ -180,9 +180,11 @@ object Sinks {
       val timeCol = when(col("family").isin(regularFams: _*),
           col("time").cast("long").cast("string"))
         .otherwise(col("time").cast("string")).as("time")
+      // sort by (configId, t) so the writer's own configId sort is already
+      // satisfied — row order must not depend on sort stability
       val subset = view.where(col("configId").isin(ids: _*))
         .repartition(col("configId"))
-        .sortWithinPartitions("t")
+        .sortWithinPartitions("configId", "t")
         .select(Seq(col("configId")) ++ xCols ++ uCol :+ timeCol: _*)
       val rawDir = s"$outDir/_raw_${v}_$hasU"
       subset.write.mode("overwrite")

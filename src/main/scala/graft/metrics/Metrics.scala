@@ -27,7 +27,10 @@ object Metrics {
       sum(when(col("_t").isNotNull && col("_p").isNotNull, 1).otherwise(0)).as("tp"),
       sum(when(col("_t").isNull && col("_p").isNotNull, 1).otherwise(0)).as("fp"),
       sum(when(col("_t").isNotNull && col("_p").isNull, 1).otherwise(0)).as("fn"))
-    counts.join(totalCells, Seq("graphId"))
+    // anchor on totalCells so a graph with empty truth AND prediction still
+    // reports tp=fp=fn=0, tn=total instead of vanishing
+    totalCells.join(counts, Seq("graphId"), "left_outer")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
       .withColumn("tn", col("total") - col("tp") - col("fp") - col("fn"))
   }
 

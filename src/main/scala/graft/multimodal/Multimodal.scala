@@ -90,7 +90,9 @@ object Multimodal {
   }
 
   /** Wrap the documents table as a fake media corpus (payload = UTF-8 text
-    * bytes) to exercise the plumbing on real data.
+    * bytes) to exercise the plumbing on real data. NOTE: features here are
+    * BYTE-based while the q26 oracle iterates characters — equivalent for the
+    * ASCII corpus; a multi-byte corpus needs a byte-iterating oracle.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._

@@ -29,8 +29,11 @@ object AsOf {
     val unioned = left.withColumn("_side", lit(1))
       .unionByName(rVals, allowMissingColumns = true)
 
+    // tie-break on the right value columns so duplicate right timestamps
+    // within a key resolve deterministically across runs/partitionings
+    val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).cast("double"), col("_side"))
+      .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val carried = valueCols.foldLeft(unioned) { (df, c) =>
@@ -56,7 +59,8 @@ object AsOf {
       .unionByName(rVals, allowMissingColumns = true)
 
     val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).cast("double"), col("_side"))
+      .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +:
+        valueCols.map(c => col(c).asc_nulls_first)): _*)
     val wb = base.rowsBetween(Window.unboundedPreceding, 0)
     val wf = base.rowsBetween(0, Window.unboundedFollowing)
 

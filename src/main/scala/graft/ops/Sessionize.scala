@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  def sessions(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("event_id"))
+  def sessions(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long,
+      tieBreakCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreakCol))
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     events
       .withColumn("new_sess",
@@ -20,8 +21,9 @@ object Sessionize {
       .withColumn("session_id", sum("new_sess").over(run))
   }
 
-  def sessionStats(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long): DataFrame =
-    sessions(events, keyCol, tsCol, gapUs)
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long,
+      tieBreakCol: String = "event_id"): DataFrame =
+    sessions(events, keyCol, tsCol, gapUs, tieBreakCol)
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
            min(col(tsCol)).as("start_us"),

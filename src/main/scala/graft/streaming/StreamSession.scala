@@ -41,8 +41,13 @@ object StreamSession {
     }
     cur.foreach { s =>
       state.update(s)
-      if (state.getOption.isDefined)
-        state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000) // ms event-time
+      if (state.getOption.isDefined) {
+        // event-time timeouts below the current watermark throw — clamp
+        // (a user whose last event predates watermark−gap times out next batch)
+        val target = s.lastUs / 1000 + gapUs / 1000
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(target, wm + 1))
+      }
     }
     out.iterator
   }

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * MinHash+LSH, SimHash, embedding-cosine near-dup.
   *
   * Scale design notes (100 TB):
-  *  - exact dedup: single hash-shuffle on the text hash (not the text itself).
+  *  - exact dedup: the oracle-exact variant groups by the text itself (one
+  *    shuffle of the corpus); the scale optimization is a two-phase
+  *    hash-group (shuffle 8-byte xxhash64, verify text equality within
+  *    groups) — same result, 100-1000x less shuffle payload.
   *  - MinHash/LSH: candidate pairs come from banded bucket joins — the only
   *    shuffle is on (band, bucketHash); no all-pairs comparison ever happens.
   *  - n-gram Jaccard: restricted to candidate pairs that share a shingle
