@@ -159,6 +159,18 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= 13, s"IVF top-1 recall too low: $agree/16")
   }
 
+  test("confusion counts keep graphs with empty truth and prediction") {
+    import spark.implicits._
+    val truth = Seq(("g1", "X1", "X2", 0)).toDF("graphId", "source", "target", "lag")
+    val pred = Seq(("g1", "X1", "X2", 0)).toDF("graphId", "source", "target", "lag")
+    val totals = Seq(("g1", 12), ("g2", 12)).toDF("graphId", "total")
+    val conf = graft.metrics.Metrics.confusion(truth, pred, totals)
+      .collect().map(r => r.getAs[String]("graphId") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+    assert(conf("g1") == (1L, 0L, 0L, 11L))
+    assert(conf("g2") == (0L, 0L, 0L, 12L)) // empty graph must not vanish
+  }
+
   test("salted join equals plain join under synthetic skew") {
     import spark.implicits._
     // hot key 1L carries 10k rows; dim has 5 keys
