@@ -11,9 +11,8 @@ import graft.core._
 class RefStatsSpec extends AnyFunSuite {
 
   private val n = 5000
-  private val lag = 2
 
-  private def cfgFor(fam: String, v: Int): GenConfig = {
+  private def cfgFor(fam: String, v: Int, lag: Int): GenConfig = {
     val (noise, ratio) = fam match {
       case "B2" | "B2C" | "D3" | "D3C" => ("mixed", 0.5)
       case _ => ("gaussian", 1.0)
@@ -29,9 +28,9 @@ class RefStatsSpec extends AnyFunSuite {
       if (ts) 0.01 else 0.0, if (ts) 0.5 else 0.0, 42L)
   }
 
-  for (((fam, v), refCols) <- RefStats.stats.toVector.sortBy(k => (k._1._1, k._1._2))) {
-    test(s"$fam nVars=$v matches reference column stats") {
-      val s = Kernel.generate(cfgFor(fam, v))
+  for (((fam, v, lag), refCols) <- RefStats.stats.toVector.sortBy(k => (k._1._1, k._1._2, k._1._3))) {
+    test(s"$fam nVars=$v maxLag=$lag matches reference column stats") {
+      val s = Kernel.generate(cfgFor(fam, v, lag))
       val spec = Kernel.specs(fam)
       for ((colName, (refMean, refStd, refMiss)) <- refCols) {
         val vals: Array[Double] =

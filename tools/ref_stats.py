@@ -34,7 +34,7 @@ def load(fname):
 N, LAG, SEED = 5000, 2, 42
 out = {}
 
-def record(fam, v, df, extra=None):
+def record(fam, v, df, extra=None, lag=None):
     cols = [c for c in df.columns if c != 'time']
     stats = {}
     for c in cols:
@@ -44,7 +44,8 @@ def record(fam, v, df, extra=None):
                     'miss': float(1.0 - ok.mean())}
     stats['_time_last'] = float(df['time'].values[-1])
     if extra: stats.update(extra)
-    out[f'{fam}_{v}'] = stats
+    key = f'{fam}_{v}' if lag is None else f'{fam}_{v}_lag{lag}'
+    out[key] = stats
 
 for v in (4, 6, 8):
     ns = load('a1.py')
@@ -143,3 +144,25 @@ for k in sorted(out):
     s = out[k]
     cols = [c for c in s if not c.startswith('_')]
     print(k, {c: round(s[c]['std'], 3) for c in cols[:4]})
+
+# --- lag-3/4 sweep at nVars=6 (validates lag-dependent indexing paths) ---
+GENS = [
+  ('A1','a1.py', lambda ns,S: ns['LinearTimeSeriesGenerator']('gaussian', 0.1, random_state=S), 1),
+  ('A2','a2.py', lambda ns,S: ns['TimeSeriesGenerator']('gaussian', random_state=S), 1),
+  ('B2','b2.py', lambda ns,S: [ns[k] for k in ns if isinstance(ns[k], type) and 'Generator' in k][0](noise_mix_ratio=0.5, random_state=S), 1),
+  ('C1','c1.py', lambda ns,S: ns['NonlinearTimeSeriesGenerator'](random_state=S), 1),
+  ('C2','c2.py', lambda ns,S: [ns[k] for k in ns if isinstance(ns[k], type) and 'Generator' in k][0](noise_type='gaussian', random_state=S), 1),
+  ('D1','d1.py', lambda ns,S: [ns[k] for k in ns if isinstance(ns[k], type) and 'Generator' in k][0](noise_type='gaussian', missing_rate=0.2, random_state=S), 0),
+  ('D2','d2.py', lambda ns,S: [ns[k] for k in ns if isinstance(ns[k], type) and 'Generator' in k][0](block_prob=0.2, noise_type='gaussian', random_state=S), 0),
+  ('D3C','d3c.py', lambda ns,S: [ns[k] for k in ns if isinstance(ns[k], type) and 'Generator' in k][0](noise_mix_ratio=0.5, mcar_prob=0.05, block_prob=0.05, random_state=S), 0),
+]
+for lag in (3, 4):
+    for fam, fn, mk, direct in GENS:
+        ns = load(fn)
+        g = mk(ns, SEED)
+        res = g.generate_multivariate_ts(N, 6, lag)
+        df = res if direct else res[0]
+        record(fam, 6, df, lag=lag)
+
+json.dump(out, open('/root/repo/tools/ref_stats.json', 'w'), indent=1)
+print('total keys:', len(out))
