@@ -348,6 +348,19 @@ object SparkEntry {
       Generate.tensorCells(links)
     }),
 
+    "q41_ordered_limit" -> ((s, d) =>
+      lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(col("l_extendedprice"), 4).as("l_extendedprice"))),
+
+    // stateful streaming sessionization (closed sessions; rows-only check —
+    // open tail sessions depend on watermark progress, not SQL-expressible)
+    "q40_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamSession.sessionizeEvents(s, d, gapUs = 1800L * 1000000L,
+        queryName = s"graft_sess_${System.nanoTime()}").toDF()),
+
     "q39_pivot_events" -> ((s, d) =>
       events(s, d).groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -706,6 +719,12 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q41_ordered_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
 
     "q39_pivot_events" ->
       """SELECT user_id,

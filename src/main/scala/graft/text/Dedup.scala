@@ -29,6 +29,24 @@ object Dedup {
       .where(col("group_size") > 1)
       .select(col("canonical_id"), col("group_size"))
 
+  /** Scale variant of exact dedup: phase 1 shuffles only 8-byte hashes to
+    * find candidate hash groups; phase 2 shuffles just the duplicate
+    * candidates' text for collision-safe verification. Same result as
+    * exactDuplicateGroups with orders-of-magnitude less shuffle payload when
+    * duplicates are rare (the 100 TB regime).
+    */
+  def exactDuplicateGroupsScalable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      xxhash64(col(textCol)).as("h"))
+    val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("h")
+    hashed.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("h", "txt")
+      .agg(min("id").as("canonical_id"), count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+      .select(col("canonical_id"), col("group_size"))
+  }
+
   /** Exact-dedup'd view: first row (by id) per distinct text. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))

@@ -67,6 +67,10 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("canonical_id").collect()
     assert(groups.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L), (3L, 2L)))
     assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 2)
+    // the two-phase scale variant returns the identical group set
+    val scalable = Dedup.exactDuplicateGroupsScalable(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(scalable.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L), (3L, 2L)))
   }
 
   test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
