@@ -163,6 +163,26 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= 13, s"IVF top-1 recall too low: $agree/16")
   }
 
+  test("typed OLS aggregator equals regr_slope") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 2000).map { _ =>
+      val x = rnd.nextGaussian(); (x, 0.7 * x + 0.1 * rnd.nextGaussian())
+    }
+    val ds = pts.toDS()
+    val typed = ds.select(graft.ops.OlsAggregator.slope.toColumn).collect()(0)
+    val sql = ds.toDF("x", "y").agg(expr("regr_slope(y, x)")).collect()(0).getDouble(0)
+    assert(math.abs(typed - sql) < 1e-9)
+    assert(math.abs(typed - 0.7) < 0.02)
+    // grouped usage
+    val grouped = pts.zipWithIndex.map { case ((x, y), i) => (i % 2L, x, y) }.toDS()
+    val byKey = grouped.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.ops.OlsAggregator.slope.toColumn)
+      .collect().toMap
+    assert(byKey.values.forall(s => math.abs(s - 0.7) < 0.05))
+  }
+
   test("confusion counts keep graphs with empty truth and prediction") {
     import spark.implicits._
     val truth = Seq(("g1", "X1", "X2", 0)).toDF("graphId", "source", "target", "lag")
