@@ -74,10 +74,14 @@ object Generate {
   /** Partitioned parquet sink: family/nVars/maxLag directories give Catalyst
     * partition pruning on the standard access pattern (per-config reads).
     */
-  def writeParquet(df: DataFrame, path: String): Unit =
+  def writeParquet(df: DataFrame, path: String): Unit = {
+    // partition by whichever pruning columns the view carries (the long()
+    // view drops nVars/maxLag)
+    val parts = Seq("family", "nVars", "maxLag").filter(df.columns.contains)
     df.write.mode("overwrite")
-      .partitionBy("family", "nVars", "maxLag")
+      .partitionBy(parts: _*)
       .parquet(path)
+  }
 
   /** Trend + seasonality components as pure DataFrame ops (G7/G8 Spark
     * mapping, c1.py:126-141): for each var 1..nVars and index 0..n-1,

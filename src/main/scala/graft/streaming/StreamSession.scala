@@ -31,7 +31,10 @@ object StreamSession {
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-          cur = Some(OpenSession(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
+          // a late (out-of-order, within-watermark) event must not regress the
+          // session bounds: extend with min/max, not the raw event time
+          cur = Some(OpenSession(math.min(s.startUs, e.ts_us),
+            math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
         case Some(s) =>
           out :+= SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))

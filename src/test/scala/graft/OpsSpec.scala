@@ -163,6 +163,27 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= 13, s"IVF top-1 recall too low: $agree/16")
   }
 
+  test("sessionize works on frames without an event_id column (custom tie-break)") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 0L), (1L, "b", 500L), (1L, "c", 5000000L))
+      .toDF("uid", "tag", "ts_us")
+    val out = Sessionize.sessionStats(ev, "uid", "ts_us", gapUs = 1000000L,
+      tieBreakCol = "tag").orderBy("session_id").collect()
+    assert(out.length == 2 && out(0).getAs[Long]("n_events") == 2)
+  }
+
+  test("writeParquet partitions by available pruning columns (long view too)") {
+    import graft.generate.Generate
+    val cfg = graft.core.Grid.forFamily("A1").head.copy(nPoints = 30)
+    val rows = Generate.series(spark, Seq(cfg))
+    val dir = java.nio.file.Files.createTempDirectory("wp").toString
+    Generate.writeParquet(Generate.wide(rows), s"$dir/wide")   // family/nVars/maxLag dirs
+    Generate.writeParquet(Generate.long(rows), s"$dir/long")   // family only
+    assert(new java.io.File(s"$dir/wide/family=A1").isDirectory)
+    assert(new java.io.File(s"$dir/long/family=A1").isDirectory)
+    assert(spark.read.parquet(s"$dir/long").count() == 30 * 4)
+  }
+
   test("typed OLS aggregator equals regr_slope") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

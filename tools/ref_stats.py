@@ -138,13 +138,6 @@ for v in (4, 6, 8):
     res = g.generate_multivariate_ts(N, v, LAG)
     record('D3C', v, res[0])
 
-json.dump(out, open('/root/repo/tools/ref_stats.json', 'w'), indent=1)
-print('families x vars recorded:', len(out))
-for k in sorted(out):
-    s = out[k]
-    cols = [c for c in s if not c.startswith('_')]
-    print(k, {c: round(s[c]['std'], 3) for c in cols[:4]})
-
 # --- lag-3/4 sweep at nVars=6 (validates lag-dependent indexing paths) ---
 GENS = [
   ('A1','a1.py', lambda ns,S: ns['LinearTimeSeriesGenerator']('gaussian', 0.1, random_state=S), 1),
