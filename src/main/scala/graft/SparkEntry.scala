@@ -348,6 +348,15 @@ object SparkEntry {
       Generate.tensorCells(links)
     }),
 
+    "q42_json_extract" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum("k").as("sum_k"),
+             round(avg("k"), 4).as("avg_k"),
+             max("k").as("max_k"))),
+
     "q41_ordered_limit" -> ((s, d) =>
       lineitem(s, d)
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
@@ -719,6 +728,13 @@ object SparkEntry {
         |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
+
+    "q42_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+        |  round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+        |  max(json_extract(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q41_ordered_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice

@@ -101,6 +101,26 @@ class SinksSpec extends AnyFunSuite {
       == Seq("No directed edges found under current interpretation."))
   }
 
+  test("generated series round-trips through JSON and ORC sinks") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import graft.generate.Generate
+    val cfg = Grid.forFamily("C1C").head.copy(nPoints = 40)
+    val wide = Generate.wide(Generate.series(spark, Seq(cfg)))
+    val dir = Files.createTempDirectory("fmt").toString
+    wide.write.mode("overwrite").json(s"$dir/json")
+    wide.write.mode("overwrite").orc(s"$dir/orc")
+    val fromJson = spark.read.json(s"$dir/json")
+    val fromOrc = spark.read.orc(s"$dir/orc")
+    assert(fromJson.count() == 40 && fromOrc.count() == 40)
+    // ORC preserves names/types (nullability flags widen on read)
+    assert(fromOrc.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      wide.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val sumU = wide.agg(org.apache.spark.sql.functions.sum("U")).collect()(0).getDouble(0)
+    val sumUOrc = fromOrc.agg(org.apache.spark.sql.functions.sum("U")).collect()(0).getDouble(0)
+    assert(sumU == sumUOrc)
+  }
+
   test("truth tensors: symmetric val, directed graph, U at index p") {
     val (vals, graph, p) = Sinks.truthTensors("A1C", 4, 2)
     assert(p == 5) // U appended
