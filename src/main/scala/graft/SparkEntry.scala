@@ -42,17 +42,23 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core --
-    "q01_pricing_summary" -> ((s, d) =>
+    // money sums in DECIMAL (source doubles carry exactly 2 decimals): a
+    // round() of an order-dependent double sum drifts across engines as the
+    // sum grows — the DECIMAL sum is exact and its double image unique
+    "q01_pricing_summary" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(12,2)")
       lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(12,2)") - disc)).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 6).as("avg_disc"),
-          count(lit(1)).as("count_order"))),
+          count(lit(1)).as("count_order"))
+    }),
 
     "q02_revenue_by_nation" -> ((s, d) => {
       val li = lineitem(s, d); val o = orders(s, d)
@@ -62,7 +68,9 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+               (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+               .cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -119,12 +127,14 @@ object SparkEntry {
     "q08_exact_dedup" -> ((s, d) =>
       Dedup.exactDuplicateGroups(documents(s, d), "doc_id", "text")),
 
+    // exact-integer contract: sum of distinct-token counts, not a rounded
+    // average — round(avg) landed on a HALF_UP boundary at sf0.1 (r1 q09)
     "q09_token_stats" -> ((s, d) =>
       TextOps.tokenStats(documents(s, d))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
              sum("n_tokens").as("total_tokens"),
-             round(avg("n_distinct_tokens"), 4).as("avg_distinct"))),
+             sum("n_distinct_tokens").as("sum_distinct"))),
 
     "q10_quality_score" -> ((s, d) =>
       TextOps.qualityScore(documents(s, d))
@@ -172,9 +182,14 @@ object SparkEntry {
       customer(s, d).createOrReplaceTempView("q27_customer")
       nation(s, d).createOrReplaceTempView("q27_nation")
       region(s, d).createOrReplaceTempView("q27_region")
+      // BROADCAST hints: without them the SQL path shuffle-joins the three
+      // dimension tables that q02 broadcasts (r1 bench: 12.3s vs 2.3s on the
+      // identical join tree); DECIMAL revenue as in q01/q02
       s.sql(
-        """SELECT r_name, n_name,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        """SELECT /*+ BROADCAST(q27_customer, q27_nation, q27_region) */
+          |  r_name, n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
           |  count(*) AS n_items
           |FROM q27_lineitem
           |JOIN q27_orders ON l_orderkey = o_orderkey
@@ -211,8 +226,11 @@ object SparkEntry {
         round(expr("regr_slope(X4_0, X1_2)"), 3).as("b_x1l2_x4"))    // declared 0.25
     }),
 
+    // structural integer contract (trend in exact micro-units, sin/cos args
+    // as 24ths of a turn) — trig-double parity across engines is 1-ulp
+    // unstable (r1 q31); GenerateSpec ties these integers to the numeric path
     "q31_trend_season" -> ((s, d) =>
-      Generate.trendSeason(s, nVars = 8, n = 200, trendStrength = 0.01, seasonalStrength = 0.5)),
+      Generate.trendSeasonStructural(s, nVars = 8, n = 200, trendMicroPerVarT = 5000L)),
 
     "q37_regex_tokens" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -241,11 +259,14 @@ object SparkEntry {
 
     "q33_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // integer cents end-to-end: window aggregation trees are FP-order
-      // sensitive, exact integer sums are not
+      // exact integers end-to-end: DECIMAL before the multiply (the source
+      // doubles carry exactly 2 decimals), so no round() of a double product
+      // ever lands on a half-cent boundary (r1 q33 at sf0.1)
       val daily = lineitem(s, d)
         .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01").cast("date")))
-        .withColumn("cents", round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+        .withColumn("cents", (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) *
+          lit(10000)).cast("long"))
         .groupBy("day")
         .agg(sum("cents").as("rev_cents"))
       val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
@@ -411,8 +432,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -422,7 +443,7 @@ object SparkEntry {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -485,8 +506,8 @@ object SparkEntry {
 
     "q09_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  round(avg(len(list_distinct(string_split(text, ' ')))), 4) AS avg_distinct
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |  sum(len(list_distinct(string_split(text, ' '))))::BIGINT AS sum_distinct
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q10_quality_score" ->
@@ -712,7 +733,7 @@ object SparkEntry {
 
     "q27_rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -723,9 +744,9 @@ object SparkEntry {
 
     "q31_trend_season" ->
       """SELECT t, var_idx,
-        |  round(0.01 * var_idx * 0.5 * t, 6) AS trend,
-        |  round(0.5 * (sin(2 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8) +
-        |        0.5 * cos(4 * pi() * t / 12 + 2 * pi() * (var_idx - 1) / 8)), 6) AS season
+        |  5000 * var_idx * t AS trend_micro,
+        |  (2 * t + 3 * (var_idx - 1)) % 24 AS arg1_24,
+        |  (4 * t + 3 * (var_idx - 1)) % 24 AS arg2_24
         |FROM range(0, 200) r(t)
         |CROSS JOIN range(1, 9) v(var_idx)""".stripMargin,
 
@@ -786,7 +807,8 @@ object SparkEntry {
     "q33_moving_avg" ->
       """WITH daily AS (
         |  SELECT datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS day,
-        |    sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS rev_cents
+        |    sum((l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2))
+        |         * 10000)::BIGINT)::BIGINT AS rev_cents
         |  FROM lineitem GROUP BY 1)
         |SELECT day, rev_cents,
         |  sum(rev_cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS ma7_cents

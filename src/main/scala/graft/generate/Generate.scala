@@ -102,6 +102,26 @@ object Generate {
       .select(col("t"), col("var_idx"), col("trend"), col("season"))
   }
 
+  /** Structural (exact-integer) form of the trend/season precompute, for
+    * oracle parity: transcendental doubles are the wrong cross-engine
+    * contract (JVM libm vs DuckDB libm differ by 1 ulp on some grid points —
+    * r1 q31). With period 12 and phase 2π(var−1)/8, every sin/cos argument is
+    * an exact multiple of 2π/24:
+    *   sin-arg = 2π(2t + 3(var−1))/24, cos-arg = 2π(4t + 3(var−1))/24
+    * and trend = strength·var·0.5·t is rational. This emits those integers
+    * (`arg*_24` as 24ths of a turn mod 24, trend in exact micro-units);
+    * `GenerateSpec` pins the numeric `trendSeason` to sin/cos of exactly
+    * these arguments, closing the loop to the double-valued kernel path.
+    */
+  def trendSeasonStructural(spark: SparkSession, nVars: Int, n: Int,
+      trendMicroPerVarT: Long): DataFrame =
+    spark.range(n).toDF("t")
+      .crossJoin(spark.range(1, nVars + 1).toDF("var_idx"))
+      .withColumn("trend_micro", lit(trendMicroPerVarT) * col("var_idx") * col("t"))
+      .withColumn("arg1_24", (lit(2L) * col("t") + lit(3L) * (col("var_idx") - 1)) % 24)
+      .withColumn("arg2_24", (lit(4L) * col("t") + lit(3L) * (col("var_idx") - 1)) % 24)
+      .select(col("t"), col("var_idx"), col("trend_micro"), col("arg1_24"), col("arg2_24"))
+
   /** Truth-tensor cells in long form (S3, a1.py:251-266): cell (i,j,k) =
     * "var i at t−k → var j at t"; contemporaneous entries are symmetric in the
     * value tensor but stay directed in the boolean graph tensor; confounded

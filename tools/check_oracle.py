@@ -47,7 +47,10 @@ for name, sql in sorted(oracle.items()):
     for c in g.columns:
         gv, ev = g[c].values, e[c].values
         if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
-            same = np.allclose(gv.astype(float), ev.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+            # BITWISE-exact, like the driver's value hash — atol tolerance here
+            # let q09/q31/q33 slip through in round 1
+            a, b = gv.astype(float), ev.astype(float)
+            same = ((a == b) | (np.isnan(a) & np.isnan(b))).all()
         else:
             same = (gv == ev).all() if len(gv) else True
         if not same:
@@ -55,7 +58,7 @@ for name, sql in sorted(oracle.items()):
             for i in range(len(gv)):
                 a, b = gv[i], ev[i]
                 eqv = (a == b) or (isinstance(a, float) and isinstance(b, float)
-                                   and (np.isnan(a) and np.isnan(b) or abs(a - b) <= 1e-9))
+                                   and np.isnan(a) and np.isnan(b))
                 if not eqv:
                     diff_i = i
                     break
