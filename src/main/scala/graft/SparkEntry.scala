@@ -148,9 +148,11 @@ object SparkEntry {
     "q12_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(documents(s, d)).select("doc_id", "fingerprint")),
 
+    // prefix-filtered AllPairs (exact result) with a REAL stop-shingle cap —
+    // the r1 entry passed maxDocFreq=100000, disabling its own skew guard
     "q13_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3,
-        minJaccard = 0.8, maxDocFreq = 100000L)),
+        minJaccard = 0.8, maxDocFreq = 1000L)),
 
     // -- similarity search --
     "q14_cosine_topk" -> ((s, d) => {
@@ -312,7 +314,8 @@ object SparkEntry {
       Dedup.minhashSignatures(documents(s, d), "doc_id", "text", n = 3, numHashes = 16)
         .withColumnRenamed("id", "doc_id")),
 
-    // LSH banding uses Spark's hash() — rows-only check (no SQL oracle)
+    // LSH banding via the deterministic polynomial bucket — fully
+    // oracle-checked (r1 used Spark's Murmur3 hash(), forcing rows-only)
     "q16_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)),
@@ -325,9 +328,14 @@ object SparkEntry {
       graft.streaming.StreamAgg.eventsWindowed(s, d, windowSec = 300L,
         queryName = s"graft_stream_${System.nanoTime()}")),
 
+    // the bucketed LSH path IS the benched/oracled entry (the r1 entry was
+    // the O(N²) crossJoin — a scale-killer); the oracle mirrors the seeded
+    // hyperplane buckets exactly, and SimilaritySpec checks planted-pair
+    // recall plus LSH ⊆ exact containment
     "q19_embedding_neardups" -> ((s, d) =>
-      Similarity.embeddingNearDups(
-        embeddings(s, d).where(col("vec_id") < 1000), "vec_id", "embedding", 0.2)),
+      Similarity.embeddingNearDupsLsh(
+        embeddings(s, d).where(col("vec_id") < 1000), "vec_id", "embedding",
+        dim = 64, minCosine = 0.2, nBits = 8, seed = 42L)),
 
     "q22_graph_metrics" -> ((s, d) => {
       val links = Generate.truthLinks(s).toDF()
@@ -550,19 +558,27 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // naive shared-shingle join with the same maxDocFreq cap (doc sizes
+    // recomputed over surviving shingles) — equals the Spark side's
+    // prefix-filtered AllPairs output by the prefix-filter theorem
     "q13_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
         |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' '))) AS shset
         |  FROM documents),
-        |ex AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh)
+        |ex0 AS (SELECT doc_id, unnest(shset) AS shingle FROM sh),
+        |dfq AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 1000),
+        |ex AS (SELECT e.doc_id, e.shingle FROM ex0 e JOIN dfq USING (shingle)),
+        |nn AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
-        |FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  AND a.n_sh >= 0.8 * b.n_sh AND b.n_sh >= 0.8 * a.n_sh
+        |  round(count(*)::DOUBLE / (any_value(na.n_sh) + any_value(nb.n_sh) - count(*)), 6) AS jaccard
+        |FROM ex a
+        |JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |JOIN nn na ON na.doc_id = a.doc_id
+        |JOIN nn nb ON nb.doc_id = b.doc_id
         |GROUP BY a.doc_id, b.doc_id
-        |HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.8""".stripMargin,
+        |HAVING round(count(*)::DOUBLE / (any_value(na.n_sh) + any_value(nb.n_sh) - count(*)), 6) >= 0.8""".stripMargin,
 
     "q14_cosine_topk" ->
       """SELECT query_id, cand_id, cos, rank FROM (
@@ -596,6 +612,38 @@ object SparkEntry {
          |FROM h GROUP BY doc_id""".stripMargin
     },
 
+    "q16_minhash_pairs" -> {
+      val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
+      }.mkString(",\n  ")
+      val nBands = 4; val rows = 4
+      def bucketExpr(b: Int) = (0 until rows).foldLeft("0") { (acc, i) =>
+        s"(($acc * 1000003 + mh_${b * rows + i}) % 2147483647)"
+      }
+      val mhList = (0 until 16).map(i => s"mh_$i").mkString(", ")
+      val bandSelects = (0 until nBands).map(b =>
+        s"SELECT doc_id, $b AS band, ${bucketExpr(b)} AS bucket, $mhList FROM sig"
+      ).mkString("\n  UNION ALL\n  ")
+      val matches = (0 until 16).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+         |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
+         |  FROM documents),
+         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(($matches)::DOUBLE / 16, 6) AS est_jaccard
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE round(($matches)::DOUBLE / 16, 6) >= 0.25""".stripMargin
+    },
+
     "q17_simhash" -> {
       val bits = (0 until 32).map { b =>
         s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
@@ -614,16 +662,22 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q19_embedding_neardups" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
-        |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.2""".stripMargin,
+    "q19_embedding_neardups" -> {
+      // mirror the seeded hyperplane buckets: same gaussian constants, same
+      // left-to-right double dot product (list_dot_product == our aggregate)
+      val planes = graft.sim.Similarity.hyperplanes(dim = 64, nBits = 8, seed = 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" +\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE vec_id < 1000),
+         |sig AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |  ($bucketExpr) AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2""".stripMargin
+    },
 
     "q22_graph_metrics" ->
       s"""WITH links AS (${OracleData.truthLinksSql}),

@@ -53,10 +53,18 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic seeded gaussian hyperplanes — shared by the Spark LSH
+    * signature and the DuckDB oracle (which inlines these as SQL literals, so
+    * both engines bucket identically).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextGaussian())
+  }
+
   /** Random-hyperplane LSH signature (nBits sign bits, seeded hyperplanes). */
   def lshSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val planes = hyperplanes(dim, nBits, seed)
     val bits = (0 until nBits).map { b =>
       val plane = array(planes(b).map(lit).toSeq: _*)
       when(aggregate(zip_with(vecCol, plane, (x, p) => x.cast("double") * p),

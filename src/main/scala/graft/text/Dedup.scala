@@ -53,28 +53,49 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Candidate pairs sharing at least one word n-gram, with exact Jaccard
-    * similarity over distinct shingle sets. `maxDocFreq` drops shingles that
-    * occur in more than that many docs (stop-shingle skew cap).
+  /** Exact n-gram Jaccard near-dup pairs (J >= minJaccard) via prefix-filtered
+    * AllPairs (Bayardo et al.): with shingles globally ordered rare-first, two
+    * docs with J >= t MUST share a shingle within each one's first
+    * (n − ⌈t·n⌉ + 1) shingles — so only prefix rows enter the candidate join,
+    * and the exact intersection is computed for candidates only. The result is
+    * IDENTICAL to the naive all-shared-shingle join; candidate volume drops by
+    * the prefix ratio squared (≈(1−t)², 25× at t=0.8), and — the 100 TB
+    * property — popular shingles sort to the END of every doc, so the
+    * candidate join never touches the high-df skew keys at all.
+    *
+    * `maxDocFreq` additionally drops shingles occurring in more than that many
+    * docs (stop-shingle guard). When the cap bites, per-doc sizes are
+    * recomputed over the SURVIVING shingles, so the reported Jaccard stays
+    * exact over the capped shingle universe (not an underestimate).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    // doc-frequency cap as a partial-agg groupBy + join (map-side combine)
-    // instead of a window count, which would sort every shingle partition
-    val docFreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df_"))
+    val t = minJaccard
+    val exploded0 = df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    // doc frequency per shingle: drives both the cap and the rare-first order
+    val docFreq = exploded0.groupBy("shingle").agg(count(lit(1)).as("df_"))
       .where(col("df_") <= maxDocFreq)
-    val filtered = exploded.join(docFreq, Seq("shingle"))
-    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    val exploded = exploded0.join(docFreq, Seq("shingle"))
+    val wCount = Window.partitionBy("id")
+    val wOrder = Window.partitionBy("id").orderBy(col("df_"), col("shingle"))
+    val prefix = exploded
+      .withColumn("n_sh", count(lit(1)).over(wCount))
+      .withColumn("pos", row_number().over(wOrder))
+      .where(col("pos") <= col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
+    val a = prefix.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = prefix.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     // length filter (exactness-preserving): J >= t implies
-    // min(|A|,|B|) >= t * max(|A|,|B|), pruning pairs before aggregation
-    a.join(b, Seq("shingle"))
+    // min(|A|,|B|) >= t * max(|A|,|B|)
+    val cands = a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b") &&
-        col("n_a") >= lit(minJaccard) * col("n_b") &&
-        col("n_b") >= lit(minJaccard) * col("n_a"))
+        col("n_a") >= lit(t) * col("n_b") &&
+        col("n_b") >= lit(t) * col("n_a"))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    // exact intersection over the full surviving shingle sets, candidates only
+    val e1 = exploded.select(col("id").as("id_a"), col("shingle"))
+    val e2 = exploded.select(col("id").as("id_b"), col("shingle"))
+    cands.join(e1, Seq("id_a")).join(e2, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -123,20 +144,29 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Polynomial band-bucket over minhash components — deterministic integer
+    * arithmetic (acc·1000003 + mh mod p) so the DuckDB oracle reproduces the
+    * buckets bit-for-bit (Spark's `hash()` is Murmur3, not SQL-expressible).
+    * acc < 2^31 keeps acc·1000003 + mh < 2^52, safely inside a long.
+    */
+  def bandBucket(mhCols: Seq[Column]): Column =
+    mhCols.foldLeft(lit(0L): Column)((acc, v) => pmod(acc * lit(1000003L) + v, lit(MinhashP)))
+
   /** MinHash-LSH candidate pairs: band the signature, bucket-join per band,
     * estimate similarity as matching-component fraction. The join key is
-    * (band, hash-of-band) — a single shuffle, never all-pairs.
+    * (band, bucket) — a single shuffle, never all-pairs.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
     val rows = numHashes / bands
-    val sigArr = sig.withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
-      .select("id", "sig")
-    val banded = sigArr.select(col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb"))
+    val banded = sig
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            bandBucket((0 until rows).map(i => col(s"mh_${b * rows + i}"))).as("bucket"))
+        }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
