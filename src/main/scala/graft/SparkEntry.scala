@@ -16,6 +16,24 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** Where generated-data queries (q28/q29/q30/q38) persist their kernel
+    * output so the DuckDB oracle aggregates the EXACT same rows — the kernel
+    * itself is not SQL-expressible, but its materialization is. Verify sets
+    * -Dgraft.gen.dir under its outDir and substitutes the absolute path for
+    * `__GEN_DIR__` in oracle_sql.json.
+    */
+  def genDir: String =
+    new java.io.File(sys.props.getOrElse("graft.gen.dir", "target/gen_cache")).getAbsolutePath
+
+  /** Materialize a generated DataFrame to parquet and read it back, so the
+    * downstream aggregation (Spark) and the oracle (DuckDB) share one input.
+    */
+  private def dumpGen(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val path = s"$genDir/$name"
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def lineitem(s: SparkSession, d: String) = s.read.parquet(t(d, "lineitem"))
   private def orders(s: SparkSession, d: String) = s.read.parquet(t(d, "orders"))
   private def customer(s: SparkSession, d: String) = s.read.parquet(t(d, "customer"))
@@ -201,26 +219,33 @@ object SparkEntry {
           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
-    // -- descriptive stats over GENERATED data (R12; rows-only check:
-    //    DuckDB cannot run the kernel) --
+    // -- descriptive stats over GENERATED data (R12). DuckDB cannot run the
+    //    kernel, but it CAN aggregate the kernel's materialized output: each
+    //    query dumps its generated input to __GEN_DIR__ and both engines
+    //    aggregate the same parquet (full hash oracle, not rows-only) --
     "q28_generated_missing_stats" -> ((s, d) => {
       val cfgs = Seq("D1", "D1C", "D2", "D2C", "D3", "D3C").map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 3000 && c.nVars == 8 && c.maxLag == 2).get)
-      val wide = Generate.missingView(Generate.wide(Generate.series(s, cfgs)))
+      val wide = dumpGen(s, "q28_missing",
+        Generate.missingView(Generate.wide(Generate.series(s, cfgs))))
+      // exact integer sum / exact count, divided identically on both sides
       val aggs = count(lit(1)).as("n_rows") +: (1 to 8).map(i =>
-        round(avg(col(s"X$i").isNull.cast("int")), 3).as(s"miss_x$i"))
+        round(sum(col(s"X$i").isNull.cast("int")).cast("double") / count(lit(1)), 3)
+          .as(s"miss_x$i"))
       wide.groupBy("family").agg(aggs.head, aggs.tail: _*)
     }),
 
     "q29_lagged_ols" -> ((s, d) => {
       // OLS recovery of A1's declared lag coefficients via the lagged view +
-      // regr_slope over the generated series (rows-only)
+      // regr_slope; the lagged projection is dumped so DuckDB regresses the
+      // identical row set
       val cfg = Grid.forFamily("A1").find(c =>
         c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
       val wide = Generate.wide(Generate.series(s, Seq(cfg)))
-      val lagged = Lagged.laggedView(wide.select(col("configId"), col("t"),
-        col("X1"), col("X2"), col("X3"), col("X4")), Seq("configId"), "t",
-        Seq("X1", "X2", "X3", "X4"), 2)
+      val lagged = dumpGen(s, "q29_lagged",
+        Lagged.laggedView(wide.select(col("configId"), col("t"),
+          col("X1"), col("X2"), col("X3"), col("X4")), Seq("configId"), "t",
+          Seq("X1", "X2", "X3", "X4"), 2))
       lagged.agg(
         round(expr("regr_slope(X1_0, X2_0)"), 3).as("b_x2_x1"),      // declared 0.4
         round(expr("regr_slope(X3_0, X4_0)"), 3).as("b_x4_x3"),      // declared 0.35
@@ -407,24 +432,25 @@ object SparkEntry {
         .select(col("user_id"), col("click"), col("error"),
                 col("purchase"), col("signup"), col("view"))),
 
-    // broader generation smoke: one config per (family, nVars) — rows-only
+    // broader generation coverage: one config per (family, nVars), aggregated
+    // from the dumped parquet on both sides
     "q38_generate_shapes" -> ((s, d) => {
       val cfgs = for {
         fam <- Catalog.families
         v <- Seq(4, 6, 8)
       } yield Grid.forFamily(fam).find(c => c.nPoints == 500 && c.nVars == v && c.maxLag == 3).get
-      Generate.wide(Generate.series(s, cfgs.toSeq))
+      dumpGen(s, "q38_wide", Generate.wide(Generate.series(s, cfgs.toSeq)))
         .groupBy("family", "nVars")
         .agg(count(lit(1)).as("n_rows"),
              round(avg("X1"), 1).as("mean_x1"),
              sum(col("maskBits")).as("mask_sum"))
+        .withColumnRenamed("nVars", "n_vars")
     }),
 
-    // -- generation kernel smoke (no SQL oracle: rows-only check) --
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
-      Generate.wide(Generate.series(s, cfgs))
+      dumpGen(s, "q30_wide", Generate.wide(Generate.series(s, cfgs)))
         .groupBy("family")
         .agg(count(lit(1)).as("n_rows"),
              round(avg("X1"), 2).as("mean_x1"),
@@ -883,6 +909,40 @@ object SparkEntry {
         |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, 'viewed_purchased_no_error' AS cohort
         |FROM (SELECT user_id FROM vp EXCEPT ALL SELECT user_id FROM err)""".stripMargin,
+
+    // generated-data oracles read the kernel output the query dumped to
+    // __GEN_DIR__ (substituted by Verify) — same rows, both engines
+    "q28_generated_missing_stats" -> {
+      val miss = (1 to 8).map(i =>
+        s"round(sum(CASE WHEN X$i IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 3) AS miss_x$i")
+        .mkString(",\n  ")
+      s"""SELECT family, count(*) AS n_rows,
+         |  $miss
+         |FROM read_parquet('__GEN_DIR__/q28_missing/*.parquet')
+         |GROUP BY family""".stripMargin
+    },
+
+    "q29_lagged_ols" ->
+      """SELECT
+        |  round(regr_slope(X1_0, X2_0), 3) AS b_x2_x1,
+        |  round(regr_slope(X3_0, X4_0), 3) AS b_x4_x3,
+        |  round(regr_slope(X2_0, X3_1), 3) AS b_x3l1_x2,
+        |  round(regr_slope(X4_0, X1_2), 3) AS b_x1l2_x4
+        |FROM read_parquet('__GEN_DIR__/q29_lagged/*.parquet')""".stripMargin,
+
+    "q30_generate_families" ->
+      """SELECT family, count(*) AS n_rows,
+        |  round(avg(X1), 2) AS mean_x1,
+        |  round(avg(X6), 2) AS mean_x6
+        |FROM read_parquet('__GEN_DIR__/q30_wide/*.parquet')
+        |GROUP BY family""".stripMargin,
+
+    "q38_generate_shapes" ->
+      """SELECT family, nVars AS n_vars, count(*) AS n_rows,
+        |  round(avg(X1), 1) AS mean_x1,
+        |  sum(maskBits)::BIGINT AS mask_sum
+        |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
+        |GROUP BY family, nVars""".stripMargin,
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

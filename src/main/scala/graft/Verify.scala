@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // generated-data queries dump their kernel output here; the oracle SQL
+    // references it via __GEN_DIR__ (substituted below), so DuckDB aggregates
+    // the exact rows this run produced
+    val genDir = new java.io.File(s"$outDir/_gen").getAbsolutePath
+    System.setProperty("graft.gen.dir", genDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +40,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GEN_DIR__", genDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -58,4 +58,38 @@ object StreamAgg {
     out.count()
     out
   }
+
+  /** Production sink shape: the same windowed aggregation written APPEND-mode
+    * to a parquet file sink with a checkpoint — watermark-closed windows only,
+    * no driver-side materialization, restartable from the checkpoint. The
+    * memory-sink variant above exists only for the synchronous oracle check.
+    */
+  def eventsWindowedToParquet(spark: SparkSession, sfDir: String,
+      windowSec: Long, outPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(
+        window(col("event_time"), s"$windowSec seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outPath/data")
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outPath/data")
+  }
 }

@@ -28,8 +28,23 @@ object StreamSession {
       state.remove()
       return out.iterator
     }
+    // late stragglers: events more than gap BEFORE the open session's start
+    // can never join it under batch gap semantics — sessionize them among
+    // themselves and emit closed (they all end > gap before cur.startUs)
+    var pre: Option[OpenSession] = None
     sorted.foreach { e =>
       cur match {
+        case Some(s) if e.ts_us < s.startUs - gapUs =>
+          pre match {
+            case Some(p) if e.ts_us - p.lastUs <= gapUs =>
+              pre = Some(OpenSession(p.startUs, math.max(p.lastUs, e.ts_us),
+                p.n + 1, p.sum + e.value))
+            case Some(p) =>
+              out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum)
+              pre = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+            case None =>
+              pre = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+          }
         case Some(s) if e.ts_us - s.lastUs <= gapUs =>
           // a late (out-of-order, within-watermark) event must not regress the
           // session bounds: extend with min/max, not the raw event time
@@ -42,6 +57,7 @@ object StreamSession {
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
       }
     }
+    pre.foreach(p => out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum))
     cur.foreach { s =>
       state.update(s)
       if (state.getOption.isDefined) {
@@ -86,5 +102,35 @@ object StreamSession {
     val out = spark.table(queryName).as[SessionOut]
     out.cache(); out.count()
     out
+  }
+
+  /** Production sink shape: closed sessions appended to a parquet file sink
+    * with a checkpoint (restartable; no driver-side materialization). The
+    * memory-sink variant above exists only for the synchronous harness check.
+    */
+  def sessionizeEventsToParquet(spark: SparkSession, sfDir: String, gapUs: Long,
+      outPath: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "1 hour")
+      .as[Ev]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(gapUs))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outPath/data")
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outPath/data").as[SessionOut]
   }
 }

@@ -255,13 +255,72 @@ class OpsSpec extends AnyFunSuite {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
       .as[(Long, Long, Long, Long)].collect()
       .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
-    // every streamed (closed) session must be a batch session; and most
-    // sessions close within the data (the last per user may stay open if the
-    // watermark never passes it)
+    // every streamed (closed) session must be a batch session; and every
+    // batch session that is gap-closed WITHIN the data (i.e. not the user's
+    // last) must have been emitted — only the final open session per user may
+    // be withheld when the watermark never passes it
     assert(streamed.nonEmpty)
     assert(streamed.subsetOf(batch),
       s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
-    assert(streamed.size >= batch.size - 200) // ≤ 1 open session per user withheld
+    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    val mustStream = batch.diff(lastPerUser)
+    assert(mustStream.subsetOf(streamed),
+      s"gap-closed batch sessions missing from stream: ${mustStream.diff(streamed).take(3)}")
+  }
+
+  test("streaming session update: straggler before open-session start stays separate") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StreamSession.{Ev, OpenSession, update}
+    val gap = 1000000L
+    def ev(ts: Long) = Ev(1L, ts, 1.0, new java.sql.Timestamp(ts / 1000))
+    val s1 = TestGroupState.create[OpenSession](Optional.empty[OpenSession](),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out1 = update(gap)(1L, Iterator(ev(10000000L)), s1).toSeq
+    assert(out1.isEmpty && s1.get == OpenSession(10000000L, 10000000L, 1, 1.0))
+    // batch 2: two stragglers way before the open session's start — they form
+    // their OWN closed session (the r1 gap test e.ts - lastUs <= gap was
+    // negative-satisfied and wrongly merged them into the open session)
+    val s2 = TestGroupState.create[OpenSession](Optional.of(s1.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out2 = update(gap)(1L, Iterator(ev(1000L), ev(2000L)), s2).toSeq
+    assert(out2.map(o => (o.start_us, o.end_us, o.n_events)) == Seq((1000L, 2000L, 2)),
+      s"stragglers must close separately, got $out2")
+    assert(s2.get == OpenSession(10000000L, 10000000L, 1, 1.0),
+      "open session must be untouched by stragglers")
+  }
+
+  test("parquet-sink streaming (production path): windowed agg + sessions read back from sink") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // windowed agg: append mode emits only watermark-closed windows — they
+    // must all be batch rows, and all windows closing >10min before max must appear
+    val sink = graft.streaming.StreamAgg.eventsWindowedToParquet(
+      spark, "/root/testdata/sf0.001", 300L, s"$base/agg")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val batch = ev
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    assert(sink.count() > 0)
+    assert(sink.exceptAll(batch).count() == 0)
+    val maxTs = ev.agg(max("ts_us")).as[Long].collect()(0)
+    val mustClose = batch.where(col("window_start_us") + 300000000L <= maxTs - 600000000L)
+    assert(mustClose.exceptAll(sink).count() == 0,
+      "all windows past the watermark must be in the file sink")
+    // sessions: closed sessions land in the sink and are valid batch sessions
+    val sess = graft.streaming.StreamSession.sessionizeEventsToParquet(
+      spark, "/root/testdata/sf0.001", gapUs = 1800L * 1000000L, s"$base/sess")
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    val batchSess = Sessionize.sessionStats(
+      ev.select("user_id", "event_id", "ts_us"),
+      "user_id", "ts_us", gapUs = 1800L * 1000000L)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
+    assert(sess.nonEmpty && sess.subsetOf(batchSess))
   }
 
   test("streaming windowed agg equals batch aggregation") {
