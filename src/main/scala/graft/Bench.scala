@@ -37,11 +37,17 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // a failing query must not masquerade as a fast success — record it
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable =>
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
         }
       }
     }
@@ -53,8 +59,9 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -447,6 +447,38 @@ object SparkEntry {
         .withColumnRenamed("nVars", "n_vars")
     }),
 
+    // -- S5 plot-ready aggregates (the data behind every reference figure:
+    //    series lines a1.py:286-295, missing heatmap d3c.py:487-499, sampling
+    //    histogram d3c.py:501-510, trend fits c1.py:390-411) --
+    "q43_plot_series" -> ((s, d) => {
+      val cfg = Grid.forFamily("C1").find(c =>
+        c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
+      val wide = dumpGen(s, "q43_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      graft.generate.PlotReady.seriesSample(wide, Seq("X1", "X2", "X3", "X4"), 10)
+    }),
+
+    "q44_plot_missing_pattern" -> ((s, d) => {
+      val cfg = Grid.forFamily("D3C").find(c =>
+        c.nPoints == 3000 && c.nVars == 6 && c.maxLag == 2).get
+      val miss = dumpGen(s, "q44_missing",
+        Generate.missingView(Generate.wide(Generate.series(s, Seq(cfg)))))
+      graft.generate.PlotReady.missingPatternCounts(miss, (1 to 6).map(i => s"X$i"), 50)
+    }),
+
+    "q45_plot_sampling_hist" -> ((s, d) => {
+      val cfg = Grid.forFamily("D3C").find(c =>
+        c.nPoints == 3000 && c.nVars == 6 && c.maxLag == 2).get
+      val wide = dumpGen(s, "q45_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      graft.generate.PlotReady.samplingIntervalHist(wide, 0.002)
+    }),
+
+    "q46_plot_trend_fit" -> ((s, d) => {
+      val cfg = Grid.forFamily("C1").find(c =>
+        c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
+      val wide = dumpGen(s, "q46_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      graft.generate.PlotReady.trendFit(wide, Seq("X1", "X2", "X3", "X4"))
+    }),
+
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
@@ -671,7 +703,8 @@ object SparkEntry {
     },
 
     "q17_simhash" -> {
-      val bits = (0 until 32).map { b =>
+      // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
+      val bits = (0 until graft.text.Dedup.SimhashBits).map { b =>
         s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" +\n  ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -943,6 +976,44 @@ object SparkEntry {
         |  sum(maskBits)::BIGINT AS mask_sum
         |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
         |GROUP BY family, nVars""".stripMargin,
+
+    "q43_plot_series" -> {
+      val arms = (1 to 4).map(i =>
+        s"SELECT t, \"time\", 'X$i' AS var, X$i AS value FROM read_parquet('__GEN_DIR__/q43_wide/*.parquet')")
+        .mkString("\n  UNION ALL\n  ")
+      s"""SELECT var, t, "time", value FROM (
+         |  $arms)
+         |WHERE t % 10 = 0""".stripMargin
+    },
+
+    "q44_plot_missing_pattern" -> {
+      (1 to 6).map(i =>
+        s"""SELECT 'X$i' AS var, t // 50 AS t_bucket,
+           |  sum(CASE WHEN X$i IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+           |  count(*) AS n_total
+           |FROM read_parquet('__GEN_DIR__/q44_missing/*.parquet') GROUP BY 2""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
+
+    "q45_plot_sampling_hist" ->
+      """WITH d AS (
+        |  SELECT "time" - lag("time") OVER (PARTITION BY configId ORDER BY t) AS diff
+        |  FROM read_parquet('__GEN_DIR__/q45_wide/*.parquet'))
+        |SELECT floor(diff / 0.002)::BIGINT AS bin,
+        |  floor(diff / 0.002)::BIGINT * 0.002::DOUBLE AS bin_lo, count(*) AS n
+        |FROM d WHERE diff IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q46_plot_trend_fit" -> {
+      val arms = (1 to 4).map(i =>
+        s"SELECT \"time\", 'X$i' AS var, X$i AS value FROM read_parquet('__GEN_DIR__/q46_wide/*.parquet')")
+        .mkString("\n  UNION ALL\n  ")
+      s"""SELECT var, round(regr_slope(value, "time"), 3) AS slope,
+         |  round(regr_intercept(value, "time"), 3) AS intercept, count(*) AS n
+         |FROM (
+         |  $arms)
+         |GROUP BY var""".stripMargin
+    },
 
     "q20_truth_links" -> OracleData.truthLinksSql,
 

@@ -89,9 +89,15 @@ object Sinks {
     */
   def readWideCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val header = scala.io.Source.fromFile(
-      if (new java.io.File(path).isFile) path
-      else new java.io.File(path).listFiles().filter(_.getName.endsWith(".csv")).head.getPath)
+    val headerFile =
+      if (new java.io.File(path).isFile) new java.io.File(path)
+      else {
+        val csvs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+        require(csvs.nonEmpty, s"readWideCsv: no .csv files under $path")
+        csvs.head // sorted: deterministic header choice when several exist
+      }
+    val header = scala.io.Source.fromFile(headerFile)
     val cols = try header.getLines().next().split(",").toSeq finally header.close()
     val fields = cols.map {
       case "time" => StructField("time", DoubleType, nullable = false)
@@ -192,25 +198,32 @@ object Sinks {
         .option("header", "true")
         .option("emptyValue", "")
         .csv(rawDir)
-      // rename part files to grammar names
-      Files.list(Paths.get(rawDir)).forEach { dir =>
-        val name = dir.getFileName.toString
-        if (name.startsWith("configId=")) {
-          val id = name.stripPrefix("configId=").toLong
-          byId.get(id).foreach { c =>
-            val suffix =
-              if (Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
-                (if (missing) "_missing" else "_complete")
-              else ""
-            val target = Paths.get(s"$outDir/${fileStem(c)}$suffix.csv")
-            val part = Files.list(dir)
-              .filter(p => p.getFileName.toString.startsWith("part-"))
-              .findFirst()
-            if (part.isPresent) Files.move(part.get(), target,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // rename part files to grammar names (streams closed via try/finally —
+      // an unclosed Files.list leaks a directory handle per call)
+      val dirs = Files.list(Paths.get(rawDir))
+      try {
+        dirs.forEach { dir =>
+          val name = dir.getFileName.toString
+          if (name.startsWith("configId=")) {
+            val id = name.stripPrefix("configId=").toLong
+            byId.get(id).foreach { c =>
+              val suffix =
+                if (Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
+                  (if (missing) "_missing" else "_complete")
+                else ""
+              val target = Paths.get(s"$outDir/${fileStem(c)}$suffix.csv")
+              val parts = Files.list(dir)
+              try {
+                val part = parts
+                  .filter(p => p.getFileName.toString.startsWith("part-"))
+                  .findFirst()
+                if (part.isPresent) Files.move(part.get(), target,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              } finally parts.close()
+            }
           }
         }
-      }
+      } finally dirs.close()
     }
   }
 }

@@ -180,16 +180,23 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 32-bit SimHash over token hashes: sign-sum of per-bit votes. */
+  /** 31-bit SimHash over token hashes: sign-sum of per-bit votes. 31 bits
+    * because the token hash is mod 2^31−1, so bit 31 is never set — voting
+    * over it would always yield −1 and a constant-0 output bit (it previously
+    * masqueraded as a 32-bit hash with one dead bit).
+    */
+  val SimhashBits = 31
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(TextOps.tokensCol(col(textCol))).as("tok"))
       .withColumn("h", shingleHash(col("tok")))
-    val bitCols = (0 until 32).map { b =>
+    val bitCols = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit_$b")
     }
     toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
       .withColumn("simhash",
-        (0 until 32).map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _))
+        (0 until SimhashBits).map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _))
       .select("id", "simhash")
   }
 
