@@ -58,10 +58,40 @@ object Bench {
         .agg(count(lit(1)), sum("x1")).collect()
     }
 
+    // 100×-scale generation: 512 configs × 50k points = 25.6M rows through the
+    // same zero-shuffle kernel fan-out, written as family/nVars/maxLag-
+    // partitioned parquet; a listener captures per-task durations of the
+    // generation+write stage to prove even load (round-robin config spread)
+    val byStage = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) byStage.synchronized {
+          byStage.getOrElseUpdate(te.stageId, scala.collection.mutable.ArrayBuffer.empty) +=
+            te.taskInfo.duration
+        }
+    }
+    val scaleDir = "target/bench_gen_scale"
+    val grid = Grid.all()
+    val scaleCfgs = (0 until 512).map(i =>
+      grid(i % grid.size).copy(configId = 1000000L + i, nPoints = 50000))
+    spark.sparkContext.addSparkListener(listener)
+    results("gen_scale_25m_partitioned_write") = time {
+      Generate.writeParquet(Generate.wide(Generate.series(spark, scaleCfgs)), scaleDir)
+    }
+    Thread.sleep(1000) // listener bus is async — let it drain
+    spark.sparkContext.removeSparkListener(listener)
+    val genStage = byStage.synchronized { byStage.values.maxBy(_.sum).toArray.sorted }
+    val taskSkew = if (genStage.length >= 4)
+      genStage.last.toDouble / math.max(1L, genStage(genStage.length / 2)) else 0.0
+    // keep the dir out of later rounds' way
+    scala.reflect.io.Directory(new java.io.File(scaleDir)).deleteRecursively()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val genScale = s"""{"rows":${512L * 50000L},"tasks":${genStage.length},""" +
+      s""""task_skew_max_over_median":${"%.3f".format(taskSkew)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"gen_scale":$genScale,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
