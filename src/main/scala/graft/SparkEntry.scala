@@ -142,8 +142,11 @@ object SparkEntry {
              round(max(col("gap") / 1e6), 4).as("max_gap_s"))),
 
     // -- dedup / text analysis --
+    // the two-phase variant IS the benched entry: shuffle 8-byte xxhash64
+    // first, re-shuffle only duplicate candidates' text — identical result to
+    // the direct text-groupBy (which remains as its spec cross-check)
     "q08_exact_dedup" -> ((s, d) =>
-      Dedup.exactDuplicateGroups(documents(s, d), "doc_id", "text")),
+      Dedup.exactDuplicateGroupsScalable(documents(s, d), "doc_id", "text")),
 
     // exact-integer contract: sum of distinct-token counts, not a rounded
     // average — round(avg) landed on a HALF_UP boundary at sf0.1 (r1 q09)
@@ -431,6 +434,24 @@ object SparkEntry {
         .na.fill(0L)
         .select(col("user_id"), col("click"), col("error"),
                 col("purchase"), col("signup"), col("view"))),
+
+    // -- skew tooling as first-class queries (results identical to the plain
+    //    formulations the oracles state) --
+    // exact distinct count under key skew: per-bucket dedup over a disjoint
+    // value-space slice, then sum — never one reducer per hot key
+    "q47_skew_distinct" -> ((s, d) =>
+      graft.ops.Salted.bucketedDistinctCount(
+        events(s, d).select("event_type", "user_id"),
+        Seq("event_type"), "user_id", buckets = 8)),
+
+    "q48_salted_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      graft.ops.Salted.saltedJoin(ev, purchases, "user_id", saltFactor = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("n_purchases").as("sum_purch"))
+    }),
 
     // broader generation coverage: one config per (family, nVars), aggregated
     // from the dumped parquet on both sides
@@ -976,6 +997,18 @@ object SparkEntry {
         |  sum(maskBits)::BIGINT AS mask_sum
         |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
         |GROUP BY family, nVars""".stripMargin,
+
+    "q47_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q48_salted_join" ->
+      """WITH p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  sum(p.n_purchases)::BIGINT AS sum_purch
+        |FROM events e JOIN p ON e.user_id = p.user_id
+        |GROUP BY e.event_type""".stripMargin,
 
     "q43_plot_series" -> {
       val arms = (1 to 4).map(i =>

@@ -22,4 +22,23 @@ object Salted {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** EXACT distributed distinct count under key skew, via value-space
+    * bucketing: phase 1 groups by (key, hash(value) mod buckets) — each
+    * bucket deduplicates a disjoint slice of the value space, so per-bucket
+    * distinct counts SUM exactly — phase 2 sums them per key. A hot key's
+    * dedup state is split across `buckets` reducers instead of one; plain
+    * map-side partial aggregation cannot do this for distincts (every
+    * partition may hold every value, so the hot key's full value set would
+    * still meet at a single reducer).
+    */
+  def bucketedDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("_b", pmod(xxhash64(col(valueCol)), lit(buckets)))
+      .groupBy((keys :+ "_b").map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("_pc"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_pc").as("n_distinct"))
+  }
 }

@@ -229,6 +229,41 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join and bucketed distinct count equal their plain formulations") {
+    import spark.implicits._
+    import graft.ops.Salted
+    val rnd = new scala.util.Random(23)
+    // heavily skewed: 80% of rows on key 1
+    val large = (1 to 2000).map(i =>
+      (if (rnd.nextDouble() < 0.8) 1L else rnd.nextInt(50).toLong, rnd.nextInt(300).toLong))
+      .toDF("k", "v")
+    val small = (0L until 50L).map(k => (k, k * 10)).toDF("k", "attr")
+    val plainJoin = large.join(small, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("attr").as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = Salted.saltedJoin(large, small, "k", 8).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("attr").as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted == plainJoin)
+    val plainDistinct = large.groupBy("k").agg(countDistinct("v").as("n_distinct"))
+      .as[(Long, Long)].collect().toSet
+    val bucketed = Salted.bucketedDistinctCount(large, Seq("k"), "v", 8)
+      .as[(Long, Long)].collect().toSet
+    assert(bucketed == plainDistinct)
+  }
+
+  test("two-phase scalable exact dedup equals direct text-groupBy dedup") {
+    import spark.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, s"unique doc $i")) ++
+      Seq((100L, "dup a"), (101L, "dup a"), (102L, "dup a"), (200L, "dup b"), (201L, "dup b")))
+      .toDF("doc_id", "text")
+    val direct = graft.text.Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val scalable = graft.text.Dedup.exactDuplicateGroupsScalable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(scalable == direct && direct == Set((100L, 3L), (200L, 2L)))
+  }
+
   test("sessionize: gap splits sessions, durations in integer us") {
     import spark.implicits._
     val ev = Seq(
