@@ -92,7 +92,13 @@ object TextOps {
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
   /** Word n-gram shingles (for Jaccard/MinHash dedup). */
-  def shingles(textCol: Column, n: Int): Column = {
+  def shingles(textCol: Column, n: Int): Column =
+    // native single-pass expression; coalesce keeps the HOF's null behavior
+    // (null text → empty shingle set, not null)
+    coalesce(Shingles(textCol, n), array().cast("array<string>"))
+
+  /** HOF formulation — retained as the parity baseline for `Shingles`. */
+  def shinglesHof(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
     when(size(toks) >= n,
       array_distinct(

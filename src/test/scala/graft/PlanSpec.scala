@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the round-1 scale regressions (all-pairs
+  * crossJoin benched for q19, shuffle-joined dimensions in q27) must not come
+  * back. Plans are asserted on the tiny sf so the suite stays fast — the
+  * properties checked (join strategy, pushdown) are data-size-independent
+  * given broadcast-sized dimension tables.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q19 near-dups: bucket equi-join, never a cartesian product") {
+    val p = plan("q19_embedding_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q19 must not plan an all-pairs join")
+  }
+
+  test("q27 rollup: dimension joins broadcast, no shuffle joins") {
+    val p = plan("q27_rollup_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/nation/region must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no dimension may shuffle-join")
+  }
+
+  test("q01 scan: filter pushed down to parquet") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      "shipdate filter must reach the scan")
+  }
+
+  test("q02 revenue: all three dimensions broadcast") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+
+/** Bit-parity of the native Shingles expression vs the HOF baseline it
+  * replaced — including element ORDER (first occurrence), empty-token
+  * handling from consecutive spaces, short texts, and null text.
+  */
+class TextShinglesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native shingles == HOF shingles on edge cases (order included)") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e", "a b", "", "a", "a  b c", " a b c ", "x x x x x",
+      "a b c a b c a b c", "tok1 tok2 tok3 tok4", null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(col("id"), TextOps.shingles(col("text"), n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = df.select(col("id"), TextOps.shinglesHof(col("text"), n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got == want, s"divergence at n=$n")
+    }
+  }
+
+  test("native shingles == HOF shingles on the real documents corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val joined = docs.select(col("doc_id"),
+        TextOps.shingles(col("text"), 3).as("native"),
+        TextOps.shinglesHof(col("text"), 3).as("hof"))
+      .where(not(col("native") === col("hof")))
+    assert(joined.count() == 0, "native and HOF shingles must agree on every doc")
+  }
+}
