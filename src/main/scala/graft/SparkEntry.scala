@@ -181,6 +181,16 @@ object SparkEntry {
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    // IVF ANN: coarse-quantizer cells (first 16 ids as centroids), queries
+    // probe 4 cells — candidates meet via one equi-join on cell_id, never
+    // Q×N; the oracle mirrors the assignment ranking exactly (raw-double
+    // cosine order with cell-id tie-break, identical arithmetic both sides)
+    "q49_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfCosineTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nCells = 16, nProbe = 4)
+    }),
+
     "q25_sessionize" -> ((s, d) =>
       graft.ops.Sessionize.sessionStats(
         events(s, d).withColumn("ts_us", expr("ts div 1000"))
@@ -281,6 +291,9 @@ object SparkEntry {
                 col("asof_ts").as("click_ts_us"))
     }),
 
+    // exact percentile is the oracle contract (sorts per group); the 100 TB
+    // production path is approx_percentile (t-digest sketch, one pass, no
+    // sort) — OpsSpec pins the pairing's accuracy
     "q32_quantiles" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
@@ -997,6 +1010,37 @@ object SparkEntry {
         |  sum(maskBits)::BIGINT AS mask_sum
         |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
         |GROUP BY family, nVars""".stripMargin,
+
+    "q49_ivf_topk" -> {
+      def cdist(v: String, c: String) =
+        s"""list_dot_product($v, $c) /
+           |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < 16),
+         |corp AS (
+         |  SELECT vec_id AS cand_id, v AS cv, cell_id FROM (
+         |    SELECT e.vec_id, e.v, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE crank = 1),
+         |qs AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+         |    SELECT e.vec_id, e.v, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
+         |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10)
+         |  WHERE crank <= 4),
+         |cand AS (
+         |  SELECT q.query_id, c.cand_id,
+         |    round(${cdist("q.qv", "c.cv")}, 6) AS cos
+         |  FROM qs q JOIN corp c ON q.cell_id = c.cell_id AND q.query_id <> c.cand_id)
+         |SELECT query_id, cand_id, cos, rank FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin
+    },
 
     "q47_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming exact deduplication — the training-pipeline pattern of dropping
+  * duplicate documents as they arrive. Dedup state is keyed on the 8-byte
+  * content hash (not the text), so per-key state is fixed-width; with an
+  * event-time column the bounded variant is `dropDuplicatesWithinWatermark`,
+  * which ages state out — the unbounded variant here fits the static-corpus
+  * harness (state = one long per distinct doc).
+  */
+object StreamDedup {
+
+  /** First occurrence (by arrival) of each distinct text in the documents
+    * stream; returns (doc_id, h) of survivors.
+    */
+  def dedupDocuments(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val schema: StructType = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("h", xxhash64(col("text")))
+      .select("doc_id", "h")
+      .dropDuplicates("h")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
+}

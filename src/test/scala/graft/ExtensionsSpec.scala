@@ -29,6 +29,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getDouble(0)
       assert(floats == 3.0)
       intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").collect())
+      val sh = spark.sql("SELECT shingles('a b c d', 3) AS s")
+        .collect()(0).getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      intercept[Exception](spark.sql("SELECT shingles('a b c')").collect())
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

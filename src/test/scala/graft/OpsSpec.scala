@@ -229,6 +229,17 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("quantiles: approx_percentile tracks exact percentile (the 100 TB pairing)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.95)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("approx"))
+      .collect()(0)
+    val exact = r.getDouble(0); val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx_percentile drifted: exact=$exact approx=$approx")
+  }
+
   test("salted join and bucketed distinct count equal their plain formulations") {
     import spark.implicits._
     import graft.ops.Salted
@@ -356,6 +367,17 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
       .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
     assert(sess.nonEmpty && sess.subsetOf(batchSess))
+  }
+
+  test("streaming dedup keeps one row per distinct text (matches batch distinct)") {
+    val streamed = graft.streaming.StreamDedup.dedupDocuments(
+      spark, "/root/testdata/sf0.001", s"ops_dedup_${System.nanoTime()}")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(streamed.count() == distinctTexts)
+    // survivors' hashes are exactly the distinct content hashes
+    val got = streamed.select("h").distinct().count()
+    assert(got == distinctTexts)
   }
 
   test("streaming windowed agg equals batch aggregation") {
