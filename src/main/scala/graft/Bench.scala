@@ -63,9 +63,12 @@ object Bench {
     // partitioned parquet; a listener captures per-task durations of the
     // generation+write stage to prove even load (round-robin config spread)
     val byStage = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    // only count tasks LAUNCHED after this point — the async listener bus can
+    // still deliver queued task-ends from earlier bench queries
+    val attachMs = System.currentTimeMillis()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null) byStage.synchronized {
+        if (te.taskInfo != null && te.taskInfo.launchTime >= attachMs) byStage.synchronized {
           byStage.getOrElseUpdate(te.stageId, scala.collection.mutable.ArrayBuffer.empty) +=
             te.taskInfo.duration
         }
@@ -80,7 +83,10 @@ object Bench {
     }
     Thread.sleep(1000) // listener bus is async — let it drain
     spark.sparkContext.removeSparkListener(listener)
-    val genStage = byStage.synchronized { byStage.values.maxBy(_.sum).toArray.sorted }
+    val genStage = byStage.synchronized {
+      if (byStage.isEmpty) Array.empty[Long]
+      else byStage.values.maxBy(_.sum).toArray.sorted
+    }
     val taskSkew = if (genStage.length >= 4)
       genStage.last.toDouble / math.max(1L, genStage(genStage.length / 2)) else 0.0
     // keep the dir out of later rounds' way
@@ -89,8 +95,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
+    val skewStr = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(taskSkew)) // locale-proof: JSON needs '.'
     val genScale = s"""{"rows":${512L * 50000L},"tasks":${genStage.length},""" +
-      s""""task_skew_max_over_median":${"%.3f".format(taskSkew)}}"""
+      s""""task_skew_max_over_median":$skewStr}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"gen_scale":$genScale,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1016,7 +1016,8 @@ object SparkEntry {
         s"""list_dot_product($v, $c) /
            |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < 16),
+         |cents AS (SELECT vec_id AS cell_id, v AS centroid FROM e
+         |          ORDER BY vec_id LIMIT 16),
          |corp AS (
          |  SELECT vec_id AS cand_id, v AS cv, cell_id FROM (
          |    SELECT e.vec_id, e.v, c.cell_id,

@@ -90,6 +90,8 @@ object StreamAgg {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outPath/data")
+    // explicit schema: a run whose watermark closed no windows appends zero
+    // files, and a schema-less read of the empty sink dir would throw
+    spark.read.schema(agg.schema).parquet(s"$outPath/data")
   }
 }

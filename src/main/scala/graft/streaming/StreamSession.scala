@@ -57,7 +57,19 @@ object StreamSession {
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
       }
     }
-    pre.foreach(p => out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum))
+    // a later in-batch event may have extended cur's start BACKWARD (min),
+    // bringing the straggler run within gap of it — then batch semantics merge
+    // them into one session, so merge here instead of emitting pre as closed.
+    // (earlier-emitted pre runs stay separate: they end > gap before this one,
+    // and cur.startUs can never drop below pre.lastUs + gap in that case)
+    (pre, cur) match {
+      case (Some(p), Some(s)) if s.startUs - p.lastUs <= gapUs =>
+        cur = Some(OpenSession(math.min(p.startUs, s.startUs),
+          math.max(p.lastUs, s.lastUs), p.n + s.n, p.sum + s.sum))
+      case (Some(p), _) =>
+        out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum)
+      case _ => ()
+    }
     cur.foreach { s =>
       state.update(s)
       if (state.getOption.isDefined) {
@@ -131,6 +143,7 @@ object StreamSession {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outPath/data").as[SessionOut]
+    // explicit schema: a run that closed no sessions appends zero files
+    spark.read.schema(sessions.schema).parquet(s"$outPath/data").as[SessionOut]
   }
 }

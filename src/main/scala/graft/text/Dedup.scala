@@ -76,7 +76,12 @@ object Dedup {
     // doc frequency per shingle: drives both the cap and the rare-first order
     val docFreq = exploded0.groupBy("shingle").agg(count(lit(1)).as("df_"))
       .where(col("df_") <= maxDocFreq)
-    val exploded = exploded0.join(docFreq, Seq("shingle"))
+    // the shingle-explode + doc-freq join feeds THREE consumers (prefix
+    // window, both intersection sides); Catalyst plans them as independent
+    // subtrees (no exchange reuse), so checkpoint lazily to compute the
+    // dominant stage once — storage is executor-local and freed by the
+    // context cleaner with the plan
+    val exploded = exploded0.join(docFreq, Seq("shingle")).localCheckpoint(false)
     val wCount = Window.partitionBy("id")
     val wOrder = Window.partitionBy("id").orderBy(col("df_"), col("shingle"))
     val prefix = exploded

@@ -334,6 +334,16 @@ class OpsSpec extends AnyFunSuite {
       s"stragglers must close separately, got $out2")
     assert(s2.get == OpenSession(10000000L, 10000000L, 1, 1.0),
       "open session must be untouched by stragglers")
+    // batch 3: a straggler at start-gap-50k PLUS a bridging event that merges
+    // into the open session and extends its start backward to within gap of
+    // the straggler — batch semantics merge ALL into one open session, so
+    // nothing may be emitted closed and state must cover the full range
+    val s3 = TestGroupState.create[OpenSession](Optional.of(OpenSession(10000000L, 10000000L, 1, 1.0)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out3 = update(gap)(1L, Iterator(ev(8950000L), ev(9500000L)), s3).toSeq
+    assert(out3.isEmpty, s"bridged straggler must not close, got $out3")
+    assert(s3.get == OpenSession(8950000L, 10000000L, 3, 3.0),
+      s"state must merge straggler+bridge+open, got ${s3.get}")
   }
 
   test("parquet-sink streaming (production path): windowed agg + sessions read back from sink") {
