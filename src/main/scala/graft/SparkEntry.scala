@@ -434,11 +434,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
                 round(col("l_extendedprice"), 4).as("l_extendedprice"))),
 
-    // stateful streaming sessionization (closed sessions; rows-only check —
-    // open tail sessions depend on watermark progress, not SQL-expressible)
+    // stateful streaming sessionization. For a static corpus under a single
+    // AvailableNow batch the emitted set IS deterministic: gap-closed sessions
+    // (every non-last session per user) plus timeout-closed ones (the no-data
+    // microbatch advances the watermark to maxEventTime − 1h and fires
+    // event-time timeouts past end + gap) — so the oracle models emission
+    // exactly instead of settling for a rows-only check
     "q40_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamSession.sessionizeEvents(s, d, gapUs = 1800L * 1000000L,
-        queryName = s"graft_sess_${System.nanoTime()}").toDF()),
+        queryName = s"graft_sess_${System.nanoTime()}").toDF()
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+                round(col("sum_value"), 4).as("sum_value"))),
 
     "q39_pivot_events" -> ((s, d) =>
       events(s, d).groupBy("user_id")
@@ -909,6 +915,34 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    // emission model: session closed by gap (not the user's last) OR by
+    // event-time timeout — the post-data no-data microbatch advances the
+    // watermark to max(ts)−1h (ms) and fires timeouts where wm > end+gap (ms,
+    // matching GroupStateImpl's strict comparison at Spark 4.1 semantics).
+    // Ties in ts_us split by value, mirroring update()'s sort — boundaries
+    // and sums are order-insensitive, so any consistent tie order works.
+    "q40_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, value)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, value
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    count(*)::INT AS n_events, round(sum(value), 4) AS sum_value,
+        |    max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sess GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM ev)
+        |SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.sum_value
+        |FROM agg a, wm
+        |WHERE a.sid < a.max_sid OR wm.wm_ms > a.end_us // 1000 + 1800000""".stripMargin,
 
     "q39_pivot_events" ->
       """SELECT user_id,
