@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence properties for the two trickiest algorithms:
+  * prefix-filtered AllPairs Jaccard (must equal the naive all-pairs
+  * definition) and incremental streaming sessionization (must equal batch
+  * gap-splitting for any in-order batch segmentation with arbitrary
+  * within-batch disorder).
+  */
+class AlgoPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("prefix-filtered Jaccard equals the naive all-pairs definition (random corpora with planted dups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 40).map(i => s"w$i")
+      val nBase = 60
+      val base = (0 until nBase).map { i =>
+        (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant near-dups: copy with one token replaced for ~1/3 of docs
+      val docs = base.zipWithIndex.flatMap { case (toks, i) =>
+        val d = Seq((i.toLong, toks.mkString(" ")))
+        if (i % 3 == 0 && toks.size > 4) {
+          val mut = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+          d :+ (1000L + i, mut.mkString(" "))
+        } else d
+      }
+      val maxDf = 8L
+      val t = 0.5
+      val got = graft.text.Dedup.ngramJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 3, minJaccard = t, maxDocFreq = maxDf)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+
+      // naive reference computation in plain Scala
+      def shingleSet(text: String): Set[String] = {
+        val toks = text.split(" ", -1)
+        if (toks.length < 3) Set.empty
+        else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val all = docs.map { case (id, text) => id -> shingleSet(text) }
+      val df = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val surviving = all.map { case (id, s) => id -> s.filter(sh => df(sh) <= maxDf) }.toMap
+      val ids = docs.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        sa = surviving(a); sb = surviving(b)
+        inter = (sa & sb).size if inter > 0
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a, b) -> jr).toMap
+      assert(got.keySet == want.keySet,
+        s"trial $trial pair sets differ: missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+      want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9, s"trial $trial jaccard at $k") }
+    }
+  }
+
+  test("streaming sessionization equals batch gap-split for random in-order batch segmentations") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StreamSession.{Ev, OpenSession, update}
+    val rnd = new scala.util.Random(7)
+    val gap = 500000L
+    for (trial <- 1 to 20) {
+      val n = 5 + rnd.nextInt(40)
+      val ts = Seq.fill(n)((rnd.nextLong() & Long.MaxValue) % 20000000L).sorted
+      val events = ts.map(t => Ev(1L, t, 1.0, new java.sql.Timestamp(t / 1000)))
+      // random in-order segmentation; shuffle WITHIN each batch (update sorts)
+      var rest = events
+      var batches = Vector.empty[Seq[Ev]]
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(rest.size)
+        batches :+= rnd.shuffle(rest.take(k))
+        rest = rest.drop(k)
+      }
+      var stateOpt: Option[OpenSession] = None
+      var emitted = Vector.empty[(Long, Long, Int)]
+      batches.foreach { b =>
+        val st = TestGroupState.create[OpenSession](
+          stateOpt.map(Optional.of[OpenSession]).getOrElse(Optional.empty[OpenSession]()),
+          GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+        emitted ++= update(gap)(1L, b.iterator, st).map(o => (o.start_us, o.end_us, o.n_events))
+        stateOpt = if (st.exists) Some(st.get) else None
+      }
+      val finalSessions = emitted ++ stateOpt.map(s => (s.startUs, s.lastUs, s.n))
+      // batch reference: gap-split over sorted events
+      val expected = ts.foldLeft(Vector.empty[(Long, Long, Int)]) { (acc, t) =>
+        acc.lastOption match {
+          case Some((s, e, c)) if t - e <= gap => acc.init :+ (s, t, c + 1)
+          case _ => acc :+ (t, t, 1)
+        }
+      }
+      assert(finalSessions.sortBy(_._1) == expected.sortBy(_._1),
+        s"trial $trial (batches=${batches.map(_.size)}): got ${finalSessions.sortBy(_._1)} want ${expected.sortBy(_._1)}")
+    }
+  }
+}
