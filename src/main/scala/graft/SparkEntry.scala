@@ -209,6 +209,19 @@ object SparkEntry {
                 round(col("meanIntensity"), 6).as("mean_intensity"))
     }),
 
+    // frame sampling over video-ish payloads: 64-byte frames, every 2nd —
+    // the chunk/sample plumbing is real raw-buffer logic (only pixel decode
+    // is stubbed); oracle slices the same frames with substr
+    "q50_media_frames" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.frameFeatures(Multimodal.mediaFromDocuments(documents(s, d)),
+          frameBytes = 64, everyK = 2)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("frameIdx").as("frame_idx"),
+                col("nBytes").as("n_bytes"), col("contentHash").as("content_hash"),
+                round(col("meanIntensity"), 6).as("mean_intensity"))
+    }),
+
     "q27_rollup_revenue" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("q27_lineitem")
       orders(s, d).createOrReplaceTempView("q27_orders")
@@ -883,6 +896,22 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(1, length(text) + 1),
         |      i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) END AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "q50_media_frames" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text, unnest(range(0, (length(text) + 63) // 64)) AS i
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, i, substr(text, (i * 64 + 1)::INT, 64) AS fr
+        |  FROM idx WHERE i % 2 = 0)
+        |SELECT doc_id AS media_id, i::INT AS frame_idx,
+        |  length(fr)::BIGINT AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(fr) + 1), j -> ascii(substr(fr, j::INT, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS content_hash,
+        |  round(list_sum(list_transform(range(1, length(fr) + 1),
+        |    j -> ascii(substr(fr, j::INT, 1))))::DOUBLE / length(fr), 6) AS mean_intensity
+        |FROM f""".stripMargin,
 
     "q27_rollup_revenue" ->
       """SELECT r_name, n_name,

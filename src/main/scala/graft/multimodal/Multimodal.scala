@@ -89,6 +89,28 @@ object Multimodal {
     }
   }
 
+  final case class FrameFeatures(mediaId: Long, frameIdx: Int, nBytes: Long,
+      contentHash: Long, meanIntensity: Double)
+
+  /** Per-frame features for video-ish payloads: fixed-size byte frames,
+    * every k-th sampled (this chunking is REAL raw-buffer logic, not part of
+    * the codec stub), each hashed + mean-intensity'd. One narrow flatMap —
+    * no shuffle; frames never materialize outside their partition.
+    */
+  def frameFeatures(ds: Dataset[MediaRow], frameBytes: Int,
+      everyK: Int): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      m.content.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % everyK == 0 =>
+          val mean =
+            if (chunk.isEmpty) 0.0
+            else chunk.map(b => (b & 0xff).toDouble).sum / chunk.length
+          FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), mean)
+      }
+    }
+  }
+
   /** Wrap the documents table as a fake media corpus (payload = UTF-8 text
     * bytes) to exercise the plumbing on real data. NOTE: features here are
     * BYTE-based while the q26 oracle iterates characters — equivalent for the
