@@ -45,6 +45,8 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(t(d, "events"))
   }
+  private def part(s: SparkSession, d: String) = s.read.parquet(t(d, "part"))
+  private def supplier(s: SparkSession, d: String) = s.read.parquet(t(d, "supplier"))
   private def documents(s: SparkSession, d: String) = s.read.parquet(t(d, "documents"))
   private def embeddings(s: SparkSession, d: String) = s.read.parquet(t(d, "embeddings"))
 
@@ -90,6 +92,25 @@ object SparkEntry {
                (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
                .cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
+    }),
+
+    // part/supplier star join: string-equality filter pushed to the part
+    // scan, both dimensions broadcast, DECIMAL revenue
+    "q51_brand_revenue" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val p = part(s, d).where(col("p_type") === "ECONOMY")
+      val sup = supplier(s, d); val n = nation(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+               (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"),
+             // exact decimal sum, not round(avg(double)): the avg form hit a
+             // HALF_UP boundary on first try (949.35625) — same trap as r1 q09
+             sum(col("p_retailprice").cast("decimal(12,2)")).cast("double").as("sum_retail"))
     }),
 
     "q03_lagged_projection" -> ((s, d) =>
@@ -570,6 +591,18 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q51_brand_revenue" ->
+      """SELECT p_brand, n_name,
+        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+        |  count(*) AS n_items,
+        |  sum(p_retailprice::DECIMAL(12,2))::DOUBLE AS sum_retail
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY p_brand, n_name""".stripMargin,
 
     "q03_lagged_projection" ->
       """SELECT user_id, event_id,
