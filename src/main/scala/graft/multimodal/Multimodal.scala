@@ -47,11 +47,20 @@ object Multimodal {
     Decoded(targetW, targetH, out)
   }
 
-  /** STUB frame sampling for video-ish payloads: every k-th "frame" (chunk). */
-  def frameSampleStub(content: Array[Byte], frameBytes: Int, everyK: Int): Seq[Array[Byte]] =
+  /** Frame sampling for video-ish payloads: fixed-size byte chunks, every
+    * k-th kept with its original index — the single source of the sampling
+    * semantics (frameSampleStub and frameFeatures both build on this, and
+    * the q50 oracle mirrors it).
+    */
+  def sampleFrames(content: Array[Byte], frameBytes: Int,
+      everyK: Int): Iterator[(Int, Array[Byte])] =
     content.grouped(frameBytes).zipWithIndex.collect {
-      case (chunk, i) if i % everyK == 0 => chunk
-    }.toSeq
+      case (chunk, i) if i % everyK == 0 => (i, chunk)
+    }
+
+  /** STUB frame sampling (payload-only view of `sampleFrames`). */
+  def frameSampleStub(content: Array[Byte], frameBytes: Int, everyK: Int): Seq[Array[Byte]] =
+    sampleFrames(content, frameBytes, everyK).map(_._2).toSeq
 
   private val P = 2147483647L
 
@@ -101,12 +110,11 @@ object Multimodal {
       everyK: Int): Dataset[FrameFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
-      m.content.grouped(frameBytes).zipWithIndex.collect {
-        case (chunk, i) if i % everyK == 0 =>
-          val mean =
-            if (chunk.isEmpty) 0.0
-            else chunk.map(b => (b & 0xff).toDouble).sum / chunk.length
-          FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), mean)
+      sampleFrames(m.content, frameBytes, everyK).map { case (i, chunk) =>
+        val mean =
+          if (chunk.isEmpty) 0.0
+          else chunk.map(b => (b & 0xff).toDouble).sum / chunk.length
+        FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), mean)
       }
     }
   }

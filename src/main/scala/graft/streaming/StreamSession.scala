@@ -32,6 +32,17 @@ object StreamSession {
     // can never join it under batch gap semantics — sessionize them among
     // themselves and emit closed (they all end > gap before cur.startUs)
     var pre: Option[OpenSession] = None
+    // a later event may have extended cur's start BACKWARD (min), bringing
+    // the straggler run within gap of it — then batch semantics make them ONE
+    // session, so every close (mid-batch gap close AND end-of-batch flush)
+    // must merge a bridged pre first
+    def mergeBridged(s: OpenSession): OpenSession = pre match {
+      case Some(p) if s.startUs - p.lastUs <= gapUs =>
+        pre = None
+        OpenSession(math.min(p.startUs, s.startUs), math.max(p.lastUs, s.lastUs),
+          p.n + s.n, p.sum + s.sum)
+      case _ => s
+    }
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.ts_us < s.startUs - gapUs =>
@@ -51,25 +62,17 @@ object StreamSession {
           cur = Some(OpenSession(math.min(s.startUs, e.ts_us),
             math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
         case Some(s) =>
-          out :+= SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+          val closed = mergeBridged(s)
+          out :+= SessionOut(userId, closed.startUs, closed.lastUs, closed.n, closed.sum)
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
         case None =>
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
       }
     }
-    // a later in-batch event may have extended cur's start BACKWARD (min),
-    // bringing the straggler run within gap of it — then batch semantics merge
-    // them into one session, so merge here instead of emitting pre as closed.
-    // (earlier-emitted pre runs stay separate: they end > gap before this one,
-    // and cur.startUs can never drop below pre.lastUs + gap in that case)
-    (pre, cur) match {
-      case (Some(p), Some(s)) if s.startUs - p.lastUs <= gapUs =>
-        cur = Some(OpenSession(math.min(p.startUs, s.startUs),
-          math.max(p.lastUs, s.lastUs), p.n + s.n, p.sum + s.sum))
-      case (Some(p), _) =>
-        out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum)
-      case _ => ()
-    }
+    cur = cur.map(mergeBridged)
+    // earlier-emitted pre runs stay separate by construction: they end > gap
+    // before the surviving pre/cur start
+    pre.foreach(p => out :+= SessionOut(userId, p.startUs, p.lastUs, p.n, p.sum))
     cur.foreach { s =>
       state.update(s)
       if (state.getOption.isDefined) {

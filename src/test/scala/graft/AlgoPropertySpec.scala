@@ -66,42 +66,81 @@ class AlgoPropertySpec extends AnyFunSuite {
   }
 
   test("streaming sessionization equals batch gap-split for random in-order batch segmentations") {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
-    import org.apache.spark.api.java.Optional
-    import graft.streaming.StreamSession.{Ev, OpenSession, update}
     val rnd = new scala.util.Random(7)
-    val gap = 500000L
     for (trial <- 1 to 20) {
       val n = 5 + rnd.nextInt(40)
       val ts = Seq.fill(n)((rnd.nextLong() & Long.MaxValue) % 20000000L).sorted
-      val events = ts.map(t => Ev(1L, t, 1.0, new java.sql.Timestamp(t / 1000)))
       // random in-order segmentation; shuffle WITHIN each batch (update sorts)
-      var rest = events
-      var batches = Vector.empty[Seq[Ev]]
+      var rest = ts
+      var batches = Vector.empty[Seq[Long]]
       while (rest.nonEmpty) {
         val k = 1 + rnd.nextInt(rest.size)
         batches :+= rnd.shuffle(rest.take(k))
         rest = rest.drop(k)
       }
-      var stateOpt: Option[OpenSession] = None
-      var emitted = Vector.empty[(Long, Long, Int)]
-      batches.foreach { b =>
-        val st = TestGroupState.create[OpenSession](
-          stateOpt.map(Optional.of[OpenSession]).getOrElse(Optional.empty[OpenSession]()),
-          GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
-        emitted ++= update(gap)(1L, b.iterator, st).map(o => (o.start_us, o.end_us, o.n_events))
-        stateOpt = if (st.exists) Some(st.get) else None
-      }
-      val finalSessions = emitted ++ stateOpt.map(s => (s.startUs, s.lastUs, s.n))
-      // batch reference: gap-split over sorted events
-      val expected = ts.foldLeft(Vector.empty[(Long, Long, Int)]) { (acc, t) =>
+      checkStreamEqualsBatch(trial, ts, batches, gap = 500000L)
+    }
+  }
+
+  test("streaming sessionization handles cross-batch stragglers (late lower half of a session)") {
+    // deliver a session's UPPER part first, then its lower part together with
+    // the NEXT session's events — exercising the straggler/bridge path and
+    // the mid-loop close-with-pending-straggler case for random data
+    val rnd = new scala.util.Random(19)
+    val gap = 500000L
+    var exercised = 0
+    for (trial <- 1 to 40) {
+      val n = 8 + rnd.nextInt(30)
+      val ts = Seq.fill(n)((rnd.nextLong() & Long.MaxValue) % 20000000L).sorted.distinct
+      // reference sessions as index ranges
+      val sessions = ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
         acc.lastOption match {
-          case Some((s, e, c)) if t - e <= gap => acc.init :+ (s, t, c + 1)
-          case _ => acc :+ (t, t, 1)
+          case Some(s) if t - s.last <= gap => acc.init :+ (s :+ t)
+          case _ => acc :+ Vector(t)
         }
       }
-      assert(finalSessions.sortBy(_._1) == expected.sortBy(_._1),
-        s"trial $trial (batches=${batches.map(_.size)}): got ${finalSessions.sortBy(_._1)} want ${expected.sortBy(_._1)}")
+      if (sessions.size >= 2 && sessions.exists(_.size >= 2)) {
+        val i = sessions.indexWhere(_.size >= 2)
+        if (i < sessions.size - 1) {
+          exercised += 1
+          val split = 1 + rnd.nextInt(sessions(i).size - 1)
+          val (lower, upper) = sessions(i).splitAt(split)
+          val before = sessions.take(i).flatten
+          val after = sessions.drop(i + 2).flatten
+          val batches = Vector(
+            before ++ upper,                         // session i arrives truncated
+            rnd.shuffle(lower ++ sessions(i + 1))    // its lower half arrives LATE,
+          ) ++ (if (after.nonEmpty) Vector(after) else Vector.empty) // rest in order
+          checkStreamEqualsBatch(trial, ts, batches.filter(_.nonEmpty), gap)
+        }
+      }
     }
+    assert(exercised >= 15, s"straggler scenario under-sampled: $exercised/40")
+  }
+
+  private def checkStreamEqualsBatch(trial: Int, ts: Seq[Long],
+      batches: Seq[Seq[Long]], gap: Long): Unit = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.StreamSession.{Ev, OpenSession, update}
+    var stateOpt: Option[OpenSession] = None
+    var emitted = Vector.empty[(Long, Long, Int)]
+    batches.foreach { b =>
+      val st = TestGroupState.create[OpenSession](
+        stateOpt.map(Optional.of[OpenSession]).getOrElse(Optional.empty[OpenSession]()),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+      val evs = b.map(t => Ev(1L, t, 1.0, new java.sql.Timestamp(t / 1000)))
+      emitted ++= update(gap)(1L, evs.iterator, st).map(o => (o.start_us, o.end_us, o.n_events))
+      stateOpt = if (st.exists) Some(st.get) else None
+    }
+    val finalSessions = emitted ++ stateOpt.map(s => (s.startUs, s.lastUs, s.n))
+    val expected = ts.foldLeft(Vector.empty[(Long, Long, Int)]) { (acc, t) =>
+      acc.lastOption match {
+        case Some((s, e, c)) if t - e <= gap => acc.init :+ (s, t, c + 1)
+        case _ => acc :+ (t, t, 1)
+      }
+    }
+    assert(finalSessions.sortBy(_._1) == expected.sortBy(_._1),
+      s"trial $trial (batches=${batches.map(_.size)}): got ${finalSessions.sortBy(_._1)} want ${expected.sortBy(_._1)}")
   }
 }

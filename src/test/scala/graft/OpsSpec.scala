@@ -344,6 +344,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out3.isEmpty, s"bridged straggler must not close, got $out3")
     assert(s3.get == OpenSession(8950000L, 10000000L, 3, 3.0),
       s"state must merge straggler+bridge+open, got ${s3.get}")
+    // batch 4: straggler + bridge + an event past the gap — the MID-LOOP
+    // close must merge the bridged straggler too, emitting ONE session
+    // (review finding: the first fix only merged at end-of-batch flush)
+    val s4 = TestGroupState.create[OpenSession](Optional.of(OpenSession(10000000L, 10000000L, 1, 1.0)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out4 = update(gap)(1L, Iterator(ev(8950000L), ev(9500000L), ev(11500000L)), s4).toSeq
+    assert(out4.map(o => (o.start_us, o.end_us, o.n_events)) == Seq((8950000L, 10000000L, 3)),
+      s"mid-loop close must merge the bridged straggler, got $out4")
+    assert(s4.get == OpenSession(11500000L, 11500000L, 1, 1.0))
   }
 
   test("parquet-sink streaming (production path): windowed agg + sessions read back from sink") {
