@@ -266,6 +266,26 @@ object SparkEntry {
           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
+    // GROUPING SETS (beyond q27's ROLLUP): independent per-region and
+    // per-priority totals plus the grand total in ONE pass over the join —
+    // at 100 TB this replaces three separate aggregation jobs
+    "q52_grouping_sets" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d)
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .createOrReplaceTempView("q52_joined")
+      s.sql(
+        """SELECT r_name, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM q52_joined
+          |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // -- descriptive stats over GENERATED data (R12). DuckDB cannot run the
     //    kernel, but it CAN aggregate the kernel's materialized output: each
     //    query dumps its generated input to __GEN_DIR__ and both engines
@@ -1072,6 +1092,17 @@ object SparkEntry {
         |err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, 'viewed_purchased_no_error' AS cohort
         |FROM (SELECT user_id FROM vp EXCEPT ALL SELECT user_id FROM err)""".stripMargin,
+
+    "q52_grouping_sets" ->
+      """SELECT r_name, o_orderpriority,
+        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())""".stripMargin,
 
     // generated-data oracles read the kernel output the query dumped to
     // __GEN_DIR__ (substituted by Verify) — same rows, both engines
