@@ -47,4 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q13 jaccard: candidate generation is equi-join only, never all-pairs") {
+    val p = plan("q13_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix-filtered AllPairs must stay an equi-join pipeline")
+  }
+
+  test("q51 star join: part/supplier/nation broadcast with the type filter pushed down") {
+    val p = plan("q51_brand_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"), "dimensions must not shuffle-join")
+    assert(p.contains("PushedFilters: [") && p.contains("p_type"),
+      "p_type filter must reach the part scan")
+  }
 }
