@@ -50,6 +50,23 @@ object SparkEntry {
   private def documents(s: SparkSession, d: String) = s.read.parquet(t(d, "documents"))
   private def embeddings(s: SparkSession, d: String) = s.read.parquet(t(d, "embeddings"))
 
+  /** Exact DECIMAL money product (the source doubles carry exactly 2
+    * decimals) — the one revenue expression every money query shares; a
+    * rounded double sum drifts across engines as it grows.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+
+  /** The DuckDB mirror of `sum(discPrice).cast("double")`. */
+  private val RevenueSql =
+    "sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE"
+
+  /** The same expression in Spark SQL syntax (q27/q52 run through spark.sql). */
+  private val SparkRevenueSql =
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)""".stripMargin
+
   /** Flagship: generation kernel fan-out → per-family summary (driver smoke). */
   def entry(spark: SparkSession): DataFrame = {
     val cfgs = Catalog.families.flatMap(f => Grid.forFamily(f).take(2))
@@ -67,14 +84,13 @@ object SparkEntry {
     // sum grows — the DECIMAL sum is exact and its double image unique
     "q01_pricing_summary" -> ((s, d) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
-      val disc = col("l_discount").cast("decimal(12,2)")
       lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
           sum(price).cast("double").as("sum_base_price"),
-          sum(price * (lit(1).cast("decimal(12,2)") - disc)).cast("double").as("sum_disc_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -88,9 +104,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-               (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-               .cast("double").as("revenue"),
+        .agg(sum(discPrice).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -104,9 +118,7 @@ object SparkEntry {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("p_brand", "n_name")
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-               (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-               .cast("double").as("revenue"),
+        .agg(sum(discPrice).cast("double").as("revenue"),
              count(lit(1)).as("n_items"),
              // exact decimal sum, not round(avg(double)): the avg form hit a
              // HALF_UP boundary on first try (949.35625) — same trap as r1 q09
@@ -253,10 +265,9 @@ object SparkEntry {
       // dimension tables that q02 broadcasts (r1 bench: 12.3s vs 2.3s on the
       // identical join tree); DECIMAL revenue as in q01/q02
       s.sql(
-        """SELECT /*+ BROADCAST(q27_customer, q27_nation, q27_region) */
+        s"""SELECT /*+ BROADCAST(q27_customer, q27_nation, q27_region) */
           |  r_name, n_name,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+          |  $SparkRevenueSql AS revenue,
           |  count(*) AS n_items
           |FROM q27_lineitem
           |JOIN q27_orders ON l_orderkey = o_orderkey
@@ -278,9 +289,8 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .createOrReplaceTempView("q52_joined")
       s.sql(
-        """SELECT r_name, o_orderpriority,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        s"""SELECT r_name, o_orderpriority,
+          |  $SparkRevenueSql AS revenue,
           |  count(*) AS n_items
           |FROM q52_joined
           |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())""".stripMargin)
@@ -588,12 +598,25 @@ object SparkEntry {
 
   private val stopList = "'the','a','of','and','to','in','is','on','for','with'"
 
+  /** Shared q15/q16 oracle prelude: distinct 3-gram shingles per doc and
+    * their 31-poly hashes (the MinHash input universe).
+    */
+  private val ShingleHashCte =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+      |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
-        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS sum_disc_price,
+        |  $RevenueSql AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -602,8 +625,8 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_revenue_by_nation" ->
-      """SELECT r_name, n_name,
-        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+      s"""SELECT r_name, n_name,
+        |  $RevenueSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -613,8 +636,8 @@ object SparkEntry {
         |GROUP BY r_name, n_name""".stripMargin,
 
     "q51_brand_revenue" ->
-      """SELECT p_brand, n_name,
-        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+      s"""SELECT p_brand, n_name,
+        |  $RevenueSql AS revenue,
         |  count(*) AS n_items,
         |  sum(p_retailprice::DECIMAL(12,2))::DOUBLE AS sum_retail
         |FROM lineitem
@@ -763,14 +786,7 @@ object SparkEntry {
       val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
         s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
       }.mkString(",\n  ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
-         |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
-         |  FROM documents),
-         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
-         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)
+      s"""$ShingleHashCte
          |SELECT doc_id,
          |  $mins
          |FROM h GROUP BY doc_id""".stripMargin
@@ -790,14 +806,7 @@ object SparkEntry {
       ).mkString("\n  UNION ALL\n  ")
       val matches = (0 until 16).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
-         |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
-         |  FROM documents),
-         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
-         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh),
+      s"""$ShingleHashCte,
          |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
          |banded AS (
          |  $bandSelects)
@@ -967,8 +976,8 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     "q27_rollup_revenue" ->
-      """SELECT r_name, n_name,
-        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+      s"""SELECT r_name, n_name,
+        |  $RevenueSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1094,8 +1103,8 @@ object SparkEntry {
         |FROM (SELECT user_id FROM vp EXCEPT ALL SELECT user_id FROM err)""".stripMargin,
 
     "q52_grouping_sets" ->
-      """SELECT r_name, o_orderpriority,
-        |  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+      s"""SELECT r_name, o_orderpriority,
+        |  $RevenueSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -64,6 +64,17 @@ object Multimodal {
 
   private val P = 2147483647L
 
+  /** Mean unsigned-byte value without intermediate collections (the per-row
+    * hot loop of both batch kernels).
+    */
+  def meanByte(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < bytes.length) { acc += (bytes(i) & 0xff); i += 1 }
+    acc / bytes.length
+  }
+
   /** 31-polynomial hash over payload bytes mod 2^31-1 — same arithmetic as
     * TextOps.fingerprint so an ASCII payload hashes identically.
     */
@@ -88,11 +99,8 @@ object Multimodal {
         // per-batch setup would init the codec/model here (once per batch)
         batch.iterator.map { m =>
           val d = decodeStub(m.content)
-          val mean =
-            if (d.pixels.isEmpty) 0.0
-            else d.pixels.map(b => (b & 0xff).toDouble).sum / d.pixels.length
           MediaFeatures(m.mediaId, m.kind, m.content.length.toLong,
-            contentHash(m.content), d.width, d.height, mean)
+            contentHash(m.content), d.width, d.height, meanByte(d.pixels))
         }
       }
     }
@@ -111,10 +119,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       sampleFrames(m.content, frameBytes, everyK).map { case (i, chunk) =>
-        val mean =
-          if (chunk.isEmpty) 0.0
-          else chunk.map(b => (b & 0xff).toDouble).sum / chunk.length
-        FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), mean)
+        FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), meanByte(chunk))
       }
     }
   }

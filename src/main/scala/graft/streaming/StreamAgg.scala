@@ -17,23 +17,19 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamAgg {
 
-  /** Tumbling-window counts/sums by event_type over the events parquet dir,
-    * computed as a real streaming query. windowSec buckets on epoch-µs.
+  /** The shared streaming pipeline: events file stream (the source requires a
+    * directory — glob-filtered to the events file) → watermark → event-time
+    * tumbling-window aggregation (sink chosen by caller).
     */
-  def eventsWindowed(spark: SparkSession, sfDir: String, windowSec: Long = 300L,
-      queryName: String = "graft_stream_agg"): DataFrame = {
+  private def windowedAgg(spark: SparkSession, sfDir: String,
+      windowSec: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-
-    // the file stream source requires a directory: stream the sf dir with a
-    // glob filter selecting only the events file
-    val stream = spark.readStream
+    spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-
-    val agg = stream
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "10 minutes")
@@ -43,7 +39,14 @@ object StreamAgg {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
               col("event_type"), col("n_events"), col("sum_value"))
+  }
 
+  /** Tumbling-window counts/sums by event_type over the events parquet dir,
+    * computed as a real streaming query. windowSec buckets on epoch-µs.
+    */
+  def eventsWindowed(spark: SparkSession, sfDir: String, windowSec: Long = 300L,
+      queryName: String = "graft_stream_agg"): DataFrame = {
+    val agg = windowedAgg(spark, sfDir, windowSec)
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
@@ -66,22 +69,7 @@ object StreamAgg {
     */
   def eventsWindowedToParquet(spark: SparkSession, sfDir: String,
       windowSec: Long, outPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val agg = stream
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
-      .withWatermark("event_time", "10 minutes")
-      .groupBy(
-        window(col("event_time"), s"$windowSec seconds").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
-      .select(unix_micros(col("w.start")).as("window_start_us"),
-              col("event_type"), col("n_events"), col("sum_value"))
+    val agg = windowedAgg(spark, sfDir, windowSec)
     val q = agg.writeStream
       .outputMode("append")
       .format("parquet")

@@ -86,26 +86,33 @@ object StreamSession {
     out.iterator
   }
 
-  /** Run sessionization as a streaming query over the events parquet and
-    * return all sessions emitted (closed by gap or by watermark timeout).
+  /** The shared streaming pipeline: events file stream → watermark →
+    * per-user flatMapGroupsWithState sessionization (sink chosen by caller).
     */
-  def sessionizeEvents(spark: SparkSession, sfDir: String, gapUs: Long,
-      queryName: String): Dataset[SessionOut] = {
+  private def sessionStream(spark: SparkSession, sfDir: String,
+      gapUs: Long): Dataset[SessionOut] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val evs = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "1 hour")
       .as[Ev]
-
-    val sessions = evs.groupByKey(_.user_id)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update(gapUs))
+  }
 
+  /** Run sessionization as a streaming query over the events parquet and
+    * return all sessions emitted (closed by gap or by watermark timeout).
+    */
+  def sessionizeEvents(spark: SparkSession, sfDir: String, gapUs: Long,
+      queryName: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val sessions = sessionStream(spark, sfDir, gapUs)
     val q = sessions.writeStream
       .outputMode("append")
       .format("memory")
@@ -126,18 +133,7 @@ object StreamSession {
   def sessionizeEventsToParquet(spark: SparkSession, sfDir: String, gapUs: Long,
       outPath: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val evs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
-      .withWatermark("event_time", "1 hour")
-      .as[Ev]
-    val sessions = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(gapUs))
+    val sessions = sessionStream(spark, sfDir, gapUs)
     val q = sessions.writeStream
       .outputMode("append")
       .format("parquet")
