@@ -39,4 +39,35 @@ object StreamDedup {
     out.cache(); out.count()
     out
   }
+
+  /** Bounded-state variant for event-timed streams: dedup state is aged out
+    * once the watermark passes an event's time — the production shape when
+    * duplicates only arrive within a bounded window (e.g. at-least-once
+    * ingestion retries), keeping state O(recent window) instead of O(corpus).
+    */
+  def dedupEventsWithinWatermark(spark: SparkSession, sfDir: String,
+      queryName: String, delay: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "ts_us")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(queryName)
+    out.cache(); out.count()
+    out
+  }
 }

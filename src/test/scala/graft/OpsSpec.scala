@@ -399,6 +399,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == distinctTexts)
   }
 
+  test("watermark-bounded streaming dedup keeps one row per event_id") {
+    val streamed = graft.streaming.StreamDedup.dedupEventsWithinWatermark(
+      spark, "/root/testdata/sf0.001", s"ops_wmdedup_${System.nanoTime()}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // event_ids are unique in the corpus, so every event must survive; the
+    // value of the variant is the bounded state, not a different result
+    assert(streamed.count() == events.select("event_id").distinct().count())
+  }
+
   test("streaming windowed agg equals batch aggregation") {
     val streamed = graft.streaming.StreamAgg.eventsWindowed(spark, "/root/testdata/sf0.001",
       windowSec = 300L, queryName = s"ops_stream_${System.nanoTime()}")
