@@ -330,6 +330,21 @@ object SparkEntry {
         round(expr("regr_slope(X4_0, X1_2)"), 3).as("b_x1l2_x4"))    // declared 0.25
     }),
 
+    // the typed Dataset UDAF surface through the driver contract: single-pass
+    // mergeable OLS Aggregator == regr_slope over the same dumped rows
+    "q53_typed_ols" -> ((s, d) => {
+      import s.implicits._
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
+      val wide = Generate.wide(Generate.series(s, Seq(cfg)))
+      val lagged = dumpGen(s, "q53_lagged",
+        Lagged.laggedView(wide.select(col("configId"), col("t"), col("X1"), col("X2")),
+          Seq("configId"), "t", Seq("X1", "X2"), 1))
+      val pairs = lagged.select(col("X2_0").as[Double], col("X1_0").as[Double])
+      pairs.select(graft.ops.OlsAggregator.slope.toColumn.name("slope_raw"))
+        .select(round(col("slope_raw"), 3).as("b_x2_x1"))
+    }),
+
     // structural integer contract (trend in exact micro-units, sin/cos args
     // as 24ths of a turn) — trig-double parity across engines is 1-ulp
     // unstable (r1 q31); GenerateSpec ties these integers to the numeric path
@@ -1132,6 +1147,10 @@ object SparkEntry {
         |  round(regr_slope(X2_0, X3_1), 3) AS b_x3l1_x2,
         |  round(regr_slope(X4_0, X1_2), 3) AS b_x1l2_x4
         |FROM read_parquet('__GEN_DIR__/q29_lagged/*.parquet')""".stripMargin,
+
+    "q53_typed_ols" ->
+      """SELECT round(regr_slope(X1_0, X2_0), 3) AS b_x2_x1
+        |FROM read_parquet('__GEN_DIR__/q53_lagged/*.parquet')""".stripMargin,
 
     "q30_generate_families" ->
       """SELECT family, count(*) AS n_rows,

@@ -399,6 +399,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == distinctTexts)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val streamed = graft.streaming.StreamEnrich.enrichEvents(
+      spark, "/root/testdata/sf0.001", s"ops_enrich_${System.nanoTime()}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val static = ev.groupBy("user_id")
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+      .withColumn("is_buyer", col("n_purchases") > 0)
+    val batch = ev.select("event_id", "user_id", "event_type").join(static, Seq("user_id"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("watermark-bounded streaming dedup keeps one row per event_id") {
     val streamed = graft.streaming.StreamDedup.dedupEventsWithinWatermark(
       spark, "/root/testdata/sf0.001", s"ops_wmdedup_${System.nanoTime()}")
