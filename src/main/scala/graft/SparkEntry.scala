@@ -337,9 +337,11 @@ object SparkEntry {
       val cfg = Grid.forFamily("A1").find(c =>
         c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
       val wide = Generate.wide(Generate.series(s, Seq(cfg)))
+      // maxLag=0: the contemporaneous regression needs no lag columns, and
+      // lag-1 columns would be dumped but never read by either engine
       val lagged = dumpGen(s, "q53_lagged",
         Lagged.laggedView(wide.select(col("configId"), col("t"), col("X1"), col("X2")),
-          Seq("configId"), "t", Seq("X1", "X2"), 1))
+          Seq("configId"), "t", Seq("X1", "X2"), 0))
       val pairs = lagged.select(col("X2_0").as[Double], col("X1_0").as[Double])
       pairs.select(graft.ops.OlsAggregator.slope.toColumn.name("slope_raw"))
         .select(round(col("slope_raw"), 3).as("b_x2_x1"))

@@ -23,13 +23,7 @@ object StreamAgg {
     */
   private def windowedAgg(spark: SparkSession, sfDir: String,
       windowSec: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.streaming.schemaInference", "false")
-    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    StreamSupport.eventsFileStream(spark, sfDir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "10 minutes")
@@ -45,22 +39,9 @@ object StreamAgg {
     * computed as a real streaming query. windowSec buckets on epoch-µs.
     */
   def eventsWindowed(spark: SparkSession, sfDir: String, windowSec: Long = 300L,
-      queryName: String = "graft_stream_agg"): DataFrame = {
-    val agg = windowedAgg(spark, sfDir, windowSec)
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // materialize before the memory sink table goes away with a new query
-    val out = spark.table(queryName)
-    out.cache()
-    out.count()
-    out
-  }
+      queryName: String = "graft_stream_agg"): DataFrame =
+    StreamSupport.runToMemory(windowedAgg(spark, sfDir, windowSec), queryName,
+      outputMode = "complete")
 
   /** Production sink shape: the same windowed aggregation written APPEND-mode
     * to a parquet file sink with a checkpoint — watermark-closed windows only,

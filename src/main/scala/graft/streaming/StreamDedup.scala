@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 /** Streaming exact deduplication — the training-pipeline pattern of dropping
@@ -27,17 +26,7 @@ object StreamDedup {
       .withColumn("h", xxhash64(col("text")))
       .select("doc_id", "h")
       .dropDuplicates("h")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(queryName)
-    out.cache(); out.count()
-    out
+    StreamSupport.runToMemory(stream, queryName)
   }
 
   /** Bounded-state variant for event-timed streams: dedup state is aged out
@@ -47,27 +36,12 @@ object StreamDedup {
     */
   def dedupEventsWithinWatermark(spark: SparkSession, sfDir: String,
       queryName: String, delay: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = StreamSupport.eventsFileStream(spark, sfDir)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "ts_us")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(queryName)
-    out.cache(); out.count()
-    out
+    StreamSupport.runToMemory(stream, queryName)
   }
 }

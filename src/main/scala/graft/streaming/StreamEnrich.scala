@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
 
 /** Stream-static enrichment: a streaming fact joined against a static (or
   * slowly-changing, re-read per batch) dimension — the fourth core streaming
@@ -13,34 +11,20 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamEnrich {
 
-  /** Enrich the events stream with a per-user profile computed from a static
-    * snapshot (first-seen time and purchase count), returning per
-    * (event_type, is_buyer) counts.
+  /** Enrich each streamed event with a per-user profile from a static
+    * snapshot (purchase count and buyer flag): returns one row per event with
+    * (user_id, event_id, event_type, n_purchases, is_buyer).
     */
   def enrichEvents(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val static = spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy("user_id")
       .agg(sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
       .withColumn("is_buyer", col("n_purchases") > 0)
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = StreamSupport.eventsFileStream(spark, sfDir)
       .select("event_id", "user_id", "event_type")
       .join(broadcast(static), Seq("user_id"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(queryName)
-    out.cache(); out.count()
-    out
+    StreamSupport.runToMemory(stream, queryName)
   }
 }

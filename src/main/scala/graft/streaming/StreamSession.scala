@@ -92,11 +92,7 @@ object StreamSession {
   private def sessionStream(spark: SparkSession, sfDir: String,
       gapUs: Long): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    StreamSupport.eventsFileStream(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "1 hour")
@@ -112,18 +108,8 @@ object StreamSession {
   def sessionizeEvents(spark: SparkSession, sfDir: String, gapUs: Long,
       queryName: String): Dataset[SessionOut] = {
     import spark.implicits._
-    val sessions = sessionStream(spark, sfDir, gapUs)
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(queryName).as[SessionOut]
-    out.cache(); out.count()
-    out
+    StreamSupport.runToMemory(sessionStream(spark, sfDir, gapUs).toDF(), queryName)
+      .as[SessionOut]
   }
 
   /** Production sink shape: closed sessions appended to a parquet file sink
