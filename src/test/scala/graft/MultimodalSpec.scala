@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Decoded, MediaRow}
+
+/** Unit coverage for the multimodal batch kernels (the q26/q50 oracles check
+  * the Spark plumbing; these pin the kernel functions themselves).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decodeStub dimensions cover the payload; resizeStub subsamples deterministically") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val d = Multimodal.decodeStub(bytes)
+    assert(d.width == 10 && d.height == 10 && (d.pixels sameElements bytes))
+    val r = Multimodal.resizeStub(d, 5, 5)
+    assert(r.width == 5 && r.height == 5 && r.pixels.length == 25)
+    // nearest-neighbor: pixel i maps to floor(i * 100 / 25) = 4i
+    assert(r.pixels.zipWithIndex.forall { case (p, i) => p == bytes(i * 4) })
+    val up = Multimodal.resizeStub(Decoded(2, 1, Array[Byte](7, 9)), 4, 1)
+    assert(up.pixels.toSeq == Seq[Byte](7, 7, 9, 9))
+  }
+
+  test("sampleFrames keeps every k-th chunk with its original index; tail chunk short") {
+    val bytes = (0 until 25).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(bytes, frameBytes = 10, everyK = 2).toSeq
+    assert(frames.map(_._1) == Seq(0, 2))
+    assert(frames(0)._2.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1)._2.toSeq == (20 until 25).map(_.toByte)) // short tail frame
+    assert(Multimodal.sampleFrames(Array.empty[Byte], 10, 2).isEmpty)
+  }
+
+  test("meanByte treats bytes as unsigned; extractFeatures batches preserve every row") {
+    assert(Multimodal.meanByte(Array[Byte](-1, 1)) == 128.0) // 255 and 1
+    assert(Multimodal.meanByte(Array.empty[Byte]) == 0.0)
+    import spark.implicits._
+    val rows = (0L until 150L).map(i =>
+      MediaRow(i, "image/test", s"payload-$i".getBytes("UTF-8"), 0, 0))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows), batchSize = 32)
+      .collect()
+    assert(feats.length == 150 && feats.map(_.mediaId).toSet == (0L until 150L).toSet)
+    val f0 = feats.find(_.mediaId == 0L).get
+    assert(f0.nBytes == "payload-0".length.toLong)
+    assert(f0.contentHash == Multimodal.contentHash("payload-0".getBytes("UTF-8")))
+  }
+}
