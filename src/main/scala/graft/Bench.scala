@@ -58,6 +58,13 @@ object Bench {
         .agg(count(lit(1)), sum("x1")).collect()
     }
 
+    // same sweep through the InternalRow fast path (no typed-Encoder layer;
+    // bitwise-identical output per GenerateSpec)
+    results("gen_full_sweep_fast") = time {
+      Generate.wideFast(spark, Grid.all())
+        .agg(count(lit(1)), sum("X1")).collect()
+    }
+
     // 100×-scale generation: 512 configs × 50k points = 25.6M rows through the
     // same zero-shuffle kernel fan-out, written as family/nVars/maxLag-
     // partitioned parquet; a listener captures per-task durations of the
@@ -79,7 +86,7 @@ object Bench {
       grid(i % grid.size).copy(configId = 1000000L + i, nPoints = 50000))
     spark.sparkContext.addSparkListener(listener)
     results("gen_scale_25m_partitioned_write") = time {
-      Generate.writeParquet(Generate.wide(Generate.series(spark, scaleCfgs)), scaleDir)
+      Generate.writeParquet(Generate.wideFast(spark, scaleCfgs), scaleDir)
     }
     Thread.sleep(1000) // listener bus is async — let it drain
     spark.sparkContext.removeSparkListener(listener)

@@ -38,6 +38,54 @@ object Generate {
       .withColumnRenamed("x7", "X7").withColumnRenamed("x8", "X8")
       .withColumnRenamed("u", "U")
 
+  /** Schema of the wide view (identical to `wide`'s output). */
+  val WideSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(StructField("configId", LongType, nullable = false),
+        StructField("family", StringType, nullable = true), // String field: typed encoder marks nullable
+        StructField("nVars", IntegerType, nullable = false),
+        StructField("maxLag", IntegerType, nullable = false),
+        StructField("nPoints", IntegerType, nullable = false),
+        StructField("t", LongType, nullable = false),
+        StructField("time", DoubleType, nullable = false)) ++
+      (1 to 8).map(i => StructField(s"X$i", DoubleType, nullable = true)) ++
+      Seq(StructField("U", DoubleType, nullable = true),
+        StructField("maskBits", IntegerType, nullable = false)))
+  }
+
+  /** High-throughput wide view: the kernel emits catalyst InternalRows
+    * directly (via the graftshim bridge), skipping the typed-Encoder layer —
+    * same values and schema as `wide(series(...))` (GenerateSpec pins bitwise
+    * equality), ~2-3× the emission rate. Use for bulk generation; the typed
+    * Dataset[SeriesRow] path remains the API for typed consumers.
+    */
+  def wideFast(spark: SparkSession, cfgs: Seq[GenConfig]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val slices = math.min(cfgs.size, spark.sparkContext.defaultParallelism * 2)
+    val rows = spark.sparkContext.parallelize(cfgs, math.max(1, slices))
+      .mapPartitions { it =>
+        it.flatMap { cfg =>
+          val s = Kernel.generate(cfg)
+          val spec = Kernel.specs(cfg.family)
+          val famU8 = UTF8String.fromString(cfg.family)
+          (0 until cfg.nPoints).iterator.map { t =>
+            val v = new Array[Any](17)
+            v(0) = cfg.configId; v(1) = famU8; v(2) = cfg.nVars
+            v(3) = cfg.maxLag; v(4) = cfg.nPoints; v(5) = t.toLong
+            v(6) = s.times(t)
+            var j = 0
+            while (j < 8) { v(7 + j) = if (j < cfg.nVars) s.x(t)(j) else null; j += 1 }
+            v(15) = if (spec.hasU) s.u(t) else null
+            v(16) = s.mask(t)
+            new GenericInternalRow(v): org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+      }
+    org.apache.spark.sql.graftshim.RowShim.internalCreateDataFrame(spark, rows, WideSchema)
+  }
+
   /** Canonical long format (SURVEY §1.4): one row per (config, t, var).
     * Unpivot via stack — no shuffle; nulls (absent vars) dropped.
     */

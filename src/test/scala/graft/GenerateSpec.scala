@@ -18,6 +18,22 @@ class GenerateSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("wideFast (InternalRow emission) is bitwise-identical to the typed wide path") {
+    import graft.core.{Catalog, Grid}
+    // one config per family: every ordering strategy, mask kind, and U shape
+    val cfgs = Catalog.families.map(f =>
+      Grid.forFamily(f).find(c => c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2).get)
+    val typed = Generate.wide(Generate.series(spark, cfgs))
+    val fast = Generate.wideFast(spark, cfgs)
+    assert(fast.schema == typed.schema, s"${fast.schema} vs ${typed.schema}")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d).toString
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+    assert(key(fast) == key(typed))
+  }
+
   test("trendSeasonStructural integers reproduce the numeric trendSeason") {
     val numeric = Generate.trendSeason(spark, nVars = 8, n = 200,
       trendStrength = 0.01, seasonalStrength = 0.5)
