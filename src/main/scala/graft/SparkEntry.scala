@@ -304,7 +304,7 @@ object SparkEntry {
       val cfgs = Seq("D1", "D1C", "D2", "D2C", "D3", "D3C").map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 3000 && c.nVars == 8 && c.maxLag == 2).get)
       val wide = dumpGen(s, "q28_missing",
-        Generate.missingView(Generate.wide(Generate.series(s, cfgs))))
+        Generate.missingView(Generate.wideFast(s, cfgs)))
       // exact integer sum / exact count, divided identically on both sides
       val aggs = count(lit(1)).as("n_rows") +: (1 to 8).map(i =>
         round(sum(col(s"X$i").isNull.cast("int")).cast("double") / count(lit(1)), 3)
@@ -318,7 +318,7 @@ object SparkEntry {
       // identical row set
       val cfg = Grid.forFamily("A1").find(c =>
         c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
-      val wide = Generate.wide(Generate.series(s, Seq(cfg)))
+      val wide = Generate.wideFast(s, Seq(cfg))
       val lagged = dumpGen(s, "q29_lagged",
         Lagged.laggedView(wide.select(col("configId"), col("t"),
           col("X1"), col("X2"), col("X3"), col("X4")), Seq("configId"), "t",
@@ -336,7 +336,7 @@ object SparkEntry {
       import s.implicits._
       val cfg = Grid.forFamily("A1").find(c =>
         c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 && c.noiseType == "gaussian").get
-      val wide = Generate.wide(Generate.series(s, Seq(cfg)))
+      val wide = Generate.wideFast(s, Seq(cfg))
       // maxLag=0: the contemporaneous regression needs no lag columns, and
       // lag-1 columns would be dumped but never read by either engine
       val lagged = dumpGen(s, "q53_lagged",
@@ -560,7 +560,7 @@ object SparkEntry {
         fam <- Catalog.families
         v <- Seq(4, 6, 8)
       } yield Grid.forFamily(fam).find(c => c.nPoints == 500 && c.nVars == v && c.maxLag == 3).get
-      dumpGen(s, "q38_wide", Generate.wide(Generate.series(s, cfgs.toSeq)))
+      dumpGen(s, "q38_wide", Generate.wideFast(s, cfgs.toSeq))
         .groupBy("family", "nVars")
         .agg(count(lit(1)).as("n_rows"),
              round(avg("X1"), 1).as("mean_x1"),
@@ -574,7 +574,7 @@ object SparkEntry {
     "q43_plot_series" -> ((s, d) => {
       val cfg = Grid.forFamily("C1").find(c =>
         c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
-      val wide = dumpGen(s, "q43_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      val wide = dumpGen(s, "q43_wide", Generate.wideFast(s, Seq(cfg)))
       graft.generate.PlotReady.seriesSample(wide, Seq("X1", "X2", "X3", "X4"), 10)
     }),
 
@@ -582,28 +582,28 @@ object SparkEntry {
       val cfg = Grid.forFamily("D3C").find(c =>
         c.nPoints == 3000 && c.nVars == 6 && c.maxLag == 2).get
       val miss = dumpGen(s, "q44_missing",
-        Generate.missingView(Generate.wide(Generate.series(s, Seq(cfg)))))
+        Generate.missingView(Generate.wideFast(s, Seq(cfg))))
       graft.generate.PlotReady.missingPatternCounts(miss, (1 to 6).map(i => s"X$i"), 50)
     }),
 
     "q45_plot_sampling_hist" -> ((s, d) => {
       val cfg = Grid.forFamily("D3C").find(c =>
         c.nPoints == 3000 && c.nVars == 6 && c.maxLag == 2).get
-      val wide = dumpGen(s, "q45_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      val wide = dumpGen(s, "q45_wide", Generate.wideFast(s, Seq(cfg)))
       graft.generate.PlotReady.samplingIntervalHist(wide, 0.002)
     }),
 
     "q46_plot_trend_fit" -> ((s, d) => {
       val cfg = Grid.forFamily("C1").find(c =>
         c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
-      val wide = dumpGen(s, "q46_wide", Generate.wide(Generate.series(s, Seq(cfg))))
+      val wide = dumpGen(s, "q46_wide", Generate.wideFast(s, Seq(cfg)))
       graft.generate.PlotReady.trendFit(wide, Seq("X1", "X2", "X3", "X4"))
     }),
 
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
-      dumpGen(s, "q30_wide", Generate.wide(Generate.series(s, cfgs)))
+      dumpGen(s, "q30_wide", Generate.wideFast(s, cfgs))
         .groupBy("family")
         .agg(count(lit(1)).as("n_rows"),
              round(avg("X1"), 2).as("mean_x1"),
