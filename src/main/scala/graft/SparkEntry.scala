@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.generate.Generate
-import graft.ops.{AsOf, Lagged}
+import graft.ops.{AsOf, ExactStats, Lagged}
 import graft.text.{Dedup, TextOps}
 import graft.sim.Similarity
 
@@ -67,6 +67,36 @@ object SparkEntry {
     """CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)""".stripMargin
 
+  // -- DuckDB mirrors of graft.ops.ExactStats: identical formula text over
+  //    HUGEINT sums of the same micro-quantized integers, so both engines
+  //    divide the same two exact integers regardless of partition order --
+
+  /** Σ floor(x·1e6) as BIGINT (mirror of ExactStats.sumMicro). */
+  private def sumMicroSql(x: String): String =
+    s"sum(floor($x * 1e6)::BIGINT)::BIGINT"
+
+  private def olsPartsSql(y: String, x: String): (String, String, String) = {
+    val both = s"($y IS NOT NULL AND $x IS NOT NULL)"
+    val xm = s"(CASE WHEN $both THEN floor($x * 1e6)::HUGEINT END)"
+    val ym = s"(CASE WHEN $both THEN floor($y * 1e6)::HUGEINT END)"
+    val n = s"sum(CASE WHEN $both THEN 1 ELSE 0 END)::HUGEINT"
+    (n, xm, ym)
+  }
+
+  /** Mirror of ExactStats.slopeMilli. */
+  private def slopeMilliSql(y: String, x: String): String = {
+    val (n, xm, ym) = olsPartsSql(y, x)
+    s"floor(($n * sum($xm * $ym) - sum($xm) * sum($ym))::DOUBLE / " +
+      s"($n * sum($xm * $xm) - sum($xm) * sum($xm))::DOUBLE * 1000.0 + 0.5)::BIGINT"
+  }
+
+  /** Mirror of ExactStats.interceptMilli. */
+  private def interceptMilliSql(y: String, x: String): String = {
+    val (n, xm, ym) = olsPartsSql(y, x)
+    s"floor((sum($ym) * sum($xm * $xm) - sum($xm) * sum($xm * $ym))::DOUBLE / " +
+      s"($n * sum($xm * $xm) - sum($xm) * sum($xm))::DOUBLE / 1000.0 + 0.5)::BIGINT"
+  }
+
   /** Flagship: generation kernel fan-out → per-family summary (driver smoke). */
   def entry(spark: SparkSession): DataFrame = {
     val cfgs = Catalog.families.flatMap(f => Grid.forFamily(f).take(2))
@@ -92,7 +122,10 @@ object SparkEntry {
           sum(price).cast("double").as("sum_base_price"),
           sum(discPrice).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          // exact decimal sum / count: avg(double) partial sums are merge-
+          // order dependent (the r2 q30/q38 failure class)
+          round(sum(col("l_discount").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -156,23 +189,40 @@ object SparkEntry {
                 round(col("o_totalprice"), 4).as("o_totalprice"), col("rk"))
     }),
 
-    "q06_summary_stats" -> ((s, d) =>
+    "q06_summary_stats" -> ((s, d) => {
+      // stddev's Welford merge is partition-order dependent; evaluate the
+      // closed form from order-insensitive EXACT sums instead:
+      //   l_quantity is integer-valued → Σx / Σx² are exact in double;
+      //   l_extendedprice carries 2 decimals → exact LONG cents, Σc² in
+      //   DECIMAL(38,0) (c² ~1e14 × 6e5 rows overflows LONG).
+      val nd = count(lit(1)).cast("double")
+      val q = col("l_quantity")
+      val sq = sum(q); val sqq = sum(q * q)
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+      val sc = sum(cents).cast("double")
+      val scc = sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).cast("double")
       lineitem(s, d).agg(
         count(lit(1)).as("n"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(stddev("l_quantity"), 4).as("std_qty"),
-        round(min("l_quantity"), 4).as("min_qty"),
-        round(max("l_quantity"), 4).as("max_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(stddev("l_extendedprice"), 4).as("std_price"))),
+        round(sum(q) / count(lit(1)), 4).as("avg_qty"),
+        round(sqrt((nd * sqq - sq * sq) / (nd * (nd - lit(1.0)))), 4).as("std_qty"),
+        round(min(q), 4).as("min_qty"),
+        round(max(q), 4).as("max_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_price"),
+        round(sqrt((nd * scc - sc * sc) / (nd * (nd - lit(1.0)))) / lit(100.0), 4)
+          .as("std_price"))
+    }),
 
     "q07_time_gaps" -> ((s, d) =>
       Lagged.timeGaps(events(s, d).withColumn("ts_us", expr("ts div 1000"))
           .select("user_id", "event_id", "ts_us"), Seq("user_id"), "ts_us")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_gaps"),
-             round(avg(col("gap") / 1e6), 4).as("avg_gap_s"),
-             round(max(col("gap") / 1e6), 4).as("max_gap_s"))),
+             // gaps are LONG micros: sum exactly, divide once (avg of the
+             // per-row double quotient is merge-order dependent)
+             round(sum("gap").cast("double") /
+               (count(lit(1)).cast("double") * lit(1e6)), 4).as("avg_gap_s"),
+             round(max("gap").cast("double") / lit(1e6), 4).as("max_gap_s"))),
 
     // -- dedup / text analysis --
     // the two-phase variant IS the benched entry: shuffle 8-byte xxhash64
@@ -323,11 +373,14 @@ object SparkEntry {
         Lagged.laggedView(wide.select(col("configId"), col("t"),
           col("X1"), col("X2"), col("X3"), col("X4")), Seq("configId"), "t",
           Seq("X1", "X2", "X3", "X4"), 2))
+      // ExactStats.slopeMilli, not round(regr_slope(...), 3): the regr_*
+      // double sums are merge-order dependent (the r2 q30/q38 failure class);
+      // milli-units ≡ the old 3dp rounding (400 ≡ 0.400)
       lagged.agg(
-        round(expr("regr_slope(X1_0, X2_0)"), 3).as("b_x2_x1"),      // declared 0.4
-        round(expr("regr_slope(X3_0, X4_0)"), 3).as("b_x4_x3"),      // declared 0.35
-        round(expr("regr_slope(X2_0, X3_1)"), 3).as("b_x3l1_x2"),    // declared 0.3
-        round(expr("regr_slope(X4_0, X1_2)"), 3).as("b_x1l2_x4"))    // declared 0.25
+        ExactStats.slopeMilli(col("X1_0"), col("X2_0")).as("b_x2_x1_milli"),   // declared 0.4
+        ExactStats.slopeMilli(col("X3_0"), col("X4_0")).as("b_x4_x3_milli"),   // declared 0.35
+        ExactStats.slopeMilli(col("X2_0"), col("X3_1")).as("b_x3l1_x2_milli"), // declared 0.3
+        ExactStats.slopeMilli(col("X4_0"), col("X1_2")).as("b_x1l2_x4_milli")) // declared 0.25
     }),
 
     // the typed Dataset UDAF surface through the driver contract: single-pass
@@ -343,8 +396,12 @@ object SparkEntry {
         Lagged.laggedView(wide.select(col("configId"), col("t"), col("X1"), col("X2")),
           Seq("configId"), "t", Seq("X1", "X2"), 0))
       val pairs = lagged.select(col("X2_0").as[Double], col("X1_0").as[Double])
-      pairs.select(graft.ops.OlsAggregator.slope.toColumn.name("slope_raw"))
-        .select(round(col("slope_raw"), 3).as("b_x2_x1"))
+      // the exact-integer variant of the typed Aggregator: same single-pass
+      // mergeable shape, but the buffer holds LONG/BigInt sums of micro-
+      // quantized pairs, so any merge order finishes identically
+      val slope: org.apache.spark.sql.Dataset[Long] =
+        pairs.select(graft.ops.OlsAggregator.slopeMilli.toColumn)
+      slope.toDF("b_x2_x1_milli")
     }),
 
     // structural integer contract (trend in exact micro-units, sin/cos args
@@ -383,14 +440,15 @@ object SparkEntry {
 
     "q33_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // exact integers end-to-end: DECIMAL before the multiply (the source
-      // doubles carry exactly 2 decimals), so no round() of a double product
-      // ever lands on a half-cent boundary (r1 q33 at sf0.1)
+      // exact integers end-to-end, but as LONG arithmetic: floor(x·100 + 0.5)
+      // is an exact integer image of the 2-decimal doubles, and
+      // cents·(100 − bp) equals the DECIMAL form's (price·(1−disc)·10000)
+      // exactly — same integers, primitive codegen (the r2 DECIMAL multiply
+      // over full lineitem regressed q33 2.6s → 6.1s)
       val daily = lineitem(s, d)
         .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01").cast("date")))
-        .withColumn("cents", (col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) *
-          lit(10000)).cast("long"))
+        .withColumn("cents", floor(col("l_extendedprice") * 100 + lit(0.5)) *
+          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))))
         .groupBy("day")
         .agg(sum("cents").as("rev_cents"))
       val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
@@ -560,10 +618,12 @@ object SparkEntry {
         fam <- Catalog.families
         v <- Seq(4, 6, 8)
       } yield Grid.forFamily(fam).find(c => c.nPoints == 500 && c.nVars == v && c.maxLag == 3).get
+      // exact micro sums, not round(avg): avg(double) hash-mismatched in r2
+      // when the partition topology changed (driver CPUs vs local)
       dumpGen(s, "q38_wide", Generate.wideFast(s, cfgs.toSeq))
         .groupBy("family", "nVars")
         .agg(count(lit(1)).as("n_rows"),
-             round(avg("X1"), 1).as("mean_x1"),
+             ExactStats.sumMicro(col("X1")).as("sum_x1_micro"),
              sum(col("maskBits")).as("mask_sum"))
         .withColumnRenamed("nVars", "n_vars")
     }),
@@ -597,17 +657,19 @@ object SparkEntry {
       val cfg = Grid.forFamily("C1").find(c =>
         c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
       val wide = dumpGen(s, "q46_wide", Generate.wideFast(s, Seq(cfg)))
-      graft.generate.PlotReady.trendFit(wide, Seq("X1", "X2", "X3", "X4"))
+      graft.generate.PlotReady.trendFitExact(wide, Seq("X1", "X2", "X3", "X4"))
     }),
 
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
+      // exact micro sums, not round(avg): avg(double) hash-mismatched in r2
+      // when the partition topology changed (driver CPUs vs local)
       dumpGen(s, "q30_wide", Generate.wideFast(s, cfgs))
         .groupBy("family")
         .agg(count(lit(1)).as("n_rows"),
-             round(avg("X1"), 2).as("mean_x1"),
-             round(avg("X6"), 2).as("mean_x6"))
+             ExactStats.sumMicro(col("X1")).as("sum_x1_micro"),
+             ExactStats.sumMicro(col("X6")).as("sum_x6_micro"))
     })
   )
 
@@ -635,7 +697,7 @@ object SparkEntry {
         |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
         |  $RevenueSql AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(sum(l_discount::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -691,20 +753,28 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
 
-    "q06_summary_stats" ->
-      """SELECT count(*) AS n,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(stddev(l_quantity), 4) AS std_qty,
+    "q06_summary_stats" -> {
+      // closed-form stddev from exact sums — formula text mirrors the Spark
+      // side so both engines run the same double ops on the same integers
+      val cents = "(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT"
+      s"""SELECT count(*) AS n,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |  round(sqrt((count(*)::DOUBLE * sum(l_quantity * l_quantity)
+        |    - sum(l_quantity) * sum(l_quantity))
+        |    / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0))), 4) AS std_qty,
         |  round(min(l_quantity), 4) AS min_qty,
         |  round(max(l_quantity), 4) AS max_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(stddev(l_extendedprice), 4) AS std_price
-        |FROM lineitem""".stripMargin,
+        |  round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*), 4) AS avg_price,
+        |  round(sqrt((count(*)::DOUBLE * sum($cents::HUGEINT * $cents::HUGEINT)::DOUBLE
+        |    - sum($cents)::DOUBLE * sum($cents)::DOUBLE)
+        |    / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0))) / 100.0, 4) AS std_price
+        |FROM lineitem""".stripMargin
+    },
 
     "q07_time_gaps" ->
       """SELECT user_id, count(*) AS n_gaps,
-        |  round(avg(gap / 1e6), 4) AS avg_gap_s,
-        |  round(max(gap / 1e6), 4) AS max_gap_s
+        |  round(sum(gap)::DOUBLE / (count(*)::DOUBLE * 1e6), 4) AS avg_gap_s,
+        |  round(max(gap)::DOUBLE / 1e6, 4) AS max_gap_s
         |FROM (
         |  SELECT user_id,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
@@ -1143,27 +1213,27 @@ object SparkEntry {
     },
 
     "q29_lagged_ols" ->
-      """SELECT
-        |  round(regr_slope(X1_0, X2_0), 3) AS b_x2_x1,
-        |  round(regr_slope(X3_0, X4_0), 3) AS b_x4_x3,
-        |  round(regr_slope(X2_0, X3_1), 3) AS b_x3l1_x2,
-        |  round(regr_slope(X4_0, X1_2), 3) AS b_x1l2_x4
+      s"""SELECT
+        |  ${slopeMilliSql("X1_0", "X2_0")} AS b_x2_x1_milli,
+        |  ${slopeMilliSql("X3_0", "X4_0")} AS b_x4_x3_milli,
+        |  ${slopeMilliSql("X2_0", "X3_1")} AS b_x3l1_x2_milli,
+        |  ${slopeMilliSql("X4_0", "X1_2")} AS b_x1l2_x4_milli
         |FROM read_parquet('__GEN_DIR__/q29_lagged/*.parquet')""".stripMargin,
 
     "q53_typed_ols" ->
-      """SELECT round(regr_slope(X1_0, X2_0), 3) AS b_x2_x1
+      s"""SELECT ${slopeMilliSql("X1_0", "X2_0")} AS b_x2_x1_milli
         |FROM read_parquet('__GEN_DIR__/q53_lagged/*.parquet')""".stripMargin,
 
     "q30_generate_families" ->
-      """SELECT family, count(*) AS n_rows,
-        |  round(avg(X1), 2) AS mean_x1,
-        |  round(avg(X6), 2) AS mean_x6
+      s"""SELECT family, count(*) AS n_rows,
+        |  ${sumMicroSql("X1")} AS sum_x1_micro,
+        |  ${sumMicroSql("X6")} AS sum_x6_micro
         |FROM read_parquet('__GEN_DIR__/q30_wide/*.parquet')
         |GROUP BY family""".stripMargin,
 
     "q38_generate_shapes" ->
-      """SELECT family, nVars AS n_vars, count(*) AS n_rows,
-        |  round(avg(X1), 1) AS mean_x1,
+      s"""SELECT family, nVars AS n_vars, count(*) AS n_rows,
+        |  ${sumMicroSql("X1")} AS sum_x1_micro,
         |  sum(maskBits)::BIGINT AS mask_sum
         |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
         |GROUP BY family, nVars""".stripMargin,
@@ -1243,8 +1313,8 @@ object SparkEntry {
       val arms = (1 to 4).map(i =>
         s"SELECT \"time\", 'X$i' AS var, X$i AS value FROM read_parquet('__GEN_DIR__/q46_wide/*.parquet')")
         .mkString("\n  UNION ALL\n  ")
-      s"""SELECT var, round(regr_slope(value, "time"), 3) AS slope,
-         |  round(regr_intercept(value, "time"), 3) AS intercept, count(*) AS n
+      s"""SELECT var, ${slopeMilliSql("value", "\"time\"")} AS slope_milli,
+         |  ${interceptMilliSql("value", "\"time\"")} AS intercept_milli, count(*) AS n
          |FROM (
          |  $arms)
          |GROUP BY var""".stripMargin

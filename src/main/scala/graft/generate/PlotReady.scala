@@ -68,4 +68,16 @@ object PlotReady {
       .agg(round(expr("regr_slope(value, time)"), 3).as("slope"),
            round(expr("regr_intercept(value, time)"), 3).as("intercept"),
            count(lit(1)).as("n"))
+
+  /** Exact-contract variant of trendFit: integer milli-unit outputs via
+    * order-insensitive exact sums (graft.ops.ExactStats), so the result is
+    * identical under any partition topology — the cross-engine verification
+    * entry (q46); `trendFit` remains the double-valued user API.
+    */
+  def trendFitExact(wide: DataFrame, vars: Seq[String]): DataFrame =
+    longForm(wide, vars, Seq("time"))
+      .groupBy("var")
+      .agg(graft.ops.ExactStats.slopeMilli(col("value"), col("time")).as("slope_milli"),
+           graft.ops.ExactStats.interceptMilli(col("value"), col("time")).as("intercept_milli"),
+           count(lit(1)).as("n"))
 }

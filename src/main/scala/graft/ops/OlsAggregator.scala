@@ -31,4 +31,32 @@ object OlsAggregator {
       override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
+
+  final case class BufM(n: Long, sx: Long, sy: Long, sxx: BigInt, sxy: BigInt)
+
+  /** Order-insensitive variant: slope of y on x in milli-units (half-up),
+    * matching graft.ops.ExactStats.slopeMilli. The buffer holds exact
+    * integer sums of micro-quantized pairs (Σx² as BigInt — micro² sums
+    * overflow LONG), so reduce/merge order cannot change the result; finish
+    * runs the same double division DuckDB's HUGEINT mirror performs.
+    */
+  val slopeMilli: Aggregator[(Double, Double), BufM, Long] =
+    new Aggregator[(Double, Double), BufM, Long] {
+      override def zero: BufM = BufM(0L, 0L, 0L, BigInt(0), BigInt(0))
+      override def reduce(b: BufM, p: (Double, Double)): BufM = {
+        val xm = math.floor(p._1 * 1e6).toLong
+        val ym = math.floor(p._2 * 1e6).toLong
+        BufM(b.n + 1, b.sx + xm, b.sy + ym,
+          b.sxx + BigInt(xm) * BigInt(xm), b.sxy + BigInt(xm) * BigInt(ym))
+      }
+      override def merge(a: BufM, b: BufM): BufM =
+        BufM(a.n + b.n, a.sx + b.sx, a.sy + b.sy, a.sxx + b.sxx, a.sxy + b.sxy)
+      override def finish(b: BufM): Long = {
+        val num = (BigInt(b.n) * b.sxy - BigInt(b.sx) * BigInt(b.sy)).doubleValue
+        val den = (BigInt(b.n) * b.sxx - BigInt(b.sx) * BigInt(b.sx)).doubleValue
+        math.floor(num / den * 1000.0 + 0.5).toLong
+      }
+      override def bufferEncoder: Encoder[BufM] = Encoders.product[BufM]
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
 }
