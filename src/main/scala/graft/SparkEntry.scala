@@ -54,18 +54,32 @@ object SparkEntry {
     * decimals) — the one revenue expression every money query shares; a
     * rounded double sum drifts across engines as it grows.
     */
-  private def discPrice: Column =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+  /** Revenue as exact LONG 1e-4-dollar units: floor(x·100 + 0.5) is an exact
+    * integer image of the 2-decimal source doubles, and
+    * cents · (100 − bp) ≡ price·(1−disc)·10000 of the former DECIMAL form —
+    * same integers, but primitive-long codegen with no per-row Decimal
+    * allocation, and LONG partial sums instead of unscaled-decimal ones at
+    * 100 TB.
+    */
+  private def revenueUnits: Column =
+    floor(col("l_extendedprice") * 100 + lit(0.5)) *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)))
 
-  /** The DuckDB mirror of `sum(discPrice).cast("double")`. */
+  /** Σ revenueUnits rendered in dollars — the shared money contract. */
+  private def revenueDollars: Column =
+    sum(revenueUnits).cast("double") / lit(10000.0)
+
+  /** The DuckDB mirror of `revenueDollars`. */
   private val RevenueSql =
-    "sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2)))::DOUBLE"
+    "sum((floor(l_extendedprice * 100 + 0.5) * " +
+      "(100 - floor(l_discount * 100 + 0.5)))::BIGINT)::DOUBLE / 10000.0"
 
-  /** The same expression in Spark SQL syntax (q27/q52 run through spark.sql). */
+  /** The same expression in Spark SQL syntax (q27/q52 run through spark.sql);
+    * Spark's FLOOR(double) is already BIGINT, so the product stays in LONG.
+    */
   private val SparkRevenueSql =
-    """CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)""".stripMargin
+    """(CAST(sum(FLOOR(l_extendedprice * 100 + 0.5) *
+      |          (100 - FLOOR(l_discount * 100 + 0.5))) AS DOUBLE) / 10000.0)""".stripMargin
 
   // -- DuckDB mirrors of graft.ops.ExactStats: identical formula text over
   //    HUGEINT sums of the same micro-quantized integers, so both engines
@@ -109,23 +123,24 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core --
-    // money sums in DECIMAL (source doubles carry exactly 2 decimals): a
-    // round() of an order-dependent double sum drifts across engines as the
-    // sum grows — the DECIMAL sum is exact and its double image unique
+    // money sums as exact LONG cents (source doubles carry exactly 2
+    // decimals): a round() of an order-dependent double sum drifts across
+    // engines as the sum grows — the integer sum is exact in any merge order
+    // and its double image unique
     "q01_pricing_summary" -> ((s, d) => {
-      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val priceCents = floor(col("l_extendedprice") * 100 + lit(0.5))
       lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          sum(price).cast("double").as("sum_base_price"),
-          sum(discPrice).cast("double").as("sum_disc_price"),
+          (sum(priceCents).cast("double") / lit(100.0)).as("sum_base_price"),
+          revenueDollars.as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          // exact decimal sum / count: avg(double) partial sums are merge-
+          // exact integer sum / count: avg(double) partial sums are merge-
           // order dependent (the r2 q30/q38 failure class)
-          round(sum(col("l_discount").cast("decimal(12,2)")).cast("double") /
-            count(lit(1)), 6).as("avg_disc"),
+          round(sum(floor(col("l_discount") * 100 + lit(0.5))).cast("double") /
+            (count(lit(1)).cast("double") * lit(100.0)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -137,7 +152,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(sum(discPrice).cast("double").as("revenue"),
+        .agg(revenueDollars.as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -151,11 +166,12 @@ object SparkEntry {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("p_brand", "n_name")
-        .agg(sum(discPrice).cast("double").as("revenue"),
+        .agg(revenueDollars.as("revenue"),
              count(lit(1)).as("n_items"),
-             // exact decimal sum, not round(avg(double)): the avg form hit a
+             // exact cents sum, not round(avg(double)): the avg form hit a
              // HALF_UP boundary on first try (949.35625) — same trap as r1 q09
-             sum(col("p_retailprice").cast("decimal(12,2)")).cast("double").as("sum_retail"))
+             (sum(floor(col("p_retailprice") * 100 + lit(0.5))).cast("double") /
+               lit(100.0)).as("sum_retail"))
     }),
 
     "q03_lagged_projection" -> ((s, d) =>
@@ -198,7 +214,7 @@ object SparkEntry {
       val nd = count(lit(1)).cast("double")
       val q = col("l_quantity")
       val sq = sum(q); val sqq = sum(q * q)
-      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5))
       val sc = sum(cents).cast("double")
       val scc = sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).cast("double")
       lineitem(s, d).agg(
@@ -207,8 +223,8 @@ object SparkEntry {
         round(sqrt((nd * sqq - sq * sq) / (nd * (nd - lit(1.0)))), 4).as("std_qty"),
         round(min(q), 4).as("min_qty"),
         round(max(q), 4).as("max_qty"),
-        round(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
-          count(lit(1)), 4).as("avg_price"),
+        round(sum(cents).cast("double") / (count(lit(1)).cast("double") * lit(100.0)), 4)
+          .as("avg_price"),
         round(sqrt((nd * scc - sc * sc) / (nd * (nd - lit(1.0)))) / lit(100.0), 4)
           .as("std_price"))
     }),
@@ -694,10 +710,11 @@ object SparkEntry {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+        |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::DOUBLE / 100.0 AS sum_base_price,
         |  $RevenueSql AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(sum(l_discount::DECIMAL(12,2))::DOUBLE / count(*), 6) AS avg_disc,
+        |  round(sum(floor(l_discount * 100 + 0.5)::BIGINT)::DOUBLE
+        |        / (count(*)::DOUBLE * 100.0), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -718,7 +735,7 @@ object SparkEntry {
       s"""SELECT p_brand, n_name,
         |  $RevenueSql AS revenue,
         |  count(*) AS n_items,
-        |  sum(p_retailprice::DECIMAL(12,2))::DOUBLE AS sum_retail
+        |  sum(floor(p_retailprice * 100 + 0.5)::BIGINT)::DOUBLE / 100.0 AS sum_retail
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -756,7 +773,7 @@ object SparkEntry {
     "q06_summary_stats" -> {
       // closed-form stddev from exact sums — formula text mirrors the Spark
       // side so both engines run the same double ops on the same integers
-      val cents = "(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT"
+      val cents = "floor(l_extendedprice * 100 + 0.5)::BIGINT"
       s"""SELECT count(*) AS n,
         |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
         |  round(sqrt((count(*)::DOUBLE * sum(l_quantity * l_quantity)
@@ -764,7 +781,7 @@ object SparkEntry {
         |    / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0))), 4) AS std_qty,
         |  round(min(l_quantity), 4) AS min_qty,
         |  round(max(l_quantity), 4) AS max_qty,
-        |  round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*), 4) AS avg_price,
+        |  round(sum($cents)::DOUBLE / (count(*)::DOUBLE * 100.0), 4) AS avg_price,
         |  round(sqrt((count(*)::DOUBLE * sum($cents::HUGEINT * $cents::HUGEINT)::DOUBLE
         |    - sum($cents)::DOUBLE * sum($cents)::DOUBLE)
         |    / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0))) / 100.0, 4) AS std_price
