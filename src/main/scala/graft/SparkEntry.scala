@@ -445,6 +445,20 @@ object SparkEntry {
                 col("asof_ts").as("click_ts_us"))
     }),
 
+    // forward as-of: each purchase joined to the EARLIEST click at-or-after
+    // it — the symmetric third of the as-of family (backward q04, nearest
+    // q36), mirrored by DuckDB's native forward ASOF (`ON p.ts <= c.ts`)
+    "q54_asof_forward" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      AsOf.asofForward(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("asof_click_id").as("click_id"),
+                col("asof_ts").as("click_ts_us"))
+    }),
+
     // exact percentile is the oracle contract (sorts per group); the 100 TB
     // production path is approx_percentile (t-digest sketch, one pass, no
     // sort) — OpsSpec pins the pairing's accuracy
@@ -524,6 +538,14 @@ object SparkEntry {
       graft.streaming.StreamAgg.eventsWindowed(s, d, windowSec = 300L,
         queryName = s"graft_stream_${System.nanoTime()}")),
 
+    // the same windowed aggregation through ≥2 micro-batches (median-split
+    // source files, maxFilesPerTrigger=1): cross-batch window-state merge;
+    // complete mode ⇒ identical final table, so the oracle is q18's
+    "q56_stream_window_multibatch" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsWindowedMultiBatch(s, d, windowSec = 300L,
+        splitDir = s"$genDir/events_split",
+        queryName = s"graft_stream_mb_${System.nanoTime()}")),
+
     // the bucketed LSH path IS the benched/oracled entry (the r1 entry was
     // the O(N²) crossJoin — a scale-killer); the oracle mirrors the seeded
     // hyperplane buckets exactly, and SimilaritySpec checks planted-pair
@@ -589,17 +611,28 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
                 round(col("l_extendedprice"), 4).as("l_extendedprice"))),
 
-    // stateful streaming sessionization. For a static corpus under a single
-    // AvailableNow batch the emitted set IS deterministic: gap-closed sessions
-    // (every non-last session per user) plus timeout-closed ones (the no-data
-    // microbatch advances the watermark to maxEventTime − 1h and fires
-    // event-time timeouts past end + gap) — so the oracle models emission
-    // exactly instead of settling for a rows-only check
+    // stateful streaming sessionization under the watermark-FINALITY
+    // contract: a session is emitted exactly when the watermark passes
+    // end + gap (the no-data microbatch advances it to maxEventTime − 1h and
+    // fires the timeouts), so the emitted set is a pure function of the data
+    // and the final watermark — the oracle models it exactly, and the same
+    // oracle holds for any batch decomposition (q55)
     "q40_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamSession.sessionizeEvents(s, d, gapUs = 1800L * 1000000L,
         queryName = s"graft_sess_${System.nanoTime()}").toDF()
         .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
-                round(col("sum_value"), 4).as("sum_value"))),
+                col("sum_value_micro"))),
+
+    // the session pipeline through ≥2 micro-batches: cross-batch state carry,
+    // cross-batch session merge at the split boundary, mid-stream watermark
+    // advance — under the finality contract the emitted set is identical to
+    // q40's, so both share one oracle
+    "q55_stream_sessions_multibatch" -> ((s, d) =>
+      graft.streaming.StreamSession.sessionizeEventsMultiBatch(s, d,
+        gapUs = 1800L * 1000000L, splitDir = s"$genDir/events_split",
+        queryName = s"graft_sess_mb_${System.nanoTime()}").toDF()
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+                col("sum_value_micro"))),
 
     "q39_pivot_events" -> ((s, d) =>
       events(s, d).groupBy("user_id")
@@ -705,6 +738,41 @@ object SparkEntry {
       |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
       |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
       |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)""".stripMargin
+
+  /** The gap-sessionization + watermark-finality emission model both
+    * session queries share (q40 single-batch, q55 multi-batch — finality
+    * makes the emitted set identical).
+    */
+  private val SessionFinalityOracleSql =
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, value)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, value
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |    count(*)::INT AS n_events,
+        |    sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
+        |  FROM sess GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM ev)
+        |SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.sum_value_micro
+        |FROM agg a, wm
+        |WHERE a.end_us + 1800000000 < wm.wm_ms * 1000""".stripMargin
+
+  /** Batch-equal windowed aggregation (q18 single-batch, q56 multi-batch —
+    * complete output mode is decomposition-invariant).
+    */
+  private val WindowAggOracleSql =
+    """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us, event_type,
+      |  count(*) AS n_events,
+      |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -935,10 +1003,9 @@ object SparkEntry {
          |FROM h GROUP BY doc_id""".stripMargin
     },
 
-    "q18_stream_window" ->
-      """SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us, event_type,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_stream_window" -> WindowAggOracleSql,
+    // complete mode ⇒ the final table is batch-equal for ANY decomposition
+    "q56_stream_window_multibatch" -> WindowAggOracleSql,
 
     "q19_embedding_neardups" -> {
       // mirror the seeded hyperplane buckets: same gaussian constants, same
@@ -1117,27 +1184,9 @@ object SparkEntry {
     // matching GroupStateImpl's strict comparison at Spark 4.1 semantics).
     // Ties in ts_us split by value, mirroring update()'s sort — boundaries
     // and sums are order-insensitive, so any consistent tie order works.
-    "q40_stream_sessions" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
-        |flagged AS (
-        |  SELECT user_id, ts_us, value,
-        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, value)
-        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM ev),
-        |sess AS (
-        |  SELECT user_id, ts_us, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, value
-        |                        ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged),
-        |agg AS (
-        |  SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |    count(*)::INT AS n_events, round(sum(value), 4) AS sum_value,
-        |    max(sid) OVER (PARTITION BY user_id) AS max_sid
-        |  FROM sess GROUP BY user_id, sid),
-        |wm AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM ev)
-        |SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.sum_value
-        |FROM agg a, wm
-        |WHERE a.sid < a.max_sid OR wm.wm_ms > a.end_us // 1000 + 1800000""".stripMargin,
+    "q40_stream_sessions" -> SessionFinalityOracleSql,
+    // finality makes the emitted set batch-decomposition invariant
+    "q55_stream_sessions_multibatch" -> SessionFinalityOracleSql,
 
     "q39_pivot_events" ->
       """SELECT user_id,
@@ -1172,6 +1221,14 @@ object SparkEntry {
         |FROM p
         |LEFT JOIN b ON p.event_id = b.event_id
         |LEFT JOIN f ON p.event_id = f.event_id""".stripMargin,
+
+    "q54_asof_forward" ->
+      """SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS click_ts_us
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+        |                FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND p.ts_us <= c.ts_us""".stripMargin,
 
     "q32_quantiles" ->
       """SELECT l_returnflag,

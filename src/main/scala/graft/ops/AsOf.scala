@@ -46,6 +46,36 @@ object AsOf {
       .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
   }
 
+  /** For each left row, attach the EARLIEST right row with right.ts >=
+    * left.ts (forward as-of) — the symmetric third of the family
+    * (backward / nearest / forward). Same union + single-shuffle carry as
+    * asofBackward; the sort puts left rows BEFORE right rows at equal
+    * timestamps so an exactly-simultaneous right row qualifies
+    * (>= semantics, matching DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`).
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val rVals = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn("_side", lit(0))
+    val unioned = left.withColumn("_side", lit(1))
+      .unionByName(rVals, allowMissingColumns = true)
+
+    val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).cast("double").asc +: col("_side").desc +: tieBreak): _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }.withColumn("asof_ts",
+      first(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+
+    carried.where(col("_side") === 1)
+      .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+  }
+
   /** Nearest (either direction) as-of: argmin |right.ts - left.ts| per left
     * row — the reference's literal semantics (nearest can be LATER than the
     * target, §2.4-5). Backward + forward carry, then pick the closer.

@@ -108,13 +108,28 @@ object Similarity {
     val cDist = broadcast(cents)
 
     def assign(df: DataFrame, id: String, v: String, topCells: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cdist").desc, col("cell_id"))
-      df.crossJoin(cDist)
+      val scored = df.crossJoin(cDist)
         .withColumn("cdist", dot(col(v), col("centroid")) /
           (norm(col(v)) * norm(col("centroid"))))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= topCells)
-        .drop("centroid", "cdist", "crank")
+      if (topCells == 1) {
+        // nearest-cell argmax as a partially-aggregable max-of-struct —
+        // (cdist, −cell_id) orders by similarity with smallest-cell
+        // tie-break, identical to the row_number path below but with
+        // map-side combine over the nCells candidates and no window sort:
+        // the shuffle carries one row per vector instead of nCells
+        scored
+          .groupBy(col(id))
+          .agg(first(col(v)).as(v), // constant within the group
+               max(struct(col("cdist"), (-col("cell_id")).as("neg_cell"))).as("best"))
+          .withColumn("cell_id", -col("best").getField("neg_cell"))
+          .drop("best")
+      } else {
+        val w = Window.partitionBy(col(id)).orderBy(col("cdist").desc, col("cell_id"))
+        scored
+          .withColumn("crank", row_number().over(w))
+          .where(col("crank") <= topCells)
+          .drop("centroid", "cdist", "crank")
+      }
     }
 
     val corpusCells = assign(

@@ -21,18 +21,20 @@ object StreamAgg {
     * directory — glob-filtered to the events file) → watermark → event-time
     * tumbling-window aggregation (sink chosen by caller).
     */
-  private def windowedAgg(spark: SparkSession, sfDir: String,
-      windowSec: Long): DataFrame = {
-    StreamSupport.eventsFileStream(spark, sfDir)
+  private def windowedAgg(source: DataFrame, windowSec: Long): DataFrame = {
+    source
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "10 minutes")
       .groupBy(
         window(col("event_time"), s"$windowSec seconds").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      // exact LONG micro sum: double partial sums are merge-order dependent
+      // across micro-batches/partitions (the r2 q30/q38 failure class)
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
-              col("event_type"), col("n_events"), col("sum_value"))
+              col("event_type"), col("n_events"), col("sum_value_micro"))
   }
 
   /** Tumbling-window counts/sums by event_type over the events parquet dir,
@@ -40,8 +42,21 @@ object StreamAgg {
     */
   def eventsWindowed(spark: SparkSession, sfDir: String, windowSec: Long = 300L,
       queryName: String = "graft_stream_agg"): DataFrame =
-    StreamSupport.runToMemory(windowedAgg(spark, sfDir, windowSec), queryName,
-      outputMode = "complete")
+    StreamSupport.runToMemory(
+      windowedAgg(StreamSupport.eventsFileStream(spark, sfDir), windowSec),
+      queryName, outputMode = "complete")
+
+  /** The same aggregation driven through ≥2 micro-batches (time-split source,
+    * maxFilesPerTrigger=1): cross-batch state merge for windows straddling
+    * the split. Complete output mode makes the final table equal to the
+    * batch aggregation regardless of batch decomposition, so q56 shares
+    * q18's oracle.
+    */
+  def eventsWindowedMultiBatch(spark: SparkSession, sfDir: String,
+      windowSec: Long, splitDir: String, queryName: String): DataFrame =
+    StreamSupport.runToMemory(
+      windowedAgg(StreamSupport.eventsSplitStream(spark, sfDir, splitDir), windowSec),
+      queryName, outputMode = "complete")
 
   /** Production sink shape: the same windowed aggregation written APPEND-mode
     * to a parquet file sink with a checkpoint — watermark-closed windows only,
@@ -50,7 +65,7 @@ object StreamAgg {
     */
   def eventsWindowedToParquet(spark: SparkSession, sfDir: String,
       windowSec: Long, outPath: String): DataFrame = {
-    val agg = windowedAgg(spark, sfDir, windowSec)
+    val agg = windowedAgg(StreamSupport.eventsFileStream(spark, sfDir), windowSec)
     val q = agg.writeStream
       .outputMode("append")
       .format("parquet")

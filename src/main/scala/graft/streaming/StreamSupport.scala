@@ -23,6 +23,47 @@ private[streaming] object StreamSupport {
       .parquet(sfDir)
   }
 
+  /** Time-split copies of the events table as TWO parquet files in one
+    * directory, streamed with maxFilesPerTrigger=1 → one micro-batch per
+    * file (oldest first via explicit modification times), exercising
+    * cross-batch state and mid-stream watermark advancement. Splitting at
+    * the median timestamp keeps every batch-2 event above batch 1's
+    * watermark (max − 1 h), so nothing is late-dropped and the emitted set
+    * equals the single-batch run's under the finality contract.
+    */
+  def eventsSplitStream(spark: SparkSession, sfDir: String,
+      splitDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = ev.schema
+    val dir = new java.io.File(splitDir)
+    val fa = new java.io.File(dir, "split_a.parquet")
+    val fb = new java.io.File(dir, "split_b.parquet")
+    if (!(fa.exists() && fb.exists())) {
+      dir.mkdirs()
+      val mid = ev.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
+        .first().getDouble(0).toLong
+      def writeOne(df: DataFrame, target: java.io.File, modMs: Long): Unit = {
+        val tmp = new java.io.File(dir, s"_tmp_${target.getName}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        scala.reflect.io.Directory(tmp).deleteRecursively()
+        // the file source orders by (modified time, path): pin both
+        target.setLastModified(modMs)
+      }
+      import org.apache.spark.sql.functions.col
+      writeOne(ev.where(col("ts") <= mid), fa, 1000000L)
+      writeOne(ev.where(col("ts") > mid), fb, 2000000L)
+    }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitDir)
+  }
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow, drain it,
     * and return the materialized table (cached — the sink table goes away
     * with the next query of the same name).

@@ -87,7 +87,12 @@ object Dedup {
     val prefix = exploded
       .withColumn("n_sh", count(lit(1)).over(wCount))
       .withColumn("pos", row_number().over(wOrder))
-      .where(col("pos") <= col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
+      // FP-safe prefix bound: ceil of the DOUBLE product t·n can exceed the
+      // exact decimal ⌈t·n⌉ when the product rounds up to the next integer
+      // (t=0.55, n=20 → 11.000000000000002 → ceil 12), silently shortening
+      // the prefix; the 1e-9 slack restores the exact bound for any
+      // plausible (t, n)
+      .where(col("pos") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
     val a = prefix.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = prefix.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     // length filter (exactness-preserving): J >= t implies

@@ -122,18 +122,21 @@ class AlgoPropertySpec extends AnyFunSuite {
       batches: Seq[Seq[Long]], gap: Long): Unit = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
-    import graft.streaming.StreamSession.{Ev, OpenSession, update}
-    var stateOpt: Option[OpenSession] = None
+    import graft.streaming.StreamSession.{Ev, OpenSessions, update}
+    var stateOpt: Option[OpenSessions] = None
     var emitted = Vector.empty[(Long, Long, Int)]
     batches.foreach { b =>
-      val st = TestGroupState.create[OpenSession](
-        stateOpt.map(Optional.of[OpenSession]).getOrElse(Optional.empty[OpenSession]()),
+      val st = TestGroupState.create[OpenSessions](
+        stateOpt.map(Optional.of[OpenSessions]).getOrElse(Optional.empty[OpenSessions]()),
         GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
       val evs = b.map(t => Ev(1L, t, 1.0, new java.sql.Timestamp(t / 1000)))
       emitted ++= update(gap)(1L, evs.iterator, st).map(o => (o.start_us, o.end_us, o.n_events))
       stateOpt = if (st.exists) Some(st.get) else None
     }
-    val finalSessions = emitted ++ stateOpt.map(s => (s.startUs, s.lastUs, s.n))
+    // at watermark 0 nothing may be final — finality means no early emission
+    assert(emitted.isEmpty, s"trial $trial: emission at watermark 0: $emitted")
+    val finalSessions =
+      stateOpt.toVector.flatMap(_.sessions.map(s => (s.startUs, s.lastUs, s.n)))
     val expected = ts.foldLeft(Vector.empty[(Long, Long, Int)]) { (acc, t) =>
       acc.lastOption match {
         case Some((s, e, c)) if t - e <= gap => acc.init :+ (s, t, c + 1)

@@ -51,6 +51,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofForward matches brute-force nearest-future join (>= semantics)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i => (i % 5L, i.toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 300).map(i => (i % 5L, 1000L + i, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val l = left.toDF("k", "lid", "ts")
+    val r = right.toDF("k", "rid", "ts", "rv")
+    val got = AsOf.asofForward(l, r, Seq("k"), "ts", Seq("rid", "rv"))
+      .select("k", "lid", "asof_rid").as[(Long, Long, Option[Long])].collect().toSet
+    val expected = left.map { case (k, lid, ts) =>
+      val cands = right.filter(rr => rr._1 == k && rr._3 >= ts)
+      val best = if (cands.isEmpty) None
+        else Some(cands.minBy(rr => (rr._3, rr._2))._2)
+      (k, lid, best)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("asofNearest picks the closer of past/future (reference §2.4-5 semantics)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "ts")
@@ -301,58 +319,57 @@ class OpsSpec extends AnyFunSuite {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
       .as[(Long, Long, Long, Long)].collect()
       .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
-    // every streamed (closed) session must be a batch session; and every
-    // batch session that is gap-closed WITHIN the data (i.e. not the user's
-    // last) must have been emitted — only the final open session per user may
-    // be withheld when the watermark never passes it
+    // finality: the streamed set must EQUAL the batch sessions the final
+    // watermark (max event time − 1h) sealed — nothing more, nothing less
+    val maxTs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val wmUs = (maxTs / 1000 - 3600000L) * 1000L
+    val sealedSet = batch.filter(t => t._3 + 1800L * 1000000L < wmUs)
     assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batch),
-      s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
-    val lastPerUser = batch.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
-    val mustStream = batch.diff(lastPerUser)
-    assert(mustStream.subsetOf(streamed),
-      s"gap-closed batch sessions missing from stream: ${mustStream.diff(streamed).take(3)}")
+    assert(streamed == sealedSet,
+      s"streamed != sealed batch sessions; extra=${streamed.diff(sealedSet).take(3)} " +
+        s"missing=${sealedSet.diff(streamed).take(3)}")
   }
 
-  test("streaming session update: straggler before open-session start stays separate") {
+  test("streaming session update: finality — runs held until the watermark seals them") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
-    import graft.streaming.StreamSession.{Ev, OpenSession, update}
+    import graft.streaming.StreamSession.{Ev, OpenSession, OpenSessions, update}
     val gap = 1000000L
     def ev(ts: Long) = Ev(1L, ts, 1.0, new java.sql.Timestamp(ts / 1000))
-    val s1 = TestGroupState.create[OpenSession](Optional.empty[OpenSession](),
-      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    def st(s: Option[OpenSessions], wmMs: Long = 0L) =
+      TestGroupState.create[OpenSessions](
+        s.map(Optional.of[OpenSessions]).getOrElse(Optional.empty[OpenSessions]()),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), false)
+    // batch 1: one event opens a session; nothing is final at watermark 0
+    val s1 = st(None)
     val out1 = update(gap)(1L, Iterator(ev(10000000L)), s1).toSeq
-    assert(out1.isEmpty && s1.get == OpenSession(10000000L, 10000000L, 1, 1.0))
-    // batch 2: two stragglers way before the open session's start — they form
-    // their OWN closed session (the r1 gap test e.ts - lastUs <= gap was
-    // negative-satisfied and wrongly merged them into the open session)
-    val s2 = TestGroupState.create[OpenSession](Optional.of(s1.get),
-      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    assert(out1.isEmpty &&
+      s1.get == OpenSessions(List(OpenSession(10000000L, 10000000L, 1, 1000000L))))
+    // batch 2: stragglers far before the open session form their OWN run and
+    // are HELD, not emitted — the r2 advisory race: a later within-watermark
+    // event in the gap after them could still have to merge (batch semantics)
+    val s2 = st(Some(s1.get))
     val out2 = update(gap)(1L, Iterator(ev(1000L), ev(2000L)), s2).toSeq
-    assert(out2.map(o => (o.start_us, o.end_us, o.n_events)) == Seq((1000L, 2000L, 2)),
-      s"stragglers must close separately, got $out2")
-    assert(s2.get == OpenSession(10000000L, 10000000L, 1, 1.0),
-      "open session must be untouched by stragglers")
-    // batch 3: a straggler at start-gap-50k PLUS a bridging event that merges
-    // into the open session and extends its start backward to within gap of
-    // the straggler — batch semantics merge ALL into one open session, so
-    // nothing may be emitted closed and state must cover the full range
-    val s3 = TestGroupState.create[OpenSession](Optional.of(OpenSession(10000000L, 10000000L, 1, 1.0)),
-      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
-    val out3 = update(gap)(1L, Iterator(ev(8950000L), ev(9500000L)), s3).toSeq
-    assert(out3.isEmpty, s"bridged straggler must not close, got $out3")
-    assert(s3.get == OpenSession(8950000L, 10000000L, 3, 3.0),
+    assert(out2.isEmpty, s"straggler run must be held for the watermark, got $out2")
+    assert(s2.get == OpenSessions(List(OpenSession(1000L, 2000L, 2, 2000000L),
+      OpenSession(10000000L, 10000000L, 1, 1000000L))))
+    // batch 3: a bridge event brings the straggler run within gap of the open
+    // session — interval merge collapses ALL into one state session
+    val s3 = st(Some(OpenSessions(List(OpenSession(8950000L, 8950000L, 1, 1000000L),
+      OpenSession(10000000L, 10000000L, 1, 1000000L)))))
+    val out3 = update(gap)(1L, Iterator(ev(9500000L)), s3).toSeq
+    assert(out3.isEmpty, s"bridged runs must stay open, got $out3")
+    assert(s3.get == OpenSessions(List(OpenSession(8950000L, 10000000L, 3, 3000000L))),
       s"state must merge straggler+bridge+open, got ${s3.get}")
-    // batch 4: straggler + bridge + an event past the gap — the MID-LOOP
-    // close must merge the bridged straggler too, emitting ONE session
-    // (review finding: the first fix only merged at end-of-batch flush)
-    val s4 = TestGroupState.create[OpenSession](Optional.of(OpenSession(10000000L, 10000000L, 1, 1.0)),
-      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
-    val out4 = update(gap)(1L, Iterator(ev(8950000L), ev(9500000L), ev(11500000L)), s4).toSeq
-    assert(out4.map(o => (o.start_us, o.end_us, o.n_events)) == Seq((8950000L, 10000000L, 3)),
-      s"mid-loop close must merge the bridged straggler, got $out4")
-    assert(s4.get == OpenSession(11500000L, 11500000L, 1, 1.0))
+    // batch 4 (timeout-style invocation): the watermark passed the early
+    // run's end+gap — exactly it emits; the later session stays open
+    val s4 = st(Some(OpenSessions(List(OpenSession(1000L, 2000L, 2, 2000000L),
+      OpenSession(10000000L, 10000000L, 1, 1000000L)))), wmMs = 2000L)
+    val out4 = update(gap)(1L, Iterator.empty, s4).toSeq
+    assert(out4.map(o => (o.start_us, o.end_us, o.n_events, o.sum_value_micro)) ==
+      Seq((1000L, 2000L, 2, 2000000L)), s"sealed run must emit, got $out4")
+    assert(s4.get == OpenSessions(List(OpenSession(10000000L, 10000000L, 1, 1000000L))))
   }
 
   test("parquet-sink streaming (production path): windowed agg + sessions read back from sink") {
@@ -368,7 +385,8 @@ class OpsSpec extends AnyFunSuite {
     val batch = ev
       .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
                col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
     assert(sink.count() > 0)
     assert(sink.exceptAll(batch).count() == 0)
     val maxTs = ev.agg(max("ts_us")).as[Long].collect()(0)
@@ -430,7 +448,8 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("ts_us", expr("ts div 1000"))
       .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
                col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }
