@@ -37,6 +37,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.empty[Byte], 10, 2).isEmpty)
   }
 
+  test("documents corpus is pure ASCII (q26/q50 oracle equivalence guard)") {
+    // mediaFromDocuments chunks UTF-8 BYTES while the DuckDB oracle slices
+    // CHARACTERS (substr/ascii) — the two agree only when every character is
+    // one byte. Guard the assumption at each scale factor the driver uses;
+    // a multi-byte corpus must switch the oracle to a byte-iterating form
+    // (documented at Multimodal.mediaFromDocuments).
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val nonAscii = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii == 0, s"$sf: $nonAscii docs with multi-byte chars — " +
+        "q26/q50 character-based oracles no longer byte-equivalent")
+    }
+  }
+
   test("meanByte treats bytes as unsigned; extractFeatures batches preserve every row") {
     assert(Multimodal.meanByte(Array[Byte](-1, 1)) == 128.0) // 255 and 1
     assert(Multimodal.meanByte(Array.empty[Byte]) == 0.0)
