@@ -63,4 +63,22 @@ class PlanSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*p_type".r.findFirstIn(p).isDefined,
       s"p_type filter must reach the part scan:\n$p")
   }
+
+  test("q54 forward as-of: union + carry, no join operator at all") {
+    // the as-of family is a single keyed shuffle + window carry — any Join
+    // node would mean a per-row range probe snuck in
+    val p = plan("q54_asof_forward")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), "carry-forward window expected")
+  }
+
+  test("q49 IVF: corpus cell assignment aggregates (no window sort over corpus×cells)") {
+    val p = plan("q49_ivf_topk")
+    // only two row_number windows may remain — the final per-query top-k
+    // and the nProbe query-cell ranking; a third would be the corpus-side
+    // assign regressing from the max-of-struct aggregation
+    assert("Window \\[row_number".r.findAllIn(p).size <= 2,
+      s"corpus assign must not rank with a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "centroids must broadcast")
+  }
 }
