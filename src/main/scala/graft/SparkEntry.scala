@@ -520,6 +520,25 @@ object SparkEntry {
                 col("blockProb").as("block_prob"))
     }),
 
+    // within-document repetition (Gopher-style duplicate-n-gram filter):
+    // pure integer contract — repetitive ⇔ 5·(total−distinct) > total
+    "q57_repetition_filter" -> ((s, d) =>
+      TextOps.repetitionCounts(documents(s, d), "doc_id", "text", n = 3)
+        .withColumn("repetitive",
+          ((col("n_shingles") - col("n_distinct_shingles")) * 5 >
+            col("n_shingles")).cast("int"))),
+
+    // benchmark decontamination: docs sharing 3-grams with the "benchmark"
+    // probe slice (doc_id ≡ 0 mod 50) and how many — exact-overlap check a
+    // training pipeline runs before every corpus release
+    "q58_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextOps.contaminationCounts(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     "q15_minhash_signatures" -> ((s, d) =>
       Dedup.minhashSignatures(documents(s, d), "doc_id", "text", n = 3, numHashes = 16)
         .withColumnRenamed("id", "doc_id")),
@@ -953,6 +972,30 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin,
+
+    "q57_repetition_filter" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')) AS shs
+        |  FROM documents)
+        |SELECT doc_id, len(shs)::INT AS n_shingles,
+        |  len(list_distinct(shs))::INT AS n_distinct_shingles,
+        |  CASE WHEN 5 * (len(shs) - len(list_distinct(shs))) > len(shs)
+        |       THEN 1 ELSE 0 END AS repetitive
+        |FROM sh""".stripMargin,
+
+    "q58_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS shs
+        |  FROM documents),
+        |probe AS (SELECT DISTINCT unnest(shs) AS shingle FROM t WHERE doc_id % 50 = 0),
+        |docsh AS (SELECT doc_id, unnest(shs) AS shingle FROM t WHERE doc_id % 50 <> 0)
+        |SELECT d.doc_id, count(*) AS n_contaminated_shingles
+        |FROM docsh d JOIN probe p ON d.shingle = p.shingle
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q15_minhash_signatures" -> {
       val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>

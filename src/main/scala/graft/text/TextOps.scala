@@ -106,4 +106,48 @@ object TextOps {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles WITH duplicates (multiset) — the within-document
+    * repetition signal; `shingles` returns the distinct set.
+    */
+  def shinglesAll(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition counts (Gopher-style duplicate n-gram
+    * filter): total vs distinct shingle occurrences per document. Pure
+    * integer contract — downstream thresholds compare scaled integers
+    * (e.g. repetitive ⇔ 5·(total−distinct) > total) so no ratio double
+    * ever crosses an engine boundary. Narrow per-row op: distributes
+    * trivially at any corpus scale.
+    */
+  def repetitionCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), shinglesAll(col(textCol), n).as("sh"))
+      .select(col(idCol),
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct_shingles"))
+
+  /** Benchmark decontamination: for each corpus document, the number of
+    * DISTINCT probe-set (benchmark) n-grams it contains — the standard
+    * exact-overlap contamination check before training. One equi-join on
+    * the shingle string; the probe side is the benchmark suite (tiny), so
+    * it broadcasts — corpus-side work is a narrow explode + map-side join
+    * at any scale. Documents with zero overlap are absent from the result
+    * (anti-join them for the clean set).
+    */
+  def contaminationCounts(docs: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val probeSh = probes.select(
+      explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    docSh.join(broadcast(probeSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
 }

@@ -41,4 +41,24 @@ class TextShinglesSpec extends AnyFunSuite {
       .where(not(col("native") === col("hof")))
     assert(joined.count() == 0, "native and HOF shingles must agree on every doc")
   }
+
+  test("repetitionCounts: multiset vs distinct shingle counts") {
+    import spark.implicits._
+    // "x x x x x" has 3 trigram occurrences, all identical → 3 vs 1
+    val df = Seq((1L, "x x x x x"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
+    val m = TextOps.repetitionCounts(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) == ((3, 1)) && m(2L) == ((2, 2)) && m(3L) == ((0, 0)))
+  }
+
+  test("contaminationCounts: distinct probe-shingle overlap per doc") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b c d e"), (11L, "z z z")).toDF("doc_id", "text")
+    val probes = Seq((1L, "a b c x y b c d")).toDF("doc_id", "text")
+    // probe trigrams: {a b c, b c x, c x y, x y b, y b c, b c d}
+    // doc 10 trigrams: {a b c, b c d, c d e} → overlap {a b c, b c d} = 2
+    val m = TextOps.contaminationCounts(docs, probes, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(10L -> 2L), s"got $m")
+  }
 }
