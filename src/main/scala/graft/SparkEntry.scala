@@ -54,20 +54,32 @@ object SparkEntry {
     * decimals) — the one revenue expression every money query shares; a
     * rounded double sum drifts across engines as it grows.
     */
-  /** Revenue as exact LONG 1e-4-dollar units: floor(x·100 + 0.5) is an exact
-    * integer image of the 2-decimal source doubles, and
+  /** floor(x·100 + 0.5) as LONG — the exact integer image of a 2-decimal
+    * source double (cents / basis points). The shared quantization every
+    * money contract uses; change it here and the DuckDB mirrors in lockstep.
+    */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5))
+
+  /** Revenue as exact LONG 1e-4-dollar units:
     * cents · (100 − bp) ≡ price·(1−disc)·10000 of the former DECIMAL form —
-    * same integers, but primitive-long codegen with no per-row Decimal
-    * allocation, and LONG partial sums instead of unscaled-decimal ones at
-    * 100 TB.
+    * same integers, but primitive-long per-row codegen with no Decimal
+    * allocation.
     */
   private def revenueUnits: Column =
-    floor(col("l_extendedprice") * 100 + lit(0.5)) *
-      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)))
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
-  /** Σ revenueUnits rendered in dollars — the shared money contract. */
+  /** Σ revenueUnits rendered in dollars — the shared money contract. The
+    * aggregation buffer is DECIMAL(38,0): units reach ~3.6e8/row, so a
+    * low-cardinality group over ~1e12 rows would overflow a LONG sum (ANSI
+    * error at best); only the SUM widens — per-row work stays long.
+    * DuckDB's mirror sums into HUGEINT, identically exact.
+    */
   private def revenueDollars: Column =
-    sum(revenueUnits).cast("double") / lit(10000.0)
+    sum(revenueUnits.cast("decimal(38,0)")).cast("double") / lit(10000.0)
+
+  /** Overflow-safe Σ cents in dollars (same reasoning as revenueDollars). */
+  private def sumCentsDollars(c: Column): Column =
+    sum(cents(c).cast("decimal(38,0)")).cast("double") / lit(100.0)
 
   /** The DuckDB mirror of `revenueDollars`. */
   private val RevenueSql =
@@ -75,11 +87,13 @@ object SparkEntry {
       "(100 - floor(l_discount * 100 + 0.5)))::BIGINT)::DOUBLE / 10000.0"
 
   /** The same expression in Spark SQL syntax (q27/q52 run through spark.sql);
-    * Spark's FLOOR(double) is already BIGINT, so the product stays in LONG.
+    * Spark's FLOOR(double) is already BIGINT, so the per-row product stays
+    * in LONG — only the sum widens to DECIMAL(38,0) (see revenueDollars).
     */
   private val SparkRevenueSql =
-    """(CAST(sum(FLOOR(l_extendedprice * 100 + 0.5) *
-      |          (100 - FLOOR(l_discount * 100 + 0.5))) AS DOUBLE) / 10000.0)""".stripMargin
+    """(CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) *
+      |              (100 - FLOOR(l_discount * 100 + 0.5)) AS DECIMAL(38,0)))
+      |      AS DOUBLE) / 10000.0)""".stripMargin
 
   // -- DuckDB mirrors of graft.ops.ExactStats: identical formula text over
   //    HUGEINT sums of the same micro-quantized integers, so both engines
@@ -128,18 +142,17 @@ object SparkEntry {
     // engines as the sum grows — the integer sum is exact in any merge order
     // and its double image unique
     "q01_pricing_summary" -> ((s, d) => {
-      val priceCents = floor(col("l_extendedprice") * 100 + lit(0.5))
       lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          (sum(priceCents).cast("double") / lit(100.0)).as("sum_base_price"),
+          sumCentsDollars(col("l_extendedprice")).as("sum_base_price"),
           revenueDollars.as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           // exact integer sum / count: avg(double) partial sums are merge-
           // order dependent (the r2 q30/q38 failure class)
-          round(sum(floor(col("l_discount") * 100 + lit(0.5))).cast("double") /
+          round(sum(cents(col("l_discount"))).cast("double") /
             (count(lit(1)).cast("double") * lit(100.0)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
@@ -170,8 +183,7 @@ object SparkEntry {
              count(lit(1)).as("n_items"),
              // exact cents sum, not round(avg(double)): the avg form hit a
              // HALF_UP boundary on first try (949.35625) — same trap as r1 q09
-             (sum(floor(col("p_retailprice") * 100 + lit(0.5))).cast("double") /
-               lit(100.0)).as("sum_retail"))
+             sumCentsDollars(col("p_retailprice")).as("sum_retail"))
     }),
 
     "q03_lagged_projection" -> ((s, d) =>
@@ -214,16 +226,17 @@ object SparkEntry {
       val nd = count(lit(1)).cast("double")
       val q = col("l_quantity")
       val sq = sum(q); val sqq = sum(q * q)
-      val cents = floor(col("l_extendedprice") * 100 + lit(0.5))
-      val sc = sum(cents).cast("double")
-      val scc = sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).cast("double")
+      val pc = cents(col("l_extendedprice"))
+      val sc = sum(pc.cast("decimal(38,0)")).cast("double")
+      val scc = sum(pc.cast("decimal(38,0)") * pc.cast("decimal(38,0)")).cast("double")
       lineitem(s, d).agg(
         count(lit(1)).as("n"),
         round(sum(q) / count(lit(1)), 4).as("avg_qty"),
         round(sqrt((nd * sqq - sq * sq) / (nd * (nd - lit(1.0)))), 4).as("std_qty"),
         round(min(q), 4).as("min_qty"),
         round(max(q), 4).as("max_qty"),
-        round(sum(cents).cast("double") / (count(lit(1)).cast("double") * lit(100.0)), 4)
+        round(sum(pc.cast("decimal(38,0)")).cast("double") /
+            (count(lit(1)).cast("double") * lit(100.0)), 4)
           .as("avg_price"),
         round(sqrt((nd * scc - sc * sc) / (nd * (nd - lit(1.0)))) / lit(100.0), 4)
           .as("std_price"))
@@ -452,8 +465,12 @@ object SparkEntry {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us"))
+      // pre-dedup the right side to one click per (user, µs): DuckDB's ASOF
+      // pick among duplicate timestamps is unspecified, so the contract
+      // makes ties structurally impossible on both sides
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+        .groupBy("user_id", "ts_us")
+        .agg(min(col("event_id")).as("click_id"))
       AsOf.asofForward(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
         .select(col("user_id"), col("event_id"), col("asof_click_id").as("click_id"),
                 col("asof_ts").as("click_ts_us"))
@@ -477,8 +494,7 @@ object SparkEntry {
       // over full lineitem regressed q33 2.6s → 6.1s)
       val daily = lineitem(s, d)
         .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01").cast("date")))
-        .withColumn("cents", floor(col("l_extendedprice") * 100 + lit(0.5)) *
-          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5))))
+        .withColumn("cents", revenueUnits) // LONG sums safe here: per-DAY groups
         .groupBy("day")
         .agg(sum("cents").as("rev_cents"))
       val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
@@ -1269,8 +1285,10 @@ object SparkEntry {
       """SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS click_ts_us
         |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
         |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
-        |                FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                       min(event_id) AS click_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, epoch_us(ts)) c
         |ON p.user_id = c.user_id AND p.ts_us <= c.ts_us""".stripMargin,
 
     "q32_quantiles" ->

@@ -44,6 +44,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      // keep the dump self-consistent under the `only` filter — a full
+      // oracle map over a partial query run would compare stale parquet
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GEN_DIR__", genDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

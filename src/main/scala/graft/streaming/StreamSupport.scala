@@ -39,7 +39,14 @@ private[streaming] object StreamSupport {
     val dir = new java.io.File(splitDir)
     val fa = new java.io.File(dir, "split_a.parquet")
     val fb = new java.io.File(dir, "split_b.parquet")
-    if (!(fa.exists() && fb.exists())) {
+    // cache keyed on the SOURCE file identity — a bare existence check would
+    // silently stream stale splits after an sfDir change into the same dir
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}"
+    val marker = new java.io.File(dir, "_source_key.txt")
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == key
+    if (!(fa.exists() && fb.exists() && fresh)) {
       dir.mkdirs()
       val mid = ev.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
         .first().getDouble(0).toLong
@@ -51,12 +58,16 @@ private[streaming] object StreamSupport {
         java.nio.file.Files.move(part.toPath, target.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         scala.reflect.io.Directory(tmp).deleteRecursively()
-        // the file source orders by (modified time, path): pin both
-        target.setLastModified(modMs)
+        // the file source orders by (modified time, path): pin both — a
+        // silent setLastModified failure would let split_b lead, late-drop
+        // the older half, and lose sessions vs the shared oracle
+        require(target.setLastModified(modMs),
+          s"cannot pin mtime on $target; split-stream batch order undefined")
       }
       import org.apache.spark.sql.functions.col
       writeOne(ev.where(col("ts") <= mid), fa, 1000000L)
       writeOne(ev.where(col("ts") > mid), fb, 2000000L)
+      java.nio.file.Files.write(marker.toPath, key.getBytes)
     }
     spark.readStream
       .schema(schema)
