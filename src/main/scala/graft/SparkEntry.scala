@@ -458,6 +458,32 @@ object SparkEntry {
                 col("asof_ts").as("click_ts_us"))
     }),
 
+    // co-located fact-fact join: both sides bucketed by the join key at
+    // write time → the join itself needs NO Exchange on either side
+    // (PlanSpec pins exactly one Exchange: the final groupBy). The 100 TB
+    // pattern for repeatedly-joined fact tables — the bucketed write is
+    // paid once and amortized over every subsequent join; here it runs
+    // in-query (mode overwrite) so the result is always fresh
+    "q59_bucketed_join" -> ((s, d) => {
+      // a fresh session's in-memory catalog forgets the table while its
+      // warehouse directory survives — drop BOTH before the overwrite
+      def freshBucketed(df: DataFrame, name: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        scala.reflect.io.Directory(new java.io.File(s"$wh/$name")).deleteRecursively()
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key).saveAsTable(name)
+      }
+      freshBucketed(lineitem(s, d).select("l_orderkey", "l_quantity"),
+        "graft_li_bucketed", "l_orderkey")
+      freshBucketed(orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "graft_ord_bucketed", "o_orderkey")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // forward as-of: each purchase joined to the EARLIEST click at-or-after
     // it — the symmetric third of the as-of family (backward q04, nearest
     // q36), mirrored by DuckDB's native forward ASOF (`ON p.ts <= c.ts`)
@@ -1280,6 +1306,11 @@ object SparkEntry {
         |FROM p
         |LEFT JOIN b ON p.event_id = b.event_id
         |LEFT JOIN f ON p.event_id = f.event_id""".stripMargin,
+
+    "q59_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q54_asof_forward" ->
       """SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS click_ts_us

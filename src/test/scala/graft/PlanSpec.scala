@@ -72,6 +72,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "carry-forward window expected")
   }
 
+  test("q59 bucketed join: co-located — the only shuffle is the final groupBy") {
+    // with a broadcastable side Catalyst rightly picks BHJ (still zero
+    // shuffles on the inputs); forcing SMJ must use the buckets, not an
+    // Exchange — the regime the op exists for at fact-fact scale
+    val p = plan("q59_bucketed_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed sides must not shuffle before the join:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan must be bucket-aware:\n$p")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan("q59_bucketed_join")
+      assert(p2.contains("SortMergeJoin"), s"forced fact-fact regime:\n$p2")
+      assert("Exchange hashpartitioning".r.findAllIn(p2).size <= 1,
+        s"SMJ must read co-located buckets, not shuffle:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q49 IVF: corpus cell assignment aggregates (no window sort over corpus×cells)") {
     val p = plan("q49_ivf_topk")
     // only two row_number windows may remain — the final per-query top-k
