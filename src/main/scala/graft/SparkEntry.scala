@@ -41,7 +41,10 @@ object SparkEntry {
   private def region(s: SparkSession, d: String) = s.read.parquet(t(d, "region"))
   private def events(s: SparkSession, d: String) = {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects natively;
-    // read as raw long ns (ts/1000 == DuckDB epoch_us for positive epochs)
+    // read as raw long ns (ts/1000 == DuckDB epoch_us for positive epochs).
+    // The legacy flag is an SQLConf (no per-read option exists), so it is
+    // session-wide by necessity — safe here because events.parquet is the
+    // only NANOS-typed input, so no other table's schema can change
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(t(d, "events"))
   }
@@ -50,10 +53,6 @@ object SparkEntry {
   private def documents(s: SparkSession, d: String) = s.read.parquet(t(d, "documents"))
   private def embeddings(s: SparkSession, d: String) = s.read.parquet(t(d, "embeddings"))
 
-  /** Exact DECIMAL money product (the source doubles carry exactly 2
-    * decimals) — the one revenue expression every money query shares; a
-    * rounded double sum drifts across engines as it grows.
-    */
   /** floor(x·100 + 0.5) as LONG — the exact integer image of a 2-decimal
     * source double (cents / basis points). The shared quantization every
     * money contract uses; change it here and the DuckDB mirrors in lockstep.
@@ -198,9 +197,13 @@ object SparkEntry {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us"))
+      // pre-dedup the right side to one view per (user, µs): ns→µs
+      // truncation can collide timestamps, and DuckDB's ASOF pick among
+      // duplicates is unspecified (same hardening as q54/q36)
       val views = ev.where(col("event_type") === "view")
-        .select(col("user_id"), col("event_id").as("view_id"),
-                col("value").as("view_value"), col("ts_us"))
+        .groupBy("user_id", "ts_us")
+        .agg(min(col("event_id")).as("view_id"),
+             expr("min_by(value, event_id)").as("view_value"))
       AsOf.asofBackward(purchases, views, Seq("user_id"), "ts_us", Seq("view_id", "view_value"))
         .select(col("user_id"), col("event_id"),
           col("asof_view_id").as("view_id"),
@@ -451,8 +454,11 @@ object SparkEntry {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_us"))
+      // one click per (user, µs) on both engines — DuckDB's ASOF pick among
+      // duplicate timestamps is unspecified (same hardening as q54)
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+        .groupBy("user_id", "ts_us")
+        .agg(min(col("event_id")).as("click_id"))
       AsOf.asofNearest(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
         .select(col("user_id"), col("event_id"), col("asof_click_id").as("click_id"),
                 col("asof_ts").as("click_ts_us"))
@@ -469,8 +475,13 @@ object SparkEntry {
       // warehouse directory survives — drop BOTH before the overwrite
       def freshBucketed(df: DataFrame, name: String, key: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        scala.reflect.io.Directory(new java.io.File(s"$wh/$name")).deleteRecursively()
+        // local-filesystem warehouse assumed (this harness); an object-store
+        // warehouse would pass an explicit .option("path", ...) instead
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val dir = new java.io.File(wh, name)
+        if (dir.exists)
+          require(scala.reflect.io.Directory(dir).deleteRecursively(),
+            s"cannot clear stale table location $dir")
         df.write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key).saveAsTable(name)
       }
@@ -881,14 +892,17 @@ object SparkEntry {
         |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_1,
         |    lag(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS value_2
         |  FROM events)
-        |WHERE value_1 IS NOT NULL AND value_2 IS NOT NULL""".stripMargin,
+        |WHERE value_0 IS NOT NULL AND value_1 IS NOT NULL AND value_2 IS NOT NULL""".stripMargin,
 
     "q04_asof_join" ->
       """SELECT p.user_id, p.event_id, v.view_id, round(v.view_value, 4) AS view_value
         |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
         |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, event_id AS view_id, value AS view_value,
-        |                epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                       min(event_id) AS view_id,
+        |                       min_by(value, event_id) AS view_value
+        |                FROM events WHERE event_type = 'view'
+        |                GROUP BY user_id, epoch_us(ts)) v
         |ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
 
     "q05_topk_per_group" ->
@@ -1292,8 +1306,9 @@ object SparkEntry {
     "q36_asof_nearest" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us FROM events
-        |      WHERE event_type = 'click'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, min(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id, epoch_us(ts)),
         |b AS (SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS cts
         |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us),
         |f AS (SELECT p.user_id, p.event_id, c.click_id, c.ts_us AS cts

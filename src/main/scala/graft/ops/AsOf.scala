@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,8 +13,33 @@ import org.apache.spark.sql.functions._
   *
   * One shuffle, linear in |L|+|R|, no per-row range probe — this survives a
   * 100× scale-up where a broadcast-range-join or per-key collect would not.
+  *
+  * The matched right row travels as ONE struct: carrying each value column
+  * independently with ignoreNulls would stitch fields from DIFFERENT right
+  * rows whenever a value column is null (a chimera row no engine's ASOF
+  * semantics would produce); the struct is null exactly for left rows, so
+  * the whole matched row stays together.
   */
 object AsOf {
+
+  private def tagged(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val rVals = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn("_side", lit(0))
+    left.withColumn("_side", lit(1))
+      .unionByName(rVals, allowMissingColumns = true)
+  }
+
+  /** The matched right row as a single nullable struct (ts first). */
+  private def rightRow(tsCol: String, valueCols: Seq[String]): Column =
+    when(col("_side") === 0, struct((tsCol +: valueCols).map(col): _*))
+
+  private def unpack(df: DataFrame, lCols: Seq[String], rowCol: Column,
+      tsCol: String, valueCols: Seq[String]): DataFrame =
+    df.where(col("_side") === 1)
+      .select(lCols.map(col) ++
+        valueCols.map(c => rowCol.getField(c).as(s"asof_$c")) :+
+        rowCol.getField(tsCol).as("asof_ts"): _*)
 
   /** For each left row, attach the latest right row with right.ts <= left.ts
     * (backward as-of) within the same key. Right value columns come back as
@@ -22,58 +47,37 @@ object AsOf {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val lCols = left.columns
-    val rVals = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
-      .withColumn("_side", lit(0))
-    // right rows sort before left rows at the same timestamp (<= semantics)
-    val unioned = left.withColumn("_side", lit(1))
-      .unionByName(rVals, allowMissingColumns = true)
-
+    val lCols = left.columns.toSeq
+    val unioned = tagged(left, right, keyCols, tsCol, valueCols)
     // tie-break on the right value columns so duplicate right timestamps
     // within a key resolve deterministically across runs/partitionings
     val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts",
-      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-
-    carried.where(col("_side") === 1)
-      .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+    val carried = unioned.withColumn("_r",
+      last(rightRow(tsCol, valueCols), ignoreNulls = true).over(w))
+    unpack(carried, lCols, col("_r"), tsCol, valueCols)
   }
 
   /** For each left row, attach the EARLIEST right row with right.ts >=
-    * left.ts (forward as-of) — the symmetric third of the family
-    * (backward / nearest / forward). Same union + single-shuffle carry as
-    * asofBackward; the sort puts left rows BEFORE right rows at equal
-    * timestamps so an exactly-simultaneous right row qualifies
-    * (>= semantics, matching DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`).
+    * left.ts (forward as-of) within the same key — the symmetric third of
+    * the family (backward / nearest / forward). Same union + single-shuffle
+    * carry; the sort puts left rows BEFORE right rows at equal timestamps so
+    * an exactly simultaneous right row qualifies (>= semantics, matching
+    * DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`).
     */
   def asofForward(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val lCols = left.columns
-    val rVals = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
-      .withColumn("_side", lit(0))
-    val unioned = left.withColumn("_side", lit(1))
-      .unionByName(rVals, allowMissingColumns = true)
-
+    val lCols = left.columns.toSeq
+    val unioned = tagged(left, right, keyCols, tsCol, valueCols)
     val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol).cast("double").asc +: col("_side").desc +: tieBreak): _*)
       .rowsBetween(0, Window.unboundedFollowing)
-
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts",
-      first(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-
-    carried.where(col("_side") === 1)
-      .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+    val carried = unioned.withColumn("_r",
+      first(rightRow(tsCol, valueCols), ignoreNulls = true).over(w))
+    unpack(carried, lCols, col("_r"), tsCol, valueCols)
   }
 
   /** Nearest (either direction) as-of: argmin |right.ts - left.ts| per left
@@ -82,39 +86,24 @@ object AsOf {
     */
   def asofNearest(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val lCols = left.columns
-    val rVals = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
-      .withColumn("_side", lit(0))
-    val unioned = left.withColumn("_side", lit(1))
-      .unionByName(rVals, allowMissingColumns = true)
-
+    val lCols = left.columns.toSeq
+    val unioned = tagged(left, right, keyCols, tsCol, valueCols)
     val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +:
         valueCols.map(c => col(c).asc_nulls_first)): _*)
     val wb = base.rowsBetween(Window.unboundedPreceding, 0)
     val wf = base.rowsBetween(0, Window.unboundedFollowing)
 
-    val withBoth = valueCols.foldLeft(
-      unioned
-        .withColumn("_bts", last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(wb))
-        .withColumn("_fts", first(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(wf))
-    ) { (df, c) =>
-      df.withColumn(s"_b_$c", last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wb))
-        .withColumn(s"_f_$c", first(when(col("_side") === 0, col(c)), ignoreNulls = true).over(wf))
-    }
-
-    val takeBackward = col("_fts").isNull ||
-      (col("_bts").isNotNull &&
-        abs(col(tsCol).cast("double") - col("_bts").cast("double")) <=
-        abs(col("_fts").cast("double") - col(tsCol).cast("double")))
-
-    val picked = valueCols.foldLeft(
-      withBoth.withColumn("asof_ts", when(takeBackward, col("_bts")).otherwise(col("_fts")))
-    ) { (df, c) =>
-      df.withColumn(s"asof_$c", when(takeBackward, col(s"_b_$c")).otherwise(col(s"_f_$c")))
-    }
-
-    picked.where(col("_side") === 1)
-      .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+    val rrow = rightRow(tsCol, valueCols)
+    val withBoth = unioned
+      .withColumn("_b", last(rrow, ignoreNulls = true).over(wb))
+      .withColumn("_f", first(rrow, ignoreNulls = true).over(wf))
+    val bts = col("_b").getField(tsCol).cast("double")
+    val fts = col("_f").getField(tsCol).cast("double")
+    val takeBackward = col("_f").isNull ||
+      (col("_b").isNotNull &&
+        abs(col(tsCol).cast("double") - bts) <= abs(fts - col(tsCol).cast("double")))
+    val picked = withBoth.withColumn("_r", when(takeBackward, col("_b")).otherwise(col("_f")))
+    unpack(picked, lCols, col("_r"), tsCol, valueCols)
   }
 }

@@ -81,6 +81,19 @@ private[streaming] object StreamSupport {
     */
   def runToMemory(df: DataFrame, queryName: String,
       outputMode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    // harness queries use unique (nanoTime-suffixed) sink names, so stale
+    // sinks are never overwritten by name reuse — drop previous runs' cached
+    // sink tables here or a bench loop pins every past result in memory
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name != queryName &&
+        (t.name.startsWith("graft_") || t.name.startsWith("ops_")))
+      .foreach { t =>
+        try {
+          spark.table(t.name).unpersist()
+          spark.catalog.dropTempView(t.name)
+        } catch { case _: Throwable => () }
+      }
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")

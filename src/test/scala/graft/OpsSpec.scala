@@ -51,6 +51,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofBackward carries the matched right ROW whole (no chimera from null value cols)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "ts")
+    val r = Seq((1L, 1L, 90L, Option(1.0)), (1L, 2L, 95L, Option.empty[Double]))
+      .toDF("k", "rid", "ts", "rv")
+    val out = AsOf.asofBackward(l, r, Seq("k"), "ts", Seq("rid", "rv")).collect()(0)
+    assert(out.getAs[Long]("asof_rid") == 2L) // the ts=95 row matches...
+    assert(out.isNullAt(out.fieldIndex("asof_rv")),
+      "matched row's null value must NOT be backfilled from an earlier right row")
+  }
+
   test("asofForward matches brute-force nearest-future join (>= semantics)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
