@@ -573,6 +573,11 @@ object SparkEntry {
                 col("blockProb").as("block_prob"))
     }),
 
+    // salient terms per document: the tf·idf ordering as pure integers
+    // (tf desc, df asc, token asc) — no cross-engine log parity needed
+    "q60_salient_terms" -> ((s, d) =>
+      TextOps.topTermsPerDoc(documents(s, d), "doc_id", "text", k = 3)),
+
     // within-document repetition (Gopher-style duplicate-n-gram filter):
     // pure integer contract — repetitive ⇔ 5·(total−distinct) > total
     "q57_repetition_filter" -> ((s, d) =>
@@ -1028,6 +1033,21 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5""".stripMargin,
+
+    "q60_salient_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tok3 AS (SELECT doc_id, token FROM tok WHERE length(token) >= 3),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok3 GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tok3) GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rk FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rk
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |WHERE rk <= 3""".stripMargin,
 
     "q57_repetition_filter" ->
       """WITH sh AS (

@@ -132,6 +132,31 @@ object TextOps {
         size(col("sh")).as("n_shingles"),
         size(array_distinct(col("sh"))).as("n_distinct_shingles"))
 
+  /** Salient-term extraction (tf-idf-style keyword ranking with a PURE
+    * INTEGER contract): per document, the top-k tokens by
+    * (term frequency DESC, document frequency ASC, token ASC) — the exact
+    * ordering a tf·idf score induces for fixed N, with no transcendental
+    * log whose last ulp differs across engines (the r1 q31 lesson).
+    * Distribution: one tf groupBy, one df groupBy, one equi-join on the
+    * token, and a per-document window — all narrow or single-shuffle at
+    * any corpus scale.
+    */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minTokenLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .where(length(col("token")) >= minTokenLen)
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tok.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(docFreq, Seq("token"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rk"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * DISTINCT probe-set (benchmark) n-grams it contains — the standard
     * exact-overlap contamination check before training. One equi-join on
