@@ -45,6 +45,23 @@ object ExactStats {
       sxx = sum(xm * xm), sxy = sum(xm * ym))
   }
 
+  /** Magnitude bound of the DECIMAL(38,0) cross-products (n·Σxy, Σx·Σy,
+    * n·Σxx, Σx²): with |x|,|y| ≤ M in natural units, micro values are
+    * ≤ 1e6·M, so each product is ≤ n²·1e12·M² and must stay under 1e38 —
+    * i.e. n²·M² < 1e26, e.g. M = 100 allows n ≤ 1e11 rows per group.
+    * Past that, Spark's non-ANSI decimal arithmetic returns NULL silently;
+    * rather than let the column quietly go null at exactly the scales this
+    * module targets, the guard below turns overflow into a raised error
+    * (n > 0 with a null cross-product is impossible otherwise). For groups
+    * beyond the bound use the BigInt-based `OlsAggregator.slopeMilli`,
+    * which is arbitrary-precision.
+    */
+  private def checkedRatio(s: OlsSums, num: Column, den: Column): Column =
+    when(s.n > lit(0) && (num.isNull || den.isNull),
+      raise_error(lit("graft.ExactStats: DECIMAL(38,0) overflow in OLS " +
+        "cross-products (n^2*M^2 >= 1e26) — use OlsAggregator (BigInt)")))
+      .otherwise(num / den)
+
   /** OLS slope of y on x in milli-units, rounded half-up:
     * floor(slope · 1000 + 0.5). Evaluated as
     * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over the exact micro sums; the
@@ -56,7 +73,7 @@ object ExactStats {
     val s = olsSums(y, x)
     val num = (s.n * s.sxy - s.sx * s.sy).cast("double")
     val den = (s.n * s.sxx - s.sx * s.sx).cast("double")
-    floor(num / den * lit(1000.0) + lit(0.5))
+    floor(checkedRatio(s, num, den) * lit(1000.0) + lit(0.5))
   }
 
   /** OLS intercept of y on x in milli-units of y (same contract as
@@ -68,6 +85,6 @@ object ExactStats {
     val s = olsSums(y, x)
     val num = (s.sy * s.sxx - s.sx * s.sxy).cast("double")
     val den = (s.n * s.sxx - s.sx * s.sx).cast("double")
-    floor(num / den / lit(1000.0) + lit(0.5))
+    floor(checkedRatio(s, num, den) / lit(1000.0) + lit(0.5))
   }
 }

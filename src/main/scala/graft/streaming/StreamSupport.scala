@@ -30,9 +30,19 @@ private[streaming] object StreamSupport {
     * the median timestamp keeps every batch-2 event above batch 1's
     * watermark (max − 1 h), so nothing is late-dropped and the emitted set
     * equals the single-batch run's under the finality contract.
+    *
+    * Concurrency contract: split creation is serialized within this JVM (a
+    * process-wide lock below), and `splitDir` assumes a SINGLE WRITER across
+    * processes — two JVMs splitting into the same directory concurrently
+    * could interleave file moves and marker writes. Give each concurrent
+    * query its own splitDir. Note this helper also sets the session-wide
+    * `nanosAsLong` SQLConf (the events table stores nanos), a deliberate
+    * read-path side effect shared with `eventsFileStream`.
     */
+  private val splitLock = new Object
+
   def eventsSplitStream(spark: SparkSession, sfDir: String,
-      splitDir: String): DataFrame = {
+      splitDir: String): DataFrame = splitLock.synchronized {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = ev.schema
@@ -75,6 +85,12 @@ private[streaming] object StreamSupport {
       .parquet(splitDir)
   }
 
+  // sink tables THIS module created and has not yet dropped — scoping the
+  // cleanup to this set (not a name-prefix sweep of the whole catalog) so an
+  // unrelated user/test temp view that happens to match a prefix is never
+  // unpersisted or dropped out from under its owner
+  private val createdSinks = scala.collection.mutable.LinkedHashSet.empty[String]
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow, drain it,
     * and return the materialized table (cached — the sink table goes away
     * with the next query of the same name).
@@ -85,15 +101,16 @@ private[streaming] object StreamSupport {
     // harness queries use unique (nanoTime-suffixed) sink names, so stale
     // sinks are never overwritten by name reuse — drop previous runs' cached
     // sink tables here or a bench loop pins every past result in memory
-    spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name != queryName &&
-        (t.name.startsWith("graft_") || t.name.startsWith("ops_")))
-      .foreach { t =>
+    createdSinks.synchronized {
+      createdSinks.filter(_ != queryName).foreach { name =>
         try {
-          spark.table(t.name).unpersist()
-          spark.catalog.dropTempView(t.name)
+          spark.table(name).unpersist()
+          spark.catalog.dropTempView(name)
         } catch { case _: Throwable => () }
+        createdSinks -= name
       }
+      createdSinks += queryName
+    }
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")

@@ -132,10 +132,13 @@ object TextOps {
         size(col("sh")).as("n_shingles"),
         size(array_distinct(col("sh"))).as("n_distinct_shingles"))
 
-  /** Salient-term extraction (tf-idf-style keyword ranking with a PURE
+  /** Salient-term extraction (tf-idf-INSPIRED keyword ranking with a PURE
     * INTEGER contract): per document, the top-k tokens by
-    * (term frequency DESC, document frequency ASC, token ASC) — the exact
-    * ordering a tf·idf score induces for fixed N, with no transcendental
+    * (term frequency DESC, document frequency ASC, token ASC) — tf-major
+    * with an idf tie-break. NOTE this is not the tf·idf ordering itself:
+    * tf·log(N/df) can rank a rare low-tf term above a common high-tf term
+    * (tf=1,df=1 beats tf=2,df=100 for large N). The integer contract is
+    * chosen so both engines sort identical integers — no transcendental
     * log whose last ulp differs across engines (the r1 q31 lesson).
     * Distribution: one tf groupBy, one df groupBy, one equi-join on the
     * token, and a per-document window — all narrow or single-shuffle at
