@@ -42,7 +42,13 @@ object Bench {
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // a failing query must not masquerade as a fast success — record it
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated substring filter for targeted profiling runs
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,q52); full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
+    selected.foreach { case (name, fn) =>
       def once(): Double = time {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable =>
@@ -64,6 +70,7 @@ object Bench {
       } else results(name) = t1
     }
 
+    val (genStage, taskSkew) = if (only.nonEmpty) (Array.empty[Long], 0.0) else {
     // full-sweep generation: every config of all 18 families (BASELINE headline)
     results("gen_full_sweep") = time {
       Generate.series(spark, Grid.all()).toDF()
@@ -110,6 +117,8 @@ object Bench {
       genStage.last.toDouble / math.max(1L, genStage(genStage.length / 2)) else 0.0
     // keep the dir out of later rounds' way
     scala.reflect.io.Directory(new java.io.File(scaleDir)).deleteRecursively()
+    (genStage, taskSkew)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rr = runs.map { case (k, vs) =>

@@ -345,13 +345,29 @@ object SparkEntry {
       region(s, d).createOrReplaceTempView("q27_region")
       // BROADCAST hints: without them the SQL path shuffle-joins the three
       // dimension tables that q02 broadcasts (r1 bench: 12.3s vs 2.3s on the
-      // identical join tree); DECIMAL revenue as in q01/q02
+      // identical join tree). Lineitem is pre-aggregated to ORDER grain below
+      // the join — Catalyst does not push aggregates through joins itself,
+      // and each order maps to exactly one (r_name, n_name), so summing
+      // per-order partials is exact. At 100 TB this shrinks the probe side
+      // of the orders join ~4× (avg lineitems/order) BEFORE it shuffles, and
+      // the ROLLUP's 3× Expand runs over order-grain rows instead of
+      // lineitem-grain; the groupBy's hash partitioning on l_orderkey is
+      // reused by the join, so lineitem still shuffles exactly once.
+      // Per-order money stays in BIGINT (an order has ≤7 items, ≤~1e11
+      // units each); only the cross-order sum widens to DECIMAL(38,0), the
+      // same overflow contract as revenueDollars.
       s.sql(
-        s"""SELECT /*+ BROADCAST(q27_customer, q27_nation, q27_region) */
+        s"""WITH li AS (
+          |  SELECT l_orderkey,
+          |    sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) *
+          |             (100 - FLOOR(l_discount * 100 + 0.5)) AS BIGINT)) AS units,
+          |    count(*) AS n
+          |  FROM q27_lineitem GROUP BY l_orderkey)
+          |SELECT /*+ BROADCAST(q27_customer, q27_nation, q27_region) */
           |  r_name, n_name,
-          |  $SparkRevenueSql AS revenue,
-          |  count(*) AS n_items
-          |FROM q27_lineitem
+          |  CAST(sum(CAST(units AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue,
+          |  sum(n) AS n_items
+          |FROM li
           |JOIN q27_orders ON l_orderkey = o_orderkey
           |JOIN q27_customer ON o_custkey = c_custkey
           |JOIN q27_nation ON c_nationkey = n_nationkey

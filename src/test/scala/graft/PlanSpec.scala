@@ -34,6 +34,12 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       "customer/nation/region must broadcast")
     assert(!p.contains("SortMergeJoin"), "no dimension may shuffle-join")
+    // the r5 scale rewrite: lineitem must aggregate to ORDER grain BELOW the
+    // join (Catalyst won't push an aggregate through a join itself), so the
+    // rollup Expand and the orders join both run on ~4× fewer rows and the
+    // pre-agg's hash partitioning on l_orderkey is reusable by the join
+    assert("HashAggregate\\(keys=\\[l_orderkey".r.findFirstIn(p).isDefined,
+      s"lineitem must pre-aggregate by l_orderkey below the join:\n$p")
   }
 
   test("q01 scan: filter pushed down to parquet") {
