@@ -623,6 +623,26 @@ object SparkEntry {
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)),
 
+    // dedup CLUSTERING: transitive closure of the q16 LSH pairs via
+    // large-star/small-star contractions (O(log n) distributed rounds, no
+    // driver-side graph); every doc gets its component (= min doc_id in the
+    // cluster, singletons label themselves), the cluster size, and the
+    // canonical-keeper flag a dedup pipeline filters on
+    "q61_dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)
+      val comp = graft.ops.ConnectedComponents.components(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("csize"))
+      labeled.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("csize"),
+          when(col("doc_id") === col("component"), 1).otherwise(0).as("keep"))
+    }),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -822,8 +842,10 @@ object SparkEntry {
   /** Shared q15/q16 oracle prelude: distinct 3-gram shingles per doc and
     * their 31-poly hashes (the MinHash input universe).
     */
+  // CTE list WITHOUT the leading WITH so callers can choose plain WITH vs
+  // WITH RECURSIVE (q61 chains a recursive reachability CTE onto these)
   private val ShingleHashCte =
-    """WITH sh AS (
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
       |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
@@ -831,6 +853,36 @@ object SparkEntry {
       |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
       |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
       |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)""".stripMargin
+
+  /** CTE chain (no leading WITH) ending in `pairs(id_a, id_b, est_jaccard)`
+    * — the exact q16 LSH candidate-pair set, shared verbatim by q16 and by
+    * q61's recursive-closure oracle so both compare against the same pairs.
+    */
+  private val MinhashPairsCtes: String = {
+    val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
+    }.mkString(",\n  ")
+    val nBands = 4; val rows = 4
+    def bucketExpr(b: Int) = (0 until rows).foldLeft("0") { (acc, i) =>
+      s"(($acc * 1000003 + mh_${b * rows + i}) % 2147483647)"
+    }
+    val mhList = (0 until 16).map(i => s"mh_$i").mkString(", ")
+    val bandSelects = (0 until nBands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bucketExpr(b)} AS bucket, $mhList FROM sig"
+    ).mkString("\n  UNION ALL\n  ")
+    val matches = (0 until 16).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$ShingleHashCte,
+       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(($matches)::DOUBLE / 16, 6) AS est_jaccard
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE round(($matches)::DOUBLE / 16, 6) >= 0.25)""".stripMargin
+  }
 
   /** The gap-sessionization + watermark-finality emission model both
     * session queries share (q40 single-batch, q55 multi-batch — finality
@@ -1093,36 +1145,33 @@ object SparkEntry {
       val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
         s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
       }.mkString(",\n  ")
-      s"""$ShingleHashCte
+      s"""WITH $ShingleHashCte
          |SELECT doc_id,
          |  $mins
          |FROM h GROUP BY doc_id""".stripMargin
     },
 
-    "q16_minhash_pairs" -> {
-      val mins = graft.text.Dedup.MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % 2147483647)::BIGINT AS mh_$i"
-      }.mkString(",\n  ")
-      val nBands = 4; val rows = 4
-      def bucketExpr(b: Int) = (0 until rows).foldLeft("0") { (acc, i) =>
-        s"(($acc * 1000003 + mh_${b * rows + i}) % 2147483647)"
-      }
-      val mhList = (0 until 16).map(i => s"mh_$i").mkString(", ")
-      val bandSelects = (0 until nBands).map(b =>
-        s"SELECT doc_id, $b AS band, ${bucketExpr(b)} AS bucket, $mhList FROM sig"
-      ).mkString("\n  UNION ALL\n  ")
-      val matches = (0 until 16).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""$ShingleHashCte,
-         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-         |banded AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(($matches)::DOUBLE / 16, 6) AS est_jaccard
-         |FROM banded a
-         |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE round(($matches)::DOUBLE / 16, 6) >= 0.25""".stripMargin
-    },
+    "q16_minhash_pairs" ->
+      s"""WITH $MinhashPairsCtes
+         |SELECT id_a, id_b, est_jaccard FROM pairs""".stripMargin,
+
+    // transitive closure of the q16 pair set: min reachable doc_id per doc.
+    // DuckDB can afford the recursive reachability CTE at oracle scale; the
+    // Spark side computes the same closure with large-star/small-star
+    // contractions (the O(log n)-round distributed form).
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.csize,
+         |  (CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END) AS keep
+         |FROM comp c JOIN sizes s USING (component)""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
