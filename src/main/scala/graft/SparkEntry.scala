@@ -643,6 +643,16 @@ object SparkEntry {
           when(col("doc_id") === col("component"), 1).otherwise(0).as("keep"))
     }),
 
+    // deterministic stratified sampling, keyed on CONTENT (the q12 rolling-
+    // hash fingerprint): reproducible across re-runs/re-partitions and
+    // dedup-consistent (byte-identical dups sample identically) — the way a
+    // 100 TB corpus pipeline samples, vs df.sample()'s task-order RNG. The
+    // xxhash64 production variant is spec-tested (not SQL-mirrorable).
+    "q62_stratified_sample" -> ((s, d) =>
+      graft.text.Sampling.stratifiedContentSample(documents(s, d), "text", "lang",
+        Map("en" -> 200, "zh" -> 100), defaultPermille = 50)
+        .select(col("doc_id"), col("lang"), col("sample_bucket"))),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1172,6 +1182,18 @@ object SparkEntry {
          |SELECT c.doc_id, c.component, s.csize,
          |  (CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END) AS keep
          |FROM comp c JOIN sizes s USING (component)""".stripMargin,
+
+    // the fingerprint is non-negative, so plain % mirrors Spark's pmod
+    "q62_stratified_sample" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket FROM fp
+        |WHERE sample_bucket <
+        |  (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 100 ELSE 50 END)""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
