@@ -653,6 +653,13 @@ object SparkEntry {
         Map("en" -> 200, "zh" -> 100), defaultPermille = 50)
         .select(col("doc_id"), col("lang"), col("sample_bucket"))),
 
+    // concat-and-chunk sequence packing placement (ctx=256, 8 shards): the
+    // per-shard prefix sum is the only sequential dependency — shards scale
+    // with the data, so no global single-partition window ever exists
+    "q63_sequence_packing" -> ((s, d) =>
+      graft.text.Packing.packPlacement(documents(s, d), "doc_id", "text",
+        ctxLen = 256, nShards = 8)),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1194,6 +1201,23 @@ object SparkEntry {
         |SELECT doc_id, lang, sample_bucket FROM fp
         |WHERE sample_bucket <
         |  (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 100 ELSE 50 END)""".stripMargin,
+
+    // window frames are equal despite the engines' different defaults
+    // (RANGE vs ROWS) because doc_id is unique within a shard
+    "q63_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)::BIGINT AS tok_end
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens, tok_end - n_tokens AS tok_start,
+        |  (tok_end - n_tokens) // 256 AS first_seq,
+        |  (tok_end - 1) // 256 AS last_seq,
+        |  ((tok_end - 1) // 256) - ((tok_end - n_tokens) // 256) + 1 AS n_seqs
+        |FROM pre""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true

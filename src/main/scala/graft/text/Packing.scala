@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: concat-and-chunk placement.
+  *
+  * The standard pretraining layout concatenates documents (in a fixed
+  * order) into one token stream and cuts it into fixed-length sequences.
+  * The placement of every document — its token offset, and which sequences
+  * it lands in — is a per-shard prefix sum: deterministic, integer-only,
+  * and embarrassingly parallel ACROSS shards. Real pipelines pack per
+  * shard/file for exactly this reason; a single global stream would
+  * serialize the whole corpus through one cumulative sum (one partition at
+  * 100 TB), while per-shard packing scales the sequential dependency down
+  * to shard size and the shard count up with the data.
+  *
+  * Reference anchor: out of the reference's scope (it emits CSV series) —
+  * prompt-mandated pipeline surface ("operations a large-scale
+  * training-data pipeline would need").
+  */
+object Packing {
+
+  /** Per-document placement under concat-and-chunk packing with context
+    * length `ctxLen`, sharded by `pmod(id, nShards)`, concatenation order
+    * = id order within the shard. Tokens = whitespace tokens (the engine's
+    * q09 token contract). Emits doc_id, shard, n_tokens, tok_start (offset
+    * of the doc's first token in its shard stream), first_seq/last_seq
+    * (sequence indices the doc spans) and n_seqs.
+    */
+  def packPlacement(df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, nShards: Int): DataFrame = {
+    require(ctxLen > 0 && nShards > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        size(TextOps.tokensCol(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tok_end", sum("n_tokens").over(w)) // inclusive prefix sum
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      // integer div, not double `/`: exact at any stream length
+      .withColumn("first_seq", expr(s"tok_start div ${ctxLen.toLong}"))
+      .withColumn("last_seq", expr(s"(tok_end - 1) div ${ctxLen.toLong}"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_start"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
+  }
+
+  /** Per-sequence summary over a shard's chunked stream: how many documents
+    * contribute to each sequence and how many tokens of the sequence are
+    * document boundaries' first tokens — the packing-quality stats a
+    * curriculum/attention-masking step consumes. Computed from placements
+    * WITHOUT exploding docs×sequences: a doc spanning k sequences
+    * contributes via a range join on (first_seq..last_seq), which stays
+    * linear in Σ n_seqs (bounded by tokens/ctxLen + docs).
+    */
+  def sequenceStats(placement: DataFrame): DataFrame =
+    placement.select(col("shard"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_idx"))
+      .groupBy("shard", "seq_idx").agg(count(lit(1)).as("n_docs"))
+}
