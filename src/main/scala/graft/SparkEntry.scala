@@ -660,6 +660,31 @@ object SparkEntry {
       graft.text.Packing.packPlacement(documents(s, d), "doc_id", "text",
         ctxLen = 256, nShards = 8)),
 
+    // curation funnel: cumulative survival through langid → length bounds →
+    // repetition filter, ONE corpus scan (conditional aggregates), not one
+    // scan per stage. Integer-only predicates (q57's scaled-ratio trick).
+    "q64_quality_funnel" -> ((s, d) => {
+      val toks = TextOps.tokensCol(col("text"))
+      val nTok = size(toks)
+      val nChars = length(col("text"))
+      val sh = TextOps.shinglesAll(col("text"), 3)
+      val nSh = size(sh); val nDsh = size(array_distinct(sh))
+      graft.ops.Funnel.retention(TextOps.langId(documents(s, d)), Seq(
+        "lang_en" -> (col("lang_pred") === "en"),
+        // 50+ tokens with mean token length in [3,10]: integer cross-
+        // multiplication of (n_chars − n_tokens + 1) / n_tokens
+        "len_ok" -> (nTok >= 50 &&
+          (nChars - nTok + 1) >= nTok * 3 && (nChars - nTok + 1) <= nTok * 10),
+        "not_repetitive" -> !((nSh - nDsh) * 5 > nSh)))
+    }),
+
+    // one k-means Lloyd step (k=8 seeded from the corpus): broadcast
+    // assignment reduced map-side, centroid update as exact per-dim integer
+    // sums — the update shuffle is O(tasks·k·d), independent of corpus size
+    "q65_kmeans_step" -> ((s, d) =>
+      graft.sim.Clustering.kmeansStepStats(embeddings(s, d), "vec_id",
+        "embedding", k = 8)),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -871,6 +896,26 @@ object SparkEntry {
       |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
       |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)""".stripMargin
 
+  /** DuckDB mirror of TextOps.langId's argmax-with-tie-break — the CASE
+    * prioritizes language codes in order, exactly the greatest-of-structs
+    * tie-break on the Spark side. Shared by q11 and q64.
+    */
+  private val LangPredCaseSql: String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val de = score(Seq("der", "die", "und", "nicht", "das", "ist", "du", "ich", "ein", "mit"))
+    val en = score(Seq("the", "and", "is", "of", "to", "a", "in", "that", "it", "for"))
+    val es = score(Seq("el", "la", "que", "de", "no", "los", "una", "por", "con", "para"))
+    val fr = score(Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"))
+    val zh = score(Seq("de", "shi", "bu", "wo", "ni", "ta", "zai", "le", "you", "men"))
+    s"""CASE
+       |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+       |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+       |    WHEN $fr >= $zh THEN 'fr'
+       |    ELSE 'zh' END""".stripMargin
+  }
+
   /** CTE chain (no leading WITH) ending in `pairs(id_a, id_b, est_jaccard)`
     * — the exact q16 LSH candidate-pair set, shared verbatim by q16 and by
     * q61's recursive-closure oracle so both compare against the same pairs.
@@ -1056,24 +1101,11 @@ object SparkEntry {
          |         / len(string_split(text, ' '))), 6) AS quality_score
          |FROM documents""".stripMargin,
 
-    "q11_langid" -> {
-      def score(words: Seq[String]) =
-        s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
-      val de = score(Seq("der", "die", "und", "nicht", "das", "ist", "du", "ich", "ein", "mit"))
-      val en = score(Seq("the", "and", "is", "of", "to", "a", "in", "that", "it", "for"))
-      val es = score(Seq("el", "la", "que", "de", "no", "los", "una", "por", "con", "para"))
-      val fr = score(Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"))
-      val zh = score(Seq("de", "shi", "bu", "wo", "ni", "ta", "zai", "le", "you", "men"))
+    "q11_langid" ->
       s"""SELECT lang_pred, count(*) AS n_docs FROM (
-         |  SELECT CASE
-         |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-         |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-         |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
-         |    WHEN $fr >= $zh THEN 'fr'
-         |    ELSE 'zh' END AS lang_pred
+         |  SELECT $LangPredCaseSql AS lang_pred
          |  FROM documents)
-         |GROUP BY lang_pred""".stripMargin
-    },
+         |GROUP BY lang_pred""".stripMargin,
 
     "q12_fingerprint" ->
       """SELECT doc_id,
@@ -1218,6 +1250,53 @@ object SparkEntry {
         |  (tok_end - 1) // 256 AS last_seq,
         |  ((tok_end - 1) // 256) - ((tok_end - n_tokens) // 256) + 1 AS n_seqs
         |FROM pre""".stripMargin,
+
+    "q64_quality_funnel" ->
+      s"""WITH f AS (
+         |  SELECT $LangPredCaseSql AS lang_pred,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(shs) AS n_sh, len(list_distinct(shs)) AS n_dsh
+         |  FROM (SELECT text, list_transform(
+         |      range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+         |      i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')) AS shs
+         |    FROM documents)),
+         |flags AS (
+         |  SELECT (lang_pred = 'en') AS f1,
+         |    (n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
+         |                    AND n_chars - n_tokens + 1 <= 10 * n_tokens) AS f2,
+         |    (NOT (5 * (n_sh - n_dsh) > n_sh)) AS f3
+         |  FROM f)
+         |SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS n_docs FROM flags
+         |UNION ALL SELECT 1, 'lang_en', count(*) FILTER (WHERE f1) FROM flags
+         |UNION ALL SELECT 2, 'len_ok', count(*) FILTER (WHERE f1 AND f2) FROM flags
+         |UNION ALL SELECT 3, 'not_repetitive',
+         |  count(*) FILTER (WHERE f1 AND f2 AND f3) FROM flags""".stripMargin,
+
+    // assignment mirrors q14's ranking contract (cosine rounded 6dp,
+    // centroid-id tie-break); update sums the same micro-quantized integers
+    "q65_kmeans_step" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid, e.embedding,
+        |    round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_r
+        |  FROM embeddings e, c),
+        |assigned AS (
+        |  SELECT cid AS cluster, embedding FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_r DESC, cid) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |ex AS (
+        |  SELECT cluster, i::INT AS dim,
+        |    floor(embedding[i + 1]::DOUBLE * 1e6)::BIGINT AS v_micro
+        |  FROM assigned, range(0, 64) r(i))
+        |SELECT cluster, dim, count(*) AS n_members,
+        |  sum(v_micro)::BIGINT AS sum_micro
+        |FROM ex GROUP BY cluster, dim""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
