@@ -685,6 +685,37 @@ object SparkEntry {
       graft.sim.Clustering.kmeansStepStats(embeddings(s, d), "vec_id",
         "embedding", k = 8)),
 
+    // the curation pipeline END-TO-END, one decision row per document:
+    // exact-dup canonicalization (window by text — the only shuffle),
+    // language, integer length bounds, repetition, and the deterministic
+    // content sample, composed exactly as a user would chain the library's
+    // ops before writing a training corpus. One scan, one shuffle, all
+    // flags integer.
+    "q66_curation_decisions" -> ((s, d) => {
+      val toks = TextOps.tokensCol(col("text"))
+      val nTok = size(toks)
+      val nChars = length(col("text"))
+      val sh = TextOps.shinglesAll(col("text"), 3)
+      val nSh = size(sh); val nDsh = size(array_distinct(sh))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("doc_id"))
+      TextOps.langId(documents(s, d))
+        .withColumn("is_canonical",
+          (row_number().over(w) === 1).cast("int"))
+        .withColumn("lang_ok", (col("lang_pred") === "en").cast("int"))
+        .withColumn("len_ok", (nTok >= 50 &&
+          (nChars - nTok + 1) >= nTok * 3 &&
+          (nChars - nTok + 1) <= nTok * 10).cast("int"))
+        .withColumn("not_repetitive", (!((nSh - nDsh) * 5 > nSh)).cast("int"))
+        .withColumn("sampled",
+          (pmod(TextOps.fingerprint(col("text")), lit(1000L)) < 700).cast("int"))
+        .withColumn("keep", (col("is_canonical") === 1 && col("lang_ok") === 1 &&
+          col("len_ok") === 1 && col("not_repetitive") === 1 &&
+          col("sampled") === 1).cast("int"))
+        .select("doc_id", "is_canonical", "lang_ok", "len_ok",
+          "not_repetitive", "sampled", "keep")
+    }),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1297,6 +1328,36 @@ object SparkEntry {
         |SELECT cluster, dim, count(*) AS n_members,
         |  sum(v_micro)::BIGINT AS sum_micro
         |FROM ex GROUP BY cluster, dim""".stripMargin,
+
+    "q66_curation_decisions" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, $LangPredCaseSql AS lang_pred,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(shs) AS n_sh, len(list_distinct(shs)) AS n_dsh,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+         |      (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS bucket,
+         |    (CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |          THEN 1 ELSE 0 END) AS is_canonical
+         |  FROM (SELECT doc_id, text, list_transform(
+         |      range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+         |      i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')) AS shs
+         |    FROM documents))
+         |SELECT doc_id, is_canonical,
+         |  (CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS lang_ok,
+         |  (CASE WHEN n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
+         |             AND n_chars - n_tokens + 1 <= 10 * n_tokens
+         |        THEN 1 ELSE 0 END) AS len_ok,
+         |  (CASE WHEN NOT (5 * (n_sh - n_dsh) > n_sh) THEN 1 ELSE 0 END) AS not_repetitive,
+         |  (CASE WHEN bucket < 700 THEN 1 ELSE 0 END) AS sampled,
+         |  (CASE WHEN is_canonical = 1 AND lang_pred = 'en'
+         |             AND n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
+         |             AND n_chars - n_tokens + 1 <= 10 * n_tokens
+         |             AND NOT (5 * (n_sh - n_dsh) > n_sh)
+         |             AND bucket < 700
+         |        THEN 1 ELSE 0 END) AS keep
+         |FROM f""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
