@@ -104,4 +104,25 @@ class PlanSpec extends AnyFunSuite {
       s"corpus assign must not rank with a window:\n$p")
     assert(!p.contains("CartesianProduct"), "centroids must broadcast")
   }
+
+  test("q65 k-means step: centroids broadcast, assignment aggregates (no window rank)") {
+    val p = plan("q65_kmeans_step")
+    assert(!p.contains("CartesianProduct"),
+      s"the N×k product must be broadcast, never a shuffled cartesian:\n$p")
+    assert(!"Window \\[row_number".r.findFirstIn(p).isDefined,
+      s"per-vector argmax must be a max-of-struct aggregation, not a window:\n$p")
+  }
+
+  test("q63 packing: per-shard windows, never a single-partition global window") {
+    val p = plan("q63_sequence_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the prefix sum must stay sharded:\n$p")
+  }
+
+  test("q66 curation decisions: one scan, one shuffle (the dedup window)") {
+    val p = plan("q66_curation_decisions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"flag projection must not add shuffles beyond the text window:\n$p")
+    assert(!p.contains("Join"), s"the decision row needs no join:\n$p")
+  }
 }
