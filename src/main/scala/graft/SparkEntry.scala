@@ -716,6 +716,13 @@ object SparkEntry {
           "not_repetitive", "sampled", "keep")
     }),
 
+    // temperature (α=0.5) language rebalancing: per-stratum target counts
+    // and the permille rate q62's sampler consumes. sqrt is the one
+    // non-integer step — IEEE-correctly-rounded in both engines (a general
+    // pow(x,α) is not, across libms)
+    "q67_mixing_targets" -> ((s, d) =>
+      graft.text.Mixing.sqrtTemperatureTargets(documents(s, d), "lang")),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1358,6 +1365,20 @@ object SparkEntry {
          |             AND bucket < 700
          |        THEN 1 ELSE 0 END) AS keep
          |FROM f""".stripMargin,
+
+    "q67_mixing_targets" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT stratum, n_docs,
+        |  floor(sqrt(n_docs::DOUBLE) * 1e6)::BIGINT AS w_micro FROM c),
+        |s AS (SELECT sum(w_micro)::BIGINT AS sum_w, sum(n_docs)::BIGINT AS total FROM w),
+        |t AS (SELECT stratum, n_docs, w_micro,
+        |        (w_micro * 1000000) // sum_w AS share_ppm,
+        |        ((w_micro * 1000000) // sum_w * total) // 1000000 AS target_docs
+        |      FROM w, s)
+        |SELECT stratum, n_docs, share_ppm, target_docs,
+        |  least(1000, (target_docs * 1000) // n_docs) AS sample_permille
+        |FROM t""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true
