@@ -723,6 +723,23 @@ object SparkEntry {
     "q67_mixing_targets" -> ((s, d) =>
       graft.text.Mixing.sqrtTemperatureTargets(documents(s, d), "lang")),
 
+    // PII scrub over a corpus with contacts synthesized IN-QUERY (the word-
+    // salad corpus has zero digits/@ — both engines append the identical
+    // deterministic contact strings, so matches are real and non-trivial);
+    // the redacted text is checked bit-for-bit via its fingerprint
+    "q68_pii_scrub" -> ((s, d) => {
+      val synth = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      TextOps.piiScrub(
+        documents(s, d).withColumn("text_pii", synth), "doc_id", "text_pii")
+    }),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1379,6 +1396,32 @@ object SparkEntry {
         |SELECT stratum, n_docs, share_ppm, target_docs,
         |  least(1000, (target_docs * 1000) // n_docs) AS sample_permille
         |FROM t""".stripMargin,
+
+    "q68_pii_scrub" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |          ELSE '' END) AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g') AS er,
+        |    regexp_replace(
+        |      regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+        |  FROM synth)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(er, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  length(r) AS n_chars_redacted,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(r) + 1), i -> ascii(substr(r, i::INT, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS redacted_fp
+        |FROM red""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true

@@ -178,4 +178,32 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
+
+  /** PII patterns — deliberately POSIX-safe (character classes, counted
+    * repetition, no lookaround/backreferences) so Java regex and DuckDB's
+    * RE2 match identically, the q37 parity discipline. Conservative on
+    * purpose: a corpus scrubber prefers recall via simple patterns over a
+    * brittle RFC-exact grammar.
+    */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction: per-document match counts and the redacted
+    * text (emails → <EMAIL> first, then phones → <PHONE> — an email's
+    * digits must not be half-eaten by the phone pass). The redacted string
+    * itself is summarized by the rolling-hash fingerprint, so the oracle
+    * verifies the REDACTION OUTPUT bit-for-bit, not just the counts.
+    * Narrow per-row projection — no shuffle at any scale.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailRedacted = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val redacted = regexp_replace(emailRedacted, PhonePattern, "<PHONE>")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_emails"),
+      // phones counted AFTER the email pass, so a digit run inside an
+      // address never double-counts — counts match what redaction replaced
+      size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0))).as("n_phones"),
+      length(redacted).as("n_chars_redacted"),
+      fingerprint(redacted).as("redacted_fp"))
+  }
 }
