@@ -740,6 +740,13 @@ object SparkEntry {
         documents(s, d).withColumn("text_pii", synth), "doc_id", "text_pii")
     }),
 
+    // overlapping-window chunking (chunk=64 tokens, stride=48): the chunk
+    // table a RAG/embedding index consumes, each chunk identified by the
+    // bit-identical rolling-hash fingerprint of its re-joined text
+    "q69_doc_chunks" -> ((s, d) =>
+      graft.text.Packing.chunkDocs(documents(s, d), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)),
+
     "q17_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1422,6 +1429,20 @@ object SparkEntry {
         |    list_transform(range(1, length(r) + 1), i -> ascii(substr(r, i::INT, 1))::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS redacted_fp
         |FROM red""".stripMargin,
+
+    "q69_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS i FROM t),
+        |st AS (
+        |  SELECT doc_id, (i // 48)::INT AS chunk_idx, i::INT AS start_tok,
+        |    array_to_string(list_slice(toks, i + 1, least(i + 64, len(toks))), ' ') AS chunk
+        |  FROM ex)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  len(string_split(chunk, ' '))::INT AS n_chunk_tokens,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(chunk) + 1), i -> ascii(substr(chunk, i::INT, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS chunk_fp
+        |FROM st""".stripMargin,
 
     "q17_simhash" -> {
       // 31 bits: the token hash is mod 2^31-1, so bit 31 can never vote true

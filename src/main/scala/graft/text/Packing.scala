@@ -58,4 +58,26 @@ object Packing {
     placement.select(col("shard"),
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_idx"))
       .groupBy("shard", "seq_idx").agg(count(lit(1)).as("n_docs"))
+
+  /** Overlapping-window chunking (RAG/embedding-prep shape): one chunk per
+    * `strideTokens` offset, `chunkTokens` wide (the tail chunk truncates at
+    * the document end). Emits the chunk's position, size, and the
+    * rolling-hash fingerprint of its re-joined text — the identity a chunk
+    * index stores. Per-row explode, no shuffle; chunk count per doc is
+    * ceil(n_tokens / stride), so output size is corpus-linear.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens)
+    val toks = TextOps.tokensCol(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(strideTokens))).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        TextOps.fingerprint(array_join(col("chunk"), " ")).as("chunk_fp"))
+  }
 }

@@ -36,6 +36,27 @@ class PackingSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("chunking matches the hand-computed overlapping windows") {
+    import spark.implicits._
+    // 10 distinct tokens, chunk=4, stride=3 → starts 0,3,6,9:
+    // [t0..t3] [t3..t6] [t6..t9] [t9]
+    val words = (0 until 10).map(i => s"t$i")
+    val df = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(df, "doc_id", "text", chunkTokens = 4, strideTokens = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_tokens")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+    // chunk fingerprints equal the fingerprints of the expected substrings
+    val expFp = Seq(words.slice(0, 4), words.slice(3, 7), words.slice(6, 10),
+      words.slice(9, 10)).map(_.mkString(" "))
+    val gotFp = Packing.chunkDocs(df, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").select("chunk_fp").collect().map(_.getLong(0)).toSeq
+    val refFp = expFp.toDF("s")
+      .select(graft.text.TextOps.fingerprint(col("s"))).collect().map(_.getLong(0)).toSeq
+    assert(gotFp == refFp)
+  }
+
   test("tokens are conserved and sequence stats cover the stream contiguously") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val p = Packing.packPlacement(docs, "doc_id", "text", 256, 8).cache()
