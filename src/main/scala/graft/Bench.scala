@@ -46,6 +46,7 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,q52); full runs leave it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank env var means unset, not "run nothing"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     selected.foreach { case (name, fn) =>
@@ -127,8 +128,11 @@ object Bench {
     val total = results.values.sum
     val skewStr = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(taskSkew)) // locale-proof: JSON needs '.'
-    val genScale = s"""{"rows":${512L * 50000L},"tasks":${genStage.length},""" +
-      s""""task_skew_max_over_median":$skewStr}"""
+    // a filtered run SKIPPED the scale generation — report that honestly
+    // instead of fabricating a 25.6M-row metric that never executed
+    val genScale = if (only.nonEmpty) "null"
+      else s"""{"rows":${512L * 50000L},"tasks":${genStage.length},""" +
+        s""""task_skew_max_over_median":$skewStr}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"sf":"$sfDir"}""")
     spark.stop()
   }

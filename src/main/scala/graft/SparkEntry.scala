@@ -663,20 +663,11 @@ object SparkEntry {
     // curation funnel: cumulative survival through langid → length bounds →
     // repetition filter, ONE corpus scan (conditional aggregates), not one
     // scan per stage. Integer-only predicates (q57's scaled-ratio trick).
-    "q64_quality_funnel" -> ((s, d) => {
-      val toks = TextOps.tokensCol(col("text"))
-      val nTok = size(toks)
-      val nChars = length(col("text"))
-      val sh = TextOps.shinglesAll(col("text"), 3)
-      val nSh = size(sh); val nDsh = size(array_distinct(sh))
+    "q64_quality_funnel" -> ((s, d) =>
       graft.ops.Funnel.retention(TextOps.langId(documents(s, d)), Seq(
-        "lang_en" -> (col("lang_pred") === "en"),
-        // 50+ tokens with mean token length in [3,10]: integer cross-
-        // multiplication of (n_chars − n_tokens + 1) / n_tokens
-        "len_ok" -> (nTok >= 50 &&
-          (nChars - nTok + 1) >= nTok * 3 && (nChars - nTok + 1) <= nTok * 10),
-        "not_repetitive" -> !((nSh - nDsh) * 5 > nSh)))
-    }),
+        "lang_en" -> Curation.langEn,
+        "len_ok" -> Curation.lenOk,
+        "not_repetitive" -> Curation.notRepetitive))),
 
     // one k-means Lloyd step (k=8 seeded from the corpus): broadcast
     // assignment reduced map-side, centroid update as exact per-dim integer
@@ -692,21 +683,14 @@ object SparkEntry {
     // ops before writing a training corpus. One scan, one shuffle, all
     // flags integer.
     "q66_curation_decisions" -> ((s, d) => {
-      val toks = TextOps.tokensCol(col("text"))
-      val nTok = size(toks)
-      val nChars = length(col("text"))
-      val sh = TextOps.shinglesAll(col("text"), 3)
-      val nSh = size(sh); val nDsh = size(array_distinct(sh))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("text")).orderBy(col("doc_id"))
       TextOps.langId(documents(s, d))
         .withColumn("is_canonical",
           (row_number().over(w) === 1).cast("int"))
-        .withColumn("lang_ok", (col("lang_pred") === "en").cast("int"))
-        .withColumn("len_ok", (nTok >= 50 &&
-          (nChars - nTok + 1) >= nTok * 3 &&
-          (nChars - nTok + 1) <= nTok * 10).cast("int"))
-        .withColumn("not_repetitive", (!((nSh - nDsh) * 5 > nSh)).cast("int"))
+        .withColumn("lang_ok", Curation.langEn.cast("int"))
+        .withColumn("len_ok", Curation.lenOk.cast("int"))
+        .withColumn("not_repetitive", Curation.notRepetitive.cast("int"))
         .withColumn("sampled",
           (pmod(TextOps.fingerprint(col("text")), lit(1000L)) < 700).cast("int"))
         .withColumn("keep", (col("is_canonical") === 1 && col("lang_ok") === 1 &&
@@ -948,15 +932,46 @@ object SparkEntry {
     */
   // CTE list WITHOUT the leading WITH so callers can choose plain WITH vs
   // WITH RECURSIVE (q61 chains a recursive reachability CTE onto these)
-  private val ShingleHashCte =
-    """sh AS (
+  private lazy val ShingleHashCte =
+    s"""sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(0, greatest(len(string_split(text,' ')) - 2, 0)),
       |    i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')))) AS shingle
       |  FROM documents),
-      |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-      |    list_transform(range(1, length(shingle) + 1), i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),
-      |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM sh)""".stripMargin
+      |h AS (SELECT doc_id, ${fingerprintSql("shingle", "j")} AS h FROM sh)""".stripMargin
+
+  /** The curation predicates q64 (funnel) and q66 (per-doc decisions) share
+    * — ONE definition per threshold on each engine side, so the two queries
+    * (and their oracles) cannot drift apart when a bound is tuned.
+    */
+  private object Curation {
+    import org.apache.spark.sql.Column
+    private def nTok = size(TextOps.tokensCol(col("text")))
+    private def nChars = length(col("text"))
+    private def sh = TextOps.shinglesAll(col("text"), 3)
+    def langEn: Column = col("lang_pred") === "en"
+    // 50+ tokens with mean token length in [3,10]: integer cross-
+    // multiplication of (n_chars − n_tokens + 1) / n_tokens
+    def lenOk: Column = nTok >= 50 &&
+      (nChars - nTok + 1) >= nTok * 3 && (nChars - nTok + 1) <= nTok * 10
+    def notRepetitive: Column =
+      !((size(sh) - size(array_distinct(sh))) * 5 > size(sh))
+    // DuckDB fragments over the (n_tokens, n_chars, n_sh, n_dsh) CTE names
+    val LenOkSql = "(n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens" +
+      " AND n_chars - n_tokens + 1 <= 10 * n_tokens)"
+    val NotRepetitiveSql = "(NOT (5 * (n_sh - n_dsh) > n_sh))"
+  }
+
+  /** DuckDB mirror of TextOps.fingerprint over the string expression `x` —
+    * THE definition of the rolling-hash contract, shared by every
+    * fingerprint-bearing oracle (q12, the shingle/token hashes, q26/q50
+    * content hashes, q62/q66 sampling buckets, q68/q69). `iv` renames the
+    * lambda index where the surrounding scope already binds `i`.
+    */
+  private def fingerprintSql(x: String, iv: String = "i"): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(range(1, length($x) + 1), $iv -> ascii(substr($x, $iv::INT, 1))::BIGINT)), " +
+      s"(a, b) -> (a * 31 + b) % 2147483647)"
 
   /** DuckDB mirror of TextOps.langId's argmax-with-tie-break — the CASE
     * prioritizes language codes in order, exactly the greatest-of-structs
@@ -1170,10 +1185,8 @@ object SparkEntry {
          |GROUP BY lang_pred""".stripMargin,
 
     "q12_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+      s"""SELECT doc_id,
+        |  ${fingerprintSql("text")} AS fingerprint
         |FROM documents""".stripMargin,
 
     // naive shared-shingle join with the same maxDocFreq cap (doc sizes
@@ -1286,11 +1299,9 @@ object SparkEntry {
 
     // the fingerprint is non-negative, so plain % mirrors Spark's pmod
     "q62_stratified_sample" ->
-      """WITH fp AS (
+      s"""WITH fp AS (
         |  SELECT doc_id, lang,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS sample_bucket
+        |    ${fingerprintSql("text")} % 1000 AS sample_bucket
         |  FROM documents)
         |SELECT doc_id, lang, sample_bucket FROM fp
         |WHERE sample_bucket <
@@ -1325,9 +1336,8 @@ object SparkEntry {
          |    FROM documents)),
          |flags AS (
          |  SELECT (lang_pred = 'en') AS f1,
-         |    (n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
-         |                    AND n_chars - n_tokens + 1 <= 10 * n_tokens) AS f2,
-         |    (NOT (5 * (n_sh - n_dsh) > n_sh)) AS f3
+         |    ${Curation.LenOkSql} AS f2,
+         |    ${Curation.NotRepetitiveSql} AS f3
          |  FROM f)
          |SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS n_docs FROM flags
          |UNION ALL SELECT 1, 'lang_en', count(*) FILTER (WHERE f1) FROM flags
@@ -1366,9 +1376,7 @@ object SparkEntry {
          |    len(string_split(text, ' ')) AS n_tokens,
          |    length(text) AS n_chars,
          |    len(shs) AS n_sh, len(list_distinct(shs)) AS n_dsh,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
-         |      (a, b) -> (a * 31 + b) % 2147483647) % 1000 AS bucket,
+         |    ${fingerprintSql("text")} % 1000 AS bucket,
          |    (CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
          |          THEN 1 ELSE 0 END) AS is_canonical
          |  FROM (SELECT doc_id, text, list_transform(
@@ -1377,15 +1385,12 @@ object SparkEntry {
          |    FROM documents))
          |SELECT doc_id, is_canonical,
          |  (CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS lang_ok,
-         |  (CASE WHEN n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
-         |             AND n_chars - n_tokens + 1 <= 10 * n_tokens
-         |        THEN 1 ELSE 0 END) AS len_ok,
-         |  (CASE WHEN NOT (5 * (n_sh - n_dsh) > n_sh) THEN 1 ELSE 0 END) AS not_repetitive,
+         |  (CASE WHEN ${Curation.LenOkSql} THEN 1 ELSE 0 END) AS len_ok,
+         |  (CASE WHEN ${Curation.NotRepetitiveSql} THEN 1 ELSE 0 END) AS not_repetitive,
          |  (CASE WHEN bucket < 700 THEN 1 ELSE 0 END) AS sampled,
          |  (CASE WHEN is_canonical = 1 AND lang_pred = 'en'
-         |             AND n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens
-         |             AND n_chars - n_tokens + 1 <= 10 * n_tokens
-         |             AND NOT (5 * (n_sh - n_dsh) > n_sh)
+         |             AND ${Curation.LenOkSql}
+         |             AND ${Curation.NotRepetitiveSql}
          |             AND bucket < 700
          |        THEN 1 ELSE 0 END) AS keep
          |FROM f""".stripMargin,
@@ -1405,7 +1410,7 @@ object SparkEntry {
         |FROM t""".stripMargin,
 
     "q68_pii_scrub" ->
-      """WITH synth AS (
+      s"""WITH synth AS (
         |  SELECT doc_id, text ||
         |    (CASE WHEN doc_id % 3 = 0
         |          THEN ' contact user' || doc_id::VARCHAR || '@example.com'
@@ -1416,22 +1421,20 @@ object SparkEntry {
         |  FROM documents),
         |red AS (
         |  SELECT doc_id, t,
-        |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g') AS er,
+        |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g') AS er,
         |    regexp_replace(
-        |      regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
         |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
         |  FROM synth)
         |SELECT doc_id,
-        |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+')) AS n_emails,
         |  len(regexp_extract_all(er, '[0-9]{3}-[0-9]{4}')) AS n_phones,
         |  length(r) AS n_chars_redacted,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, length(r) + 1), i -> ascii(substr(r, i::INT, 1))::BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS redacted_fp
+        |  ${fingerprintSql("r")} AS redacted_fp
         |FROM red""".stripMargin,
 
     "q69_doc_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |ex AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS i FROM t),
         |st AS (
         |  SELECT doc_id, (i // 48)::INT AS chunk_idx, i::INT AS start_tok,
@@ -1439,9 +1442,7 @@ object SparkEntry {
         |  FROM ex)
         |SELECT doc_id, chunk_idx, start_tok,
         |  len(string_split(chunk, ' '))::INT AS n_chunk_tokens,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, length(chunk) + 1), i -> ascii(substr(chunk, i::INT, 1))::BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS chunk_fp
+        |  ${fingerprintSql("chunk", "j")} AS chunk_fp
         |FROM st""".stripMargin,
 
     "q17_simhash" -> {
@@ -1450,9 +1451,7 @@ object SparkEntry {
         s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" +\n  ")
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i::INT, 1))::BIGINT)),
-         |    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM tok)
+         |h AS (SELECT doc_id, ${fingerprintSql("tok")} AS h FROM tok)
          |SELECT doc_id,
          |  ($bits)::BIGINT AS simhash
          |FROM h GROUP BY doc_id""".stripMargin
@@ -1573,11 +1572,9 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q26_media_features" ->
-      """SELECT doc_id AS media_id, 'image/' || source AS kind,
+      s"""SELECT doc_id AS media_id, 'image/' || source AS kind,
         |  length(text)::BIGINT AS n_bytes,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS content_hash,
+        |  ${fingerprintSql("text")} AS content_hash,
         |  greatest(1, floor(sqrt(length(text)))::INT) AS width,
         |  greatest(1, (length(text) // greatest(1, floor(sqrt(length(text)))::INT)))::INT AS height,
         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
@@ -1586,7 +1583,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q50_media_frames" ->
-      """WITH idx AS (
+      s"""WITH idx AS (
         |  SELECT doc_id, text, unnest(range(0, (length(text) + 63) // 64)) AS i
         |  FROM documents),
         |f AS (
@@ -1594,9 +1591,7 @@ object SparkEntry {
         |  FROM idx WHERE i % 2 = 0)
         |SELECT doc_id AS media_id, i::INT AS frame_idx,
         |  length(fr)::BIGINT AS n_bytes,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(range(1, length(fr) + 1), j -> ascii(substr(fr, j::INT, 1))::BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 2147483647) AS content_hash,
+        |  ${fingerprintSql("fr", "j")} AS content_hash,
         |  round(list_sum(list_transform(range(1, length(fr) + 1),
         |    j -> ascii(substr(fr, j::INT, 1))))::DOUBLE / length(fr), 6) AS mean_intensity
         |FROM f""".stripMargin,

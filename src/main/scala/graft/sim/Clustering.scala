@@ -58,6 +58,15 @@ object Clustering {
         // micro-quantized exact sum; DECIMAL(38,0) so a 1e12-member cluster
         // cannot silently wrap a LONG (same contract as ExactStats)
         sum(floor(col("v").cast("double") * lit(1e6)).cast("decimal(38,0)"))
-          .cast("long").as("sum_micro"))
+          .as("sum_dec"))
+      // the LONG downcast must not quietly NULL when the exact decimal sum
+      // exceeds the long range (non-ANSI behavior) — fail loudly instead;
+      // consumers at that scale should read sum_dec directly
+      .withColumn("sum_micro",
+        when(col("sum_dec") > lit(Long.MaxValue) || col("sum_dec") < lit(Long.MinValue),
+          raise_error(lit("graft.Clustering: sum_micro exceeds LONG — " +
+            "read the DECIMAL(38,0) sum instead")))
+        .otherwise(col("sum_dec").cast("long")))
+      .drop("sum_dec")
   }
 }

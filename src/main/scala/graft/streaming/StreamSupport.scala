@@ -61,6 +61,7 @@ private[streaming] object StreamSupport {
       // the build makes three passes (median + two filtered writes) — cache
       // the source across them; freed immediately after the build
       ev.persist()
+      try {
       val mid = ev.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
         .first().getDouble(0).toLong
       def writeOne(df: DataFrame, target: java.io.File, modMs: Long): Unit = {
@@ -80,8 +81,8 @@ private[streaming] object StreamSupport {
       import org.apache.spark.sql.functions.col
       writeOne(ev.where(col("ts") <= mid), fa, 1000000L)
       writeOne(ev.where(col("ts") > mid), fb, 2000000L)
-      ev.unpersist()
       java.nio.file.Files.write(marker.toPath, key.getBytes)
+      } finally ev.unpersist() // a failed write must not leak the cache
     }
     spark.readStream
       .schema(schema)

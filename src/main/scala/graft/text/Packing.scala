@@ -46,13 +46,11 @@ object Packing {
         (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
   }
 
-  /** Per-sequence summary over a shard's chunked stream: how many documents
-    * contribute to each sequence and how many tokens of the sequence are
-    * document boundaries' first tokens — the packing-quality stats a
-    * curriculum/attention-masking step consumes. Computed from placements
-    * WITHOUT exploding docs×sequences: a doc spanning k sequences
-    * contributes via a range join on (first_seq..last_seq), which stays
-    * linear in Σ n_seqs (bounded by tokens/ctxLen + docs).
+  /** Per-sequence document counts over a shard's chunked stream — the
+    * packing-quality stat an attention-masking step consumes. Computed from
+    * placements WITHOUT exploding docs×sequences into token rows: a doc
+    * spanning k sequences contributes k rows (first_seq..last_seq), so the
+    * explode stays linear in Σ n_seqs (bounded by tokens/ctxLen + docs).
     */
   def sequenceStats(placement: DataFrame): DataFrame =
     placement.select(col("shard"),
