@@ -920,8 +920,113 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
              ExactStats.sumMicro(col("X1")).as("sum_x1_micro"),
              ExactStats.sumMicro(col("X6")).as("sum_x6_micro"))
+    }),
+
+    // 10-min resample of the events table per event_type: dense global grid,
+    // last-observation-carried-forward, with a staleness column — the
+    // metrics-store regularization op. The ffill's sequential dependency is
+    // per SERIES (the semantics), so parallelism = series count.
+    "q70_resample_ffill" -> ((s, d) =>
+      graft.ops.Resample.resampleFfill(
+        events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Seq("event_type"), "ts_us", "value", "event_id",
+        bucketUs = 600L * 1000000L)),
+
+    // linear interpolation of an IRREGULAR generated series (B2, the
+    // prefix-rescaled timestamps of b2.py:87-99) onto a regular 0.5-unit
+    // grid — two as-of joins + exact integer arithmetic (InterpShift keeps
+    // trunc ≡ floor across engines). Sample rows are dumped so DuckDB
+    // interpolates the identical irregular input.
+    "q71_interpolate_grid" -> ((s, d) => {
+      val cfg = Grid.forFamily("B2").find(c =>
+        c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2 && c.mixRatio == 0.5).get
+      val samples = dumpGen(s, "q71_samples",
+        Generate.wideFast(s, Seq(cfg)).select(col("configId"),
+          ExactStats.micro(col("t")).cast("long").as("t_us"),
+          ExactStats.micro(col("X1")).cast("long").as("v_micro")))
+      val grid = samples.select(col("configId")).distinct()
+        .select(col("configId"),
+          explode(expr("sequence(0L, 100000000L, 500000L)")).as("grid_us"))
+      graft.ops.Resample.interpolateToGrid(samples, grid,
+        Seq("configId"), "t_us", "v_micro")
+    }),
+
+    // HyperLogLog distinct-token estimate per source, pure-integer register
+    // contract (verifiable in SQL, unlike approx_count_distinct's binary
+    // sketch) — the shuffle carries ≤ |sources|·64 register rows no matter
+    // the corpus size. n_exact is the validation column.
+    "q72_hll_distinct" -> ((s, d) =>
+      graft.ops.Sketch.hllWithExact(
+        documents(s, d).select(col("source"),
+          explode(TextOps.tokensCol(col("text"))).as("tok"))
+          .select(col("source"), TextOps.fingerprint(col("tok")).as("h")),
+        Seq("source"), "h")),
+
+    // span-level dedup (Lee et al. 2022 detection, fixed 64-token windows):
+    // a shared boilerplate prefix is synthesized in-query on doc_id % 5 = 0
+    // (the word-salad corpus has no natural cross-doc spans — q68's
+    // synthesize-then-detect pattern), then every duplicated chunk is found
+    // via one fingerprint groupBy, never a pairwise comparison
+    "q73_chunk_dedup" -> ((s, d) => {
+      val boosted = documents(s, d).withColumn("text_b",
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(Boilerplate + " "), col("text")))
+          .otherwise(col("text")))
+      graft.text.Packing.chunkDupStats(
+        graft.text.Packing.chunkDocs(boosted, "doc_id", "text_b",
+          chunkTokens = 64, strideTokens = 48))
+    }),
+
+    // stream-stream interval join through ≥2 micro-batches: purchases
+    // attributed to same-user clicks ≤10 min earlier; append-mode inner
+    // join ⇒ the drained sink equals the batch interval join (the oracle)
+    "q74_stream_interval_join" -> ((s, d) =>
+      graft.streaming.StreamJoin.clickPurchaseAttribution(s, d,
+        splitDir = s"$genDir/events_split", windowSec = 600L,
+        queryName = s"graft_stream_join_${System.nanoTime()}")),
+
+    // CUBE over (returnflag, linestatus): all four grains in ONE scan —
+    // completes the rollup (q27) / grouping-sets (q52) / cube family
+    "q75_revenue_cube" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("q75_lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+          |  $SparkRevenueSql AS revenue,
+          |  count(*) AS n_items
+          |FROM q75_lineitem
+          |GROUP BY l_returnflag, l_linestatus WITH CUBE""".stripMargin)
+    }),
+
+    // mergeable equi-width-histogram quantile sketch over price cents
+    // ($10 bins): the per-bin counts are the sketch (map-side combined,
+    // shuffle ≤ #bins regardless of row count); the estimate is the lower
+    // edge of the first bin whose cumulative count crosses q·n — integers
+    // end to end, vs q32's exact per-group sort
+    "q76_hist_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lineitem(s, d)
+        .select(expr("floor(l_extendedprice * 100 + 0.5) div 1000").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .agg(max(col("total")).as("n_rows"),
+          min(when(col("cum") * 100 >= col("total") * 50, col("bin") * 1000))
+            .as("p50_cents"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("bin") * 1000))
+            .as("p90_cents"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("bin") * 1000))
+            .as("p99_cents"))
     })
   )
+
+  /** 96 synthetic boilerplate tokens (2 full 64/48 chunk windows) shared by
+    * q73's Spark side and oracle — the cross-doc duplicated span.
+    */
+  private val Boilerplate: String = (0 until 96).map(i => s"bp$i").mkString(" ")
 
   // ---------------------------------------------------------------------------
 
@@ -1881,6 +1986,133 @@ object SparkEntry {
         grid(Seq("D2", "D2C"), Seq("gaussian", "student_t"), Seq(1.0), Seq(0.0), Seq(0.1, 0.2, 0.3)),
         grid(Seq("D3", "D3C"), Seq("mixed"), Seq(0.3, 0.5, 0.7), Seq(0.05, 0.1), Seq(0.05, 0.1))
       ).mkString("\n UNION ALL \n")
-    }
+    },
+
+    "q70_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |         floor(value * 1e6)::BIGINT AS v_micro
+        |  FROM events),
+        |b AS (SELECT event_type, ts_us - ts_us % 600000000 AS bucket_us,
+        |             ts_us, event_id, v_micro FROM ev),
+        |agg AS (
+        |  SELECT event_type, bucket_us, count(*) AS n_events,
+        |         max(CASE WHEN rn = 1 THEN v_micro END) AS last_v_micro
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY event_type, bucket_us
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM b)
+        |  GROUP BY event_type, bucket_us),
+        |bounds AS (SELECT min(bucket_us) AS b0, max(bucket_us) AS b1 FROM agg),
+        |grid AS (
+        |  SELECT t.event_type, g.g AS bucket_us
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(b0, b1, 600000000)) AS g
+        |              FROM bounds) g),
+        |j AS (
+        |  SELECT g.event_type, g.bucket_us,
+        |         coalesce(a.n_events, 0)::BIGINT AS n_events, a.last_v_micro
+        |  FROM grid g LEFT JOIN agg a USING (event_type, bucket_us)),
+        |f AS (
+        |  SELECT event_type, bucket_us, n_events,
+        |    last_value(last_v_micro IGNORE NULLS) OVER w AS v_ffill_micro,
+        |    last_value(CASE WHEN n_events > 0 THEN bucket_us END IGNORE NULLS)
+        |      OVER w AS src_bucket
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket_us, n_events, v_ffill_micro,
+        |       (bucket_us - src_bucket) // 600000000 AS staleness_buckets
+        |FROM f""".stripMargin,
+
+    // interval form of the two as-of joins: g ∈ [t_prev, t_next) picks the
+    // identical bracketing samples; the 2^42 shift keeps the numerator
+    // non-negative so // (floor) ≡ Spark's div (trunc)
+    "q71_interpolate_grid" -> {
+      val B = graft.ops.Resample.InterpShift
+      s"""WITH s AS (
+        |  SELECT configId, t_us, v_micro,
+        |         lead(t_us) OVER (PARTITION BY configId ORDER BY t_us) AS t_next,
+        |         lead(v_micro) OVER (PARTITION BY configId ORDER BY t_us) AS v_next
+        |  FROM read_parquet('__GEN_DIR__/q71_samples/*.parquet')),
+        |g AS (SELECT unnest(range(0, 100000001, 500000))::BIGINT AS grid_us)
+        |SELECT configId, grid_us,
+        |  CASE WHEN t_next IS NULL THEN v_micro
+        |       ELSE ((v_micro + $B) * (t_next - grid_us) +
+        |             (v_next + $B) * (grid_us - t_us)) // (t_next - t_us) - $B
+        |  END AS v_interp_micro
+        |FROM g JOIN s ON grid_us >= t_us AND (t_next IS NULL OR grid_us < t_next)""".stripMargin
+    },
+
+    "q72_hll_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |h AS (SELECT source, ${fingerprintSql("tok")} AS h FROM tok),
+        |r AS (SELECT source, h & 63 AS bucket, h >> 6 AS w FROM h),
+        |reg AS (SELECT source, bucket,
+        |          max(CASE WHEN w = 0 THEN 26
+        |                   ELSE bit_count((w & (-w)) - 1) + 1 END) AS max_rho
+        |        FROM r GROUP BY source, bucket),
+        |e AS (SELECT source, count(*) AS n_buckets_hit,
+        |        (sum(CAST(1 AS BIGINT) << (30 - max_rho)) +
+        |         (64 - count(*)) * 1073741824)::BIGINT AS z_scaled
+        |      FROM reg GROUP BY source),
+        |x AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
+        |SELECT source, n_buckets_hit, z_scaled,
+        |  (2904064 * CAST(1073741824 AS BIGINT)) // z_scaled AS est_milli,
+        |  n_exact
+        |FROM e JOIN x USING (source)""".stripMargin,
+
+    "q73_chunk_dedup" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '$Boilerplate ' || text ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d2),
+        |ex AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS i FROM t),
+        |ch AS (SELECT doc_id,
+        |         array_to_string(list_slice(toks, i + 1, least(i + 64, len(toks))), ' ') AS chunk
+        |       FROM ex),
+        |fp AS (SELECT doc_id, ${fingerprintSql("chunk", "j")} AS chunk_fp FROM ch),
+        |pd AS (SELECT chunk_fp, doc_id, count(*) AS n_occ FROM fp GROUP BY 1, 2),
+        |fd AS (SELECT chunk_fp, count(*) AS n_docs_with_fp FROM pd GROUP BY 1)
+        |SELECT doc_id, sum(n_occ)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN n_docs_with_fp > 1 THEN n_occ ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  ((sum(CASE WHEN n_docs_with_fp > 1 THEN n_occ ELSE 0 END) * 1000)
+        |    // sum(n_occ))::BIGINT AS dup_permille
+        |FROM pd JOIN fd USING (chunk_fp) GROUP BY doc_id""".stripMargin,
+
+    // append-mode inner interval join drains to exactly the batch join
+    "q74_stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
+
+    "q75_revenue_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  $RevenueSql AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q76_hist_quantiles" ->
+      """WITH bins AS (
+        |  SELECT floor(l_extendedprice * 100 + 0.5)::BIGINT // 1000 AS bin,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM bins)
+        |SELECT max(total)::BIGINT AS n_rows,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN bin * 1000 END)::BIGINT AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= total * 90 THEN bin * 1000 END)::BIGINT AS p90_cents,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN bin * 1000 END)::BIGINT AS p99_cents
+        |FROM c""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketch (HyperLogLog, Flajolet et al. 2007) with a
+  * PURE INTEGER register contract — every step (bucket split, rank-of-first-
+  * set-bit, harmonic sum, the final estimate) is integer arithmetic over the
+  * engine's 31-bit rolling-hash values, so the sketch is bit-identical
+  * across partition topologies AND expressible in ANSI SQL for the oracle
+  * (no engine-private HLL serialization format to compare).
+  *
+  * Why not `approx_count_distinct`: Spark's HLL++ binary sketch has no
+  * DuckDB mirror, so its estimate can never be hash-checked. This sketch
+  * trades the bias-correction table for verifiability: raw HLL estimate,
+  * α_64 = 0.709, no small-range (linear counting) correction — the
+  * registers themselves are also emitted so a consumer can apply any
+  * correction downstream.
+  *
+  * Scale: the register build is ONE groupBy on (group, bucket) with
+  * map-side partial `max` — the shuffle carries at most |groups|·m tiny
+  * rows regardless of input size, which is the entire point of a sketch at
+  * 100 TB. Registers merge associatively (max), so the same code serves
+  * partial/merge in a multi-stage rollup.
+  *
+  * Reference anchor: out of the reference's scope (its corpus is ~5.4M
+  * rows); prompt-mandated pipeline surface (corpus-scale distinct stats).
+  */
+object Sketch {
+
+  /** log2(m): 64 buckets — enough for ~8% relative error, small enough that
+    * the numerator of the fixed-point estimate stays in LONG range.
+    */
+  val HllP: Int = 6
+  val HllM: Int = 1 << HllP
+
+  /** Max rank: the hash contributes 31 − p payload bits; an all-zero
+    * payload gets rank payloadBits + 1, the standard HLL convention.
+    */
+  val HllMaxRho: Int = 31 - HllP + 1
+
+  /** Register rows for 31-bit non-negative hashes `h` grouped by
+    * `groupCols`: one row per (group, bucket) with the max rank.
+    * rho = 1 + (number of trailing zero bits of the payload), computed as
+    * bit_count((w & -w) - 1) + 1 — no log2, no doubles.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], hashCol: String): DataFrame = {
+    val h = col(hashCol).cast("long")
+    val w = shiftright(h, HllP).cast("long")
+    val rho = when(w === 0, lit(HllMaxRho))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1).cast("int") + 1)
+    df.select(groupCols.map(col) :+ h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket")
+        :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Per-group raw HLL estimate from the registers, fixed-point:
+    *
+    *   Z_scaled = Σ_hit 2^(30 − max_rho) + (m − n_hit)·2^30   (empty
+    *              registers contribute 2^0 = 1, scaled by 2^30)
+    *   est_milli = (709·m²·2^30) div Z_scaled    (α_64 = 0.709, ×1000)
+    *
+    * Output: groupCols..., n_buckets_hit, z_scaled, est_milli.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - max_rho)")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(1L << 30)).as("z_scaled"))
+      .withColumn("est_milli",
+        expr(s"(${709L * HllM * HllM} * CAST(${1L << 30} AS BIGINT)) div z_scaled"))
+
+  /** Sketch + exact distinct side by side (the validation shape the q72
+    * oracle checks; at production scale a caller runs the sketch alone).
+    */
+  def hllWithExact(df: DataFrame, groupCols: Seq[String], hashCol: String): DataFrame = {
+    val est = hllEstimate(hllRegisters(df, groupCols, hashCol), groupCols)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(hashCol)).as("n_exact"))
+    est.join(exact, groupCols)
+      .select((groupCols.map(col) ++ Seq(col("n_buckets_hit"), col("z_scaled"),
+        col("est_milli"), col("n_exact"))): _*)
+  }
+}

@@ -78,4 +78,32 @@ object Packing {
         size(col("chunk")).as("n_chunk_tokens"),
         TextOps.fingerprint(array_join(col("chunk"), " ")).as("chunk_fp"))
   }
+
+  /** Span-level duplication stats (the detection half of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022, over
+    * fixed windows instead of suffix-array substrings): a chunk is a
+    * duplicated span iff its fingerprint occurs in MORE THAN ONE document.
+    * Emits per document the chunk count, duplicated-chunk count, and the
+    * integer dup rate in permille.
+    *
+    * Distribution: one groupBy on the 8-byte fingerprint (map-side partial
+    * distinct-ish via the (fp, doc) pre-aggregate) + one equi-join back on
+    * the fingerprint — no pairwise comparison ever materializes, so cost is
+    * linear in total chunks at any corpus size.
+    */
+  def chunkDupStats(chunks: DataFrame): DataFrame = {
+    // collapse repeats of a chunk within one doc first: the wide shuffle
+    // carries (fp, doc) once, not once per occurrence
+    val perDoc = chunks.groupBy("chunk_fp", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+    val fpDocs = perDoc.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("n_docs_with_fp"))
+    perDoc.join(fpDocs, "chunk_fp")
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_chunks"),
+        sum(when(col("n_docs_with_fp") > 1, col("n_occ")).otherwise(0L))
+          .as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("(n_dup_chunks * 1000) div n_chunks").as("dup_permille"))
+  }
 }

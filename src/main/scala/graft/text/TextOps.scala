@@ -78,10 +78,16 @@ object TextOps {
 
   /** 31-polynomial rolling hash of the text modulo 2^31-1 — a deterministic
     * document fingerprint computable with identical integer arithmetic in
-    * Spark (`aggregate` higher-order fn) and DuckDB (`list_reduce` over
-    * `ascii(substr(...))`) — verified bit-identical.
+    * Spark and DuckDB (`list_reduce` over `ascii(substr(...))`) — verified
+    * bit-identical. Native single-pass expression ([[Fingerprint]]); the HOF
+    * formulation below is the retained parity baseline.
     */
-  def fingerprint(textCol: Column): Column =
+  def fingerprint(textCol: Column): Column = Fingerprint(textCol)
+
+  /** HOF formulation — parity baseline for [[Fingerprint]] (O(n²): boxes a
+    * Long per char and substr re-scans the string; never use in a hot path).
+    */
+  def fingerprintHof(textCol: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(textCol)),
         i => ascii(textCol.substr(i, lit(1))).cast("long")),

@@ -61,4 +61,29 @@ class TextShinglesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(10L -> 2L), s"got $m")
   }
+
+  test("native fingerprint == HOF fingerprint on edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val cases = Seq("", "A", "hello world", " leading", "trailing ",
+      "päö non-ascii ü", "a" * 5000) ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(200)).map(_ =>
+        (32 + rnd.nextInt(95)).toChar).mkString)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val out = df.select(col("id"), TextOps.fingerprint(col("t")).as("native"),
+        TextOps.fingerprintHof(col("t")).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"fingerprint mismatch for id ${r.getLong(0)}"))
+  }
+
+  test("native fingerprint == HOF fingerprint on the real documents corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.select(TextOps.fingerprint(col("text")).as("a"),
+        TextOps.fingerprintHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(n == 0L)
+  }
 }
