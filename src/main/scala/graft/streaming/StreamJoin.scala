@@ -27,6 +27,22 @@ object StreamJoin {
   def clickPurchaseAttribution(spark: SparkSession, sfDir: String,
       splitDir: String, windowSec: Long = 600L,
       queryName: String = "graft_stream_join"): DataFrame = {
+    // a stream-stream join runs FOUR state stores per shuffle partition per
+    // micro-batch (left/right × keyToNumValues/keyWithIndexToValue); state
+    // partition count is fixed at query start from shuffle.partitions, so
+    // drop it for the join's lifetime — per-batch state-checkpoint file I/O
+    // dominates this query's wall time, not compute. 8 partitions is still
+    // 8-way state parallelism; a production deployment sizes this to
+    // state-volume / executor, not to the CPU count.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try clickPurchaseAttributionInner(spark, sfDir, splitDir, windowSec, queryName)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def clickPurchaseAttributionInner(spark: SparkSession, sfDir: String,
+      splitDir: String, windowSec: Long,
+      queryName: String): DataFrame = {
     def side(tag: String, eventType: String): DataFrame =
       StreamSupport.eventsSplitStream(spark, sfDir, splitDir)
         .where(col("event_type") === eventType)
