@@ -1020,7 +1020,42 @@ object SparkEntry {
             .as("p90_cents"),
           min(when(col("cum") * 100 >= col("total") * 99, col("bin") * 1000))
             .as("p99_cents"))
-    })
+    }),
+
+    // per-type 3σ outliers, pure integer contract ((n·x−S)² > 9(n·Q−S²)) —
+    // the uniform value column has NO 3σ tail (max dev ≈ 1.73σ), so spikes
+    // are synthesized in-query on event_id % 997 (q68's pattern): the
+    // detector's hits are real and the oracle checks the exact flag set
+    "q77_anomaly_3sigma" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        (expr("floor(value * 1e6)") *
+          when(pmod(col("event_id"), lit(997L)) === 0, 10L).otherwise(1L))
+          .cast("long").as("v_micro"))
+      graft.ops.Anomaly.threeSigmaOutliers(ev, Seq("event_type"), "event_id",
+        "v_micro")
+    }),
+
+    // count-min heavy hitters: the sketch is ≤ 3×1024 cells from one
+    // map-side-combined groupBy at ANY corpus size; the 20 exact top tokens
+    // are the probes, so the oracle shows est ≥ exact cell by cell
+    "q78_cms_heavy_hitters" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(explode(TextOps.tokensCol(col("text"))).as("tok"))
+        .select(col("tok"), TextOps.fingerprint(col("tok")).as("h"))
+      val exactTop = tok.groupBy("tok", "h").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+      graft.ops.Sketch.cmsEstimate(graft.ops.Sketch.cmsCells(tok, "h"),
+        exactTop, "h")
+        .select(col("tok"), col("exact_cnt"), col("cms_est"))
+    }),
+
+    // the first BPE merge decision: global adjacent-pair counts, top 50 —
+    // one groupBy over the native single-pass shingle expression
+    "q79_bpe_pair_counts" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextOps.shinglesAll(col("text"), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(50))
   )
 
   /** 96 synthetic boilerplate tokens (2 full 64/48 chunk windows) shared by
@@ -2097,6 +2132,51 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q77_anomaly_3sigma" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    floor(value * 1e6)::BIGINT *
+        |      (CASE WHEN event_id % 997 = 0 THEN 10 ELSE 1 END) AS v_micro
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS group_n,
+        |    sum(v_micro::HUGEINT) AS s,
+        |    sum(v_micro::HUGEINT * v_micro::HUGEINT) AS q
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, event_id, v_micro, group_n
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (group_n::HUGEINT * v_micro - s) * (group_n::HUGEINT * v_micro - s)
+        |      > 9 * (group_n::HUGEINT * q - s * s)""".stripMargin,
+
+    "q78_cms_heavy_hitters" -> {
+      val params = graft.ops.Sketch.CmsParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT tok, ${fingerprintSql("tok")} AS h FROM tok),
+        |p AS (SELECT * FROM (VALUES $params) p(i, a, b)),
+        |cells AS (
+        |  SELECT i, ((h * a + b) % 2147483647) % 1024 AS bucket, count(*) AS c
+        |  FROM h CROSS JOIN p GROUP BY 1, 2),
+        |top AS (SELECT tok, h, count(*) AS exact_cnt FROM h GROUP BY 1, 2
+        |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |pr AS (SELECT t.tok, t.exact_cnt, p.i,
+        |         ((t.h * p.a + p.b) % 2147483647) % 1024 AS bucket
+        |       FROM top t CROSS JOIN p)
+        |SELECT tok, exact_cnt, min(c)::BIGINT AS cms_est
+        |FROM pr JOIN cells USING (i, bucket)
+        |GROUP BY tok, exact_cnt""".stripMargin
+    },
+
+    "q79_bpe_pair_counts" ->
+      """WITH pr AS (
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 2), ' '))) AS pair
+        |  FROM documents)
+        |SELECT pair, count(*) AS cnt
+        |FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     "q76_hist_quantiles" ->
       """WITH bins AS (

@@ -82,4 +82,48 @@ object Sketch {
       .select((groupCols.map(col) ++ Seq(col("n_buckets_hit"), col("z_scaled"),
         col("est_milli"), col("n_exact"))): _*)
   }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------------
+
+  /** Depth × width of the count-min sketch: 3 pairwise-independent affine
+    * hash rows over 1024 buckets. Fixed literal parameters (odd multipliers
+    * < 2^31) so the DuckDB oracle embeds the identical constants.
+    */
+  val CmsWidth: Int = 1024
+  val CmsParams: Seq[(Long, Long)] =
+    Seq((1103515245L, 12345L), (1299709L, 7919L), (900000011L, 577L))
+
+  /** The sketch itself: per (row, bucket) occurrence counts of the hashed
+    * values — ≤ depth·width rows out of ONE map-side-combined groupBy, no
+    * matter the input size. bucket_i = ((a_i·h + b_i) mod 2^31−1) mod width;
+    * a·h < 2^62 keeps the product in LONG for 31-bit hashes.
+    */
+  def cmsCells(df: DataFrame, hashCol: String): DataFrame = {
+    val h = col(hashCol).cast("long")
+    val rows = CmsParams.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"),
+        ((h * a + b) % 2147483647L % CmsWidth).as("bucket"))
+    }
+    df.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate the count of each probe value: min over the depth rows
+    * of the probed cell — always ≥ the true count (one-sided error). The
+    * cells table is tiny, so the probe join is a broadcast.
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, hashCol: String): DataFrame = {
+    val h = col(hashCol).cast("long")
+    val rows = CmsParams.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"),
+        ((h * a + b) % 2147483647L % CmsWidth).as("bucket"))
+    }
+    probes.withColumn("rb", explode(array(rows: _*)))
+      .select(probes.columns.map(col) :+ col("rb.i").as("i")
+        :+ col("rb.bucket").as("bucket"): _*)
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("c")).as("cms_est"))
+  }
 }

@@ -178,6 +178,47 @@ class ResampleSketchSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.20, s"est=$est exact=$exact")
   }
 
+  // ---- Anomaly (exact-integer 3-sigma) ------------------------------------
+
+  test("threeSigmaOutliers matches a double-arithmetic replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // mostly N(0, 1e6) with a few large spikes
+    val rows = (1 to 2000).map { i =>
+      val v = if (i % 250 == 0) 50000000L + i else (rnd.nextGaussian() * 1e6).toLong
+      (s"g${i % 2}", i.toLong, v)
+    }
+    val got = graft.ops.Anomaly.threeSigmaOutliers(
+      rows.toDF("g", "id", "v"), Seq("g"), "id", "v")
+      .collect().map(r => r.getLong(1)).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (_, xs) =>
+      val n = xs.size.toDouble
+      val mean = xs.map(_._3).sum / n
+      val variance = xs.map(x => (x._3 - mean) * (x._3 - mean)).sum / n
+      xs.filter(x => (x._3 - mean) * (x._3 - mean) > 9 * variance).map(_._2)
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  // ---- Count-min sketch ----------------------------------------------------
+
+  test("cms estimates are one-sided (est >= exact) and conserve row totals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val values = (1 to 400).map(_ => rnd.nextInt(100).toLong) // 100 distinct hashes
+    val df = values.map(v => Tuple1(v)).toDF("h")
+    val exact = values.groupBy(identity).map { case (h, xs) => (h, xs.size.toLong) }
+    val probes = exact.toSeq.toDF("h", "exact_cnt")
+    val est = Sketch.cmsEstimate(Sketch.cmsCells(df, "h"), probes, "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.length == exact.size)
+    est.foreach { case (h, ex, e) => assert(e >= ex, s"h=$h est $e < exact $ex") }
+    // total over any one sketch row conserves the input multiset size
+    val rowTotals = Sketch.cmsCells(df, "h").groupBy("i")
+      .agg(sum("c")).collect().map(_.getLong(1))
+    assert(rowTotals.toSeq == Seq.fill(Sketch.CmsParams.size)(values.size.toLong))
+  }
+
   // ---- Packing.chunkDupStats ----------------------------------------------
 
   test("chunkDupStats flags cross-doc spans, ignores within-doc repeats") {
