@@ -125,4 +125,35 @@ class PlanSpec extends AnyFunSuite {
       s"flag projection must not add shuffles beyond the text window:\n$p")
     assert(!p.contains("Join"), s"the decision row needs no join:\n$p")
   }
+
+  test("q70 resample: both windows reuse existing exchanges (2 wide shuffles total)") {
+    val p = plan("q70_resample_ffill")
+    // one hashpartitioning for the (key,bucket) downsample — its in-bucket
+    // row_number window and the groupBy share it — and one for the key list,
+    // which the ffill window then rides (partitioning preserved through the
+    // grid generate + the left join's streamed side). A third exchange means
+    // a window stopped reusing and added a full shuffle of the grid.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"resample must not shuffle beyond (key,bucket) + key:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row bounds must broadcast, never cartesian:\n$p")
+  }
+
+  test("q77 anomaly: sufficient statistics broadcast back, no row shuffle") {
+    val p = plan("q77_anomaly_3sigma")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"event rows must never shuffle for the stats join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-group stats aggregate may shuffle:\n$p")
+  }
+
+  test("q78 cms: sketch broadcast, top-k via TakeOrdered (no global sort)") {
+    val p = plan("q78_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-20 must plan as a take-ordered, not a full sort:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the 3×1024 cells must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the probe join must stay broadcast:\n$p")
+  }
 }
