@@ -1055,7 +1055,35 @@ object SparkEntry {
       documents(s, d)
         .select(explode(TextOps.shinglesAll(col("text"), 2)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc).limit(50))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(50)),
+
+    // streaming dedup + stream-static enrichment under the driver contract:
+    // every event arrives twice (self-union of split streams — the
+    // at-least-once retry shape), watermark-bounded dedup state drops the
+    // copies, survivors broadcast-join a static per-user profile
+    "q80_stream_dedup_enrich" -> ((s, d) =>
+      graft.streaming.StreamDedup.dedupEnrichEvents(s, d,
+        splitDir = s"$genDir/events_split",
+        queryName = s"graft_stream_dedup_${System.nanoTime()}")),
+
+    // Bloom pre-filter: were all a part's shipments "early" (< 1995-03-01)?
+    // build = early-shipped partkeys (~half the parts — genuine partial
+    // membership; user/partkey sets in this data are otherwise saturated),
+    // probe = every partkey. The filter is ≤ 8192 bit rows no matter the
+    // build size, broadcast to the probe; the output exposes the one-sided
+    // contract (every member passes; false positives sit next to exact
+    // membership)
+    "q81_bloom_prefilter" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val early = li.where(col("l_shipdate") < lit("1995-03-01"))
+        .select(col("l_partkey"))
+      val probe = graft.ops.Bloom.bloomProbe(li.select(col("l_partkey")),
+        graft.ops.Bloom.bloomBits(early, "l_partkey"), "l_partkey")
+      probe.join(early.distinct().withColumn("true_member", lit(1)),
+          Seq("l_partkey"), "left")
+        .select(col("l_partkey"), col("bloom_pass"),
+          coalesce(col("true_member"), lit(0)).as("true_member"))
+    })
   )
 
   /** 96 synthetic boilerplate tokens (2 full 64/48 chunk windows) shared by
@@ -2167,6 +2195,40 @@ object SparkEntry {
         |SELECT tok, exact_cnt, min(c)::BIGINT AS cms_est
         |FROM pr JOIN cells USING (i, bucket)
         |GROUP BY tok, exact_cnt""".stripMargin
+    },
+
+    // dedup of byte-identical duplicate copies ⇒ survivor set == the
+    // original events; enrichment is a deterministic function of user_id
+    "q80_stream_dedup_enrich" ->
+      """WITH prof AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_id, event_type, n_purchases,
+        |  (CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS is_buyer
+        |FROM events JOIN prof USING (user_id)""".stripMargin,
+
+    "q81_bloom_prefilter" -> {
+      val hashes = graft.ops.Bloom.Hashes
+        .map { case (a, b) => s"(${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+      val m = graft.ops.Bloom.BloomBits
+      s"""WITH h AS (SELECT * FROM (VALUES $hashes) h(a, b)),
+        |bu AS (SELECT DISTINCT l_partkey FROM lineitem
+        |       WHERE l_shipdate < TIMESTAMP '1995-03-01 00:00:00'),
+        |bits AS (
+        |  SELECT DISTINCT ((l_partkey * a + b) % 2147483647) % $m AS bit
+        |  FROM bu CROSS JOIN h),
+        |pk AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |pr AS (SELECT pk.l_partkey, ((l_partkey * a + b) % 2147483647) % $m AS bit
+        |       FROM pk CROSS JOIN h),
+        |hits AS (
+        |  SELECT l_partkey,
+        |    sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS nh
+        |  FROM pr LEFT JOIN bits USING (bit) GROUP BY l_partkey)
+        |SELECT hits.l_partkey,
+        |  (CASE WHEN nh = 2 THEN 1 ELSE 0 END) AS bloom_pass,
+        |  (CASE WHEN bu.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS true_member
+        |FROM hits LEFT JOIN bu ON hits.l_partkey = bu.l_partkey""".stripMargin
     },
 
     "q79_bpe_pair_counts" ->

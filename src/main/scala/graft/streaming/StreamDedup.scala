@@ -44,4 +44,33 @@ object StreamDedup {
       .select("event_id", "user_id", "ts_us")
     StreamSupport.runToMemory(stream, queryName)
   }
+
+  /** Driver-contract composition of streaming dedup + stream-static
+    * enrichment (the two streaming ops previously covered only by
+    * batch-equality unit tests): every event arrives TWICE (a self-union of
+    * two split-stream sources — the at-least-once-retry shape),
+    * `dropDuplicatesWithinWatermark` drops the copies (within-batch and
+    * cross-batch state), and each survivor is enriched against a static
+    * per-user profile via a per-batch broadcast join. Duplicate copies are
+    * byte-identical, so the survivor ROW is deterministic no matter which
+    * copy wins the state race — the drained sink equals the batch
+    * dedup+join, which is the oracle.
+    */
+  def dedupEnrichEvents(spark: SparkSession, sfDir: String, splitDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val static = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+      .withColumn("is_buyer", (col("n_purchases") > 0).cast("int"))
+    def src() = StreamSupport.eventsSplitStream(spark, sfDir, splitDir)
+    val stream = src().unionByName(src())
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("user_id", "event_id", "event_type")
+      .join(broadcast(static), Seq("user_id"))
+    StreamSupport.runToMemory(stream, queryName)
+  }
 }

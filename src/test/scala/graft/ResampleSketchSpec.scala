@@ -219,6 +219,26 @@ class ResampleSketchSpec extends AnyFunSuite {
     assert(rowTotals.toSeq == Seq.fill(Sketch.CmsParams.size)(values.size.toLong))
   }
 
+  // ---- Bloom pre-filter ----------------------------------------------------
+
+  test("bloom probe: no false negatives, false positives possible") {
+    import spark.implicits._
+    import graft.ops.Bloom
+    val rnd = new scala.util.Random(59)
+    val members = (1 to 1500).map(_ => rnd.nextInt(1000000).toLong).distinct
+    val nonMembers = (1 to 1500).map(_ => 2000000L + rnd.nextInt(1000000)).distinct
+    val build = members.map(Tuple1(_)).toDF("k")
+    val probes = (members ++ nonMembers).map(Tuple1(_)).toDF("k")
+    val out = Bloom.bloomProbe(probes, Bloom.bloomBits(build, "k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val memberSet = members.toSet
+    // one-sided: every true member must pass
+    memberSet.foreach(m => assert(out(m) == 1, s"false negative for $m"))
+    // at ~37% load some non-members must slip through, but far from all
+    val fp = nonMembers.count(out(_) == 1)
+    assert(fp > 0 && fp < nonMembers.size / 2, s"fp=$fp of ${nonMembers.size}")
+  }
+
   // ---- Packing.chunkDupStats ----------------------------------------------
 
   test("chunkDupStats flags cross-doc spans, ignores within-doc repeats") {
