@@ -1083,7 +1083,14 @@ object SparkEntry {
           Seq("l_partkey"), "left")
         .select(col("l_partkey"), col("bloom_pass"),
           coalesce(col("true_member"), lit(0)).as("true_member"))
-    })
+    }),
+
+    // class-confusability: pairwise integer dot products of per-label
+    // centroid sums — the corpus collapses to |labels|·64 rows in one
+    // map-side groupBy; the pairwise stage is a broadcast self-join of that
+    // tiny table, never a vector-level cross product
+    "q82_label_affinity" -> ((s, d) =>
+      graft.sim.Clustering.labelAffinity(embeddings(s, d), "label", "embedding"))
   )
 
   /** 96 synthetic boilerplate tokens (2 full 64/48 chunk windows) shared by
@@ -2230,6 +2237,19 @@ object SparkEntry {
         |  (CASE WHEN bu.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS true_member
         |FROM hits LEFT JOIN bu ON hits.l_partkey = bu.l_partkey""".stripMargin
     },
+
+    "q82_label_affinity" ->
+      """WITH ex AS (
+        |  SELECT label, i::INT AS dim,
+        |    floor(embedding[i + 1]::DOUBLE * 1e6)::BIGINT AS v
+        |  FROM embeddings, range(0, 64) r(i)),
+        |s AS (SELECT label, dim, count(*) AS n, sum(v)::BIGINT AS s_micro
+        |      FROM ex GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+        |  sum(a.s_micro::HUGEINT * b.s_micro)::BIGINT AS dot_micro2
+        |FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2""".stripMargin,
 
     "q79_bpe_pair_counts" ->
       """WITH pr AS (

@@ -69,4 +69,51 @@ object Clustering {
         .otherwise(col("sum_dec").cast("long")))
       .drop("sum_dec")
   }
+
+  /** Pairwise affinity between per-label centroid SUMS: for every label
+    * pair (a < b), the integer dot product Σ_d SA_d·SB_d of the exact
+    * per-dimension micro sums, plus both member counts — the consumer
+    * divides by n_a·n_b (and the norms) to get mean-centroid cosine, so no
+    * double aggregate or sqrt crosses an engine/partition boundary.
+    *
+    * The class-confusability matrix a labeling pipeline watches: labels
+    * whose centroids align are candidates for merging or for label-noise
+    * review.
+    *
+    * Scale shape: the corpus collapses to |labels|·d sum rows in ONE
+    * map-side-combined groupBy (the only pass over the data); the pairwise
+    * stage runs on that tiny table (labels²·d) via a broadcast self-join —
+    * never a vector-level cross product. The dot accumulates in
+    * DECIMAL(38,0)/HUGEINT with a loud LONG-downcast guard (bound:
+    * Σ_d |SA·SB| < 2^63, i.e. per-label per-dim |Σv_micro| < ~3.8e8·√d at
+    * d = 64 — re-quantize to milli-units beyond it).
+    */
+  def labelAffinity(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val sums = df
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * lit(1e6)).cast("decimal(38,0)"))
+          .as("s_dec"))
+      .withColumn("s_micro",
+        when(col("s_dec") > lit(Long.MaxValue) || col("s_dec") < lit(Long.MinValue),
+          raise_error(lit("graft.Clustering: label sum exceeds LONG")))
+          .otherwise(col("s_dec").cast("long")))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s_micro").as("sa"), col("n").as("na"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s_micro").as("sb"), col("n").as("nb"))
+    a.join(broadcast(b), Seq("dim"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)"))
+          .as("dot_dec"))
+      .withColumn("dot_micro2",
+        when(col("dot_dec") > lit(Long.MaxValue) || col("dot_dec") < lit(Long.MinValue),
+          raise_error(lit("graft.Clustering: affinity dot exceeds LONG")))
+          .otherwise(col("dot_dec").cast("long")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot_micro2"))
+  }
 }

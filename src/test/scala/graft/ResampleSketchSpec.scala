@@ -219,6 +219,30 @@ class ResampleSketchSpec extends AnyFunSuite {
     assert(rowTotals.toSeq == Seq.fill(Sketch.CmsParams.size)(values.size.toLong))
   }
 
+  // ---- label affinity ------------------------------------------------------
+
+  test("labelAffinity matches a sequential integer replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 120).map { i =>
+      (i % 4, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))
+    }
+    val got = graft.sim.Clustering.labelAffinity(
+        rows.toDF("label", "embedding"), "label", "embedding")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val sums = rows.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, (0 until 8).map(d =>
+        xs.map(x => math.floor(x._2(d).toDouble * 1e6).toLong).sum))
+    }.toMap
+    val expect = (for {
+      a <- sums.keys; b <- sums.keys if a < b
+    } yield ((a, b), (sums(a)._1, sums(b)._1,
+      (0 until 8).map(d => sums(a)._2(d) * sums(b)._2(d)).sum))).toMap
+    assert(got == expect)
+  }
+
   // ---- Bloom pre-filter ----------------------------------------------------
 
   test("bloom probe: no false negatives, false positives possible") {
