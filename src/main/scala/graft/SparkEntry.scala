@@ -1123,14 +1123,19 @@ object SparkEntry {
     import org.apache.spark.sql.Column
     private def nTok = size(TextOps.tokensCol(col("text")))
     private def nChars = length(col("text"))
-    private def sh = TextOps.shinglesAll(col("text"), 3)
     def langEn: Column = col("lang_pred") === "en"
     // 50+ tokens with mean token length in [3,10]: integer cross-
     // multiplication of (n_chars − n_tokens + 1) / n_tokens
     def lenOk: Column = nTok >= 50 &&
       (nChars - nTok + 1) >= nTok * 3 && (nChars - nTok + 1) <= nTok * 10
-    def notRepetitive: Column =
-      !((size(sh) - size(array_distinct(sh))) * 5 > size(sh))
+    def notRepetitive: Column = {
+      // closed-form total + native-expression distinct (shared q57 kernel)
+      // instead of materializing the HOF shingle array twice per row
+      val sc = TextOps.shingleCounts(col("text"), 3)
+      val nSh = sc.getField("n_shingles")
+      val nDsh = sc.getField("n_distinct_shingles")
+      !((nSh - nDsh) * 5 > nSh)
+    }
     // DuckDB fragments over the (n_tokens, n_chars, n_sh, n_dsh) CTE names
     val LenOkSql = "(n_tokens >= 50 AND n_chars - n_tokens + 1 >= 3 * n_tokens" +
       " AND n_chars - n_tokens + 1 <= 10 * n_tokens)"

@@ -133,10 +133,24 @@ object TextOps {
     */
   def repetitionCounts(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), shinglesAll(col(textCol), n).as("sh"))
-      .select(col(idCol),
-        size(col("sh")).as("n_shingles"),
-        size(array_distinct(col("sh"))).as("n_distinct_shingles"))
+    df.select(col(idCol),
+      // the multiset size is a closed form of the token count (never
+      // materialize the shingle array for it), and the DISTINCT size is the
+      // native single-pass expression — size(array_distinct(HOF)) cost
+      // O(len²) allocations per doc
+      shingleCounts(col(textCol), n))
+      .select(col(idCol), col("sc.n_shingles").as("n_shingles"),
+        col("sc.n_distinct_shingles").as("n_distinct_shingles"))
+
+  /** (total, distinct) n-gram shingle counts as a struct column `sc` —
+    * total = max(tokens − n + 1, 0) in closed form, distinct via the native
+    * [[Shingles]] expression. The shared kernel of every repetition
+    * predicate (q57, q64/q66's `notRepetitive`).
+    */
+  def shingleCounts(text: Column, n: Int): Column =
+    struct(
+      greatest(size(tokensCol(text)) - (n - 1), lit(0)).as("n_shingles"),
+      size(shingles(text, n)).as("n_distinct_shingles")).as("sc")
 
   /** Salient-term extraction (tf-idf-INSPIRED keyword ranking with a PURE
     * INTEGER contract): per document, the top-k tokens by
