@@ -1009,7 +1009,8 @@ object SparkEntry {
       val wAll = Window.partitionBy()
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       lineitem(s, d)
-        .select(expr("floor(l_extendedprice * 100 + 0.5) div 1000").as("bin"))
+        .withColumn("_cents", cents(col("l_extendedprice"))) // the shared contract
+        .select(expr("_cents div 1000").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(w))
         .withColumn("total", sum(col("cnt")).over(wAll))
@@ -1028,7 +1029,7 @@ object SparkEntry {
     // detector's hits are real and the oracle checks the exact flag set
     "q77_anomaly_3sigma" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"), col("event_type"),
-        (expr("floor(value * 1e6)") *
+        (ExactStats.micro(col("value")) * // the shared micro quantization
           when(pmod(col("event_id"), lit(997L)) === 0, 10L).otherwise(1L))
           .cast("long").as("v_micro"))
       graft.ops.Anomaly.threeSigmaOutliers(ev, Seq("event_type"), "event_id",
@@ -1093,8 +1094,11 @@ object SparkEntry {
       graft.sim.Clustering.labelAffinity(embeddings(s, d), "label", "embedding"))
   )
 
-  /** 96 synthetic boilerplate tokens (2 full 64/48 chunk windows) shared by
-    * q73's Spark side and oracle — the cross-doc duplicated span.
+  /** 96 synthetic boilerplate tokens shared by q73's Spark side and oracle —
+    * the cross-doc duplicated span. Only the offset-0 chunk (tokens 1-64) is
+    * fully boilerplate and therefore cross-doc duplicated; the offset-48
+    * window mixes bp48-bp95 with each doc's own first 16 tokens, so boosted
+    * docs contribute exactly ONE duplicated chunk each.
     */
   private val Boilerplate: String = (0 until 96).map(i => s"bp$i").mkString(" ")
 
@@ -2068,7 +2072,8 @@ object SparkEntry {
         |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |         floor(value * 1e6)::BIGINT AS v_micro
         |  FROM events),
-        |b AS (SELECT event_type, ts_us - ts_us % 600000000 AS bucket_us,
+        |b AS (SELECT event_type,
+        |             ts_us - ((ts_us % 600000000 + 600000000) % 600000000) AS bucket_us,
         |             ts_us, event_id, v_micro FROM ev),
         |agg AS (
         |  SELECT event_type, bucket_us, count(*) AS n_events,
@@ -2100,42 +2105,48 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     // interval form of the two as-of joins: g ∈ [t_prev, t_next) picks the
-    // identical bracketing samples; the 2^42 shift keeps the numerator
-    // non-negative so // (floor) ≡ Spark's div (trunc)
-    "q71_interpolate_grid" -> {
-      val B = graft.ops.Resample.InterpShift
+    // identical bracketing samples; the two-step remainder turns DuckDB's
+    // trunc // into floor division, matching Spark's (num − pmod) div den
+    "q71_interpolate_grid" ->
       s"""WITH s AS (
         |  SELECT configId, t_us, v_micro,
         |         lead(t_us) OVER (PARTITION BY configId ORDER BY t_us) AS t_next,
         |         lead(v_micro) OVER (PARTITION BY configId ORDER BY t_us) AS v_next
         |  FROM read_parquet('__GEN_DIR__/q71_samples/*.parquet')),
-        |g AS (SELECT unnest(range(0, 100000001, 500000))::BIGINT AS grid_us)
+        |g AS (SELECT unnest(range(0, 100000001, 500000))::BIGINT AS grid_us),
+        |j AS (
+        |  SELECT configId, grid_us, v_micro, t_next,
+        |         (v_next - v_micro) * (grid_us - t_us) AS num,
+        |         t_next - t_us AS den
+        |  FROM g JOIN s ON grid_us >= t_us AND (t_next IS NULL OR grid_us < t_next))
         |SELECT configId, grid_us,
         |  CASE WHEN t_next IS NULL THEN v_micro
-        |       ELSE ((v_micro + $B) * (t_next - grid_us) +
-        |             (v_next + $B) * (grid_us - t_us)) // (t_next - t_us) - $B
+        |       ELSE v_micro + (num - ((num % den + den) % den)) // den
         |  END AS v_interp_micro
-        |FROM g JOIN s ON grid_us >= t_us AND (t_next IS NULL OR grid_us < t_next)""".stripMargin
-    },
+        |FROM j""".stripMargin,
 
-    "q72_hll_distinct" ->
+    // every constant interpolated from graft.ops.Sketch so a p/width change
+    // moves both engines in lockstep (the q78/q81 shared-literal pattern)
+    "q72_hll_distinct" -> {
+      import graft.ops.Sketch.{HllM, HllP, HllMaxRho}
       s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
         |h AS (SELECT source, ${fingerprintSql("tok")} AS h FROM tok),
-        |r AS (SELECT source, h & 63 AS bucket, h >> 6 AS w FROM h),
+        |r AS (SELECT source, h & ${HllM - 1} AS bucket, h >> $HllP AS w FROM h),
         |reg AS (SELECT source, bucket,
-        |          max(CASE WHEN w = 0 THEN 26
+        |          max(CASE WHEN w = 0 THEN $HllMaxRho
         |                   ELSE bit_count((w & (-w)) - 1) + 1 END) AS max_rho
         |        FROM r GROUP BY source, bucket),
         |e AS (SELECT source, count(*) AS n_buckets_hit,
         |        (sum(CAST(1 AS BIGINT) << (30 - max_rho)) +
-        |         (64 - count(*)) * 1073741824)::BIGINT AS z_scaled
+        |         ($HllM - count(*)) * ${1L << 30})::BIGINT AS z_scaled
         |      FROM reg GROUP BY source),
         |x AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
         |SELECT source, n_buckets_hit, z_scaled,
-        |  (2904064 * CAST(1073741824 AS BIGINT)) // z_scaled AS est_milli,
+        |  (${709L * HllM * HllM} * CAST(${1L << 30} AS BIGINT)) // z_scaled AS est_milli,
         |  n_exact
-        |FROM e JOIN x USING (source)""".stripMargin,
+        |FROM e JOIN x USING (source)""".stripMargin
+    },
 
     "q73_chunk_dedup" ->
       s"""WITH d2 AS (SELECT doc_id,

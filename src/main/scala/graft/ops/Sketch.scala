@@ -98,28 +98,26 @@ object Sketch {
     * matter the input size. bucket_i = ((a_i·h + b_i) mod 2^31−1) mod width;
     * a·h < 2^62 keeps the product in LONG for 31-bit hashes.
     */
-  def cmsCells(df: DataFrame, hashCol: String): DataFrame = {
-    val h = col(hashCol).cast("long")
-    val rows = CmsParams.zipWithIndex.map { case ((a, b), i) =>
+  /** The (row, bucket) struct array for a hash — ONE definition shared by
+    * build and probe, so the two sides cannot drift onto different cells.
+    */
+  private def cmsBuckets(h: Column): Column =
+    array(CmsParams.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("i"),
-        ((h * a + b) % 2147483647L % CmsWidth).as("bucket"))
-    }
-    df.select(explode(array(rows: _*)).as("rb"))
+        ((h.cast("long") * a + b) % 2147483647L % CmsWidth).as("bucket"))
+    }: _*)
+
+  def cmsCells(df: DataFrame, hashCol: String): DataFrame =
+    df.select(explode(cmsBuckets(col(hashCol))).as("rb"))
       .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Point-estimate the count of each probe value: min over the depth rows
     * of the probed cell — always ≥ the true count (one-sided error). The
     * cells table is tiny, so the probe join is a broadcast.
     */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, hashCol: String): DataFrame = {
-    val h = col(hashCol).cast("long")
-    val rows = CmsParams.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("i"),
-        ((h * a + b) % 2147483647L % CmsWidth).as("bucket"))
-    }
-    probes.withColumn("rb", explode(array(rows: _*)))
+    probes.withColumn("rb", explode(cmsBuckets(col(hashCol))))
       .select(probes.columns.map(col) :+ col("rb.i").as("i")
         :+ col("rb.bucket").as("bucket"): _*)
       .join(broadcast(cells), Seq("i", "bucket"))

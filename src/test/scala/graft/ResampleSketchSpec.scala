@@ -122,14 +122,20 @@ class ResampleSketchSpec extends AnyFunSuite {
       prev.map { case (_, tp, vp) =>
         val v = next match {
           case Some((_, tn, vn)) if tn != tp =>
-            val b = Resample.InterpShift
-            ((vp + b) * (tn - g) + (vn + b) * (g - tp)) / (tn - tp) - b
+            vp + Math.floorDiv((vn - vp) * (g - tp), tn - tp)
           case _ => vp
         }
         (g, Some(v))
       }
     }
     assert(got == expect)
+  }
+
+  test("interpolateToGrid fails loudly when |dv|*gap would overflow LONG") {
+    val e = intercept[Exception] {
+      interpCase(Seq((1L, 0L, 0L), (1L, 1L << 24, 1L << 41)), Seq(1000L))
+    }
+    assert(e.getMessage != null)
   }
 
   // ---- Sketch (HLL) --------------------------------------------------------
