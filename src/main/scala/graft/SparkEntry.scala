@@ -1091,8 +1091,27 @@ object SparkEntry {
     // map-side groupBy; the pairwise stage is a broadcast self-join of that
     // tiny table, never a vector-level cross product
     "q82_label_affinity" -> ((s, d) =>
-      graft.sim.Clustering.labelAffinity(embeddings(s, d), "label", "embedding"))
+      graft.sim.Clustering.labelAffinity(embeddings(s, d), "label", "embedding")),
+
+    // MERGE INTO / SCD-1: a first-half-of-month profile snapshot upserted
+    // with second-half purchase records — union + ONE max(struct) aggregate
+    // (no window sort, no join), updates beating base on order ties
+    "q83_profile_upsert" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      graft.ops.Upsert.latestWins(
+        ev.where(col("ts_us") < UpsertMidUs),
+        ev.where(col("ts_us") >= UpsertMidUs && col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
+        payloadCols = Seq("v_micro"))
+    })
   )
+
+  /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
+    * (events span 2024-01-01 .. 2024-01-30) — shared with the oracle.
+    */
+  private val UpsertMidUs: Long = 1705363200000000L
 
   /** 96 synthetic boilerplate tokens shared by q73's Spark side and oracle —
     * the cross-doc duplicated span. Only the offset-0 chunk (tokens 1-64) is
@@ -2253,6 +2272,25 @@ object SparkEntry {
         |  (CASE WHEN bu.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS true_member
         |FROM hits LEFT JOIN bu ON hits.l_partkey = bu.l_partkey""".stripMargin
     },
+
+    // winner = max (ts_us, event_id, src, v_micro) per user, mirrored as a
+    // descending row_number on the same tuple
+    "q83_profile_upsert" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |         floor(value * 1e6)::BIGINT AS v_micro
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us, event_id, v_micro, 0 AS src FROM ev
+        |  WHERE ts_us < $UpsertMidUs
+        |  UNION ALL
+        |  SELECT user_id, ts_us, event_id, v_micro, 1 FROM ev
+        |  WHERE ts_us >= $UpsertMidUs AND event_type = 'purchase'),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC, src DESC, v_micro DESC) AS rn
+        |  FROM u)
+        |SELECT user_id, ts_us, event_id, v_micro, src FROM r WHERE rn = 1""".stripMargin,
 
     "q82_label_affinity" ->
       """WITH ex AS (

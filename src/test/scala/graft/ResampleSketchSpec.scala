@@ -225,6 +225,23 @@ class ResampleSketchSpec extends AnyFunSuite {
     assert(rowTotals.toSeq == Seq.fill(Sketch.CmsParams.size)(values.size.toLong))
   }
 
+  // ---- latest-wins upsert --------------------------------------------------
+
+  test("latestWins: updates beat base on order ties, base survives alone") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, 100L, 111L), (2L, 20L, 200L, 222L), (3L, 5L, 300L, 333L))
+      .toDF("k", "ts", "id", "v")
+    val upd = Seq((1L, 10L, 100L, 999L), (2L, 25L, 201L, 444L))
+      .toDF("k", "ts", "id", "v")
+    val got = graft.ops.Upsert.latestWins(base, upd, Seq("k"), Seq("ts", "id"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 100L, 999L, 1), // exact (ts,id) tie: the update wins
+      (2L, 25L, 201L, 444L, 1), // newer update wins
+      (3L, 5L, 300L, 333L, 0))) // no update: base survives
+  }
+
   // ---- label affinity ------------------------------------------------------
 
   test("labelAffinity matches a sequential integer replica") {
