@@ -1105,7 +1105,97 @@ object SparkEntry {
         ev.where(col("ts_us") >= UpsertMidUs && col("event_type") === "purchase"),
         keyCols = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
         payloadCols = Seq("v_micro"))
-    })
+    }),
+
+    // z-order layout report: Morton-interleave (partkey, suppkey) low bits,
+    // bucket by the top z bits, report each bucket's min/max envelope on
+    // BOTH dimensions — the file-skipping statistics a z-sorted 100 TB
+    // table would expose. One derived-integer groupBy, no row shuffle
+    "q84_zorder_layout" -> ((s, d) =>
+      graft.ops.ZOrder.layoutStats(
+        lineitem(s, d).select(pmod(col("l_partkey"), lit(1024)).as("px"),
+          pmod(col("l_suppkey"), lit(1024)).as("sx")),
+        "px", "sx", bits = 10, bucketShift = 12)),
+
+    // deterministic weighted bottom-k sample (hash A-Res): priority =
+    // (fp mod 1e6)·1000 div n_tokens — longer docs win proportionally more
+    // often, yet the draw is a pure content function; TakeOrderedAndProject
+    // moves only k rows per partition
+    "q85_weighted_sample" -> ((s, d) =>
+      graft.text.Sampling.weightedPrioritySample(documents(s, d), "doc_id",
+        "text", size(TextOps.tokensCol(col("text"))), k = 100)),
+
+    // weighted PageRank over the nation→nation supply graph: the heavy
+    // stage is the fact-side edge derivation (orders⋈lineitem shuffle, dims
+    // broadcast); 3 integer-exact iterations then run on the 25-node
+    // contracted graph with broadcast rank state — fact rows never
+    // re-shuffle. (customer is broadcast at bench scale; at a real SF it
+    // becomes one more shuffle join on the derivation side only.)
+    "q86_nation_pagerank" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
+        col("n_name").as("src"))
+      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
+        col("n_name").as("dst"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("s_nationkey").as("src_key"), col("c_nationkey").as("dst_key"))
+        .agg(count(lit(1)).as("w"))
+        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
+        .select(col("src"), col("dst"), col("w"))
+      graft.ops.PageRank.rankMicro(edges, iterations = 3)
+        .select(col("node").as("nation"), col("rank_micro"))
+    }),
+
+    // mid-frequency inverted-index slice: df-filter FIRST via semi-join, so
+    // head terms never enter a collect_list — bounded per-group state at
+    // any corpus size
+    "q87_inverted_index" -> ((s, d) =>
+      graft.text.Index.invertedIndex(documents(s, d), "doc_id", "text",
+        minDf = 5, maxDf = 400, postingCap = 20)),
+
+    // full pairwise covariance sufficient statistics in ONE map-side-
+    // combinable pass: the corpus is read once, the shuffle carries a single
+    // sufficient-statistics row, and all 6 pairs are arithmetic on it
+    "q88_cov_matrix" -> ((s, d) =>
+      graft.ops.CovMatrix.pairSums(lineitem(s, d), Seq(
+        "qty" -> floor(col("l_quantity") + lit(0.5)),
+        "price_d" -> expr("floor(l_extendedprice * 100 + 0.5) div 100"),
+        "disc_pm" -> floor(col("l_discount") * 1000 + lit(0.5)),
+        "tax_pm" -> floor(col("l_tax") * 1000 + lit(0.5))))),
+
+    // CUSUM level-shift profile per user: one scalar aggregate for the
+    // global mean, one shuffle by user; prefix sum + peak ranking + all
+    // per-key aggregates inside that single window partition
+    "q89_cusum_changepoint" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      graft.ops.Anomaly.cusumPeaks(ev, "user_id", "ts_us", "event_id", "v_micro")
+    }),
+
+    // character-class Gini impurity: a pure-integer quality signal (no
+    // entropy ln() whose last ulp differs across libm builds)
+    "q90_char_classes" -> ((s, d) =>
+      TextOps.charClassProfile(documents(s, d), "doc_id", "text")),
+
+    // Heaps-law vocabulary growth: bucket by id arithmetic (never a global
+    // row_number), two map-side-combinable aggregates, cumulative window
+    // over exactly `buckets` rows
+    "q91_vocab_growth" -> ((s, d) =>
+      graft.text.Index.vocabGrowth(documents(s, d), "doc_id", "text",
+        buckets = 10)),
+
+    // asymmetric shingle containment (the quote/boilerplate pattern Jaccard
+    // cannot see): inverted-index candidates under a df cap — the skew
+    // bound, since the Jaccard prefix filter doesn't apply one-sided
+    "q92_containment_pairs" -> ((s, d) =>
+      graft.text.Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        n = 3, minContainMilli = 800L, maxDocFreq = 100L))
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -2329,6 +2419,162 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= total * 50 THEN bin * 1000 END)::BIGINT AS p50_cents,
         |  min(CASE WHEN cum * 100 >= total * 90 THEN bin * 1000 END)::BIGINT AS p90_cents,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN bin * 1000 END)::BIGINT AS p99_cents
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // the interleave arithmetic is generated from ZOrder.zSql — ONE shared
+    // definition of the bit contract on both engine sides
+    "q84_zorder_layout" ->
+      s"""WITH m AS (
+        |  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx FROM lineitem),
+        |z AS (SELECT (${graft.ops.ZOrder.zSql("px", "sx", 10)}) AS zv, px, sx FROM m)
+        |SELECT (zv // 4096)::BIGINT AS z_bucket, count(*)::BIGINT AS cnt,
+        |  min(px)::BIGINT AS x_min, max(px)::BIGINT AS x_max,
+        |  min(sx)::BIGINT AS y_min, max(sx)::BIGINT AS y_max
+        |FROM z GROUP BY 1""".stripMargin,
+
+    "q85_weighted_sample" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS weight,
+        |    ((${fingerprintSql("text")} % 1000000) * 1000) AS num
+        |  FROM documents)
+        |SELECT doc_id, weight, (num // greatest(weight, 1))::BIGINT AS priority
+        |FROM w ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // 3 chained integer-exact iterations; UNION (not ALL) mirrors the
+    // Spark side's distinct node set
+    "q86_nation_pagerank" -> {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst, sum((r.rank_micro * e.w) // o.out_w)::BIGINT AS contrib
+           |  FROM raw e JOIN outw o ON e.src = o.src JOIN r${i - 1} r ON r.node = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT n.node,
+           |  (150000 + (850 * coalesce(c.contrib, 0)) // 1000)::BIGINT AS rank_micro
+           |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w)::BIGINT AS out_w FROM raw GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        |r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes),
+        |$iters
+        |SELECT node AS nation, rank_micro FROM r3""".stripMargin
+    },
+
+    "q87_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pd AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |t AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+        |      FROM pd GROUP BY 1),
+        |p AS (SELECT term, array_to_string(list_transform(
+        |        list_slice(list_sort(list(doc_id)), 1, 20), v -> v::VARCHAR), ',') AS postings
+        |      FROM pd GROUP BY 1)
+        |SELECT t.term, t.df, t.total_tf, p.postings
+        |FROM t JOIN p USING (term) WHERE t.df BETWEEN 5 AND 400""".stripMargin,
+
+    // pair rows generated from the same (name, pair) enumeration order as
+    // CovMatrix.pairSums
+    "q88_cov_matrix" -> {
+      val cols = Seq("qty", "price_d", "disc_pm", "tax_pm")
+      val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) } yield (a, b)
+      val sums = cols.map(c => s"sum($c)::BIGINT AS s_$c, sum($c * $c)::BIGINT AS q_$c") ++
+        pairs.map { case (a, b) => s"sum($a * $b)::BIGINT AS p_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, n, s_$a AS s_a, s_$b AS s_b, " +
+          s"p_${a}_$b AS s_ab, q_$a AS s_aa, q_$b AS s_bb FROM s"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+        |  SELECT floor(l_quantity + 0.5)::BIGINT AS qty,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT // 100 AS price_d,
+        |    floor(l_discount * 1000 + 0.5)::BIGINT AS disc_pm,
+        |    floor(l_tax * 1000 + 0.5)::BIGINT AS tax_pm
+        |  FROM lineitem),
+        |s AS (SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM m)
+        |$rows""".stripMargin
+    },
+
+    // all operands non-negative where // appears, so truncating division
+    // agrees with Spark's div on every row
+    "q89_cusum_changepoint" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    floor(value * 1e6)::BIGINT AS v_micro
+        |  FROM events),
+        |mu AS (SELECT sum(v_micro)::BIGINT // count(*) AS mu FROM ev),
+        |c AS (SELECT user_id, ts_us, event_id,
+        |  sum(v_micro - mu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cusum
+        |  FROM ev, mu),
+        |r AS (SELECT user_id, ts_us, cusum,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id)::BIGINT AS n,
+        |  max(cusum) OVER (PARTITION BY user_id) AS cusum_max,
+        |  min(cusum) OVER (PARTITION BY user_id) AS cusum_min
+        |  FROM c)
+        |SELECT user_id, n, cusum_max, cusum_min, ts_us AS peak_ts,
+        |  abs(cusum) AS peak_abs
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q90_char_classes" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS n_alpha,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+        |    (length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT AS n_space
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+        |  (n_chars - n_alpha - n_digit - n_space) AS n_other,
+        |  10000 - (10000 * (n_alpha * n_alpha + n_digit * n_digit
+        |    + n_space * n_space
+        |    + (n_chars - n_alpha - n_digit - n_space)
+        |      * (n_chars - n_alpha - n_digit - n_space)))
+        |    // (n_chars * n_chars) AS gini_permyriad
+        |FROM m""".stripMargin,
+
+    "q91_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id)::BIGINT AS max_id FROM documents),
+        |b AS (SELECT (doc_id::BIGINT * 10) // (max_id + 1) AS bucket, text
+        |      FROM documents, mx),
+        |toks AS (SELECT bucket, unnest(string_split(text, ' ')) AS term FROM b),
+        |pb AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY 1),
+        |tc AS (SELECT bucket, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+        |nt AS (SELECT bucket, count(*)::BIGINT AS new_terms FROM
+        |        (SELECT term, min(bucket) AS bucket FROM toks GROUP BY 1)
+        |       GROUP BY 1)
+        |SELECT p.bucket, p.n_docs,
+        |  coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(n.new_terms, 0)::BIGINT AS new_terms,
+        |  sum(coalesce(t.n_tokens, 0)) OVER (ORDER BY p.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens,
+        |  sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_vocab
+        |FROM pb p LEFT JOIN tc t USING (bucket) LEFT JOIN nt n USING (bucket)""".stripMargin,
+
+    "q92_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))) AS shingle
+        |  FROM documents),
+        |keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+        |k AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM k GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+        |  FROM k a JOIN k b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.inter, s.n_sh AS n_a,
+        |  (p.inter * 1000) // s.n_sh AS contain_milli
+        |FROM pairs p JOIN sz s ON s.doc_id = p.id_a
+        |WHERE (p.inter * 1000) // s.n_sh >= 800""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group 3-sigma outlier detection with a PURE INTEGER contract: the
@@ -43,5 +44,43 @@ object Anomaly {
       .where(lhs * lhs > rhs)
       .select((keyCols.map(col) :+ col(idCol) :+ v :+
         col("_n").as("group_n")): _*)
+  }
+
+  /** CUSUM changepoint profile per key: the running sum of deviations from
+    * the GLOBAL mean,
+    *
+    *   cusum_i = Σ_{j ≤ i} (v_j − μ),   μ = ⌊Σv / n⌋  (integer floor — exact
+    *                                     on both engines for v ≥ 0)
+    *
+    * peaks where the series' level shifts; the report emits, per key, the
+    * extreme excursion (max, min), the FIRST timestamp attaining the maximal
+    * |cusum| (deterministic tie-break: |cusum| desc, ts asc, id asc), and n.
+    *
+    * Distribution: one scalar aggregate for μ (broadcast back as a literal
+    * join — no data moves), then a single shuffle partitioning by key; the
+    * prefix sum, the ranking, and every per-key aggregate all run inside
+    * that one window partition. Output is |keys| rows.
+    *
+    * Reference anchor: the reference's block-missing scan is the closest
+    * sequential-state op (SURVEY §2.4); CUSUM is the standard drift /
+    * level-shift detector a feed-monitoring pipeline adds on top.
+    */
+  def cusumPeaks(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      vMicroCol: String): DataFrame = {
+    val mu = df.agg(expr(s"sum($vMicroCol) div count(1)").as("_mu"))
+    val wRun = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(keyCol)
+    val wPeak = Window.partitionBy(keyCol)
+      .orderBy(abs(col("cusum")).desc, col(tsCol), col(idCol))
+    df.join(broadcast(mu))
+      .withColumn("cusum", sum(col(vMicroCol) - col("_mu")).over(wRun))
+      .withColumn("_rn", row_number().over(wPeak))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("cusum_max", max(col("cusum")).over(wKey))
+      .withColumn("cusum_min", min(col("cusum")).over(wKey))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col("n"), col("cusum_max"), col("cusum_min"),
+        col(tsCol).as("peak_ts"), abs(col("cusum")).as("peak_abs"))
   }
 }

@@ -114,6 +114,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: for ordered pairs (a, b),
+    *
+    *   contain_milli = ⌊ |A∩B| · 1000 / |A| ⌋  ≥  minContainMilli
+    *
+    * over distinct n-gram shingle sets. Containment catches what Jaccard
+    * structurally cannot: a short document wholly embedded in a long one
+    * (J = |A|/|B| ≈ 0, containment = 1000) — the quote/boilerplate/
+    * supersede pattern that dominates real crawl dedup. Pure integer
+    * (floor-division of non-negative counts): bit-identical across engines.
+    *
+    * Scale design: candidates come from the shared-shingle inverted-index
+    * join with a doc-frequency cap (`maxDocFreq`) — the Jaccard prefix
+    * filter does NOT apply to one-sided containment (a contained doc may
+    * share only its own rare shingles), so the df cap is the skew bound:
+    * join fan-out per shingle is ≤ maxDocFreq², and popular boilerplate
+    * shingles (the 100 TB skew keys) never enter the join. Containment is
+    * then exact over the SURVIVING (capped) shingle universe, with |A|
+    * recomputed over survivors — same exactness contract as
+    * [[ngramJaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainMilli: Long, maxDocFreq: Long): DataFrame = {
+    val exploded0 = df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val kept = exploded0.join(
+      exploded0.groupBy("shingle").agg(count(lit(1)).as("df_"))
+        .where(col("df_") <= maxDocFreq).select("shingle"),
+      Seq("shingle")).localCheckpoint(false)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col("id").as("id_a"), col("shingle"))
+    val b = kept.select(col("id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .withColumn("contain_milli", expr("(inter * 1000) div n_sh"))
+      .where(col("contain_milli") >= minContainMilli)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_sh").as("n_a"),
+        col("contain_milli"))
+  }
+
   /** Deterministic per-shingle 32-bit-ish hash family for MinHash: h_i(s) =
     * (a_i * h(s) + b_i) mod p, p = 2^31-1, h = polynomial rolling hash.
     */

@@ -45,4 +45,50 @@ object Sampling {
   def hashSample(df: DataFrame, keyCols: Seq[Column], permille: Int,
       salt: Long = 0L): DataFrame =
     df.where(pmod(xxhash64((lit(salt) +: keyCols): _*), lit(1000L)) < lit(permille.toLong))
+
+  /** Deterministic weighted bottom-k sample (the hash-analog of A-Res
+    * weighted reservoir sampling): each row gets the integer priority
+    *
+    *   priority = (fingerprint(text) mod 10^6) · 1000  div  max(weight, 1)
+    *
+    * and the global k lowest priorities win — heavier rows draw
+    * proportionally smaller priorities, so inclusion probability scales with
+    * weight, yet the draw is a pure function of content (reproducible across
+    * re-runs and re-partitionings, like [[stratifiedContentSample]]).
+    *
+    * Scale design: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
+    * each partition keeps its local top-k heap and only k·partitions rows
+    * ever move, never a global sort. Ties break on (priority, id): fully
+    * deterministic, fully oracle-checkable (ORDER BY ... LIMIT k in SQL).
+    */
+  /** Cluster-consistent train/test split: rows carry a `componentCol` label
+    * (e.g. a near-dup component from `ConnectedComponents`), and the split
+    * bucket is a deterministic affine hash of the COMPONENT — so every
+    * member of a duplicate cluster lands on the same side. Splitting
+    * per-document leaks near-identical text across the train/eval boundary
+    * (the classic contamination bug); splitting per-component is the guard.
+    * The affine step ((c mod p)·a + b mod p, p = 2³¹−1) decorrelates the
+    * bucket from raw id order so consecutive components don't stripe;
+    * reducing BEFORE the multiply keeps the product < 2^62 for any long id.
+    */
+  def clusterSafeSplit(labeled: DataFrame, componentCol: String,
+      trainPermille: Int): DataFrame = {
+    val p = 2147483647L
+    val (a, b) = (1373158607L, 239081663L)
+    labeled
+      .withColumn("split_bucket",
+        pmod(pmod(col(componentCol).cast("long"), lit(p)) * a + b, lit(p)) % 1000)
+      .withColumn("split",
+        when(col("split_bucket") < trainPermille, "train").otherwise("test"))
+  }
+
+  def weightedPrioritySample(df: DataFrame, idCol: String, textCol: String,
+      weight: Column, k: Int): DataFrame =
+    df.select(col(idCol), weight.cast("long").as("weight"),
+        // (fp mod 1e6)·1000 < 1e9 — far from the long boundary
+        (pmod(TextOps.fingerprint(col(textCol)), lit(1000000L)) * 1000L).as("_num"))
+      .withColumn("priority", expr("_num div greatest(weight, 1L)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
 }

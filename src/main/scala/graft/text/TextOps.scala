@@ -226,4 +226,34 @@ object TextOps {
       length(redacted).as("n_chars_redacted"),
       fingerprint(redacted).as("redacted_fp"))
   }
+
+  /** Character-class profile + Gini impurity, a pure-integer quality signal
+    * (machine-generated text skews heavily to one class; natural prose
+    * mixes). Classes: ASCII letters, digits, spaces, other. The impurity is
+    * emitted in permyriad with one floor division,
+    *
+    *   gini = 10000 − (10000·(a² + d² + s² + o²)) div n²
+    *
+    * so no ratio or log ever crosses an engine boundary (contrast an
+    * entropy score, whose ln() last-ulp differs across libm builds). Class
+    * counts come from length-after-regexp-delete — codegen'd string ops,
+    * no explode. Rows with empty text are dropped (n² division guard).
+    */
+  def charClassProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    // counts widened to LONG before any product: length() is INT, and the
+    // permyriad numerator crosses 2^31 already at ~460-char docs
+    df.select(col(idCol), n.cast("long").as("n_chars"),
+        (n - length(regexp_replace(t, "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+        (n - length(regexp_replace(t, "[0-9]", ""))).cast("long").as("n_digit"),
+        (n - length(regexp_replace(t, " ", ""))).cast("long").as("n_space"))
+      .where(col("n_chars") > 0)
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("gini_permyriad", expr(
+        """10000 - (10000 * (n_alpha * n_alpha + n_digit * n_digit
+          |  + n_space * n_space + n_other * n_other))
+          |  div (n_chars * n_chars)""".stripMargin))
+  }
 }

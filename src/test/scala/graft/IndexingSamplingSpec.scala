@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Dedup, Index, Sampling, TextOps}
+
+/** Unit contracts for the indexing/sampling/profiling text operators:
+  * inverted-index posting bounds, Heaps-curve bookkeeping, weighted-sample
+  * determinism and weight monotonicity, char-class Gini arithmetic, and the
+  * containment ⊇ subset guarantee.
+  */
+class IndexingSamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("invertedIndex: postings sorted, capped, df band enforced") {
+    val docs = Seq((3L, "x x y"), (1L, "x z"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Index.invertedIndex(docs, "doc_id", "text",
+        minDf = 2, maxDf = 2, postingCap = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getString(3))).toMap
+    // x has df 3 (> maxDf) → excluded; z has df 1 (< minDf) → excluded
+    assert(out.keySet === Set("y"))
+    assert(out("y") === ((2L, 2L, "2"))) // postings capped to first id only
+  }
+
+  test("invertedIndex: total_tf counts multiplicity, postings ascend") {
+    val docs = Seq((9L, "w w w"), (4L, "w")).toDF("doc_id", "text")
+    val r = Index.invertedIndex(docs, "doc_id", "text", 1, 10, 5).collect().head
+    assert(r.getAs[Long]("df") === 2)
+    assert(r.getAs[Long]("total_tf") === 4)
+    assert(r.getAs[String]("postings") === "4,9")
+  }
+
+  test("vocabGrowth: cumulative vocab ends at the distinct-term count") {
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d"), (3L, "a e"))
+      .toDF("doc_id", "text")
+    val out = Index.vocabGrowth(docs, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq === Seq(2L, 2L))
+    assert(out.last.getAs[Long]("cum_tokens") === 8L)
+    assert(out.last.getAs[Long]("cum_vocab") === 5L)
+    // bucket 0 introduces a,b,c; bucket 1 introduces d,e
+    assert(out.head.getAs[Long]("new_terms") === 3L)
+    assert(out.last.getAs[Long]("new_terms") === 2L)
+    // cumulative columns are prefix sums → monotone
+    assert(out.head.getAs[Long]("cum_vocab") === 3L)
+  }
+
+  test("weightedPrioritySample: deterministic under repartition, k-bounded") {
+    val docs = (1L to 200L).map(i => (i, s"doc number $i " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val w = size(TextOps.tokensCol(col("text")))
+    val a = Sampling.weightedPrioritySample(docs, "doc_id", "text", w, 50)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedPrioritySample(docs.repartition(13), "doc_id",
+        "text", w, 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sample must be partitioning-independent")
+    assert(a.length === 50)
+  }
+
+  test("weightedPrioritySample: for equal content, higher weight → lower priority") {
+    val docs = Seq((1L, "same text here"), (2L, "same text here"))
+      .toDF("doc_id", "text")
+    val out = Sampling.weightedPrioritySample(docs, "doc_id", "text",
+        when(col("doc_id") === 1, lit(1)).otherwise(lit(1000)), 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("priority")).toMap
+    assert(out(2L) < out(1L))
+    assert(out(1L) === out(2L) * 1000 || out(1L) / 1000 === out(2L))
+  }
+
+  test("charClassProfile: exact counts and floor-div Gini") {
+    val docs = Seq((1L, "ab 12!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.charClassProfile(docs, "doc_id", "text").collect()
+    assert(out.length === 1, "empty text dropped")
+    val r = out.head
+    assert(r.getAs[Long]("n_chars") === 6)
+    assert(r.getAs[Long]("n_alpha") === 2)
+    assert(r.getAs[Long]("n_digit") === 2)
+    assert(r.getAs[Long]("n_space") === 1)
+    assert(r.getAs[Long]("n_other") === 1)
+    // 10000 − ⌊10000·(4+4+1+1)/36⌋ = 10000 − 2777
+    assert(r.getAs[Long]("gini_permyriad") === 7223L)
+  }
+
+  test("charClassProfile: single-class text has zero impurity") {
+    val r = TextOps.charClassProfile(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(r.getAs[Long]("gini_permyriad") === 0L)
+  }
+
+  test("containmentPairs: an embedded document scores exactly 1000") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"intro words here $small trailing tail words"
+    val docs = Seq((1L, small), (2L, big), (3L, "completely different text body now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        minContainMilli = 800L, maxDocFreq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("contain_milli"))
+      .toMap
+    assert(out.keySet === Set((1L, 2L)), s"got $out")
+    assert(out((1L, 2L)) === 1000L)
+  }
+
+  test("containmentPairs is asymmetric: the containing side stays below threshold") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"one two three four five six seven eight nine ten $small"
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0L, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("contain_milli"))
+      .toMap
+    assert(all((1L, 2L)) === 1000L)
+    assert(all((2L, 1L)) < 400L)
+  }
+}

@@ -156,4 +156,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"the probe join must stay broadcast:\n$p")
   }
+
+  test("q84 z-order layout: one derived-integer aggregate, one exchange, no sort") {
+    val p = plan("q84_zorder_layout")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"layout stats must be a single map-side-combinable aggregate:\n$p")
+    assert(!p.contains("Sort "), s"bucketing must never sort the rows:\n$p")
+  }
+
+  test("q85 weighted sample: bottom-k plans as TakeOrdered, never a global sort") {
+    val p = plan("q85_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must compile to a per-partition top-k:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no range-partitioned global sort may appear:\n$p")
+  }
+
+  test("q86 pagerank: iterations run on checkpointed edges, rank state broadcast") {
+    val p = plan("q86_nation_pagerank")
+    // the fact-side joins are cut off by the edge localCheckpoint: the final
+    // plan must read the contracted edge table from checkpoint, not re-derive
+    // it from lineitem per iteration
+    assert(!p.contains("lineitem"),
+      s"iterations must not replay the fact-side edge derivation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rank state must broadcast-join the edges:\n$p")
+  }
+
+  test("q88 covariance matrix: one scan, one sufficient-statistics row") {
+    val p = plan("q88_cov_matrix")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"all pairwise sums must come from ONE pass over lineitem:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the single-row stats merge may exchange:\n$p")
+  }
+
+  test("q92 containment: candidates via shingle equi-join, never all-pairs") {
+    val p = plan("q92_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must join on the shingle inverted index:\n$p")
+  }
 }
