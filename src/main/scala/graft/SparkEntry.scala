@@ -1195,7 +1195,47 @@ object SparkEntry {
     // bound, since the Jaccard prefix filter doesn't apply one-sided
     "q92_containment_pairs" -> ((s, d) =>
       graft.text.Dedup.containmentPairs(documents(s, d), "doc_id", "text",
-        n = 3, minContainMilli = 800L, maxDocFreq = 100L))
+        n = 3, minContainMilli = 800L, maxDocFreq = 100L)),
+
+    // leakage-safe train/test split: near-dup components (the q61 graph)
+    // hash to ONE side as a unit, so no duplicate cluster ever straddles
+    // the train/eval boundary — the contamination bug a per-doc split has
+    "q93_cluster_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)
+      val comp = graft.ops.ConnectedComponents.components(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      graft.text.Sampling.clusterSafeSplit(labeled, "component",
+        trainPermille = 900)
+    }),
+
+    // greedy per-language token-budget fill: ONE shuffle by stratum; rank,
+    // prefix sum and kept/total aggregates all inside that partition
+    "q94_token_budget" -> ((s, d) =>
+      graft.text.Mixing.tokenBudgetFill(documents(s, d), "lang", "doc_id",
+        size(TextOps.tokensCol(col("text"))), budgetTokens = 2000L)),
+
+    // event-sequence conversion (first view → later purchase): window min +
+    // per-user fold in a single user-partitioned shuffle, exact micro lag
+    "q95_funnel_conversion" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      graft.ops.Funnel.conversionStats(ev, "user_id", "event_type", "ts_us",
+        fromType = "view", toType = "purchase")
+    }),
+
+    // triangle/wedge census of the SAME near-dup pair graph q61 clusters:
+    // high closure ⇒ tight duplicate cliques, low ⇒ borderline chains a
+    // transitive closure would over-merge
+    "q96_pair_triangles" -> ((s, d) =>
+      graft.ops.Triangles.census(
+        Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25),
+        "id_a", "id_b"))
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -2575,6 +2615,78 @@ object SparkEntry {
         |SELECT p.id_a, p.id_b, p.inter, s.n_sh AS n_a,
         |  (p.inter * 1000) // s.n_sh AS contain_milli
         |FROM pairs p JOIN sz s ON s.doc_id = p.id_a
-        |WHERE (p.inter * 1000) // s.n_sh >= 800""".stripMargin
+        |WHERE (p.inter * 1000) // s.n_sh >= 800""".stripMargin,
+
+    // component closure identical to q61's oracle; the affine bucket
+    // ((c mod p)·a + b mod p) mod 1000 mirrors Sampling.clusterSafeSplit
+    "q93_cluster_split" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |bk AS (SELECT doc_id, component,
+         |  (((component % 2147483647) * 1373158607 + 239081663) % 2147483647) % 1000
+         |    AS split_bucket
+         |  FROM comp)
+         |SELECT doc_id, component, split_bucket,
+         |  (CASE WHEN split_bucket < 900 THEN 'train' ELSE 'test' END) AS split
+         |FROM bk""".stripMargin,
+
+    // window frames agree across engines' defaults because (n_tokens desc,
+    // doc_id) is a total order — doc_id is unique
+    "q94_token_budget" ->
+      """WITH toks AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT stratum, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY stratum
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM toks)
+        |SELECT stratum, count(*)::BIGINT AS n_docs_total,
+        |  sum(n_tokens)::BIGINT AS tokens_total,
+        |  count(CASE WHEN cum <= 2000 THEN 1 END)::BIGINT AS n_docs_kept,
+        |  coalesce(sum(CASE WHEN cum <= 2000 THEN n_tokens ELSE 0 END), 0)::BIGINT
+        |    AS tokens_kept
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q95_funnel_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_from
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_conv
+        |      FROM ev e JOIN f ON f.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us >= f.t_from
+        |      GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_users, count(f.t_from)::BIGINT AS n_from,
+        |  count(c.t_conv)::BIGINT AS n_converted,
+        |  sum(c.t_conv - f.t_from)::BIGINT AS lag_sum_us
+        |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
+
+    // census over the exact q16 pair CTEs: a<b<c ordered enumeration counts
+    // each triangle once; wedges = Σ d(d−1)/2
+    "q96_pair_triangles" ->
+      s"""WITH $MinhashPairsCtes,
+         |e AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |      FROM pairs WHERE id_a <> id_b GROUP BY 1, 2),
+         |tri AS (SELECT count(*)::BIGINT AS n_triangles
+         |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |deg AS (SELECT v, count(*)::BIGINT AS d FROM
+         |         (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |w AS (SELECT count(*)::BIGINT AS n_vertices,
+         |        sum((d * (d - 1)) // 2)::BIGINT AS n_wedges FROM deg),
+         |ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+         |SELECT w.n_vertices, ec.n_edges, w.n_wedges, tri.n_triangles,
+         |  (3000 * tri.n_triangles) // greatest(w.n_wedges, 1) AS closure_permille
+         |FROM w, ec, tri""".stripMargin
   )
 }

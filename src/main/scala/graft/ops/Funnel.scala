@@ -40,4 +40,31 @@ object Funnel {
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("s.n_docs").as("n_docs"))
   }
+
+  /** Event-sequence conversion: of the users whose stream contains a
+    * `fromType` event, how many later (ts ≥ first `fromType`) emit a
+    * `toType` event, and what is the exact total first-touch→conversion
+    * lag. Emits ONE row: n_users, n_from, n_converted, lag_sum_us.
+    *
+    * Distribution: one shuffle partitioning by user — the per-user first
+    * `fromType` timestamp is a window min over that partition, the
+    * conversion min folds in the same per-user groupBy, and only |users|
+    * rows reach the final single-row reduce. Lag is an exact integer sum
+    * (micros), so the result is partition-order independent.
+    */
+  def conversionStats(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(userCol)
+    events
+      .withColumn("_t_from",
+        min(when(col(typeCol) === fromType, col(tsCol))).over(w))
+      .groupBy(userCol)
+      .agg(max("_t_from").as("t_from"), // constant within the user partition
+        min(when(col(typeCol) === toType && col(tsCol) >= col("_t_from"),
+          col(tsCol))).as("t_conv"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t_from")).as("n_from"),
+        count(col("t_conv")).as("n_converted"),
+        sum(col("t_conv") - col("t_from")).as("lag_sum_us"))
+  }
 }

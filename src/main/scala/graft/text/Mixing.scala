@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing: temperature-based rebalancing of strata (languages,
@@ -38,5 +38,37 @@ object Mixing {
       .withColumn("sample_permille",
         least(lit(1000L), expr("(target_docs * 1000) div n_docs")))
       .select("stratum", "n_docs", "share_ppm", "target_docs", "sample_permille")
+  }
+
+  /** Greedy token-budget fill per stratum: rank documents inside each
+    * stratum by (tokens desc, id asc — deterministic), take the prefix whose
+    * INCLUSIVE cumulative token count fits `budgetTokens`, and report what
+    * the budget kept vs what existed. This is the "fill each mixture
+    * component to its token budget" step that follows target-share planning
+    * ([[sqrtTemperatureTargets]] decides shares; this enforces them in
+    * actual tokens).
+    *
+    * Distribution: ONE shuffle partitioning by stratum; ranking, prefix sum
+    * and the kept/total aggregates all evaluate inside that partition.
+    * Output is |strata| rows. Greedy-prefix means a doc larger than the
+    * remaining budget ends the fill (no skip-and-continue knapsack) — the
+    * deterministic contract real samplers use.
+    */
+  def tokenBudgetFill(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: Column, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum")
+      .orderBy(col("n_tokens").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(strataCol).as("stratum"), col(idCol),
+        tokensCol.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum("n_tokens").as("tokens_total"),
+        count(when(col("cum_tokens") <= budgetTokens, 1)).as("n_docs_kept"),
+        sum(when(col("cum_tokens") <= budgetTokens, col("n_tokens"))
+          .otherwise(lit(0L))).as("tokens_kept"))
   }
 }

@@ -97,6 +97,42 @@ class IndexingSamplingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gini_permyriad") === 0L)
   }
 
+  test("clusterSafeSplit: no component ever straddles the train/test boundary") {
+    val labeled = (1L to 300L).map(i => (i, i % 37)).toDF("doc_id", "component")
+    val out = Sampling.clusterSafeSplit(labeled, "component", 900)
+      .select("component", "split").distinct().collect()
+    val byComp = out.groupBy(_.getLong(0))
+    assert(byComp.forall(_._2.length === 1),
+      "every member of a component must land on the same side")
+    // affine-hash replica: bucket = ((c mod p)·a + b mod p) mod 1000
+    val buckets = Sampling.clusterSafeSplit(labeled, "component", 900)
+      .select("component", "split_bucket").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((c, got) <- buckets) {
+      val expect = ((c % 2147483647L) * 1373158607L + 239081663L) % 2147483647L % 1000L
+      assert(got === expect, s"component $c")
+    }
+  }
+
+  test("tokenBudgetFill: keeps the maximal in-order prefix, conserves totals") {
+    // one stratum: docs of 900, 700, 500, 300 tokens (ids 1..4) vs budget
+    // 1700 → kept prefix is 900+700 = 1600 (500 would overflow)
+    val docs = Seq((1L, "a", 900L), (2L, "a", 700L), (3L, "a", 500L),
+        (4L, "a", 300L), (5L, "b", 100L))
+      .toDF("doc_id", "lang", "n")
+    val out = graft.text.Mixing.tokenBudgetFill(docs, "lang", "doc_id",
+        col("n"), budgetTokens = 1700L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs_total") === 4)
+    assert(a.getAs[Long]("tokens_total") === 2400)
+    assert(a.getAs[Long]("n_docs_kept") === 2)
+    assert(a.getAs[Long]("tokens_kept") === 1600)
+    val b = out("b")
+    assert(b.getAs[Long]("n_docs_kept") === 1)
+    assert(b.getAs[Long]("tokens_kept") === 100)
+  }
+
   test("containmentPairs: an embedded document scores exactly 1000") {
     val small = "alpha beta gamma delta epsilon"
     val big = s"intro words here $small trailing tail words"

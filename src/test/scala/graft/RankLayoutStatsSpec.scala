@@ -103,6 +103,54 @@ class RankLayoutStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("peak_abs") === 15L)
   }
 
+  test("Triangles.census: K3 and K4 close fully, a path closes nothing") {
+    import graft.ops.Triangles
+    // K3, with duplicate + reversed edges to exercise normalization
+    val k3 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L)).toDF("x", "y")
+    val r3 = Triangles.census(k3, "x", "y").collect().head
+    assert(r3.getAs[Long]("n_edges") === 3)
+    assert(r3.getAs[Long]("n_wedges") === 3)
+    assert(r3.getAs[Long]("n_triangles") === 1)
+    assert(r3.getAs[Long]("closure_permille") === 1000L)
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("x", "y")
+    val r4 = Triangles.census(k4, "x", "y").collect().head
+    assert(r4.getAs[Long]("n_triangles") === 4)
+    assert(r4.getAs[Long]("n_wedges") === 12)
+    assert(r4.getAs[Long]("closure_permille") === 1000L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val rp = Triangles.census(path, "x", "y").collect().head
+    assert(rp.getAs[Long]("n_triangles") === 0)
+    assert(rp.getAs[Long]("n_wedges") === 2)
+    assert(rp.getAs[Long]("closure_permille") === 0L)
+  }
+
+  test("conversionStats: converted, unconverted, and pre-from events are split correctly") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      ("u1", "view", 100L), ("u1", "purchase", 150L),     // converts, lag 50
+      ("u2", "view", 100L), ("u2", "click", 200L),        // views, no purchase
+      ("u3", "purchase", 50L), ("u3", "view", 100L),      // purchase BEFORE view
+      ("u4", "click", 10L)                                 // never views
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = Funnel.conversionStats(ev, "user_id", "event_type", "ts_us",
+      "view", "purchase").collect().head
+    assert(r.getAs[Long]("n_users") === 4)
+    assert(r.getAs[Long]("n_from") === 3)
+    assert(r.getAs[Long]("n_converted") === 1)
+    assert(r.getAs[Long]("lag_sum_us") === 50L)
+  }
+
+  test("conversionStats: a purchase at exactly the first view counts") {
+    import graft.ops.Funnel
+    val ev = Seq(("u", "view", 100L), ("u", "purchase", 100L))
+      .toDF("user_id", "event_type", "ts_us")
+    val r = Funnel.conversionStats(ev, "user_id", "event_type", "ts_us",
+      "view", "purchase").collect().head
+    assert(r.getAs[Long]("n_converted") === 1)
+    assert(r.getAs[Long]("lag_sum_us") === 0L)
+  }
+
   test("cusumPeaks peak tie breaks on earliest timestamp") {
     // mean = 0; cusum 1,0,1,0 → |cusum| peaks of 1 at ts 1 and 3: pick 1
     val ev = Seq(("u", 1L, 1L, 1L), ("u", 2L, 2L, -1L),
