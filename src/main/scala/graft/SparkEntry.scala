@@ -1235,7 +1235,21 @@ object SparkEntry {
       graft.ops.Triangles.census(
         Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
           n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25),
-        "id_a", "id_b"))
+        "id_a", "id_b")),
+
+    // keep-BEST dedup (vs q08's keep-first): one survivor per content
+    // group by (quality, id) max(struct) — 8-byte fingerprint shuffle key,
+    // no window sort, no text movement
+    "q97_dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBestDedup(documents(s, d), "doc_id", "text",
+        size(TextOps.tokensCol(col("text"))))),
+
+    // per-stratum bottom-k: equal representation however skewed the strata
+    // — the global bottom-k (q85) would let a dominant language crowd out
+    // the rest; rank runs inside the one stratum shuffle
+    "q98_stratified_sample_topk" -> ((s, d) =>
+      graft.text.Sampling.stratifiedPrioritySample(documents(s, d), "doc_id",
+        "text", "lang", size(TextOps.tokensCol(col("text"))), kPerStratum = 20))
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -2687,6 +2701,39 @@ object SparkEntry {
          |ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
          |SELECT w.n_vertices, ec.n_edges, w.n_wedges, tri.n_triangles,
          |  (3000 * tri.n_triangles) // greatest(w.n_wedges, 1) AS closure_permille
-         |FROM w, ec, tri""".stripMargin
+         |FROM w, ec, tri""".stripMargin,
+
+    // struct-max = lexicographic (q desc, id desc) — mirrored by the
+    // row_number ordering; fingerprint collisions (if any) merge groups
+    // identically on both sides
+    "q97_dedup_keep_best" ->
+      s"""WITH g AS (
+        |  SELECT ${fingerprintSql("text")} AS group_fp, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT group_fp, doc_id, q,
+        |    row_number() OVER (PARTITION BY group_fp
+        |      ORDER BY q DESC, doc_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY group_fp)::BIGINT AS group_size
+        |  FROM g)
+        |SELECT group_fp, doc_id, q AS quality, group_size
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q98_stratified_sample_topk" ->
+      s"""WITH w AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS weight,
+        |    ((${fingerprintSql("text")} % 1000000) * 1000) AS num
+        |  FROM documents),
+        |p AS (
+        |  SELECT stratum, doc_id, weight,
+        |    (num // greatest(weight, 1))::BIGINT AS priority
+        |  FROM w),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY stratum
+        |    ORDER BY priority, doc_id) AS rn
+        |  FROM p)
+        |SELECT stratum, doc_id, weight, priority FROM r WHERE rn <= 20""".stripMargin
   )
 }

@@ -156,6 +156,26 @@ object Dedup {
         col("contain_milli"))
   }
 
+  /** Keep-BEST exact dedup: one survivor per content group, chosen by a
+    * caller-supplied integer quality signal (ties → larger id), via a single
+    * map-side-combinable max(struct) — no window sort, no self-join. The
+    * group key is the rolling-hash fingerprint, NOT the text: the shuffle
+    * carries an 8-byte key instead of the document (the q08-scalable
+    * lesson), and any fingerprint collision merges identically on both
+    * engine sides, so the contract stays oracle-exact by construction.
+    * Complements [[exactDedup]] (keep-first-by-id): real pipelines keep the
+    * best-quality copy, not the lowest id.
+    */
+  def keepBestDedup(df: DataFrame, idCol: String, textCol: String,
+      quality: Column): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("group_fp"),
+        col(idCol).as("id"), quality.cast("long").as("q"))
+      .groupBy("group_fp")
+      .agg(max(struct(col("q"), col("id"))).as("best"),
+        count(lit(1)).as("group_size"))
+      .select(col("group_fp"), col("best.id").as(idCol),
+        col("best.q").as("quality"), col("group_size"))
+
   /** Deterministic per-shingle 32-bit-ish hash family for MinHash: h_i(s) =
     * (a_i * h(s) + b_i) mod p, p = 2^31-1, h = polynomial rolling hash.
     */

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -91,4 +92,24 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
       .select(col(idCol), col("weight"), col("priority"))
+
+  /** Per-stratum variant of [[weightedPrioritySample]]: the k lowest
+    * priorities WITHIN each stratum win — equal representation however
+    * skewed the strata sizes (the global bottom-k would let a dominant
+    * stratum crowd the others out). One shuffle partitioning by stratum;
+    * the rank evaluates inside that partition and only k·|strata| rows
+    * survive. Same content-keyed priority, so the two samplers agree on
+    * what "priority" means and differ only in scope.
+    */
+  def stratifiedPrioritySample(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, weight: Column, kPerStratum: Int): DataFrame = {
+    val w = Window.partitionBy("stratum").orderBy(col("priority"), col(idCol))
+    df.select(col(strataCol).as("stratum"), col(idCol),
+        weight.cast("long").as("weight"),
+        (pmod(TextOps.fingerprint(col(textCol)), lit(1000000L)) * 1000L).as("_num"))
+      .withColumn("priority", expr("_num div greatest(weight, 1L)"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= kPerStratum)
+      .select(col("stratum"), col(idCol), col("weight"), col("priority"))
+  }
 }

@@ -97,6 +97,34 @@ class IndexingSamplingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gini_permyriad") === 0L)
   }
 
+  test("keepBestDedup: survivor is the (quality, id)-max of its group") {
+    val docs = Seq((1L, "same text", 10L), (2L, "same text", 30L),
+        (3L, "same text", 30L), (4L, "other text", 5L))
+      .toDF("doc_id", "text", "q")
+    val out = Dedup.keepBestDedup(docs, "doc_id", "text", col("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("quality"), r.getAs[Long]("group_size"))).toMap
+    // quality tie between ids 2 and 3 → larger id wins
+    assert(out === Map(3L -> ((30L, 3L)), 4L -> ((5L, 1L))))
+  }
+
+  test("stratifiedPrioritySample: k per stratum, same priority contract as global") {
+    val docs = (1L to 120L).map(i => (i, s"text body $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val w = size(TextOps.tokensCol(col("text")))
+    val out = Sampling.stratifiedPrioritySample(docs, "doc_id", "text", "lang", w, 10)
+      .collect()
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum.keySet === Set("en", "de"))
+    assert(byStratum.forall(_._2.length === 10), "exactly k per stratum")
+    // the per-stratum winners must carry the same priority value the global
+    // sampler assigns to the same documents
+    val global = Sampling.weightedPrioritySample(docs, "doc_id", "text", w, 120)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("priority")).toMap
+    for (r <- out)
+      assert(r.getAs[Long]("priority") === global(r.getAs[Long]("doc_id")))
+  }
+
   test("clusterSafeSplit: no component ever straddles the train/test boundary") {
     val labeled = (1L to 300L).map(i => (i, i % 37)).toDF("doc_id", "component")
     val out = Sampling.clusterSafeSplit(labeled, "component", 900)
