@@ -69,9 +69,25 @@ object Bench {
         runs(name) = Seq(t1, t2)
         results(name) = math.min(t1, t2)
       } else results(name) = t1
+      // queries are independent: release this query's cached plans,
+      // localCheckpoint blocks and broadcasts before the next measurement —
+      // ~100 queries of accumulated executor state in one 8g JVM otherwise
+      // GC-thrashes the late entries (the r5 gen section measured 13-20x
+      // slow purely from heap pressure, with identical generation code)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
-    val (genStage, taskSkew) = if (only.nonEmpty) (Array.empty[Long], 0.0) else {
+    // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
+    // matches no query name but selects the generation stages alone — the
+    // fresh-JVM profiling shape)
+    val runGen = only.forall(_.exists(t =>
+      "gen_full_sweep".contains(t) || "gen_scale".contains(t)))
+    val (genStage, taskSkew) = if (!runGen) (Array.empty[Long], 0.0) else {
+    // give the 25M-row generation stages a settled heap: the measurement
+    // should see kernel + write cost, not the query suite's garbage
+    System.gc()
     // full-sweep generation: every config of all 18 families (BASELINE headline)
     results("gen_full_sweep") = time {
       Generate.series(spark, Grid.all()).toDF()

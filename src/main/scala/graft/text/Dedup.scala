@@ -135,24 +135,47 @@ object Dedup {
     * [[ngramJaccardPairs]].
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minContainMilli: Long, maxDocFreq: Long): DataFrame = {
+      n: Int, minContainMilli: Long, maxDocFreq: Long,
+      prefixFilter: Boolean = true): DataFrame = {
     val exploded0 = df.select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), n)).as("shingle"))
     val kept = exploded0.join(
       exploded0.groupBy("shingle").agg(count(lit(1)).as("df_"))
-        .where(col("df_") <= maxDocFreq).select("shingle"),
+        .where(col("df_") <= maxDocFreq),
       Seq("shingle")).localCheckpoint(false)
-    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = kept.select(col("id").as("id_a"), col("shingle"))
-    val b = kept.select(col("id").as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // one-sided prefix bound (exactness-preserving): contain ≥ m/1000 needs
+    // inter ≥ ⌈m·n_a/1000⌉, so A can miss at most n_a − ⌈m·n_a/1000⌉
+    // shingles of ITS OWN set — if none of A's (maxmiss + 1) RAREST
+    // shingles hits B, the pair cannot qualify. Only A's prefix enters the
+    // candidate join (≈(1−t)·n_a rows, and the high-df skew keys sort out
+    // of every prefix); B stays whole — that is the asymmetric analog of
+    // the Jaccard AllPairs filter, with the bound computed in pure integer
+    // arithmetic (the q13 1e-9-slack lesson, solved exactly this time).
+    val aSide =
+      if (!prefixFilter) kept.withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy("id")))
+      else {
+        val wCount = Window.partitionBy("id")
+        val wOrder = Window.partitionBy("id").orderBy(col("df_"), col("shingle"))
+        kept
+          .withColumn("n_sh", count(lit(1)).over(wCount))
+          .withColumn("pos", row_number().over(wOrder))
+          .where(col("pos") <= expr(
+            s"n_sh - (($minContainMilli * n_sh + 999) div 1000) + 1"))
+      }
+    val cands = aSide.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(kept.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b")
+      .select("id_a", "id_b", "n_a").distinct()
+    // exact intersection over the full surviving sets, candidates only
+    val e1 = kept.select(col("id").as("id_a"), col("shingle"))
+    val e2 = kept.select(col("id").as("id_b"), col("shingle"))
+    cands.join(e1, Seq("id_a")).join(e2, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "n_a")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .withColumn("contain_milli", expr("(inter * 1000) div n_sh"))
+      .withColumn("contain_milli", expr("(inter * 1000) div n_a"))
       .where(col("contain_milli") >= minContainMilli)
-      .select(col("id_a"), col("id_b"), col("inter"), col("n_sh").as("n_a"),
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
         col("contain_milli"))
   }
 

@@ -174,6 +174,33 @@ class IndexingSamplingSpec extends AnyFunSuite {
     assert(out((1L, 2L)) === 1000L)
   }
 
+  test("containmentPairs: prefix filter is exactness-preserving on a real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    def run(prefix: Boolean) =
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 800L, 100L, prefix)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+          r.getAs[Long]("n_a"), r.getAs[Long]("contain_milli"))).toSet
+    val withPrefix = run(true)
+    val naive = run(false)
+    assert(withPrefix === naive, "prefix-filtered result must equal the naive join")
+    assert(withPrefix.nonEmpty, "corpus should contain at least one near-contained pair")
+  }
+
+  test("containmentPairs prefix bound survives the exact-threshold boundary") {
+    // A = 10 shingles (12 tokens), B missing exactly 2 of them → contain
+    // = 800 exactly; the integer bound must keep the pair
+    val aToks = (1 to 12).map(i => s"w$i").mkString(" ")
+    val bToks = ((1 to 10) ++ (13 to 17)).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, aToks), (2L, bToks)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 800L, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("contain_milli"))
+      .toMap
+    assert(out.contains((1L, 2L)), s"boundary pair must survive: $out")
+    assert(out((1L, 2L)) === 800L)
+  }
+
   test("containmentPairs is asymmetric: the containing side stays below threshold") {
     val small = "alpha beta gamma delta epsilon"
     val big = s"one two three four five six seven eight nine ten $small"
