@@ -1249,7 +1249,43 @@ object SparkEntry {
     // the rest; rank runs inside the one stratum shuffle
     "q98_stratified_sample_topk" -> ((s, d) =>
       graft.text.Sampling.stratifiedPrioritySample(documents(s, d), "doc_id",
-        "text", "lang", size(TextOps.tokensCol(col("text"))), kPerStratum = 20))
+        "text", "lang", size(TextOps.tokensCol(col("text"))), kPerStratum = 20)),
+
+    // robust center/spread per event type: exact integer lower-median + MAD
+    // over (group, value) count histograms — the shuffle carries distinct
+    // values, never rows; medians re-enter as a |groups|-row broadcast
+    "q99_median_mad" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      graft.ops.Robust.medianMadOutliers(ev, "event_type", "v_micro", k = 5)
+    }),
+
+    // the capstone: a user's WHOLE curation pipeline in one query —
+    // keep-best dedup → language/length/repetition gates → near-dup
+    // components → leakage-safe split → per-split corpus accounting. Every
+    // stage is the already-oracled operator (q97, q64/q66 gates, q61
+    // components, q93 split) composed end-to-end; the only new code is the
+    // composition itself
+    "q100_curation_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val best = Dedup.keepBestDedup(docs, "doc_id", "text",
+        size(TextOps.tokensCol(col("text")))).select(col("doc_id"))
+      val filtered = TextOps.langId(docs)
+        .join(best, Seq("doc_id"), "left_semi")
+        .where(Curation.langEn && Curation.lenOk && Curation.notRepetitive)
+        .select(col("doc_id"),
+          size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)
+      val comp = graft.ops.ConnectedComponents.components(pairs, "id_a", "id_b")
+      val labeled = filtered.join(comp, filtered("doc_id") === comp("id"), "left")
+        .select(filtered("doc_id"), col("n_tokens"),
+          coalesce(col("component"), filtered("doc_id")).as("component"))
+      graft.text.Sampling.clusterSafeSplit(labeled, "component", 900)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          countDistinct("component").as("n_components"))
+    })
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -2734,6 +2770,80 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY stratum
         |    ORDER BY priority, doc_id) AS rn
         |  FROM p)
-        |SELECT stratum, doc_id, weight, priority FROM r WHERE rn <= 20""".stripMargin
+        |SELECT stratum, doc_id, weight, priority FROM r WHERE rn <= 20""".stripMargin,
+
+    // lower median = min{v : 2·cum ≥ n} on both sides — no interpolation,
+    // no percentile_cont double contract
+    "q99_median_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(value * 1e6)::BIGINT AS v FROM events),
+        |h AS (SELECT event_type, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, v,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n
+        |      FROM h),
+        |med AS (SELECT event_type, min(v) AS median FROM m
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |dh AS (SELECT e.event_type, abs(e.v - med.median) AS dv,
+        |         count(*)::BIGINT AS c
+        |       FROM ev e JOIN med USING (event_type) GROUP BY 1, 2),
+        |dm AS (SELECT event_type, dv,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY dv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM dh),
+        |mad AS (SELECT event_type, min(dv) AS mad FROM dm
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n, max(med.median) AS median,
+        |  max(mad.mad) AS mad,
+        |  count(CASE WHEN abs(e.v - med.median) > mad.mad * 5 THEN 1 END)::BIGINT
+        |    AS n_outliers
+        |FROM ev e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // every fragment is the same shared constant its stage-query uses
+    // (q97 keep-best, q64/q66 gates, q61 closure, q93 affine split) — the
+    // composition cannot drift from the stages it composes
+    "q100_curation_pipeline" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |base AS (
+         |  SELECT doc_id, text, $LangPredCaseSql AS lang_pred,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(shs) AS n_sh, len(list_distinct(shs)) AS n_dsh,
+         |    ${fingerprintSql("text")} AS fp
+         |  FROM (SELECT doc_id, text, list_transform(
+         |      range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+         |      i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')) AS shs
+         |    FROM documents)),
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY fp
+         |      ORDER BY n_tokens DESC, doc_id DESC) AS rn
+         |    FROM base) WHERE rn = 1),
+         |filt AS (
+         |  SELECT b.doc_id, b.n_tokens FROM base b
+         |  JOIN best USING (doc_id)
+         |  WHERE b.lang_pred = 'en' AND ${Curation.LenOkSql}
+         |    AND ${Curation.NotRepetitiveSql}),
+         |lab AS (
+         |  SELECT f.doc_id, f.n_tokens,
+         |    coalesce(c.component, f.doc_id) AS component
+         |  FROM filt f LEFT JOIN comp c ON c.doc_id = f.doc_id),
+         |spl AS (SELECT *,
+         |  (((component % 2147483647) * 1373158607 + 239081663) % 2147483647) % 1000
+         |    AS b FROM lab)
+         |SELECT (CASE WHEN b < 900 THEN 'train' ELSE 'test' END) AS split,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         |  count(DISTINCT component)::BIGINT AS n_components
+         |FROM spl GROUP BY 1""".stripMargin
   )
 }

@@ -151,6 +151,27 @@ class RankLayoutStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("lag_sum_us") === 0L)
   }
 
+  test("Robust.medianMadOutliers: exact lower median, MAD, spike immunity") {
+    import graft.ops.Robust
+    // odd group: values 1,2,3,4,100 → med 3 (2·cum≥n first at v=3),
+    // devs {2,1,0,1,97} → MAD 1, outliers beyond 5·MAD: the 100 spike
+    // even group: 1,2,3,4 → lower median 2
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+        ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("k", "v")
+    val out = Robust.medianMadOutliers(df, "k", "v", 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") === 5)
+    assert(a.getAs[Long]("median") === 3L)
+    assert(a.getAs[Long]("mad") === 1L)
+    assert(a.getAs[Long]("n_outliers") === 1L)
+    val b = out("b")
+    assert(b.getAs[Long]("median") === 2L)
+    assert(b.getAs[Long]("mad") === 1L)
+    assert(b.getAs[Long]("n_outliers") === 0L)
+  }
+
   test("cusumPeaks peak tie breaks on earliest timestamp") {
     // mean = 0; cusum 1,0,1,0 → |cusum| peaks of 1 at ts 1 and 3: pick 1
     val ev = Seq(("u", 1L, 1L, 1L), ("u", 2L, 2L, -1L),
