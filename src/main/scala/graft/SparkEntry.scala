@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.generate.Generate
@@ -1285,6 +1286,57 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
           countDistinct("component").as("n_components"))
+    }),
+
+    // the ranking-function family over one total order (v, id): rank and
+    // dense_rank are tie-stable; ntile/percent_rank/cume_dist are made
+    // deterministic by the id tie-break and emitted as exact ppm integers
+    // instead of their double forms. Top-100 via the rank (not LIMIT) so
+    // the output exercises the rank itself
+    "q101_rank_suite" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      val wVal = Window.partitionBy("event_type").orderBy(col("v_micro"))
+      val wTotal = Window.partitionBy("event_type")
+        .orderBy(col("v_micro"), col("event_id"))
+      val wKey = Window.partitionBy("event_type")
+      // ranks widened to LONG before the ppm products: (rnk−1)·10⁶ crosses
+      // 2^31 already at ~2150 rows per group
+      ev.withColumn("rnk", rank().over(wVal).cast("long"))
+        .withColumn("drnk", dense_rank().over(wVal).cast("long"))
+        .withColumn("tile4", ntile(4).over(wTotal))
+        .withColumn("rn", row_number().over(wTotal).cast("long"))
+        .withColumn("n", count(lit(1)).over(wKey))
+        .where(col("rn") <= 100)
+        .select(col("event_type"), col("event_id"), col("v_micro"),
+          col("rnk"), col("drnk"), col("tile4"),
+          expr("((rnk - 1) * 1000000) div greatest(n - 1, 1L)").as("pr_ppm"),
+          expr("(rn * 1000000) div n").as("cd_ppm"))
+    }),
+
+    // per-group histogram quantiles: the q76 equi-width-bin contract
+    // PARTITIONED by event type — bins aggregate map-side (|groups|·|bins|
+    // rows of shuffle), the quantile selection is a tiny per-group window
+    "q102_group_quantiles" -> ((s, d) => {
+      val binW = 10000000L // 10-unit bins in micro
+      val ev = events(s, d).select(col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      val bins = ev.groupBy(col("event_type"),
+          expr(s"v_micro div $binW").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wKey = Window.partitionBy("event_type")
+      bins.withColumn("cum", sum("cnt").over(w))
+        .withColumn("total", sum("cnt").over(wKey))
+        .groupBy("event_type")
+        .agg(max("total").as("n_rows"),
+          min(when(col("cum") * 100 >= col("total") * 50,
+            col("bin") * binW)).as("p50_micro"),
+          min(when(col("cum") * 100 >= col("total") * 90,
+            col("bin") * binW)).as("p90_micro"),
+          min(when(col("cum") * 100 >= col("total") * 99,
+            col("bin") * binW)).as("p99_micro"))
     })
   )
 
@@ -2844,6 +2896,47 @@ object SparkEntry {
          |SELECT (CASE WHEN b < 900 THEN 'train' ELSE 'test' END) AS split,
          |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
          |  count(DISTINCT component)::BIGINT AS n_components
-         |FROM spl GROUP BY 1""".stripMargin
+         |FROM spl GROUP BY 1""".stripMargin,
+
+    "q101_rank_suite" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, floor(value * 1e6)::BIGINT AS v_micro
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, v_micro,
+        |    rank() OVER (PARTITION BY event_type ORDER BY v_micro) AS rnk,
+        |    dense_rank() OVER (PARTITION BY event_type ORDER BY v_micro) AS drnk,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY v_micro, event_id) AS tile4,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev)
+        |SELECT event_type, event_id, v_micro,
+        |  rnk::BIGINT AS rnk, drnk::BIGINT AS drnk, tile4::INT AS tile4,
+        |  (((rnk - 1) * 1000000) // greatest(n - 1, 1))::BIGINT AS pr_ppm,
+        |  ((rn * 1000000) // n)::BIGINT AS cd_ppm
+        |FROM r WHERE rn <= 100""".stripMargin,
+
+    "q102_group_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(value * 1e6)::BIGINT AS v_micro FROM events),
+        |bins AS (
+        |  SELECT event_type, v_micro // 10000000 AS bin, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM bins)
+        |SELECT event_type, max(total)::BIGINT AS n_rows,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN bin * 10000000 END)::BIGINT
+        |    AS p50_micro,
+        |  min(CASE WHEN cum * 100 >= total * 90 THEN bin * 10000000 END)::BIGINT
+        |    AS p90_micro,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN bin * 10000000 END)::BIGINT
+        |    AS p99_micro
+        |FROM c GROUP BY 1""".stripMargin
   )
 }
