@@ -196,4 +196,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must join on the shingle inverted index:\n$p")
   }
+
+  test("q100 capstone: every stage joins on keys, never all-pairs") {
+    val p = plan("q100_curation_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the composed pipeline must stay equi-join end to end:\n$p")
+  }
+
+  test("q102 group quantiles: bins pre-aggregate before any window") {
+    val p = plan("q102_group_quantiles")
+    // the window must consume the |groups|·|bins| aggregate, not raw rows:
+    // the first operation over the scan is the bin HashAggregate
+    val scanSection = p.split("Scan parquet").last
+    assert(!scanSection.split("HashAggregate").head.contains("Window"),
+      s"no window may run below the bin aggregation:\n$p")
+  }
 }
