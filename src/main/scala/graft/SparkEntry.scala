@@ -1314,6 +1314,14 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // sliding event-time windows (width 300s, slide 60s — every event in 5
+    // overlapping windows), as a real streaming query; the oracle replays
+    // the assignment as event × offset-range
+    "q103_stream_sliding" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsSlidingWindowed(s, d,
+        widthSec = 300L, slideSec = 60L,
+        queryName = s"graft_stream_sliding_${System.nanoTime()}")),
+
     // per-group histogram quantiles: the q76 equi-width-bin contract
     // PARTITIONED by event type — bins aggregate map-side (|groups|·|bins|
     // rows of shuffle), the quantile selection is a tiny per-group window
@@ -2917,6 +2925,22 @@ object SparkEntry {
         |  (((rnk - 1) * 1000000) // greatest(n - 1, 1))::BIGINT AS pr_ppm,
         |  ((rn * 1000000) // n)::BIGINT AS cd_ppm
         |FROM r WHERE rn <= 100""".stripMargin,
+
+    // every event joins its ceil(width/slide) = 5 slide offsets; the k-th
+    // window start is (⌊ts/slide⌋ − k)·slide, and ts < start + width holds
+    // for all five because width = 5·slide
+    "q103_stream_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, vm,
+        |    ((ts_us // 60000000) - i) * 60000000 AS window_start_us
+        |  FROM ev, range(0, 5) r(i))
+        |SELECT window_start_us, event_type, count(*)::BIGINT AS n_events,
+        |  sum(vm)::BIGINT AS sum_value_micro
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q102_group_quantiles" ->
       """WITH ev AS (

@@ -46,6 +46,30 @@ object StreamAgg {
       windowedAgg(StreamSupport.eventsFileStream(spark, sfDir), windowSec),
       queryName, outputMode = "complete")
 
+  /** SLIDING-window variant: width > slide, so every event lands in
+    * ceil(width/slide) overlapping windows — the "last 5 minutes, updated
+    * every minute" dashboard shape. Same watermarked source, same exact
+    * LONG micro-sum contract; state is width/slide × the tumbling volume,
+    * still bounded by the watermark horizon. The oracle replays the window
+    * assignment relationally (event × slide-offset range).
+    */
+  def eventsSlidingWindowed(spark: SparkSession, sfDir: String,
+      widthSec: Long, slideSec: Long,
+      queryName: String = "graft_stream_sliding"): DataFrame = {
+    val src = StreamSupport.eventsFileStream(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(
+        window(col("event_time"), s"$widthSec seconds", s"$slideSec seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+              col("event_type"), col("n_events"), col("sum_value_micro"))
+    StreamSupport.runToMemory(src, queryName, outputMode = "complete")
+  }
+
   /** The same aggregation driven through ≥2 micro-batches (time-split source,
     * maxFilesPerTrigger=1): cross-batch state merge for windows straddling
     * the split. Complete output mode makes the final table equal to the
