@@ -1314,6 +1314,38 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // as-of with a staleness bound: attach the latest prior view only if it
+    // is at most 10 minutes old — matches beyond the tolerance revert to
+    // null. Same single-shuffle union+carry plan as q04; the bound is one
+    // comparison on the carried struct
+    "q105_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts_us")
+        .agg(min(col("event_id")).as("view_id"))
+      AsOf.asofBackwardTolerance(purchases, views, Seq("user_id"), "ts_us",
+        Seq("view_id"), toleranceUs = 600000000L)
+    }),
+
+    // the BUILT-IN session_window operator in batch mode (the custom
+    // flatMapGroupsWithState streaming sessionization is q40/q55; this is
+    // the declarative batch form Catalyst plans natively): sessions close
+    // when the gap to the next event reaches 30 min; end = last ts + gap
+    "q104_session_window" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      ev.groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("v_micro").as("sum_v_micro"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("sum_v_micro"))
+    }),
+
     // sliding event-time windows (width 300s, slide 60s — every event in 5
     // overlapping windows), as a real streaming query; the oracle replays
     // the assignment as event × offset-range
@@ -2925,6 +2957,48 @@ object SparkEntry {
         |  (((rnk - 1) * 1000000) // greatest(n - 1, 1))::BIGINT AS pr_ppm,
         |  ((rn * 1000000) // n)::BIGINT AS cd_ppm
         |FROM r WHERE rn <= 100""".stripMargin,
+
+    "q105_asof_tolerance" ->
+      """WITH j AS (
+        |  SELECT p.user_id, p.event_id, p.ts_us,
+        |    v.view_id AS m_view, v.ts_us AS m_ts
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |        WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                         min(event_id) AS view_id
+        |                  FROM events WHERE event_type = 'view'
+        |                  GROUP BY user_id, epoch_us(ts)) v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us)
+        |SELECT user_id, event_id, ts_us,
+        |  (CASE WHEN ts_us - m_ts <= 600000000 THEN m_view END) AS asof_view_id,
+        |  (CASE WHEN ts_us - m_ts <= 600000000 THEN m_ts END) AS asof_ts
+        |FROM j""".stripMargin,
+
+    // islands formulation: a session breaks when the gap REACHES the
+    // timeout (Spark merges only strictly-overlapping [ts, ts+gap) windows,
+    // so diff ≥ gap starts a new session); end = last ts + gap
+    "q104_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, ts_us, vm,
+        |    (CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |            IS NULL
+        |          OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us) >= 1800000000
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, ts_us, vm,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us,
+        |  count(*)::BIGINT AS n_events, sum(vm)::BIGINT AS sum_v_micro
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     // every event joins its ceil(width/slide) = 5 slide offsets; the k-th
     // window start is (⌊ts/slide⌋ − k)·slide, and ts < start + width holds

@@ -60,6 +60,28 @@ object AsOf {
     unpack(carried, lCols, col("_r"), tsCol, valueCols)
   }
 
+  /** [[asofBackward]] with a STALENESS BOUND: a match older than
+    * `toleranceUs` reverts to null — the sensor-fusion contract ("join the
+    * latest reading unless it's too stale to trust"). Same union + single
+    * shuffle + carry; the tolerance is one codegen'd comparison on the
+    * carried struct, so the plan is identical to the unbounded form.
+    */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String, valueCols: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    val lCols = left.columns.toSeq
+    val unioned = tagged(left, right, keyCols, tsCol, valueCols)
+    val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +: tieBreak): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned
+      .withColumn("_r0", last(rightRow(tsCol, valueCols), ignoreNulls = true).over(w))
+      .withColumn("_r",
+        when(col(tsCol) - col("_r0").getField(tsCol) <= toleranceUs, col("_r0")))
+    unpack(carried, lCols, col("_r"), tsCol, valueCols)
+  }
+
   /** For each left row, attach the EARLIEST right row with right.ts >=
     * left.ts (forward as-of) within the same key — the symmetric third of
     * the family (backward / nearest / forward). Same union + single-shuffle

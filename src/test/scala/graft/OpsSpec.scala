@@ -51,6 +51,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofBackwardTolerance nulls matches beyond the staleness bound, boundary inclusive") {
+    import spark.implicits._
+    // left at ts 100: match at 90 (age 10 = tol → kept), left at 200:
+    // nearest right is 90 (age 110 > tol → nulled), left at 95: exact-age-0
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 95L))
+      .toDF("k", "lid", "ts")
+    val r = Seq((1L, 77L, 90L), (1L, 78L, 95L)).toDF("k", "rid", "ts")
+    val out = AsOf.asofBackwardTolerance(l, r, Seq("k"), "ts", Seq("rid"), 10L)
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L) === Some(78L)) // ts 95, age 5 ≤ 10
+    assert(out(11L) === None)      // nearest is 95, age 105 > 10
+    assert(out(12L) === Some(78L)) // exact timestamp, age 0
+  }
+
   test("asofBackward carries the matched right ROW whole (no chimera from null value cols)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "ts")
