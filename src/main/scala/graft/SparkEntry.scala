@@ -1314,6 +1314,26 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // incremental view maintenance: a "materialized" first-half daily
+    // rollup merged with a late-arriving delta batch by SUMMING PARTIAL
+    // AGGREGATES — the base is never rescanned, and the oracle (one direct
+    // full-scan aggregation) proves merged partials ≡ recompute. The
+    // pattern a 100 TB daily-ingest rollup lives on
+    "q106_incremental_rollup" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("ts div 1000").as("ts_us"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      def rollup(part: DataFrame) = part
+        .groupBy(expr(s"ts_us div ${86400L * 1000000L}").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("sum_micro"))
+      val base = rollup(ev.where(col("ts_us") < UpsertMidUs))
+      val delta = rollup(ev.where(col("ts_us") >= UpsertMidUs))
+      base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum("n").as("n"), sum("sum_micro").as("sum_micro"))
+    }),
+
     // as-of with a staleness bound: attach the latest prior view only if it
     // is at most 10 minutes old — matches beyond the tolerance revert to
     // null. Same single-shuffle union+carry plan as q04; the bound is one
@@ -2957,6 +2977,14 @@ object SparkEntry {
         |  (((rnk - 1) * 1000000) // greatest(n - 1, 1))::BIGINT AS pr_ppm,
         |  ((rn * 1000000) // n)::BIGINT AS cd_ppm
         |FROM r WHERE rn <= 100""".stripMargin,
+
+    // ONE direct aggregation over everything: if the Spark-side partial
+    // merge drifted from plain recompute, this hash would catch it
+    "q106_incremental_rollup" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_micro
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q105_asof_tolerance" ->
       """WITH j AS (

@@ -65,6 +65,71 @@ class AlgoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs equal the naive definition on random corpora with planted substrings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (_ <- 1 to 3) {
+      val vocab = (0 until 30).map(i => s"t$i")
+      val base = (0 until 40).map { i =>
+        (0 until (6 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant containments: a contiguous slice of a long doc as its own doc
+      val docs = base.zipWithIndex.flatMap { case (toks, i) =>
+        val d = Seq((i.toLong, toks.mkString(" ")))
+        if (i % 4 == 0 && toks.size >= 10) {
+          val start = rnd.nextInt(toks.size - 6)
+          d :+ (2000L + i, toks.slice(start, start + 6).mkString(" "))
+        } else d
+      }
+      val got = graft.text.Dedup.containmentPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, minContainMilli = 700L, maxDocFreq = 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("contain_milli"))
+        .toMap
+
+      // naive reference: df-capped shingle sets, all ordered pairs
+      def shingleSet(text: String): Set[String] = {
+        val toks = text.split(" ", -1)
+        if (toks.length < 3) Set.empty
+        else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets0 = docs.map { case (id, text) => id -> shingleSet(text) }
+      val df = sets0.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.size }
+      val sets = sets0.map { case (id, s) => id -> s.filter(df(_) <= 10) }
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia != ib && sa.nonEmpty
+        inter = (sa & sb).size
+        cm = inter.toLong * 1000 / sa.size
+        if cm >= 700
+      } yield (ia, ib) -> cm).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("z-order interleave is a bijection and PageRank conserves bounded mass (random graphs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    // random 12-bit coordinates: z must be injective and within 24 bits
+    val pts = (0 until 500).map(_ => (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).distinct
+    val zs = pts.toDF("x", "y")
+      .select(graft.ops.ZOrder.zValue(col("x"), col("y"), 12).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.toSet.size === pts.size, "z-order must be injective")
+    assert(zs.forall(z => z >= 0 && z < (1L << 24)))
+    // random graph: every rank stays in [base, 1e6·|V|] and the fixpoint
+    // total never exceeds the uniform start total (floor-div only loses)
+    val edges = (0 until 60).map(_ =>
+      (s"v${rnd.nextInt(12)}", s"v${rnd.nextInt(12)}", 1L + rnd.nextInt(5)))
+      .toDF("src", "dst", "w")
+    val ranks = graft.ops.PageRank.rankMicro(edges, iterations = 3)
+      .collect().map(_.getLong(1))
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.sum <= 1000000L * ranks.length,
+      "floor-division iterations must not create mass")
+  }
+
   test("streaming sessionization equals batch gap-split for random in-order batch segmentations") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 20) {
