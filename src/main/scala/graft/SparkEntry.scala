@@ -1314,6 +1314,51 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // referential-integrity audit: orphan counts for every FK edge of the
+    // star schema via left-anti joins (never a driver-side count loop);
+    // two orphan keys are synthesized in-query so the checks demonstrably
+    // detect, not just report zero (the q68/q77 synthesize-then-detect
+    // pattern)
+    "q107_integrity_audit" -> ((s, d) => {
+      import s.implicits._
+      def keys(df: DataFrame, c: String) = df.select(col(c).cast("long").as("k"))
+      def pkeys(df: DataFrame, c: String) = df.select(col(c).cast("long").as("pk"))
+      def check(name: String, child: DataFrame, parent: DataFrame) =
+        child.join(parent, col("k") === col("pk"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      val liOrd = keys(lineitem(s, d), "l_orderkey")
+        .unionByName(Seq(-1L, -2L).toDF("k")) // planted orphans
+      check("lineitem_orders", liOrd, pkeys(orders(s, d), "o_orderkey"))
+        .unionByName(check("lineitem_part",
+          keys(lineitem(s, d), "l_partkey"), pkeys(part(s, d), "p_partkey")))
+        .unionByName(check("lineitem_supplier",
+          keys(lineitem(s, d), "l_suppkey"), pkeys(supplier(s, d), "s_suppkey")))
+        .unionByName(check("orders_customer",
+          keys(orders(s, d), "o_custkey"), pkeys(customer(s, d), "c_custkey")))
+        .unionByName(check("customer_nation",
+          keys(customer(s, d), "c_nationkey"), pkeys(nation(s, d), "n_nationkey")))
+    }),
+
+    // one-pass column profile (the data-quality report a 100 TB ingest
+    // emits per batch): row count, null count, exact distinct per column —
+    // ONE aggregate over ONE scan, exploded into per-column rows
+    "q108_column_profile" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), ExactStats.micro(col("value")).cast("long").as("v_micro"),
+        expr("ts div 1000").as("ts_us"))
+      val cols = Seq("user_id", "event_type", "event_id", "v_micro", "ts_us")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val row = ev.agg(aggs.head, aggs.tail: _*)
+      val recs = cols.map(c => struct(lit(c).as("col_name"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct")))
+      row.select(explode(array(recs: _*)).as("r")).select(col("r.*"))
+    }),
+
     // incremental view maintenance: a "materialized" first-half daily
     // rollup merged with a late-arriving delta batch by SUMMING PARTIAL
     // AGGREGATES — the base is never rescanned, and the oracle (one direct
@@ -2977,6 +3022,49 @@ object SparkEntry {
         |  (((rnk - 1) * 1000000) // greatest(n - 1, 1))::BIGINT AS pr_ppm,
         |  ((rn * 1000000) // n)::BIGINT AS cd_ppm
         |FROM r WHERE rn <= 100""".stripMargin,
+
+    // anti-join spelled as NOT EXISTS; keys are non-null by construction
+    "q107_integrity_audit" ->
+      """WITH lo AS (SELECT l_orderkey::BIGINT AS k FROM lineitem
+        |           UNION ALL SELECT -1 UNION ALL SELECT -2)
+        |SELECT 'lineitem_orders' AS check_name, count(*)::BIGINT AS n_violations
+        |FROM lo WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = lo.k)
+        |UNION ALL
+        |SELECT 'lineitem_part', count(*)::BIGINT FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem_supplier', count(*)::BIGINT FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'orders_customer', count(*)::BIGINT FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer_nation', count(*)::BIGINT FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin,
+
+    "q108_column_profile" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    floor(value * 1e6)::BIGINT AS v_micro, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s AS (SELECT count(*)::BIGINT AS n_rows,
+        |  count(user_id)::BIGINT AS nn_user_id,
+        |  count(DISTINCT user_id)::BIGINT AS nd_user_id,
+        |  count(event_type)::BIGINT AS nn_event_type,
+        |  count(DISTINCT event_type)::BIGINT AS nd_event_type,
+        |  count(event_id)::BIGINT AS nn_event_id,
+        |  count(DISTINCT event_id)::BIGINT AS nd_event_id,
+        |  count(v_micro)::BIGINT AS nn_v_micro,
+        |  count(DISTINCT v_micro)::BIGINT AS nd_v_micro,
+        |  count(ts_us)::BIGINT AS nn_ts_us,
+        |  count(DISTINCT ts_us)::BIGINT AS nd_ts_us
+        |  FROM ev)
+        |SELECT 'user_id' AS col_name, n_rows, n_rows - nn_user_id AS n_nulls,
+        |  nd_user_id AS n_distinct FROM s
+        |UNION ALL SELECT 'event_type', n_rows, n_rows - nn_event_type, nd_event_type FROM s
+        |UNION ALL SELECT 'event_id', n_rows, n_rows - nn_event_id, nd_event_id FROM s
+        |UNION ALL SELECT 'v_micro', n_rows, n_rows - nn_v_micro, nd_v_micro FROM s
+        |UNION ALL SELECT 'ts_us', n_rows, n_rows - nn_ts_us, nd_ts_us FROM s""".stripMargin,
 
     // ONE direct aggregation over everything: if the Spark-side partial
     // merge drifted from plain recompute, this hash would catch it
