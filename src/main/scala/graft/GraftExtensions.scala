@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 import graft.sim.DotProduct
-import graft.text.Shingles
+import graft.text.{Fingerprint, Shingles}
 
 /** Session extensions: registers the engine's native expressions for SQL use
   * (`SELECT dot_product(a, b)`, `SELECT shingles(text, 3)`). Install with
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingles: n must be an integer literal, got $other")
         }
         Shingles(args.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "fingerprint takes exactly 1 argument")
+        Fingerprint(args.head)
       }))
   }
 }

@@ -33,6 +33,11 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getSeq[String](0)
       assert(sh == Seq("a b c", "b c d"))
       intercept[Exception](spark.sql("SELECT shingles('a b c')").collect())
+      // fingerprint: SQL form must equal the 31-polynomial reference
+      val fp = spark.sql("SELECT fingerprint('abc') AS f").collect()(0).getLong(0)
+      val expected = "abc".foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % 2147483647L)
+      assert(fp == expected)
+      intercept[Exception](spark.sql("SELECT fingerprint('a', 'b')").collect())
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
