@@ -1314,6 +1314,45 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // sliding windows ACROSS micro-batches: windows overlapping the
+    // median split accumulate state from both batches; complete mode ⇒
+    // identical final table, so the oracle is q103's
+    "q109_stream_sliding_multibatch" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsSlidingWindowedMultiBatch(s, d,
+        widthSec = 300L, slideSec = 60L,
+        splitDir = s"$genDir/events_split",
+        queryName = s"graft_stream_sliding_mb_${System.nanoTime()}")),
+
+    // winsorized robust mean per event type: clip values at the histogram
+    // p01/p99 bin edges (the q102 contract), then ONE exact integer mean
+    // of the clipped micro values — outlier-insensitive without dropping
+    // rows; clip bounds re-enter as a |groups|-row broadcast
+    "q110_winsorized_mean" -> ((s, d) => {
+      val binW = 10000000L
+      val ev = events(s, d).select(col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+      val bins = ev.groupBy(col("event_type"),
+          expr(s"v_micro div $binW").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wKey = Window.partitionBy("event_type")
+      val bounds = bins.withColumn("cum", sum("cnt").over(w))
+        .withColumn("total", sum("cnt").over(wKey))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") * 100 >= col("total"), col("bin") * binW))
+            .as("lo_micro"),
+          min(when(col("cum") * 100 >= col("total") * 99,
+            (col("bin") + 1) * binW - 1)).as("hi_micro"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          greatest(least(col("v_micro"), col("hi_micro")), col("lo_micro"))
+            .as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("clipped").as("sum_clipped_micro"),
+          expr("sum(clipped) div count(1)").as("winsorized_mean_micro"))
+    }),
+
     // referential-integrity audit: orphan counts for every FK edge of the
     // star schema via left-anti joins (never a driver-side count loop);
     // two orphan keys are synthesized in-query so the checks demonstrably
@@ -1562,6 +1601,23 @@ object SparkEntry {
        |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  WHERE round(($matches)::DOUBLE / 16, 6) >= 0.25)""".stripMargin
   }
+
+  /** Sliding-window replay both sliding queries share (q103 single-batch,
+    * q109 multi-batch — complete output mode makes the final table
+    * identical): every event × its 5 slide offsets.
+    */
+  private val SlidingWindowOracleSql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us,
+      |    floor(value * 1e6)::BIGINT AS vm
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, vm,
+      |    ((ts_us // 60000000) - i) * 60000000 AS window_start_us
+      |  FROM ev, range(0, 5) r(i))
+      |SELECT window_start_us, event_type, count(*)::BIGINT AS n_events,
+      |  sum(vm)::BIGINT AS sum_value_micro
+      |FROM w GROUP BY 1, 2""".stripMargin
 
   /** The gap-sessionization + watermark-finality emission model both
     * session queries share (q40 single-batch, q55 multi-batch — finality
@@ -3118,19 +3174,34 @@ object SparkEntry {
 
     // every event joins its ceil(width/slide) = 5 slide offsets; the k-th
     // window start is (⌊ts/slide⌋ − k)·slide, and ts < start + width holds
-    // for all five because width = 5·slide
-    "q103_stream_sliding" ->
+    // for all five because width = 5·slide. Shared by q109 (multibatch —
+    // complete mode makes the decomposition invisible)
+    "q103_stream_sliding" -> SlidingWindowOracleSql,
+    "q109_stream_sliding_multibatch" -> SlidingWindowOracleSql,
+
+    "q110_winsorized_mean" ->
       """WITH ev AS (
-        |  SELECT event_type, epoch_us(ts) AS ts_us,
-        |    floor(value * 1e6)::BIGINT AS vm
-        |  FROM events),
-        |w AS (
-        |  SELECT event_type, vm,
-        |    ((ts_us // 60000000) - i) * 60000000 AS window_start_us
-        |  FROM ev, range(0, 5) r(i))
-        |SELECT window_start_us, event_type, count(*)::BIGINT AS n_events,
-        |  sum(vm)::BIGINT AS sum_value_micro
-        |FROM w GROUP BY 1, 2""".stripMargin,
+        |  SELECT event_type, floor(value * 1e6)::BIGINT AS v FROM events),
+        |bins AS (
+        |  SELECT event_type, v // 10000000 AS bin, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM bins),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 100 >= total THEN bin * 10000000 END)::BIGINT AS lo,
+        |    min(CASE WHEN cum * 100 >= total * 99
+        |        THEN (bin + 1) * 10000000 - 1 END)::BIGINT AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  sum(greatest(least(e.v, b.hi), b.lo))::BIGINT AS sum_clipped_micro,
+        |  (sum(greatest(least(e.v, b.hi), b.lo)) // count(*))::BIGINT
+        |    AS winsorized_mean_micro
+        |FROM ev e JOIN b USING (event_type) GROUP BY 1""".stripMargin,
 
     "q102_group_quantiles" ->
       """WITH ev AS (

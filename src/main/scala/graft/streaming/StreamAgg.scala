@@ -53,10 +53,9 @@ object StreamAgg {
     * still bounded by the watermark horizon. The oracle replays the window
     * assignment relationally (event × slide-offset range).
     */
-  def eventsSlidingWindowed(spark: SparkSession, sfDir: String,
-      widthSec: Long, slideSec: Long,
-      queryName: String = "graft_stream_sliding"): DataFrame = {
-    val src = StreamSupport.eventsFileStream(spark, sfDir)
+  private def slidingAgg(source: DataFrame, widthSec: Long,
+      slideSec: Long): DataFrame =
+    source
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "10 minutes")
@@ -67,8 +66,26 @@ object StreamAgg {
            sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
               col("event_type"), col("n_events"), col("sum_value_micro"))
-    StreamSupport.runToMemory(src, queryName, outputMode = "complete")
-  }
+
+  def eventsSlidingWindowed(spark: SparkSession, sfDir: String,
+      widthSec: Long, slideSec: Long,
+      queryName: String = "graft_stream_sliding"): DataFrame =
+    StreamSupport.runToMemory(
+      slidingAgg(StreamSupport.eventsFileStream(spark, sfDir), widthSec, slideSec),
+      queryName, outputMode = "complete")
+
+  /** Sliding windows ACROSS micro-batches (time-split source,
+    * maxFilesPerTrigger=1): windows overlapping the split accumulate state
+    * from both batches; complete mode makes the final table equal the
+    * single-batch run, so it shares q103's oracle.
+    */
+  def eventsSlidingWindowedMultiBatch(spark: SparkSession, sfDir: String,
+      widthSec: Long, slideSec: Long, splitDir: String,
+      queryName: String): DataFrame =
+    StreamSupport.runToMemory(
+      slidingAgg(StreamSupport.eventsSplitStream(spark, sfDir, splitDir),
+        widthSec, slideSec),
+      queryName, outputMode = "complete")
 
   /** The same aggregation driven through ≥2 micro-batches (time-split source,
     * maxFilesPerTrigger=1): cross-batch state merge for windows straddling
