@@ -203,6 +203,14 @@ class PlanSpec extends AnyFunSuite {
       s"the composed pipeline must stay equi-join end to end:\n$p")
   }
 
+  test("q110 winsorized mean: clip bounds broadcast back, rows never shuffle-join") {
+    val p = plan("q110_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group clip bounds must re-enter as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"event rows must not shuffle for the bounds join:\n$p")
+  }
+
   test("q102 group quantiles: bins pre-aggregate before any window") {
     val p = plan("q102_group_quantiles")
     // the window must consume the |groups|·|bins| aggregate, not raw rows:
