@@ -1314,6 +1314,49 @@ object SparkEntry {
           expr("(rn * 1000000) div n").as("cd_ppm"))
     }),
 
+    // percent-of-total (ratio-to-report): each nation's share of its
+    // region's revenue in exact ppm — ONE aggregate to nation grain, the
+    // region total as a window over the 25-row aggregate, never a second
+    // scan of lineitem
+    "q111_revenue_share" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), revenueUnits.as("rev"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val reg = region(s, d).select(col("r_regionkey"), col("r_name"))
+      val perNation = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        // DECIMAL(38,0) sum (the revenueDollars overflow discipline),
+        // narrowed to LONG at this data's magnitudes
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("long").as("rev_units"))
+      perNation
+        .withColumn("region_units",
+          sum("rev_units").over(Window.partitionBy("r_name")))
+        // units·1e6 crosses 2^63 — the ppm product must widen BEFORE div
+        .withColumn("share_ppm", expr(
+          "(cast(rev_units as decimal(38,0)) * 1000000) div region_units"))
+        .select("r_name", "n_name", "rev_units", "share_ppm")
+    }),
+
+    // period-over-period: monthly revenue with previous-month delta via
+    // lag over the aggregated series (window runs on |months| rows)
+    "q112_monthly_delta" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        substring(col("l_shipdate").cast("string"), 1, 7).as("month"),
+        revenueUnits.as("rev"))
+      val monthly = li.groupBy("month")
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("long").as("rev_units"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_units", lag("rev_units", 1).over(w))
+        .withColumn("delta_units", col("rev_units") - col("prev_units"))
+        .select("month", "rev_units", "prev_units", "delta_units")
+    }),
+
     // sliding windows ACROSS micro-batches: windows overlapping the
     // median split accumulate state from both batches; complete mode ⇒
     // identical final table, so the oracle is q103's
@@ -3178,6 +3221,36 @@ object SparkEntry {
     // complete mode makes the decomposition invisible)
     "q103_stream_sliding" -> SlidingWindowOracleSql,
     "q109_stream_sliding_multibatch" -> SlidingWindowOracleSql,
+
+    "q111_revenue_share" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name,
+        |    sum((floor(l_extendedprice * 100 + 0.5) *
+        |         (100 - floor(l_discount * 100 + 0.5)))::BIGINT)::BIGINT AS rev_units
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT r_name, n_name, rev_units,
+        |        sum(rev_units) OVER (PARTITION BY r_name)::BIGINT AS region_units
+        |      FROM pn)
+        |SELECT r_name, n_name, rev_units,
+        |  ((rev_units::HUGEINT * 1000000) // region_units)::BIGINT AS share_ppm
+        |FROM t""".stripMargin,
+
+    // ::VARCHAR month key works for DATE and string shipdates alike
+    "q112_monthly_delta" ->
+      """WITH m AS (
+        |  SELECT substr(l_shipdate::VARCHAR, 1, 7) AS month,
+        |    sum((floor(l_extendedprice * 100 + 0.5) *
+        |         (100 - floor(l_discount * 100 + 0.5)))::BIGINT)::BIGINT AS rev_units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, rev_units,
+        |  lag(rev_units) OVER (ORDER BY month) AS prev_units,
+        |  rev_units - lag(rev_units) OVER (ORDER BY month) AS delta_units
+        |FROM m""".stripMargin,
 
     "q110_winsorized_mean" ->
       """WITH ev AS (
