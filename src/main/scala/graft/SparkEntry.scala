@@ -1524,6 +1524,205 @@ object SparkEntry {
             col("bin") * binW)).as("p90_micro"),
           min(when(col("cum") * 100 >= col("total") * 99,
             col("bin") * binW)).as("p99_micro"))
+    }),
+
+    // retention cohorts: customers keyed by first-order month, activity
+    // counted by months-since-cohort — ONE window (min over the custkey
+    // partition, same shuffle the groupBy would need anyway) then one
+    // aggregate to (cohort, offset) grain; month index year·12+month keeps
+    // the calendar arithmetic integer on both engines
+    "q113_retention_cohorts" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx"))
+      val w = Window.partitionBy("o_custkey")
+      o.withColumn("cohort_idx", min("midx").over(w))
+        .groupBy(col("cohort_idx"),
+          (col("midx") - col("cohort_idx")).as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // RFM segmentation without a global-window ntile (a single-partition
+    // sort over |customers| rows would serialize at scale): quartile edges
+    // come from the q102 cumulative-histogram contract over a MELTED
+    // (metric, bin) aggregate — one shuffle for all three metrics — and
+    // re-enter as a one-row broadcast; tiles are integer bin comparisons
+    "q114_rfm_segments" -> ((s, d) => {
+      val perCust = orders(s, d)
+        .groupBy(col("o_custkey"))
+        // o_orderdate is TIMESTAMP_NTZ; the session zone is pinned UTC, so
+        // the cast is the identity mapping and matches DuckDB's epoch_us
+        .agg(max(expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+            .as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice")).cast("decimal(38,0)"))
+            .cast("long").as("mon_cents"))
+      val anchor = perCust.agg(max("last_day").as("anchor_day"))
+      // recency bin width 1 day, frequency width 1, monetary width $1000
+      val m = perCust.crossJoin(broadcast(anchor))
+        .select(col("o_custkey"), col("freq"), col("mon_cents"),
+          (col("anchor_day") - col("last_day")).as("rec_days"))
+        .withColumn("r_bin", col("rec_days"))
+        .withColumn("f_bin", col("freq"))
+        .withColumn("m_bin", expr("mon_cents div 100000"))
+      val melted = m.select(explode(array(
+        struct(lit("r").as("metric"), col("r_bin").as("bin")),
+        struct(lit("f").as("metric"), col("f_bin").as("bin")),
+        struct(lit("m").as("metric"), col("m_bin").as("bin")))).as("x"))
+        .select(col("x.metric"), col("x.bin"))
+      val bins = melted.groupBy("metric", "bin").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("metric").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("metric")
+      val edges = bins.withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("total", sum("cnt").over(wTot))
+        .groupBy("metric")
+        .agg(min(when(col("cum") * 4 >= col("total"), col("bin"))).as("e1"),
+          min(when(col("cum") * 4 >= col("total") * 2, col("bin"))).as("e2"),
+          min(when(col("cum") * 4 >= col("total") * 3, col("bin"))).as("e3"))
+      // 3 rows → one broadcast row of 9 edge columns
+      val edgeRow = edges.groupBy()
+        .agg(min(when(col("metric") === "r", col("e1"))).as("r1"),
+          min(when(col("metric") === "r", col("e2"))).as("r2"),
+          min(when(col("metric") === "r", col("e3"))).as("r3"),
+          min(when(col("metric") === "f", col("e1"))).as("f1"),
+          min(when(col("metric") === "f", col("e2"))).as("f2"),
+          min(when(col("metric") === "f", col("e3"))).as("f3"),
+          min(when(col("metric") === "m", col("e1"))).as("m1"),
+          min(when(col("metric") === "m", col("e2"))).as("m2"),
+          min(when(col("metric") === "m", col("e3"))).as("m3"))
+      def tile(bin: Column, e1: Column, e2: Column, e3: Column): Column =
+        lit(1L) + (bin > e1).cast("long") + (bin > e2).cast("long") +
+          (bin > e3).cast("long")
+      m.crossJoin(broadcast(edgeRow))
+        // recency tile 4 = MOST recent (low rec_days) per RFM convention
+        .select(col("o_custkey"), col("freq"), col("mon_cents"),
+          (lit(5L) - tile(col("r_bin"), col("r1"), col("r2"), col("r3")))
+            .as("r_tile"),
+          tile(col("f_bin"), col("f1"), col("f2"), col("f3")).as("f_tile"),
+          tile(col("m_bin"), col("m1"), col("m2"), col("m3")).as("m_tile"))
+        .groupBy("r_tile", "f_tile", "m_tile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon_cents")).as("monetary_cents_total"))
+    }),
+
+    // gaps-and-islands: maximal runs of consecutive active months per
+    // customer via the classic midx − row_number island key, aggregated to
+    // a streak-length census; both window and aggregate shuffle on custkey
+    "q115_order_streaks" -> ((s, d) => {
+      val om = orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx")).distinct()
+      val w = Window.partitionBy("o_custkey").orderBy("midx")
+      om.withColumn("island", col("midx") - row_number().over(w).cast("long"))
+        .groupBy("o_custkey", "island")
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy("streak_len")
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    }),
+
+    // first-order Markov chain over per-user event sequences: transition
+    // counts from one lead() window (ordered by ts, event_id — ties are
+    // pinned), probabilities in exact ppm against the from-state total.
+    // cnt·1e6 stays in LONG to ~9e12 transitions per from-state
+    "q116_markov_transitions" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("to_type", lead("event_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum("cnt").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("p_ppm"))
+    }),
+
+    // run-length encoding census: maximal runs of the same event type per
+    // user (the storage/compression question "how repetitive is this
+    // stream?") via the lag-break + prefix-sum run id; both the run
+    // aggregate and the census shuffle on small grains only
+    "q117_state_runs" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("event_type", "run_len")
+        .agg(count(lit(1)).as("n_runs"))
+    }),
+
+    // time-weighted average: each value holds until the next event, so the
+    // mean weights by the holding interval — Σ(v·gap) div Σ(gap) per user.
+    // The per-row product v_micro·gap_us crosses 2^63 (1e8·1e14), so it
+    // widens to DECIMAL(38,0) BEFORE the multiply (HUGEINT in the mirror);
+    // values are non-negative, so floor-div ≡ integer div on both engines
+    "q118_time_weighted_avg" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("next_us", lead("ts_us", 1).over(w))
+        .where(col("next_us").isNotNull)
+        .select(col("user_id"), col("vm"),
+          (col("next_us") - col("ts_us")).as("gap_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("gap_us").as("span_us"),
+          expr("sum(cast(vm as decimal(38,0)) * gap_us) div sum(gap_us)")
+            .as("twa_micro"))
+        .where(col("span_us") > 0)
+    }),
+
+    // similarity self-join with prefix blocking: candidate pairs share the
+    // first name token (the block key that shards the join — the all-pairs
+    // product never materializes), then an exact Levenshtein filter over
+    // each block. This data's names are "adjective noun", so the census
+    // counts noun substitutions at distance 3-6 plus exact dupes at 0
+    "q119_name_edit_pairs" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey"),
+        col("p_name"),
+        expr("split_part(p_name, ' ', 1)").as("t1"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+        col("t1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+        col("t1"))
+      a.join(b, Seq("t1"))
+        .where(col("k1") < col("k2"))
+        .select(levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+        .where(col("dist") <= 8)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // market-basket co-occurrence: brand pairs appearing in one order, with
+    // support in exact ppm of all orders. The per-order brand set is ≤ the
+    // line count (≤7), so the self-join blowup is linear in orders, not
+    // quadratic in lineitem; part joins by key (a 2-column projection —
+    // dimension-sized, but NOT assumed broadcastable at 100 TB)
+    "q120_basket_brand_pairs" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pr = part(s, d).select(col("p_partkey"), col("p_brand"))
+      val ob = li.join(pr, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val total = ob.select(countDistinct("l_orderkey").as("total_orders"))
+      val pairs = ob.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+        .join(ob.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+          "l_orderkey")
+        .where(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("n_orders"))
+      pairs.crossJoin(broadcast(total))
+        .select(col("brand_a"), col("brand_b"), col("n_orders"),
+          expr("(n_orders * 1000000) div total_orders").as("support_ppm"))
     })
   )
 
@@ -3295,6 +3494,173 @@ object SparkEntry {
         |    AS p90_micro,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN bin * 10000000 END)::BIGINT
         |    AS p99_micro
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q113_retention_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS midx
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, midx,
+        |    min(midx) OVER (PARTITION BY o_custkey) AS cohort_idx
+        |  FROM o)
+        |SELECT cohort_idx, midx - cohort_idx AS month_offset,
+        |  count(DISTINCT o_custkey)::BIGINT AS active_customers,
+        |  count(*)::BIGINT AS n_orders
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q114_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    count(*)::BIGINT AS freq,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS mon_cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor_day FROM pc),
+        |m AS (
+        |  SELECT o_custkey, freq, mon_cents,
+        |    (a.anchor_day - pc.last_day) AS r_bin, freq AS f_bin,
+        |    mon_cents // 100000 AS m_bin
+        |  FROM pc CROSS JOIN a),
+        |melted AS (
+        |  SELECT 'r' AS metric, r_bin AS bin FROM m
+        |  UNION ALL SELECT 'f', f_bin FROM m
+        |  UNION ALL SELECT 'm', m_bin FROM m),
+        |bins AS (SELECT metric, bin, count(*) AS cnt FROM melted GROUP BY 1, 2),
+        |c AS (
+        |  SELECT metric, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY metric ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY metric) AS total
+        |  FROM bins),
+        |e AS (
+        |  SELECT metric,
+        |    min(CASE WHEN cum * 4 >= total THEN bin END) AS e1,
+        |    min(CASE WHEN cum * 4 >= total * 2 THEN bin END) AS e2,
+        |    min(CASE WHEN cum * 4 >= total * 3 THEN bin END) AS e3
+        |  FROM c GROUP BY 1),
+        |er AS (
+        |  SELECT
+        |    min(CASE WHEN metric = 'r' THEN e1 END) AS r1,
+        |    min(CASE WHEN metric = 'r' THEN e2 END) AS r2,
+        |    min(CASE WHEN metric = 'r' THEN e3 END) AS r3,
+        |    min(CASE WHEN metric = 'f' THEN e1 END) AS f1,
+        |    min(CASE WHEN metric = 'f' THEN e2 END) AS f2,
+        |    min(CASE WHEN metric = 'f' THEN e3 END) AS f3,
+        |    min(CASE WHEN metric = 'm' THEN e1 END) AS m1,
+        |    min(CASE WHEN metric = 'm' THEN e2 END) AS m2,
+        |    min(CASE WHEN metric = 'm' THEN e3 END) AS m3
+        |  FROM e),
+        |t AS (
+        |  SELECT o_custkey, mon_cents,
+        |    5 - (1 + (r_bin > r1)::BIGINT + (r_bin > r2)::BIGINT
+        |           + (r_bin > r3)::BIGINT) AS r_tile,
+        |    1 + (f_bin > f1)::BIGINT + (f_bin > f2)::BIGINT
+        |      + (f_bin > f3)::BIGINT AS f_tile,
+        |    1 + (m_bin > m1)::BIGINT + (m_bin > m2)::BIGINT
+        |      + (m_bin > m3)::BIGINT AS m_tile
+        |  FROM m CROSS JOIN er)
+        |SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
+        |  m_tile::BIGINT AS m_tile, count(*)::BIGINT AS n_customers,
+        |  sum(mon_cents)::BIGINT AS monetary_cents_total
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q115_order_streaks" ->
+      """WITH om AS (
+        |  SELECT DISTINCT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS midx
+        |  FROM orders),
+        |i AS (
+        |  SELECT o_custkey,
+        |    midx - row_number() OVER (PARTITION BY o_custkey ORDER BY midx)
+        |      AS island
+        |  FROM om),
+        |st AS (
+        |  SELECT o_custkey, island, count(*)::BIGINT AS streak_len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT streak_len, count(*)::BIGINT AS n_streaks,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_customers
+        |FROM st GROUP BY 1""".stripMargin,
+
+    "q116_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS cnt
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  ((cnt * 1000000) // sum(cnt) OVER (PARTITION BY from_type))::BIGINT
+        |    AS p_ppm
+        |FROM c""".stripMargin,
+
+    "q117_state_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts FROM events),
+        |o AS (
+        |  SELECT user_id, event_type,
+        |    (CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |          THEN 1 ELSE 0 END) AS brk,
+        |    ts, event_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, count(*)::BIGINT AS run_len
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, run_len, count(*)::BIGINT AS n_runs
+        |FROM runs GROUP BY 1, 2""".stripMargin,
+
+    "q118_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, vm,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      - ts_us AS gap_us
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |  sum(gap_us)::BIGINT AS span_us,
+        |  (sum(vm::HUGEINT * gap_us) // sum(gap_us)::HUGEINT)::BIGINT
+        |    AS twa_micro
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 HAVING sum(gap_us) > 0""".stripMargin,
+
+    "q119_name_edit_pairs" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS t1
+        |  FROM part),
+        |pairs AS (
+        |  SELECT levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+        |  FROM p a JOIN p b
+        |    ON a.t1 = b.t1 AND a.p_partkey < b.p_partkey)
+        |SELECT dist, count(*)::BIGINT AS n_pairs
+        |FROM pairs WHERE dist <= 8 GROUP BY 1""".stripMargin,
+
+    "q120_basket_brand_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS total_orders FROM ob),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |   AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_orders,
+        |  ((n_orders * 1000000) // total_orders)::BIGINT AS support_ppm
+        |FROM pairs CROSS JOIN tot""".stripMargin
   )
 }

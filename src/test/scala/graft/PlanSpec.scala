@@ -211,6 +211,27 @@ class PlanSpec extends AnyFunSuite {
       s"event rows must not shuffle for the bounds join:\n$p")
   }
 
+  test("q114 rfm: edge rows broadcast back, customer metrics never shuffle-join") {
+    val p = plan("q114_rfm_segments")
+    // the anchor day and the 9 quartile edges re-enter as 1-row broadcasts
+    // (nested-loop on a single broadcast row is the intended cross join);
+    // a SortMergeJoin would mean per-customer rows shuffled for a constant
+    assert(!p.contains("SortMergeJoin"),
+      s"metrics must only cross-join broadcast singleton rows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchor/edges must broadcast:\n$p")
+  }
+
+  test("q116 markov: transition counting stays equi-keyed, no all-pairs") {
+    val p = plan("q116_markov_transitions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lead() + groupBy must not plan any join at all:\n$p")
+    // the probability window runs over the (from,to) AGGREGATE, not raw events
+    val scanSection = p.split("Scan parquet").last
+    assert(!scanSection.split("HashAggregate").head.contains("Window(.*p_ppm"),
+      s"the ppm window must consume the aggregate:\n$p")
+  }
+
   test("q102 group quantiles: bins pre-aggregate before any window") {
     val p = plan("q102_group_quantiles")
     // the window must consume the |groups|·|bins| aggregate, not raw rows:
