@@ -1723,6 +1723,83 @@ object SparkEntry {
       pairs.crossJoin(broadcast(total))
         .select(col("brand_a"), col("brand_b"), col("n_orders"),
           expr("(n_orders * 1000000) div total_orders").as("support_ppm"))
+    }),
+
+    // out-of-vocabulary rate against a corpus-derived top-1000 vocabulary
+    // (df DESC, token ASC — the deterministic top-k both engines agree on);
+    // the vocab re-enters as a broadcast, per-doc rates quantize to exact
+    // ppm, and the output is a decile census per language — constant-size
+    // regardless of corpus scale
+    "q121_oov_rate" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val dfTok = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val vocab = dfTok.orderBy(col("df").desc, col("token")).limit(1000)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      perDoc.groupBy(col("lang"),
+          expr("((n_oov * 1000000) div n_tokens) div 100000").as("oov_decile"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    }),
+
+    // recency-weighted rolling feature: a truncated EWMA over each user's
+    // last 16 events with exact power-of-two weights (newest 2^15 … oldest
+    // 2^0) — Σ(v·w) div Σ(w) on integers, no float decay chain whose
+    // rounding would drift between engines. row_number caps per-user work
+    // at 16 rows no matter the history length
+    "q122_ewma_last16" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 16)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_used"),
+          max(when(col("rn") === 1, col("vm"))).as("last_micro"),
+          expr("sum(vm * shiftleft(1L, cast(16 - rn as int))) div " +
+            "sum(shiftleft(1L, cast(16 - rn as int)))").as("ewma_micro"))
+    }),
+
+    // interval-to-grid explode: 30-minute-gap sessions (the q104
+    // session_window contract) unrolled onto the hour grid they overlap via
+    // sequence() — the bounded-explode pattern that turns interval overlap
+    // into an equi-keyed aggregate; census by hour of day stays 24 rows at
+    // any scale
+    "q123_session_hour_grid" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      val sess = ev.groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"))
+      sess.select(col("user_id"), explode(sequence(
+          expr("start_us div 3600000000"),
+          expr("(end_us - 1) div 3600000000"))).as("hour_idx"))
+        .groupBy(expr("hour_idx % 24").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_session_hours"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // weekday × hour seasonality profile: day-of-week from pure epoch-day
+    // arithmetic ((days+4) mod 7, 0=Sunday — no engine-specific dow
+    // convention), exact integer means; single map-side-combining aggregate
+    "q124_weekday_profile" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        expr("ts div 1000").as("ts_us"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      ev.groupBy(col("event_type"),
+          expr("((ts_us div 86400000000) + 4) % 7").as("dow"),
+          expr("(ts_us div 3600000000) % 24").as("hod"))
+        .agg(count(lit(1)).as("n"), sum("vm").as("sum_micro"),
+          expr("sum(vm) div count(1)").as("mean_micro"))
     })
   )
 
@@ -3661,6 +3738,80 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT brand_a, brand_b, n_orders,
         |  ((n_orders * 1000000) // total_orders)::BIGINT AS support_ppm
-        |FROM pairs CROSS JOIN tot""".stripMargin
+        |FROM pairs CROSS JOIN tot""".stripMargin,
+
+    "q121_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dfk AS (
+        |  SELECT token, count(*)::BIGINT AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |vocab AS (
+        |  SELECT token FROM dfk
+        |  QUALIFY row_number() OVER (ORDER BY df DESC, token) <= 1000),
+        |pd AS (
+        |  SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |  GROUP BY 1, 2)
+        |SELECT lang, ((n_oov * 1000000) // n_tokens) // 100000 AS oov_decile,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+        |FROM pd GROUP BY 1, 2""".stripMargin,
+
+    "q122_ewma_last16" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, vm,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e QUALIFY rn <= 16)
+        |SELECT user_id, count(*)::BIGINT AS n_used,
+        |  max(CASE WHEN rn = 1 THEN vm END)::BIGINT AS last_micro,
+        |  (sum(vm * (1::BIGINT << (16 - rn)::INT)) //
+        |   sum(1::BIGINT << (16 - rn)::INT))::BIGINT AS ewma_micro
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q123_session_hour_grid" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |o AS (
+        |  SELECT user_id, ts_us,
+        |    (CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |            IS NULL
+        |          OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us) >= 1800000000
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, min(ts_us) AS start_us,
+        |    max(ts_us) + 1800000000 AS end_us
+        |  FROM g GROUP BY user_id, sid),
+        |hrs AS (
+        |  SELECT user_id, unnest(generate_series(start_us // 3600000000,
+        |    (end_us - 1) // 3600000000)) AS hour_idx
+        |  FROM sess)
+        |SELECT hour_idx % 24 AS hour_of_day, count(*)::BIGINT AS n_session_hours,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM hrs GROUP BY 1""".stripMargin,
+
+    "q124_weekday_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events)
+        |SELECT event_type, ((ts_us // 86400000000) + 4) % 7 AS dow,
+        |  (ts_us // 3600000000) % 24 AS hod,
+        |  count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micro,
+        |  (sum(vm) // count(*))::BIGINT AS mean_micro
+        |FROM e GROUP BY 1, 2, 3""".stripMargin
   )
 }
