@@ -1800,6 +1800,78 @@ object SparkEntry {
           expr("(ts_us div 3600000000) % 24").as("hod"))
         .agg(count(lit(1)).as("n"), sum("vm").as("sum_micro"),
           expr("sum(vm) div count(1)").as("mean_micro"))
+    }),
+
+    // SCD2 version history + point-in-time lookup: per-user state = the
+    // event type, versions = maximal runs of one state (the q117 run id),
+    // validity [run start, next run start); the "as of T" state is read
+    // with one predicate on the interval — no second scan, no sort beyond
+    // the user-partition window the runs already need
+    "q125_scd2_versions" -> ((s, d) => {
+      val tMid = UpsertMidUs
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val runs = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(min("ts_us").as("valid_from"))
+      val wRun = Window.partitionBy("user_id").orderBy("run_id")
+      runs.withColumn("valid_to", lead("valid_from", 1).over(wRun))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          max(when(col("valid_from") <= tMid &&
+            (col("valid_to").isNull || col("valid_to") > tMid),
+            col("event_type"))).as("state_at_t"),
+          max(when(col("valid_from") <= tMid &&
+            (col("valid_to").isNull || col("valid_to") > tMid),
+            col("valid_from"))).as("t_version_start_us"))
+    }),
+
+    // sequence mining: the top-10 three-step event-type paths across all
+    // user histories — two leads over one window, one aggregate, then a
+    // deterministic ordered limit (count DESC, path ASC); candidate paths
+    // are at most |types|³ so the agg output is tiny at any scale
+    "q126_path_trigrams" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .where(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    }),
+
+    // token co-occurrence lift (PMI without the log): for top-100-df token
+    // pairs, lift = P(ab)/(P(a)P(b)) = cnt·N/(df_a·df_b) in exact milli
+    // units — the vocab bounds the self-join to ≤ C(100,2) pairs per doc
+    // partition, and cnt·N·1000 widens to DECIMAL(38,0) before the product
+    "q127_token_lift" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token")).distinct()
+      val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val vocab = dfTok.orderBy(col("df").desc, col("token")).limit(100)
+      val tv = tok.join(broadcast(vocab), Seq("token"))
+      val n = docs.select(countDistinct("doc_id").as("n_docs"))
+      val pairs = tv.select(col("doc_id"), col("token").as("token_a"),
+          col("df").as("df_a"))
+        .join(tv.select(col("doc_id"), col("token").as("token_b"),
+          col("df").as("df_b")), "doc_id")
+        .where(col("token_a") < col("token_b"))
+        .groupBy("token_a", "df_a", "token_b", "df_b")
+        .agg(count(lit(1)).as("cnt"))
+      pairs.crossJoin(broadcast(n))
+        .select(col("token_a"), col("token_b"), col("cnt"),
+          expr("cast((cast(cnt as decimal(38,0)) * n_docs * 1000) div " +
+            "(df_a * df_b) as bigint)").as("lift_milli"))
     })
   )
 
@@ -3812,6 +3884,75 @@ object SparkEntry {
         |  (ts_us // 3600000000) % 24 AS hod,
         |  count(*)::BIGINT AS n, sum(vm)::BIGINT AS sum_micro,
         |  (sum(vm) // count(*))::BIGINT AS mean_micro
-        |FROM e GROUP BY 1, 2, 3""".stripMargin
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q125_scd2_versions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    (CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+        |    ts_us
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, min(ts_us) AS valid_from
+        |  FROM r GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |      AS valid_to
+        |  FROM runs)
+        |SELECT user_id, count(*)::BIGINT AS n_versions,
+        |  max(CASE WHEN valid_from <= 1705363200000000
+        |        AND (valid_to IS NULL OR valid_to > 1705363200000000)
+        |      THEN event_type END) AS state_at_t,
+        |  max(CASE WHEN valid_from <= 1705363200000000
+        |        AND (valid_to IS NULL OR valid_to > 1705363200000000)
+        |      THEN valid_from END)::BIGINT AS t_version_start_us
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q126_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts FROM events),
+        |p AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*)::BIGINT AS cnt
+        |  FROM p WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
+        |SELECT path, cnt FROM c
+        |QUALIFY row_number() OVER (ORDER BY cnt DESC, path) <= 10""".stripMargin,
+
+    "q127_token_lift" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dfk AS (SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+        |vocab AS (
+        |  SELECT token, df FROM dfk
+        |  QUALIFY row_number() OVER (ORDER BY df DESC, token) <= 100),
+        |tv AS (
+        |  SELECT t.doc_id, t.token, v.df
+        |  FROM tok t JOIN vocab v ON t.token = v.token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.token AS token_a, a.df AS df_a,
+        |    b.token AS token_b, b.df AS df_b, count(*)::BIGINT AS cnt
+        |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT token_a, token_b, cnt,
+        |  ((cnt::HUGEINT * n_docs * 1000) // (df_a * df_b))::BIGINT
+        |    AS lift_milli
+        |FROM pairs CROSS JOIN n""".stripMargin
   )
 }
