@@ -1682,25 +1682,29 @@ object SparkEntry {
         .where(col("span_us") > 0)
     }),
 
-    // similarity self-join with prefix blocking: candidate pairs share the
-    // first name token (the block key that shards the join — the all-pairs
-    // product never materializes), then an exact Levenshtein filter over
-    // each block. This data's names are "adjective noun", so the census
-    // counts noun substitutions at distance 3-6 plus exact dupes at 0
+    // similarity self-join with prefix blocking, computed on the DISTINCT
+    // NAME GRAIN: the quadratic Levenshtein join runs over unique names
+    // (weighted by multiplicity), not rows — row-grain blocks here are
+    // ~2500² pairs each (34 s at sf0.1); the distinct grain is ~60² total.
+    // Row-pair counts reconstruct exactly: c1·c2 across different names,
+    // C(c,2) within an identical name. First-token blocking still shards
+    // the distinct-grain join at scale
     "q119_name_edit_pairs" -> ((s, d) => {
-      val p = part(s, d).select(col("p_partkey"),
-        col("p_name"),
-        expr("split_part(p_name, ' ', 1)").as("t1"))
-      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
-        col("t1"))
-      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
-        col("t1"))
-      a.join(b, Seq("t1"))
-        .where(col("k1") < col("k2"))
-        .select(levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      val names = part(s, d).groupBy(col("p_name"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t1", expr("split_part(p_name, ' ', 1)"))
+      val a = names.select(col("p_name").as("n1"), col("c").as("c1"), col("t1"))
+      val b = names.select(col("p_name").as("n2"), col("c").as("c2"), col("t1"))
+      val diff = a.join(b, Seq("t1"))
+        .where(col("n1") < col("n2"))
+        .select(levenshtein(col("n1"), col("n2")).cast("long").as("dist"),
+          (col("c1") * col("c2")).as("npairs"))
+      val same = names.select(lit(0L).as("dist"),
+        expr("c * (c - 1) div 2").as("npairs"))
+      diff.unionByName(same)
         .where(col("dist") <= 8)
         .groupBy("dist")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum("npairs").as("n_pairs"))
     }),
 
     // market-basket co-occurrence: brand pairs appearing in one order, with
