@@ -1876,6 +1876,75 @@ object SparkEntry {
         .select(col("token_a"), col("token_b"), col("cnt"),
           expr("cast((cast(cnt as decimal(38,0)) * n_docs * 1000) div " +
             "(df_a * df_b) as bigint)").as("lift_milli"))
+    }),
+
+    // int8 vector quantization with exact reconstruction-error audit: per
+    // dimension, min/max in micro units define the 0..255 code range;
+    // codes, reconstruction, and |error| are all integer arithmetic on
+    // non-negative offsets. Two passes over the exploded elements (bounds,
+    // then errors with the 64-row bounds broadcast back) — both map-side
+    // combinable, so the 64× explode never shuffles at element grain
+    "q128_vector_quantize" -> ((s, d) => {
+      val el = embeddings(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          ExactStats.micro(col("x").cast("double")).cast("long").as("xm"))
+      val bounds = el.groupBy("dim")
+        .agg(min("xm").as("minm"), max("xm").as("maxm"))
+      el.join(broadcast(bounds), "dim")
+        .withColumn("q",
+          expr("((xm - minm) * 255) div greatest(maxm - minm, 1L)"))
+        .withColumn("recon",
+          expr("minm + (q * (maxm - minm)) div 255"))
+        .withColumn("err", abs(col("xm") - col("recon")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), min("minm").as("min_micro"),
+          max("maxm").as("max_micro"),
+          sum("err").as("sum_abs_err_micro"),
+          max("err").as("max_abs_err_micro"),
+          expr("sum(err) div count(1)").as("mean_abs_err_micro"))
+    }),
+
+    // compaction planning (the small-files problem at ingest): per
+    // ship-month partition, rows → estimated bytes (fixed 120 B/row
+    // contract) → file count at a 128 MiB target → rows per file, all in
+    // ceil-division integer arithmetic over one aggregate
+    "q129_compaction_plan" -> ((s, d) => {
+      val target = 134217728L // 128 MiB
+      lineitem(s, d)
+        .groupBy(substring(col("l_shipdate").cast("string"), 1, 7).as("month"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("est_bytes", col("n_rows") * 120L)
+        .withColumn("target_files",
+          expr(s"(est_bytes + ${target - 1}) div $target"))
+        .withColumn("rows_per_file",
+          expr("(n_rows + target_files - 1) div target_files"))
+    }),
+
+    // band (range) join via bucketing: views within ±10 min of each
+    // purchase for the same user — views replicate to their 3 neighbor
+    // buckets (bucket width = tolerance, so any in-band pair shares
+    // exactly one bucket key), the join stays equi-keyed on
+    // (user, bucket), and the band predicate filters inside the join.
+    // Zero-match purchases survive via the left join
+    "q130_band_join_views" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val tolUs = 600000000L
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_us"),
+          expr(s"ts_us div $tolUs").as("bucket"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"),
+          expr(s"ts_us div $tolUs").as("b0"))
+        .select(col("user_id"), col("v_us"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1))
+            .as("bucket"))
+      p.join(v, p("user_id") === v("user_id") && p("bucket") === v("bucket")
+          && abs(col("v_us") - col("p_us")) <= tolUs, "left")
+        .groupBy(col("purchase_id"), p("user_id").as("user_id"), col("p_us"))
+        .agg(count(col("v_us")).as("n_views_near"))
     })
   )
 
@@ -3957,6 +4026,56 @@ object SparkEntry {
         |SELECT token_a, token_b, cnt,
         |  ((cnt::HUGEINT * n_docs * 1000) // (df_a * df_b))::BIGINT
         |    AS lift_milli
-        |FROM pairs CROSS JOIN n""".stripMargin
+        |FROM pairs CROSS JOIN n""".stripMargin,
+
+    // dims are 0-based on the Spark side; embedding[i] is 1-based here
+    "q128_vector_quantize" ->
+      """WITH el AS (
+        |  SELECT vec_id, (i - 1)::BIGINT AS dim,
+        |    floor(embedding[i] * 1e6)::BIGINT AS xm
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |b AS (
+        |  SELECT dim, min(xm) AS minm, max(xm) AS maxm FROM el GROUP BY 1),
+        |q AS (
+        |  SELECT el.dim, el.xm, b.minm, b.maxm,
+        |    ((el.xm - b.minm) * 255) // greatest(b.maxm - b.minm, 1) AS code
+        |  FROM el JOIN b ON el.dim = b.dim),
+        |r AS (
+        |  SELECT dim, minm, maxm,
+        |    abs(xm - (minm + (code * (maxm - minm)) // 255)) AS err
+        |  FROM q)
+        |SELECT dim, count(*)::BIGINT AS n, min(minm)::BIGINT AS min_micro,
+        |  max(maxm)::BIGINT AS max_micro,
+        |  sum(err)::BIGINT AS sum_abs_err_micro,
+        |  max(err)::BIGINT AS max_abs_err_micro,
+        |  (sum(err) // count(*))::BIGINT AS mean_abs_err_micro
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q129_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT substr(l_shipdate::VARCHAR, 1, 7) AS month,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, n_rows, n_rows * 120 AS est_bytes,
+        |  (n_rows * 120 + 134217727) // 134217728 AS target_files,
+        |  (n_rows + ((n_rows * 120 + 134217727) // 134217728) - 1)
+        |    // ((n_rows * 120 + 134217727) // 134217728) AS rows_per_file
+        |FROM m""".stripMargin,
+
+    "q130_band_join_views" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+        |  FROM ev WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts_us AS v_us
+        |  FROM ev WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, p.p_us,
+        |  count(v.v_us)::BIGINT AS n_views_near
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND abs(v.v_us - p.p_us) <= 600000000
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }
