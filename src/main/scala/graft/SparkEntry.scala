@@ -1945,6 +1945,66 @@ object SparkEntry {
           && abs(col("v_us") - col("p_us")) <= tolUs, "left")
         .groupBy(col("purchase_id"), p("user_id").as("user_id"), col("p_us"))
         .agg(count(col("v_us")).as("n_views_near"))
+    }),
+
+    // association/contingency analysis: market segment × order priority
+    // with expected counts under independence and exact milli lift
+    // obs·T/(r·c) — marginals are windows over the ≤ |seg|·|prio| cell
+    // aggregate, never a second fact scan; obs·T·1000 widens to
+    // DECIMAL(38,0) before the product
+    "q131_segment_priority_lift" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"), col("o_orderpriority"))
+      val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val cells = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("obs"))
+      cells
+        .withColumn("r_tot",
+          sum("obs").over(Window.partitionBy("c_mktsegment")))
+        .withColumn("c_tot",
+          sum("obs").over(Window.partitionBy("o_orderpriority")))
+        .withColumn("t_tot", sum("obs").over(Window.partitionBy()))
+        .select(col("c_mktsegment"), col("o_orderpriority"), col("obs"),
+          expr("cast((cast(r_tot as decimal(38,0)) * c_tot * 1000) div t_tot" +
+            " as bigint)").as("expected_milli"),
+          expr("cast((cast(obs as decimal(38,0)) * t_tot * 1000) div " +
+            "(r_tot * c_tot) as bigint)").as("lift_milli"))
+    }),
+
+    // calendar-dimension build + coverage audit: the full day grid between
+    // the first and last order (one global min/max, sequence explode —
+    // calendar-bounded, never fact-bounded), day-of-week by epoch
+    // arithmetic, per-day order counts left-joined so zero-order gap days
+    // survive with is_gap = 1
+    "q132_calendar_coverage" -> ((s, d) => {
+      val o = orders(s, d).select(
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      val span = o.agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val perDay = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+      grid.join(perDay, Seq("day"), "left")
+        .select(col("day"), expr("(day + 4) % 7").as("dow"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("n_orders").isNull, 1L).otherwise(0L).as("is_gap"))
+    }),
+
+    // indexed (rebased) series: monthly revenue as basis points of the
+    // first month — first_value over the |months|-row aggregate; the bp
+    // product widens to DECIMAL(38,0) (rev_units·1e4 crosses 2^63 at
+    // ~100 TB revenue magnitudes)
+    "q133_revenue_index" -> ((s, d) => {
+      val monthly = lineitem(s, d)
+        .groupBy(substring(col("l_shipdate").cast("string"), 1, 7).as("month"))
+        .agg(sum(revenueUnits.cast("decimal(38,0)")).cast("long")
+          .as("rev_units"))
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("base_units", first("rev_units").over(w))
+        .select(col("month"), col("rev_units"),
+          expr("cast((cast(rev_units as decimal(38,0)) * 10000) div " +
+            "base_units as bigint)").as("index_bp"))
     })
   )
 
@@ -4076,6 +4136,49 @@ object SparkEntry {
         |  count(v.v_us)::BIGINT AS n_views_near
         |FROM p LEFT JOIN v
         |  ON p.user_id = v.user_id AND abs(v.v_us - p.p_us) <= 600000000
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q131_segment_priority_lift" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c_mktsegment, o_orderpriority, obs,
+        |    sum(obs) OVER (PARTITION BY c_mktsegment) AS r_tot,
+        |    sum(obs) OVER (PARTITION BY o_orderpriority) AS c_tot,
+        |    sum(obs) OVER () AS t_tot
+        |  FROM cells)
+        |SELECT c_mktsegment, o_orderpriority, obs,
+        |  ((r_tot::HUGEINT * c_tot * 1000) // t_tot)::BIGINT AS expected_milli,
+        |  ((obs::HUGEINT * t_tot * 1000) // (r_tot * c_tot))::BIGINT
+        |    AS lift_milli
+        |FROM m""".stripMargin,
+
+    "q132_calendar_coverage" ->
+      """WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |grid AS (
+        |  SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+        |pd AS (SELECT day, count(*)::BIGINT AS n_orders FROM o GROUP BY 1)
+        |SELECT g.day, (g.day + 4) % 7 AS dow,
+        |  coalesce(pd.n_orders, 0)::BIGINT AS n_orders,
+        |  (CASE WHEN pd.n_orders IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
+        |FROM grid g LEFT JOIN pd ON g.day = pd.day""".stripMargin,
+
+    "q133_revenue_index" ->
+      """WITH m AS (
+        |  SELECT substr(l_shipdate::VARCHAR, 1, 7) AS month,
+        |    sum((floor(l_extendedprice * 100 + 0.5) *
+        |         (100 - floor(l_discount * 100 + 0.5)))::BIGINT)::BIGINT
+        |      AS rev_units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, rev_units,
+        |  ((rev_units::HUGEINT * 10000) //
+        |   first_value(rev_units) OVER (ORDER BY month
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS index_bp
+        |FROM m""".stripMargin
   )
 }
