@@ -2005,6 +2005,69 @@ object SparkEntry {
         .select(col("month"), col("rev_units"),
           expr("cast((cast(rev_units as decimal(38,0)) * 10000) div " +
             "base_units as bigint)").as("index_bp"))
+    }),
+
+    // skyline (Pareto frontier) query: parts where no other part is both
+    // bigger and cheaper — the frontier test runs on the |sizes|-row
+    // min-price aggregate (a strict-larger cumulative min), and only
+    // frontier (size, price) keys re-enter as a broadcast to pick the rows;
+    // the fact table is never sorted globally
+    "q134_pareto_frontier" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        cents(col("p_retailprice")).as("price_cents"))
+      val bySize = p.groupBy("size").agg(min("price_cents").as("size_min"))
+      val w = Window.orderBy(col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontierSizes = bySize
+        .withColumn("larger_min", min("size_min").over(w))
+        .where(col("larger_min").isNull ||
+          col("size_min") < col("larger_min"))
+        .select(col("size"), col("size_min"))
+      p.join(broadcast(frontierSizes), Seq("size"))
+        .where(col("price_cents") === col("size_min"))
+        .select(col("p_partkey"), col("size"), col("price_cents"))
+    }),
+
+    // dedup against a historical corpus: incoming docs (odd ids) are novel
+    // iff their content fingerprint never appears in history (even ids) —
+    // a fingerprint left-anti join, then a per-language novelty census in
+    // exact ppm. The 8-byte fingerprint is all that shuffles, never text
+    "q135_novelty_vs_history" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val history = docs.where(col("doc_id") % 2 === 0).select("fp").distinct()
+      val incoming = docs.where(col("doc_id") % 2 === 1)
+      val novel = incoming.join(history, Seq("fp"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+      incoming.groupBy("lang").agg(count(lit(1)).as("n_incoming"))
+        .join(novel, Seq("lang"), "left")
+        .select(col("lang"), col("n_incoming"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("(coalesce(n_novel, 0L) * 1000000) div n_incoming")
+            .as("novelty_ppm"))
+    }),
+
+    // market concentration (Herfindahl index): per nation, Σ share_ppm² of
+    // supplier revenue, rendered in ppm — shares are exact integer ppm per
+    // supplier (window over the supplier-grain aggregate), squares stay in
+    // LONG (share ≤ 1e6 ⇒ square ≤ 1e12)
+    "q136_supplier_hhi" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_suppkey"), revenueUnits.as("rev"))
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val perSup = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_suppkey"))
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("long").as("rev_units"))
+      perSup
+        .withColumn("nation_units",
+          sum("rev_units").over(Window.partitionBy("n_name")))
+        .withColumn("share_ppm", expr(
+          "(cast(rev_units as decimal(38,0)) * 1000000) div nation_units"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
     })
   )
 
@@ -4179,6 +4242,57 @@ object SparkEntry {
         |   first_value(rev_units) OVER (ORDER BY month
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
         |    AS index_bp
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q134_pareto_frontier" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_size::BIGINT AS size,
+        |    floor(p_retailprice * 100 + 0.5)::BIGINT AS price_cents
+        |  FROM part),
+        |bs AS (SELECT size, min(price_cents) AS size_min FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT size, size_min,
+        |    min(size_min) OVER (ORDER BY size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS larger_min
+        |  FROM bs)
+        |SELECT p.p_partkey, p.size, p.price_cents
+        |FROM p JOIN f ON p.size = f.size AND p.price_cents = f.size_min
+        |WHERE f.larger_min IS NULL OR f.size_min < f.larger_min""".stripMargin,
+
+    "q135_novelty_vs_history" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang, ${fingerprintSql("text")} AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 2 = 0),
+        |inc AS (SELECT lang, fp FROM docs WHERE doc_id % 2 = 1),
+        |nv AS (
+        |  SELECT lang, count(*)::BIGINT AS n_novel
+        |  FROM inc WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
+        |  GROUP BY 1),
+        |tot AS (SELECT lang, count(*)::BIGINT AS n_incoming FROM inc GROUP BY 1)
+        |SELECT t.lang, t.n_incoming,
+        |  coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+        |  ((coalesce(nv.n_novel, 0) * 1000000) // t.n_incoming)::BIGINT
+        |    AS novelty_ppm
+        |FROM tot t LEFT JOIN nv ON t.lang = nv.lang""".stripMargin,
+
+    "q136_supplier_hhi" ->
+      """WITH ps AS (
+        |  SELECT n_name, s_suppkey,
+        |    sum((floor(l_extendedprice * 100 + 0.5) *
+        |         (100 - floor(l_discount * 100 + 0.5)))::BIGINT)::BIGINT
+        |      AS rev_units
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT n_name,
+        |    ((rev_units::HUGEINT * 1000000) //
+        |     sum(rev_units) OVER (PARTITION BY n_name))::BIGINT AS share_ppm
+        |  FROM ps)
+        |SELECT n_name, count(*)::BIGINT AS n_suppliers,
+        |  (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
+        |FROM sh GROUP BY 1""".stripMargin
   )
 }

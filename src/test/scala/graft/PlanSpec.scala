@@ -232,6 +232,31 @@ class PlanSpec extends AnyFunSuite {
       s"the ppm window must consume the aggregate:\n$p")
   }
 
+  test("q130 band join: range predicate rides an equi-keyed join, no all-pairs") {
+    val p = plan("q130_band_join_views")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the band join must stay equi-keyed on (user, bucket):\n$p")
+  }
+
+  test("q134 skyline: frontier keys broadcast back, facts never globally sorted") {
+    val p = plan("q134_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier (size, price) keys must re-enter as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"part rows must not shuffle for the frontier join:\n$p")
+  }
+
+  test("q136 hhi: dimensions broadcast, share window over supplier grain only") {
+    val p = plan("q136_supplier_hhi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier and nation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no dimension may shuffle-join:\n$p")
+    // the share window must consume the (nation, supplier) AGGREGATE
+    val scanSection = p.split("Scan parquet").last
+    assert(!scanSection.split("HashAggregate").head.contains("Window"),
+      s"no window may run below the supplier-grain aggregation:\n$p")
+  }
+
   test("q102 group quantiles: bins pre-aggregate before any window") {
     val p = plan("q102_group_quantiles")
     // the window must consume the |groups|·|bins| aggregate, not raw rows:
