@@ -2068,7 +2068,20 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_suppliers"),
           expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
-    })
+    }),
+
+    // watermark late-drop, observable: append-mode tumbling windows over a
+    // 3-batch late-replay source — live head (even ids), in-watermark
+    // top-up (odd ids after the fixed split), then a late replay of sealed
+    // history (odd ids before it) arriving after its windows were evicted.
+    // The oracle replays the measured drop rule (drop on arrival iff
+    // window end ≤ the watermark set by the prior batch) and the final
+    // emission rule as integer watermark arithmetic
+    "q137_stream_late_drop" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsWindowedLateDrop(s, d,
+        windowSec = 300L, splitDir = s"$genDir/events_late_split",
+        splitUs = UpsertMidUs,
+        queryName = s"graft_stream_late_${System.nanoTime()}"))
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -4293,6 +4306,39 @@ object SparkEntry {
         |  FROM ps)
         |SELECT n_name, count(*)::BIGINT AS n_suppliers,
         |  (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
-        |FROM sh GROUP BY 1""".stripMargin
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    // watermark replica of the MEASURED Spark 4.1 semantics (probed with
+    // the 2- and 3-batch variants): wm = (max event-time ms − 600000)·1000
+    // µs, collected over ALL rows of batches so far; a batch-3 late row is
+    // dropped on arrival iff its window end ≤ the wm set after batch 2
+    // (rows merging into sealed-but-unevicted state still count); the
+    // final table emits windows with end ≤ the final wm. Split boundary is
+    // the FIXED epoch constant (odd ids ≤/> 2024-01-16), never a float
+    // percentile
+    "q137_stream_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |wm2 AS (
+        |  SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm
+        |  FROM e WHERE event_id % 2 = 0 OR ts_us > 1705363200000000),
+        |wmf AS (
+        |  SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm FROM e),
+        |kept AS (
+        |  SELECT * FROM e
+        |  WHERE event_id % 2 = 0 OR ts_us > 1705363200000000
+        |  UNION ALL
+        |  SELECT e.* FROM e, wm2
+        |  WHERE event_id % 2 = 1 AND ts_us <= 1705363200000000
+        |    AND ((ts_us // 300000000) + 1) * 300000000 > wm2.wm),
+        |agg AS (
+        |  SELECT (ts_us // 300000000) * 300000000 AS window_start_us,
+        |    event_type, count(*) AS n_events,
+        |    sum(vm)::BIGINT AS sum_value_micro
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT a.window_start_us, a.event_type, a.n_events, a.sum_value_micro
+        |FROM agg a, wmf WHERE a.window_start_us + 300000000 <= wmf.wm""".stripMargin
   )
 }

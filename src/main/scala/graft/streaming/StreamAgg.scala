@@ -99,6 +99,27 @@ object StreamAgg {
       windowedAgg(StreamSupport.eventsSplitStream(spark, sfDir, splitDir), windowSec),
       queryName, outputMode = "complete")
 
+  /** Watermark LATE-DROP semantics made observable: the tumbling
+    * aggregation in APPEND mode over a 3-batch late-replay source (live
+    * head → in-watermark top-up → late replay of sealed history). Measured
+    * Spark 4.1 semantics this oracles: a late row is dropped only on
+    * arrival with window end ≤ the operator's CURRENT watermark (set by
+    * the prior batch); rows merging into sealed-but-not-yet-evicted state
+    * still count (the 2-batch variant of this demo showed zero drops for
+    * exactly that reason). The final table holds watermark-finalized
+    * windows only. Both rules are integer functions of the data
+    * (watermark = ms-truncated max event time − delay), which is what the
+    * DuckDB oracle replays.
+    */
+  def eventsWindowedLateDrop(spark: SparkSession, sfDir: String,
+      windowSec: Long, splitDir: String, splitUs: Long,
+      queryName: String): DataFrame =
+    StreamSupport.runToMemory(
+      windowedAgg(
+        StreamSupport.eventsLateReplayStream(spark, sfDir, splitDir, splitUs),
+        windowSec),
+      queryName, outputMode = "append")
+
   /** Production sink shape: the same windowed aggregation written APPEND-mode
     * to a parquet file sink with a checkpoint — watermark-closed windows only,
     * no driver-side materialization, restartable from the checkpoint. The

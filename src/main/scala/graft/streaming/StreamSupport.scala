@@ -41,14 +41,20 @@ private[streaming] object StreamSupport {
     */
   private val splitLock = new Object
 
-  def eventsSplitStream(spark: SparkSession, sfDir: String,
-      splitDir: String): DataFrame = splitLock.synchronized {
+  /** Shared split-build core: materialize N filtered copies of the events
+    * table as split_a, split_b, … in `splitDir` with pinned modification
+    * times (ascending — split_a streams first), cache-keyed on source
+    * identity, and return the 1-file-per-trigger stream. `parts` receives
+    * the (cached) events frame and produces the per-batch predicated views
+    * in stream order.
+    */
+  private def splitStream(spark: SparkSession, sfDir: String, splitDir: String)
+      (parts: DataFrame => Seq[DataFrame]): DataFrame =
+    splitLock.synchronized {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = ev.schema
     val dir = new java.io.File(splitDir)
-    val fa = new java.io.File(dir, "split_a.parquet")
-    val fb = new java.io.File(dir, "split_b.parquet")
     // cache keyed on the SOURCE file identity — a bare existence check would
     // silently stream stale splits after an sfDir change into the same dir
     val src = new java.io.File(s"$sfDir/events.parquet")
@@ -56,14 +62,12 @@ private[streaming] object StreamSupport {
     val marker = new java.io.File(dir, "_source_key.txt")
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == key
-    if (!(fa.exists() && fb.exists() && fresh)) {
+    if (!fresh) {
       dir.mkdirs()
-      // the build makes three passes (median + two filtered writes) — cache
-      // the source across them; freed immediately after the build
+      // the build makes several passes (split stats + one filtered write per
+      // batch) — cache the source across them; freed right after the build
       ev.persist()
       try {
-      val mid = ev.agg(org.apache.spark.sql.functions.expr("percentile(ts, 0.5)"))
-        .first().getDouble(0).toLong
       def writeOne(df: DataFrame, target: java.io.File, modMs: Long): Unit = {
         val tmp = new java.io.File(dir, s"_tmp_${target.getName}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
@@ -73,14 +77,19 @@ private[streaming] object StreamSupport {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         scala.reflect.io.Directory(tmp).deleteRecursively()
         // the file source orders by (modified time, path): pin both — a
-        // silent setLastModified failure would let split_b lead, late-drop
-        // the older half, and lose sessions vs the shared oracle
+        // silent setLastModified failure would reorder batches, late-drop
+        // the wrong rows, and diverge from the emission-model oracle
         require(target.setLastModified(modMs),
           s"cannot pin mtime on $target; split-stream batch order undefined")
       }
-      import org.apache.spark.sql.functions.col
-      writeOne(ev.where(col("ts") <= mid), fa, 1000000L)
-      writeOne(ev.where(col("ts") > mid), fb, 2000000L)
+      // stale extra splits from a previous (larger-N) layout must not leak
+      // into this stream
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("split_")).foreach(_.delete())
+      parts(ev).zipWithIndex.foreach { case (df, i) =>
+        writeOne(df, new java.io.File(dir, s"split_${('a' + i).toChar}.parquet"),
+          (i + 1) * 1000000L)
+      }
       java.nio.file.Files.write(marker.toPath, key.getBytes)
       } finally ev.unpersist() // a failed write must not leak the cache
     }
@@ -90,11 +99,50 @@ private[streaming] object StreamSupport {
       .parquet(splitDir)
   }
 
+  /** Time-split: batch A = events at or before the median timestamp, batch
+    * B = the rest. Every batch-2 event is above batch 1's watermark, so
+    * nothing is late-dropped (see class doc).
+    */
+  def eventsSplitStream(spark: SparkSession, sfDir: String,
+      splitDir: String): DataFrame =
+    splitStream(spark, sfDir, splitDir) { ev =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val mid = ev.agg(expr("percentile(ts, 0.5)")).first().getDouble(0).toLong
+      Seq(ev.where(col("ts") <= mid), ev.where(col("ts") > mid))
+    }
+
+  /** Late-replay split, 3 batches: (1) even event ids over the whole
+    * timeline — the live head, whose watermark seals history; (2) odd ids
+    * ABOVE the split timestamp — in-watermark top-up that triggers the
+    * first eviction/emission; (3) odd ids at or below it — the late replay
+    * arriving after its windows were already finalized. The median split,
+    * by construction, never exercises the drop path; this one makes it
+    * observable. `splitUs` is a FIXED epoch-µs boundary (not a computed
+    * percentile) compared at µs granularity — the raw ns column floors to
+    * µs first, matching the oracle engine's µs timestamps exactly.
+    */
+  def eventsLateReplayStream(spark: SparkSession, sfDir: String,
+      splitDir: String, splitUs: Long): DataFrame =
+    splitStream(spark, sfDir, splitDir) { ev =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val odd = col("event_id") % 2 === 1
+      val tsUs = expr("ts div 1000")
+      Seq(ev.where(!odd),
+        ev.where(odd && tsUs > splitUs),
+        ev.where(odd && tsUs <= splitUs))
+    }
+
   // sink tables THIS module created and has not yet dropped — scoping the
   // cleanup to this set (not a name-prefix sweep of the whole catalog) so an
   // unrelated user/test temp view that happens to match a prefix is never
   // unpersisted or dropped out from under its owner
   private val createdSinks = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Data-carrying micro-batch count of the most recent runToMemory drain
+    * (set after processAllAvailable; used by specs to prove split sources
+    * really produce one batch per file).
+    */
+  @volatile var lastDataBatches: Int = -1
 
   /** Run a streaming DataFrame to a memory sink with AvailableNow, drain it,
     * and return the materialized table (cached — the sink table goes away
@@ -123,6 +171,10 @@ private[streaming] object StreamSupport {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
+    // observability for the multi-batch contracts: how many micro-batches
+    // actually carried data (split sources must see one per file — a single
+    // combined batch would silently void every cross-batch test)
+    lastDataBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
     val out = df.sparkSession.table(queryName)
     out.cache(); out.count()

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Micro-batch decomposition proofs for the split-file sources: the
+  * cross-batch contracts (q55/q56/q109 state merge, q137 late drop) are
+  * only exercised if the file source really delivers one batch per split
+  * file — a silent single-batch combine would void them all while every
+  * decomposition-invariant oracle still passed. Asserted here via the
+  * data-carrying batch count of the drained query.
+  */
+class StreamBatchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+  private def tmp(tag: String) =
+    s"/tmp/graft_test_split_${tag}_${System.nanoTime()}"
+
+  test("median split drives exactly 2 data batches; nothing is late-dropped") {
+    val out = StreamAgg.eventsWindowedMultiBatch(spark, d, windowSec = 300L,
+      splitDir = tmp("median"), queryName = s"t_mb_${System.nanoTime()}")
+    val n = out.count()
+    assert(StreamSupport.lastDataBatches === 2,
+      "each split file must arrive as its own micro-batch")
+    // complete mode + no drops ⇒ row-identical to the single-batch run
+    val single = StreamAgg.eventsWindowed(spark, d, windowSec = 300L,
+      queryName = s"t_sb_${System.nanoTime()}")
+    assert(n === single.count())
+  }
+
+  test("late-replay split drives 3 data batches and rows ARE dropped") {
+    import org.apache.spark.sql.functions._
+    val out = StreamAgg.eventsWindowedLateDrop(spark, d, windowSec = 300L,
+      splitDir = tmp("late"), splitUs = 1705363200000000L,
+      queryName = s"t_late_${System.nanoTime()}")
+    val late = out.agg(sum("n_events")).first().getLong(0)
+    assert(StreamSupport.lastDataBatches === 3)
+    // the late replay (odd ids at/below the split) must NOT all survive:
+    // fewer events aggregated than the no-drop total
+    val ev = spark.read
+      .parquet(s"$d/events.parquet")
+    val total = ev.count()
+    val batch3 = ev
+      .where(col("event_id") % 2 === 1 &&
+        expr("ts div 1000") <= 1705363200000000L).count()
+    assert(late < total, "append output must exclude dropped late rows")
+    assert(late <= total - batch3 + 1,
+      s"essentially all of the $batch3 late-replay rows must be dropped")
+  }
+}
