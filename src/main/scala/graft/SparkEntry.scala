@@ -2081,7 +2081,47 @@ object SparkEntry {
       graft.streaming.StreamAgg.eventsWindowedLateDrop(s, d,
         windowSec = 300L, splitDir = s"$genDir/events_late_split",
         splitUs = UpsertMidUs,
-        queryName = s"graft_stream_late_${System.nanoTime()}"))
+        queryName = s"graft_stream_late_${System.nanoTime()}")),
+
+    // WEIGHTED median: the q102 histogram-quantile contract with a weight
+    // column (line quantity) — cumulative WEIGHT, not row count, crosses
+    // the 50% threshold; shuffle carries (flag, bin) weight sums only
+    "q138_weighted_median" -> ((s, d) => {
+      val binW = 10000000L
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        expr("floor(l_quantity + 0.5)").as("wgt"),
+        revenueUnits.as("rev"))
+      val bins = li.groupBy(col("l_returnflag"),
+          expr(s"rev div $binW").as("bin"))
+        .agg(sum("wgt").as("w"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("l_returnflag")
+      bins.withColumn("cum", sum("w").over(wCum))
+        .withColumn("total", sum("w").over(wTot))
+        .groupBy("l_returnflag")
+        .agg(max("total").as("total_weight"),
+          min(when(col("cum") * 2 >= col("total"), col("bin") * binW))
+            .as("wmedian_units_lo"))
+    }),
+
+    // session-duration histogram: the q104 session_window sessions bucketed
+    // by 5-minute duration bands — one census row per band, composing the
+    // built-in session operator with integer bucketing
+    "q139_session_duration_hist" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      val sess = ev.groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("n_events"),
+          (unix_micros(col("w.end")) - unix_micros(col("w.start")))
+            .as("dur_us"))
+      sess.groupBy(expr("dur_us div 300000000").as("dur_bucket_5m"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("sum_events"),
+          max("dur_us").as("max_dur_us"))
+    })
   )
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
@@ -4339,6 +4379,52 @@ object SparkEntry {
         |    sum(vm)::BIGINT AS sum_value_micro
         |  FROM kept GROUP BY 1, 2)
         |SELECT a.window_start_us, a.event_type, a.n_events, a.sum_value_micro
-        |FROM agg a, wmf WHERE a.window_start_us + 300000000 <= wmf.wm""".stripMargin
+        |FROM agg a, wmf WHERE a.window_start_us + 300000000 <= wmf.wm""".stripMargin,
+
+    "q138_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, floor(l_quantity + 0.5)::BIGINT AS wgt,
+        |    (floor(l_extendedprice * 100 + 0.5) *
+        |     (100 - floor(l_discount * 100 + 0.5)))::BIGINT AS rev
+        |  FROM lineitem),
+        |bins AS (
+        |  SELECT l_returnflag, rev // 10000000 AS bin, sum(wgt) AS w
+        |  FROM li GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bin, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM bins)
+        |SELECT l_returnflag, max(total)::BIGINT AS total_weight,
+        |  min(CASE WHEN cum * 2 >= total THEN bin * 10000000 END)::BIGINT
+        |    AS wmedian_units_lo
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // the q104 islands formulation, reduced to duration bands
+    "q139_session_duration_hist" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |o AS (
+        |  SELECT user_id, ts_us,
+        |    (CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |            IS NULL
+        |          OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us) >= 1800000000
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT count(*)::BIGINT AS n_events,
+        |    (max(ts_us) + 1800000000 - min(ts_us)) AS dur_us
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT dur_us // 300000000 AS dur_bucket_5m,
+        |  count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS sum_events,
+        |  max(dur_us)::BIGINT AS max_dur_us
+        |FROM sess GROUP BY 1""".stripMargin
   )
 }
