@@ -2121,6 +2121,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"),
           sum("n_events").as("sum_events"),
           max("dur_us").as("max_dur_us"))
+    }),
+
+    // Benford first-digit audit (fraud/quality signal on money columns):
+    // the leading digit comes from the decimal STRING of the cents value —
+    // pure integer+string ops, no log10 whose last ulp differs across
+    // libm builds. Expected Benford shares ship as exact ppm literals;
+    // observed share in ppm from one aggregate
+    "q140_benford_audit" -> ((s, d) => {
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L)
+      val expected = benford.map { case (dd, ppm) =>
+        struct(lit(dd.toLong).as("digit"), lit(ppm).as("benford_ppm"))
+      }
+      val digits = orders(s, d).select(
+        substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div total").as("observed_ppm"))
+      val exp = (s.range(1).select(
+        explode(array(expected: _*)).as("e"))).select(col("e.*"))
+      digits.join(broadcast(exp), Seq("digit"))
+        .select(col("digit"), col("n"), col("observed_ppm"),
+          col("benford_ppm"),
+          (col("observed_ppm") - col("benford_ppm")).as("deviation_ppm"))
+    }),
+
+    // multi-touch attribution: each purchase's 1e6 ppm of credit splits
+    // equally across its in-band views (the q130 bucketed band join), and
+    // credit rolls up by the VIEW's hour of day — floor division leaves
+    // ≤ (n_views−1) ppm unassigned per purchase, a documented remainder
+    "q141_attribution_credit" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val tolUs = 600000000L
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_us"), expr(s"ts_us div $tolUs").as("bucket"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"),
+          expr(s"ts_us div $tolUs").as("b0"))
+        .select(col("user_id"), col("v_us"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1))
+            .as("bucket"))
+      val pairs = p.join(v, Seq("user_id", "bucket"))
+        .where(abs(col("v_us") - col("p_us")) <= tolUs)
+        .select(col("purchase_id"), col("v_us"))
+      pairs
+        .withColumn("n_views",
+          count(lit(1)).over(Window.partitionBy("purchase_id")))
+        .select(expr("(v_us div 3600000000) % 24").as("view_hod"),
+          expr("1000000 div n_views").as("credit_ppm"))
+        .groupBy("view_hod")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit_ppm").as("credit_ppm_total"))
     })
   )
 
@@ -4425,6 +4482,47 @@ object SparkEntry {
         |SELECT dur_us // 300000000 AS dur_bucket_5m,
         |  count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS sum_events,
         |  max(dur_us)::BIGINT AS max_dur_us
-        |FROM sess GROUP BY 1""".stripMargin
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    "q140_benford_audit" ->
+      """WITH d AS (
+        |  SELECT substr(floor(o_totalprice * 100 + 0.5)::BIGINT::VARCHAR, 1, 1)
+        |    ::BIGINT AS digit
+        |  FROM orders),
+        |c AS (
+        |  SELECT digit, count(*)::BIGINT AS n,
+        |    sum(count(*)) OVER () AS total
+        |  FROM d GROUP BY 1),
+        |e(digit, benford_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT c.digit, c.n, ((c.n * 1000000) // c.total)::BIGINT
+        |    AS observed_ppm,
+        |  e.benford_ppm::BIGINT AS benford_ppm,
+        |  ((c.n * 1000000) // c.total - e.benford_ppm)::BIGINT
+        |    AS deviation_ppm
+        |FROM c JOIN e ON c.digit = e.digit""".stripMargin,
+
+    "q141_attribution_credit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+        |  FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_us AS v_us FROM ev
+        |      WHERE event_type = 'view'),
+        |pairs AS (
+        |  SELECT p.purchase_id, v.v_us
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |   AND abs(v.v_us - p.p_us) <= 600000000),
+        |cr AS (
+        |  SELECT (v_us // 3600000000) % 24 AS view_hod,
+        |    1000000 // count(*) OVER (PARTITION BY purchase_id)
+        |      AS credit_ppm
+        |  FROM pairs)
+        |SELECT view_hod, count(*)::BIGINT AS n_touches,
+        |  sum(credit_ppm)::BIGINT AS credit_ppm_total
+        |FROM cr GROUP BY 1""".stripMargin
   )
 }
