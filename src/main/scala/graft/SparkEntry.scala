@@ -2178,6 +2178,60 @@ object SparkEntry {
         .groupBy("view_hod")
         .agg(count(lit(1)).as("n_touches"),
           sum("credit_ppm").as("credit_ppm_total"))
+    }),
+
+    // trailing 7-DAY revenue via a RANGE frame on the sparse day series —
+    // range frames measure VALUE distance (calendar days), not row
+    // distance, so missing days shorten the window (n_days_in_window
+    // exposes it); the window runs on the |days|-row aggregate
+    "q142_rolling_7day_revenue" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(expr(
+          "unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("day"))
+        .agg(sum(revenueUnits.cast("decimal(38,0)")).cast("long")
+          .as("rev_units"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("rev_7d_units", sum("rev_units").over(w))
+        .withColumn("n_days_in_window", count(lit(1)).over(w))
+    }),
+
+    // hierarchy rollup with an EXACT DISTINCT aggregate: active customers
+    // per (region, nation) and the rolled-up totals — distinct-under-
+    // rollup is the Expand + two-shuffle stressor plain sums never hit;
+    // totals coalesce to 'ALL' markers identically on both engines
+    "q143_distinct_rollup" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val reg = region(s, d).select(col("r_regionkey"), col("r_name"))
+      o.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_active_customers"), col("n_orders"))
+    }),
+
+    // fulfillment lag: ship − order date in whole days, histogrammed per
+    // priority — a fact-to-fact equi-join on the order key (co-partitioned
+    // by the same key both sides shuffle on), then a tiny census
+    "q144_fulfillment_lag" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), expr(
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("ship_day"))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("order_day"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          (col("ship_day") - col("order_day")).as("lag_days"))
+        .agg(count(lit(1)).as("n_lines"))
     })
   )
 
@@ -4523,6 +4577,41 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT view_hod, count(*)::BIGINT AS n_touches,
         |  sum(credit_ppm)::BIGINT AS credit_ppm_total
-        |FROM cr GROUP BY 1""".stripMargin
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "q142_rolling_7day_revenue" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        |    sum((floor(l_extendedprice * 100 + 0.5) *
+        |         (100 - floor(l_discount * 100 + 0.5)))::BIGINT)::BIGINT
+        |      AS rev_units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, rev_units,
+        |  sum(rev_units) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS rev_7d_units,
+        |  count(*) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_days_in_window
+        |FROM daily""".stripMargin,
+
+    "q143_distinct_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_active_customers,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q144_fulfillment_lag" ->
+      """SELECT o_orderpriority,
+        |  (epoch_us(l_shipdate) // 86400000000)
+        |    - (epoch_us(o_orderdate) // 86400000000) AS lag_days,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }
