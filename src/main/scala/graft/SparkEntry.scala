@@ -2232,6 +2232,50 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"),
           (col("ship_day") - col("order_day")).as("lag_days"))
         .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // revenue concentration (Lorenz curve) from a value histogram — "the
+    // top X% of orders carry Y% of revenue" as exact cumulative ppm per
+    // $1000 bin; no global row sort, the curve lives on the |bins|-row
+    // aggregate. cum_v·1e6 widens to DECIMAL(38,0) before the product
+    "q145_lorenz_curve" -> ((s, d) => {
+      val ov = orders(s, d).select(cents(col("o_totalprice")).as("v"))
+      val bins = ov.groupBy(expr("v div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).cast("long").as("sv"))
+      val wC = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy()
+      bins
+        .withColumn("cum_n", sum("n").over(wC))
+        .withColumn("cum_v", sum("sv").over(wC))
+        .withColumn("tot_n", sum("n").over(wT))
+        .withColumn("tot_v", sum("sv").over(wT))
+        .select(expr("bin * 100000").as("bin_lo_cents"), col("n"),
+          expr("(cum_n * 1000000) div tot_n").as("cum_orders_ppm"),
+          expr("cast((cast(cum_v as decimal(38,0)) * 1000000) div tot_v " +
+            "as bigint)").as("cum_revenue_ppm"))
+    }),
+
+    // approximation-quality audit: LSH candidate pairs (q16's banding)
+    // scored against the exact high-Jaccard truth set (q13's prefix-
+    // filtered pairs) — recall and candidate precision in exact ppm, one
+    // row out. The composition reuses both oracled pair generators, so
+    // the audit cannot drift from what it audits
+    "q146_lsh_recall_audit" -> ((s, d) => {
+      val docs = documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.8, maxDocFreq = 1000L).select("id_a", "id_b")
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minEstJaccard = 0.25)
+        .select("id_a", "id_b")
+      val hit = truth.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
+          expr("(n_hit * 1000000) div n_lsh").as("candidate_precision_ppm"))
     })
   )
 
@@ -4612,6 +4656,50 @@ object SparkEntry {
         |    - (epoch_us(o_orderdate) // 86400000000) AS lag_days,
         |  count(*)::BIGINT AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q145_lorenz_curve" ->
+      """WITH ov AS (
+        |  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v FROM orders),
+        |bins AS (
+        |  SELECT v // 100000 AS bin, count(*)::BIGINT AS n,
+        |    sum(v)::BIGINT AS sv
+        |  FROM ov GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n, sv,
+        |    sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(sv) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+        |    sum(n) OVER () AS tot_n, sum(sv) OVER () AS tot_v
+        |  FROM bins)
+        |SELECT bin * 100000 AS bin_lo_cents, n,
+        |  ((cum_n * 1000000) // tot_n)::BIGINT AS cum_orders_ppm,
+        |  ((cum_v::HUGEINT * 1000000) // tot_v)::BIGINT AS cum_revenue_ppm
+        |FROM c""".stripMargin,
+
+    "q146_lsh_recall_audit" ->
+      s"""WITH $MinhashPairsCtes,
+        |dfq AS (SELECT shingle FROM sh GROUP BY shingle
+        |        HAVING count(*) <= 1000),
+        |ex AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfq USING (shingle)),
+        |nn AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+        |truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN nn na ON na.doc_id = a.doc_id
+        |  JOIN nn nb ON nb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING round(count(*)::DOUBLE /
+        |    (any_value(na.n_sh) + any_value(nb.n_sh) - count(*)), 6) >= 0.8),
+        |lp AS (SELECT id_a, id_b FROM pairs),
+        |m AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+        |l AS (SELECT count(*)::BIGINT AS n_lsh FROM lp),
+        |ht AS (SELECT count(*)::BIGINT AS n_hit
+        |       FROM truth t JOIN lp USING (id_a, id_b))
+        |SELECT m.n_truth, l.n_lsh, ht.n_hit,
+        |  ((ht.n_hit * 1000000) // m.n_truth)::BIGINT AS recall_ppm,
+        |  ((ht.n_hit * 1000000) // l.n_lsh)::BIGINT AS candidate_precision_ppm
+        |FROM m, l, ht""".stripMargin
   )
 }
