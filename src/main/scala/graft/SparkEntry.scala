@@ -2276,6 +2276,24 @@ object SparkEntry {
         .select(col("n_truth"), col("n_lsh"), col("n_hit"),
           expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
           expr("(n_hit * 1000000) div n_lsh").as("candidate_precision_ppm"))
+    }),
+
+    // the vector-side twin of q146: IVF ANN top-5 lists (q49's cell-probe
+    // path) scored against exact brute-force cosine top-5 (q14) — set
+    // recall in exact ppm, one row out, reusing both oracled rankers
+    "q147_ann_recall_audit" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 5)
+        .select("query_id", "cand_id")
+      val approx = Similarity.ivfCosineTopK(emb, qs, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 4).select("query_id", "cand_id")
+      val hit = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(approx.agg(count(lit(1)).as("n_approx"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_approx"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_exact").as("recall_ppm"))
     })
   )
 
@@ -2449,6 +2467,57 @@ object SparkEntry {
       |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q14's exact cosine top-5 oracle — shared with the q147 recall audit. */
+  private val CosineTopkOracleSql =
+    """SELECT query_id, cand_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+      |      c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** q49's IVF top-5 oracle (cell assignment + probe ranking mirrored
+    * exactly) — shared with the q147 recall audit.
+    */
+  private val IvfTopkOracleSql = {
+    def cdist(v: String, c: String) =
+      s"""list_dot_product($v, $c) /
+         |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS centroid FROM e
+       |          ORDER BY vec_id LIMIT 16),
+       |corp AS (
+       |  SELECT vec_id AS cand_id, v AS cv, cell_id FROM (
+       |    SELECT e.vec_id, e.v, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE crank = 1),
+       |qs AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
+       |    SELECT e.vec_id, e.v, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
+       |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10)
+       |  WHERE crank <= 4),
+       |cand AS (
+       |  SELECT q.query_id, c.cand_id,
+       |    round(${cdist("q.qv", "c.cv")}, 6) AS cos
+       |  FROM qs q JOIN corp c ON q.cell_id = c.cell_id AND q.query_id <> c.cand_id)
+       |SELECT query_id, cand_id, cos, rank FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2602,20 +2671,7 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING round(count(*)::DOUBLE / (any_value(na.n_sh) + any_value(nb.n_sh) - count(*)), 6) >= 0.8""".stripMargin,
 
-    "q14_cosine_topk" ->
-      """SELECT query_id, cand_id, cos, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-        |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-        |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
-        |      c.vec_id) AS rank
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 5""".stripMargin,
+    "q14_cosine_topk" -> CosineTopkOracleSql,
 
     "q60_salient_terms" ->
       """WITH tok AS (
@@ -3161,37 +3217,7 @@ object SparkEntry {
         |FROM read_parquet('__GEN_DIR__/q38_wide/*.parquet')
         |GROUP BY family, nVars""".stripMargin,
 
-    "q49_ivf_topk" -> {
-      def cdist(v: String, c: String) =
-        s"""list_dot_product($v, $c) /
-           |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cell_id, v AS centroid FROM e
-         |          ORDER BY vec_id LIMIT 16),
-         |corp AS (
-         |  SELECT vec_id AS cand_id, v AS cv, cell_id FROM (
-         |    SELECT e.vec_id, e.v, c.cell_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
-         |    FROM e CROSS JOIN cents c)
-         |  WHERE crank = 1),
-         |qs AS (
-         |  SELECT vec_id AS query_id, v AS qv, cell_id FROM (
-         |    SELECT e.vec_id, e.v, c.cell_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${cdist("e.v", "c.centroid")} DESC, c.cell_id) AS crank
-         |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10)
-         |  WHERE crank <= 4),
-         |cand AS (
-         |  SELECT q.query_id, c.cand_id,
-         |    round(${cdist("q.qv", "c.cv")}, 6) AS cos
-         |  FROM qs q JOIN corp c ON q.cell_id = c.cell_id AND q.query_id <> c.cand_id)
-         |SELECT query_id, cand_id, cos, rank FROM (
-         |  SELECT query_id, cand_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
-         |  FROM cand)
-         |WHERE rank <= 5""".stripMargin
-    },
+    "q49_ivf_topk" -> IvfTopkOracleSql,
 
     "q47_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
@@ -4700,6 +4726,18 @@ object SparkEntry {
         |SELECT m.n_truth, l.n_lsh, ht.n_hit,
         |  ((ht.n_hit * 1000000) // m.n_truth)::BIGINT AS recall_ppm,
         |  ((ht.n_hit * 1000000) // l.n_lsh)::BIGINT AS candidate_precision_ppm
+        |FROM m, l, ht""".stripMargin,
+
+    "q147_ann_recall_audit" ->
+      s"""WITH exact AS ($CosineTopkOracleSql),
+        |approx AS ($IvfTopkOracleSql),
+        |m AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+        |l AS (SELECT count(*)::BIGINT AS n_approx FROM approx),
+        |ht AS (SELECT count(*)::BIGINT AS n_hit
+        |       FROM exact e JOIN approx a
+        |         ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
+        |SELECT m.n_exact, l.n_approx, ht.n_hit,
+        |  ((ht.n_hit * 1000000) // m.n_exact)::BIGINT AS recall_ppm
         |FROM m, l, ht""".stripMargin
   )
 }
