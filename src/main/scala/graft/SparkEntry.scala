@@ -2294,6 +2294,37 @@ object SparkEntry {
         .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_exact"), col("n_approx"), col("n_hit"),
           expr("(n_hit * 1000000) div n_exact").as("recall_ppm"))
+    }),
+
+    // cohort lifetime-value curve: q113's retention matrix extended with
+    // revenue and cumulative revenue per cohort over month offsets, plus
+    // retention in exact ppm of the cohort's size (= its offset-0 actives,
+    // which every member hits by definition of the cohort month). All
+    // windows run on the (cohort, offset) aggregate, never raw orders
+    "q148_cohort_ltv" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx"),
+        cents(col("o_totalprice")).as("v"))
+      val w = Window.partitionBy("o_custkey")
+      val cells = o.withColumn("cohort_idx", min("midx").over(w))
+        .groupBy(col("cohort_idx"),
+          (col("midx") - col("cohort_idx")).as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"),
+          sum(col("v").cast("decimal(38,0)")).cast("long").as("rev_cents"))
+      val wCum = Window.partitionBy("cohort_idx").orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCoh = Window.partitionBy("cohort_idx")
+      cells
+        .withColumn("cum_rev_cents", sum("rev_cents").over(wCum))
+        .withColumn("cohort_size",
+          max(when(col("month_offset") === 0, col("active_customers")))
+            .over(wCoh))
+        .select(col("cohort_idx"), col("month_offset"),
+          col("active_customers"),
+          expr("(active_customers * 1000000) div cohort_size")
+            .as("retention_ppm"),
+          col("rev_cents"), col("cum_rev_cents"))
     })
   )
 
@@ -4738,6 +4769,34 @@ object SparkEntry {
         |         ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
         |SELECT m.n_exact, l.n_approx, ht.n_hit,
         |  ((ht.n_hit * 1000000) // m.n_exact)::BIGINT AS recall_ppm
-        |FROM m, l, ht""".stripMargin
+        |FROM m, l, ht""".stripMargin,
+
+    "q148_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS midx,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_custkey, midx, v,
+        |    min(midx) OVER (PARTITION BY o_custkey) AS cohort_idx
+        |  FROM o),
+        |cells AS (
+        |  SELECT cohort_idx, midx - cohort_idx AS month_offset,
+        |    count(DISTINCT o_custkey)::BIGINT AS active_customers,
+        |    sum(v)::BIGINT AS rev_cents
+        |  FROM c GROUP BY 1, 2),
+        |x AS (
+        |  SELECT cohort_idx, month_offset, active_customers, rev_cents,
+        |    sum(rev_cents) OVER (PARTITION BY cohort_idx ORDER BY month_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents,
+        |    max(CASE WHEN month_offset = 0 THEN active_customers END)
+        |      OVER (PARTITION BY cohort_idx) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort_idx, month_offset, active_customers,
+        |  ((active_customers * 1000000) // cohort_size)::BIGINT
+        |    AS retention_ppm,
+        |  rev_cents, cum_rev_cents::BIGINT AS cum_rev_cents
+        |FROM x""".stripMargin
   )
 }
