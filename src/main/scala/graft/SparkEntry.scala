@@ -2325,6 +2325,40 @@ object SparkEntry {
           expr("(active_customers * 1000000) div cohort_size")
             .as("retention_ppm"),
           col("rev_cents"), col("cum_rev_cents"))
+    }),
+
+    // TEMPORAL (point-in-time) join: each purchase joins the SCD2 state
+    // version (q125's intervals) valid JUST BEFORE it (ts−1) — "which
+    // state do users purchase from" (its own run would match trivially at
+    // ts). The interval predicate rides the user_id equi-join (versions
+    // per user are run-bounded, so the per-key fanout stays small);
+    // census by prior state, first-ever-event purchases labeled 'none'
+    "q149_temporal_state_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val runs = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(min("ts_us").as("valid_from"))
+      val wRun = Window.partitionBy("user_id").orderBy("run_id")
+      val versions = runs
+        .withColumn("valid_to", lead("valid_from", 1).over(wRun))
+        .select(col("user_id").as("v_user"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      purchases.join(versions,
+          col("user_id") === col("v_user") &&
+          col("valid_from") <= col("ts_us") - 1 &&
+          (col("valid_to").isNull || col("valid_to") > col("ts_us") - 1),
+          "left")
+        .groupBy(coalesce(col("state"), lit("none")).as("state_before"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -4797,6 +4831,41 @@ object SparkEntry {
         |  ((active_customers * 1000000) // cohort_size)::BIGINT
         |    AS retention_ppm,
         |  rev_cents, cum_rev_cents::BIGINT AS cum_rev_cents
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    "q149_temporal_state_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    (CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+        |    ts_us
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, min(ts_us) AS valid_from
+        |  FROM r GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT user_id AS v_user, event_type AS state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |      AS valid_to
+        |  FROM runs),
+        |p AS (
+        |  SELECT user_id, event_id, ts_us FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT coalesce(v.state, 'none') AS state_before,
+        |  count(*)::BIGINT AS n_purchases,
+        |  count(DISTINCT p.user_id)::BIGINT AS n_users
+        |FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |  AND v.valid_from <= p.ts_us - 1
+        |  AND (v.valid_to IS NULL OR v.valid_to > p.ts_us - 1)
+        |GROUP BY 1""".stripMargin
   )
 }
