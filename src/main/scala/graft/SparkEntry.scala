@@ -2359,8 +2359,182 @@ object SparkEntry {
         .groupBy(coalesce(col("state"), lit("none")).as("state_before"))
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // classical autocorrelation: the hourly event-count series per type,
+    // lagged against itself at k = 1..6 hours. Pairing is an equi-join on
+    // (type, hour+k) over the HOURLY AGGREGATE (hours with no events pair
+    // as absent, not zero — gap semantics documented in the contract), so
+    // raw-event volume never enters the join. The correlation block is the
+    // exact-integer pairCorr contract below
+    "q150_acf" -> ((s, d) => {
+      val ser = events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val lags = s.range(1, 7).select(col("id").as("lag_h"))
+      val a = ser.select(col("event_type"), col("h"), col("cnt").as("x"))
+        .crossJoin(broadcast(lags))
+      val b = ser.select(col("event_type").as("et2"), col("h").as("h2"),
+        col("cnt").as("y"))
+      val pairs = a.join(b, col("event_type") === col("et2") &&
+        col("h2") === col("h") + col("lag_h"))
+      pairCorr(pairs, Seq("event_type", "lag_h"))
+    }),
+
+    // cross-correlation lag scan: do purchases track clicks, and at what
+    // hourly offset? x = click count at hour h, y = purchase count at
+    // h + lag for lag in -6..+6; only hours where both series have mass
+    // pair up (inner join on the hour key). The 13-row output is the full
+    // scan — the peak-r² row is the discovered lead/lag
+    "q151_cross_correlation" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val clicks = hourly.where(col("event_type") === "click")
+        .select(col("h"), col("cnt").as("x"))
+      val purch = hourly.where(col("event_type") === "purchase")
+        .select(col("h").as("h2"), col("cnt").as("y"))
+      val lags = s.range(-6, 7).select(col("id").as("lag_h"))
+      val pairs = clicks.crossJoin(broadcast(lags))
+        .join(purch, col("h2") === col("h") + col("lag_h"))
+      pairCorr(pairs, Seq("lag_h"))
+    }),
+
+    // seasonal decomposition of the daily order-count series: trend = the
+    // centered 7-day moving average (exact: 7-day window sum ×1000 div 7,
+    // edges with a short window dropped), seasonal index per weekday = the
+    // mean detrended deviation. The day grid is generated dense (gap days
+    // count 0) so the moving window is calendar-true; every window runs on
+    // the ~2.4k-row day aggregate, never on raw orders
+    "q152_seasonal_decomposition" -> ((s, d) => {
+      val days = orders(s, d)
+        .groupBy(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = days.agg(min("d").as("d0"), max("d").as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("d"))
+      val dense = grid.join(days, Seq("d"), "left")
+        .select(col("d"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.orderBy("d").rowsBetween(-3, 3)
+      dense
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("s7", sum("cnt").over(w))
+        .where(col("win_n") === 7)
+        .withColumn("trend_milli", expr("(s7 * 1000) div 7"))
+        .withColumn("dev_milli", expr("cnt * 1000 - trend_milli"))
+        .groupBy(expr("(d + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum("cnt").as("sum_cnt"),
+          sum("dev_milli").as("sum_dev_milli"))
+        .select(col("dow"), col("n_days"),
+          expr("(sum_cnt * 1000) div n_days").as("mean_cnt_milli"),
+          col("sum_dev_milli"),
+          expr("cast(floor(cast(sum_dev_milli as double) " +
+            "/ cast(n_days as double) + 0.5) as bigint)")
+            .as("seasonal_milli"))
+    }),
+
+    // Theil–Sen robust trend: per-nation monthly revenue slope as the
+    // lower median of ALL pairwise (Δrev/Δmonth) slopes — outlier months
+    // move the estimate far less than OLS. The pairwise self-join is
+    // quadratic in MONTHS PER NATION (calendar-bounded, ~84 here), not in
+    // rows: it grows O(years²) however large the fact table gets. Median =
+    // the (n+1) div 2-th order statistic, exact on integer milli slopes
+    "q153_theil_sen_trend" -> ((s, d) => {
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val monthly = orders(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"),
+          cents(col("o_totalprice")).as("v"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("m"))
+        .agg(sum(col("v").cast("decimal(38,0)")).cast("long")
+          .as("rev_cents"))
+      val bSide = monthly.select(col("n_name").as("nn2"), col("m").as("m2"),
+        col("rev_cents").as("rc2"))
+      // the b-side is the (nation × month) aggregate — calendar-bounded
+      // (~2k rows however big the fact table is), so broadcast beats SMJ
+      val pairs = monthly.join(broadcast(bSide),
+          col("n_name") === col("nn2") && col("m2") > col("m"))
+        .select(col("n_name"),
+          expr("cast(floor(1000.0 * cast(rc2 - rev_cents as double) " +
+            "/ cast(m2 - m as double) + 0.5) as bigint)").as("slope_milli"))
+      val wN = Window.partitionBy("n_name")
+      val wO = Window.partitionBy("n_name").orderBy(col("slope_milli"))
+      pairs.withColumn("rn", row_number().over(wO))
+        .withColumn("n_pairs", count(lit(1)).over(wN))
+        .where(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_name"), col("n_pairs"),
+          col("slope_milli").as("ts_slope_milli"))
     })
   )
+
+  /** Exact-integer correlation block shared by q150/q151: over paired
+    * series values (x, y), all five sums are DECIMAL(38,0) (order-
+    * insensitive), and cov = n·Σxy−Σx·Σy, varx/vary likewise, stay exact
+    * integers. The final slope (milli) and r² (ppm) divide those identical
+    * integers as doubles — deterministic under any partition topology and
+    * bit-equal to the DuckDB mirror (HUGEINT sums, same formula text).
+    * r² carries no sign, so cov_sign is emitted alongside; zero-variance
+    * groups yield null slope/r² on both sides.
+    */
+  private[graft] def pairCorr(pairs: DataFrame, keys: Seq[String]): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    pairs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .withColumn("cov",
+        expr("cast(n_pairs as decimal(38,0)) * sxy - sx * sy"))
+      .withColumn("varx",
+        expr("cast(n_pairs as decimal(38,0)) * sxx - sx * sx"))
+      .withColumn("vary",
+        expr("cast(n_pairs as decimal(38,0)) * syy - sy * sy"))
+      .select(keys.map(col) ++ Seq(col("n_pairs"),
+        expr("cast(case when cov > 0 then 1 when cov < 0 then -1 " +
+          "else 0 end as bigint)").as("cov_sign"),
+        expr("cast(case when varx = 0 then null else " +
+          "floor(cast(cov as double) / cast(varx as double) * 1000 + 0.5) " +
+          "end as bigint)").as("slope_milli"),
+        expr("cast(case when varx = 0 or vary = 0 then null else " +
+          "floor(cast(cov as double) * cast(cov as double) " +
+          "/ (cast(varx as double) * cast(vary as double)) * 1e6 + 0.5) " +
+          "end as bigint)").as("r2_ppm")): _*)
+  }
+
+  /** DuckDB mirror of [[pairCorr]] as a SQL fragment: expects a CTE `p`
+    * with columns (groupCols..., x, y); emits the g/c CTEs plus the final
+    * SELECT. Shared text so q150/q151's oracles cannot drift from each
+    * other.
+    */
+  private def pairCorrSql(groupCols: String): String =
+    s"""g AS (
+       |  SELECT $groupCols, count(*)::HUGEINT AS n,
+       |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+       |    sum(x::HUGEINT * y)::HUGEINT AS sxy,
+       |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+       |    sum(y::HUGEINT * y)::HUGEINT AS syy
+       |  FROM p GROUP BY ALL),
+       |c AS (
+       |  SELECT $groupCols, n, n*sxy - sx*sy AS cov,
+       |    n*sxx - sx*sx AS varx, n*syy - sy*sy AS vary FROM g)
+       |SELECT $groupCols, n::BIGINT AS n_pairs,
+       |  (CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0
+       |    END)::BIGINT AS cov_sign,
+       |  (CASE WHEN varx = 0 THEN NULL ELSE
+       |    floor(cov::DOUBLE / varx::DOUBLE * 1000 + 0.5)
+       |    END)::BIGINT AS slope_milli,
+       |  (CASE WHEN varx = 0 OR vary = 0 THEN NULL ELSE
+       |    floor(cov::DOUBLE * cov::DOUBLE
+       |      / (varx::DOUBLE * vary::DOUBLE) * 1e6 + 0.5)
+       |    END)::BIGINT AS r2_ppm
+       |FROM c""".stripMargin
 
   /** q83's snapshot/update boundary: 2024-01-16T00:00:00Z in epoch µs
     * (events span 2024-01-01 .. 2024-01-30) — shared with the oracle.
@@ -4866,6 +5040,81 @@ object SparkEntry {
         |FROM p LEFT JOIN v ON p.user_id = v.v_user
         |  AND v.valid_from <= p.ts_us - 1
         |  AND (v.valid_to IS NULL OR v.valid_to > p.ts_us - 1)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q150_acf" ->
+      s"""WITH s AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT unnest(generate_series(1, 6))::BIGINT AS lag_h),
+        |p AS (
+        |  SELECT a.event_type, l.lag_h, a.cnt AS x, b.cnt AS y
+        |  FROM s a CROSS JOIN l JOIN s b
+        |    ON b.event_type = a.event_type AND b.h = a.h + l.lag_h),
+        |${pairCorrSql("event_type, lag_h")}""".stripMargin,
+
+    "q151_cross_correlation" ->
+      s"""WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT unnest(generate_series(-6, 6))::BIGINT AS lag_h),
+        |p AS (
+        |  SELECT l.lag_h, a.cnt AS x, b.cnt AS y
+        |  FROM (SELECT h, cnt FROM hourly WHERE event_type = 'click') a
+        |  CROSS JOIN l
+        |  JOIN (SELECT h, cnt FROM hourly WHERE event_type = 'purchase') b
+        |    ON b.h = a.h + l.lag_h),
+        |${pairCorrSql("lag_h")}""".stripMargin,
+
+    "q152_seasonal_decomposition" ->
+      """WITH dd AS (
+        |  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS d,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM dd),
+        |grid AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+        |dense AS (
+        |  SELECT g.d, coalesce(dd.cnt, 0)::BIGINT AS cnt
+        |  FROM grid g LEFT JOIN dd ON dd.d = g.d),
+        |tr AS (
+        |  SELECT d, cnt, count(*) OVER w AS win_n,
+        |    (sum(cnt) OVER w * 1000) // 7 AS trend_milli
+        |  FROM dense
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dev AS (
+        |  SELECT d, cnt, cnt * 1000 - trend_milli AS dev_milli
+        |  FROM tr WHERE win_n = 7)
+        |SELECT (d + 4) % 7 AS dow, count(*)::BIGINT AS n_days,
+        |  (sum(cnt) * 1000 // count(*))::BIGINT AS mean_cnt_milli,
+        |  sum(dev_milli)::BIGINT AS sum_dev_milli,
+        |  floor(sum(dev_milli)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+        |    AS seasonal_milli
+        |FROM dev GROUP BY 1""".stripMargin,
+
+    "q153_theil_sen_trend" ->
+      """WITH mo AS (
+        |  SELECT n_name,
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.n_name,
+        |    floor(1000.0 * (b.rev_cents - a.rev_cents)::DOUBLE
+        |      / (b.m - a.m)::DOUBLE + 0.5)::BIGINT AS slope_milli
+        |  FROM mo a JOIN mo b ON b.n_name = a.n_name AND b.m > a.m),
+        |r AS (
+        |  SELECT n_name, slope_milli,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY slope_milli)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY n_name) AS n_pairs
+        |  FROM p)
+        |SELECT n_name, n_pairs::BIGINT AS n_pairs,
+        |  slope_milli AS ts_slope_milli
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin
   )
 }

@@ -14,7 +14,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q1(1[3-9]|2[0-9]|3[0-6]|3[89]|4[0-6]).*"))
+      .filter(n => n.matches("q1(4[7-9]|5[0-3]).*"))
     names.foreach { n =>
       try {
         val p = SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
