@@ -2470,6 +2470,66 @@ object SparkEntry {
         .where(col("rn") === expr("(n_pairs + 1) div 2"))
         .select(col("n_name"), col("n_pairs"),
           col("slope_milli").as("ts_slope_milli"))
+    }),
+
+    // train/serve distribution drift: events.value histogram of the first
+    // half of the time range vs the second, 20 equal-width bins over the
+    // global micro range. Shares are exact integer ppm of each half's
+    // total; total-variation distance = Σ|Δshare| div 2 rides every row
+    // as a constant. One scan builds both halves' counts (conditional
+    // sums); the only "global" state is the 4-value bounds broadcast and
+    // a ≤20-row window
+    "q154_distribution_drift" -> ((s, d) => {
+      val ev = events(s, d).select(expr("ts div 1000").as("ts_us"),
+        expr("cast(floor(value * 1e6) as long)").as("vm"))
+      val bounds = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
+        min("vm").as("v0"), max("vm").as("v1"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .select(
+          when(col("ts_us") < expr("(t0 + t1) div 2"), lit(1L))
+            .otherwise(lit(2L)).as("half"),
+          least(lit(19L), expr("((vm - v0) * 20) div (v1 - v0 + 1)"))
+            .as("bin"))
+      val cells = binned.groupBy("bin")
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("t1c", sum("n1").over(wAll))
+        .withColumn("t2c", sum("n2").over(wAll))
+        .withColumn("share1_ppm", expr("(n1 * 1000000) div t1c"))
+        .withColumn("share2_ppm", expr("(n2 * 1000000) div t2c"))
+        .withColumn("abs_diff_ppm",
+          abs(col("share1_ppm") - col("share2_ppm")))
+        .withColumn("sum_abs", sum("abs_diff_ppm").over(wAll))
+        .select(col("bin"), col("n1"), col("n2"), col("share1_ppm"),
+          col("share2_ppm"), col("abs_diff_ppm"),
+          expr("sum_abs div 2").as("tvd_ppm"))
+    }),
+
+    // reciprocal-rank fusion: the standard way to merge two retrieval
+    // rankings without score calibration. Fuses the exact cosine top-20
+    // (q14's ranker) with the raw dot-product (max-inner-product) top-20;
+    // RRF credit 1e6 div (60 + rank) is pure integer, candidates missing
+    // from one list get 0 from it. Top-5 per query by (credit, id) —
+    // deterministic end to end
+    "q155_rrf_fusion" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 10)
+      val a = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rank_cos"))
+      val b = Similarity.dotTopK(emb, qs, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rank_dot"))
+      val fused = a.join(b, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_micro",
+          expr("coalesce(1000000 div (60 + rank_cos), 0) + " +
+            "coalesce(1000000 div (60 + rank_dot), 0)"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("cand_id"))
+      fused.withColumn("fused_rank", row_number().over(w))
+        .where(col("fused_rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank_cos"),
+          col("rank_dot"), col("rrf_micro"), col("fused_rank"))
     })
   )
 
@@ -2707,8 +2767,8 @@ object SparkEntry {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** q14's exact cosine top-5 oracle — shared with the q147 recall audit. */
-  private val CosineTopkOracleSql =
-    """SELECT query_id, cand_id, cos, rank FROM (
+  private def cosineTopkOracleSql(k: Int): String =
+    s"""SELECT query_id, cand_id, cos, rank FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
@@ -2720,7 +2780,23 @@ object SparkEntry {
       |      c.vec_id) AS rank
       |  FROM embeddings q, embeddings c
       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-      |WHERE rank <= 5""".stripMargin
+      |WHERE rank <= $k""".stripMargin
+
+  private val CosineTopkOracleSql = cosineTopkOracleSql(5)
+
+  /** Raw dot-product (max-inner-product) ranking mirror of
+    * [[Similarity.dotTopK]] — shared by the q155 fusion oracle.
+    */
+  private def dotTopkOracleSql(k: Int): String =
+    s"""SELECT query_id, cand_id, dp, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS dp,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+      |      c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= $k""".stripMargin
 
   /** q49's IVF top-5 oracle (cell assignment + probe ranking mirrored
     * exactly) — shared with the q147 recall audit.
@@ -5115,6 +5191,52 @@ object SparkEntry {
         |  FROM p)
         |SELECT n_name, n_pairs::BIGINT AS n_pairs,
         |  slope_milli AS ts_slope_milli
-        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    "q154_distribution_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS ts_us, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |b AS (
+        |  SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        |    min(vm) AS v0, max(vm) AS v1 FROM ev),
+        |binned AS (
+        |  SELECT CASE WHEN ts_us < (t0 + t1) // 2 THEN 1 ELSE 2 END AS half,
+        |    least(19, ((vm - v0) * 20) // (v1 - v0 + 1)) AS bin
+        |  FROM ev CROSS JOIN b),
+        |cells AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM binned GROUP BY 1),
+        |sh AS (
+        |  SELECT bin, n1, n2,
+        |    ((n1 * 1000000) // sum(n1) OVER ())::BIGINT AS share1_ppm,
+        |    ((n2 * 1000000) // sum(n2) OVER ())::BIGINT AS share2_ppm
+        |  FROM cells)
+        |SELECT bin, n1, n2, share1_ppm, share2_ppm,
+        |  abs(share1_ppm - share2_ppm) AS abs_diff_ppm,
+        |  (sum(abs(share1_ppm - share2_ppm)) OVER () // 2)::BIGINT
+        |    AS tvd_ppm
+        |FROM sh""".stripMargin,
+
+    "q155_rrf_fusion" ->
+      s"""WITH ca AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    ${cosineTopkOracleSql(20)})),
+        |db AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    ${dotTopkOracleSql(20)})),
+        |f AS (
+        |  SELECT query_id, cand_id,
+        |    ca.rank AS rank_cos, db.rank AS rank_dot,
+        |    coalesce(1000000 // (60 + ca.rank), 0)
+        |      + coalesce(1000000 // (60 + db.rank), 0) AS rrf_micro
+        |  FROM ca FULL JOIN db USING (query_id, cand_id))
+        |SELECT query_id, cand_id, rank_cos, rank_dot, rrf_micro,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, cand_id) AS fused_rank
+        |FROM f
+        |QUALIFY fused_rank <= 5""".stripMargin
   )
 }

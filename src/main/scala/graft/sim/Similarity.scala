@@ -53,6 +53,25 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Exact top-k by RAW dot product (unnormalized — magnitude-sensitive,
+    * the ranker a max-inner-product retrieval system uses). Same shape and
+    * determinism contract as [[cosineTopK]]: score rounded to 6dp, id
+    * tie-break, queries broadcast so the corpus never shuffles.
+    */
+  def dotTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dp", round(dot(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dp").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dp"), col("rank"))
+  }
+
   /** Deterministic seeded gaussian hyperplanes — shared by the Spark LSH
     * signature and the DuckDB oracle (which inlines these as SQL literals, so
     * both engines bucket identically).
