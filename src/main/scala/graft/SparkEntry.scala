@@ -2530,6 +2530,73 @@ object SparkEntry {
         .where(col("fused_rank") <= 5)
         .select(col("query_id"), col("cand_id"), col("rank_cos"),
           col("rank_dot"), col("rrf_micro"), col("fused_rank"))
+    }),
+
+    // A/B experiment readout: deterministic arm assignment (user_id
+    // parity), conversion = user ever purchased. Rates in exact ppm; the
+    // 2×2 chi-square statistic N·(ad−bc)²/(row·col margins) is computed
+    // from the four exact counts (DECIMAL/HUGEINT cross-products, final
+    // ratio in doubles over identical integers — partition-order-proof).
+    // One scan → per-user flag → a single 4-counter row
+    "q156_ab_test" -> ((s, d) => {
+      val users = events(s, d).select(col("user_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val arms = users.groupBy().agg(
+        sum(when(expr("user_id % 2") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(expr("user_id % 2") === 0, col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(expr("user_id % 2") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(expr("user_id % 2") === 1, col("conv")).otherwise(0L))
+          .as("conv_b"))
+      arms
+        .withColumn("det", expr(
+          "cast(conv_a as decimal(38,0)) * (n_b - conv_b) " +
+            "- cast(n_a - conv_a as decimal(38,0)) * conv_b"))
+        .withColumn("mrg1", expr("cast(n_a as decimal(38,0)) * n_b"))
+        .withColumn("mrg2", expr(
+          "cast(conv_a + conv_b as decimal(38,0)) " +
+            "* ((n_a - conv_a) + (n_b - conv_b))"))
+        .select(col("n_a"), col("conv_a"),
+          expr("(conv_a * 1000000) div n_a").as("rate_a_ppm"),
+          col("n_b"), col("conv_b"),
+          expr("(conv_b * 1000000) div n_b").as("rate_b_ppm"),
+          expr("(conv_a * 1000000) div n_a - (conv_b * 1000000) div n_b")
+            .as("diff_ppm"),
+          expr("cast(case when mrg1 = 0 or mrg2 = 0 then null else " +
+            "floor(cast(n_a + n_b as double) * cast(det as double) " +
+            "* cast(det as double) " +
+            "/ (cast(mrg1 as double) * cast(mrg2 as double)) * 1000 + 0.5) " +
+            "end as bigint)").as("chi2_milli"))
+    }),
+
+    // tokenizer-sizing curve: what share of all token OCCURRENCES does a
+    // top-k vocabulary cover, for k in {100, 300, 1000, 3000}? Rank =
+    // (count DESC, token) — fully deterministic. The global sort is a
+    // distributed top-3000 (TakeOrderedAndProject), so only 3000 rows ever
+    // see the single-partition cumulative window however large the vocab
+    "q157_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val totals = toks.agg(sum("cnt").as("total_cnt"),
+        count(lit(1)).as("n_vocab"))
+      val top = toks.orderBy(col("cnt").desc, col("tok")).limit(3000)
+      val wR = Window.orderBy(col("cnt").desc, col("tok"))
+      val ranked = top
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .withColumn("cum_cnt", sum("cnt").over(
+          wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(totals))
+      val ks = Seq(100L, 300L, 1000L, 3000L).toDF("k")
+      ranked.join(broadcast(ks),
+          col("rank") === least(col("k"), col("n_vocab")))
+        .select(col("k"), col("rank").as("vocab_size"),
+          col("cum_cnt").as("covered_tokens"),
+          col("total_cnt").as("total_tokens"),
+          expr("(cum_cnt * 1000000) div total_cnt").as("coverage_ppm"))
     })
   )
 
@@ -5237,6 +5304,61 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY rrf_micro DESC, cand_id) AS fused_rank
         |FROM f
-        |QUALIFY fused_rank <= 5""".stripMargin
+        |QUALIFY fused_rank <= 5""".stripMargin,
+
+    "q156_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT
+        |      AS conv_a,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT
+        |      AS conv_b
+        |  FROM u),
+        |c AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |    conv_a::HUGEINT * (n_b - conv_b)
+        |      - (n_a - conv_a)::HUGEINT * conv_b AS det,
+        |    n_a::HUGEINT * n_b AS mrg1,
+        |    (conv_a + conv_b)::HUGEINT
+        |      * ((n_a - conv_a) + (n_b - conv_b)) AS mrg2
+        |  FROM a)
+        |SELECT n_a, conv_a, (conv_a * 1000000) // n_a AS rate_a_ppm,
+        |  n_b, conv_b, (conv_b * 1000000) // n_b AS rate_b_ppm,
+        |  (conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS diff_ppm,
+        |  (CASE WHEN mrg1 = 0 OR mrg2 = 0 THEN NULL ELSE
+        |    floor((n_a + n_b)::DOUBLE * det::DOUBLE * det::DOUBLE
+        |      / (mrg1::DOUBLE * mrg2::DOUBLE) * 1000 + 0.5)
+        |    END)::BIGINT AS chi2_milli
+        |FROM c""".stripMargin,
+
+    "q157_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(cnt)::BIGINT AS total_cnt, count(*)::BIGINT AS n_vocab
+        |  FROM tc),
+        |top AS (
+        |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+        |    AS rank
+        |  FROM tc ORDER BY cnt DESC, tok LIMIT 3000),
+        |r AS (
+        |  SELECT rank::BIGINT AS rank,
+        |    sum(cnt) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_cnt
+        |  FROM top),
+        |ks AS (SELECT unnest([100, 300, 1000, 3000])::BIGINT AS k)
+        |SELECT k, r.rank AS vocab_size, cum_cnt AS covered_tokens,
+        |  total_cnt AS total_tokens,
+        |  ((cum_cnt * 1000000) // total_cnt)::BIGINT AS coverage_ppm
+        |FROM ks, tot, r WHERE r.rank = least(k, n_vocab)""".stripMargin
   )
 }

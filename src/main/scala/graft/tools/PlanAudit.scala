@@ -14,7 +14,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q1(4[7-9]|5[0-3]).*"))
+      .filter(n => n.matches("q15[4-7].*"))
     names.foreach { n =>
       try {
         val p = SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
