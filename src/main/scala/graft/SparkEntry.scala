@@ -2597,6 +2597,71 @@ object SparkEntry {
           col("cum_cnt").as("covered_tokens"),
           col("total_cnt").as("total_tokens"),
           expr("(cum_cnt * 1000000) div total_cnt").as("coverage_ppm"))
+    }),
+
+    // classifier agreement: Cohen's kappa between the n-gram language-ID
+    // prediction (q11's classifier) and the labeled lang column. Kappa is
+    // rational in the confusion counts — (agree·N − Σ row_c·col_c) /
+    // (N² − Σ row_c·col_c) — so the whole statistic reduces to exact
+    // DECIMAL/HUGEINT integers; the corpus collapses to a ≤25-cell
+    // confusion matrix in one pass
+    "q158_kappa_agreement" -> ((s, d) => {
+      val cells = TextOps.langId(documents(s, d))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy(col("lang").as("cls")).agg(sum("n").as("rn"))
+      val cols = cells.groupBy(col("lang_pred").as("cls"))
+        .agg(sum("n").as("cn"))
+      val sAgg = rows.join(cols, Seq("cls"), "full_outer")
+        .select(coalesce(col("rn"), lit(0L)).as("rn"),
+          coalesce(col("cn"), lit(0L)).as("cn"))
+        .agg(sum(expr("cast(rn as decimal(38,0)) * cn")).as("s"))
+      val tot = cells.agg(sum("n").as("n_docs"),
+        sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      tot.crossJoin(broadcast(sAgg))
+        .withColumn("num", expr(
+          "cast(n_agree as decimal(38,0)) * n_docs - s"))
+        .withColumn("den", expr(
+          "cast(n_docs as decimal(38,0)) * n_docs - s"))
+        .select(col("n_docs"), col("n_agree"),
+          expr("(n_agree * 1000000) div n_docs").as("po_ppm"),
+          expr("cast(floor(cast(s as double) / (cast(n_docs as double) " +
+            "* cast(n_docs as double)) * 1e6 + 0.5) as bigint)")
+            .as("pe_ppm"),
+          expr("cast(case when den = 0 then null else " +
+            "floor(cast(num as double) / cast(den as double) * 1000 + 0.5) " +
+            "end as bigint)").as("kappa_milli"))
+    }),
+
+    // targeting gain curve (cumulative gains): rank users by click count
+    // and ask what share of all purchases the top slice captures. The
+    // curve lives on the DISTINCT SCORE grain (clicks-per-user is a small
+    // integer domain), so the cumulative windows see a handful of rows
+    // however many users exist — the scale-safe alternative to a global
+    // per-user ntile
+    "q159_gain_curve" -> ((s, d) => {
+      val perUser = events(s, d).groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purch"))
+      val byScore = perUser.groupBy("score")
+        .agg(count(lit(1)).as("n_users"), sum("purch").as("n_purch"))
+      val wCum = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byScore
+        .withColumn("cum_users", sum("n_users").over(wCum))
+        .withColumn("cum_purch", sum("n_purch").over(wCum))
+        .withColumn("tu", sum("n_users").over(wAll))
+        .withColumn("tp", sum("n_purch").over(wAll))
+        .select(col("score"), col("n_users"), col("n_purch"),
+          col("cum_users"), col("cum_purch"),
+          expr("(cum_users * 1000000) div tu").as("user_share_ppm"),
+          expr("cast(case when tp = 0 then null else " +
+            "(cum_purch * 1000000) div tp end as bigint)")
+            .as("capture_ppm"))
     })
   )
 
@@ -5359,6 +5424,62 @@ object SparkEntry {
         |SELECT k, r.rank AS vocab_size, cum_cnt AS covered_tokens,
         |  total_cnt AS total_tokens,
         |  ((cum_cnt * 1000000) // total_cnt)::BIGINT AS coverage_ppm
-        |FROM ks, tot, r WHERE r.rank = least(k, n_vocab)""".stripMargin
+        |FROM ks, tot, r WHERE r.rank = least(k, n_vocab)""".stripMargin,
+
+    "q158_kappa_agreement" ->
+      s"""WITH pred AS (
+        |  SELECT lang, $LangPredCaseSql AS lang_pred FROM documents),
+        |cells AS (
+        |  SELECT lang, lang_pred, count(*)::BIGINT AS n
+        |  FROM pred GROUP BY 1, 2),
+        |r AS (SELECT lang AS cls, sum(n)::BIGINT AS rn FROM cells
+        |  GROUP BY 1),
+        |c AS (SELECT lang_pred AS cls, sum(n)::BIGINT AS cn FROM cells
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+        |  FROM r FULL JOIN c USING (cls)),
+        |sv AS (SELECT sum(rn::HUGEINT * cn) AS s FROM m),
+        |t AS (
+        |  SELECT sum(n)::BIGINT AS n_docs,
+        |    sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)::BIGINT
+        |      AS n_agree
+        |  FROM cells)
+        |SELECT n_docs, n_agree,
+        |  (n_agree * 1000000) // n_docs AS po_ppm,
+        |  floor(s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE) * 1e6
+        |    + 0.5)::BIGINT AS pe_ppm,
+        |  (CASE WHEN (n_docs::HUGEINT * n_docs - s) = 0 THEN NULL ELSE
+        |    floor((n_agree::HUGEINT * n_docs - s)::DOUBLE
+        |      / (n_docs::HUGEINT * n_docs - s)::DOUBLE * 1000 + 0.5)
+        |    END)::BIGINT AS kappa_milli
+        |FROM t, sv""".stripMargin,
+
+    "q159_gain_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS score,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS purch
+        |  FROM events GROUP BY 1),
+        |bs AS (
+        |  SELECT score, count(*)::BIGINT AS n_users,
+        |    sum(purch)::BIGINT AS n_purch
+        |  FROM pu GROUP BY 1),
+        |cm AS (
+        |  SELECT score, n_users, n_purch,
+        |    sum(n_users) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS cum_users,
+        |    sum(n_purch) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS cum_purch,
+        |    sum(n_users) OVER ()::BIGINT AS tu,
+        |    sum(n_purch) OVER ()::BIGINT AS tp
+        |  FROM bs)
+        |SELECT score, n_users, n_purch, cum_users, cum_purch,
+        |  (cum_users * 1000000) // tu AS user_share_ppm,
+        |  (CASE WHEN tp = 0 THEN NULL ELSE (cum_purch * 1000000) // tp
+        |    END)::BIGINT AS capture_ppm
+        |FROM cm""".stripMargin
   )
 }
