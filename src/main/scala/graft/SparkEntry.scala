@@ -2662,6 +2662,65 @@ object SparkEntry {
           expr("cast(case when tp = 0 then null else " +
             "(cum_purch * 1000000) div tp end as bigint)")
             .as("capture_ppm"))
+    }),
+
+    // exact ROC-AUC: does the English-stopword count classify lang='en'?
+    // AUC = Mann-Whitney U with tie mid-ranks, which on the DISTINCT-SCORE
+    // grain is U·2 = Σ_s n_pos(s)·(2·negatives_below(s) + n_neg(s)) — an
+    // exact integer (ties contribute the ½ mid-rank as the un-halved
+    // n_neg term). No per-row ranking, no global sort: the curve collapses
+    // to the score histogram first
+    "q160_exact_auc" -> ((s, d) => {
+      val stops = array(Seq("the", "a", "of", "and", "to", "in", "is",
+        "on", "for", "with").map(lit): _*)
+      val scored = documents(s, d).select(
+        (col("lang") === "en").cast("long").as("pos"),
+        size(filter(split(col("text"), " "),
+          t => array_contains(stops, t))).cast("long").as("score"))
+      val cells = scored.groupBy("score").agg(
+        sum("pos").as("n_pos"), sum(expr("1 - pos")).as("n_neg"))
+      val wBelow = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("cum_neg_below",
+          coalesce(sum("n_neg").over(wBelow), lit(0L)))
+        .agg(sum("n_pos").as("np"), sum("n_neg").as("nn"),
+          sum(expr("cast(n_pos as decimal(38,0)) " +
+            "* (2 * cast(cum_neg_below as decimal(38,0)) + n_neg)"))
+            .as("u2"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          expr("cast(case when np = 0 or nn = 0 then null else " +
+            "floor(cast(u2 as double) " +
+            "/ (2.0 * cast(np as double) * cast(nn as double)) " +
+            "* 1e6 + 0.5) end as bigint)").as("auc_ppm"))
+    }),
+
+    // k-anonymity risk census: quasi-identifier = (nation, market
+    // segment, $1000 balance band); for k ∈ {2,5,10}, how many customers
+    // sit in groups smaller than k? The audit runs on the GROUP-SIZE
+    // HISTOGRAM (a handful of rows), so the k-sweep never rescans the
+    // table — the standard re-identification risk readout before a
+    // data release
+    "q161_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val qi = customer(s, d).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000.0) as long)").as("bal_band"))
+      val sizes = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("gsz"))
+      val hist = sizes.groupBy("gsz").agg(count(lit(1)).as("n_groups"))
+      val tot = hist.agg(sum(expr("gsz * n_groups")).as("n_rows"),
+        sum("n_groups").as("n_groups_tot"))
+      val ks = Seq(2L, 5L, 10L).toDF("k")
+      ks.crossJoin(broadcast(hist)).crossJoin(broadcast(tot))
+        .groupBy("k", "n_groups_tot", "n_rows")
+        .agg(sum(when(col("gsz") < col("k"), col("n_groups"))
+            .otherwise(0L)).as("small_groups"),
+          sum(when(col("gsz") < col("k"), expr("gsz * n_groups"))
+            .otherwise(0L)).as("small_rows"))
+        .select(col("k"), col("n_groups_tot"), col("n_rows"),
+          col("small_groups"), col("small_rows"),
+          expr("(small_rows * 1000000) div n_rows").as("risk_ppm"))
     })
   )
 
@@ -5480,6 +5539,57 @@ object SparkEntry {
         |  (cum_users * 1000000) // tu AS user_share_ppm,
         |  (CASE WHEN tp = 0 THEN NULL ELSE (cum_purch * 1000000) // tp
         |    END)::BIGINT AS capture_ppm
-        |FROM cm""".stripMargin
+        |FROM cm""".stripMargin,
+
+    "q160_exact_auc" ->
+      """WITH sc AS (
+        |  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','on','for',
+        |        'with')))::BIGINT AS score
+        |  FROM documents),
+        |cells AS (
+        |  SELECT score, sum(pos)::BIGINT AS n_pos,
+        |    sum(1 - pos)::BIGINT AS n_neg
+        |  FROM sc GROUP BY 1),
+        |cb AS (
+        |  SELECT score, n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_neg_below
+        |  FROM cells),
+        |u AS (
+        |  SELECT sum(n_pos)::BIGINT AS np, sum(n_neg)::BIGINT AS nn,
+        |    sum(n_pos::HUGEINT * (2::HUGEINT * cum_neg_below + n_neg)) AS u2
+        |  FROM cb)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  (CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE
+        |    floor(u2::DOUBLE / (2.0 * np::DOUBLE * nn::DOUBLE) * 1e6 + 0.5)
+        |    END)::BIGINT AS auc_ppm
+        |FROM u""".stripMargin,
+
+    "q161_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000.0)::BIGINT AS bal_band
+        |  FROM customer),
+        |sz AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT
+        |    AS gsz
+        |  FROM qi GROUP BY 1, 2, 3),
+        |h AS (SELECT gsz, count(*)::BIGINT AS n_groups FROM sz GROUP BY 1),
+        |t AS (
+        |  SELECT sum(gsz * n_groups)::BIGINT AS n_rows,
+        |    sum(n_groups)::BIGINT AS n_groups_tot
+        |  FROM h),
+        |ks AS (SELECT unnest([2, 5, 10])::BIGINT AS k)
+        |SELECT k, n_groups_tot, n_rows,
+        |  coalesce(sum(CASE WHEN gsz < k THEN n_groups END), 0)::BIGINT
+        |    AS small_groups,
+        |  coalesce(sum(CASE WHEN gsz < k THEN gsz * n_groups END),
+        |    0)::BIGINT AS small_rows,
+        |  ((coalesce(sum(CASE WHEN gsz < k THEN gsz * n_groups END), 0)
+        |    * 1000000) // n_rows)::BIGINT AS risk_ppm
+        |FROM ks CROSS JOIN h CROSS JOIN t
+        |GROUP BY k, n_groups_tot, n_rows""".stripMargin
   )
 }
