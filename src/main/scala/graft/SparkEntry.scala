@@ -2721,7 +2721,47 @@ object SparkEntry {
         .select(col("k"), col("n_groups_tot"), col("n_rows"),
           col("small_groups"), col("small_rows"),
           expr("(small_rows * 1000000) div n_rows").as("risk_ppm"))
-    })
+    }),
+
+    // Poisson bootstrap: the one-pass resampling estimator used at scales
+    // where true resampling is impossible — replicate b includes each
+    // order with multiplicity ~ Poisson(1), derived DETERMINISTICALLY
+    // from an LCG hash of (orderkey, b) against the fixed cumulative-
+    // Poisson thresholds (integer ppm of 10000), so both engines draw the
+    // exact same resamples. One scan fans out to B=20 replicate totals
+    // with map-side combine; the spread of the 20 means IS the CI
+    "q162_poisson_bootstrap" -> ((s, d) => {
+      val reps = orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+        .crossJoin(broadcast(s.range(1, 21).select(col("id").as("b"))))
+        .withColumn("h", expr(
+          "((o_orderkey % 2147483647) * 48271 + b * 16807) % 2147483647"))
+        .withColumn("u", expr("h % 10000"))
+        // cumulative Poisson(1)·10000: P(0)=.3679, P(≤1)=.7358, P(≤2)=.9197,
+        // P(≤3)=.9810, P(≤4)=.9963; the 37/10000 tail collapses to m=5
+        .withColumn("mult", expr("case when u < 3679 then 0 " +
+          "when u < 7358 then 1 when u < 9197 then 2 " +
+          "when u < 9810 then 3 when u < 9963 then 4 else 5 end"))
+      reps.groupBy("b")
+        .agg(sum("mult").as("n_eff"),
+          sum(expr("cast(mult as decimal(38,0)) * v")).cast("long")
+            .as("total_cents"))
+        .select(col("b"), col("n_eff"), col("total_cents"),
+          expr("cast(case when n_eff = 0 then null else " +
+            "floor(cast(total_cents as double) / cast(n_eff as double) " +
+            "* 10.0 + 0.5) end as bigint)").as("mean_milli"))
+    }),
+
+    // streaming UPDATE-mode emission log: tumbling counts over the 2-batch
+    // id-parity split with no watermark — the memory sink appends each
+    // batch's updated groups, so the result IS the emission history:
+    // (window, type) touched by batch i carries its cumulative aggregate
+    // over batches ≤ i. The oracle replays that rule relationally from
+    // the batch-membership predicate (event_id parity)
+    "q163_stream_update_mode" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsWindowedUpdateMode(s, d,
+        windowSec = 300L, splitDir = s"$genDir/events_parity_split",
+        queryName = s"graft_stream_upd_${System.nanoTime()}"))
   )
 
   /** Exact-integer correlation block shared by q150/q151: over paired
@@ -5590,6 +5630,48 @@ object SparkEntry {
         |  ((coalesce(sum(CASE WHEN gsz < k THEN gsz * n_groups END), 0)
         |    * 1000000) // n_rows)::BIGINT AS risk_ppm
         |FROM ks CROSS JOIN h CROSS JOIN t
-        |GROUP BY k, n_groups_tot, n_rows""".stripMargin
+        |GROUP BY k, n_groups_tot, n_rows""".stripMargin,
+
+    "q162_poisson_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+        |  FROM orders),
+        |bs AS (SELECT unnest(generate_series(1, 20))::BIGINT AS b),
+        |r AS (
+        |  SELECT b,
+        |    ((o_orderkey % 2147483647) * 48271 + b * 16807) % 2147483647
+        |      AS h, v
+        |  FROM o CROSS JOIN bs),
+        |m AS (
+        |  SELECT b, v,
+        |    CASE WHEN h % 10000 < 3679 THEN 0 WHEN h % 10000 < 7358 THEN 1
+        |      WHEN h % 10000 < 9197 THEN 2 WHEN h % 10000 < 9810 THEN 3
+        |      WHEN h % 10000 < 9963 THEN 4 ELSE 5 END AS mult
+        |  FROM r),
+        |g AS (
+        |  SELECT b, sum(mult)::BIGINT AS n_eff,
+        |    sum(mult::HUGEINT * v)::BIGINT AS total_cents
+        |  FROM m GROUP BY 1)
+        |SELECT b, n_eff, total_cents,
+        |  (CASE WHEN n_eff = 0 THEN NULL ELSE
+        |    floor(total_cents::DOUBLE / n_eff::DOUBLE * 10.0 + 0.5)
+        |    END)::BIGINT AS mean_milli
+        |FROM g""".stripMargin,
+
+    "q163_stream_update_mode" ->
+      """WITH e AS (
+        |  SELECT (CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS bb,
+        |    (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+        |    event_type, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |bs AS (SELECT unnest([1, 2]) AS i),
+        |em AS (
+        |  SELECT i, window_start_us, event_type,
+        |    count(*)::BIGINT AS n_events, sum(vm)::BIGINT AS sum_value_micro
+        |  FROM bs JOIN e ON e.bb <= bs.i
+        |  GROUP BY 1, 2, 3
+        |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
+        |SELECT window_start_us, event_type, n_events, sum_value_micro
+        |FROM em""".stripMargin
   )
 }

@@ -120,6 +120,30 @@ object StreamAgg {
         windowSec),
       queryName, outputMode = "append")
 
+  /** UPDATE-mode emission semantics: the tumbling aggregation over the
+    * 2-batch parity split, NO watermark (so no arrival-order drop rule —
+    * state is unbounded, the documented trade-off of watermark-free update
+    * mode; production uses watermark+append, q18/q137). The memory sink in
+    * update mode appends each batch's UPDATED groups, so the final table is
+    * the emission log itself: every (window, type) touched by batch i emits
+    * its cumulative aggregate over batches ≤ i — a pure integer function of
+    * the data that the DuckDB oracle replays relationally.
+    */
+  def eventsWindowedUpdateMode(spark: SparkSession, sfDir: String,
+      windowSec: Long, splitDir: String, queryName: String): DataFrame = {
+    val src = StreamSupport.eventsParityStream(spark, sfDir, splitDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .groupBy(
+        window(col("event_time"), s"$windowSec seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_micro"))
+    StreamSupport.runToMemory(src, queryName, outputMode = "update")
+  }
+
   /** Production sink shape: the same windowed aggregation written APPEND-mode
     * to a parquet file sink with a checkpoint — watermark-closed windows only,
     * no driver-side materialization, restartable from the checkpoint. The

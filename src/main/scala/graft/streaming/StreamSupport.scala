@@ -111,6 +111,20 @@ private[streaming] object StreamSupport {
       Seq(ev.where(col("ts") <= mid), ev.where(col("ts") > mid))
     }
 
+  /** Parity split, 2 batches over the WHOLE timeline (even ids then odd
+    * ids): unlike the median time-split, batch 2 re-touches almost every
+    * window batch 1 built, which is exactly the state-merge regime an
+    * UPDATE-mode sink exists to expose. Used without a watermark so no
+    * arrival-order drop rule applies (see eventsWindowedUpdateMode).
+    */
+  def eventsParityStream(spark: SparkSession, sfDir: String,
+      splitDir: String): DataFrame =
+    splitStream(spark, sfDir, splitDir) { ev =>
+      import org.apache.spark.sql.functions.col
+      Seq(ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1))
+    }
+
   /** Late-replay split, 3 batches: (1) even event ids over the whole
     * timeline — the live head, whose watermark seals history; (2) odd ids
     * ABOVE the split timestamp — in-watermark top-up that triggers the
