@@ -2761,7 +2761,53 @@ object SparkEntry {
     "q163_stream_update_mode" -> ((s, d) =>
       graft.streaming.StreamAgg.eventsWindowedUpdateMode(s, d,
         windowSec = 300L, splitDir = s"$genDir/events_parity_split",
-        queryName = s"graft_stream_upd_${System.nanoTime()}"))
+        queryName = s"graft_stream_upd_${System.nanoTime()}")),
+
+    // iterative BFS (the recursive-CTE workload Spark expresses as a
+    // driver loop): shortest hop count over the SPARSE shipment graph
+    // (each nation keeps its top-2 outgoing edges by weight, dst
+    // tie-break), starting from the nation with the highest total
+    // outgoing weight — a data-derived root that exists at every scale
+    // (small SFs leave most nations supplier-less). The loop runs on the
+    // nation-grain aggregate — ≤|nations| rows per level however big the
+    // fact tables are — with per-level localCheckpoint to cut lineage;
+    // the oracle is a real WITH RECURSIVE whose min(hop) provably equals
+    // BFS first-visit depth
+    "q164_bfs_hops" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("s_nationkey").as("src_key"),
+          col("c_nationkey").as("dst_key"))
+        .agg(count(lit(1)).as("w"))
+      val top2 = edges.withColumn("rn", row_number().over(
+          Window.partitionBy("src_key")
+            .orderBy(col("w").desc, col("dst_key"))))
+        .where(col("rn") <= 2).select("src_key", "dst_key")
+        .localCheckpoint()
+      var dist = edges.groupBy("src_key").agg(sum("w").as("tw"))
+        .orderBy(col("tw").desc, col("src_key")).limit(1)
+        .select(col("src_key").as("node"), lit(0L).as("hop"))
+        .localCheckpoint()
+      var frontier = dist
+      for (h <- 1 to 6) {
+        val nxt = frontier
+          .join(broadcast(top2), frontier("node") === top2("src_key"))
+          .select(col("dst_key").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hop", lit(h.toLong))
+          .localCheckpoint()
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+      }
+      dist.join(broadcast(nation(s, d)
+          .select(col("n_nationkey").as("node"), col("n_name"))), Seq("node"))
+        .select(col("node"), col("n_name"), col("hop"))
+    })
   )
 
   /** Exact-integer correlation block shared by q150/q151: over paired
@@ -5672,6 +5718,38 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
-        |FROM em""".stripMargin
+        |FROM em""".stripMargin,
+
+    "q164_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT s_nationkey AS src_key, c_nationkey AS dst_key,
+        |    count(*)::BIGINT AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT src_key, dst_key FROM (
+        |    SELECT src_key, dst_key,
+        |      row_number() OVER (PARTITION BY src_key
+        |        ORDER BY w DESC, dst_key) AS rn
+        |    FROM edges)
+        |  WHERE rn <= 2),
+        |root AS (
+        |  SELECT src_key FROM (
+        |    SELECT src_key,
+        |      row_number() OVER (ORDER BY sum(w) DESC, src_key) AS rn
+        |    FROM edges GROUP BY src_key)
+        |  WHERE rn = 1),
+        |bfs AS (
+        |  SELECT src_key::BIGINT AS node, 0::BIGINT AS hop FROM root
+        |  UNION ALL
+        |  SELECT t2.dst_key, bfs.hop + 1
+        |  FROM bfs JOIN t2 ON t2.src_key = bfs.node
+        |  WHERE bfs.hop < 6)
+        |SELECT node, n_name, min(hop)::BIGINT AS hop
+        |FROM bfs JOIN nation ON n_nationkey = node
+        |GROUP BY 1, 2""".stripMargin
   )
 }
