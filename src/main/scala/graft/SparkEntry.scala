@@ -2807,7 +2807,18 @@ object SparkEntry {
       dist.join(broadcast(nation(s, d)
           .select(col("n_nationkey").as("node"), col("n_name"))), Seq("node"))
         .select(col("node"), col("n_name"), col("hop"))
-    })
+    }),
+
+    // stream-stream LEFT OUTER interval join: q74's attribution join plus
+    // the rows an inner join can never show — clicks that led to nothing.
+    // Null-match emission happens at watermark eviction, so the final
+    // table = inner matches ∪ never-matched clicks whose click_ts+window
+    // lies below the end-of-stream watermark (see
+    // StreamJoin.clickPurchaseAttributionOuter for the measured rule)
+    "q165_stream_outer_join" -> ((s, d) =>
+      graft.streaming.StreamJoin.clickPurchaseAttributionOuter(s, d,
+        splitDir = s"$genDir/events_split", windowSec = 600L,
+        queryName = s"graft_stream_oj_${System.nanoTime()}"))
   )
 
   /** Exact-integer correlation block shared by q150/q151: over paired
@@ -5750,6 +5761,33 @@ object SparkEntry {
         |  WHERE bfs.hop < 6)
         |SELECT node, n_name, min(hop)::BIGINT AS hop
         |FROM bfs JOIN nation ON n_nationkey = node
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q165_stream_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |inner_j AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    p.event_id AS purchase_id, c.ts_us AS click_ts_us,
+        |    p.ts_us AS purchase_ts_us, p.ts_us - c.ts_us AS delay_us
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |    AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000),
+        |wm AS (
+        |  SELECT least((SELECT (max(ts_us) // 1000) * 1000 FROM c),
+        |               (SELECT (max(ts_us) // 1000) * 1000 FROM p))
+        |    - 1800000000 AS wm_us),
+        |un AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    NULL::BIGINT AS purchase_id, c.ts_us AS click_ts_us,
+        |    NULL::BIGINT AS purchase_ts_us, NULL::BIGINT AS delay_us
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000)
+        |    AND c.ts_us + 600000000 < wm.wm_us)
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM un""".stripMargin
   )
 }

@@ -40,9 +40,37 @@ object StreamJoin {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** LEFT-OUTER variant: the same interval join, but clicks that never
+    * match a purchase ALSO emit (purchase columns null) — once the global
+    * watermark passes `click_time + window`, the engine knows no future
+    * purchase can match and evicts-with-emission. With AvailableNow the
+    * final no-data micro-batch runs that eviction using the end-of-stream
+    * watermark, so the sink is a pure function of the data: inner matches
+    * ∪ never-matched clicks with click_ts + window below the final
+    * watermark (per-side ms-truncated max event time − delay, min across
+    * the two sides — the q137-measured watermark arithmetic). Clicks above
+    * that line stay in state forever and never surface — real outer-join
+    * streaming semantics, which the oracle replays exactly.
+    */
+  def clickPurchaseAttributionOuter(spark: SparkSession, sfDir: String,
+      splitDir: String, windowSec: Long = 600L,
+      queryName: String = "graft_stream_join_outer"): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try clickPurchaseAttributionImpl(spark, sfDir, splitDir, windowSec,
+      queryName, "leftOuter")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   private def clickPurchaseAttributionInner(spark: SparkSession, sfDir: String,
       splitDir: String, windowSec: Long,
-      queryName: String): DataFrame = {
+      queryName: String): DataFrame =
+    clickPurchaseAttributionImpl(spark, sfDir, splitDir, windowSec,
+      queryName, "inner")
+
+  private def clickPurchaseAttributionImpl(spark: SparkSession, sfDir: String,
+      splitDir: String, windowSec: Long,
+      queryName: String, joinType: String): DataFrame = {
     def side(tag: String, eventType: String): DataFrame =
       StreamSupport.eventsSplitStream(spark, sfDir, splitDir)
         .where(col("event_type") === eventType)
@@ -57,7 +85,8 @@ object StreamJoin {
       col("click_user_id") === col("purchase_user_id") &&
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <= col("click_time") +
-          expr(s"INTERVAL $windowSec SECONDS"))
+          expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select(col("click_user_id").as("user_id"), col("click_id"),
         col("purchase_id"), col("click_ts_us"), col("purchase_ts_us"),
         (col("purchase_ts_us") - col("click_ts_us")).as("delay_us"))
