@@ -2819,6 +2819,81 @@ object SparkEntry {
       graft.streaming.StreamJoin.clickPurchaseAttributionOuter(s, d,
         splitDir = s"$genDir/events_split", windowSec = 600L,
         queryName = s"graft_stream_oj_${System.nanoTime()}"))
+,
+    // snapshot diff / reconciliation (the "what changed between loads"
+    // audit): the restated snapshot is derived deterministically from
+    // orders (keys ≡0 mod 97 dropped, ≡3 mod 7 repriced +$5, ≡5 mod 101
+    // re-added under offset keys), then FULL OUTER on the key classifies
+    // every row added/removed/changed/same in one shuffle join — the
+    // scale shape of a data-diff tool; census carries exact cent totals
+    // from both sides
+    "q166_snapshot_diff" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"),
+        cents(col("o_totalprice")).cast("long").as("v"),
+        col("o_orderpriority").as("p"))
+      val newSnap = o.where(expr("o_orderkey % 97 != 0"))
+        .select(col("o_orderkey"),
+          when(expr("o_orderkey % 7 = 3"), col("v") + 500)
+            .otherwise(col("v")).as("v"), col("p"))
+        .unionByName(o.where(expr("o_orderkey % 101 = 5"))
+          .select((col("o_orderkey") + lit(1000000000000000L))
+            .as("o_orderkey"), col("v"), col("p")))
+      val diff = o.select(col("o_orderkey"), col("v").as("v_old"),
+          col("p").as("p_old"))
+        .join(newSnap.select(col("o_orderkey"), col("v").as("v_new"),
+          col("p").as("p_new")), Seq("o_orderkey"), "full_outer")
+      diff.select(
+          when(col("v_old").isNull, "added")
+            .when(col("v_new").isNull, "removed")
+            .when(col("v_old") =!= col("v_new") ||
+              col("p_old") =!= col("p_new"), "changed")
+            .otherwise("same").as("status"),
+          coalesce(col("v_old"), lit(0L)).as("vo"),
+          coalesce(col("v_new"), lit(0L)).as("vn"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("vo").cast("decimal(38,0)")).cast("long")
+            .as("cents_old"),
+          sum(col("vn").cast("decimal(38,0)")).cast("long")
+            .as("cents_new"))
+    }),
+
+    // the TPC-H Q21 shape (public spec) adapted to this schema: on
+    // multi-supplier orders, find the supplier who ALONE shipped late
+    // (>90 days after the order date). The correlated EXISTS / NOT EXISTS
+    // pair is reformulated as ONE per-order aggregate — distinct
+    // suppliers and distinct LATE suppliers — then the blame predicate
+    // (nsupp > 1, nlate = 1) rides the late rows; top-20 suppliers by
+    // (waits DESC, suppkey). One pass over lineitem, no correlated rescans
+    "q167_blame_supplier" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("ship_d"))
+      val ord = orders(s, d).select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("ord_d"))
+      val l = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", (col("ship_d") > col("ord_d") + 90).cast("int"))
+      val perOrder = l.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey")))
+            .as("nlate"))
+      val blame = l.where(col("late") === 1)
+        .join(perOrder.where(col("nsupp") > 1 && col("nlate") === 1),
+          Seq("l_orderkey"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val waits = blame.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      waits.withColumn("rnk", row_number().over(
+          Window.orderBy(col("numwait").desc, col("l_suppkey"))))
+        .where(col("rnk") <= 20)
+        .select(col("l_suppkey").as("s_suppkey"), col("n_name"),
+          col("numwait"), col("rnk").cast("long").as("rnk"))
+    })
   )
 
   /** Exact-integer correlation block shared by q150/q151: over paired
@@ -5788,6 +5863,62 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
         |      AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000)
         |    AND c.ts_us + 600000000 < wm.wm_us)
-        |SELECT * FROM inner_j UNION ALL SELECT * FROM un""".stripMargin
+        |SELECT * FROM inner_j UNION ALL SELECT * FROM un""".stripMargin,
+
+    "q166_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+        |    o_orderpriority AS p
+        |  FROM orders),
+        |ns AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 3 THEN v + 500 ELSE v END AS v, p
+        |  FROM o WHERE o_orderkey % 97 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000000000, v, p FROM o
+        |  WHERE o_orderkey % 101 = 5),
+        |d AS (
+        |  SELECT o.v AS v_old, o.p AS p_old, ns.v AS v_new, ns.p AS p_new
+        |  FROM o FULL JOIN ns ON o.o_orderkey = ns.o_orderkey)
+        |SELECT CASE WHEN v_old IS NULL THEN 'added'
+        |    WHEN v_new IS NULL THEN 'removed'
+        |    WHEN v_old <> v_new OR p_old <> p_new THEN 'changed'
+        |    ELSE 'same' END AS status,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(coalesce(v_old, 0))::BIGINT AS cents_old,
+        |  sum(coalesce(v_new, 0))::BIGINT AS cents_new
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q167_blame_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    epoch_us(l_shipdate::TIMESTAMP) // 86400000000 AS ship_d
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS ord_d
+        |  FROM orders),
+        |l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN ship_d > ord_d + 90 THEN 1 ELSE 0 END AS late
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |po AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+        |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+        |  FROM l GROUP BY 1),
+        |blame AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN po ON l.l_orderkey = po.l_orderkey
+        |  WHERE l.late = 1 AND po.nsupp > 1 AND po.nlate = 1),
+        |w AS (
+        |  SELECT l_suppkey, count(*)::BIGINT AS numwait FROM blame
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT l_suppkey AS s_suppkey, n_name, numwait,
+        |    row_number() OVER (ORDER BY numwait DESC, l_suppkey) AS rnk
+        |  FROM w JOIN supplier ON l_suppkey = supplier.s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
+        |FROM r WHERE rnk <= 20""".stripMargin
   )
 }
