@@ -2893,7 +2893,25 @@ object SparkEntry {
         .where(col("rnk") <= 20)
         .select(col("l_suppkey").as("s_suppkey"), col("n_name"),
           col("numwait"), col("rnk").cast("long").as("rnk"))
-    })
+    }),
+
+    // UNPIVOT (melt): the inverse of q39's pivot — wide lineitem measures
+    // become (measure, value) long form via the stack generator, then a
+    // per-(flag, measure) census. The 4x generator blowup never shuffles:
+    // partial aggregation collapses each partition to |flags|·4 rows
+    // before the exchange. Uniform floor(x·1e6) quantization on both
+    // sides (bit-identical IEEE multiply, order-free integer sums)
+    "q168_unpivot_measures" -> ((s, d) =>
+      lineitem(s, d).select(col("l_returnflag"),
+          expr("stack(4, " +
+            "'quantity', cast(floor(l_quantity * 1e6) as long), " +
+            "'extendedprice', cast(floor(l_extendedprice * 1e6) as long), " +
+            "'discount', cast(floor(l_discount * 1e6) as long), " +
+            "'tax', cast(floor(l_tax * 1e6) as long)) as (measure, vm)"))
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"),
+          sum(col("vm").cast("decimal(38,0)")).cast("long")
+            .as("sum_micro")))
   )
 
   /** Exact-integer correlation block shared by q150/q151: over paired
@@ -5919,6 +5937,20 @@ object SparkEntry {
         |  FROM w JOIN supplier ON l_suppkey = supplier.s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
-        |FROM r WHERE rnk <= 20""".stripMargin
+        |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q168_unpivot_measures" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'quantity' AS measure,
+        |    floor(l_quantity * 1e6)::BIGINT AS vm FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice',
+        |    floor(l_extendedprice * 1e6)::BIGINT FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount',
+        |    floor(l_discount * 1e6)::BIGINT FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax',
+        |    floor(l_tax * 1e6)::BIGINT FROM lineitem)
+        |SELECT l_returnflag, measure, count(*)::BIGINT AS n,
+        |  sum(vm::HUGEINT)::BIGINT AS sum_micro
+        |FROM m GROUP BY 1, 2""".stripMargin
   )
 }
