@@ -2895,6 +2895,15 @@ object SparkEntry {
           col("numwait"), col("rnk").cast("long").as("rnk"))
     }),
 
+    // streaming SCD2 (point-in-time) enrichment: q149's interval lookup
+    // as a stream-static join — purchases stream against the broadcast
+    // version table with the ts−1 validity predicate; stateless, append
+    // mode, so the sink equals the batch join the oracle computes
+    "q169_stream_scd2_enrich" -> ((s, d) =>
+      graft.streaming.StreamEnrich.enrichPurchasesScd2(s, d,
+        splitDir = s"$genDir/events_split",
+        queryName = s"graft_stream_scd2_${System.nanoTime()}")),
+
     // UNPIVOT (melt): the inverse of q39's pivot — wide lineitem measures
     // become (measure, value) long form via the stack generator, then a
     // per-(flag, measure) census. The 4x generator blowup never shuffles:
@@ -5938,6 +5947,39 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q169_stream_scd2_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    (CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |          THEN 1 ELSE 0 END) AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+        |    ts_us
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, min(ts_us) AS valid_from
+        |  FROM r GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT user_id AS v_user, event_type AS state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |      AS valid_to
+        |  FROM runs),
+        |p AS (
+        |  SELECT user_id, event_id, ts_us FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts_us,
+        |  coalesce(v.state, 'none') AS state_before
+        |FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |  AND v.valid_from <= p.ts_us - 1
+        |  AND (v.valid_to IS NULL OR v.valid_to > p.ts_us - 1)""".stripMargin,
 
     "q168_unpivot_measures" ->
       """WITH m AS (
