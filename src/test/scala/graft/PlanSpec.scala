@@ -265,4 +265,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!scanSection.split("HashAggregate").head.contains("Window"),
       s"no window may run below the bin aggregation:\n$p")
   }
+
+  test("q153 Theil-Sen: monthly self-join broadcast, never SMJ") {
+    val p = plan("q153_theil_sen_trend")
+    assert(!p.contains("SortMergeJoin"),
+      s"the calendar-bounded pairwise join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q157 vocab coverage: top-3000 plans as TakeOrdered, no global sort") {
+    val p = plan("q157_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be a distributed TakeOrdered:\n$p")
+  }
+
+  test("q167 blame supplier: dims broadcast, no correlated rescans") {
+    val p = plan("q167_blame_supplier")
+    // one lineitem scan feeding the late rows + one feeding the per-order
+    // aggregate (Spark materializes both from the same file) is fine; a
+    // correlated-subquery plan would show nested-loop or cartesian joins
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/nation dims must broadcast:\n$p")
+  }
 }
