@@ -2904,6 +2904,49 @@ object SparkEntry {
         splitDir = s"$genDir/events_split",
         queryName = s"graft_stream_scd2_${System.nanoTime()}")),
 
+    // nested types + higher-order functions: each user's event sequence
+    // becomes a ts-sorted ARRAY OF STRUCTS (collect_list + array_sort),
+    // then ONE codegen'd aggregate() lambda walks it with a struct
+    // accumulator computing the longest strictly-increasing value run and
+    // the max inter-event gap — no window, no re-shuffle, the sequence
+    // never leaves its row. The oracle computes the same two quantities
+    // relationally (lag + run-id islands), which is the semantic check
+    // that the HOF walk is right. Census by run length caps the output
+    "q170_sequence_hof" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        expr("cast(floor(value * 1e6) as long)").as("vm"),
+        col("event_id"))
+      val seqs = ev.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("vm")))).as("seq"))
+      // acc = (best_run, cur_run, max_gap, prev_ts, prev_vm); sentinel
+      // prev_ts = -1 marks the first element
+      val walked = seqs.select(col("user_id"), size(col("seq")).as("n_events"),
+        expr("""
+          aggregate(
+            seq,
+            named_struct('best', 1L, 'cur', 1L, 'gap', 0L,
+                         'pts', -1L, 'pvm', 0L),
+            (acc, x) -> named_struct(
+              'best', greatest(acc.best,
+                case when acc.pts >= 0 and x.vm > acc.pvm
+                     then acc.cur + 1 else 1L end),
+              'cur',  case when acc.pts >= 0 and x.vm > acc.pvm
+                     then acc.cur + 1 else 1L end,
+              'gap',  case when acc.pts >= 0
+                     then greatest(acc.gap, x.ts_us - acc.pts)
+                     else acc.gap end,
+              'pts', x.ts_us,
+              'pvm', x.vm),
+            acc -> named_struct('best', acc.best, 'gap', acc.gap))
+        """).as("r"))
+      walked.groupBy(col("r.best").as("run_len"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_events").as("sum_events"),
+          max(col("r.gap")).as("max_gap_us"))
+    }),
+
     // UNPIVOT (melt): the inverse of q39's pivot — wide lineitem measures
     // become (measure, value) long form via the stack generator, then a
     // per-(flag, measure) census. The 4x generator blowup never shuffles:
@@ -5947,6 +5990,38 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q170_sequence_hof" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6)::BIGINT AS vm, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, ts_us, event_id, vm,
+        |    lag(vm) OVER w AS pvm, lag(ts_us) OVER w AS pts
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us,
+        |    event_id)),
+        |runs AS (
+        |  SELECT user_id, ts_us, vm,
+        |    sum(CASE WHEN pvm IS NULL OR vm <= pvm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM o),
+        |per_run AS (
+        |  SELECT user_id, run_id, count(*)::BIGINT AS rl
+        |  FROM runs GROUP BY 1, 2),
+        |per_user AS (
+        |  SELECT u.user_id, u.n_events, r.best, g.gap
+        |  FROM (SELECT user_id, count(*)::BIGINT AS n_events FROM e
+        |        GROUP BY 1) u
+        |  JOIN (SELECT user_id, max(rl)::BIGINT AS best FROM per_run
+        |        GROUP BY 1) r USING (user_id)
+        |  JOIN (SELECT user_id, coalesce(max(ts_us - pts), 0)::BIGINT
+        |          AS gap FROM o GROUP BY 1) g USING (user_id))
+        |SELECT best AS run_len, count(*)::BIGINT AS n_users,
+        |  sum(n_events)::BIGINT AS sum_events, max(gap)::BIGINT
+        |    AS max_gap_us
+        |FROM per_user GROUP BY 1""".stripMargin,
 
     "q169_stream_scd2_enrich" ->
       """WITH e AS (
