@@ -2904,6 +2904,41 @@ object SparkEntry {
         splitDir = s"$genDir/events_split",
         queryName = s"graft_stream_scd2_${System.nanoTime()}")),
 
+    // forecast backtest: the two standard naive baselines — seasonal
+    // (value 7 days ago) and last-value (yesterday) — scored against the
+    // actual daily order count over the dense calendar grid (gap days
+    // = 0, so lags are calendar-true). Exact integer MAE/bias per model
+    // ×1000; the winner per the data decides which baseline a real
+    // forecaster must beat. All lags on the day-grain aggregate
+    "q171_forecast_backtest" -> ((s, d) => {
+      val days = orders(s, d)
+        .groupBy(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("dd"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = days.agg(min("dd").as("d0"), max("dd").as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("dd"))
+      val dense = grid.join(days, Seq("dd"), "left")
+        .select(col("dd"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.orderBy("dd")
+      val scored = dense
+        .withColumn("f_seasonal", lag("cnt", 7).over(w))
+        .withColumn("f_last", lag("cnt", 1).over(w))
+        .where(col("f_seasonal").isNotNull)
+      scored.select(lit("seasonal_naive").as("model"),
+          abs(col("cnt") - col("f_seasonal")).as("ae"),
+          (col("cnt") - col("f_seasonal")).as("err"))
+        .unionByName(scored.select(lit("last_value").as("model"),
+          abs(col("cnt") - col("f_last")).as("ae"),
+          (col("cnt") - col("f_last")).as("err")))
+        .groupBy("model")
+        .agg(count(lit(1)).as("n_days"),
+          sum("ae").as("sum_ae"), sum("err").as("sum_err"))
+        .select(col("model"), col("n_days"),
+          expr("(sum_ae * 1000) div n_days").as("mae_milli"),
+          col("sum_err"))
+    }),
+
     // nested types + higher-order functions: each user's event sequence
     // becomes a ts-sorted ARRAY OF STRUCTS (collect_list + array_sort),
     // then ONE codegen'd aggregate() lambda walks it with a struct
@@ -5990,6 +6025,31 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q171_forecast_backtest" ->
+      """WITH dd0 AS (
+        |  SELECT epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS dd,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dd0),
+        |grid AS (SELECT unnest(generate_series(d0, d1)) AS dd FROM b),
+        |dense AS (
+        |  SELECT g.dd, coalesce(dd0.cnt, 0)::BIGINT AS cnt
+        |  FROM grid g LEFT JOIN dd0 ON dd0.dd = g.dd),
+        |sc AS (
+        |  SELECT dd, cnt,
+        |    lag(cnt, 7) OVER (ORDER BY dd) AS f_seasonal,
+        |    lag(cnt, 1) OVER (ORDER BY dd) AS f_last
+        |  FROM dense QUALIFY f_seasonal IS NOT NULL),
+        |m AS (
+        |  SELECT 'seasonal_naive' AS model, abs(cnt - f_seasonal) AS ae,
+        |    cnt - f_seasonal AS err FROM sc
+        |  UNION ALL
+        |  SELECT 'last_value', abs(cnt - f_last), cnt - f_last FROM sc)
+        |SELECT model, count(*)::BIGINT AS n_days,
+        |  ((sum(ae) * 1000) // count(*))::BIGINT AS mae_milli,
+        |  sum(err)::BIGINT AS sum_err
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q170_sequence_hof" ->
       """WITH e AS (
