@@ -2939,6 +2939,28 @@ object SparkEntry {
           col("sum_err"))
     }),
 
+    // integer exponential smoothing (SES, α=1/4): the order-dependent
+    // recursion l_t = (v_t + 3·l_{t-1}) div 4 stays EXACT because values
+    // are non-negative micro integers — no float decay drift, any engine
+    // agrees bit for bit. Spark walks each user's sorted sequence with
+    // one aggregate() lambda (the q170 pattern); the oracle replays the
+    // identical recursion as a recursive CTE over per-user row numbers.
+    // The final level IS the one-step forecast
+    "q172_ses_smoothing" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        expr("cast(floor(value * 1e6) as long)").as("vm"))
+      val seqs = ev.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("vm")))).as("seq"))
+      seqs.select(col("user_id"), size(col("seq")).as("n_events"),
+        expr("""
+          aggregate(seq, -1L,
+            (acc, x) -> case when acc < 0 then x.vm
+                        else (x.vm + 3 * acc) div 4 end)
+        """).as("level_micro"))
+    }),
+
     // nested types + higher-order functions: each user's event sequence
     // becomes a ts-sorted ARRAY OF STRUCTS (collect_list + array_sort),
     // then ONE codegen'd aggregate() lambda walks it with a struct
@@ -6025,6 +6047,27 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q172_ses_smoothing" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, vm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us,
+        |      event_id) AS rn
+        |  FROM e),
+        |n AS (SELECT user_id, count(*)::BIGINT AS n_events FROM e
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT user_id, rn, vm AS lvl FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, (r.vm + 3 * s.lvl) // 4
+        |  FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+        |SELECT s.user_id, n.n_events, s.lvl::BIGINT AS level_micro
+        |FROM s JOIN n ON s.user_id = n.user_id
+        |WHERE s.rn = n.n_events""".stripMargin,
 
     "q171_forecast_backtest" ->
       """WITH dd0 AS (
