@@ -2939,6 +2939,41 @@ object SparkEntry {
           col("sum_err"))
     }),
 
+    // Kendall's τ rank correlation: do nations with more revenue also
+    // have more active customers? Concordant/discordant/tied pair counts
+    // over the |nations|² aggregate — pure sign comparisons, no products
+    // (overflow-free at any magnitude), τ_a = (C−D)/n_pairs from exact
+    // integers. The pairwise join is bounded by nation cardinality, never
+    // fact rows
+    "q173_kendall_tau" -> ((s, d) => {
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val m = orders(s, d).select(col("o_custkey"),
+          cents(col("o_totalprice")).as("v"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(col("v").cast("decimal(38,0)")).cast("long").as("rev"),
+          countDistinct(col("o_custkey")).as("nc"))
+      val b = m.select(col("nk").as("nk2"), col("rev").as("rev2"),
+        col("nc").as("nc2"))
+      m.join(broadcast(b), col("nk2") > col("nk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("rev") > col("rev2") && col("nc") > col("nc2")) ||
+            (col("rev") < col("rev2") && col("nc") < col("nc2")), 1L)
+            .otherwise(0L)).as("n_concordant"),
+          sum(when((col("rev") > col("rev2") && col("nc") < col("nc2")) ||
+            (col("rev") < col("rev2") && col("nc") > col("nc2")), 1L)
+            .otherwise(0L)).as("n_discordant"),
+          sum(when(col("rev") === col("rev2"), 1L).otherwise(0L))
+            .as("n_tie_x"),
+          sum(when(col("nc") === col("nc2"), 1L).otherwise(0L))
+            .as("n_tie_y"))
+        .select(col("n_pairs"), col("n_concordant"), col("n_discordant"),
+          col("n_tie_x"), col("n_tie_y"),
+          expr("cast(floor(cast(n_concordant - n_discordant as double) " +
+            "/ cast(n_pairs as double) * 1000 + 0.5) as bigint)")
+            .as("tau_a_milli"))
+    }),
+
     // integer exponential smoothing (SES, α=1/4): the order-dependent
     // recursion l_t = (v_t + 3·l_{t-1}) div 4 stays EXACT because values
     // are non-negative micro integers — no float decay drift, any engine
@@ -6047,6 +6082,30 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q173_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT c_nationkey AS nk,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev,
+        |    count(DISTINCT o_custkey)::BIGINT AS nc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.rev AS r1, a.nc AS c1, b.rev AS r2, b.nc AS c2
+        |  FROM m a JOIN m b ON b.nk > a.nk)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN (r1 > r2 AND c1 > c2) OR (r1 < r2 AND c1 < c2)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_concordant,
+        |  sum(CASE WHEN (r1 > r2 AND c1 < c2) OR (r1 < r2 AND c1 > c2)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_discordant,
+        |  sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::BIGINT AS n_tie_x,
+        |  sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)::BIGINT AS n_tie_y,
+        |  floor((sum(CASE WHEN (r1 > r2 AND c1 > c2) OR
+        |      (r1 < r2 AND c1 < c2) THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN (r1 > r2 AND c1 < c2) OR
+        |      (r1 < r2 AND c1 > c2) THEN 1 ELSE 0 END))::DOUBLE
+        |    / count(*)::DOUBLE * 1000 + 0.5)::BIGINT AS tau_a_milli
+        |FROM p""".stripMargin,
 
     "q172_ses_smoothing" ->
       """WITH RECURSIVE e AS (
