@@ -14,7 +14,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q1(5[8-9]|6[0-8]).*"))
+      .filter(n => n.matches("q1(69|7[0-3]).*"))
     names.foreach { n =>
       try {
         val p = SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString

@@ -105,4 +105,24 @@ class SeriesStatsSpec extends AnyFunSuite {
       assert(got.getAs[Long]("slope_milli") == expected, s"trial $trial")
     }
   }
+
+  test("integer SES (q172's HOF walk) equals the sequential fold") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 1 + rnd.nextInt(40)
+      val vs = Seq.fill(n)(rnd.nextInt(1000000).toLong)
+      val expected = vs.tail.foldLeft(vs.head)((l, v) => (v + 3 * l) / 4)
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+        .toDF("user_id", "ts_us", "event_id", "vm")
+      val got = df.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("vm")))).as("seq"))
+        .select(expr("aggregate(seq, -1L, (acc, x) -> " +
+          "case when acc < 0 then x.vm " +
+          "else (x.vm + 3 * acc) div 4 end)").as("lvl"))
+        .collect().head.getAs[Long]("lvl")
+      assert(got == expected, s"trial $trial n=$n")
+    }
+  }
 }
