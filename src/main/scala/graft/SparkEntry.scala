@@ -2939,6 +2939,39 @@ object SparkEntry {
           col("sum_err"))
     }),
 
+    // Gini coefficient, exactly, from q145's Lorenz bins: twice the area
+    // between the diagonal and the Lorenz curve via the trapezoid sum
+    // Σ dx·(y_i + y_{i−1}) in ppm² — every term an exact integer on the
+    // SAME div-truncated cumulative shares q145 publishes, so the two
+    // queries can never disagree about the curve they summarize
+    "q174_gini" -> ((s, d) => {
+      val ov = orders(s, d).select(cents(col("o_totalprice")).as("v"))
+      val bins = ov.groupBy(expr("v div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).cast("long").as("sv"))
+      val wC = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy()
+      val lor = bins
+        .withColumn("cum_n", sum("n").over(wC))
+        .withColumn("cum_v", sum("sv").over(wC))
+        .withColumn("tot_n", sum("n").over(wT))
+        .withColumn("tot_v", sum("sv").over(wT))
+        .select(col("bin"),
+          expr("(cum_n * 1000000) div tot_n").as("x"),
+          expr("cast((cast(cum_v as decimal(38,0)) * 1000000) div tot_v " +
+            "as bigint)").as("y"))
+      val wL = Window.orderBy("bin")
+      lor
+        .withColumn("px", lag("x", 1, 0L).over(wL))
+        .withColumn("py", lag("y", 1, 0L).over(wL))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(expr("(x - px) * (y + py)")).as("trapezoid_ppm2"))
+        .select(col("n_bins"), col("trapezoid_ppm2"),
+          expr("(1000000000000 - trapezoid_ppm2) div 1000000")
+            .as("gini_ppm"))
+    }),
+
     // Kendall's τ rank correlation: do nations with more revenue also
     // have more active customers? Concordant/discordant/tied pair counts
     // over the |nations|² aggregate — pure sign comparisons, no products
@@ -6082,6 +6115,31 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    "q174_gini" ->
+      """WITH ov AS (
+        |  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v FROM orders),
+        |bins AS (
+        |  SELECT v // 100000 AS bin, count(*)::BIGINT AS n,
+        |    sum(v)::BIGINT AS sv
+        |  FROM ov GROUP BY 1),
+        |lor AS (
+        |  SELECT bin,
+        |    ((sum(n) OVER wc * 1000000) // sum(n) OVER ())::BIGINT AS x,
+        |    ((sum(sv) OVER wc * 1000000) // sum(sv) OVER ())::BIGINT AS y
+        |  FROM bins
+        |  WINDOW wc AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |tz AS (
+        |  SELECT bin, x, y,
+        |    lag(x, 1, 0) OVER (ORDER BY bin) AS px,
+        |    lag(y, 1, 0) OVER (ORDER BY bin) AS py
+        |  FROM lor)
+        |SELECT count(*)::BIGINT AS n_bins,
+        |  sum((x - px) * (y + py))::BIGINT AS trapezoid_ppm2,
+        |  ((1000000000000 - sum((x - px) * (y + py))) // 1000000)::BIGINT
+        |    AS gini_ppm
+        |FROM tz""".stripMargin,
 
     "q173_kendall_tau" ->
       """WITH m AS (
