@@ -1173,9 +1173,13 @@ object SparkEntry {
     // global mean, one shuffle by user; prefix sum + peak ranking + all
     // per-key aggregates inside that single window partition
     "q89_cusum_changepoint" -> ((s, d) => {
+      // clamp at the query boundary: cusumPeaks' μ = sum div count is exact
+      // cross-engine only for v ≥ 0 (div truncates, // floors) — the clamp
+      // makes the precondition a contract instead of a data assumption
       val ev = events(s, d).select(col("user_id"),
         expr("ts div 1000").as("ts_us"), col("event_id"),
-        ExactStats.micro(col("value")).cast("long").as("v_micro"))
+        greatest(ExactStats.micro(col("value")).cast("long"), lit(0L))
+          .as("v_micro"))
       graft.ops.Anomaly.cusumPeaks(ev, "user_id", "ts_us", "event_id", "v_micro")
     }),
 
@@ -1702,7 +1706,7 @@ object SparkEntry {
       val same = names.select(lit(0L).as("dist"),
         expr("c * (c - 1) div 2").as("npairs"))
       diff.unionByName(same)
-        .where(col("dist") <= 8)
+        .where(col("dist") <= 8 && col("npairs") > 0)
         .groupBy("dist")
         .agg(sum("npairs").as("n_pairs"))
     }),
@@ -3013,19 +3017,24 @@ object SparkEntry {
     // agrees bit for bit. Spark walks each user's sorted sequence with
     // one aggregate() lambda (the q170 pattern); the oracle replays the
     // identical recursion as a recursive CTE over per-user row numbers.
-    // The final level IS the one-step forecast
+    // The final level IS the one-step forecast. The fold carries an
+    // explicit 'init' flag (not a sign sentinel), and vm clamps at 0 in
+    // BOTH engines — div (truncate) vs // (floor) agree only on
+    // non-negative operands, so the clamp IS the cross-engine contract,
+    // not an assumption about the data
     "q172_ses_smoothing" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"),
         expr("ts div 1000").as("ts_us"), col("event_id"),
-        expr("cast(floor(value * 1e6) as long)").as("vm"))
+        expr("cast(greatest(floor(value * 1e6), 0) as long)").as("vm"))
       val seqs = ev.groupBy("user_id")
         .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
           col("vm")))).as("seq"))
       seqs.select(col("user_id"), size(col("seq")).as("n_events"),
         expr("""
-          aggregate(seq, -1L,
-            (acc, x) -> case when acc < 0 then x.vm
-                        else (x.vm + 3 * acc) div 4 end)
+          aggregate(seq, named_struct('init', false, 'lvl', 0L),
+            (acc, x) -> named_struct('init', true,
+              'lvl', case when acc.init then (x.vm + 3 * acc.lvl) div 4
+                          else x.vm end)).lvl
         """).as("level_micro"))
     }),
 
@@ -4498,12 +4507,12 @@ object SparkEntry {
         |$rows""".stripMargin
     },
 
-    // all operands non-negative where // appears, so truncating division
-    // agrees with Spark's div on every row
+    // operands clamped non-negative where // appears, so truncating division
+    // agrees with Spark's div on every row by construction
     "q89_cusum_changepoint" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    floor(value * 1e6)::BIGINT AS v_micro
+        |    greatest(floor(value * 1e6), 0)::BIGINT AS v_micro
         |  FROM events),
         |mu AS (SELECT sum(v_micro)::BIGINT // count(*) AS mu FROM ev),
         |c AS (SELECT user_id, ts_us, event_id,
@@ -6168,7 +6177,7 @@ object SparkEntry {
     "q172_ses_smoothing" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    floor(value * 1e6)::BIGINT AS vm
+        |    greatest(floor(value * 1e6), 0)::BIGINT AS vm
         |  FROM events),
         |r AS (
         |  SELECT user_id, vm,

@@ -35,6 +35,12 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector (queries broadcast).
     * Rank on cosine rounded to 6dp with id tie-break — deterministic and
     * oracle-stable.
+    *
+    * Scale shape: the ranking is a k-bounded mergeable aggregate
+    * ([[TopK.rankTopK]]), NOT a `row_number` window — each scan partition
+    * reduces to ≤k candidates per query map-side, so no single task ever
+    * sorts a whole query's corpus-sized candidate list (the round-5 plan
+    * ceiling). Results are bitwise those of the window formulation.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -47,16 +53,14 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    TopK.rankTopK(scored, "cos", k)
   }
 
   /** Exact top-k by RAW dot product (unnormalized — magnitude-sensitive,
     * the ranker a max-inner-product retrieval system uses). Same shape and
     * determinism contract as [[cosineTopK]]: score rounded to 6dp, id
-    * tie-break, queries broadcast so the corpus never shuffles.
+    * tie-break, queries broadcast so the corpus never shuffles, partial
+    * top-k aggregation instead of a per-query window sort.
     */
   def dotTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -65,11 +69,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("dp", round(dot(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dp").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("dp"), col("rank"))
+    TopK.rankTopK(scored, "dp", k)
   }
 
   /** Deterministic seeded gaussian hyperplanes — shared by the Spark LSH
@@ -108,10 +108,7 @@ object Similarity {
       .where(col("query_id") =!= col("cand_id"))
       .select("query_id", "qv", "cand_id", "cv").distinct()
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    TopK.rankTopK(cand, "cos", k)
   }
 
   /** IVF-style ANN: a coarse quantizer of `nCells` deterministic centroids
@@ -160,10 +157,7 @@ object Similarity {
       .where(col("query_id") =!= col("cand_id"))
       .select("query_id", "qv", "cand_id", "cv").distinct()
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    TopK.rankTopK(cand, "cos", k)
   }
 
   /** Scale path for near-dup pairs: candidates share an LSH bucket (single

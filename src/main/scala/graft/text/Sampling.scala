@@ -47,21 +47,6 @@ object Sampling {
       salt: Long = 0L): DataFrame =
     df.where(pmod(xxhash64((lit(salt) +: keyCols): _*), lit(1000L)) < lit(permille.toLong))
 
-  /** Deterministic weighted bottom-k sample (the hash-analog of A-Res
-    * weighted reservoir sampling): each row gets the integer priority
-    *
-    *   priority = (fingerprint(text) mod 10^6) · 1000  div  max(weight, 1)
-    *
-    * and the global k lowest priorities win — heavier rows draw
-    * proportionally smaller priorities, so inclusion probability scales with
-    * weight, yet the draw is a pure function of content (reproducible across
-    * re-runs and re-partitionings, like [[stratifiedContentSample]]).
-    *
-    * Scale design: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
-    * each partition keeps its local top-k heap and only k·partitions rows
-    * ever move, never a global sort. Ties break on (priority, id): fully
-    * deterministic, fully oracle-checkable (ORDER BY ... LIMIT k in SQL).
-    */
   /** Cluster-consistent train/test split: rows carry a `componentCol` label
     * (e.g. a near-dup component from `ConnectedComponents`), and the split
     * bucket is a deterministic affine hash of the COMPONENT — so every
@@ -83,6 +68,21 @@ object Sampling {
         when(col("split_bucket") < trainPermille, "train").otherwise("test"))
   }
 
+  /** Deterministic weighted bottom-k sample (the hash-analog of A-Res
+    * weighted reservoir sampling): each row gets the integer priority
+    *
+    *   priority = (fingerprint(text) mod 10^6) · 1000  div  max(weight, 1)
+    *
+    * and the global k lowest priorities win — heavier rows draw
+    * proportionally smaller priorities, so inclusion probability scales with
+    * weight, yet the draw is a pure function of content (reproducible across
+    * re-runs and re-partitionings, like [[stratifiedContentSample]]).
+    *
+    * Scale design: orderBy(...).limit(k) compiles to TakeOrderedAndProject —
+    * each partition keeps its local top-k heap and only k·partitions rows
+    * ever move, never a global sort. Ties break on (priority, id): fully
+    * deterministic, fully oracle-checkable (ORDER BY ... LIMIT k in SQL).
+    */
   def weightedPrioritySample(df: DataFrame, idCol: String, textCol: String,
       weight: Column, k: Int): DataFrame =
     df.select(col(idCol), weight.cast("long").as("weight"),

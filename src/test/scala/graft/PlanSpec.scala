@@ -279,6 +279,23 @@ class PlanSpec extends AnyFunSuite {
       s"the top-k must be a distributed TakeOrdered:\n$p")
   }
 
+  test("q14 exact top-k: partial k-heap aggregation, no per-query window sort") {
+    // the round-5 plan ceiling: row_number over partitionBy(query_id) put a
+    // whole query's corpus-sized candidate list into one sort. The ranker is
+    // now a mergeable bounded aggregate — the plan must show the two-phase
+    // (partial → final) ObjectHashAggregate and NO window at all
+    val p14 = plan("q14_cosine_topk")
+    assert(!p14.contains("Window"), s"q14 must not rank via a window sort:\n$p14")
+    assert("ObjectHashAggregate".r.findAllIn(p14).size >= 2,
+      s"q14 must rank via partial+final top-k aggregation:\n$p14")
+    // q49's only remaining window is the nProbe cell assignment — a sort
+    // over nCells=16 rows per query, constant-bounded; the corpus-sized
+    // candidate ranking itself must be the aggregate
+    val p49 = plan("q49_ivf_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p49).size >= 2,
+      s"q49 must rank candidates via partial+final top-k aggregation:\n$p49")
+  }
+
   test("q167 blame supplier: dims broadcast, no correlated rescans") {
     val p = plan("q167_blame_supplier")
     // one lineitem scan feeding the late rows + one feeding the per-order
