@@ -2948,6 +2948,18 @@ object SparkEntry {
     // Σ dx·(y_i + y_{i−1}) in ppm² — every term an exact integer on the
     // SAME div-truncated cumulative shares q145 publishes, so the two
     // queries can never disagree about the curve they summarize
+    // full-corpus layout manifest (S1+S2 closure): every CSV path the engine
+    // writes for the complete 18-family sweep, checked verbatim against the
+    // SHIPPED Datasets/ tree — the oracle lists the actual reference
+    // deliverable via glob, so a single stem/casing/dual-view drift anywhere
+    // in the 4,320-file grammar hash-fails. CorpusSpec proves writeFullCorpus
+    // materializes exactly this manifest wholesale
+    "q175_corpus_manifest" -> ((s, d) => {
+      import s.implicits._
+      s.createDataset(graft.generate.Sinks.corpusManifest(Grid.all()).toSeq)
+        .toDF("rel_path")
+    }),
+
     "q174_gini" -> ((s, d) => {
       val ov = orders(s, d).select(cents(col("o_totalprice")).as("v"))
       val bins = ov.groupBy(expr("v div 100000").as("bin"))
@@ -6124,6 +6136,13 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey)
         |SELECT s_suppkey, n_name, numwait, rnk::BIGINT AS rnk
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    // the oracle side of corpus parity is the shipped tree ITSELF: DuckDB
+    // lists /root/reference/Datasets (read-only reference content) and the
+    // hash compare pins the engine's grammar to those 4,320 paths
+    "q175_corpus_manifest" ->
+      """SELECT replace(file, '/root/reference/Datasets/', '') AS rel_path
+        |FROM glob('/root/reference/Datasets/**/*.csv')""".stripMargin,
 
     "q174_gini" ->
       """WITH ov AS (

@@ -22,18 +22,26 @@ import graft.core._
   */
 object Sinks {
 
-  /** File-name stem per the reference grammar (FIXTURES.md). */
+  /** File-name stem per the SHIPPED corpus grammar (FIXTURES.md §1). The
+    * generator scripts append a noise suffix for A1/A1C (a1.py:242), but the
+    * shipped tree renames those away — the noise lives in the directory
+    * instead (`Datasets/A1C/Gaussian/...{stem}.csv`); the shipped tree is the
+    * parity target, so the stems here match it, not the script.
+    */
   def fileStem(c: GenConfig): String = {
     val n = c.nPoints; val v = c.nVars; val l = c.maxLag
     val noise = c.noiseType
     c.family match {
       case "A1" => s"linear_ts_n${n}_vars${v}_lag$l"
-      case "A1C" => s"linear_ts_with_confounder_n${n}_vars${v}_lag${l}_$noise"
+      case "A1C" => s"linear_ts_with_confounder_n${n}_vars${v}_lag$l"
       case "A2" => s"multivariate_ts_n${n}_vars${v}_lag${l}_" +
         (if (noise == "student_t") "t" else noise)
       case "A2C" => s"multivariate_ts_n${n}_vars${v}_lag${l}_" +
         (if (noise == "student_t") "t" else noise) + "_with_confounder"
-      case "B1" => s"nonlinear_ts_t_dist_n${n}_vars${v}_lag$l"
+      // shipped B1 keeps the historical t_dist stem only under the Students-t
+      // directory; the gaussian half shares C1's plain stem
+      case "B1" if noise == "student_t" => s"nonlinear_ts_t_dist_n${n}_vars${v}_lag$l"
+      case "B1" => s"nonlinear_ts_n${n}_vars${v}_lag$l"
       case "B1C" => s"nonlinear_confounded_n${n}_vars${v}_lag${l}_" +
         (if (noise == "student_t") "t" else noise)
       case "B2" => s"mixed_ts_n${n}_vars${v}_lag$l"
@@ -49,6 +57,60 @@ object Sinks {
       case other => throw new IllegalArgumentException(other)
     }
   }
+
+  /** Relative directory per the SHIPPED `Datasets/` tree. The tree was
+    * arranged by hand (the scripts write flat `output*` dirs — a1.py:308,
+    * b2.py:226), so its casing is inconsistent; those quirks are preserved
+    * verbatim because the tree IS the deliverable a reference user consumes:
+    * 4-variable dirs capitalize "Lag", 6/8-variable don't; C1C capitalizes
+    * "Variable" but not "lag"; C2 pairs "Gaussian error" with plain
+    * "Students t"; D2C/D3/D3C alone use lowercase "lag" at top level.
+    */
+  def relDir(c: GenConfig): String = {
+    val v = c.nVars; val l = c.maxLag
+    val lagDir = (if (v == 4) "Lag " else "lag ") + l
+    val noiseName = if (c.noiseType == "student_t") "Students t" else "Gaussian"
+    c.family match {
+      case "A1" | "A1C" => s"${c.family}/$noiseName/$v variable/$lagDir"
+      case "A2" | "A2C" | "B1" | "B1C" =>
+        s"${c.family}/$noiseName error/$v variable/$lagDir"
+      case "B2" | "B2C" =>
+        val g = (c.mixRatio * 100).toInt
+        s"${c.family}/gaussian_${g}_laplace_${100 - g}"
+      case "C1" => s"C1/$v variable/$lagDir"
+      case "C1C" => s"C1C/$v Variable/lag $l"
+      case "C2" =>
+        val nd = if (c.noiseType == "student_t") "Students t" else "Gaussian error"
+        s"C2/$nd/Lag $l"
+      case "C2C" => s"C2C/$noiseName"
+      case "D1" | "D1C" | "D2" => s"${c.family}/Lag $l"
+      case "D2C" | "D3" | "D3C" => s"${c.family}/lag $l"
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** `_missing`/`_complete` suffix for the dual-output D families, empty
+    * otherwise (d1.py:267-271, d3c.py:418-420).
+    */
+  def fileSuffix(c: GenConfig, missing: Boolean): String =
+    if (Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
+      (if (missing) "_missing" else "_complete")
+    else ""
+
+  /** Full relative path of one corpus CSV inside the `Datasets/` tree. */
+  def relPath(c: GenConfig, missing: Boolean): String =
+    s"${relDir(c)}/${fileStem(c)}${fileSuffix(c, missing)}.csv"
+
+  /** Every CSV the engine writes for `cfgs` — D-family configs contribute a
+    * missing/complete pair, everything else a single file. This is the
+    * manifest the parity sweep hashes against the shipped tree's listing.
+    */
+  def corpusManifest(cfgs: Seq[GenConfig]): Seq[String] =
+    cfgs.flatMap { c =>
+      val dual = Kernel.specs(c.family).mcar || Kernel.specs(c.family).block
+      if (dual) Seq(relPath(c, missing = false), relPath(c, missing = true))
+      else Seq(relPath(c, missing = false))
+    }
 
   /** Structure text (S4). Format A ("(src, lag, tgt) => coef") for A/B/D1/D2
     * families, format C ("src --(func, lag=k)--> tgt: coef") for C/D3 families
@@ -207,11 +269,8 @@ object Sinks {
           if (name.startsWith("configId=")) {
             val id = name.stripPrefix("configId=").toLong
             byId.get(id).foreach { c =>
-              val suffix =
-                if (Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
-                  (if (missing) "_missing" else "_complete")
-                else ""
-              val target = Paths.get(s"$outDir/${fileStem(c)}$suffix.csv")
+              val target = Paths.get(s"$outDir/${relPath(c, missing)}")
+              Files.createDirectories(target.getParent)
               val parts = Files.list(dir)
               try {
                 val part = parts
@@ -224,6 +283,27 @@ object Sinks {
           }
         }
       } finally dirs.close()
+      // the temp spark output dir must not linger inside the corpus tree
+      scala.reflect.io.Directory(new java.io.File(rawDir)).deleteRecursively()
+    }
+  }
+
+  /** The reference's actual deliverable, wholesale: every CSV of the full
+    * 18-family sweep (2,592 configs → 4,320 files — D families write dual
+    * missing/complete views) into the shipped `Datasets/` directory grammar
+    * under `outDir`. Two corpus passes share one deterministic kernel
+    * dataset, so the complete and missing views of a config agree cell for
+    * cell outside the mask.
+    */
+  def writeFullCorpus(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      cfgs: Seq[GenConfig] = Grid.all()): Unit = {
+    val rows = Generate.series(spark, cfgs)
+    writeCsvCorpus(rows, cfgs, outDir, missing = false)
+    val dual = cfgs.filter(c =>
+      Kernel.specs(c.family).mcar || Kernel.specs(c.family).block)
+    if (dual.nonEmpty) {
+      val dRows = Generate.series(spark, dual)
+      writeCsvCorpus(dRows, dual, outDir, missing = true)
     }
   }
 }

@@ -29,7 +29,7 @@ class E2ESpec extends AnyFunSuite {
     val rows = Generate.series(spark, Seq(cfg))
     val dir = Files.createTempDirectory("e2e").toString
     Sinks.writeCsvCorpus(rows, Seq(cfg), dir, missing = false)
-    val csv = s"$dir/${Sinks.fileStem(cfg)}.csv"
+    val csv = s"$dir/${Sinks.relPath(cfg, missing = false)}"
     assert(new java.io.File(csv).isFile)
 
     // scan back (S6) and build the lagged view (R1)
