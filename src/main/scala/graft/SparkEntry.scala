@@ -325,6 +325,21 @@ object SparkEntry {
                 round(col("meanIntensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL image decode: one genuine PNG per document (synthesized from the
+    // deterministic position-hashed raster), decoded through the JDK's own
+    // ImageIO codec, with exact integer raster features. The oracle predicts
+    // every pixel from the same formula WITHOUT a codec — so a wrong decode
+    // (dims, layout, values) hash-fails. This de-stubs the one weak
+    // component from round 5; decodeStub survives only as a test double
+    "q176_image_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageFeatures(Multimodal.synthImageCorpus(documents(s, d)))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("nPixels").as("n_pixels"), col("sumPix").as("sum_pix"),
+          col("momentPix").as("moment_pix"), col("meanMilli").as("mean_milli"))
+    }),
+
     // frame sampling over video-ish payloads: 64-byte frames, every 2nd —
     // the chunk/sample plumbing is real raw-buffer logic (only pixel decode
     // is stubbed); oracle slices the same frames with substr
@@ -3922,6 +3937,27 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(1, length(text) + 1),
         |      i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text), 6) END AS mean_intensity
         |FROM documents""".stripMargin,
+
+    // every decoded pixel re-derived codec-free: pixel i of image doc_id is
+    // ((doc_id*2654435761 + i*40503) mod 2^31) mod 256 — the Spark side saw
+    // only the ENCODED PNG bytes, so agreement proves the real decode
+    "q176_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (16 + doc_id % 16)::INTEGER AS width,
+        |         (12 + doc_id % 8)::INTEGER AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height, unnest(range(width * height)) AS i
+        |  FROM dims),
+        |b AS (
+        |  SELECT doc_id, width, height, i,
+        |    ((doc_id * 2654435761 + i * 40503) % 2147483648) % 256 AS pix
+        |  FROM px)
+        |SELECT doc_id AS media_id, width, height,
+        |  count(*)::BIGINT AS n_pixels, sum(pix)::BIGINT AS sum_pix,
+        |  sum(i * pix)::BIGINT AS moment_pix,
+        |  ((1000 * sum(pix)) // (width * height))::BIGINT AS mean_milli
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "q50_media_frames" ->
       s"""WITH idx AS (

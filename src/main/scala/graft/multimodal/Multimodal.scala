@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run as batched partition-local kernels
   * (`mapPartitions` — the JVM analogue of mapInPandas batches).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `decodeStub` derives a deterministic fake raster from the payload bytes.
-  * Everything around it — schema, batch shape, partition locality, feature
-  * extraction over the decoded batch — is real and tested; swapping in a
-  * codec (e.g. TwelveMonkeys/JavaCV) only replaces `decodeStub`'s body.
+  * The IMAGE PATH DECODES FOR REAL: [[decodeImage]] reads PNG/BMP payloads
+  * through the JDK's own `javax.imageio` codecs (no external dependency),
+  * and [[imageFeatures]] is the oracled pipeline over genuine encoded bytes
+  * — the corpus payloads are real PNGs synthesized from a deterministic,
+  * SQL-expressible raster formula, so DuckDB can predict every decoded
+  * pixel without running a codec. `decodeStub` remains only as the test
+  * double for payloads with no codec in this container (audio/video).
   */
 object Multimodal {
 
@@ -25,9 +27,55 @@ object Multimodal {
   /** A decoded frame/raster (stub form). */
   final case class Decoded(width: Int, height: Int, pixels: Array[Byte])
 
-  /** STUB decode: a real implementation calls the codec here. The fake is
-    * deterministic in the payload: dimensions from byte length, "pixels" are
-    * the payload bytes themselves.
+  /** REAL decode via the JDK's ImageIO codecs (PNG, BMP, GIF, JPEG ship
+    * with every JRE): payload bytes → 8-bit grayscale raster in row-major
+    * order. Lossless formats (PNG/BMP) round-trip [[encodePng]] exactly.
+    */
+  def decodeImage(content: Array[Byte]): Decoded = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    Decoded(w, h, out)
+  }
+
+  /** REAL encode: 8-bit grayscale raster → PNG bytes through the JDK codec. */
+  def encodePng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h, s"raster ${pixels.length} != $w x $h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic raster: pixel i of image `seed` is
+    * `((seed·2654435761 + i·40503) mod 2^31) mod 256` — position-hashed
+    * (no sequential recurrence), so an engine without a codec (the DuckDB
+    * oracle) reproduces every pixel with plain integer arithmetic.
+    */
+  def synthRaster(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (((seed * 2654435761L + i.toLong * 40503L) % 2147483648L) % 256L).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB decode: retained as the test double for media kinds with no
+    * codec in this container (audio/video). The fake is deterministic in
+    * the payload: dimensions from byte length, "pixels" are the payload
+    * bytes themselves.
     */
   def decodeStub(content: Array[Byte]): Decoded = {
     val w = math.max(1, math.sqrt(content.length.toDouble).toInt)
@@ -120,6 +168,49 @@ object Multimodal {
     ds.flatMap { m =>
       sampleFrames(m.content, frameBytes, everyK).map { case (i, chunk) =>
         FrameFeatures(m.mediaId, i, chunk.length.toLong, contentHash(chunk), meanByte(chunk))
+      }
+    }
+  }
+
+  final case class ImageFeatures(mediaId: Long, width: Int, height: Int,
+      nPixels: Long, sumPix: Long, momentPix: Long, meanMilli: Long)
+
+  /** The REAL-codec image corpus: one genuine PNG per document, encoding the
+    * deterministic [[synthRaster]] (dims vary per id: w = 16 + id mod 16,
+    * h = 12 + id mod 8). The payloads are honest compressed image bytes —
+    * the downstream pipeline cannot shortcut around the codec.
+    */
+  def synthImageCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = 16 + (id % 16).toInt
+      val h = 12 + (id % 8).toInt
+      MediaRow(id, "image/png", encodePng(w, h, synthRaster(id, w, h)), w, h)
+    }
+  }
+
+  /** Batched REAL decode + feature extraction: ImageIO-decode each PNG
+    * payload, then exact integer features of the raster — pixel count, sum,
+    * first positional moment Σ i·pixel_i (order-sensitive: any decoder
+    * layout error breaks it), and mean intensity in exact milli units.
+    * Narrow (no shuffle); codec state amortizes per batch like
+    * [[extractFeatures]].
+    */
+  def imageFeatures(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val dec = decodeImage(m.content)
+          var sum = 0L; var moment = 0L; var i = 0
+          while (i < dec.pixels.length) {
+            val b = dec.pixels(i) & 0xff
+            sum += b; moment += i.toLong * b; i += 1
+          }
+          val n = dec.pixels.length.toLong
+          ImageFeatures(m.mediaId, dec.width, dec.height, n, sum, moment,
+            if (n == 0) 0L else 1000L * sum / n)
+        }
       }
     }
   }

@@ -66,4 +66,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.nBytes == "payload-0".length.toLong)
     assert(f0.contentHash == Multimodal.contentHash("payload-0".getBytes("UTF-8")))
   }
+
+  test("real codec: PNG encode → ImageIO decode round-trips the raster exactly") {
+    for (seed <- Seq(0L, 7L, 12345L)) {
+      val w = 16 + (seed % 16).toInt; val h = 12 + (seed % 8).toInt
+      val raster = Multimodal.synthRaster(seed, w, h)
+      val png = Multimodal.encodePng(w, h, raster)
+      // honest compressed image bytes, not a raw buffer in disguise
+      assert(png.take(4).map(_ & 0xff).sameElements(Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+      val dec = Multimodal.decodeImage(png)
+      assert(dec.width == w && dec.height == h)
+      assert(dec.pixels.sameElements(raster), s"seed=$seed raster drift")
+    }
+  }
+
+  test("imageFeatures: decoded features match the codec-free prediction") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val feats = Multimodal.imageFeatures(Multimodal.synthImageCorpus(docs), batchSize = 16)
+      .collect().sortBy(_.mediaId)
+    assert(feats.length == 40)
+    for (f <- feats) {
+      val w = 16 + (f.mediaId % 16).toInt; val h = 12 + (f.mediaId % 8).toInt
+      val raster = Multimodal.synthRaster(f.mediaId, w, h)
+      val sum = raster.map(_ & 0xff).map(_.toLong).sum
+      val moment = raster.zipWithIndex.map { case (b, i) => i.toLong * (b & 0xff) }.sum
+      assert(f.width == w && f.height == h && f.nPixels == w.toLong * h)
+      assert(f.sumPix == sum && f.momentPix == moment)
+      assert(f.meanMilli == 1000L * sum / (w.toLong * h))
+    }
+  }
 }
