@@ -926,6 +926,32 @@ object SparkEntry {
       graft.generate.PlotReady.trendFitExact(wide, Seq("X1", "X2", "X3", "X4"))
     }),
 
+    // the q30/q38 dump contract extended to the WHOLE grid: every one of
+    // the 2,592 sweep configs is pinned individually — row count, exact
+    // micro sums of X1 and the time axis, and the mask population, per
+    // configId. A kernel/ordering/mask/timestamp regression in ANY
+    // family×size×lag×noise cell hash-fails this one query. The dump
+    // projects just the digest columns so the verify artifact stays small
+    "q177_full_sweep_digest" -> ((s, d) => {
+      val sweep = Generate.wideFast(s, Grid.all())
+        .select(col("configId"), col("family"), col("X1"), col("time"),
+          col("maskBits"))
+      dumpGen(s, "q177_sweep", sweep)
+        .groupBy("configId", "family")
+        .agg(count(lit(1)).as("n_rows"),
+          // clamp to ±1e6 BEFORE quantizing: a handful of D2/D2C grid cells
+          // diverge to ±Inf (faithful to the reference recurrences), and
+          // floor(Inf·1e6) has no integer. least/greatest treat Inf (and
+          // NaN, which sorts above Inf) identically on both engines, so the
+          // clamped sum stays a bitwise cross-engine integer
+          ExactStats.sumMicro(greatest(least(col("X1"), lit(1e6)), lit(-1e6)))
+            .as("sum_x1c_micro"),
+          sum(when(abs(col("X1")) > 1e6, 1L).otherwise(0L)).as("n_clipped"),
+          ExactStats.sumMicro(col("time")).as("sum_time_micro"),
+          sum("maskBits").as("mask_sum"))
+        .withColumnRenamed("configId", "config_id")
+    }),
+
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
@@ -4132,6 +4158,25 @@ object SparkEntry {
     "q53_typed_ols" ->
       s"""SELECT ${slopeMilliSql("X1_0", "X2_0")} AS b_x2_x1_milli
         |FROM read_parquet('__GEN_DIR__/q53_lagged/*.parquet')""".stripMargin,
+
+    "q177_full_sweep_digest" ->
+      s"""SELECT configId AS config_id, family, count(*) AS n_rows,
+        |  sum(floor(greatest(least(X1, 1e6), -1e6) * 1e6)::BIGINT)::BIGINT
+        |    AS sum_x1c_micro,
+        |  sum(CASE WHEN abs(X1) > 1e6 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+        |  sum(floor("time" * 1e6)::BIGINT)::BIGINT AS sum_time_micro,
+        |  sum(maskBits)::BIGINT AS mask_sum
+        |FROM read_parquet('__GEN_DIR__/q177_sweep/*.parquet')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the verify run's whole _gen artifact, hash-pinned: DuckDB re-reads
+    // every kernel parquet this run dumped (schema-unioned, like the
+    // driver's own recursive read) — proving each dump is parquet-readable
+    // cross-engine and that the artifact the other oracles aggregate is
+    // exactly what Spark wrote
+    "_gen" ->
+      """SELECT * FROM read_parquet('__GEN_DIR__/**/*.parquet',
+        |  union_by_name=true)""".stripMargin,
 
     "q30_generate_families" ->
       s"""SELECT family, count(*) AS n_rows,

@@ -26,6 +26,10 @@ for name, sql in sorted(oracle.items()):
         continue
     files = glob.glob(f'{out}/{name}/*.parquet')
     if not files:
+        # nested artifact dirs (_gen holds one subdir per kernel dump):
+        # mirror the driver's recursive read
+        files = glob.glob(f'{out}/{name}/**/*.parquet', recursive=True)
+    if not files:
         results[name] = 'NO-SPARK-OUTPUT'
         continue
     got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
