@@ -84,4 +84,49 @@ class E2ESpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
       "planted near-dup pair (0,1) must be found")
   }
+
+  test("plot sinks: all five reference figure families render to real PNGs") {
+    import graft.generate.{PlotReady, PlotSink}
+    val dir = Files.createTempDirectory("plots").toString
+    val vars4 = (1 to 4).map(i => s"X$i")
+
+    // series + trend from a C1 config (c1.py:390-411, a1.py:286-295)
+    val cfgC1 = Grid.forFamily("C1").find(c =>
+      c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2).get
+    val wide = Generate.wideFast(spark, Seq(cfgC1))
+    val sRows = PlotReady.seriesSample(wide, vars4, 10).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSeq
+    PlotSink.series(sRows, "C1 n1000 vars4 lag2", s"$dir/series.png")
+    val fits = PlotReady.trendFitExact(wide, vars4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    PlotSink.trend(sRows, fits, "C1 trend decomposition", s"$dir/trend.png")
+
+    // causal graph from the truth links (a1.py:272-282)
+    val links = Parser.truthLinks("A1", 4, 2).map(l => (l.source, l.lag, l.target))
+    PlotSink.causalGraph(vars4, links, "A1 causal graph", s"$dir/graph.png")
+
+    // missing-pattern heatmap + sampling histogram from D3C (d3c.py:487-510)
+    val cfgD = Grid.forFamily("D3C").find(c =>
+      c.nPoints == 3000 && c.nVars == 6 && c.maxLag == 2).get
+    val wideD = Generate.wideFast(spark, Seq(cfgD))
+    val cells = PlotReady.missingPatternCounts(
+        Generate.missingView(wideD), (1 to 6).map(i => s"X$i"), 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    PlotSink.missingPattern(cells, "D3C missing pattern", s"$dir/missing.png")
+    val bars = PlotReady.samplingIntervalHist(wideD, 0.002).collect()
+      .map(r => (r.getDouble(1), r.getLong(2))).toSeq
+    PlotSink.histogram(bars, 0.002, "D3C sampling intervals", s"$dir/hist.png")
+
+    // every artifact must be a real decodable PNG with actual ink on it
+    for (f <- Seq("series", "trend", "graph", "missing", "hist")) {
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$f.png"))
+      assert(bytes.length > 2000, s"$f.png is ${bytes.length} bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 800 && img.getHeight == 600, s"$f.png dims")
+      val nonWhite = (for {
+        y <- 0 until img.getHeight by 4; x <- 0 until img.getWidth by 4
+      } yield img.getRGB(x, y)).count(_ != 0xFFFFFFFF)
+      assert(nonWhite > 200, s"$f.png looks blank ($nonWhite inked samples)")
+    }
+  }
 }
