@@ -952,6 +952,35 @@ object SparkEntry {
         .withColumnRenamed("configId", "config_id")
     }),
 
+    // strict-vs-compat divergence census (SURVEY §2.4 "fixed mode"): one
+    // 6-var config per family generated in BOTH modes, dumped, and diffed
+    // per family — the quirk-affected families (zero-read contemporaneous,
+    // cubic drop, min-gap rescale) must diverge, the untouched ones
+    // (A1C/D1/D1C) must not; both engines compute the census from the same
+    // two dumps, and StrictModeSpec pins the expected pattern bitwise
+    "q178_strict_mode_diff" -> ((s, d) => {
+      val cfgs = Catalog.families.map(f =>
+        Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 &&
+          c.maxLag == 2 &&
+          (c.noiseType == "gaussian" || c.noiseType == "mixed")).get)
+      val compat = dumpGen(s, "q178_compat", Generate.wideFast(s, cfgs))
+      val strict = dumpGen(s, "q178_strict",
+        Generate.wideFast(s, cfgs, strict = true))
+      val valueDiff = (1 to 6).map(i =>
+        !(col(s"c.X$i") <=> col(s"s.X$i"))).reduce(_ || _)
+      compat.as("c")
+        .join(strict.as("s"),
+          // family is a join key: forFamily numbers each family's grid from
+          // zero, so configIds alone collide across the 18 families
+          col("c.family") === col("s.family") &&
+            col("c.configId") === col("s.configId") && col("c.t") === col("s.t"))
+        .groupBy(col("c.family").as("family"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(valueDiff, 1L).otherwise(0L)).as("n_value_diff"),
+          sum(when(!(col("c.time") <=> col("s.time")), 1L).otherwise(0L))
+            .as("n_time_diff"))
+    }),
+
     "q30_generate_families" -> ((s, d) => {
       val cfgs = Catalog.families.map(f =>
         Grid.forFamily(f).find(c => c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
@@ -4177,6 +4206,20 @@ object SparkEntry {
     "_gen" ->
       """SELECT * FROM read_parquet('__GEN_DIR__/**/*.parquet',
         |  union_by_name=true)""".stripMargin,
+
+    "q178_strict_mode_diff" ->
+      """WITH c AS (SELECT * FROM read_parquet('__GEN_DIR__/q178_compat/*.parquet')),
+        |s AS (SELECT * FROM read_parquet('__GEN_DIR__/q178_strict/*.parquet'))
+        |SELECT c.family, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN c.X1 IS DISTINCT FROM s.X1 OR c.X2 IS DISTINCT FROM s.X2
+        |        OR c.X3 IS DISTINCT FROM s.X3 OR c.X4 IS DISTINCT FROM s.X4
+        |        OR c.X5 IS DISTINCT FROM s.X5 OR c.X6 IS DISTINCT FROM s.X6
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_value_diff,
+        |  sum(CASE WHEN c."time" IS DISTINCT FROM s."time" THEN 1 ELSE 0
+        |      END)::BIGINT AS n_time_diff
+        |FROM c JOIN s ON c.family = s.family AND c.configId = s.configId
+        |  AND c.t = s.t
+        |GROUP BY 1""".stripMargin,
 
     "q30_generate_families" ->
       s"""SELECT family, count(*) AS n_rows,

@@ -53,9 +53,22 @@ object Kernel {
   private val BlockSizeHi = 20 // np.random.randint(5, 20) → [5, 20)
   private val TDf = 3.0
 
-  def generate(cfg: GenConfig): Series = {
+  def generate(cfg: GenConfig): Series = generate(cfg, strict = false)
+
+  /** `strict = true` is SURVEY §2.4's optional corrected mode: exactly three
+    * behaviors change — cubic terms are kept (§2.4-1), contemporaneous links
+    * resolve in dependency order instead of reading zero (§2.4-2), and
+    * irregular timestamps honor the declared min-gap up to feasibility
+    * (§2.4-4). Every other quirk (D1 shadowing, A2's value≠0 noise rule,
+    * A2C's empty links, frozen-t, the U-power dead branch) is preserved, so
+    * configs untouched by those three quirks generate BITWISE identically in
+    * both modes (proven in StrictModeSpec).
+    */
+  def generate(cfg: GenConfig, strict: Boolean): Series = {
     val spec = specs(cfg.family)
-    val prog = Parser.compileGen(cfg.family, cfg.nVars, cfg.maxLag)
+    val prog =
+      if (strict) Parser.compileGenStrict(cfg.family, cfg.nVars, cfg.maxLag)
+      else Parser.compileGen(cfg.family, cfg.nVars, cfg.maxLag)
     val rng = new Rng(cfg.seed, cfg.configId)
     val n = cfg.nPoints
     val v = cfg.nVars
@@ -89,6 +102,7 @@ object Kernel {
     // -- timestamps (G9) --
     val times: Array[Double] =
       if (!spec.irregular) Array.tabulate(n)(_.toDouble)
+      else if (strict) strictIrregularTimestamps(n, rng)
       else irregularTimestamps(n, rng)
 
     // -- trend & seasonality precompute (G7, G8) --
@@ -138,7 +152,8 @@ object Kernel {
         var k = 1
         while (k <= cfg.maxLag) { lagIdx(k - 1) = t - k; k += 1 }
       }
-      step(prog, spec, cfg, x, u, trend, season, t, lagIdx, noiseVec, noiseDraw)
+      step(prog, spec, cfg, x, u, trend, season, t, lagIdx, noiseVec, noiseDraw,
+        strict)
       t += 1
     }
 
@@ -174,6 +189,30 @@ object Kernel {
       }
       i += 1
     }
+    times
+  }
+
+  /** Strict-mode irregular timestamps: the DECLARED constraint honored up to
+    * feasibility — every gap is at least g = min(0.1, totalTime/n) (the
+    * declared 0.1 is infeasible for n ≥ 1000 within totalTime = 100), and the
+    * remaining budget splits across gaps proportionally to exponential draws,
+    * so the final time is exactly totalTime and no prefix rescale ever
+    * violates the floor (the §2.4-4 compat quirk).
+    */
+  private def strictIrregularTimestamps(n: Int, rng: Rng): Array[Double] = {
+    val times = new Array[Double](n)
+    val g = math.min(MinGap, TotalTime / n)
+    times(0) = rng.nextDouble() * g
+    if (n == 1) return times
+    val e = Array.fill(n - 1)(rng.nextExponential())
+    val eSum = e.sum
+    val budget = TotalTime - times(0) - g * (n - 1)
+    var i = 1
+    while (i < n) {
+      times(i) = times(i - 1) + g + e(i - 1) / eSum * budget
+      i += 1
+    }
+    times(n - 1) = TotalTime // close the telescoping sum exactly
     times
   }
 
@@ -243,7 +282,8 @@ object Kernel {
       x: Array[Array[Double]], u: Array[Double],
       trend: Array[Array[Double]], season: Array[Array[Double]],
       t: Int, lagIdx: Array[Int],
-      noiseVec: Int => Array[Double], noiseDraw: () => Double): Unit = {
+      noiseVec: Int => Array[Double], noiseDraw: () => Double,
+      strict: Boolean = false): Unit = {
     val v = cfg.nVars
 
     def depValue(d: GTerm.Dep): Double = {
@@ -260,7 +300,39 @@ object Kernel {
       }
     }
 
+    // strict §2.4-2 fix: evaluate in contemporaneous-dependency order (retry
+    // queue, like A1C's native ToposortRetry) so no zero-initialized cell is
+    // ever read. The noise layout and per-term arithmetic are the compat
+    // ones — ONLY the evaluation order changes. The guard breaks a (never
+    // observed) contemporaneous cycle by falling back to compat zero-reads.
+    def resolveOrder(order: Seq[Int], contempDeps: Int => Seq[Int],
+        eval: Int => Unit): Unit = {
+      val computed = mutable.BitSet.empty
+      val queue = mutable.Queue.empty[Int]
+      order.foreach(queue += _)
+      var guard = 0
+      while (queue.nonEmpty) {
+        val i = queue.dequeue()
+        guard += 1
+        val ready = guard > 10 * v * v ||
+          contempDeps(i).forall(computed.contains)
+        if (!ready) queue += i
+        else { eval(i); computed += i }
+      }
+    }
+
     prog.strategy match {
+      case Strategy.LinkReverse if strict =>
+        val noise = noiseVec(if (spec.hasU) v + 1 else v)
+        if (spec.hasU) u(t) = noise(noise.length - 1)
+        resolveOrder((v - 1) to 0 by -1,
+          i => prog.byVar(i).collect { case d if !d.isU && d.lag == 0 => d.srcIdx },
+          { i =>
+            var value = 0.0
+            prog.byVar(i).foreach(d => value += depValue(d))
+            x(t)(i) = value + noise(i)
+          })
+
       case Strategy.LinkReverse =>
         // b2.py:109-132: reverse index order; X[t,i] = Σ links + noise[i]
         val noise = noiseVec(if (spec.hasU) v + 1 else v)
@@ -290,6 +362,24 @@ object Kernel {
           i -= 1
         }
 
+      case Strategy.EqReverse if strict =>
+        val noise = noiseVec(v)
+        def eqDeps(i: Int): Seq[Int] =
+          prog.eqs.find(_.targetIdx == i).toSeq.flatMap(_.terms.collect {
+            case d: GTerm.Dep if !d.isU && d.lag == 0 => d.srcIdx
+          })
+        resolveOrder((v - 1) to 0 by -1, eqDeps, { i =>
+          prog.eqs.find(_.targetIdx == i).foreach { eq =>
+            var value = 0.0
+            eq.terms.foreach {
+              case GTerm.Noise => value += noise(i)
+              case d: GTerm.Dep => value += depValue(d)
+              case _ => ()
+            }
+            x(t)(i) = value
+          }
+        })
+
       case Strategy.EqReverse =>
         // a1.py:147-192: reverse index, contemporaneous falls back to the
         // zero-initialized X[t] cell (§2.4-2)
@@ -306,6 +396,36 @@ object Kernel {
             x(t)(i) = value
           }
           i -= 1
+        }
+
+      case Strategy.ListOrder if strict =>
+        val noise = noiseVec(if (spec.hasU) v + 1 else v)
+        if (spec.hasU) u(t) = noise(noise.length - 1)
+        def evalEq(k: Int): Unit = {
+          val eq = prog.eqs(k)
+          var value = 0.0
+          eq.terms.foreach {
+            case GTerm.Noise => value += noise(eq.targetIdx)
+            case GTerm.Trend => value += trend(eq.targetIdx)(t)
+            case GTerm.Season => value += season(eq.targetIdx)(t)
+            case d: GTerm.Dep => value += depValue(d)
+          }
+          x(t)(eq.targetIdx) = value
+        }
+        // queue over equation positions; readiness tracked on target var idx
+        val targetOf = prog.eqs.map(_.targetIdx)
+        val computedVars = mutable.BitSet.empty
+        val queue = mutable.Queue.empty[Int]
+        prog.eqs.indices.foreach(queue += _)
+        var guard = 0
+        while (queue.nonEmpty) {
+          val k = queue.dequeue()
+          guard += 1
+          val deps = prog.eqs(k).terms.collect {
+            case d: GTerm.Dep if !d.isU && d.lag == 0 => d.srcIdx
+          }
+          if (guard <= 10 * v * v && !deps.forall(computedVars.contains)) queue += k
+          else { evalEq(k); computedVars += targetOf(k) }
         }
 
       case Strategy.ListOrder =>

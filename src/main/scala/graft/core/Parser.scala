@@ -279,6 +279,33 @@ object Parser {
     out.result()
   }
 
+  /** Strict-mode generation program (SURVEY §2.4's optional "fixed" mode):
+    * identical to [[compileGen]] except that link-extractor families
+    * (B/D2, b2.py:160-194) keep EVERY declared term under proper +/-
+    * splitting — the minus-signed cubic terms the compat extractor drops
+    * re-enter with their declared negative coefficients. All other quirks
+    * (U-power dead branch, A2C's empty link set, D1 shadowing, frozen-t)
+    * are preserved: strict mode corrects exactly the three declared quirks
+    * (cubic, contemporaneous resolution, min_gap), nothing else.
+    */
+  def compileGenStrict(family: String, nVars: Int, maxLag: Int): GenProgram = {
+    val base = compileGen(family, nVars, maxLag)
+    if (base.strategy != Strategy.LinkReverse) base
+    else {
+      val pairs = strictLinks(family, nVars, maxLag).map { sl =>
+        val f = sl.func match {
+          case "linear" => Func.Linear
+          case "cos" => Func.Cos
+          case "sin" => Func.Sin
+          case _ => Func.Pow
+        }
+        (GTerm.Dep(sl.source, varIdx(sl.source), sl.source == "U", sl.lag,
+          f, sl.power, sl.coef), sl.target)
+      }
+      linkProgram(family, nVars, maxLag, pairs, Strategy.LinkReverse)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // Generation-side compile (per-family effective semantics)
   // ---------------------------------------------------------------------------

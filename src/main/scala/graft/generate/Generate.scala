@@ -60,7 +60,8 @@ object Generate {
     * equality), ~2-3× the emission rate. Use for bulk generation; the typed
     * Dataset[SeriesRow] path remains the API for typed consumers.
     */
-  def wideFast(spark: SparkSession, cfgs: Seq[GenConfig]): DataFrame = {
+  def wideFast(spark: SparkSession, cfgs: Seq[GenConfig],
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
     import org.apache.spark.unsafe.types.UTF8String
     val slices = math.max(1, math.min(cfgs.size, spark.sparkContext.defaultParallelism * 2))
@@ -84,7 +85,7 @@ object Generate {
         // box.
         val writer = new UnsafeRowWriter(17)
         git.flatten.flatMap { cfg =>
-          val s = Kernel.generate(cfg)
+          val s = Kernel.generate(cfg, strict)
           val spec = Kernel.specs(cfg.family)
           val famU8 = UTF8String.fromString(cfg.family)
           (0 until cfg.nPoints).iterator.map { t =>
