@@ -877,6 +877,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum("n_purchases").as("sum_purch"))
     }),
 
+    // the AQE skew-split path, demonstrated end-to-end: a deliberately
+    // skewed join key (90% of events collapse onto k=0) through a
+    // merge-HINTED shuffle join — at scale the dimension side wouldn't
+    // broadcast, and the hot partition is exactly what AQE's
+    // OptimizeSkewedJoin splits at runtime (PlanSpec lowers the skew
+    // thresholds and asserts the split engages; q48 remains the manual
+    // salting alternative). Results are AQE-invariant, so the oracle greens
+    // regardless of topology
+    "q179_aqe_skew_join" -> ((s, d) => {
+      // round-robin spread first: AQE splits a hot reduce partition by MAP
+      // ranges, so the hot key's bytes must originate from many mappers — at
+      // 100 TB the scan has thousands of splits and this is free; at test
+      // scale the single-file scan is one mapper, so the spread stands in
+      // for production scan parallelism
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+          ExactStats.micro(col("value")).cast("long").as("vm"))
+        .withColumn("k", when(pmod(col("user_id"), lit(100)) < 90, lit(0L))
+          .otherwise(col("user_id")))
+        .repartition(16)
+      // dim: one weight row per key, built at USER grain + a literal hot row
+      // — deliberately NOT a groupBy(k), so its output partitioning doesn't
+      // satisfy the join and EnsureRequirements plants the exchange directly
+      // under the join's sort (the shape OptimizeSkewedJoin matches on)
+      val dim = ev.where(pmod(col("user_id"), lit(100)) >= 90)
+        .groupBy("user_id").agg(count(lit(1)).as("k_weight"))
+        .select(col("user_id").as("k"), col("k_weight"))
+        .unionByName(s.range(1).select(lit(0L).as("k"), lit(1L).as("k_weight")))
+      ev.join(dim.hint("merge"), "k")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vm").as("sum_vm"),
+          sum("k_weight").as("sum_k_weight"))
+    }),
+
     // broader generation coverage: one config per (family, nVars), aggregated
     // from the dumped parquet on both sides
     "q38_generate_shapes" -> ((s, d) => {
@@ -4227,6 +4260,20 @@ object SparkEntry {
         |  ${sumMicroSql("X6")} AS sum_x6_micro
         |FROM read_parquet('__GEN_DIR__/q30_wide/*.parquet')
         |GROUP BY family""".stripMargin,
+
+    "q179_aqe_skew_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, floor(value * 1e6)::BIGINT AS vm,
+        |    CASE WHEN user_id % 100 < 90 THEN 0 ELSE user_id END AS k
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id AS k, count(*)::BIGINT AS k_weight FROM ev
+        |  WHERE user_id % 100 >= 90 GROUP BY 1
+        |  UNION ALL SELECT 0, 1)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(vm)::BIGINT AS sum_vm, sum(k_weight)::BIGINT AS sum_k_weight
+        |FROM ev JOIN dim USING (k)
+        |GROUP BY 1""".stripMargin,
 
     "q38_generate_shapes" ->
       s"""SELECT family, nVars AS n_vars, count(*) AS n_rows,

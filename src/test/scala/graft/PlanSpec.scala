@@ -296,6 +296,31 @@ class PlanSpec extends AnyFunSuite {
       s"q49 must rank candidates via partial+final top-k aggregation:\n$p49")
   }
 
+  test("q179 skew join: AQE splits the deliberately skewed partition at runtime") {
+    // lower the skew thresholds so the 90%-hot key trips OptimizeSkewedJoin
+    // on test-sized data — the property demonstrated (runtime split of a hot
+    // partition in a merge join) is exactly the 100x-skew behavior at the
+    // default thresholds on production-sized partitions
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q179_aqe_skew_join")(spark, d)
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE must mark and split the skewed join partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q167 blame supplier: dims broadcast, no correlated rescans") {
     val p = plan("q167_blame_supplier")
     // one lineitem scan feeding the late rows + one feeding the per-order
