@@ -3063,6 +3063,15 @@ object SparkEntry {
         .toDF("rel_path")
     }),
 
+    // txt-sidecar closure of the corpus manifest: the 1,404 shipped
+    // structure/statistics text paths, hash-pinned against the tree itself
+    // (CorpusSpec additionally proves the 1,188 structure files byte-equal)
+    "q180_txt_manifest" -> ((s, d) => {
+      import s.implicits._
+      s.createDataset(graft.generate.Sinks.txtManifest(Grid.all()).toSeq)
+        .toDF("rel_path")
+    }),
+
     "q174_gini" -> ((s, d) => {
       val ov = orders(s, d).select(cents(col("o_totalprice")).as("v"))
       val bins = ov.groupBy(expr("v div 100000").as("bin"))
@@ -6314,6 +6323,10 @@ object SparkEntry {
     "q175_corpus_manifest" ->
       """SELECT replace(file, '/root/reference/Datasets/', '') AS rel_path
         |FROM glob('/root/reference/Datasets/**/*.csv')""".stripMargin,
+
+    "q180_txt_manifest" ->
+      """SELECT replace(file, '/root/reference/Datasets/', '') AS rel_path
+        |FROM glob('/root/reference/Datasets/**/*.txt')""".stripMargin,
 
     "q174_gini" ->
       """WITH ov AS (

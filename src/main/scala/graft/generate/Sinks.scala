@@ -112,6 +112,110 @@ object Sinks {
       else Seq(relPath(c, missing = false))
     }
 
+  // ---------------------------------------------------------------------------
+  // Structure / statistics text corpus (the 1,404 shipped .txt artifacts)
+  // ---------------------------------------------------------------------------
+
+  /** Relative paths of the txt files the shipped tree carries for `c` —
+    * empty for the 13 families that ship none. Quirks preserved verbatim:
+    * B2's structure files exist ONLY under gaussian_70_laplace_30 (one copy,
+    * hand-curated), C2C ships per noise dir, D2C ships a causal_structure +
+    * statistics pair, D3/D3C one structure per config.
+    */
+  def txtPaths(c: GenConfig): Seq[String] = c.family match {
+    case "B2" if (c.mixRatio * 100).toInt == 70 =>
+      Seq(s"${relDir(c)}/${fileStem(c)}_structure.txt")
+    case "C2C" => Seq(s"${relDir(c)}/${fileStem(c)}_structure.txt")
+    case "D2C" => Seq(s"${relDir(c)}/${fileStem(c)}_causal_structure.txt",
+      s"${relDir(c)}/${fileStem(c)}_statistics.txt")
+    case "D3" | "D3C" => Seq(s"${relDir(c)}/${fileStem(c)}_structure.txt")
+    case _ => Seq.empty
+  }
+
+  def txtManifest(cfgs: Seq[GenConfig]): Seq[String] = cfgs.flatMap(txtPaths)
+
+  /** The shipped structure-file content for `c`, BYTE-identical to the
+    * reference tree (headers, blank-line placement, link-line grammar and
+    * Python float rendering are all pure functions of the catalog).
+    */
+  def structureTxt(c: GenConfig): String = {
+    val eqs = Catalog.equations((c.family, c.nVars, c.maxLag))
+    val raw = Parser.truthLinksRaw(c.family, c.nVars, c.maxLag)
+    def nm(s: String) = if (s.forall(_.isDigit)) s"X$s" else s
+    def arrows: String = raw.map { rl =>
+      val Vector(src, lag, tgt, func) = rl.parts
+      s"${nm(src)} --($func, lag=$lag)--> ${nm(tgt)}: ${fmt(rl.coef)}"
+    }.mkString("\n")
+    def noiseLine =
+      s"Noise: ${(c.mixRatio * 100).toInt}% Gaussian, ${100 - (c.mixRatio * 100).toInt}% Laplace"
+    def maskLine =
+      s"MCAR: ${(c.mcarProb * 100).toInt}%, Block: ${(c.blockProb * 100).toInt}%"
+    c.family match {
+      case "B2" =>
+        val g = (c.mixRatio * 100).toInt
+        s"True Nonlinear Causal Structure (Gaussian: $g%, Laplace: ${100 - g}%):\n" +
+          "Format: (source, lag, target) => weight\n" +
+          raw.map { rl =>
+            val Vector(src, lag, tgt) = rl.parts
+            s"('$src', $lag, '$tgt') => ${fmt(rl.coef)}"
+          }.mkString("\n") + "\n"
+      case "C2C" =>
+        "Nonlinear Causal Structure with Confounder:\n\nEquations:\n" +
+          eqs.mkString("\n") + "\n\nCausal Links:\n" + arrows + "\n"
+      case "D2C" =>
+        "True Nonlinear Causal Structure with Confounder:\n" +
+          "Format: (source, lag, target) => coefficient\n\nEquations:\n" +
+          eqs.mkString("\n") + "\n\nNonlinear Causal Links:\n" +
+          raw.map { rl =>
+            val Vector(src, lag, tgt) = rl.parts
+            s"($src, $lag, $tgt) => ${fmt(rl.coef)} [base coefficient]"
+          }.mkString("\n") + "\n"
+      case "D3" =>
+        s"Nonlinear Causal Structure:\n$noiseLine\n$maskLine\n\nEquations:\n" +
+          eqs.mkString("\n") + "\n\nCausal Links:\n" + arrows + "\n"
+      case "D3C" =>
+        "Nonlinear Causal Structure with Mixed Errors, Irregular Sampling, " +
+          s"Mixed Missing Data, and Confounder:\n\n$noiseLine\n$maskLine\n\nEquations:\n" +
+          eqs.mkString("\n") + "\n\nCausal Links:\n" + arrows + "\n"
+      case other => throw new IllegalArgumentException(s"no structure txt for $other")
+    }
+  }
+
+  /** D2C's statistics sidecar: the shipped line grammar with THIS kernel's
+    * mask statistics (the values are RNG-dependent — statistical, not byte,
+    * parity; CorpusSpec pins the grammar line-by-line).
+    */
+  def statisticsTxt(c: GenConfig, mask: Array[Int]): String = {
+    val v = c.nVars
+    val total = mask.length * v
+    val perVar = Array.tabulate(v)(j => mask.count(m => (m & (1 << j)) != 0))
+    val missing = perVar.sum
+    def pct(num: Long, den: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(100.0 * num / den))
+    s"Missing Data Statistics:\nTotal points: $total\nMissing points: $missing\n" +
+      s"Missing percentage: ${pct(missing, total)}%\n\n" +
+      "Missing percentage by variable:\n" +
+      (1 to v).map(i => s"X$i: ${pct(perVar(i - 1), mask.length)}%").mkString("\n") +
+      "\n\nNote: Confounder U is always fully observed\n"
+  }
+
+  /** Write every txt artifact for `cfgs` (driver-side: 1,404 small files,
+    * content pure catalog functions except the D2C statistics which reruns
+    * the config's mask RNG).
+    */
+  def writeTxtCorpus(cfgs: Seq[GenConfig], outDir: String): Unit =
+    cfgs.foreach { c =>
+      txtPaths(c).foreach { rel =>
+        val target = Paths.get(s"$outDir/$rel")
+        Files.createDirectories(target.getParent)
+        val content =
+          if (rel.endsWith("_statistics.txt"))
+            statisticsTxt(c, Kernel.generate(c).mask)
+          else structureTxt(c)
+        Files.write(target, content.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
   /** Structure text (S4). Format A ("(src, lag, tgt) => coef") for A/B/D1/D2
     * families, format C ("src --(func, lag=k)--> tgt: coef") for C/D3 families
     * — link lines exactly as the reference writes them (raw extractor keys).
@@ -305,5 +409,6 @@ object Sinks {
       val dRows = Generate.series(spark, dual)
       writeCsvCorpus(dRows, dual, outDir, missing = true)
     }
+    writeTxtCorpus(cfgs, outDir)
   }
 }

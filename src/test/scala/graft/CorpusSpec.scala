@@ -26,14 +26,16 @@ class CorpusSpec extends AnyFunSuite {
 
   private val refRoot = Paths.get("/root/reference/Datasets")
 
-  private def listCsvs(root: Path): Set[String] = {
+  private def listFiles(root: Path, ext: String): Set[String] = {
     val s = Files.walk(root)
     try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv"))
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
       .map(p => root.relativize(p).toString)
       .toSet
     finally s.close()
   }
+
+  private def listCsvs(root: Path): Set[String] = listFiles(root, ".csv")
 
   test("path grammar enumerates the shipped 4,320-file tree exactly") {
     val shipped = listCsvs(refRoot)
@@ -49,6 +51,35 @@ class CorpusSpec extends AnyFunSuite {
       s"missing(${missing.size}): ${missing.take(5).mkString(", ")}\n" +
         s"extra(${extra.size}): ${extra.take(5).mkString(", ")}")
     assert(shipped.size == 4320 && mine.size == 4320)
+  }
+
+  test("txt corpus: manifest matches the 1,404 shipped files; structure bytes identical") {
+    val shipped = listFiles(refRoot, ".txt")
+    val cfgs = Grid.all()
+    val manifest = Sinks.txtManifest(cfgs)
+    assert(manifest.toSet == shipped && manifest.size == 1404,
+      s"manifest ${manifest.size} vs shipped ${shipped.size}; " +
+        s"missing=${(shipped -- manifest.toSet).take(3)} extra=${(manifest.toSet -- shipped).take(3)}")
+    // every structure file is a pure catalog function — BYTE parity; the
+    // D2C statistics values are RNG-dependent, so those pin the line grammar
+    var structOk = 0
+    for (c <- cfgs; rel <- Sinks.txtPaths(c)) {
+      val ref = new String(Files.readAllBytes(refRoot.resolve(rel)), "UTF-8")
+      if (rel.endsWith("_statistics.txt")) {
+        val mine = Sinks.statisticsTxt(c, Kernel.generate(c).mask)
+        val (a, b) = (mine.linesIterator.toVector, ref.linesIterator.toVector)
+        assert(a.size == b.size, s"$rel line count ${a.size} vs ${b.size}")
+        a.zip(b).foreach { case (m, r) =>
+          // same labels/punctuation; only the numeric fields may differ
+          assert(m.replaceAll("[0-9.]+", "#") == r.replaceAll("[0-9.]+", "#"),
+            s"$rel grammar: '$m' vs '$r'")
+        }
+      } else {
+        assert(Sinks.structureTxt(c) == ref, s"$rel bytes differ")
+        structOk += 1
+      }
+    }
+    assert(structOk == 1188)
   }
 
   test("wholesale corpus write: layout, headers, row counts, NaN encoding") {
@@ -67,6 +98,8 @@ class CorpusSpec extends AnyFunSuite {
       assert(missing.isEmpty && extra.isEmpty,
         s"missing(${missing.size}): ${missing.take(5).mkString(", ")}\n" +
           s"extra(${extra.size}): ${extra.take(5).mkString(", ")}")
+      // the txt sidecars ride the same sweep
+      assert(listFiles(out, ".txt") == listFiles(refRoot, ".txt"))
 
       // structural diff of EVERY file against its shipped counterpart:
       // byte-identical header line, identical line count (n rows + header),
