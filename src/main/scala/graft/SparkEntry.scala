@@ -340,6 +340,21 @@ object SparkEntry {
           col("momentPix").as("moment_pix"), col("meanMilli").as("mean_milli"))
     }),
 
+    // REAL audio decode, the q176 pattern for sound: one genuine WAV per
+    // document (JDK javax.sound.sampled codec — unsigned 8-bit PCM), exact
+    // integer features incl. midpoint crossings (the order-sensitive signal
+    // check); the oracle re-derives every sample codec-free. With q176 this
+    // leaves only VIDEO codecs stubbed — nothing ships one in a bare JVM
+    "q181_audio_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioFeatures(Multimodal.synthAudioCorpus(documents(s, d)))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("nSamples").as("n_samples"),
+          col("sumAmp").as("sum_amp"), col("momentAmp").as("moment_amp"),
+          col("nMidCrossings").as("n_mid_crossings"),
+          col("meanMilli").as("mean_milli"))
+    }),
+
     // frame sampling over video-ish payloads: 64-byte frames, every 2nd —
     // the chunk/sample plumbing is real raw-buffer logic (only pixel decode
     // is stubbed); oracle slices the same frames with substr
@@ -4055,6 +4070,26 @@ object SparkEntry {
         |  sum(i * pix)::BIGINT AS moment_pix,
         |  ((1000 * sum(pix)) // (width * height))::BIGINT AS mean_milli
         |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+    "q181_audio_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 256 + 8 * (doc_id % 96) AS n FROM documents),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i FROM dims),
+        |b AS (
+        |  SELECT doc_id, n, i,
+        |    (((doc_id + 7777) * 2654435761 + i * 40503) % 2147483648) % 256 AS a
+        |  FROM px),
+        |c AS (
+        |  SELECT doc_id, n, i, a,
+        |    lag(a) OVER (PARTITION BY doc_id ORDER BY i) AS p
+        |  FROM b)
+        |SELECT doc_id AS media_id, count(*)::BIGINT AS n_samples,
+        |  sum(a)::BIGINT AS sum_amp, sum(i * a)::BIGINT AS moment_amp,
+        |  sum(CASE WHEN p IS NOT NULL AND ((p < 128 AND a >= 128)
+        |        OR (p >= 128 AND a < 128)) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_mid_crossings,
+        |  ((1000 * sum(a)) // n)::BIGINT AS mean_milli
+        |FROM c GROUP BY doc_id, n""".stripMargin,
 
     "q50_media_frames" ->
       s"""WITH idx AS (

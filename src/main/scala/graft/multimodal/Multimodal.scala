@@ -72,10 +72,40 @@ object Multimodal {
     out
   }
 
-  /** STUB decode: retained as the test double for media kinds with no
-    * codec in this container (audio/video). The fake is deterministic in
-    * the payload: dimensions from byte length, "pixels" are the payload
-    * bytes themselves.
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM ships
+    * with every JRE): payload bytes → unsigned 8-bit PCM samples. Lossless,
+    * so [[encodeWav]] round-trips exactly.
+    */
+  def decodeAudio(content: Array[Byte]): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** REAL encode: unsigned 8-bit PCM mono samples → WAV bytes through the
+    * JDK codec (8 kHz — the rate is metadata; features are rate-free).
+    */
+  def encodeWav(samples: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1,
+      1, 8000f, false)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** STUB decode: retained as the test double for media kinds with no JVM
+    * codec in this container (video). The fake is deterministic in the
+    * payload: dimensions from byte length, "pixels" are the payload bytes
+    * themselves.
     */
   def decodeStub(content: Array[Byte]): Decoded = {
     val w = math.max(1, math.sqrt(content.length.toDouble).toInt)
@@ -209,6 +239,51 @@ object Multimodal {
           }
           val n = dec.pixels.length.toLong
           ImageFeatures(m.mediaId, dec.width, dec.height, n, sum, moment,
+            if (n == 0) 0L else 1000L * sum / n)
+        }
+      }
+    }
+  }
+
+  final case class AudioFeatures(mediaId: Long, nSamples: Long, sumAmp: Long,
+      momentAmp: Long, nMidCrossings: Long, meanMilli: Long)
+
+  /** The REAL-codec audio corpus: one genuine WAV per document encoding the
+    * deterministic [[synthRaster]] sample stream (length varies per id:
+    * 256 + 8·(id mod 96) samples; seed offset 7777 decorrelates from the
+    * image corpus).
+    */
+  def synthAudioCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val n = 256 + 8 * (id % 96).toInt
+      MediaRow(id, "audio/wav", encodeWav(synthRaster(id + 7777L, n, 1)), n, 1)
+    }
+  }
+
+  /** Batched REAL audio decode + exact integer features: sample count, sum,
+    * positional moment, midpoint (128) crossings — the unsigned-PCM analog
+    * of zero crossings, an order-sensitive signal shape check — and mean
+    * amplitude in milli. Narrow, batch-amortized like [[imageFeatures]].
+    */
+  def audioFeatures(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val s = decodeAudio(m.content)
+          var sum = 0L; var moment = 0L; var crossings = 0L; var i = 0
+          while (i < s.length) {
+            val a = s(i) & 0xff
+            sum += a; moment += i.toLong * a
+            if (i > 0) {
+              val p = s(i - 1) & 0xff
+              if ((p < 128 && a >= 128) || (p >= 128 && a < 128)) crossings += 1
+            }
+            i += 1
+          }
+          val n = s.length.toLong
+          AudioFeatures(m.mediaId, n, sum, moment, crossings,
             if (n == 0) 0L else 1000L * sum / n)
         }
       }

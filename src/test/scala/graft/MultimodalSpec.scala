@@ -80,6 +80,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real codec: WAV encode → javax.sound decode round-trips the samples exactly") {
+    for (seed <- Seq(0L, 7L, 999L)) {
+      val n = 256 + 8 * (seed % 96).toInt
+      val samples = Multimodal.synthRaster(seed + 7777L, n, 1)
+      val wav = Multimodal.encodeWav(samples)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+        "honest WAV container bytes")
+      assert(Multimodal.decodeAudio(wav).sameElements(samples), s"seed=$seed drift")
+    }
+  }
+
   test("imageFeatures: decoded features match the codec-free prediction") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
