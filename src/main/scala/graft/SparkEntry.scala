@@ -355,6 +355,22 @@ object SparkEntry {
           col("meanMilli").as("mean_milli"))
     }),
 
+    // REAL video decode, closing the multimodal family: one genuine RIFF
+    // AVI per document (spec-correct avih/strh/strf headers, PNG frames),
+    // demuxed by a generic RIFF chunk walker and frame-decoded through the
+    // same ImageIO codec as q176. Features are frame-ORDER-sensitive
+    // (Σ f·pixel) and alignment-sensitive (Σ|frame_f − frame_{f−1}|); the
+    // oracle re-derives every pixel of every frame codec-free
+    "q182_video_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.videoFeatures(Multimodal.synthVideoCorpus(documents(s, d)))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("nFrames").as("n_frames"),
+          col("width"), col("height"), col("nPixels").as("n_pixels"),
+          col("sumPix").as("sum_pix"), col("frameMoment").as("frame_moment"),
+          col("motionAbs").as("motion_abs"), col("meanMilli").as("mean_milli"))
+    }),
+
     // frame sampling over video-ish payloads: 64-byte frames, every 2nd —
     // the chunk/sample plumbing is real raw-buffer logic (only pixel decode
     // is stubbed); oracle slices the same frames with substr
@@ -4090,6 +4106,40 @@ object SparkEntry {
         |    AS n_mid_crossings,
         |  ((1000 * sum(a)) // n)::BIGINT AS mean_milli
         |FROM c GROUP BY doc_id, n""".stripMargin,
+
+    // every pixel of every FRAME re-derived codec-free: frame f of video
+    // doc_id uses seed doc_id + 100003*(f+1); motion compares f against
+    // f-1 by formula (no window needed — both seeds are computable per
+    // row). The Spark side saw only RIFF container + PNG bytes, so
+    // agreement proves demux order, frame alignment, and pixel layout
+    "q182_video_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (16 + doc_id % 8)::INTEGER AS width,
+        |         (12 + doc_id % 4)::INTEGER AS height,
+        |         (3 + doc_id % 4)::INTEGER AS n_frames
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, width, height, n_frames, unnest(range(n_frames)) AS f
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, width, height, n_frames, f,
+        |         unnest(range(width * height)) AS i
+        |  FROM fx),
+        |b AS (
+        |  SELECT doc_id, width, height, n_frames, f, i,
+        |    (((doc_id + 100003 * (f + 1)) * 2654435761 + i * 40503)
+        |       % 2147483648) % 256 AS pix,
+        |    CASE WHEN f > 0 THEN abs(
+        |      ((((doc_id + 100003 * (f + 1)) * 2654435761 + i * 40503)
+        |          % 2147483648) % 256)
+        |      - ((((doc_id + 100003 * f) * 2654435761 + i * 40503)
+        |          % 2147483648) % 256)) ELSE 0 END AS md
+        |  FROM px)
+        |SELECT doc_id AS media_id, n_frames, width, height,
+        |  count(*)::BIGINT AS n_pixels, sum(pix)::BIGINT AS sum_pix,
+        |  sum(f * pix)::BIGINT AS frame_moment, sum(md)::BIGINT AS motion_abs,
+        |  ((1000 * sum(pix)) // (n_frames * width * height))::BIGINT AS mean_milli
+        |FROM b GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q50_media_frames" ->
       s"""WITH idx AS (

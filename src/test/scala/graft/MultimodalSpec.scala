@@ -92,6 +92,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real codec: AVI encode → RIFF demux + ImageIO decode round-trips every frame") {
+    for (seed <- Seq(0L, 5L, 4242L)) {
+      val w = 16 + (seed % 8).toInt; val h = 12 + (seed % 4).toInt
+      val n = 3 + (seed % 4).toInt
+      val rasters = (0 until n).map(f => Multimodal.synthRaster(seed + 100003L * (f + 1), w, h))
+      val avi = Multimodal.encodeAvi(w, h, rasters.map(Multimodal.encodePng(w, h, _)))
+      // honest RIFF container bytes with the AVI form type
+      assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+        new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+      val dec = Multimodal.decodeVideo(avi)
+      assert(dec.width == w && dec.height == h && dec.frames.length == n)
+      for (f <- 0 until n)
+        assert(dec.frames(f).pixels.sameElements(rasters(f)), s"seed=$seed frame=$f drift")
+    }
+  }
+
+  test("decodeVideo rejects non-RIFF payloads and header/frame mismatches") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo("not a container at all".getBytes("US-ASCII"))
+    }
+    // a frame whose dims disagree with the avih header must throw, not pass
+    val good = Multimodal.encodePng(4, 3, Multimodal.synthRaster(1L, 4, 3))
+    val bad = Multimodal.encodeAvi(5, 3, Seq(good))
+    intercept[IllegalArgumentException] { Multimodal.decodeVideo(bad) }
+  }
+
+  test("videoFeatures: decoded features match the codec-free prediction") {
+    import spark.implicits._
+    val docs = (0L until 24L).toDF("doc_id")
+    val feats = Multimodal.videoFeatures(Multimodal.synthVideoCorpus(docs), batchSize = 8)
+      .collect().sortBy(_.mediaId)
+    assert(feats.length == 24)
+    for (ft <- feats) {
+      val w = 16 + (ft.mediaId % 8).toInt; val h = 12 + (ft.mediaId % 4).toInt
+      val n = 3 + (ft.mediaId % 4).toInt
+      val rasters = (0 until n).map(f =>
+        Multimodal.synthRaster(ft.mediaId + 100003L * (f + 1), w, h).map(_ & 0xff))
+      val sum = rasters.flatten.map(_.toLong).sum
+      val fMoment = rasters.zipWithIndex.map { case (r, f) => f.toLong * r.map(_.toLong).sum }.sum
+      val motion = (1 until n).map { f =>
+        rasters(f).zip(rasters(f - 1)).map { case (a, b) => math.abs(a - b).toLong }.sum
+      }.sum
+      assert(ft.nFrames == n && ft.width == w && ft.height == h)
+      assert(ft.nPixels == n.toLong * w * h && ft.sumPix == sum)
+      assert(ft.frameMoment == fMoment && ft.motionAbs == motion)
+      assert(ft.meanMilli == 1000L * sum / (n.toLong * w * h))
+    }
+  }
+
   test("imageFeatures: decoded features match the codec-free prediction") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
