@@ -2901,6 +2901,17 @@ object SparkEntry {
         windowSec = 300L, splitDir = s"$genDir/events_parity_split",
         queryName = s"graft_stream_upd_${System.nanoTime()}")),
 
+    // Spark 4's transformWithState operator API (successor to
+    // flatMapGroupsWithState): per-event-type running (count, sum, max) in
+    // an explicit RocksDB-backed ValueState, over the same 2-batch parity
+    // split as q163 — the processor emits each touched key's cumulative
+    // stats per micro-batch, so the update-mode sink is the emission log
+    // and the oracle replays it from the batch-membership predicate
+    "q183_transform_with_state" -> ((s, d) =>
+      graft.streaming.StatefulOps.eventsRunningStatsTws(s, d,
+        splitDir = s"$genDir/events_parity_split",
+        queryName = s"graft_stream_tws_${System.nanoTime()}")),
+
     // iterative BFS (the recursive-CTE workload Spark expresses as a
     // driver loop): shortest hop count over the SPARSE shipment graph
     // (each nation keeps its top-2 outgoing edges by weight, dst
@@ -6286,6 +6297,24 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
+        |FROM em""".stripMargin,
+
+    // the q163 emission-model oracle on the type grain: batch i's emission
+    // for a touched key is the cumulative (count, sum, max) over batches <= i
+    "q183_transform_with_state" ->
+      """WITH e AS (
+        |  SELECT (CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS bb,
+        |    event_type, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |bs AS (SELECT unnest([1, 2]) AS i),
+        |em AS (
+        |  SELECT i, event_type,
+        |    count(*)::BIGINT AS n_events, sum(vm)::BIGINT AS sum_value_micro,
+        |    max(vm)::BIGINT AS max_value_micro
+        |  FROM bs JOIN e ON e.bb <= bs.i
+        |  GROUP BY 1, 2
+        |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
+        |SELECT event_type, n_events, sum_value_micro, max_value_micro
         |FROM em""".stripMargin,
 
     "q164_bfs_hops" ->

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Spark 4's `transformWithState` operator API — arbitrary per-key state in
+  * the RocksDB state store with explicit `ValueState`/`ListState`/`MapState`
+  * handles, the successor to `flatMapGroupsWithState` (which q40/q55 use).
+  * Here: a per-event-type running aggregate whose state is a single
+  * fixed-size ValueState tuple — state size O(|keys|), independent of rows,
+  * the shape that scales to an unbounded stream on a 1000-executor cluster
+  * (state shards by the groupByKey hash; RocksDB spills it off-heap).
+  */
+object StatefulOps {
+
+  final case class TypeStats(eventType: String, nEvents: Long,
+      sumValueMicro: Long, maxValueMicro: Long)
+
+  /** Running (count, sum, max) per key in explicit operator state. Emits one
+    * row per key per micro-batch THAT TOUCHED the key — the emission log
+    * contract of update mode, made explicit in user code instead of
+    * inherited from the agg operator (q163's variant).
+    */
+  class RunningStatsProcessor
+      extends StatefulProcessor[String, (String, Long), TypeStats] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[TypeStats] = {
+      var (n, s, mx) = if (state.exists()) state.get()
+                       else (0L, 0L, Long.MinValue)
+      var touched = false
+      while (rows.hasNext) {
+        val v = rows.next()._2
+        n += 1; s += v; if (v > mx) mx = v; touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update((n, s, mx))
+        Iterator.single(TypeStats(key, n, s, mx))
+      }
+    }
+  }
+
+  /** The q183 harness: per-type running stats via transformWithState over
+    * the 2-batch parity split (even event ids then odd), update-mode memory
+    * sink = the emission log. transformWithState REQUIRES the RocksDB state
+    * store provider — set for this query, restored after (the default
+    * HDFS-backed provider stays in force for the other streaming entries).
+    */
+  def eventsRunningStatsTws(spark: SparkSession, sfDir: String,
+      splitDir: String, queryName: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val src = StreamSupport.eventsParityStream(spark, sfDir, splitDir)
+        .select(col("event_type"),
+          floor(col("value") * lit(1e6)).cast("long").as("vm"))
+        .as[(String, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new RunningStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+        .select(col("eventType").as("event_type"),
+          col("nEvents").as("n_events"),
+          col("sumValueMicro").as("sum_value_micro"),
+          col("maxValueMicro").as("max_value_micro"))
+      StreamSupport.runToMemory(out, queryName, outputMode = "update")
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+}

@@ -54,4 +54,27 @@ class StreamBatchSpec extends AnyFunSuite {
     assert(late <= total - batch3 + 1,
       s"essentially all of the $batch3 late-replay rows must be dropped")
   }
+
+  test("transformWithState: 2 batches, per-key emissions are cumulative and monotone") {
+    import org.apache.spark.sql.functions._
+    val out = StatefulOps.eventsRunningStatsTws(spark, d,
+      splitDir = tmp("tws"), queryName = s"t_tws_${System.nanoTime()}")
+    assert(StreamSupport.lastDataBatches === 2)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    val bothParities = ev.groupBy("event_type")
+      .agg(countDistinct(expr("event_id % 2")).as("p")).where(col("p") === 2)
+      .count()
+    // a key hit by both batches emits twice; counts strictly grow and the
+    // final emission equals the batch-engine total for that key
+    val perKey = out.groupBy("event_type")
+      .agg(count(lit(1)).as("emissions"), max("n_events").as("final_n"),
+        min("n_events").as("first_n"))
+    assert(perKey.where(col("emissions") === 2).count() === bothParities)
+    assert(perKey.where(col("emissions") === 2 &&
+      col("first_n") >= col("final_n")).count() === 0)
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(perKey.join(totals, "event_type")
+      .where(col("final_n") =!= col("n")).count() === 0,
+      "last emission must carry the full cumulative count")
+  }
 }
