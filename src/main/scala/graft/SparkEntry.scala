@@ -2901,6 +2901,16 @@ object SparkEntry {
         windowSec = 300L, splitDir = s"$genDir/events_parity_split",
         queryName = s"graft_stream_upd_${System.nanoTime()}")),
 
+    // SemDeDup-style semantic dedup: one broadcast k-means assignment step
+    // (q65's deterministic id<k seeding) buckets the embedding space, then
+    // near-duplicates are pruned WITHIN clusters only — Σ|cluster|² pairs,
+    // never N² (the learned-bucket version of the LSH/IVF bound). Priority
+    // keeps the vectors least similar to their centroid; the dropped-set
+    // id checksum makes membership bitwise-checkable
+    "q184_semdedup" -> ((s, d) =>
+      graft.sim.Clustering.semDedup(embeddings(s, d), "vec_id", "embedding",
+        k = 8, tau = 0.35)),
+
     // Spark 4's transformWithState operator API (successor to
     // flatMapGroupsWithState): per-event-type running (count, sum, max) in
     // an explicit RocksDB-backed ValueState, over the same 2-batch parity
@@ -6298,6 +6308,42 @@ object SparkEntry {
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
         |FROM em""".stripMargin,
+
+    // mirror: same id<8 centroids, same argmax assignment (q65's rounded-
+    // cosine + cid tie-break), same priority rule, pairs only within cluster
+    "q184_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid, e.v,
+        |    round(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_r
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster, cos_r AS ccos, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_r DESC, cid) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.cluster, b.vec_id FROM assigned a
+        |  JOIN assigned b ON a.cluster = b.cluster
+        |   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+        |dstats AS (
+        |  SELECT cluster, count(*)::BIGINT AS n_dropped,
+        |    sum(vec_id)::BIGINT AS dropped_id_sum
+        |  FROM dropped GROUP BY 1)
+        |SELECT t.cluster, count(*)::BIGINT AS n_docs,
+        |  coalesce(max(d.n_dropped), 0)::BIGINT AS n_dropped,
+        |  (count(*) - coalesce(max(d.n_dropped), 0))::BIGINT AS n_kept,
+        |  coalesce(max(d.dropped_id_sum), 0)::BIGINT AS dropped_id_sum
+        |FROM assigned t LEFT JOIN dstats d ON t.cluster = d.cluster
+        |GROUP BY t.cluster""".stripMargin,
 
     // the q163 emission-model oracle on the type grain: batch i's emission
     // for a touched key is the cumulative (count, sum, max) over batches <= i

@@ -116,4 +116,63 @@ object Clustering {
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         col("dot_micro2"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * (one broadcast-assign step against the deterministic id<k seeding, as
+    * [[kmeansStepStats]]), then prune near-duplicates WITHIN each cluster —
+    * a vector is dropped when a higher-priority clustermate sits within
+    * cosine `tau` of it. Priority keeps the vectors LEAST similar to their
+    * centroid (ascending centroid-cosine, id tie-break): the diverse
+    * exemplars survive, the redundant core is pruned.
+    *
+    * Scale shape (100 TB): the all-pairs product never materializes —
+    * candidate pairs are equi-joined on the cluster id, so the comparison
+    * count is Σ|cluster|², bounded by the clustering granularity k (raise
+    * k to cap cluster sizes; the assignment stage stays broadcast either
+    * way). This is the same bucket-bounding argument as the LSH/IVF
+    * rankers, with the bucket key learned from the data instead of hashed.
+    * Output is the per-cluster audit grain: sizes, drops, and an
+    * id-checksum of the dropped set (order-free but membership-exact).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      tau: Double): DataFrame = {
+    val c = corpus.where(col(idCol) < k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("ev"))
+      .withColumn("en", Similarity.norm(col("ev")))
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("cos_r",
+        round(Similarity.dot(col("ev"), col("cv")) / (col("en") * col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_r"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("ev")).as("ev"), first(col("en")).as("en"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cluster"),
+        col("best.cos_r").as("ccos"), col("ev"), col("en"))
+      // the assignment feeds both self-join sides AND the size aggregate —
+      // materialize it once instead of re-running the broadcast N×k
+      // assignment three times (downstream joins are cluster-key SMJs, so
+      // the checkpoint's missing stats cost nothing)
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("ccos").as("ca"), col("ev").as("va"), col("en").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("ccos").as("cb"), col("ev").as("vb"), col("en").as("nb"))
+    // b is dropped when a higher-priority a (further from the centroid,
+    // id tie-break) is within tau of it
+    val dropped = a.join(b, Seq("cluster"))
+      .where((col("ca") < col("cb")) ||
+             (col("ca") === col("cb") && col("id_a") < col("id_b")))
+      .where(round(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6) >= tau)
+      .select(col("cluster"), col("id_b")).distinct()
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_dropped"), sum("id_b").as("dropped_id_sum"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .join(dropped, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_docs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
+  }
 }

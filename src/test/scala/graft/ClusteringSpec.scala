@@ -50,4 +50,55 @@ class ClusteringSpec extends AnyFunSuite {
     // every vector lands in exactly one cluster: member counts total N per dim
     assert(got.collect { case ((_, 0), (n, _)) => n }.sum == vecs.length)
   }
+
+  test("semDedup matches the sequential dominance replica; pairs stay cluster-bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Clustering.semDedup(emb, "vec_id", "embedding", k = 8, tau = 0.35)
+    // the pair stage must be an equi-join on the cluster key; the broadcast
+    // centroid assignment is materialized once behind the checkpoint, so NO
+    // nested-loop join may survive in the final plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "pair stage degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "assignment must be checkpointed, not re-run per self-join branch")
+    assert(plan.contains("SortMergeJoin [cluster") ||
+      plan.contains("ShuffledHashJoin [cluster") ||
+      plan.contains("BroadcastHashJoin [cluster"),
+      "pair stage must equi-join on the cluster key")
+
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = vecs.filter(_._1 < 8)
+    val assigned = vecs.map { case (id, v) =>
+      val vn = math.sqrt(dot(v, v))
+      val (cos, cid) = cents.map { case (cid, cv) =>
+        (round6(dot(v, cv) / (vn * math.sqrt(dot(cv, cv)))), cid)
+      }.minBy { case (c, i) => (-c, i) }
+      (id, v, vn, cid, cos)
+    }
+    val byCluster = assigned.groupBy(_._4)
+    val expect = byCluster.map { case (cl, ms) =>
+      val droppedIds = ms.filter { case (idB, vb, nb, _, cb) =>
+        ms.exists { case (idA, va, na, _, ca) =>
+          (ca < cb || (ca == cb && idA < idB)) &&
+            round6(dot(va, vb) / (na * nb)) >= 0.35
+        }
+      }.map(_._1)
+      cl -> (ms.length.toLong, droppedIds.length.toLong,
+        (ms.length - droppedIds.length).toLong, droppedIds.sum)
+    }
+    assert(got == expect)
+    // the prune must bite but not obliterate: some drops, most docs kept
+    val (n, drop) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(drop > 0 && drop < n / 2, s"implausible prune rate: $drop of $n")
+  }
 }
