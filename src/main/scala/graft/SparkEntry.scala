@@ -2911,6 +2911,36 @@ object SparkEntry {
       graft.sim.Clustering.semDedup(embeddings(s, d), "vec_id", "embedding",
         k = 8, tau = 0.35)),
 
+    // Unicode-normalized dedup keys: the precomposed (U+00E9) and
+    // combining-mark (e + U+0301) encodings of the same visible text are
+    // synthesized deterministically by doc parity, then collapsed by a
+    // native codegen'd java.text.Normalizer expression (Spark ships no
+    // normalize builtin) — NFC for canonical counts, NFD + \p{Mn} strip
+    // for the accent-free key. DuckDB's utf8proc (nfc_normalize /
+    // strip_accents) must land on byte-identical keys — a cross-library
+    // Unicode-conformance check, not just a self-test
+    "q185_unicode_dedup_keys" -> ((s, d) => {
+      import graft.text.{Fingerprint, NormalizeUnicode}
+      val dec = documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("b"))
+        .withColumn("decorated",
+          when(col("doc_id") % 2 === 0,
+              regexp_replace(col("b"), "e", "\u00e9"))   // precomposed
+            .otherwise(
+              regexp_replace(col("b"), "e", "e\u0301"))) // combining mark
+      dec.select(col("doc_id"),
+          length(col("decorated")).cast("long").as("n_cp_raw"),
+          length(NormalizeUnicode(col("decorated"), "NFC")).cast("long")
+            .as("n_cp_nfc"),
+          regexp_replace(NormalizeUnicode(col("decorated"), "NFD"),
+            "\\p{Mn}", "").as("stripped"))
+        .select(col("doc_id"), col("n_cp_raw"), col("n_cp_nfc"),
+          length(col("stripped")).cast("long").as("n_cp_stripped"),
+          Fingerprint(col("stripped")).as("key_fp"),
+          count(lit(1)).over(Window.partitionBy(col("stripped")))
+            .as("n_sharing_key"))
+    }),
+
     // Spark 4's transformWithState operator API (successor to
     // flatMapGroupsWithState): per-event-type running (count, sum, max) in
     // an explicit RocksDB-backed ValueState, over the same 2-batch parity
@@ -6308,6 +6338,27 @@ object SparkEntry {
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
         |FROM em""".stripMargin,
+
+    // utf8proc vs java.text.Normalizer, byte-identical or hash-fail: same
+    // decorated forms (chr(233) / 'e'||chr(769)), DuckDB's nfc_normalize
+    // and strip_accents against Spark's NFC / NFD+mark-strip
+    "q185_unicode_dedup_keys" ->
+      s"""WITH b AS (SELECT doc_id, substr(text, 1, 120) AS b FROM documents),
+        |dec AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN replace(b, 'e', chr(233))
+        |    ELSE replace(b, 'e', 'e' || chr(769)) END AS decorated
+        |  FROM b),
+        |n AS (
+        |  SELECT doc_id, length(decorated)::BIGINT AS n_cp_raw,
+        |    length(nfc_normalize(decorated))::BIGINT AS n_cp_nfc,
+        |    strip_accents(decorated) AS stripped
+        |  FROM dec)
+        |SELECT doc_id, n_cp_raw, n_cp_nfc,
+        |  length(stripped)::BIGINT AS n_cp_stripped,
+        |  ${fingerprintSql("stripped")} AS key_fp,
+        |  count(*) OVER (PARTITION BY stripped)::BIGINT AS n_sharing_key
+        |FROM n""".stripMargin,
 
     // mirror: same id<8 centroids, same argmax assignment (q65's rounded-
     // cosine + cid tie-break), same priority rule, pairs only within cluster

@@ -86,4 +86,36 @@ class TextShinglesSpec extends AnyFunSuite {
       .where(col("a") =!= col("b")).count()
     assert(n == 0L)
   }
+
+  test("NormalizeUnicode: NFC composes, NFD+mark-strip de-accents, codegen == interpreted") {
+    import org.apache.spark.sql.functions.{col, length, regexp_replace}
+    import graft.text.NormalizeUnicode
+    import spark.implicits._
+    // explicit escapes only: precomposed \u00e9 and combining e+\u0301 render
+    // identically in an editor, which is exactly the bug class under test
+    val mixed = "caf\u00e9 re\u0301sume\u0301" // one precomposed, two combining
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val df = Seq(mixed, "plain ascii", "\ufb01le").toDF("t") // U+FB01 = fi ligature
+    val out = df.select(col("t"),
+        NormalizeUnicode(col("t"), "NFC").as("nfc"),
+        NormalizeUnicode(col("t"), "NFKC").as("nfkc"),
+        regexp_replace(NormalizeUnicode(col("t"), "NFD"), "\\p{Mn}", "").as("strip"),
+        length(col("t")).as("lr"), length(NormalizeUnicode(col("t"), "NFC")).as("ln"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cafe = out(mixed)
+    assert(cafe.getString(1) == composed, "NFC must compose the combining pairs")
+    assert(cafe.getString(3) == "cafe resume", "NFD + \\p{Mn} strip must de-accent")
+    assert(cafe.getInt(4) == cafe.getInt(5) + 2, "two combining pairs collapse")
+    assert(out("plain ascii").getString(1) == "plain ascii")
+    assert(out("\ufb01le").getString(2) == "file", "NFKC unfolds compatibility ligatures")
+    // interpreted eval (no codegen) must agree with the generated code path
+    val expr = graft.text.NormalizeUnicode(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(mixed)), "NFC")
+    assert(expr.eval(null).toString == composed)
+    intercept[IllegalArgumentException] {
+      graft.text.NormalizeUnicode(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
 }
