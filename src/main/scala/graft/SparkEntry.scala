@@ -2941,6 +2941,83 @@ object SparkEntry {
             .as("n_sharing_key"))
     }),
 
+    // l-diversity, the q161 companion: k-anonymity bounds group SIZE but a
+    // uniform group still leaks its sensitive value — here each
+    // (nationkey, balance-band) QI group is scored by how many DISTINCT
+    // market segments it contains, swept over l ∈ {2,3,5} on the l-histogram
+    // grain (never the raw rows, same scale shape as q161)
+    "q186_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      val qi = customer(s, d).select(col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000.0) as long)").as("bal_band"),
+        col("c_mktsegment"))
+      val groups = qi.groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("gsz"),
+          count_distinct(col("c_mktsegment")).as("l"))
+      val hist = groups.groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum("gsz").as("n_rows_l"))
+      val tot = hist.agg(sum("n_rows_l").as("n_rows"),
+        sum("n_groups").as("n_groups_tot"))
+      Seq(2L, 3L, 5L).toDF("l_req")
+        .crossJoin(broadcast(hist)).crossJoin(broadcast(tot))
+        .groupBy("l_req", "n_groups_tot", "n_rows")
+        .agg(sum(when(col("l") < col("l_req"), col("n_groups"))
+            .otherwise(0L)).as("weak_groups"),
+          sum(when(col("l") < col("l_req"), col("n_rows_l"))
+            .otherwise(0L)).as("weak_rows"))
+        .select(col("l_req"), col("n_groups_tot"), col("n_rows"),
+          col("weak_groups"), col("weak_rows"),
+          expr("(weak_rows * 1000000) div n_rows").as("risk_ppm"))
+    }),
+
+    // HLL registers are MERGEABLE — the property that makes sketches worth
+    // shipping at 100 TB: per-source registers roll up to the global
+    // estimate by a per-bucket max (associative, partial-aggregatable),
+    // with no second pass over the data. Output pins the merged estimate
+    // against the exact global distinct AND the per-source exact sum,
+    // whose gap is the cross-source overlap a naive rollup double-counts
+    "q187_hll_rollup" -> ((s, d) => {
+      import graft.ops.Sketch
+      val toks = documents(s, d).select(col("source"),
+          explode(TextOps.tokensCol(col("text"))).as("tok"))
+        .select(col("source"), TextOps.fingerprint(col("tok")).as("h"))
+      val merged = Sketch.hllEstimate(
+        Sketch.hllRegisters(toks, Seq("source"), "h")
+          .groupBy("bucket").agg(max("max_rho").as("max_rho")),
+        Seq.empty)
+      val glob = toks.agg(
+        count_distinct(col("h")).as("n_exact_global"),
+        count_distinct(col("source")).as("n_sources"))
+      val perSrc = toks.groupBy("source")
+        .agg(count_distinct(col("h")).as("ne"))
+        .agg(sum("ne").as("sum_source_exact"))
+      merged.crossJoin(broadcast(glob)).crossJoin(broadcast(perSrc))
+        .select(col("n_sources"), col("n_buckets_hit"), col("z_scaled"),
+          col("est_milli"), col("n_exact_global"), col("sum_source_exact"))
+    }),
+
+    // unigram surprisal scoring with a pure-integer log: surprisal of a
+    // token ≈ log2(N/cnt), taken at bit-length granularity (length of the
+    // binary representation — exact, engine-independent, no floating log).
+    // The quality-filter signal: word-salad docs score high, boilerplate
+    // low. One token-count aggregate (vocab-sized) broadcast back over one
+    // exploded scan
+    "q188_token_surprisal" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(TextOps.tokensCol(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n_total"))
+      toks.join(broadcast(counts), "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (length(bin(col("n_total"))) - length(bin(col("cnt"))))
+            .cast("long").as("sbits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("sbits").as("surprisal_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+          expr("(surprisal_bits * 1000) div n_tokens")
+            .as("mean_surprisal_milli"))
+    }),
+
     // Spark 4's transformWithState operator API (successor to
     // flatMapGroupsWithState): per-event-type running (count, sum, max) in
     // an explicit RocksDB-backed ValueState, over the same 2-batch parity
@@ -6338,6 +6415,70 @@ object SparkEntry {
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
         |FROM em""".stripMargin,
+
+    "q186_l_diversity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey, floor(c_acctbal / 1000.0)::BIGINT AS bal_band,
+        |         c_mktsegment
+        |  FROM customer),
+        |g AS (
+        |  SELECT c_nationkey, bal_band, count(*)::BIGINT AS gsz,
+        |         count(DISTINCT c_mktsegment)::BIGINT AS l
+        |  FROM qi GROUP BY 1, 2),
+        |h AS (SELECT l, count(*)::BIGINT AS n_groups,
+        |        sum(gsz)::BIGINT AS n_rows_l FROM g GROUP BY 1),
+        |t AS (SELECT sum(n_rows_l)::BIGINT AS n_rows,
+        |        sum(n_groups)::BIGINT AS n_groups_tot FROM h),
+        |ls AS (SELECT unnest([2, 3, 5])::BIGINT AS l_req)
+        |SELECT l_req, n_groups_tot, n_rows,
+        |  coalesce(sum(CASE WHEN l < l_req THEN n_groups END), 0)::BIGINT
+        |    AS weak_groups,
+        |  coalesce(sum(CASE WHEN l < l_req THEN n_rows_l END), 0)::BIGINT
+        |    AS weak_rows,
+        |  ((coalesce(sum(CASE WHEN l < l_req THEN n_rows_l END), 0)
+        |    * 1000000) // n_rows)::BIGINT AS risk_ppm
+        |FROM ls CROSS JOIN h CROSS JOIN t
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q187_hll_rollup" -> {
+      import graft.ops.Sketch.{HllM, HllP, HllMaxRho}
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |h AS (SELECT source, ${fingerprintSql("tok")} AS h FROM tok),
+        |r AS (SELECT source, h & ${HllM - 1} AS bucket, h >> $HllP AS w FROM h),
+        |reg AS (SELECT source, bucket,
+        |          max(CASE WHEN w = 0 THEN $HllMaxRho
+        |                   ELSE bit_count((w & (-w)) - 1) + 1 END) AS max_rho
+        |        FROM r GROUP BY source, bucket),
+        |m AS (SELECT bucket, max(max_rho) AS max_rho FROM reg GROUP BY bucket),
+        |e AS (SELECT count(*) AS n_buckets_hit,
+        |        (sum(CAST(1 AS BIGINT) << (30 - max_rho)) +
+        |         ($HllM - count(*)) * ${1L << 30})::BIGINT AS z_scaled
+        |      FROM m),
+        |gx AS (SELECT count(DISTINCT h)::BIGINT AS n_exact_global,
+        |         count(DISTINCT source)::BIGINT AS n_sources FROM h),
+        |sx AS (SELECT sum(ne)::BIGINT AS sum_source_exact FROM (
+        |         SELECT source, count(DISTINCT h) AS ne FROM h GROUP BY 1))
+        |SELECT n_sources, n_buckets_hit, z_scaled,
+        |  (${709L * HllM * HllM} * CAST(${1L << 30} AS BIGINT)) // z_scaled
+        |    AS est_milli,
+        |  n_exact_global, sum_source_exact
+        |FROM e CROSS JOIN gx CROSS JOIN sx""".stripMargin
+    },
+
+    "q188_token_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS n_total FROM c),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (length(bin(n_total)) - length(bin(cnt)))::BIGINT AS sbits
+        |  FROM tok JOIN c USING (tok) CROSS JOIN t)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(sbits)::BIGINT AS surprisal_bits,
+        |  ((sum(sbits) * 1000) // count(*))::BIGINT AS mean_surprisal_milli
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     // utf8proc vs java.text.Normalizer, byte-identical or hash-fail: same
     // decorated forms (chr(233) / 'e'||chr(769)), DuckDB's nfc_normalize
