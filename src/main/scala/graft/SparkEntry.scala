@@ -3018,6 +3018,16 @@ object SparkEntry {
             .as("mean_surprisal_milli"))
     }),
 
+    // BM25 sparse retrieval (k1=1.2, b=0.75), the lexical baseline of every
+    // retrieval/RAG stack, in a pure-integer contract (bit-length idf — the
+    // q188 device — and milli-scaled length norm, so the score is exact on
+    // both engines). Every 50th doc probes the corpus through ONE token
+    // equi-join (the inverted index); ranking is the k-bounded mergeable
+    // aggregate, no per-query window sort
+    "q189_bm25_topk" -> ((s, d) =>
+      graft.text.Index.bm25TopK(documents(s, d), "doc_id", "text",
+        probeFilter = col("doc_id") % 50 === 0, k = 5)),
+
     // Spark 4's transformWithState operator API (successor to
     // flatMapGroupsWithState): per-event-type running (count, sum, max) in
     // an explicit RocksDB-backed ValueState, over the same 2-batch parity
@@ -6415,6 +6425,35 @@ object SparkEntry {
         |  HAVING max(CASE WHEN e.bb = bs.i THEN 1 ELSE 0 END) = 1)
         |SELECT window_start_us, event_type, n_events, sum_value_micro
         |FROM em""".stripMargin,
+
+    // same integer BM25 formula term by term; the div chain floors at the
+    // same three points on both engines
+    "q189_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs,
+        |         (sum(dl) * 1000) // count(*) AS avg_milli FROM dl),
+        |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |post AS (
+        |  SELECT f.doc_id, f.tok,
+        |    (length(bin(a.n_docs // d.df))::BIGINT * f.tf * 2200 * 1000) //
+        |    (f.tf * 1000 + 300 +
+        |     (900 * ((l.dl * 1000000) // a.avg_milli)) // 1000) AS c_milli
+        |  FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (tok)
+        |  CROSS JOIN st a),
+        |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok
+        |      WHERE doc_id % 50 = 0),
+        |sc AS (SELECT q.query_id, p.doc_id AS cand_id,
+        |         sum(p.c_milli)::BIGINT AS score_milli
+        |       FROM q JOIN post p USING (tok) GROUP BY 1, 2)
+        |SELECT query_id, cand_id, score_milli, rank FROM (
+        |  SELECT query_id, cand_id, score_milli,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_milli DESC, cand_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin,
 
     "q186_l_diversity" ->
       """WITH qi AS (

@@ -78,4 +78,56 @@ object Index {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("cum_vocab", sum("new_terms").over(w))
   }
+
+  /** BM25 sparse retrieval (k1 = 1.2, b = 0.75), the lexical baseline every
+    * retrieval/RAG pipeline starts from — in a PURE-INTEGER contract so two
+    * engines agree bitwise:
+    *
+    *   idf_bl   = bitlen(N div df)           (integer log2, the q188 device)
+    *   norm_mi  = (dl·1e6) div avg_milli     (dl/avgdl in milli)
+    *   den_mi   = tf·1000 + 300 + (900·norm_mi) div 1000
+    *   c_milli  = (idf_bl · tf · 2200 · 1000) div den_mi
+    *   score    = Σ over the query's DISTINCT terms of the candidate's
+    *              c_milli (k3 = 0: query tf ignored, the standard choice)
+    *
+    * Scale shape: postings and doc lengths are one map-side-combined
+    * aggregate each; df and the corpus stats are vocab-sized / scalar and
+    * broadcast; query terms meet postings in ONE token equi-join (the
+    * inverted-index join — candidates are docs sharing ≥1 term, never the
+    * full corpus per query); ranking is the k-bounded mergeable aggregate
+    * (no per-query window sort). Head-term skew is bounded by the query
+    * count; pair a df cap (as ngramJaccardPairs) in front for hostile
+    * vocabularies.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      probeFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokensCol(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 1000) div count(1)").as("avg_milli"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val post = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        expr("""(cast(length(bin(n_docs div df)) as bigint) * tf * 2200 * 1000)
+               | div (tf * 1000 + 300 +
+               |      (900 * ((dl * 1000000) div avg_milli)) div 1000)"""
+          .stripMargin).as("c_milli"))
+    val qterms = docs.where(probeFilter)
+      .select(col(idCol).as("query_id"),
+        explode(TextOps.tokensCol(col(textCol))).as("tok"))
+      .distinct()
+    val scored = qterms.join(post, "tok")
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("c_milli"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("c_milli").as("score_milli"))
+      .select(col("query_id"), col("cand_id"),
+        col("score_milli").cast("double").as("score"))
+    graft.sim.TopK.rankTopK(scored, "score", k)
+      .select(col("query_id"), col("cand_id"),
+        col("score").cast("long").as("score_milli"), col("rank"))
+  }
 }

@@ -211,4 +211,51 @@ class IndexingSamplingSpec extends AnyFunSuite {
     assert(all((1L, 2L)) === 1000L)
     assert(all((2L, 1L)) < 400L)
   }
+
+  test("bm25TopK matches a sequential integer replica; no window sort in the plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana cherry cherry date"),
+      (2L, "apple apple apple apple"),
+      (3L, "date elderberry fig grape"),
+      (50L, "apple cherry date")).toDF("doc_id", "text")
+    val out = Index.bm25TopK(docs, "doc_id", "text",
+      probeFilter = col("doc_id") % 50 === 0, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ranking must not use a per-query window sort")
+
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+
+    // sequential replica of the exact same integer formula
+    val corpus = Seq(0L -> "apple banana apple cherry",
+      1L -> "banana cherry cherry date", 2L -> "apple apple apple apple",
+      3L -> "date elderberry fig grape", 50L -> "apple cherry date")
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = corpus.length.toLong
+    val avgMilli = toks.map(_._2.length.toLong).sum * 1000 / n
+    val dfm = toks.flatMap { case (_, ts) => ts.distinct }.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def score(q: Seq[String], cand: Seq[String]): Long = {
+      val dl = cand.length.toLong
+      val normMilli = dl * 1000000L / avgMilli
+      q.distinct.map { t =>
+        val tf = cand.count(_ == t).toLong
+        if (tf == 0) 0L
+        else (bitlen(n / dfm(t)) * tf * 2200 * 1000) /
+          (tf * 1000 + 300 + (900 * normMilli) / 1000)
+      }.sum
+    }
+    val probes = Seq(0L, 50L)
+    val expect = probes.flatMap { p =>
+      val q = toks.find(_._1 == p).get._2
+      toks.map { case (c, ct) => (c, score(q, ct)) }
+        .filter(_._2 > 0)
+        .sortBy { case (c, s) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((c, s), i) => (p, c) -> (s, i + 1) }
+    }.toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
 }
