@@ -3028,6 +3028,32 @@ object SparkEntry {
       graft.text.Index.bm25TopK(documents(s, d), "doc_id", "text",
         probeFilter = col("doc_id") % 50 === 0, k = 5)),
 
+    // hybrid retrieval, the RAG-stack capstone: the SAME probe set ranked
+    // by dense cosine ANN (q14's ranker) AND lexical BM25 (q189), fused
+    // with reciprocal-rank fusion (q155's integer contract). Three
+    // already-oracled fragments composed exactly as a retrieval service
+    // chains them; the full-outer join keeps hits that only one modality
+    // surfaces — the reason hybrid beats either alone
+    "q190_hybrid_retrieval" -> ((s, d) => {
+      val dense = Similarity.cosineTopK(embeddings(s, d),
+          embeddings(s, d).where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 20)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rank_dense"))
+      val lex = graft.text.Index.bm25TopK(documents(s, d), "doc_id", "text",
+          probeFilter = col("doc_id") % 50 === 0, k = 20)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rank_lex"))
+      val fused = dense.join(lex, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_micro",
+          expr("coalesce(1000000 div (60 + rank_dense), 0) + " +
+            "coalesce(1000000 div (60 + rank_lex), 0)"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("cand_id"))
+      fused.withColumn("fused_rank", row_number().over(w))
+        .where(col("fused_rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank_dense"),
+          col("rank_lex"), col("rrf_micro"), col("fused_rank"))
+    }),
+
     // Spark 4's transformWithState operator API (successor to
     // flatMapGroupsWithState): per-event-type running (count, sum, max) in
     // an explicit RocksDB-backed ValueState, over the same 2-batch parity
@@ -3626,8 +3652,41 @@ object SparkEntry {
       |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** q14's exact cosine top-5 oracle — shared with the q147 recall audit. */
-  private def cosineTopkOracleSql(k: Int): String =
+  /** q189's integer BM25 ranking — shared with the q190 hybrid fusion.
+    * The div chain floors at the same three points on both engines.
+    */
+  private def bm25OracleSql(k: Int): String =
+    s"""SELECT query_id, cand_id, score_milli, rank FROM (
+      |  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |               FROM documents),
+      |  tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |  dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+      |  st AS (SELECT count(*)::BIGINT AS n_docs,
+      |           (sum(dl) * 1000) // count(*) AS avg_milli FROM dl),
+      |  dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |  post AS (
+      |    SELECT f.doc_id, f.tok,
+      |      (length(bin(a.n_docs // d.df))::BIGINT * f.tf * 2200 * 1000) //
+      |      (f.tf * 1000 + 300 +
+      |       (900 * ((l.dl * 1000000) // a.avg_milli)) // 1000) AS c_milli
+      |    FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (tok)
+      |    CROSS JOIN st a),
+      |  q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok
+      |        WHERE doc_id % 50 = 0),
+      |  sc AS (SELECT q.query_id, p.doc_id AS cand_id,
+      |           sum(p.c_milli)::BIGINT AS score_milli
+      |         FROM q JOIN post p USING (tok) GROUP BY 1, 2)
+      |  SELECT query_id, cand_id, score_milli,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_milli DESC, cand_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= $k""".stripMargin
+
+  /** q14's exact cosine top-5 oracle — shared with the q147 recall audit
+    * and (with the q190 probe set) the hybrid-retrieval fusion.
+    */
+  private def cosineTopkOracleSql(k: Int,
+      probePred: String = "q.vec_id < 10"): String =
     s"""SELECT query_id, cand_id, cos, rank FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
@@ -3639,7 +3698,7 @@ object SparkEntry {
       |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
       |      c.vec_id) AS rank
       |  FROM embeddings q, embeddings c
-      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |  WHERE $probePred AND q.vec_id <> c.vec_id)
       |WHERE rank <= $k""".stripMargin
 
   private val CosineTopkOracleSql = cosineTopkOracleSql(5)
@@ -6428,32 +6487,28 @@ object SparkEntry {
 
     // same integer BM25 formula term by term; the div chain floors at the
     // same three points on both engines
-    "q189_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
-        |st AS (SELECT count(*)::BIGINT AS n_docs,
-        |         (sum(dl) * 1000) // count(*) AS avg_milli FROM dl),
-        |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |post AS (
-        |  SELECT f.doc_id, f.tok,
-        |    (length(bin(a.n_docs // d.df))::BIGINT * f.tf * 2200 * 1000) //
-        |    (f.tf * 1000 + 300 +
-        |     (900 * ((l.dl * 1000000) // a.avg_milli)) // 1000) AS c_milli
-        |  FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (tok)
-        |  CROSS JOIN st a),
-        |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok
-        |      WHERE doc_id % 50 = 0),
-        |sc AS (SELECT q.query_id, p.doc_id AS cand_id,
-        |         sum(p.c_milli)::BIGINT AS score_milli
-        |       FROM q JOIN post p USING (tok) GROUP BY 1, 2)
-        |SELECT query_id, cand_id, score_milli, rank FROM (
-        |  SELECT query_id, cand_id, score_milli,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_milli DESC, cand_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 5""".stripMargin,
+    "q189_bm25_topk" -> bm25OracleSql(5),
+
+    // q14's cosine fragment on the q189 probe set + the BM25 fragment,
+    // fused with q155's integer RRF — all three contracts already pinned
+    "q190_hybrid_retrieval" ->
+      s"""WITH de AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    ${cosineTopkOracleSql(20, "q.vec_id % 50 = 0")})),
+        |lx AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    ${bm25OracleSql(20)})),
+        |f AS (
+        |  SELECT query_id, cand_id,
+        |    de.rank AS rank_dense, lx.rank AS rank_lex,
+        |    coalesce(1000000 // (60 + de.rank), 0)
+        |      + coalesce(1000000 // (60 + lx.rank), 0) AS rrf_micro
+        |  FROM de FULL JOIN lx USING (query_id, cand_id))
+        |SELECT query_id, cand_id, rank_dense, rank_lex, rrf_micro,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, cand_id) AS fused_rank
+        |FROM f
+        |QUALIFY fused_rank <= 5""".stripMargin,
 
     "q186_l_diversity" ->
       """WITH qi AS (
