@@ -41,13 +41,14 @@ object SparkEntry {
   private def nation(s: SparkSession, d: String) = s.read.parquet(t(d, "nation"))
   private def region(s: SparkSession, d: String) = s.read.parquet(t(d, "region"))
   private def events(s: SparkSession, d: String) = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects natively;
-    // read as raw long ns (ts/1000 == DuckDB epoch_us for positive epochs).
-    // The legacy flag is an SQLConf (no per-read option exists), so it is
-    // session-wide by necessity — safe here because events.parquet is the
-    // only NANOS-typed input, so no other table's schema can change
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4 only
+    // reads as a raw long ns under the legacy flag) and, since the round-6
+    // testdata regen, as plain TIMESTAMP_NTZ(us). Both arrivals normalize
+    // here to the same long-ns contract every consumer assumes
+    // (ts div 1000 == DuckDB epoch_us). timestampdiff is timezone-free, so
+    // the NTZ path cannot drift with the session zone
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(t(d, "events"))
+    graft.sources.Events.tsToLongNs(s.read.parquet(t(d, "events")))
   }
   private def part(s: SparkSession, d: String) = s.read.parquet(t(d, "part"))
   private def supplier(s: SparkSession, d: String) = s.read.parquet(t(d, "supplier"))
@@ -3416,8 +3417,223 @@ object SparkEntry {
         .groupBy("l_returnflag", "measure")
         .agg(count(lit(1)).as("n"),
           sum(col("vm").cast("decimal(38,0)")).cast("long")
-            .as("sum_micro")))
+            .as("sum_micro"))),
+
+    // first-order Markov transition matrix over per-user event sequences:
+    // consecutive (from → to) pairs via ONE lead() on the per-user window
+    // (state bounded by a user's events, never the stream), then a
+    // transition census with exact ppm row-normalized probabilities. The
+    // clickstream "what happens next" model, entirely on the pair grain
+    "q191_markov_transitions" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val pairs = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+      pairs.join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000) div n_from").as("p_ppm"))
+    }),
+
+    // grid-bucketed spatial near-neighbor self-join: points on a derived
+    // integer lattice, cell size = search radius (2000), so every pair within r
+    // meets in ONE equi-join of a 9-cell neighborhood explode against the
+    // home cell — O(9·N) candidates on a (cx, cy) shuffle key instead of
+    // the O(N²) cross join; skew is bounded by cell occupancy. Exact
+    // integer squared distances; a < b orders each unordered pair once
+    "q192_spatial_grid_join" -> ((s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+          expr("(c_custkey * 48271) % 100000").as("x"),
+          expr("(c_custkey * 69621) % 100000").as("y"))
+        .withColumn("cx", expr("x div 2000"))
+        .withColumn("cy", expr("y div 2000"))
+      val offs = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probe = pts
+        .withColumn("o", explode(array(offs: _*)))
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("o.dx")).as("jcx"),
+          (col("cy") + col("o.dy")).as("jcy"))
+      val home = pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("b_y"), col("cx").as("jcx"), col("cy").as("jcy"))
+      val pairs = probe.join(home, Seq("jcx", "jcy"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("d2",
+          expr("(ax - bx) * (ax - bx) + (ay - b_y) * (ay - b_y)"))
+        .where(col("d2") <= lit(4000000L))
+      val census = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum("d2").as("sum_d2"), min("d2").as("min_d2"),
+        max("d2").as("max_d2"),
+        sum(expr("(a_id * 131071 + b_id) % 2147483647")).as("pair_checksum"))
+      val layout = pts.agg(count(lit(1)).as("n_points"),
+        count_distinct(expr("cx * 200 + cy")).as("n_cells"))
+      census.crossJoin(broadcast(layout))
+        .select(col("n_points"), col("n_cells"), col("n_pairs"),
+          col("sum_d2"), col("min_d2"), col("max_d2"), col("pair_checksum"))
+    }),
+
+    // sweep-line concurrency at the DAY grain: order intervals become
+    // ±1 deltas aggregated to (nation, day) BEFORE any ordered scan, so
+    // the running sum's window holds at most the calendar's days per
+    // nation — bounded by time, not by rows, which is what lets the same
+    // plan sweep a 100 TB fact table. Dates ride as epoch-day integers
+    // end-to-end (no engine date-encoding drift)
+    "q193_max_concurrency" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey"),
+          expr("datediff(to_date(o_orderdate), date'1970-01-01')").as("d0"),
+          expr("datediff(to_date(o_orderdate), date'1970-01-01') " +
+            "+ 1 + o_orderkey % 30").as("d1"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val deltas = o.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), explode(array(
+          struct(col("d0").as("day"), lit(1L).as("delta")),
+          struct(col("d1").as("day"), lit(-1L).as("delta")))).as("e"))
+        .select(col("c_nationkey"), col("e.day").as("day"),
+          col("e.delta").as("delta"))
+        .groupBy("c_nationkey", "day").agg(sum("delta").as("net"))
+      val w = Window.partitionBy("c_nationkey").orderBy("day")
+      val cum = deltas.withColumn("conc", sum("net").over(w))
+      val mx = cum.groupBy("c_nationkey")
+        .agg(max("conc").as("max_conc"), count(lit(1)).as("n_days"))
+      cum.join(mx, "c_nationkey").where(col("conc") === col("max_conc"))
+        .groupBy("c_nationkey", "max_conc", "n_days")
+        .agg(min("day").as("peak_day"))
+        .select(col("c_nationkey"), col("max_conc"), col("n_days"),
+          col("peak_day"))
+    }),
+
+    // bloom-pruned join: the build side's custkeys become a ≤ 8192-row bit
+    // set (q81's relational contract) that prunes the FACT rows through two
+    // broadcast equi-joins — no per-key aggregate, no shuffle — before the
+    // real membership join eliminates the residual false positives. Output
+    // exposes both counts per priority, so the pruning's one-sided
+    // guarantee (n_member ≤ n_bloom_pass, members never dropped) is itself
+    // oracled
+    "q194_bloom_semijoin" -> ((s, d) => {
+      import graft.ops.Bloom
+      val bld = customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val pruned = Bloom.bloomPrune(orders(s, d), "o_custkey",
+        Bloom.bloomBits(bld, "c_custkey"))
+      val mem = bld.distinct()
+        .select(col("c_custkey").as("o_custkey"), lit(1).as("m"))
+      pruned.join(mem, Seq("o_custkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_bloom_pass"),
+          sum(coalesce(col("m"), lit(0)).cast("long")).as("n_member"),
+          sum(when(col("m") === 1,
+              ExactStats.micro(col("o_totalprice")).cast("long"))
+            .otherwise(0L)).as("member_rev_micro"))
+    }),
+
+    // entity-resolution capstone: a dirty registry (every customer plus
+    // deterministic prefix-mutated duplicates and a non-duplicate decoy),
+    // blocked on the mutation-stable digit payload so candidate pairs form
+    // inside ≤4-record blocks (one equi-join, never N²), matched by edit
+    // distance (the decoy fails the threshold — similarity doing real
+    // work), clustered by distributed connected components, and reported
+    // as a cluster-size census with the candidate/match funnel attached
+    "q195_entity_resolution" -> ((s, d) => {
+      val cand = erCandidates(s, d)
+      val edges = cand.where(col("lev") <= 2)
+      val comp = graft.ops.ConnectedComponents.components(edges, "id_a", "id_b")
+      val labeled = erRegistry(s, d).select(col("id")).as("r")
+        .join(comp.as("c"), col("r.id") === col("c.id"), "left")
+        .select(coalesce(col("c.component"), col("r.id")).as("component"))
+      val hist = labeled.groupBy("component")
+        .agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
+          sum("component").as("comp_checksum"))
+      val glob = cand.agg(count(lit(1)).as("n_candidates"),
+        sum((col("lev") <= 2).cast("long")).as("n_matches"))
+      hist.crossJoin(broadcast(glob))
+        .select(col("csize"), col("n_clusters"), col("comp_checksum"),
+          col("n_candidates"), col("n_matches"))
+    }),
+
+    // single-source weighted shortest paths over the nation-grain shipping
+    // graph (edge weight = fastest observed order→ship days), as 8 fixed
+    // synchronous Bellman–Ford rounds: each round is one join of the
+    // 25-row frontier against the ≤625-row edge list — the Pregel shape,
+    // every round a bounded shuffle, localCheckpoint snapping the lineage.
+    // The oracle replays the SAME 8 unrolled rounds, so the iteration
+    // count is part of the pinned contract
+    "q196_weighted_sssp" -> ((s, d) => {
+      val fact = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("s_nationkey").cast("long").as("u"),
+          col("c_nationkey").cast("long").as("v"),
+          greatest(expr("datediff(to_date(l_shipdate), to_date(o_orderdate))"),
+            lit(0)).cast("long").as("wd"))
+      val edges = fact.groupBy("u", "v").agg(min("wd").as("w")).localCheckpoint()
+      var dist = nation(s, d).select(col("n_nationkey").cast("long").as("node"),
+        when(col("n_nationkey") === 0, 0L).otherwise(lit(null).cast("long"))
+          .as("dist"))
+      for (_ <- 1 to 8) {
+        val relax = dist.where(col("dist").isNotNull)
+          .join(edges, col("node") === col("u"))
+          .groupBy(col("v")).agg(min(col("dist") + col("w")).as("cand"))
+          .withColumnRenamed("v", "node")
+        dist = dist.join(relax, Seq("node"), "left")
+          .select(col("node"),
+            when(col("dist").isNull, col("cand"))
+              .when(col("cand").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("cand"))).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+    }),
+
+    // the native full Damerau–Levenshtein expression (transposition = ONE
+    // edit, the Lowrance–Wagner variant DuckDB also implements) scored
+    // against builtin levenshtein over the ER candidate pairs: the
+    // transposed-prefix duplicates land at (lev=2, dl=1) — the census IS
+    // the evidence transposition-awareness changes match decisions
+    "q197_damerau_vs_lev" -> ((s, d) =>
+      erCandidates(s, d)
+        .select(col("lev"),
+          graft.text.DamerauLevenshtein(col("name_a"), col("name_b"))
+            .cast("long").as("dl"))
+        .groupBy("lev", "dl").agg(count(lit(1)).as("n_pairs")))
   )
+
+  /** The q195/q197 dirty-name registry: every customer record plus
+    * deterministic mutations — a transposed-prefix duplicate (custkey%3),
+    * a dropped-letter duplicate (custkey%5), and a different-entity decoy
+    * (custkey%7) — in disjoint id spaces. The mutations only touch the
+    * alphabetic prefix, so the digit payload `right(name, 9)` is the
+    * blocking key that survives every corruption.
+    */
+  private def erRegistry(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("name"))
+    def variant(mod: Int, offset: Long, to: String) =
+      customer(s, d).where(col("c_custkey") % mod === 0)
+        .select((col("c_custkey") + offset).as("id"),
+          expr(s"replace(c_name, 'Customer#', '$to')").as("name"))
+    base
+      .unionByName(variant(3, 10000000L, "Custmoer#"))
+      .unionByName(variant(5, 20000000L, "Custmer#"))
+      .unionByName(variant(7, 30000000L, "Vendor#"))
+      .withColumn("blk", expr("right(name, 9)"))
+  }
+
+  /** Blocked candidate pairs over [[erRegistry]] with builtin levenshtein
+    * attached; id_a < id_b orders each unordered pair once.
+    */
+  private def erCandidates(s: SparkSession, d: String): DataFrame = {
+    val reg = erRegistry(s, d)
+    reg.as("a").join(reg.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        expr("levenshtein(a.name, b.name)").cast("long").as("lev"))
+  }
 
   /** Exact-integer correlation block shared by q150/q151: over paired
     * series values (x, y), all five sums are DECIMAL(38,0) (order-
@@ -6947,6 +7163,194 @@ object SparkEntry {
         |    floor(l_tax * 1e6)::BIGINT FROM lineitem)
         |SELECT l_returnflag, measure, count(*)::BIGINT AS n,
         |  sum(vm::HUGEINT)::BIGINT AS sum_micro
-        |FROM m GROUP BY 1, 2""".stripMargin
+        |FROM m GROUP BY 1, 2""".stripMargin,
+
+    "q191_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (sum(n) OVER (PARTITION BY from_type))::BIGINT AS n_from,
+        |  ((n * 1000000) // (sum(n) OVER (PARTITION BY from_type)))::BIGINT
+        |    AS p_ppm
+        |FROM c""".stripMargin,
+
+    "q192_spatial_grid_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id, (c_custkey * 48271) % 100000 AS x,
+        |    (c_custkey * 69621) % 100000 AS y
+        |  FROM customer),
+        |c AS (SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy FROM p),
+        |o AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+        |      (VALUES (-1), (0), (1)) b(dy)),
+        |pr AS (
+        |  SELECT a.id AS a_id, a.x AS ax, a.y AS ay,
+        |         b.id AS b_id, b.x AS bx, b.y AS b_y
+        |  FROM c a JOIN o ON true
+        |  JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        |  WHERE a.id < b.id),
+        |q AS (
+        |  SELECT a_id, b_id,
+        |    (ax - bx) * (ax - bx) + (ay - b_y) * (ay - b_y) AS d2
+        |  FROM pr
+        |  WHERE (ax - bx) * (ax - bx) + (ay - b_y) * (ay - b_y) <= 4000000),
+        |layout AS (
+        |  SELECT count(*)::BIGINT AS n_points,
+        |    count(DISTINCT cx * 200 + cy)::BIGINT AS n_cells FROM c),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(d2::HUGEINT)::BIGINT AS sum_d2,
+        |    min(d2)::BIGINT AS min_d2, max(d2)::BIGINT AS max_d2,
+        |    sum(((a_id * 131071 + b_id) % 2147483647)::HUGEINT)::BIGINT
+        |      AS pair_checksum
+        |  FROM q)
+        |SELECT n_points, n_cells, n_pairs, sum_d2, min_d2, max_d2,
+        |  pair_checksum
+        |FROM layout, agg""".stripMargin,
+
+    "q193_max_concurrency" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS d0,
+        |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT
+        |      + 1 + o_orderkey % 30 AS d1
+        |  FROM orders),
+        |ev AS (
+        |  SELECT c_nationkey, d0 AS day, 1::BIGINT AS delta
+        |  FROM o JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT c_nationkey, d1, -1::BIGINT
+        |  FROM o JOIN customer ON o_custkey = c_custkey),
+        |net AS (
+        |  SELECT c_nationkey, day, sum(delta)::BIGINT AS net
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_nationkey, day,
+        |    (sum(net) OVER (PARTITION BY c_nationkey ORDER BY day))::BIGINT
+        |      AS conc
+        |  FROM net),
+        |mx AS (
+        |  SELECT c_nationkey, max(conc)::BIGINT AS max_conc,
+        |    count(*)::BIGINT AS n_days
+        |  FROM cum GROUP BY 1)
+        |SELECT cum.c_nationkey, max_conc, n_days,
+        |  min(day)::BIGINT AS peak_day
+        |FROM cum JOIN mx ON cum.c_nationkey = mx.c_nationkey
+        |  AND cum.conc = mx.max_conc
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q194_bloom_semijoin" -> {
+      val hashes = graft.ops.Bloom.Hashes
+        .map { case (a, b) => s"(${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+      val m = graft.ops.Bloom.BloomBits
+      s"""WITH h AS (SELECT * FROM (VALUES $hashes) h(a, b)),
+        |bu AS (SELECT DISTINCT c_custkey FROM customer
+        |       WHERE c_mktsegment = 'BUILDING'),
+        |bits AS (
+        |  SELECT DISTINCT ((c_custkey * a + b) % 2147483647) % $m AS bit
+        |  FROM bu CROSS JOIN h),
+        |pass AS (
+        |  SELECT o.o_custkey, o.o_orderpriority, o.o_totalprice
+        |  FROM orders o
+        |  JOIN bits b1 ON ((o.o_custkey * ${graft.ops.Bloom.Hashes(0)._1}
+        |      + ${graft.ops.Bloom.Hashes(0)._2}) % 2147483647) % $m = b1.bit
+        |  JOIN bits b2 ON ((o.o_custkey * ${graft.ops.Bloom.Hashes(1)._1}
+        |      + ${graft.ops.Bloom.Hashes(1)._2}) % 2147483647) % $m = b2.bit)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_bloom_pass,
+        |  sum(CASE WHEN bu.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_member,
+        |  sum(CASE WHEN bu.c_custkey IS NOT NULL
+        |      THEN floor(o_totalprice * 1e6)::BIGINT ELSE 0 END
+        |    ::HUGEINT)::BIGINT AS member_rev_micro
+        |FROM pass LEFT JOIN bu ON pass.o_custkey = bu.c_custkey
+        |GROUP BY 1""".stripMargin
+    },
+
+    "q195_entity_resolution" ->
+      s"""WITH RECURSIVE $ErCandCtes,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand WHERE lev <= 2
+        |          UNION SELECT id_b, id_a FROM cand WHERE lev <= 2),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM regb
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*)::BIGINT AS csize
+        |          FROM comp GROUP BY component),
+        |hist AS (SELECT csize, count(*)::BIGINT AS n_clusters,
+        |    sum(component::HUGEINT)::BIGINT AS comp_checksum
+        |  FROM sizes GROUP BY csize),
+        |funnel AS (SELECT count(*)::BIGINT AS n_candidates,
+        |    sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_matches
+        |  FROM cand)
+        |SELECT csize, n_clusters, comp_checksum, n_candidates, n_matches
+        |FROM hist, funnel""".stripMargin,
+
+    "q196_weighted_sssp" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS (
+           |  SELECT d.node,
+           |    CASE WHEN d.dist IS NULL THEN r.cand
+           |         WHEN r.cand IS NULL THEN d.dist
+           |         ELSE least(d.dist, r.cand) END AS dist
+           |  FROM d${i - 1} d LEFT JOIN (
+           |    SELECT e.v AS node, min(d.dist + e.w) AS cand
+           |    FROM d${i - 1} d JOIN edges e ON e.u = d.node
+           |    WHERE d.dist IS NOT NULL GROUP BY e.v) r USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH fact AS (
+        |  SELECT s_nationkey::BIGINT AS u, c_nationkey::BIGINT AS v,
+        |    greatest(l_shipdate::DATE - o_orderdate::DATE, 0)::BIGINT AS wd
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |edges AS (SELECT u, v, min(wd)::BIGINT AS w FROM fact GROUP BY 1, 2),
+        |d0 AS (
+        |  SELECT n_nationkey::BIGINT AS node,
+        |    (CASE WHEN n_nationkey = 0 THEN 0 ELSE NULL END)::BIGINT AS dist
+        |  FROM nation),
+        |$rounds
+        |SELECT node, dist::BIGINT AS dist FROM d8""".stripMargin
+    },
+
+    "q197_damerau_vs_lev" ->
+      s"""WITH $ErCandCtes
+        |SELECT lev, damerau_levenshtein(name_a, name_b)::BIGINT AS dl,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM cand GROUP BY 1, 2""".stripMargin
   )
+
+  /** q195/q197's shared SQL fragment — the dirty registry and its blocked
+    * candidate pairs, mirroring [[erRegistry]]/[[erCandidates]] literally
+    * so the two oracles cannot drift from the Spark side or each other.
+    */
+  private val ErCandCtes: String =
+    """cust AS (SELECT c_custkey, c_name FROM customer),
+      |reg AS (
+      |  SELECT c_custkey AS id, c_name AS name FROM cust
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000,
+      |    replace(c_name, 'Customer#', 'Custmoer#')
+      |  FROM cust WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 20000000,
+      |    replace(c_name, 'Customer#', 'Custmer#')
+      |  FROM cust WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 30000000,
+      |    replace(c_name, 'Customer#', 'Vendor#')
+      |  FROM cust WHERE c_custkey % 7 = 0),
+      |regb AS (SELECT id, name, right(name, 9) AS blk FROM reg),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+      |    b.name AS name_b, levenshtein(a.name, b.name)::BIGINT AS lev
+      |  FROM regb a JOIN regb b ON a.blk = b.blk AND a.id < b.id)"""
+      .stripMargin
 }

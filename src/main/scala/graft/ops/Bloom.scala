@@ -34,6 +34,22 @@ object Bloom {
   def bloomBits(build: DataFrame, keyCol: String): DataFrame =
     build.select(explode(array(bitCols(col(keyCol)): _*)).as("bit")).distinct()
 
+  /** Prune `fact` rows to those whose key passes the filter WITHOUT a
+    * per-key aggregate: one broadcast inner equi-join per hash row (k
+    * joins, each against the ≤ m-row bit set). Row-grain and shuffle-free —
+    * the shape that lets a 100 TB fact table drop non-members before the
+    * expensive join ships them anywhere. One-sided as always: every true
+    * member survives; the residual false positives are eliminated by the
+    * real join that follows.
+    */
+  def bloomPrune(fact: DataFrame, keyCol: String, bits: DataFrame): DataFrame =
+    Hashes.zipWithIndex.foldLeft(fact) { case (df, ((a, b), i)) =>
+      val bn = s"_bloombit_$i"
+      df.join(broadcast(bits.select(col("bit").as(bn))),
+        (col(keyCol).cast("long") * a + b) % 2147483647L % BloomBits === col(bn))
+        .drop(bn)
+    }
+
   /** Probe decisions: for each distinct probe key, whether it passes the
     * filter (all bits set). Emits (key, bloom_pass) with bloom_pass ∈ {0,1}.
     */

@@ -41,7 +41,8 @@ object StreamEnrich {
       splitDir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.expressions.Window
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = StreamSupport.tsToLongNs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))

@@ -10,6 +10,12 @@ import org.apache.spark.sql.types.StructType
   */
 private[streaming] object StreamSupport {
 
+  /** events.ts normalized to the long-ns contract — see
+    * [[graft.sources.Events.tsToLongNs]].
+    */
+  def tsToLongNs(df: DataFrame): DataFrame =
+    graft.sources.Events.tsToLongNs(df)
+
   /** The events parquet as a file stream (the source requires a directory —
     * glob-filtered to the events file; schema from a batch read).
     */
@@ -17,10 +23,10 @@ private[streaming] object StreamSupport {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    tsToLongNs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(sfDir))
   }
 
   /** Time-split copies of the events table as TWO parquet files in one
@@ -52,7 +58,7 @@ private[streaming] object StreamSupport {
       (parts: DataFrame => Seq[DataFrame]): DataFrame =
     splitLock.synchronized {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = tsToLongNs(spark.read.parquet(s"$sfDir/events.parquet"))
     val schema = ev.schema
     val dir = new java.io.File(splitDir)
     // cache keyed on the SOURCE file identity — a bare existence check would

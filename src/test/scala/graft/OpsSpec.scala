@@ -338,7 +338,8 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = Sessionize.sessionStats(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      graft.sources.Events.tsToLongNs(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
         .withColumn("ts_us", expr("ts div 1000")).select("user_id", "event_id", "ts_us"),
       "user_id", "ts_us", gapUs = 1800L * 1000000L)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
@@ -346,7 +347,8 @@ class OpsSpec extends AnyFunSuite {
       .map(t => (t._1, t._2, t._3, t._4.toInt)).toSet
     // finality: the streamed set must EQUAL the batch sessions the final
     // watermark (max event time − 1h) sealed — nothing more, nothing less
-    val maxTs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val maxTs = graft.sources.Events.tsToLongNs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
     val wmUs = (maxTs / 1000 - 3600000L) * 1000L
     val sealedSet = batch.filter(t => t._3 + 1800L * 1000000L < wmUs)
@@ -405,7 +407,8 @@ class OpsSpec extends AnyFunSuite {
     val sink = graft.streaming.StreamAgg.eventsWindowedToParquet(
       spark, "/root/testdata/sf0.001", 300L, s"$base/agg")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.Events.tsToLongNs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("ts_us", expr("ts div 1000"))
     val batch = ev
       .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
@@ -469,7 +472,8 @@ class OpsSpec extends AnyFunSuite {
     val streamed = graft.streaming.StreamAgg.eventsWindowed(spark, "/root/testdata/sf0.001",
       windowSec = 300L, queryName = s"ops_stream_${System.nanoTime()}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = graft.sources.Events.tsToLongNs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("ts_us", expr("ts div 1000"))
       .groupBy((col("ts_us") - pmod(col("ts_us"), lit(300000000L))).as("window_start_us"),
                col("event_type"))

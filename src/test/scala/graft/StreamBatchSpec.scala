@@ -44,8 +44,8 @@ class StreamBatchSpec extends AnyFunSuite {
     assert(StreamSupport.lastDataBatches === 3)
     // the late replay (odd ids at/below the split) must NOT all survive:
     // fewer events aggregated than the no-drop total
-    val ev = spark.read
-      .parquet(s"$d/events.parquet")
+    val ev = graft.sources.Events.tsToLongNs(spark.read
+      .parquet(s"$d/events.parquet"))
     val total = ev.count()
     val batch3 = ev
       .where(col("event_id") % 2 === 1 &&
