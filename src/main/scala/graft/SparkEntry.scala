@@ -3599,7 +3599,105 @@ object SparkEntry {
         .select(col("lev"),
           graft.text.DamerauLevenshtein(col("name_a"), col("name_b"))
             .cast("long").as("dl"))
-        .groupBy("lev", "dl").agg(count(lit(1)).as("n_pairs")))
+        .groupBy("lev", "dl").agg(count(lit(1)).as("n_pairs"))),
+
+    // weight-of-evidence feature binning (the credit-scoring/feature-
+    // engineering staple): per-user click count binned, each bin's good/bad
+    // odds scored as WOE at bit-length granularity (q188's integer-log
+    // device, +1 Laplace smoothing so empty cells stay finite) plus an
+    // exact-integer IV contribution. One user-grain aggregate, then a
+    // ≤6-row bin census — nothing user-sized ever re-shuffles
+    "q198_woe_binning" -> ((s, d) => {
+      val per = events(s, d).groupBy("user_id")
+        .agg(sum((col("event_type") === "click").cast("long")).as("clicks"),
+          max((col("event_type") === "purchase").cast("long")).as("good"))
+        .withColumn("b", least(expr("clicks div 4"), lit(5L)))
+      val bins = per.groupBy("b").agg(count(lit(1)).as("n_users"),
+        sum("good").as("n_good"), sum(lit(1L) - col("good")).as("n_bad"))
+      val tot = bins.agg(sum("n_good").as("tot_good"),
+        sum("n_bad").as("tot_bad"), count(lit(1)).as("n_bins"))
+      val woe = (length(bin((col("n_good") + 1) * (col("tot_bad") + col("n_bins")))) -
+        length(bin((col("n_bad") + 1) * (col("tot_good") + col("n_bins")))))
+        .cast("long")
+      bins.crossJoin(broadcast(tot))
+        .select(col("b"), col("n_users"), col("n_good"), col("n_bad"),
+          woe.as("woe_bits"),
+          ((expr("((n_good + 1) * 1000) div (tot_good + n_bins)") -
+            expr("((n_bad + 1) * 1000) div (tot_bad + n_bins)")) * woe)
+            .as("iv_contrib_milli"))
+    }),
+
+    // k-core decomposition (k=3) by 5 FIXED peeling rounds over the
+    // supplier/part-bucket bipartite graph: each round one degree
+    // aggregate + two semi-join filters, localCheckpoint snapping lineage
+    // — the iterative-graph-contraction shape at one shuffle per round.
+    // The oracle unrolls the SAME 5 peels, so the round count is pinned;
+    // the census is coalesce-guarded so an empty core still hash-matches
+    "q199_kcore" -> ((s, d) => {
+      var edges = lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("u"),
+          (lit(1000000L) + col("l_partkey") % 500).as("v"))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to 5) {
+        val keep = edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 3).select("n")
+        edges = edges
+          .join(keep.withColumnRenamed("n", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+          .select("u", "v").localCheckpoint()
+      }
+      val nodes = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n"))).distinct()
+      edges.agg(count(lit(1)).as("n_edges"),
+          coalesce(sum(expr("u + v")), lit(0L)).as("edge_checksum"))
+        .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum("n"), lit(0L)).as("node_checksum"))))
+        .select(col("n_nodes"), col("n_edges"), col("node_checksum"),
+          col("edge_checksum"))
+    }),
+
+    // the hashing trick: tokens mapped to a fixed 64-bucket feature space
+    // through the [[graft.text.Fingerprint]] rolling hash (the codegen'd
+    // expression whose contract is SQL-expressible, so the oracle hashes
+    // identically) — per-bucket load and collision census, the dimension-
+    // bounded featurization every large-scale text model feeds on
+    "q200_feature_hashing" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextOps.tokensCol(col("text"))).as("tok"))
+        .withColumn("bucket", TextOps.fingerprint(col("tok")) % 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("tok")).as("n_distinct_tokens"))),
+
+    // Spark 4 VARIANT round-trip: per-order nested JSON docs (header +
+    // linenumber-ordered line array) built with to_json, parsed to the
+    // VARIANT type, and shredded back out with typed variant_get paths —
+    // the semi-structured ingestion pattern. The oracle never sees the
+    // JSON: it recomputes the same census relationally, so a wrong
+    // parse/shred (dropped line, misordered array, type coercion)
+    // hash-fails against first principles
+    "q201_variant_shred" -> ((s, d) => {
+      val lines = lineitem(s, d).select(col("l_orderkey"),
+          struct(col("l_linenumber").cast("long").as("ln"),
+            ExactStats.micro(col("l_quantity")).cast("long").as("q")).as("li"))
+        .groupBy("l_orderkey").agg(sort_array(collect_list("li")).as("lis"))
+      val v = orders(s, d)
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          parse_json(to_json(struct(col("o_custkey").as("cust"),
+            col("o_orderpriority").as("prio"), col("lis").as("lines"))))
+            .as("v"))
+      v.select(col("o_orderpriority"),
+          expr("variant_get(v, '$.cust', 'long')").as("cust"),
+          expr("variant_get(v, '$.lines[0].q', 'long')").as("first_q"),
+          size(expr("variant_get(v, '$.lines', 'array<variant>')"))
+            .cast("long").as("n_lines"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("first_q").as("sum_first_q"),
+          sum("n_lines").as("sum_n_lines"), sum("cust").as("cust_checksum"))
+    })
   )
 
   /** The q195/q197 dirty-name registry: every customer record plus
@@ -7292,8 +7390,10 @@ object SparkEntry {
         |FROM hist, funnel""".stripMargin,
 
     "q196_weighted_sssp" -> {
+      // MATERIALIZED: each d_i is referenced twice by round i+1 and DuckDB
+      // re-inlines plain CTEs (2^8 re-evaluations of the fact join without it)
       val rounds = (1 to 8).map { i =>
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
            |  SELECT d.node,
            |    CASE WHEN d.dist IS NULL THEN r.cand
            |         WHEN r.cand IS NULL THEN d.dist
@@ -7311,8 +7411,9 @@ object SparkEntry {
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN customer ON o_custkey = c_custkey),
-        |edges AS (SELECT u, v, min(wd)::BIGINT AS w FROM fact GROUP BY 1, 2),
-        |d0 AS (
+        |edges AS MATERIALIZED (
+        |  SELECT u, v, min(wd)::BIGINT AS w FROM fact GROUP BY 1, 2),
+        |d0 AS MATERIALIZED (
         |  SELECT n_nationkey::BIGINT AS node,
         |    (CASE WHEN n_nationkey = 0 THEN 0 ELSE NULL END)::BIGINT AS dist
         |  FROM nation),
@@ -7324,7 +7425,100 @@ object SparkEntry {
       s"""WITH $ErCandCtes
         |SELECT lev, damerau_levenshtein(name_a, name_b)::BIGINT AS dl,
         |  count(*)::BIGINT AS n_pairs
-        |FROM cand GROUP BY 1, 2""".stripMargin
+        |FROM cand GROUP BY 1, 2""".stripMargin,
+
+    "q198_woe_binning" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS clicks,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS good
+        |  FROM events GROUP BY 1),
+        |bn AS (
+        |  SELECT least(clicks // 4, 5) AS b, count(*)::BIGINT AS n_users,
+        |    sum(good)::BIGINT AS n_good, sum(1 - good)::BIGINT AS n_bad
+        |  FROM per GROUP BY 1),
+        |t AS (
+        |  SELECT sum(n_good)::BIGINT AS tot_good,
+        |    sum(n_bad)::BIGINT AS tot_bad, count(*)::BIGINT AS n_bins
+        |  FROM bn)
+        |SELECT b, n_users, n_good, n_bad,
+        |  (length(bin((n_good + 1) * (tot_bad + n_bins)))
+        |    - length(bin((n_bad + 1) * (tot_good + n_bins))))::BIGINT
+        |    AS woe_bits,
+        |  (((((n_good + 1) * 1000) // (tot_good + n_bins))
+        |      - (((n_bad + 1) * 1000) // (tot_bad + n_bins)))
+        |    * (length(bin((n_good + 1) * (tot_bad + n_bins)))
+        |      - length(bin((n_bad + 1) * (tot_good + n_bins)))))::BIGINT
+        |    AS iv_contrib_milli
+        |FROM bn, t""".stripMargin,
+
+    "q199_kcore" -> {
+      // MATERIALIZED is load-bearing: each e_i is referenced three times
+      // by round i+1, and DuckDB re-inlines plain CTEs, which makes the
+      // 5-round unroll ~3^5 re-evaluations of the whole chain
+      val rounds = (1 to 5).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT n FROM (
+           |    SELECT n, count(*) AS deg FROM (
+           |      SELECT u AS n FROM e${i - 1}
+           |      UNION ALL SELECT v FROM e${i - 1}) dn
+           |    GROUP BY n) dd
+           |  WHERE deg >= 3),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey::BIGINT AS u,
+        |    (1000000 + l_partkey % 500)::BIGINT AS v
+        |  FROM lineitem),
+        |$rounds,
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT u AS n FROM e5 UNION ALL SELECT v FROM e5) nn),
+        |ea AS (SELECT count(*)::BIGINT AS n_edges,
+        |  coalesce(sum((u + v)::HUGEINT), 0)::BIGINT AS edge_checksum
+        |  FROM e5),
+        |na AS (SELECT count(*)::BIGINT AS n_nodes,
+        |  coalesce(sum(n::HUGEINT), 0)::BIGINT AS node_checksum FROM nodes)
+        |SELECT n_nodes, n_edges, node_checksum, edge_checksum
+        |FROM na, ea""".stripMargin
+    },
+
+    "q200_feature_hashing" ->
+      s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT tok, (${fingerprintSql("tok")}) % 64 AS bucket
+        |      FROM tok)
+        |SELECT bucket, count(*)::BIGINT AS n_occurrences,
+        |  count(DISTINCT tok)::BIGINT AS n_distinct_tokens
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // the oracle recomputes the shredded census relationally — first_q is
+    // the q of the lexicographically-first (ln, q) pair, exactly the
+    // sort_array(...)[0] the Spark side reads back through VARIANT
+    "q201_variant_shred" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber::BIGINT AS ln,
+        |    floor(l_quantity * 1e6)::BIGINT AS q
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT l_orderkey,
+        |    first_value(q) OVER (PARTITION BY l_orderkey
+        |      ORDER BY ln, q) AS first_q
+        |  FROM l),
+        |per AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+        |    min(first_q)::BIGINT AS first_q
+        |  FROM f GROUP BY 1)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum(per.first_q::HUGEINT)::BIGINT AS sum_first_q,
+        |  sum(per.n_lines::HUGEINT)::BIGINT AS sum_n_lines,
+        |  sum(o_custkey::HUGEINT)::BIGINT AS cust_checksum
+        |FROM orders JOIN per ON o_orderkey = per.l_orderkey
+        |GROUP BY 1""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked

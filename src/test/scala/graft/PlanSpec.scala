@@ -331,4 +331,39 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"supplier/nation dims must broadcast:\n$p")
   }
+
+  test("q192 spatial grid join: candidates via cell equi-join, never all-pairs") {
+    val p = plan("q192_spatial_grid_join")
+    assert(!p.contains("CartesianProduct"))
+    // the pair stage must be hash-keyed on the grid cell — the d2 radius
+    // predicate rides the equi-join, it doesn't become the join itself
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[jcx".r
+      .findFirstIn(p).isDefined,
+      s"spatial candidates must meet on the (cx, cy) cell key:\n$p")
+    // the only nested-loop allowed is the final 1-row census × 1-row layout
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar census cross-join may nested-loop:\n$p")
+  }
+
+  test("q194 bloom prune: bit-set joins broadcast, fact rows never pre-aggregate") {
+    val p = plan("q194_bloom_semijoin")
+    // two broadcast equi-joins against the ≤8192-row bit set prune the
+    // fact scan at row grain (the bloomProbe per-key-decision shape would
+    // need a distinct + re-join of every fact key instead)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both bloom bit joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q195 entity resolution: blocked candidates, never a name cross join") {
+    val p = plan("q195_entity_resolution")
+    assert(!p.contains("CartesianProduct"))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[blk".r
+      .findFirstIn(p).isDefined,
+      s"ER candidates must meet on the blocking key:\n$p")
+    // the only nested-loop allowed is the final 1-row funnel attach
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar funnel cross-join may nested-loop:\n$p")
+  }
 }
