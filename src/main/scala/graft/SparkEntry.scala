@@ -3697,8 +3697,123 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"), sum("first_q").as("sum_first_q"),
           sum("n_lines").as("sum_n_lines"), sum("cust").as("cust_checksum"))
+    }),
+
+    // t-closeness (q161/q186's completer): per-QI-group Earth Mover's
+    // Distance of the ordered sensitive attribute (balance band) against
+    // the global distribution — for an ordered attribute EMD is the mean
+    // |cumulative-share difference|, exact in ppm. Group×band grid is
+    // groups × ≤7 bands (broadcast), cumulative windows run on that grid,
+    // never on raw rows
+    "q202_t_closeness" -> ((s, d) => {
+      val bands = customer(s, d).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 2000.0) as long)").as("band"))
+      val glob = bands.groupBy("band").agg(count(lit(1)).as("gcnt"))
+      val gtot = glob.agg(sum("gcnt").as("n_total"),
+        count(lit(1)).as("n_bands"))
+      val gcum = glob.crossJoin(broadcast(gtot))
+        .withColumn("gcum_ppm", expr(
+          "(sum(gcnt) OVER (ORDER BY band) * 1000000) div n_total"))
+        .select(col("band"), col("gcum_ppm"), col("n_bands"))
+      val groups = bands.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"))
+      val cells = bands.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val grid = groups.crossJoin(broadcast(glob.select(col("band"))))
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+      grid.withColumn("cum_ppm",
+          expr("(sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment " +
+            "ORDER BY band) * 1000000) div n_rows"))
+        .join(broadcast(gcum), Seq("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "n_rows", "n_bands")
+        .agg(sum(abs(col("cum_ppm") - col("gcum_ppm"))).as("sum_absdiff"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"),
+          expr("sum_absdiff div (n_bands - 1)").as("t_ppm"))
+    }),
+
+    // NDCG@5 for the dense retriever, in the integer-log contract: the
+    // discount 1e6 div bitlen(rank+1) and its cumulative ideal are BOTH
+    // generated from one Scala table shared with the oracle SQL, so the
+    // quantization cannot drift. Relevance = label agreement (excluding
+    // the self-hit); queries with no relevant hit are excluded (idcg=0)
+    "q203_ndcg" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val topk = Similarity.cosineTopK(emb,
+        emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val rel = topk
+        .join(broadcast(lbl.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "lq")), Seq("query_id"))
+        .join(broadcast(lbl.withColumnRenamed("vec_id", "cand_id")
+          .withColumnRenamed("label", "lc")), Seq("cand_id"))
+        .withColumn("rel", (col("lq") === col("lc") &&
+          col("cand_id") =!= col("query_id")).cast("long"))
+      val per = rel.groupBy("query_id")
+        .agg(sum(col("rel") * expr(NdcgDiscCase)).as("dcg"),
+          sum("rel").as("nrel"))
+        .where(col("nrel") > 0)
+        .withColumn("ndcg_ppm",
+          expr(s"(dcg * 1000000) div ($NdcgIdealCase)"))
+      per.agg(count(lit(1)).as("n_queries"),
+        expr("sum(ndcg_ppm) div count(1)").as("mean_ndcg_ppm"),
+        min("ndcg_ppm").as("min_ndcg_ppm"),
+        sum((col("ndcg_ppm") === 1000000L).cast("long")).as("n_perfect"))
+    }),
+
+    // LATERAL correlated subquery (Spark 4 lateral join): per-nation top-2
+    // customers by balance expressed as the SQL-standard lateral shape —
+    // the optimizer decorrelates it into a ranked join rather than
+    // rescanning customers per nation; ties broken on c_custkey
+    "q204_lateral_topk" -> ((s, d) => {
+      nation(s, d).createOrReplaceTempView("nation_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT n_nationkey, c_custkey, bal_micro FROM nation_v,
+        LATERAL (SELECT c_custkey,
+                   cast(floor(c_acctbal * 1e6) as long) AS bal_micro
+                 FROM customer_v WHERE c_nationkey = n_nationkey
+                 ORDER BY bal_micro DESC, c_custkey LIMIT 2)""")
+    }),
+
+    // collation-aware dedup (Spark 4 collations): case-variant duplicates
+    // synthesized deterministically, then distinct-counted under binary
+    // equality vs the UTF8_LCASE collation — the engine-native form of
+    // case-insensitive identity, pinned against the oracle's lower()
+    // formulation
+    "q205_collation_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val reg = docs.unionByName(docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+      reg.agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("text")).as("n_distinct_binary"),
+        count_distinct(expr("collate(text, 'UTF8_LCASE')"))
+          .as("n_distinct_ci"))
     })
   )
+
+  /** NDCG@5 integer discount table — 1e6 div bitlen(r+1) per rank and its
+    * cumulative ideal prefix — rendered once here and embedded in BOTH the
+    * Spark expressions and the DuckDB oracle, the single source of truth
+    * for the quantized log.
+    */
+  private val NdcgDisc: Seq[Long] =
+    (1 to 5).map(r => 1000000L / java.lang.Long.toBinaryString(r + 1L).length)
+  private val NdcgDiscCase: String =
+    "CASE rank " + (1 to 5).map(r => s"WHEN $r THEN ${NdcgDisc(r - 1)}L")
+      .mkString(" ") + " END"
+  private val NdcgIdealCase: String =
+    "CASE nrel " + (1 to 5).map(n =>
+      s"WHEN $n THEN ${NdcgDisc.take(n).sum}L").mkString(" ") + " END"
+
+  /** The same two CASE tables without Spark's `L` literal suffix (DuckDB
+    * BIGINT literals are bare).
+    */
+  private val NdcgDiscCaseSql: String = NdcgDiscCase.replace("L ", " ")
+  private val NdcgIdealCaseSql: String = NdcgIdealCase.replace("L ", " ")
 
   /** The q195/q197 dirty-name registry: every customer record plus
     * deterministic mutations — a transposed-prefix duplicate (custkey%3),
@@ -7518,7 +7633,89 @@ object SparkEntry {
         |  sum(per.n_lines::HUGEINT)::BIGINT AS sum_n_lines,
         |  sum(o_custkey::HUGEINT)::BIGINT AS cust_checksum
         |FROM orders JOIN per ON o_orderkey = per.l_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q202_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 2000.0)::BIGINT AS band
+        |  FROM customer),
+        |gl AS (SELECT band, count(*)::BIGINT AS gcnt FROM b GROUP BY 1),
+        |gtot AS (SELECT sum(gcnt)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS n_bands FROM gl),
+        |gcum AS (
+        |  SELECT band,
+        |    ((sum(gcnt) OVER (ORDER BY band)) * 1000000 // n_total)::BIGINT
+        |      AS gcum_ppm,
+        |    n_bands
+        |  FROM gl, gtot),
+        |groups AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_rows
+        |  FROM b GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_rows, gb.band,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM groups g CROSS JOIN (SELECT band FROM gl) gb
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = gb.band),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_rows, band,
+        |    ((sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band)) * 1000000 // n_rows)::BIGINT AS cum_ppm
+        |  FROM grid)
+        |SELECT cum.c_nationkey, cum.c_mktsegment, cum.n_rows,
+        |  (sum(abs(cum_ppm - gcum_ppm)) // (max(gc.n_bands) - 1))::BIGINT
+        |    AS t_ppm
+        |FROM cum JOIN gcum gc ON cum.band = gc.band
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q203_ndcg" ->
+      s"""WITH de AS (
+        |  SELECT query_id, cand_id, rank FROM (
+        |    ${cosineTopkOracleSql(5, "q.vec_id % 50 = 0")})),
+        |lbl AS (SELECT vec_id, label FROM embeddings),
+        |r AS (
+        |  SELECT de.query_id, de.rank,
+        |    (CASE WHEN lq.label = lc.label AND de.cand_id <> de.query_id
+        |      THEN 1 ELSE 0 END)::BIGINT AS rel
+        |  FROM de JOIN lbl lq ON de.query_id = lq.vec_id
+        |  JOIN lbl lc ON de.cand_id = lc.vec_id),
+        |per AS (
+        |  SELECT query_id,
+        |    sum(rel * ($NdcgDiscCaseSql))::BIGINT AS dcg,
+        |    sum(rel)::BIGINT AS nrel
+        |  FROM r GROUP BY 1),
+        |scored AS (
+        |  SELECT query_id, dcg, nrel,
+        |    ((dcg * 1000000) // ($NdcgIdealCaseSql))::BIGINT AS ndcg_ppm
+        |  FROM per WHERE nrel > 0)
+        |SELECT count(*)::BIGINT AS n_queries,
+        |  (sum(ndcg_ppm) // count(*))::BIGINT AS mean_ndcg_ppm,
+        |  min(ndcg_ppm)::BIGINT AS min_ndcg_ppm,
+        |  sum(CASE WHEN ndcg_ppm = 1000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_perfect
+        |FROM scored""".stripMargin,
+
+    "q204_lateral_topk" ->
+      """SELECT n_nationkey, c_custkey, bal_micro FROM nation,
+        |LATERAL (SELECT c_custkey,
+        |           floor(c_acctbal * 1e6)::BIGINT AS bal_micro
+        |         FROM customer WHERE c_nationkey = n_nationkey
+        |         ORDER BY bal_micro DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    "q205_collation_dedup" ->
+      """WITH reg AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents
+        |  WHERE doc_id % 4 = 0)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT text)::BIGINT AS n_distinct_binary,
+        |  count(DISTINCT lower(text))::BIGINT AS n_distinct_ci
+        |FROM reg""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
