@@ -3792,7 +3792,84 @@ object SparkEntry {
         count_distinct(col("text")).as("n_distinct_binary"),
         count_distinct(expr("collate(text, 'UTF8_LCASE')"))
           .as("n_distinct_ci"))
-    })
+    }),
+
+    // hive-partitioned write + partition-pruned read: the storage-layout
+    // contract a 100 TB table lives or dies by. Orders land partitioned by
+    // priority; the read-back filter must prune to ONE directory (PlanSpec
+    // asserts PartitionFilters carries the predicate — the other 4/5 of
+    // the data is never opened), and the oracle re-reads the same tree
+    // hive-style, so the layout itself is hash-checked
+    "q206_partition_pruning" -> ((s, d) => {
+      val dir = s"$genDir/q206_orders_by_priority"
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(ExactStats.micro(col("o_totalprice")).cast("long"))
+            .as("rev_micro"),
+          count_distinct(col("o_custkey")).as("n_custs"))
+    }),
+
+    // compaction planning (the small-file problem): the 4,320-file corpus
+    // manifest with deterministic synthetic sizes, packed into ~64 KiB
+    // bins by ordered first-fit — bin id is pure arithmetic on the
+    // running sum ((cum − size) div cap), so planning is one window over
+    // the per-family file lists, no driver loop. The ops sweep every
+    // large table's maintenance job runs nightly
+    "q207_compaction_plan" -> ((s, d) => {
+      import s.implicits._
+      val files = s.createDataset(
+          graft.generate.Sinks.corpusManifest(Grid.all()).toSeq)
+        .toDF("rel_path")
+        .withColumn("family", expr("split_part(rel_path, '/', 1)"))
+        .withColumn("bytes",
+          (TextOps.fingerprint(col("rel_path")) % 9000 + 1000).cast("long"))
+      val w = Window.partitionBy("family").orderBy("rel_path")
+      val packed = files.withColumn("cum", sum("bytes").over(w))
+        .withColumn("bin", expr("(cum - bytes) div 65536"))
+      packed.groupBy("family", "bin")
+        .agg(sum("bytes").as("bin_bytes"), count(lit(1)).as("nf"))
+        .groupBy("family")
+        .agg(sum("nf").as("n_files"), sum("bin_bytes").as("total_bytes"),
+          count(lit(1)).as("n_bins"), max("bin_bytes").as("max_bin_bytes"))
+    }),
+
+    // hierarchical rollup by pointer doubling: the ancestor closure of the
+    // decimal-digit forest (parent = id div 10) built in 3 doubling rounds
+    // (A ∪ A∘A, distinct, localCheckpoint) — O(log depth) joins instead of
+    // depth sequential passes, the transitive-closure shape that makes
+    // deep-hierarchy rollups tractable at scale. Subtree sums for shallow
+    // ancestors then drop out of one grouped join; the oracle walks the
+    // SAME closure with a recursive CTE
+    "q208_hierarchy_rollup" -> ((s, d) => {
+      val cust = customer(s, d)
+      var anc = cust.where(col("c_custkey") > 0)
+        .select(col("c_custkey").as("v"),
+          expr("c_custkey div 10").as("a")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        anc = anc.unionByName(
+            anc.as("x").join(anc.as("y"), col("x.a") === col("y.v"))
+              .select(col("x.v").as("v"), col("y.a").as("a")))
+          .distinct().localCheckpoint()
+      }
+      val vals = cust.select(col("c_custkey").as("v"),
+        cents(col("c_acctbal")).cast("long").as("cts"))
+      anc.where(col("a") < 100).join(vals, Seq("v"))
+        .groupBy("a").agg(count(lit(1)).as("n_desc"),
+          sum("cts").as("subtree_cents"))
+    }),
+
+    // COMPLETE output mode (the third streaming mode, after q18-append and
+    // q163-update): a running top-3 event-type leaderboard whose memory
+    // sink is REPLACED per micro-batch — sort+limit is legal only in this
+    // mode. The 2-batch parity split proves the final emission equals the
+    // batch answer no matter how the stream was chopped
+    "q209_stream_complete_topk" -> ((s, d) =>
+      graft.streaming.StreamAgg.eventsTopTypesComplete(s, d,
+        splitDir = s"$genDir/events_split_complete",
+        queryName = s"graft_complete_${System.nanoTime()}"))
   )
 
   /** NDCG@5 integer discount table — 1e6 div bitlen(r+1) per rank and its
@@ -7715,7 +7792,62 @@ object SparkEntry {
         |SELECT count(*)::BIGINT AS n_docs,
         |  count(DISTINCT text)::BIGINT AS n_distinct_binary,
         |  count(DISTINCT lower(text))::BIGINT AS n_distinct_ci
-        |FROM reg""".stripMargin
+        |FROM reg""".stripMargin,
+
+    // the oracle re-reads the hive-partitioned tree Spark wrote, so the
+    // directory layout (partition key in the path, not the files) is
+    // itself under test
+    "q206_partition_pruning" ->
+      """SELECT count(*)::BIGINT AS n_orders,
+        |  sum(floor(o_totalprice * 1e6)::BIGINT::HUGEINT)::BIGINT
+        |    AS rev_micro,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_custs
+        |FROM read_parquet(
+        |  '__GEN_DIR__/q206_orders_by_priority/*/*.parquet',
+        |  hive_partitioning = 1)
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q207_compaction_plan" ->
+      s"""WITH files AS (
+        |  SELECT replace(file, '/root/reference/Datasets/', '') AS rel_path
+        |  FROM glob('/root/reference/Datasets/**/*.csv')),
+        |sized AS (
+        |  SELECT rel_path, split_part(rel_path, '/', 1) AS family,
+        |    (${fingerprintSql("rel_path")}) % 9000 + 1000 AS bytes
+        |  FROM files),
+        |packed AS (
+        |  SELECT family, bytes,
+        |    (sum(bytes) OVER (PARTITION BY family ORDER BY rel_path)
+        |      - bytes) // 65536 AS bin
+        |  FROM sized),
+        |bins AS (
+        |  SELECT family, bin, sum(bytes)::BIGINT AS bin_bytes,
+        |    count(*)::BIGINT AS nf
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT family, sum(nf)::BIGINT AS n_files,
+        |  sum(bin_bytes)::BIGINT AS total_bytes,
+        |  count(*)::BIGINT AS n_bins, max(bin_bytes)::BIGINT AS max_bin_bytes
+        |FROM bins GROUP BY 1""".stripMargin,
+
+    "q208_hierarchy_rollup" ->
+      """WITH RECURSIVE anc(v, a) AS (
+        |  SELECT c_custkey, c_custkey // 10 FROM customer WHERE c_custkey > 0
+        |  UNION
+        |  SELECT anc.v, anc.a // 10 FROM anc WHERE anc.a > 0),
+        |vals AS (
+        |  SELECT c_custkey AS v, floor(c_acctbal * 100 + 0.5)::BIGINT AS cts
+        |  FROM customer)
+        |SELECT a, count(*)::BIGINT AS n_desc,
+        |  sum(cts::HUGEINT)::BIGINT AS subtree_cents
+        |FROM anc JOIN vals USING (v)
+        |WHERE a < 100 GROUP BY 1""".stripMargin,
+
+    "q209_stream_complete_topk" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(floor(value * 1e6)::BIGINT::HUGEINT)::BIGINT
+        |    AS sum_value_micro
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, event_type LIMIT 3""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked

@@ -144,6 +144,25 @@ object StreamAgg {
     StreamSupport.runToMemory(src, queryName, outputMode = "update")
   }
 
+  /** COMPLETE output mode: a running top-3 event-type leaderboard. Sorting
+    * a streaming aggregate is legal only in complete mode (append/update
+    * reject it), because the sink is REPLACED with the full re-ranked
+    * result each micro-batch. Driven through the 2-batch parity split so
+    * the final table provably equals the batch answer regardless of how
+    * the stream was chopped; count ties break on event_type so the
+    * leaderboard is deterministic.
+    */
+  def eventsTopTypesComplete(spark: SparkSession, sfDir: String,
+      splitDir: String, queryName: String): DataFrame = {
+    val src = StreamSupport.eventsParityStream(spark, sfDir, splitDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
+      .orderBy(col("n_events").desc, col("event_type"))
+      .limit(3)
+    StreamSupport.runToMemory(src, queryName, outputMode = "complete")
+  }
+
   /** Production sink shape: the same windowed aggregation written APPEND-mode
     * to a parquet file sink with a checkpoint — watermark-closed windows only,
     * no driver-side materialization, restartable from the checkpoint. The

@@ -356,6 +356,14 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q206 partitioned read: the priority filter prunes to one directory") {
+    val p = plan("q206_partition_pruning")
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority[^\\]]*1-URGENT".r
+      .findFirstIn(p).isDefined,
+      s"the priority predicate must land in PartitionFilters (directory " +
+        s"pruning), not a post-scan filter:\n$p")
+  }
+
   test("q195 entity resolution: blocked candidates, never a name cross join") {
     val p = plan("q195_entity_resolution")
     assert(!p.contains("CartesianProduct"))

@@ -35,6 +35,24 @@ class StreamBatchSpec extends AnyFunSuite {
     assert(n === single.count())
   }
 
+  test("complete-mode top-k: 2 parity batches, final sink equals the batch answer") {
+    import org.apache.spark.sql.functions._
+    val out = StreamAgg.eventsTopTypesComplete(spark, d,
+      splitDir = tmp("complete"), queryName = s"t_cm_${System.nanoTime()}")
+    assert(StreamSupport.lastDataBatches === 2,
+      "parity split must arrive as two micro-batches")
+    val batch = graft.sources.Events.tsToLongNs(
+        spark.read.parquet(s"$d/events.parquet"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
+      .orderBy(col("n_events").desc, col("event_type")).limit(3)
+    // complete mode replaces the sink per batch — the final table must be
+    // exactly the batch leaderboard, row-for-row
+    assert(out.collect().toSeq == batch.collect().toSeq,
+      "final complete-mode emission must equal the batch top-3")
+  }
+
   test("late-replay split drives 3 data batches and rows ARE dropped") {
     import org.apache.spark.sql.functions._
     val out = StreamAgg.eventsWindowedLateDrop(spark, d, windowSec = 300L,
