@@ -3869,7 +3869,82 @@ object SparkEntry {
     "q209_stream_complete_topk" -> ((s, d) =>
       graft.streaming.StreamAgg.eventsTopTypesComplete(s, d,
         splitDir = s"$genDir/events_split_complete",
-        queryName = s"graft_complete_${System.nanoTime()}"))
+        queryName = s"graft_complete_${System.nanoTime()}")),
+
+    // equi-DEPTH binning (q198's equal-width complement): exact quintile
+    // boundaries as order statistics on the $100-bin histogram grain
+    // (boundary_q = min bin with cum ≥ ceil(qN/5) — pure integer), rows
+    // assigned by comparison against the 4 broadcast boundaries. The
+    // histogram is the only thing the window ever sorts; rows meet the
+    // boundaries in a broadcast join, never a global rank
+    "q210_equidepth_binning" -> ((s, d) => {
+      val binned = orders(s, d)
+        .select((cents(col("o_totalprice")).cast("long"))
+          .as("v")).withColumn("b", expr("v div 10000"))
+      val hist = binned.groupBy("b").agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum("n").as("nt"))
+      val cum = hist.crossJoin(broadcast(tot))
+        .withColumn("cum", expr("sum(n) OVER (ORDER BY b)"))
+      val bounds = cum.agg(
+        min(when(col("cum") >= expr("(1 * nt + 4) div 5"), col("b"))).as("b1"),
+        min(when(col("cum") >= expr("(2 * nt + 4) div 5"), col("b"))).as("b2"),
+        min(when(col("cum") >= expr("(3 * nt + 4) div 5"), col("b"))).as("b3"),
+        min(when(col("cum") >= expr("(4 * nt + 4) div 5"), col("b"))).as("b4"))
+      binned.crossJoin(broadcast(bounds))
+        .withColumn("bucket", lit(1L) + (col("b") > col("b1")).cast("long")
+          + (col("b") > col("b2")).cast("long")
+          + (col("b") > col("b3")).cast("long")
+          + (col("b") > col("b4")).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), min("b").as("min_bin"),
+          max("b").as("max_bin"), sum("v").as("sum_cents"))
+    }),
+
+    // per-user behavioral set similarity through array HOFs: the two
+    // parity halves' distinct event-type sets meet in collect_set /
+    // array_intersect (no per-pair shuffle), censused on the (|A|, |B|,
+    // |A∩B|) grain with exact ppm Jaccard. The oracle never builds an
+    // array — inclusion-exclusion over relational distinct counts proves
+    // the HOF set algebra from first principles
+    "q211_set_similarity" -> ((s, d) => {
+      val per = events(s, d).groupBy("user_id").agg(
+        array_sort(collect_set(when(col("event_id") % 2 === 0,
+          col("event_type")))).as("sa"),
+        array_sort(collect_set(when(col("event_id") % 2 === 1,
+          col("event_type")))).as("sb"))
+      per.select(size(col("sa")).cast("long").as("na"),
+          size(col("sb")).cast("long").as("nb"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"))
+        .groupBy("na", "nb", "ni")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("jaccard_ppm",
+          expr("(ni * 1000000) div (na + nb - ni)"))
+    }),
+
+    // schema evolution: two snapshot generations written with different
+    // schemas (v2 adds a column), read back as ONE table via mergeSchema —
+    // the long-lived-dataset contract every 100 TB lake depends on. The
+    // oracle re-reads both trees union_by_name, so the null-fill of the
+    // missing column is itself hash-checked
+    "q212_schema_evolution" -> ((s, d) => {
+      val o = orders(s, d)
+      val v1 = s"$genDir/q212_v1"
+      val v2 = s"$genDir/q212_v2"
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ExactStats.micro(col("o_totalprice")).cast("long").as("price_micro"))
+        .write.mode("overwrite").parquet(v1)
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ExactStats.micro(col("o_totalprice")).cast("long").as("price_micro"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(v2)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"), sum("price_micro").as("rev_micro"),
+          count_distinct(col("o_custkey")).as("n_custs"))
+    })
   )
 
   /** NDCG@5 integer discount table — 1e6 div bitlen(r+1) per rank and its
@@ -7847,7 +7922,56 @@ object SparkEntry {
         |  sum(floor(value * 1e6)::BIGINT::HUGEINT)::BIGINT
         |    AS sum_value_micro
         |FROM events GROUP BY 1
-        |ORDER BY n_events DESC, event_type LIMIT 3""".stripMargin
+        |ORDER BY n_events DESC, event_type LIMIT 3""".stripMargin,
+
+    "q210_equidepth_binning" ->
+      """WITH binned AS (
+        |  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT // 10000 AS b
+        |  FROM orders),
+        |hist AS (SELECT b, count(*)::BIGINT AS n FROM binned GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS nt FROM hist),
+        |cum AS (
+        |  SELECT b, nt, (sum(n) OVER (ORDER BY b))::BIGINT AS cum
+        |  FROM hist, tot),
+        |bounds AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= (1 * nt + 4) // 5 THEN b END) AS b1,
+        |    min(CASE WHEN cum >= (2 * nt + 4) // 5 THEN b END) AS b2,
+        |    min(CASE WHEN cum >= (3 * nt + 4) // 5 THEN b END) AS b3,
+        |    min(CASE WHEN cum >= (4 * nt + 4) // 5 THEN b END) AS b4
+        |  FROM cum)
+        |SELECT (1 + (b > b1)::INT + (b > b2)::INT + (b > b3)::INT
+        |    + (b > b4)::INT)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_orders, min(b)::BIGINT AS min_bin,
+        |  max(b)::BIGINT AS max_bin, sum(v::HUGEINT)::BIGINT AS sum_cents
+        |FROM binned, bounds GROUP BY 1""".stripMargin,
+
+    "q211_set_similarity" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT user_id, event_type, event_id % 2 AS par
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    count(DISTINCT CASE WHEN par = 0 THEN event_type END)::BIGINT
+        |      AS na,
+        |    count(DISTINCT CASE WHEN par = 1 THEN event_type END)::BIGINT
+        |      AS nb,
+        |    count(DISTINCT event_type)::BIGINT AS nu
+        |  FROM dt GROUP BY 1)
+        |SELECT na, nb, (na + nb - nu) AS ni, count(*)::BIGINT AS n_users,
+        |  (((na + nb - nu) * 1000000) // nu)::BIGINT AS jaccard_ppm
+        |FROM per GROUP BY na, nb, nu""".stripMargin,
+
+    "q212_schema_evolution" ->
+      """SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(price_micro::HUGEINT)::BIGINT AS rev_micro,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_custs
+        |FROM read_parquet(
+        |  ['__GEN_DIR__/q212_v1/*.parquet', '__GEN_DIR__/q212_v2/*.parquet'],
+        |  union_by_name = 1)
+        |GROUP BY 1""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
