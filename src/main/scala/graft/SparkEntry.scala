@@ -3944,6 +3944,49 @@ object SparkEntry {
           .as("priority"))
         .agg(count(lit(1)).as("n_orders"), sum("price_micro").as("rev_micro"),
           count_distinct(col("o_custkey")).as("n_custs"))
+    }),
+
+    // top user journeys: per (user, hour) activity window, the ordered
+    // event-type path materializes through ONE sorted-struct collect (no
+    // window function, no re-shuffle), long sessions capped so path state
+    // stays bounded; global top-5 rides TakeOrdered. The sequence-mining
+    // census every product-analytics stack starts from
+    "q213_path_census" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("sess", expr("ts_us div 3600000000"))
+      val per = ev.groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(ts_us, event_id, event_type))), x -> x.event_type), " +
+            "'>')").as("path"))
+      per.where(col("n") <= 8)
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(5)
+    }),
+
+    // r×c chi-square independence (q156's 2×2 generalized): nation ×
+    // segment observed vs expected under independence, the whole statistic
+    // exact — contrib_milli = (O·N − rt·ct)²·1000 div (rt·ct·N) in
+    // DECIMAL(38,0)/HUGEINT so the squared numerator cannot overflow.
+    // Dimension margins broadcast back onto the ≤125-cell grid
+    "q214_chi2_independence" -> ((s, d) => {
+      val cells = customer(s, d)
+        .groupBy(col("c_nationkey").as("r"), col("c_mktsegment").as("c"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("r").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("c").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"),
+        count_distinct(col("r")).as("nr"), count_distinct(col("c")).as("nc"))
+      cells.join(broadcast(rt), "r").join(broadcast(ct), "c")
+        .crossJoin(broadcast(n))
+        .withColumn("contrib_milli", expr(
+          "cast(cast((o * n - rt * ct) as decimal(38,0)) " +
+            "* (o * n - rt * ct) * 1000 div (rt * ct * n) as long)"))
+        .agg(sum("contrib_milli").as("chi2_milli"),
+          count(lit(1)).as("n_cells"),
+          max(expr("(nr - 1) * (nc - 1)")).as("dof"),
+          max(col("n")).as("n_customers"))
     })
   )
 
@@ -7971,7 +8014,36 @@ object SparkEntry {
         |FROM read_parquet(
         |  ['__GEN_DIR__/q212_v1/*.parquet', '__GEN_DIR__/q212_v2/*.parquet'],
         |  union_by_name = 1)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q213_path_census" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, ts_us // 3600000000 AS sess, count(*) AS n,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM per WHERE n <= 8
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 5""".stripMargin,
+
+    "q214_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS r, c_mktsegment AS c, count(*)::BIGINT AS o
+        |  FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT sum(o)::BIGINT AS n,
+        |  count(DISTINCT r)::BIGINT AS nr, count(DISTINCT c)::BIGINT AS nc
+        |  FROM cells)
+        |SELECT
+        |  sum(((o * n - rt.rt * ct.ct)::HUGEINT * (o * n - rt.rt * ct.ct)
+        |    * 1000) // (rt.rt * ct.ct * n))::BIGINT AS chi2_milli,
+        |  count(*)::BIGINT AS n_cells,
+        |  max((nr - 1) * (nc - 1))::BIGINT AS dof,
+        |  max(n)::BIGINT AS n_customers
+        |FROM cells JOIN rt USING (r) JOIN ct USING (c), t""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
