@@ -3987,6 +3987,91 @@ object SparkEntry {
           count(lit(1)).as("n_cells"),
           max(expr("(nr - 1) * (nc - 1)")).as("dof"),
           max(col("n")).as("n_customers"))
+    }),
+
+    // time-decayed engagement scoring (the feature-store freshness
+    // weighting) in EXACT integer halving: value halves per week of age
+    // (v div 2^age_weeks, shift capped), so the score is bit-stable under
+    // any partitioning — no float decay drift. One scan + broadcast
+    // max-ts, top-10 rides TakeOrdered
+    "q215_time_decay_score" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        greatest(floor(col("value") * 1e6), lit(0.0)).cast("long")
+          .as("vm"))
+      val mx = ev.agg(max("ts_us").as("max_us"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("shift", least(
+          expr("(max_us - ts_us) div 604800000000"), lit(20L)).cast("int"))
+        .withColumn("dec", expr("vm div (cast(1 as bigint) << shift)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("dec").as("decayed_micro"))
+        .orderBy(col("decayed_micro").desc, col("user_id")).limit(10)
+    }),
+
+    // sequence-pattern census over the q213 journey paths: how many
+    // (user, hour) sessions contain the click→purchase adjacency, a view
+    // before any purchase, or an error anywhere — pattern tests are plain
+    // substring containment on the materialized path (identical semantics
+    // on both engines; no regex-dialect drift), the MATCH_RECOGNIZE-lite
+    // every product funnel starts with
+    "q216_sequence_pattern" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("sess", expr("ts_us div 3600000000"))
+      val per = ev.groupBy("user_id", "sess")
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(ts_us, event_id, event_type))), x -> x.event_type), " +
+          "'>')").as("path"))
+      per.agg(count(lit(1)).as("n_sessions"),
+        sum(col("path").contains("click>purchase").cast("long"))
+          .as("n_click_then_purchase"),
+        sum((instr(col("path"), "view") > 0 &&
+          instr(col("path"), "purchase") > instr(col("path"), "view"))
+          .cast("long")).as("n_view_before_purchase"),
+        sum(col("path").contains("error").cast("long")).as("n_with_error"))
+    }),
+
+    // sorted-neighborhood blocking (the classic alternative to q195's key
+    // blocking): sort the dirty registry by its stable digit payload INSIDE digit-suffix
+    // partitions, pair each record with its next 2 neighbors (two lead()
+    // calls — O(w·N) candidates, no self-join), and score recall against
+    // q195's full blocked-candidate truth. Cross-partition misses are the
+    // documented SNM trade; the recall number IS the output
+    "q217_sorted_neighborhood" -> ((s, d) => {
+      val reg = erRegistry(s, d)
+      // sort key quality IS the method: sorting by the mutation-stable
+      // digit payload (blk) puts true duplicates adjacent; sorting by raw
+      // name would scatter them and recall collapses to 0
+      val w = Window.partitionBy(expr("right(name, 2)"))
+        .orderBy(col("blk"), col("name"), col("id"))
+      val nbr = reg
+        .withColumn("n1", lead(col("name"), 1).over(w))
+        .withColumn("i1", lead(col("id"), 1).over(w))
+        .withColumn("n2", lead(col("name"), 2).over(w))
+        .withColumn("i2", lead(col("id"), 2).over(w))
+      val pairs = nbr.where(col("i1").isNotNull)
+        .select(col("id").as("ia"), col("name").as("na"),
+          col("i1").as("ib"), col("n1").as("nb"))
+        .unionByName(nbr.where(col("i2").isNotNull)
+          .select(col("id").as("ia"), col("name").as("na"),
+            col("i2").as("ib"), col("n2").as("nb")))
+        .select(least(col("ia"), col("ib")).as("id_lo"),
+          greatest(col("ia"), col("ib")).as("id_hi"),
+          expr("levenshtein(na, nb)").cast("long").as("lev"))
+        .distinct()
+      val truth = erCandidates(s, d).where(col("lev") <= 2)
+        .select(least(col("id_a"), col("id_b")).as("id_lo"),
+          greatest(col("id_a"), col("id_b")).as("id_hi"))
+      val hits = pairs.where(col("lev") <= 2)
+        .join(truth, Seq("id_lo", "id_hi"), "inner")
+      pairs.agg(count(lit(1)).as("n_pairs_considered"),
+          sum((col("lev") <= 2).cast("long")).as("n_matches"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_matches"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_pairs_considered"), col("n_matches"),
+          col("n_true_matches"), col("n_hits"),
+          expr("(n_hits * 1000000) div n_true_matches").as("recall_ppm"))
     })
   )
 
@@ -8043,7 +8128,71 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_cells,
         |  max((nr - 1) * (nc - 1))::BIGINT AS dof,
         |  max(n)::BIGINT AS n_customers
-        |FROM cells JOIN rt USING (r) JOIN ct USING (c), t""".stripMargin
+        |FROM cells JOIN rt USING (r) JOIN ct USING (c), t""".stripMargin,
+
+    "q215_time_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    greatest(floor(value * 1e6), 0)::BIGINT AS vm
+        |  FROM events),
+        |mx AS (SELECT max(ts_us) AS max_us FROM ev),
+        |dec AS (
+        |  SELECT user_id, vm // (1::BIGINT <<
+        |    least((max_us - ts_us) // 604800000000, 20)::INT) AS dec
+        |  FROM ev, mx)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(dec::HUGEINT)::BIGINT AS decayed_micro
+        |FROM dec GROUP BY 1
+        |ORDER BY decayed_micro DESC, user_id LIMIT 10""".stripMargin,
+
+    "q216_sequence_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, ts_us // 3600000000 AS sess,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN contains(path, 'click>purchase') THEN 1 ELSE 0
+        |    END)::BIGINT AS n_click_then_purchase,
+        |  sum(CASE WHEN instr(path, 'view') > 0
+        |      AND instr(path, 'purchase') > instr(path, 'view')
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_view_before_purchase,
+        |  sum(CASE WHEN contains(path, 'error') THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_with_error
+        |FROM per""".stripMargin,
+
+    "q217_sorted_neighborhood" ->
+      s"""WITH $ErCandCtes,
+        |nbr AS (
+        |  SELECT id, name,
+        |    lead(name, 1) OVER w AS n1, lead(id, 1) OVER w AS i1,
+        |    lead(name, 2) OVER w AS n2, lead(id, 2) OVER w AS i2
+        |  FROM regb
+        |  WINDOW w AS (PARTITION BY right(name, 2)
+        |               ORDER BY blk, name, id)),
+        |pairs AS (
+        |  SELECT DISTINCT least(ia, ib) AS id_lo, greatest(ia, ib) AS id_hi,
+        |    levenshtein(na, nb)::BIGINT AS lev
+        |  FROM (
+        |    SELECT id AS ia, name AS na, i1 AS ib, n1 AS nb FROM nbr
+        |    WHERE i1 IS NOT NULL
+        |    UNION ALL
+        |    SELECT id, name, i2, n2 FROM nbr WHERE i2 IS NOT NULL) u),
+        |truth AS (
+        |  SELECT id_a AS id_lo, id_b AS id_hi FROM cand WHERE lev <= 2),
+        |hits AS (
+        |  SELECT count(*)::BIGINT AS n_hits
+        |  FROM pairs JOIN truth USING (id_lo, id_hi) WHERE pairs.lev <= 2),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_pairs_considered,
+        |    sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_matches
+        |  FROM pairs),
+        |tr AS (SELECT count(*)::BIGINT AS n_true_matches FROM truth)
+        |SELECT n_pairs_considered, n_matches, n_true_matches, n_hits,
+        |  ((n_hits * 1000000) // n_true_matches)::BIGINT AS recall_ppm
+        |FROM agg, tr, hits""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
