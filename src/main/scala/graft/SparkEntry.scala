@@ -4072,6 +4072,32 @@ object SparkEntry {
         .select(col("n_pairs_considered"), col("n_matches"),
           col("n_true_matches"), col("n_hits"),
           expr("(n_hits * 1000000) div n_true_matches").as("recall_ppm"))
+    }),
+
+    // bucket pruning (q59's bucketed layout, read side): a point-lookup
+    // filter on the bucketing key scans only the buckets those keys hash
+    // to — PlanSpec asserts SelectedBucketsCount < total, the
+    // file-skipping complement to q206's directory pruning. At 100 TB the
+    // difference is opening 3 files instead of 8·(files per bucket)
+    "q218_bucket_pruning" -> ((s, d) => {
+      val name = "graft_cust_bucketed"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = new java.io.File(wh, name)
+      if (dir.exists)
+        require(scala.reflect.io.Directory(dir).deleteRecursively(),
+          s"cannot clear stale table location $dir")
+      customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(name)
+      // the auto-bucketed-scan heuristic drops the bucketed layout when no
+      // join wants its distribution — but that also forfeits bucket
+      // PRUNING, which is the point here; keep the bucketed scan on
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      s.table(name).where(col("c_custkey").isin(7L, 42L, 100L))
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).cast("long").as("bal_cents"))
     })
   )
 
@@ -8192,7 +8218,12 @@ object SparkEntry {
         |tr AS (SELECT count(*)::BIGINT AS n_true_matches FROM truth)
         |SELECT n_pairs_considered, n_matches, n_true_matches, n_hits,
         |  ((n_hits * 1000000) // n_true_matches)::BIGINT AS recall_ppm
-        |FROM agg, tr, hits""".stripMargin
+        |FROM agg, tr, hits""".stripMargin,
+
+    "q218_bucket_pruning" ->
+      """SELECT c_custkey, c_nationkey,
+        |  floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+        |FROM customer WHERE c_custkey IN (7, 42, 100)""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked

@@ -364,6 +364,13 @@ class PlanSpec extends AnyFunSuite {
         s"pruning), not a post-scan filter:\n$p")
   }
 
+  test("q218 bucketed read: the key filter prunes to a subset of buckets") {
+    val p = plan("q218_bucket_pruning")
+    assert("SelectedBucketsCount: [1-3] out of 8".r.findFirstIn(p)
+      .isDefined,
+      s"the 3-key point lookup must scan at most 3 of 8 buckets:\n$p")
+  }
+
   test("q195 entity resolution: blocked candidates, never a name cross join") {
     val p = plan("q195_entity_resolution")
     assert(!p.contains("CartesianProduct"))
