@@ -4098,6 +4098,58 @@ object SparkEntry {
       s.table(name).where(col("c_custkey").isin(7L, 42L, 100L))
         .select(col("c_custkey"), col("c_nationkey"),
           cents(col("c_acctbal")).cast("long").as("bal_cents"))
+    }),
+
+    // query observability: the observe() API attaches metrics to a running
+    // query (zero extra scan — the listener collects them as rows flow),
+    // the production pattern for row-count/quality monitors on 100 TB
+    // pipelines where a second audit pass is unaffordable. The observed
+    // metrics ARE the output here, and the oracle recomputes them with a
+    // plain aggregate — so the listener path is hash-checked against the
+    // data itself
+    "q219_query_observability" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val li = lineitem(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice")).cast("long")).as("sum_price_cents"),
+        sum(col("l_quantity").isNull.cast("long")).as("n_null_qty"),
+        max(cents(col("l_discount")).cast("long")).as("max_disc_cents"))
+      li.where(col("l_quantity") > 0).write.mode("overwrite")
+        .format("noop").save() // drive the scan; metrics land in obs
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price_cents").asInstanceOf[Long],
+        m("n_null_qty").asInstanceOf[Long],
+        m("max_disc_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_price_cents", "n_null_qty", "max_disc_cents")
+    }),
+
+    // ANSI-mode safe casting: try_cast/try_divide turn malformed input
+    // into nulls instead of job-killing exceptions — the ingestion-edge
+    // contract for dirty 100 TB feeds. Tokens of the documents corpus are
+    // probed as numbers; the census pins how many parse, and the sum of
+    // those that do, plus a try_divide-by-zero null count
+    "q220_try_cast_audit" -> ((s, d) => {
+      // the word corpus carries no numeric tokens, so deterministic
+      // integer-form tokens (n_chars, -doc_id) are mixed in; dotted
+      // decimals are deliberately absent — Spark's try_cast nulls '3.5'
+      // where DuckDB rounds it, a real cross-engine semantic edge this
+      // contract sidesteps by construction
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokensCol(col("text"))).as("tok"))
+        .unionByName(docs.select(col("doc_id"),
+          col("n_chars").cast("string").as("tok")))
+        .unionByName(docs.select(col("doc_id"),
+          concat(lit("-"), col("doc_id")).as("tok")))
+      toks.select(col("doc_id"), col("tok"),
+          expr("try_cast(tok as bigint)").as("num"),
+          expr("try_divide(100, length(tok) - 3)").as("risky"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("num").isNotNull.cast("long")).as("n_numeric"),
+          sum(coalesce(col("num"), lit(0L))).as("sum_numeric"),
+          sum(col("risky").isNull.cast("long")).as("n_div_null"))
     })
   )
 
@@ -8223,7 +8275,33 @@ object SparkEntry {
     "q218_bucket_pruning" ->
       """SELECT c_custkey, c_nationkey,
         |  floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
-        |FROM customer WHERE c_custkey IN (7, 42, 100)""".stripMargin
+        |FROM customer WHERE c_custkey IN (7, 42, 100)""".stripMargin,
+
+    "q219_query_observability" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT::HUGEINT)::BIGINT
+        |    AS sum_price_cents,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_null_qty,
+        |  max(floor(l_discount * 100 + 0.5))::BIGINT AS max_disc_cents
+        |FROM lineitem""".stripMargin,
+
+    "q220_try_cast_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, n_chars::VARCHAR FROM documents
+        |  UNION ALL SELECT doc_id, '-' || doc_id::VARCHAR FROM documents),
+        |probed AS (
+        |  SELECT try_cast(tok AS BIGINT) AS num,
+        |    (CASE WHEN length(tok) = 3 THEN 1 ELSE 0 END) AS div_null
+        |  FROM toks)
+        |SELECT count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN num IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_numeric,
+        |  sum(coalesce(num, 0)::HUGEINT)::BIGINT AS sum_numeric,
+        |  sum(div_null)::BIGINT AS n_div_null
+        |FROM probed""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
