@@ -13,8 +13,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    // optional arg: regex over query names (default = everything)
+    val pat = args.headOption.getOrElse("q.*")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("q1(69|7[0-3]).*"))
+      .filter(n => n.matches(pat))
     names.foreach { n =>
       try {
         val p = SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
