@@ -4150,6 +4150,22 @@ object SparkEntry {
           sum(col("num").isNotNull.cast("long")).as("n_numeric"),
           sum(coalesce(col("num"), lit(0L))).as("sum_numeric"),
           sum(col("risky").isNull.cast("long")).as("n_div_null"))
+    }),
+
+    // REAL image resize (the thumbnail/preprocess stage, completing the
+    // multimodal quartet: decode q176 / features / resize / frame-sample
+    // q50): genuine PNGs decoded through ImageIO, nearest-neighbor resized
+    // to 8×6 in exact floor-division arithmetic, features of the RESIZED
+    // raster — the oracle replays the sampling map pixel-by-pixel,
+    // codec-free, so a wrong resize kernel hash-fails
+    "q221_image_resize" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageResizeFeatures(
+          Multimodal.synthImageCorpus(documents(s, d)), 8, 6)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("nPixels").as("n_pixels"), col("sumPix").as("sum_pix"),
+          col("momentPix").as("moment_pix"), col("meanMilli").as("mean_milli"))
     })
   )
 
@@ -8301,7 +8317,30 @@ object SparkEntry {
         |    AS n_numeric,
         |  sum(coalesce(num, 0)::HUGEINT)::BIGINT AS sum_numeric,
         |  sum(div_null)::BIGINT AS n_div_null
-        |FROM probed""".stripMargin
+        |FROM probed""".stripMargin,
+
+    // nearest-neighbor map: resized pixel ip = (y, x) samples source index
+    // (y·h div 6)·w + (x·w div 8) of the position-hashed raster — the same
+    // floor divisions the Scala kernel runs
+    "q221_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (16 + doc_id % 16)::INTEGER AS width,
+        |         (12 + doc_id % 8)::INTEGER AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height, unnest(range(48)) AS ip
+        |  FROM dims),
+        |b AS (
+        |  SELECT doc_id, ip,
+        |    ((doc_id * 2654435761 + (((ip // 8) * height // 6) * width
+        |       + ((ip % 8) * width // 8)) * 40503) % 2147483648) % 256
+        |      AS pix
+        |  FROM px)
+        |SELECT doc_id AS media_id, 8::INTEGER AS width, 6::INTEGER AS height,
+        |  count(*)::BIGINT AS n_pixels, sum(pix)::BIGINT AS sum_pix,
+        |  sum(ip * pix)::BIGINT AS moment_pix,
+        |  ((1000 * sum(pix)) // 48)::BIGINT AS mean_milli
+        |FROM b GROUP BY 1""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked

@@ -404,6 +404,51 @@ object Multimodal {
     }
   }
 
+  /** REAL nearest-neighbor resize over a decoded raster: target pixel
+    * (x, y) samples source (x·w div tw, y·h div th) — floor division, so
+    * the mapping is exact integer arithmetic an engine without a codec
+    * (the DuckDB oracle) replays verbatim. The real counterpart of
+    * [[resizeStub]].
+    */
+  def resizeNearest(d: Decoded, tw: Int, th: Int): Decoded = {
+    val out = new Array[Byte](tw * th)
+    var y = 0; var i = 0
+    while (y < th) {
+      val sy = y * d.height / th
+      var x = 0
+      while (x < tw) {
+        out(i) = d.pixels(sy * d.width + (x * d.width / tw))
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    Decoded(tw, th, out)
+  }
+
+  /** Decode (real codec) → [[resizeNearest]] to (tw, th) → exact integer
+    * features of the RESIZED raster, the thumbnail/preprocess stage of an
+    * image pipeline. Same narrow batched shape as [[imageFeatures]].
+    */
+  def imageResizeFeatures(ds: Dataset[MediaRow], tw: Int, th: Int,
+      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val dec = resizeNearest(decodeImage(m.content), tw, th)
+          var sum = 0L; var moment = 0L; var i = 0
+          while (i < dec.pixels.length) {
+            val b = dec.pixels(i) & 0xff
+            sum += b; moment += i.toLong * b; i += 1
+          }
+          val n = dec.pixels.length.toLong
+          ImageFeatures(m.mediaId, dec.width, dec.height, n, sum, moment,
+            if (n == 0) 0L else 1000L * sum / n)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatures(mediaId: Long, nSamples: Long, sumAmp: Long,
       momentAmp: Long, nMidCrossings: Long, meanMilli: Long)
 

@@ -157,4 +157,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.meanMilli == 1000L * sum / (w.toLong * h))
     }
   }
+
+  test("resizeNearest: identity at same dims; exact floor-division sampling map") {
+    val d = Multimodal.Decoded(4, 2,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val same = Multimodal.resizeNearest(d, 4, 2)
+    assert(same.pixels.toSeq == d.pixels.toSeq, "same-dims resize is identity")
+    val half = Multimodal.resizeNearest(d, 2, 1)
+    // target (x, y) samples source (x·4 div 2, y·2 div 1) = (0,0) and (2,0)
+    assert(half.pixels.toSeq == Seq[Byte](10, 30))
+    val up = Multimodal.resizeNearest(d, 8, 2)
+    // upscale duplicates columns: x·4 div 8 = 0,0,1,1,2,2,3,3
+    assert(up.pixels.take(8).toSeq ==
+      Seq[Byte](10, 10, 20, 20, 30, 30, 40, 40))
+  }
 }
