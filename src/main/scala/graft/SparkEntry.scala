@@ -4166,6 +4166,55 @@ object SparkEntry {
         .select(col("mediaId").as("media_id"), col("width"), col("height"),
           col("nPixels").as("n_pixels"), col("sumPix").as("sum_pix"),
           col("momentPix").as("moment_pix"), col("meanMilli").as("mean_milli"))
+    }),
+
+    // foreachBatch CDC-apply: the parity-split change stream merged into a
+    // versioned per-user serving table batch by batch (latest-wins, merge
+    // input collapsed to |keys touched| first) — the lakehouse pattern for
+    // sinks with no native MERGE. The invariant under test: the final
+    // version equals the one-shot latest-per-user over the whole stream,
+    // however the stream was chopped
+    "q222_stream_foreachbatch_upsert" -> ((s, d) =>
+      graft.streaming.StreamUpsert.eventsIncrementalUpsert(s, d,
+        splitDir = s"$genDir/events_split_upsert",
+        tableDir = s"$genDir/q222_serving_table",
+        queryName = s"graft_febupsert_${System.nanoTime()}")),
+
+    // MapType end-to-end: per-user event-type histograms as REAL map
+    // columns (map_from_entries over one sorted collect), consumed with
+    // map lookups (element_at), size, and a map_values HOF fold — then
+    // censused back to scalars. The semi-structured per-entity-profile
+    // shape feature stores serve; the oracle proves the map algebra
+    // relationally
+    "q223_map_analytics" -> ((s, d) => {
+      val m = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+      m.select(size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L))
+            .as("n_purchase"),
+          expr("aggregate(map_values(m), 0L, (a, x) -> a + x)")
+            .as("n_total"))
+        .groupBy("n_types")
+        .agg(count(lit(1)).as("n_users"), sum("n_purchase").as("sum_purchase"),
+          sum("n_total").as("sum_events"))
+    }),
+
+    // correlated scalar subquery (the fourth correlation shape after
+    // EXISTS q167, IN q34, LATERAL q204): per-order max line quantity as
+    // an inline scalar — Catalyst decorrelates it into one aggregate +
+    // join instead of a per-row rescan, which is the difference between
+    // one shuffle and O(orders) scans at 100 TB
+    "q224_scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("ord_v")
+      lineitem(s, d).createOrReplaceTempView("li_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+          sum((SELECT coalesce(cast(floor(max(l_quantity) * 1e6) as long), 0)
+               FROM li_v l WHERE l.l_orderkey = o.o_orderkey))
+            AS sum_max_qty_micro
+        FROM ord_v o GROUP BY o_orderpriority""")
     })
   )
 
@@ -8340,7 +8389,41 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_pixels, sum(pix)::BIGINT AS sum_pix,
         |  sum(ip * pix)::BIGINT AS moment_pix,
         |  ((1000 * sum(pix)) // 48)::BIGINT AS mean_milli
-        |FROM b GROUP BY 1""".stripMargin
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q222_stream_foreachbatch_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    floor(value * 1e6)::BIGINT AS v_micro
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT user_id, ts_us, event_id, event_type, v_micro
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q223_map_analytics" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |per AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN event_type = 'purchase' THEN n ELSE 0
+        |      END)::BIGINT AS n_purchase,
+        |    sum(n)::BIGINT AS n_total
+        |  FROM c GROUP BY 1)
+        |SELECT n_types, count(*)::BIGINT AS n_users,
+        |  sum(n_purchase::HUGEINT)::BIGINT AS sum_purchase,
+        |  sum(n_total::HUGEINT)::BIGINT AS sum_events
+        |FROM per GROUP BY 1""".stripMargin,
+
+    "q224_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum((SELECT coalesce(floor(max(l_quantity) * 1e6)::BIGINT, 0)
+        |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |    ::HUGEINT)::BIGINT AS sum_max_qty_micro
+        |FROM orders o GROUP BY o_orderpriority""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
