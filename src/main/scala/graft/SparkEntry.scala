@@ -4215,6 +4215,38 @@ object SparkEntry {
                FROM li_v l WHERE l.l_orderkey = o.o_orderkey))
             AS sum_max_qty_micro
         FROM ord_v o GROUP BY o_orderpriority""")
+    }),
+
+    // SQL-native PIVOT clause (the API complement of q39's DataFrame
+    // pivot): multi-aggregate pivot over a pinned value list — the value
+    // list is explicit, so the output schema is static and plannable (an
+    // inferred list would need an extra distinct pass at 100 TB). The
+    // oracle is plain conditional aggregation with matching column names
+    "q225_sql_pivot" -> ((s, d) => {
+      events(s, d).select((col("user_id") % 10).as("cohort"),
+          col("event_type"),
+          floor(col("value") * lit(1e6)).cast("long").as("vm"))
+        .createOrReplaceTempView("ev_pivot_v")
+      s.sql("""SELECT * FROM ev_pivot_v
+        PIVOT (count(*) AS n, sum(vm) AS s
+               FOR event_type IN ('click' AS click, 'view' AS view,
+                                  'purchase' AS purchase))""")
+    }),
+
+    // explicit null ordering: Spark sorts nulls FIRST ascending by
+    // default, DuckDB LAST — an engine-default divergence that silently
+    // reorders any ranked output with nullable keys. The contract pins
+    // NULLS LAST explicitly on both sides (top-3 per status over a
+    // deliberately nulled key), which is the only portable spelling
+    "q226_null_ordering" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderstatus"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("prio_nullable"),
+        col("o_orderkey"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("prio_nullable").asc_nulls_last, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("prio_nullable"),
+          col("o_orderkey"), col("rn").cast("long").as("rn"))
     })
   )
 
@@ -8423,7 +8455,38 @@ object SparkEntry {
         |  sum((SELECT coalesce(floor(max(l_quantity) * 1e6)::BIGINT, 0)
         |       FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |    ::HUGEINT)::BIGINT AS sum_max_qty_micro
-        |FROM orders o GROUP BY o_orderpriority""".stripMargin
+        |FROM orders o GROUP BY o_orderpriority""".stripMargin,
+
+    "q225_sql_pivot" ->
+      """WITH ev AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events)
+        |SELECT cohort,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT
+        |    AS click_n,
+        |  sum(CASE WHEN event_type = 'click' THEN vm END)::BIGINT
+        |    AS click_s,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT
+        |    AS view_n,
+        |  sum(CASE WHEN event_type = 'view' THEN vm END)::BIGINT AS view_s,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+        |    AS purchase_n,
+        |  sum(CASE WHEN event_type = 'purchase' THEN vm END)::BIGINT
+        |    AS purchase_s
+        |FROM ev GROUP BY 1""".stripMargin,
+
+    "q226_null_ordering" ->
+      """SELECT o_orderstatus,
+        |  nullif(o_orderpriority, '1-URGENT') AS prio_nullable,
+        |  o_orderkey, rn
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY nullif(o_orderpriority, '1-URGENT') ASC NULLS LAST,
+        |        o_orderkey)::BIGINT AS rn
+        |  FROM orders) r
+        |WHERE rn <= 3""".stripMargin
   )
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
