@@ -35,6 +35,29 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Full-grid generation digest shared by q177 and the `_gen` artifact
+    * row: every one of the 2,592 sweep configs pinned individually.
+    */
+  private def sweepDigest(s: SparkSession, dumpName: String): DataFrame = {
+    val sweep = Generate.wideFast(s, Grid.all())
+      .select(col("configId"), col("family"), col("X1"), col("time"),
+        col("maskBits"))
+    dumpGen(s, dumpName, sweep)
+      .groupBy("configId", "family")
+      .agg(count(lit(1)).as("n_rows"),
+        // clamp to ±1e6 BEFORE quantizing: a handful of D2/D2C grid cells
+        // diverge to ±Inf (faithful to the reference recurrences), and
+        // floor(Inf·1e6) has no integer. least/greatest treat Inf (and
+        // NaN, which sorts above Inf) identically on both engines, so the
+        // clamped sum stays a bitwise cross-engine integer
+        ExactStats.sumMicro(greatest(least(col("X1"), lit(1e6)), lit(-1e6)))
+          .as("sum_x1c_micro"),
+        sum(when(abs(col("X1")) > 1e6, 1L).otherwise(0L)).as("n_clipped"),
+        ExactStats.sumMicro(col("time")).as("sum_time_micro"),
+        sum("maskBits").as("mask_sum"))
+      .withColumnRenamed("configId", "config_id")
+  }
+
   private def lineitem(s: SparkSession, d: String) = s.read.parquet(t(d, "lineitem"))
   private def orders(s: SparkSession, d: String) = s.read.parquet(t(d, "orders"))
   private def customer(s: SparkSession, d: String) = s.read.parquet(t(d, "customer"))
@@ -997,25 +1020,15 @@ object SparkEntry {
     // configId. A kernel/ordering/mask/timestamp regression in ANY
     // family×size×lag×noise cell hash-fails this one query. The dump
     // projects just the digest columns so the verify artifact stays small
-    "q177_full_sweep_digest" -> ((s, d) => {
-      val sweep = Generate.wideFast(s, Grid.all())
-        .select(col("configId"), col("family"), col("X1"), col("time"),
-          col("maskBits"))
-      dumpGen(s, "q177_sweep", sweep)
-        .groupBy("configId", "family")
-        .agg(count(lit(1)).as("n_rows"),
-          // clamp to ±1e6 BEFORE quantizing: a handful of D2/D2C grid cells
-          // diverge to ±Inf (faithful to the reference recurrences), and
-          // floor(Inf·1e6) has no integer. least/greatest treat Inf (and
-          // NaN, which sorts above Inf) identically on both engines, so the
-          // clamped sum stays a bitwise cross-engine integer
-          ExactStats.sumMicro(greatest(least(col("X1"), lit(1e6)), lit(-1e6)))
-            .as("sum_x1c_micro"),
-          sum(when(abs(col("X1")) > 1e6, 1L).otherwise(0L)).as("n_clipped"),
-          ExactStats.sumMicro(col("time")).as("sum_time_micro"),
-          sum("maskBits").as("mask_sum"))
-        .withColumnRenamed("configId", "config_id")
-    }),
+    "q177_full_sweep_digest" -> ((s, d) => sweepDigest(s, "q177_sweep")),
+
+    // the driver's raw-generation artifact row, flipped green: `_gen` used
+    // to be the scratch dump directory itself (a permanently no-oracle
+    // row); the scratch now lives outside the verify outDir and this entry
+    // pins the SAME per-config digest contract as q177 over its own
+    // independently regenerated dump (queries is an unordered Map — no
+    // cross-query read dependency is allowed)
+    "_gen" -> ((s, d) => sweepDigest(s, "_gen_sweep")),
 
     // strict-vs-compat divergence census (SURVEY §2.4 "fixed mode"): one
     // 6-var config per family generated in BOTH modes, dumped, and diffed
@@ -2912,6 +2925,18 @@ object SparkEntry {
       graft.sim.Clustering.semDedup(embeddings(s, d), "vec_id", "embedding",
         k = 8, tau = 0.35)),
 
+    // q184's scale-parameterized form: k derived from the corpus count
+    // (ceil(n/32) — cluster size, and with it the Σ|cluster|² pair bound,
+    // stays fixed as N grows), centroids refined by one Lloyd iterate over
+    // the exact integer sums, and the dropper side capped at the 8
+    // least-central vectors per cluster (pairs ≤ 8·|cluster|, linear in
+    // cluster size). The oracle replays the count→k derivation, the mean
+    // update, the re-assignment, and the capped prune verbatim
+    "q229_semdedup_auto" -> ((s, d) =>
+      graft.sim.Clustering.semDedupAuto(embeddings(s, d), "vec_id",
+        "embedding", targetClusterSize = 32L, tau = 0.35,
+        maxDroppersPerCluster = 8)),
+
     // Unicode-normalized dedup keys: the precomposed (U+00E9) and
     // combining-mark (e + U+0301) encodings of the same visible text are
     // synthesized deterministically by doc parity, then collapsed by a
@@ -3028,6 +3053,38 @@ object SparkEntry {
     "q189_bm25_topk" -> ((s, d) =>
       graft.text.Index.bm25TopK(documents(s, d), "doc_id", "text",
         probeFilter = col("doc_id") % 50 === 0, k = 5)),
+
+    // q189 under the stopword-cap POLICY: tokens with df > 76% of the
+    // corpus are pruned from the posting table before the query join.
+    // Their integer idf is 1 bit (bitlen(n div df) for df > n/2), so this
+    // trades a near-zero score term for dropping the corpus-sized posting
+    // lists from the join entirely — the volume knob for hostile
+    // vocabularies, layered on the always-on salting that is the skew
+    // guarantee. 760‰ (not 500‰) because the shipped synthetic vocabulary
+    // is head-heavy (31 tokens, median df 78%): a N/2 cap would empty the
+    // ranking, which tests nothing
+    "q227_bm25_stopword_cap" -> ((s, d) =>
+      graft.text.Index.bm25TopK(documents(s, d), "doc_id", "text",
+        probeFilter = col("doc_id") % 50 === 0, k = 5,
+        maxDfPermille = 760)),
+
+    // pushdown-safe ts-range scan: the [2024-01-10, 2024-01-20) window
+    // filtered on the RAW ts column via Events.tsRangeNs (inverse-mapped
+    // bounds), NOT on the normalized long-ns ts — the predicate lands in
+    // the parquet scan's PushedFilters and prunes row groups by min/max
+    // stats (PlanSpec-asserted). At 100 TB a month-partitioned events
+    // table, this is the difference between scanning 10 days and 100%
+    "q228_events_ts_pushdown" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.sources.Events.tsRangeNs(s.read.parquet(t(d, "events")),
+          loNs = 1704844800000000000L, hiNs = 1705708800000000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("ts div 1000")).as("sum_ts_us"),
+          min(expr("ts div 1000")).as("min_ts_us"),
+          max(expr("ts div 1000")).as("max_ts_us"),
+          sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_v_micro"))
+    }),
 
     // hybrid retrieval, the RAG-stack capstone: the SAME probe set ranked
     // by dense cosine ANN (q14's ranker) AND lexical BM25 (q189), fused
@@ -3968,7 +4025,9 @@ object SparkEntry {
     // r×c chi-square independence (q156's 2×2 generalized): nation ×
     // segment observed vs expected under independence, the whole statistic
     // exact — contrib_milli = (O·N − rt·ct)²·1000 div (rt·ct·N) in
-    // DECIMAL(38,0)/HUGEINT so the squared numerator cannot overflow.
+    // DECIMAL(38,0)/HUGEINT. Safe bound: (O·N)² must stay under 10^38, so
+    // exact arithmetic holds to N ≈ 10^9 rows per grid; beyond that,
+    // rescale counts (divide margins by a common factor) before squaring.
     // Dimension margins broadcast back onto the ≤125-cell grid
     "q214_chi2_independence" -> ((s, d) => {
       val cells = customer(s, d)
@@ -4092,10 +4151,13 @@ object SparkEntry {
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(name)
       // the auto-bucketed-scan heuristic drops the bucketed layout when no
       // join wants its distribution — but that also forfeits bucket
-      // PRUNING, which is the point here; keep the bucketed scan on
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      // PRUNING, which is the point here. Scope the override to a child
+      // session (own SQLConf, shared catalog) so the rest of a same-JVM
+      // verify/bench run plans with the untouched session conf
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false")
-      s.table(name).where(col("c_custkey").isin(7L, 42L, 100L))
+      s2.table(name).where(col("c_custkey").isin(7L, 42L, 100L))
         .select(col("c_custkey"), col("c_nationkey"),
           cents(col("c_acctbal")).cast("long").as("bal_cents"))
     }),
@@ -4193,7 +4255,9 @@ object SparkEntry {
         .agg(map_from_entries(sort_array(collect_list(
           struct(col("event_type"), col("n"))))).as("m"))
       m.select(size(col("m")).cast("long").as("n_types"),
-          coalesce(element_at(col("m"), "purchase"), lit(0L))
+          // try_element_at: ANSI element_at throws on a missing map key;
+          // a purchase-free user must yield 0, not MAP_KEY_DOES_NOT_EXIST
+          coalesce(try_element_at(col("m"), lit("purchase")), lit(0L))
             .as("n_purchase"),
           expr("aggregate(map_values(m), 0L, (a, x) -> a + x)")
             .as("n_total"))
@@ -4536,10 +4600,26 @@ object SparkEntry {
       |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** q189's integer BM25 ranking — shared with the q190 hybrid fusion.
-    * The div chain floors at the same three points on both engines.
+  /** q177's per-config digest over a named kernel dump — shared with the
+    * `_gen` artifact row, which pins the same contract on its own dump.
     */
-  private def bm25OracleSql(k: Int): String =
+  private def sweepDigestOracleSql(dump: String): String =
+    s"""SELECT configId AS config_id, family, count(*) AS n_rows,
+      |  sum(floor(greatest(least(X1, 1e6), -1e6) * 1e6)::BIGINT)::BIGINT
+      |    AS sum_x1c_micro,
+      |  sum(CASE WHEN abs(X1) > 1e6 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+      |  sum(floor("time" * 1e6)::BIGINT)::BIGINT AS sum_time_micro,
+      |  sum(maskBits)::BIGINT AS mask_sum
+      |FROM read_parquet('__GEN_DIR__/$dump/*.parquet')
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q189's integer BM25 ranking — shared with the q190 hybrid fusion and
+    * (with a non-default `maxDfPermille`) the q227 stopword-capped variant.
+    * The div chain floors at the same three points on both engines. The
+    * Spark side's posting-join salting is score-preserving by construction,
+    * so the oracle needs no mirror of it.
+    */
+  private def bm25OracleSql(k: Int, maxDfPermille: Int = 1000): String =
     s"""SELECT query_id, cand_id, score_milli, rank FROM (
       |  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |               FROM documents),
@@ -4554,7 +4634,8 @@ object SparkEntry {
       |      (f.tf * 1000 + 300 +
       |       (900 * ((l.dl * 1000000) // a.avg_milli)) // 1000) AS c_milli
       |    FROM tf f JOIN dl l USING (doc_id) JOIN dfreq d USING (tok)
-      |    CROSS JOIN st a),
+      |    CROSS JOIN st a
+      |    WHERE d.df * 1000 <= a.n_docs * $maxDfPermille),
       |  q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok
       |        WHERE doc_id % 50 = 0),
       |  sc AS (SELECT q.query_id, p.doc_id AS cand_id,
@@ -5396,15 +5477,8 @@ object SparkEntry {
       s"""SELECT ${slopeMilliSql("X1_0", "X2_0")} AS b_x2_x1_milli
         |FROM read_parquet('__GEN_DIR__/q53_lagged/*.parquet')""".stripMargin,
 
-    "q177_full_sweep_digest" ->
-      s"""SELECT configId AS config_id, family, count(*) AS n_rows,
-        |  sum(floor(greatest(least(X1, 1e6), -1e6) * 1e6)::BIGINT)::BIGINT
-        |    AS sum_x1c_micro,
-        |  sum(CASE WHEN abs(X1) > 1e6 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
-        |  sum(floor("time" * 1e6)::BIGINT)::BIGINT AS sum_time_micro,
-        |  sum(maskBits)::BIGINT AS mask_sum
-        |FROM read_parquet('__GEN_DIR__/q177_sweep/*.parquet')
-        |GROUP BY 1, 2""".stripMargin,
+    "q177_full_sweep_digest" -> sweepDigestOracleSql("q177_sweep"),
+    "_gen" -> sweepDigestOracleSql("_gen_sweep"),
 
     // NOTE on the `_gen` artifact row: the full-sweep generation is
     // hash-oracled through q177 (every one of the 2,592 configs pinned
@@ -7372,6 +7446,18 @@ object SparkEntry {
     // same integer BM25 formula term by term; the div chain floors at the
     // same three points on both engines
     "q189_bm25_topk" -> bm25OracleSql(5),
+    "q227_bm25_stopword_cap" -> bm25OracleSql(5, maxDfPermille = 760),
+
+    "q228_events_ts_pushdown" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(epoch_us(ts))::BIGINT AS sum_ts_us,
+        |  min(epoch_us(ts))::BIGINT AS min_ts_us,
+        |  max(epoch_us(ts))::BIGINT AS max_ts_us,
+        |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_v_micro
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704844800000000
+        |  AND epoch_us(ts) < 1705708800000000
+        |GROUP BY 1""".stripMargin,
 
     // q14's cosine fragment on the q189 probe set + the BM25 fragment,
     // fused with q155's integer RRF — all three contracts already pinned
@@ -7513,6 +7599,73 @@ object SparkEntry {
         |  (count(*) - coalesce(max(d.n_dropped), 0))::BIGINT AS n_kept,
         |  coalesce(max(d.dropped_id_sum), 0)::BIGINT AS dropped_id_sum
         |FROM assigned t LEFT JOIN dstats d ON t.cluster = d.cluster
+        |GROUP BY t.cluster""".stripMargin,
+
+    // q229: the q184 contract with derived k, one Lloyd mean update
+    // (exact integer sums → sum::DOUBLE / n / 1e6, the identical float
+    // path both engines take), re-assignment, and the 8-per-cluster
+    // dropper cap
+    "q229_semdedup_auto" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |k AS (SELECT ((count(*) + 31) // 32)::BIGINT AS k FROM e),
+        |seed AS (SELECT vec_id AS cid, v AS cv FROM e
+        |         WHERE vec_id < (SELECT k FROM k)),
+        |s0 AS (
+        |  SELECT e.vec_id, e.v, s.cid,
+        |    round(list_dot_product(e.v, s.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(s.cv, s.cv))), 6) AS cos_r
+        |  FROM e, seed s),
+        |a0 AS (
+        |  SELECT vec_id, v, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_r DESC, cid) AS rk FROM s0)
+        |  WHERE rk = 1),
+        |ux AS (
+        |  SELECT cluster, unnest(list_transform(v, (x, i) ->
+        |    struct_pack(i := i, fx := floor(x * 1e6)::BIGINT))) AS u
+        |  FROM a0),
+        |upd AS (
+        |  SELECT cluster, (u.i - 1)::BIGINT AS dim,
+        |    sum(u.fx)::DOUBLE / count(*) / 1e6 AS cvd
+        |  FROM ux GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT cluster AS cid, list(cvd ORDER BY dim) AS cv
+        |  FROM upd GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    round(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_r
+        |  FROM e, cents c),
+        |asg AS (
+        |  SELECT vec_id, v, cid AS cluster, cos_r AS ccos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_r DESC, cid) AS rk FROM s1)
+        |  WHERE rk = 1),
+        |ex AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY ccos ASC, vec_id ASC) AS rk FROM asg)
+        |  WHERE rk <= 8),
+        |dropped AS (
+        |  SELECT DISTINCT b.cluster, b.vec_id
+        |  FROM asg a
+        |  JOIN ex x ON a.vec_id = x.vec_id AND a.cluster = x.cluster
+        |  JOIN asg b ON a.cluster = b.cluster
+        |   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+        |dstats AS (
+        |  SELECT cluster, count(*)::BIGINT AS n_dropped,
+        |    sum(vec_id)::BIGINT AS dropped_id_sum
+        |  FROM dropped GROUP BY 1)
+        |SELECT t.cluster, count(*)::BIGINT AS n_docs,
+        |  coalesce(max(d.n_dropped), 0)::BIGINT AS n_dropped,
+        |  (count(*) - coalesce(max(d.n_dropped), 0))::BIGINT AS n_kept,
+        |  coalesce(max(d.dropped_id_sum), 0)::BIGINT AS dropped_id_sum
+        |FROM asg t LEFT JOIN dstats d ON t.cluster = d.cluster
         |GROUP BY t.cluster""".stripMargin,
 
     // the q163 emission-model oracle on the type grain: batch i's emission

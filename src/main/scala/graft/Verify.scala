@@ -19,8 +19,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // generated-data queries dump their kernel output here; the oracle SQL
     // references it via __GEN_DIR__ (substituted below), so DuckDB aggregates
-    // the exact rows this run produced
-    val genDir = new java.io.File(s"$outDir/_gen").getAbsolutePath
+    // the exact rows this run produced. The scratch lives OUTSIDE outDir:
+    // anything under outDir is a query artifact to the driver's glob, and
+    // the old `$outDir/_gen` location surfaced as a permanent no-oracle row
+    // (`_gen` is now a real digest query over its own dump instead)
+    val genDir = Files.createTempDirectory("graft_gen_").toFile.getAbsolutePath
     System.setProperty("graft.gen.dir", genDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

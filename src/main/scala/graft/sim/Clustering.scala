@@ -135,10 +135,55 @@ object Clustering {
     * id-checksum of the dropped set (order-free but membership-exact).
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      tau: Double): DataFrame = {
-    val c = corpus.where(col(idCol) < k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
+      tau: Double): DataFrame =
+    semDedupAgainst(corpus, idCol, vecCol,
+      corpus.where(col(idCol) < k)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      tau, maxDroppersPerCluster = None)
+
+  /** [[semDedup]] with its scale knobs wired to the DATA instead of the
+    * caller — the 100 TB entry point:
+    *
+    *  - k is DERIVED: `ceil(n / targetClusterSize)` from one scalar count,
+    *    so expected cluster size (and with it the Σ|cluster|² pair bound)
+    *    stays fixed as the corpus grows — a constant k would let
+    *    within-cluster candidates grow O((N/k)²).
+    *  - centroids are REFINED: one Lloyd iterate ([[kmeansStepStats]]) on
+    *    the deterministic id<k seed, means rebuilt from the exact integer
+    *    sums — data-shaped buckets instead of whichever vectors own the
+    *    first k ids.
+    *  - droppers are CAPPED: only the `maxDroppersPerCluster` least-central
+    *    vectors per cluster (the k-bounded [[TopK]] aggregate, no window
+    *    sort) act as the pruning side, so pairs per cluster are ≤
+    *    cap·|cluster| even when a cluster degenerates — linear, not
+    *    quadratic, in cluster size.
+    */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Long, tau: Double,
+      maxDroppersPerCluster: Int): DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    require(maxDroppersPerCluster > 0, "maxDroppersPerCluster must be positive")
+    // one scalar count sizes the clustering — a driver scalar, not a collect
+    val n = corpus.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    // one Lloyd refinement: exact integer sums → per-dimension means
+    // (sum/n/1e6 in double, mirrored verbatim by the oracle), reassembled
+    // into centroid vectors by dim order
+    val refined = kmeansStepStats(corpus, idCol, vecCol, k)
+      .withColumn("cvd",
+        col("sum_micro").cast("double") / col("n_members") / lit(1e6))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cvd")))),
+        x => x.getField("cvd")).as("cv"))
+      .select(col("cluster").as("cid"), col("cv"))
+    semDedupAgainst(corpus, idCol, vecCol, refined, tau,
+      Some(maxDroppersPerCluster))
+  }
+
+  private def semDedupAgainst(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, tau: Double,
+      maxDroppersPerCluster: Option[Int]): DataFrame = {
+    val c = centroids.withColumn("cn", Similarity.norm(col("cv")))
     val e = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("ev"))
       .withColumn("en", Similarity.norm(col("ev")))
     val assigned = e.crossJoin(broadcast(c))
@@ -154,8 +199,21 @@ object Clustering {
       // assignment three times (downstream joins are cluster-key SMJs, so
       // the checkpoint's missing stats cost nothing)
       .localCheckpoint()
-    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+    val aBase = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("ccos").as("ca"), col("ev").as("va"), col("en").as("na"))
+    val a = maxDroppersPerCluster match {
+      case None => aBase
+      case Some(cap) =>
+        // only the cap least-central vectors per cluster may drop others:
+        // rankTopK on (-ccos, id) is exactly the dropper-priority order, so
+        // the capped set is the priority prefix — pairs ≤ cap·|cluster|
+        val exemplars = TopK.rankTopK(
+          assigned.select(col("cluster").as("query_id"),
+            col("vec_id").as("cand_id"), (-col("ccos")).as("score")),
+          "score", cap)
+          .select(col("query_id").as("cluster"), col("cand_id").as("id_a"))
+        aBase.join(exemplars, Seq("cluster", "id_a"), "left_semi")
+    }
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
       col("ccos").as("cb"), col("ev").as("vb"), col("en").as("nb"))
     // b is dropped when a higher-priority a (further from the centroid,

@@ -30,6 +30,10 @@ object StreamUpsert {
     if (dir.exists)
       require(scala.reflect.io.Directory(dir).deleteRecursively(),
         s"cannot clear stale upsert table $dir")
+    // At-least-once contract: foreachBatch may replay a batch after a
+    // crash between the parquet write and version.set — the replay
+    // rewrites the SAME next version from the same previous one
+    // (latest-wins is idempotent), so content is unaffected.
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = src.writeStream
       .queryName(queryName)
@@ -57,6 +61,15 @@ object StreamUpsert {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$tableDir/v${version.get()}")
+    if (version.get() == 0) {
+      // zero micro-batches (empty source): no vN was ever written — the
+      // serving table is empty at the merged schema, not a read failure
+      val empty = spark.read.parquet(splitDir).limit(0)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"),
+          floor(col("value") * lit(1e6)).cast("long").as("v_micro"))
+      graft.ops.Upsert.latestWins(empty, empty, Seq("user_id"),
+        Seq("ts_us", "event_id"), Seq("event_type", "v_micro")).drop("src")
+    } else spark.read.parquet(s"$tableDir/v${version.get()}")
   }
 }

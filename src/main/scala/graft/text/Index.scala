@@ -91,27 +91,60 @@ object Index {
     *              c_milli (k3 = 0: query tf ignored, the standard choice)
     *
     * Scale shape: postings and doc lengths are one map-side-combined
-    * aggregate each; df and the corpus stats are vocab-sized / scalar and
-    * broadcast; query terms meet postings in ONE token equi-join (the
-    * inverted-index join — candidates are docs sharing ≥1 term, never the
-    * full corpus per query); ranking is the k-bounded mergeable aggregate
-    * (no per-query window sort). Head-term skew is bounded by the query
-    * count; pair a df cap (as ngramJaccardPairs) in front for hostile
-    * vocabularies.
+    * aggregate each; corpus stats are scalar and broadcast; the df table is
+    * vocab-sized and joined WITHOUT a forced broadcast hint — AQE converts
+    * it to broadcast at runtime while it fits and degrades to a shuffle
+    * join above the threshold. Query terms meet postings in ONE token
+    * equi-join (the inverted-index join — candidates are docs sharing ≥1
+    * term, never the full corpus per query); ranking is the k-bounded
+    * mergeable aggregate (no per-query window sort).
+    *
+    * Head-term skew — two independent controls:
+    *
+    *  1. SALTING (the scale guarantee, always on, score-preserving): the
+    *     posting join runs on (tok, salt) where the posting side salts by
+    *     `pmod(hash(doc_id), shards)` and the query side fans each term out
+    *     to all `shards` replicas; `shards = ceil(df / saltRowsPerShard)`,
+    *     per token, from the df table both sides already join. A df=O(N)
+    *     token therefore lands on df/saltRowsPerShard shuffle keys of
+    *     bounded size instead of one corpus-sized hot partition. Joined
+    *     row COUNT is unchanged (each posting row meets exactly the one
+    *     query replica with its salt), so scores are bitwise identical to
+    *     the unsalted plan. Query-side fan-out is |terms|·shards rows —
+    *     negligible against the posting side it de-skews.
+    *
+    *  2. `maxDfPermille` (a QUALITY/VOLUME policy, default 1000 = off):
+    *     prune tokens with df·1000 > permille·n_docs from the posting
+    *     table. Their integer idf is floor-trivial (bitlen(N div df) = 1
+    *     bit for df > N/2) so scores barely move, and join volume drops by
+    *     their corpus-sized posting lists. Deliberately NOT the default:
+    *     on a head-heavy vocabulary (the shipped synthetic corpus has 31
+    *     tokens, median df = 78% of docs) any cap tight enough to bound
+    *     keys empties the ranking — pruning is a relevance policy, salting
+    *     is the skew guarantee.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      probeFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      probeFilter: org.apache.spark.sql.Column, k: Int,
+      maxDfPermille: Int = 1000, saltRowsPerShard: Long = 1L << 20)
+      : DataFrame = {
+    require(saltRowsPerShard > 0, "saltRowsPerShard must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.tokensCol(col(textCol))).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("(sum(dl) * 1000) div count(1)").as("avg_milli"))
+    val shardsOf = expr(
+      s"(df + ${saltRowsPerShard - 1}L) div ${saltRowsPerShard}L")
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val post = tf.join(dl, "doc_id")
-      .join(broadcast(dfreq), "tok")
+      .select(col("tok"), col("df"), greatest(lit(1L), shardsOf).as("shards"))
+    val joined = tf.join(dl, "doc_id")
+      .join(dfreq, "tok")
       .crossJoin(broadcast(stats))
+    val post = (if (maxDfPermille >= 1000) joined
+       else joined.where(col("df") * 1000 <= col("n_docs") * maxDfPermille))
       .select(col("doc_id"), col("tok"),
+        pmod(hash(col("doc_id")).cast("long"), col("shards")).as("salt"),
         expr("""(cast(length(bin(n_docs div df)) as bigint) * tf * 2200 * 1000)
                | div (tf * 1000 + 300 +
                |      (900 * ((dl * 1000000) div avg_milli)) div 1000)"""
@@ -120,7 +153,10 @@ object Index {
       .select(col(idCol).as("query_id"),
         explode(TextOps.tokensCol(col(textCol))).as("tok"))
       .distinct()
-    val scored = qterms.join(post, "tok")
+      .join(dfreq, "tok")
+      .select(col("query_id"), col("tok"),
+        explode(sequence(lit(0L), col("shards") - 1)).as("salt"))
+    val scored = qterms.join(post, Seq("tok", "salt"))
       .select(col("query_id"), col("doc_id").as("cand_id"), col("c_milli"))
       .groupBy("query_id", "cand_id")
       .agg(sum("c_milli").as("score_milli"))

@@ -101,4 +101,51 @@ class ClusteringSpec extends AnyFunSuite {
     val (n, drop) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
     assert(drop > 0 && drop < n / 2, s"implausible prune rate: $drop of $n")
   }
+
+  test("semDedupAuto: derived k keeps cluster sizes bounded as N grows") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n1 = emb.count()
+    // a doubled corpus (ids shifted past the originals) — with k derived as
+    // ceil(n/target), doubling N must double the cluster budget instead of
+    // letting per-cluster candidate pairs grow O((N/k)²)
+    val doubled = emb.unionAll(
+      emb.select((col("vec_id") + n1).as("vec_id"), col("embedding")))
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      Clustering.semDedupAuto(df, "vec_id", "embedding",
+        targetClusterSize = 16L, tau = 0.35, maxDroppersPerCluster = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a1, a2) = (audit(emb), audit(doubled))
+    assert(a1.values.sum == n1 && a2.values.sum == 2 * n1,
+      "every vector lands in exactly one cluster")
+    // the bound under test: mean cluster size stays at the target as N
+    // doubles (a fixed k would double it), and no cluster degenerates past
+    // a small multiple of the target
+    assert(a2.size >= a1.size,
+      s"cluster budget must grow with N: ${a1.size} -> ${a2.size}")
+    val cap = 16L * 6
+    assert(a1.values.max <= cap && a2.values.max <= cap,
+      s"cluster sizes must stay near the target: " +
+        s"max ${a1.values.max} / ${a2.values.max} vs target 16")
+  }
+
+  test("semDedupAuto dropper cap: audit identity holds, cap is monotone") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(cap: Int) =
+      Clustering.semDedupAuto(emb, "vec_id", "embedding",
+        targetClusterSize = 32L, tau = 0.35, maxDroppersPerCluster = cap)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val (small, big) = (run(1), run(64))
+    for ((cl, (nd, dr, kp)) <- small) assert(nd == dr + kp,
+      s"cluster $cl: n_docs must equal n_dropped + n_kept")
+    // a 1-exemplar dropper side can only ever drop a subset of what the
+    // effectively-uncapped side drops — per cluster, not just in total
+    for ((cl, (_, drBig, _)) <- big)
+      assert(small(cl)._2 <= drBig,
+        s"cluster $cl: cap=1 dropped ${small(cl)._2} > cap=64 dropped $drBig")
+    assert(big.values.map(_._2).sum > 0, "the uncapped prune must bite")
+  }
 }

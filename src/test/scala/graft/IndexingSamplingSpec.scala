@@ -224,6 +224,9 @@ class IndexingSamplingSpec extends AnyFunSuite {
       probeFilter = col("doc_id") % 50 === 0, k = 3)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "ranking must not use a per-query window sort")
+    assert("Join \\[(tok#\\d+, salt#\\d+L?|salt#\\d+L?, tok#\\d+)\\]"
+      .r.findFirstIn(plan).isDefined,
+      s"the posting join must include the skew salt in its key:\n$plan")
 
     val got = out.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
@@ -257,5 +260,34 @@ class IndexingSamplingSpec extends AnyFunSuite {
         .map { case ((c, s), i) => (p, c) -> (s, i + 1) }
     }.toMap
     assert(got == expect, s"got $got\nexpect $expect")
+  }
+
+  test("bm25TopK salting is score-preserving: tiny shards == one shard") {
+    import spark.implicits._
+    // df("common") = 60 docs; saltRowsPerShard = 7 → 9 salt shards on the
+    // hot token, vs the effectively-unsalted default — results must be
+    // bitwise identical because each posting row meets exactly one query
+    // replica
+    val docs = ((0L until 60L).map(i => (i, s"common word$i filler"))
+      :+ (100L, "common word1 word2")).toDF("doc_id", "text")
+    def run(shard: Long) = Index.bm25TopK(docs, "doc_id", "text",
+        probeFilter = col("doc_id") === 100L, k = 10,
+        saltRowsPerShard = shard)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(run(7L) == run(1L << 20), "salted ranking must equal unsalted")
+  }
+
+  test("bm25TopK maxDfPermille prunes head terms from the posting side") {
+    import spark.implicits._
+    // "hot" df=4/5 (800‰), "rare" df=2/5 (400‰); cap at 500‰ keeps only
+    // rare — candidates sharing just the hot token must vanish
+    val docs = Seq((0L, "hot rare a"), (1L, "hot b c"), (2L, "hot d e"),
+      (3L, "hot f g"), (4L, "rare h i")).toDF("doc_id", "text")
+    val out = Index.bm25TopK(docs, "doc_id", "text",
+        probeFilter = col("doc_id") === 0L, k = 10, maxDfPermille = 500)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out == Set(0L, 4L),
+      s"only rare-token candidates (0 self, 4) may survive the cap: $out")
   }
 }

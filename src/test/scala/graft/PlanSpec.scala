@@ -371,6 +371,40 @@ class PlanSpec extends AnyFunSuite {
       s"the 3-key point lookup must scan at most 3 of 8 buckets:\n$p")
   }
 
+  test("q189 bm25: posting join is salted, no corpus-sized hot key") {
+    val p = plan("q189_bm25_topk")
+    // the query-term ⋈ posting join must key on (tok, salt): a df=O(N)
+    // token then spreads over df/saltRowsPerShard bounded shuffle keys
+    // instead of one corpus-sized partition
+    assert("Join \\[(tok#\\d+, salt#\\d+L?|salt#\\d+L?, tok#\\d+)\\]"
+      .r.findFirstIn(p).isDefined,
+      s"the posting join must include the skew salt in its key:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bm25 candidates must meet on the token equi-join:\n$p")
+    // the only nested-loop allowed is the 1-row corpus-stats attach; the
+    // query-term join must be an equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar stats cross-join may nested-loop:\n$p")
+  }
+
+  test("q228 events ts-range: the bound reaches the parquet scan") {
+    val p = plan("q228_events_ts_pushdown")
+    // the range predicate must sit on the RAW ts column inside
+    // PushedFilters — filtering the normalized (cast) column instead would
+    // leave the scan unpruned and read the whole table
+    assert(("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+        .findFirstIn(p).isDefined &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(ts".r.findFirstIn(p).isDefined),
+      s"the ts-range bounds must land in the parquet PushedFilters:\n$p")
+  }
+
+  test("q227 capped bm25: the df-permille prune sits on the posting side") {
+    val p = plan("q227_bm25_stopword_cap")
+    assert("\\(df#\\d+L? \\* 1000\\) <= \\(n_docs#\\d+L? \\* 760\\)".r
+      .findFirstIn(p).isDefined,
+      s"df·1000 > 760·n_docs tokens must be pruned from postings:\n$p")
+  }
+
   test("q195 entity resolution: blocked candidates, never a name cross join") {
     val p = plan("q195_entity_resolution")
     assert(!p.contains("CartesianProduct"))
