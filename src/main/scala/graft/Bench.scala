@@ -208,7 +208,16 @@ object Bench {
     def f1(x: Double) = String.format(java.util.Locale.ROOT, "%.1f",
       java.lang.Double.valueOf(x))
     val anchor = s"""{"start_mbps":${f1(anchorStart)},"end_mbps":${f1(anchorEnd)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"disk_anchor":$anchor,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"disk_anchor":$anchor,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json artifact has historically kept only the
+    // log TAIL, truncating the per-query map and making regression-vs-noise
+    // questions unanswerable after the fact — persist the full machine-
+    // readable record at the repo root on every run (full runs only: a
+    // filtered ONLY= profiling run must not overwrite the round's record)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCHDETAIL.json"), line + "\n")
     spark.stop()
   }
 }

@@ -128,5 +128,118 @@ class E2ESpec extends AnyFunSuite {
       } yield img.getRGB(x, y)).count(_ != 0xFFFFFFFF)
       assert(nonWhite > 200, s"$f.png looks blank ($nonWhite inked samples)")
     }
+
+    // ---- structural golden checks: the ink must sit WHERE the oracled
+    // aggregates say, per figure family — decoded-raster parity with the
+    // data, not matplotlib byte parity (SURVEY §3.1 keeps pixels out of
+    // engine scope; geometry is still pinned). The affine transform is
+    // replicated from PlotSink's fixed 800×600 canvas contract.
+    val (mL, mR, mT, mB) = (60, 20, 34, 46)
+    def span(lo: Double, hi: Double) = math.max(1e-12, hi - lo)
+    def sx(x: Double, x0: Double, x1: Double) =
+      mL + ((x - x0) / span(x0, x1) * (800 - mL - mR)).toInt
+    def sy(y: Double, y0: Double, y1: Double) =
+      600 - mB - ((y - y0) / span(y0, y1) * (600 - mT - mB)).toInt
+    def raster(f: String) =
+      javax.imageio.ImageIO.read(new java.io.File(s"$dir/$f.png"))
+    def inkNear(img: java.awt.image.BufferedImage, x: Int, y: Int,
+        r: Int): Boolean =
+      (for { dy <- -r to r; dx <- -r to r } yield (x + dx, y + dy)).exists {
+        case (px, py) => px >= 0 && px < 800 && py >= 0 && py < 600 &&
+          img.getRGB(px, py) != 0xFFFFFFFF
+      }
+
+    // 1. series: every sampled (time, value) lies on its variable's
+    // polyline — ink within 2px of each projected sample point
+    locally {
+      val img = raster("series")
+      val (x0, x1) = (sRows.map(_._2).min, sRows.map(_._2).max)
+      val (y0, y1) = (sRows.map(_._3).min, sRows.map(_._3).max)
+      val missed = sRows.filterNot { case (_, x, y) =>
+        inkNear(img, sx(x, x0, x1), sy(y, y0, y1), 2) }
+      assert(missed.isEmpty,
+        s"series.png: ${missed.size}/${sRows.size} sample points un-inked")
+    }
+
+    // 2. trend: the scatter dots AND the fitted line both land where the
+    // exact-integer fit says
+    locally {
+      val img = raster("trend")
+      val (x0, x1) = (sRows.map(_._2).min, sRows.map(_._2).max)
+      val (y0, y1) = (sRows.map(_._3).min, sRows.map(_._3).max)
+      val missedDots = sRows.filterNot { case (_, x, y) =>
+        inkNear(img, sx(x, x0, x1), sy(y, y0, y1), 2) }
+      assert(missedDots.isEmpty, s"trend.png: ${missedDots.size} dots missing")
+      for ((v, (sm, im)) <- fits) {
+        val (sl, ic) = (sm / 1000.0, im / 1000.0)
+        val probes = (0 to 10).map(i => x0 + (x1 - x0) * i / 10.0)
+          .filter(x => { val y = sl * x + ic; y >= y0 && y <= y1 })
+        val missedLine = probes.filterNot(x =>
+          inkNear(img, sx(x, x0, x1), sy(sl * x + ic, y0, y1), 3))
+        assert(missedLine.isEmpty,
+          s"trend.png: $v fit line missing at x=$missedLine")
+      }
+    }
+
+    // 3. graph: every node disc sits at its circular-layout position (exact
+    // fill color above the label glyphs), every edge has ink at its midpoint
+    locally {
+      val img = raster("graph")
+      val (cx, cy, r) = (400.0, 300.0, math.min(800, 600) / 2.0 - 80)
+      val pos = vars4.zipWithIndex.map { case (n, i) =>
+        val a = 2 * math.Pi * i / vars4.size
+        n -> ((cx + r * math.cos(a), cy + r * math.sin(a)))
+      }.toMap
+      for ((n, (x, y)) <- pos)
+        assert(img.getRGB(x.toInt, y.toInt - 12) ==
+          new java.awt.Color(173, 216, 230).getRGB,
+          s"graph.png: node $n disc not at circular-layout position")
+      for ((src, _, tgt) <- links if src != tgt;
+           (xa, ya) = pos(src); (xb, yb) = pos(tgt))
+        assert(inkNear(img, ((xa + xb) / 2).toInt, ((ya + yb) / 2).toInt, 3),
+          s"graph.png: edge $src->$tgt has no ink at its midpoint")
+    }
+
+    // 4. missing heatmap: each (variable, bucket) cell center carries the
+    // EXACT white→red ramp color its missing fraction implies
+    locally {
+      val img = raster("missing")
+      val vars = cells.map(_._1).distinct.sorted
+      val buckets = cells.map(_._2).distinct.sorted
+      val cw = (800 - mL - mR).toDouble / buckets.size
+      val ch = (600 - mT - mB).toDouble / vars.size
+      val bIdx = buckets.zipWithIndex.toMap
+      val vIdx = vars.zipWithIndex.toMap
+      val bad = cells.filter { case (v, b, nMiss, nTot) =>
+        val frac = if (nTot == 0) 0.0 else nMiss.toDouble / nTot
+        val want = new java.awt.Color(255,
+          (255 * (1 - frac) * 0.85 + 38).toInt.min(255),
+          (255 * (1 - frac) * 0.85 + 40).toInt.min(255)).getRGB
+        val px = (mL + (bIdx(b) + 0.5) * cw).toInt
+        val py = (mT + (vIdx(v) + 0.5) * ch).toInt
+        img.getRGB(px, py) != want
+      }
+      assert(bad.isEmpty,
+        s"missing.png: ${bad.size}/${cells.size} cells off-ramp: ${bad.take(3)}")
+    }
+
+    // 5. histogram: every non-empty bar is solid palette blue just above
+    // the baseline, and white just above its own top edge
+    locally {
+      val img = raster("hist")
+      val bw = 0.002
+      val x0 = bars.map(_._1).min; val x1 = bars.map(_._1).max + bw
+      val yMax = bars.map(_._2).max.toDouble
+      val blue = new java.awt.Color(31, 119, 180).getRGB
+      for ((lo, n) <- bars if n > 0) {
+        val xa = sx(lo, x0, x1)
+        val yt = sy(n.toDouble, 0, yMax)
+        assert(img.getRGB(xa + 1, 600 - mB - 2) == blue,
+          s"hist.png: bar at $lo not filled above the baseline")
+        if (yt > mT + 6)
+          assert(img.getRGB(xa + 1, yt - 4) == 0xFFFFFFFF,
+            s"hist.png: bar at $lo overshoots its count height")
+      }
+    }
   }
 }
