@@ -3080,7 +3080,11 @@ object SparkEntry {
           loNs = 1704844800000000000L, hiNs = 1705708800000000000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(expr("ts div 1000")).as("sum_ts_us"),
+          // sum OFFSETS from the window start, not raw epoch_us: a raw
+          // sum overflows LONG past ~5k rows in this window (it did, at
+          // sf0.1); offsets are ≤ 8.64e11 µs each, safe to ~1e7 rows —
+          // beyond that, the ExactStats DECIMAL(38,0) pattern applies
+          sum(expr("(ts div 1000) - 1704844800000000")).as("sum_off_us"),
           min(expr("ts div 1000")).as("min_ts_us"),
           max(expr("ts div 1000")).as("max_ts_us"),
           sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_v_micro"))
@@ -7450,7 +7454,7 @@ object SparkEntry {
 
     "q228_events_ts_pushdown" ->
       """SELECT event_type, count(*)::BIGINT AS n,
-        |  sum(epoch_us(ts))::BIGINT AS sum_ts_us,
+        |  sum(epoch_us(ts) - 1704844800000000)::BIGINT AS sum_off_us,
         |  min(epoch_us(ts))::BIGINT AS min_ts_us,
         |  max(epoch_us(ts))::BIGINT AS max_ts_us,
         |  sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_v_micro

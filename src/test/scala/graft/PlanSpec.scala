@@ -398,6 +398,19 @@ class PlanSpec extends AnyFunSuite {
       s"the ts-range bounds must land in the parquet PushedFilters:\n$p")
   }
 
+  test("q229 semdedup-auto: cluster-key equi-join, capped dropper side") {
+    val p = plan("q229_semdedup_auto")
+    // the within-cluster pair stage must meet on the cluster key — never
+    // an all-pairs product — and the dropper side arrives through the
+    // k-bounded exemplar semi-join, not a window sort
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairs must equi-join on cluster:\n$p")
+    assert(!p.contains("Window"),
+      s"exemplar capping must use the k-bounded aggregate, not a window:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the dropper side must be the capped exemplar semi-join:\n$p")
+  }
+
   test("q227 capped bm25: the df-permille prune sits on the posting side") {
     val p = plan("q227_bm25_stopword_cap")
     assert("\\(df#\\d+L? \\* 1000\\) <= \\(n_docs#\\d+L? \\* 760\\)".r
