@@ -214,10 +214,18 @@ object Bench {
     // log TAIL, truncating the per-query map and making regression-vs-noise
     // questions unanswerable after the fact — persist the full machine-
     // readable record at the repo root on every run (full runs only: a
-    // filtered ONLY= profiling run must not overwrite the round's record)
-    if (only.isEmpty)
+    // filtered ONLY= profiling run must not overwrite the round's record).
+    // "repo root" is resolved by walking up from the cwd to the nearest
+    // build.sbt, so an IDE/CI launcher with a different workdir cannot
+    // silently strand the record outside the repo
+    if (only.isEmpty) {
+      val root = Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+        .takeWhile(_ != null).take(6)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+        .getOrElse(new java.io.File(".").getCanonicalFile)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCHDETAIL.json"), line + "\n")
+        new java.io.File(root, "BENCHDETAIL.json").toPath, line + "\n")
+    }
     spark.stop()
   }
 }

@@ -3303,11 +3303,6 @@ object SparkEntry {
           col("sum_err"))
     }),
 
-    // Gini coefficient, exactly, from q145's Lorenz bins: twice the area
-    // between the diagonal and the Lorenz curve via the trapezoid sum
-    // Σ dx·(y_i + y_{i−1}) in ppm² — every term an exact integer on the
-    // SAME div-truncated cumulative shares q145 publishes, so the two
-    // queries can never disagree about the curve they summarize
     // full-corpus layout manifest (S1+S2 closure): every CSV path the engine
     // writes for the complete 18-family sweep, checked verbatim against the
     // SHIPPED Datasets/ tree — the oracle lists the actual reference
@@ -3329,6 +3324,11 @@ object SparkEntry {
         .toDF("rel_path")
     }),
 
+    // Gini coefficient, exactly, from q145's Lorenz bins: twice the area
+    // between the diagonal and the Lorenz curve via the trapezoid sum
+    // Σ dx·(y_i + y_{i−1}) in ppm² — every term an exact integer on the
+    // SAME div-truncated cumulative shares q145 publishes, so the two
+    // queries can never disagree about the curve they summarize
     "q174_gini" -> ((s, d) => {
       val ov = orders(s, d).select(cents(col("o_totalprice")).as("v"))
       val bins = ov.groupBy(expr("v div 100000").as("bin"))

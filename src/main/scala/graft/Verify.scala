@@ -19,11 +19,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // generated-data queries dump their kernel output here; the oracle SQL
     // references it via __GEN_DIR__ (substituted below), so DuckDB aggregates
-    // the exact rows this run produced. The scratch lives OUTSIDE outDir:
-    // anything under outDir is a query artifact to the driver's glob, and
+    // the exact rows this run produced. The scratch lives OUTSIDE outDir
+    // (anything under outDir is a query artifact to the driver's glob, and
     // the old `$outDir/_gen` location surfaced as a permanent no-oracle row
-    // (`_gen` is now a real digest query over its own dump instead)
-    val genDir = Files.createTempDirectory("graft_gen_").toFile.getAbsolutePath
+    // — `_gen` is now a real digest query over its own dump instead) but as
+    // a DETERMINISTIC sibling, `<outDir>_gen`: re-runs overwrite it rather
+    // than leaking a sweep dump per run, it survives as long as the outDir
+    // artifact it belongs to, and archiving both keeps the oracle replayable
+    val genDir = new java.io.File(s"${outDir}_gen").getAbsolutePath
     System.setProperty("graft.gen.dir", genDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

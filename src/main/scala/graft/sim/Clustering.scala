@@ -165,7 +165,12 @@ object Clustering {
     require(maxDroppersPerCluster > 0, "maxDroppersPerCluster must be positive")
     // one scalar count sizes the clustering — a driver scalar, not a collect
     val n = corpus.count()
-    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val kL = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    // fail loudly instead of letting .toInt wrap to a bogus seed predicate:
+    // a 2^31-cluster request means the target size, not k, should scale
+    require(kL <= Int.MaxValue,
+      s"derived k=$kL exceeds Int range — raise targetClusterSize")
+    val k = kL.toInt
     // one Lloyd refinement: exact integer sums → per-dimension means
     // (sum/n/1e6 in double, mirrored verbatim by the oracle), reassembled
     // into centroid vectors by dim order

@@ -34,7 +34,12 @@ def comment_above(pos):
     for i in range(ln - 1, -1, -1):
         s = lines[i].strip()
         if s.startswith('//'):
-            block.insert(0, s[2:].strip())
+            body = s[2:].strip()
+            # section dividers ("-- similarity search --") are headings for
+            # a RUN of entries, never one entry's capability — skip them
+            if re.fullmatch(r'-+ .*? -+', body):
+                continue
+            block.insert(0, body)
         elif s == '':
             if block:
                 break
@@ -77,7 +82,7 @@ for i, m in enumerate(entries):
                        if re.search(rf'\b{qkey}_', t) or name in t)
     else:  # `_gen` and friends: exact-name references only
         specs = sorted(sp for sp, t in specs_text.items() if f'"{name}"' in t)
-    cap = re.sub(r'^-+ .*? -+ ', '', comment_above(m.start())).replace('|', '\\|')
+    cap = comment_above(m.start()).replace('|', '\\|')
     rows.append((name, cap, entry, ', '.join(specs) if specs else '—'))
     if name not in oracle_keys:
         raise SystemExit(f'query {name} has no oracleSql entry')
