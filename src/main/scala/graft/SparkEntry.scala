@@ -2937,6 +2937,133 @@ object SparkEntry {
         "embedding", targetClusterSize = 32L, tau = 0.35,
         maxDroppersPerCluster = 8)),
 
+    // deterministic training reshard: shard + intra-shard position are pure
+    // functions of the content fingerprint (no rand(), no global sort — one
+    // hash exchange + per-shard sort, with nShards scaling with the corpus).
+    // The census pins the full placement: per-shard sizes prove balance,
+    // min/max fp the bucketing, and ord_check — Σ pos·(fp mod 1000), an
+    // order-weighted checksum — pins the intra-shard ORDER itself, so any
+    // reordering regression flips the hash. pos·(fp mod 1000) ≤ 10³·rows
+    // per shard keeps the DECIMAL(38,0) sum exact at any corpus size
+    "q230_shard_shuffle" -> ((s, d) =>
+      graft.text.Shard.shardPlacement(documents(s, d), "doc_id", "text",
+          nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"),
+          sum((col("pos") * pmod(col("fp"), lit(1000L)))
+            .cast("decimal(38,0)")).cast("long").as("ord_check"))),
+
+    // model-based quality filtering: a fixed integer linear classifier over
+    // four corpus-quality features (the fastText-quality-model pattern as
+    // one codegen'd projection — sign(margin) is the decision, so no
+    // sigmoid/float). Census by (lang, keep) with the margin moments, so
+    // the oracle pins every per-document margin through the sums
+    "q231_quality_classifier" -> ((s, d) =>
+      TextOps.linearQualityMargin(documents(s, d))
+        .groupBy("lang", "keep")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("margin").cast("decimal(38,0)")).cast("long")
+            .as("sum_margin"),
+          min("margin").as("min_margin"), max("margin").as("max_margin"))),
+
+    // KMV corpus-overlap sketch: per-source bottom-k=128 distinct shingle
+    // fingerprints (ONE mergeable aggregate — the shuffle carries ≤
+    // sources·k longs at any corpus size), then source-pair union /
+    // intersection estimates computed entirely ON THE SKETCHES (Beyer et
+    // al. 2007): est_union from the union's k-th value, est_inter from
+    // shared-hash counts below it. Exact distincts ride alongside as the
+    // audit (affordable at test scale; the sketch path is the 100 TB one).
+    // Pairs limited to the 4 lexicographically-first sources (6 pairs) to
+    // keep the contract readable; every estimate is integer floor-division
+    "q232_kmv_overlap" -> ((s, d) => {
+      val k = 128
+      val srcs = Seq("src0", "src1", "src10", "src11")
+      val sh = documents(s, d)
+        .where(col("source").isin(srcs.map(x => x: Any): _*))
+        .select(col("source"), explode(TextOps.shingles(col("text"), 3))
+          .as("g"))
+        .select(col("source"), TextOps.fingerprint(col("g")).as("h"))
+      val sk = graft.ops.Sketch.kmvSketch(sh, Seq("source"), "h", k)
+      val est = graft.ops.Sketch.kmvEstimate(sk, Seq("source"), k)
+      // source pairs (a < b) over the tiny sketch: union = distinct hash
+      // merge re-truncated to bottom-k, intersection = shared below kth_u
+      val pairs = est.as("ea").crossJoin(est.as("eb"))
+        .where(col("ea.source") < col("eb.source"))
+        .select(col("ea.source").as("sa"), col("eb.source").as("sb"),
+          col("ea.kmv_est").as("est_a"), col("eb.kmv_est").as("est_b"))
+      val skA = sk.select(col("source"), col("h"))
+      val uni = pairs.join(skA, skA("source") === col("sa") ||
+          skA("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("h")).distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sa", "sb")
+            .orderBy("h")))
+        .where(col("r") <= k)
+      val uStats = uni.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_u"), max("h").as("kth_u"))
+        .withColumn("est_union", when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"(${k - 1}L * ${graft.ops.Sketch.KmvM}) div (kth_u + 1)")))
+      val inBoth = uni.join(skA.select(col("source").as("sa"), col("h")),
+          Seq("sa", "h"))
+        .join(skA.select(col("source").as("sb"), col("h")), Seq("sb", "h"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+      pairs.join(uStats, Seq("sa", "sb"))
+        .join(inBoth, Seq("sa", "sb"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("est_inter",
+          expr("(n_shared * est_union) div " + k))
+        .select("sa", "sb", "est_a", "est_b", "est_union", "n_shared",
+          "est_inter")
+    }),
+
+    // synchronous label propagation (community detection) over the q192
+    // spatial near-neighbor graph: 3 FIXED rounds, each ONE vote aggregate
+    // (neighbor labels counted, winner = max count with min-label
+    // tie-break as a partially-aggregable min-of-struct) + one left join
+    // back, lineage snapped per round — the Pregel shape at one shuffle
+    // per round, no driver-side graph. The census (community size →
+    // count, label checksum) pins every final label through the sums
+    "q233_label_propagation" -> ((s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+          expr("(c_custkey * 48271) % 100000").as("x"),
+          expr("(c_custkey * 69621) % 100000").as("y"))
+        .withColumn("cx", expr("x div 2000"))
+        .withColumn("cy", expr("y div 2000"))
+      val offs = for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val probe = pts.withColumn("o", explode(array(offs: _*)))
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("o.dx")).as("jcx"),
+          (col("cy") + col("o.dy")).as("jcy"))
+      val home = pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("b_y"), col("cx").as("jcx"), col("cy").as("jcy"))
+      val und = probe.join(home, Seq("jcx", "jcy"))
+        .where(col("a_id") < col("b_id"))
+        .where(expr("(ax - bx) * (ax - bx) + (ay - b_y) * (ay - b_y)") <=
+          lit(4000000L))
+        .select(col("a_id"), col("b_id"))
+      val edges = und.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(und.select(col("b_id").as("u"), col("a_id").as("v")))
+      val lbl = graft.ops.LabelProp.propagate(edges,
+        pts.select(col("id").as("node"), col("id").as("lbl")), rounds = 3)
+      lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("comm_size"))
+        .agg(count(lit(1)).as("n_comms"),
+          sum(col("lbl").cast("decimal(38,0)")).cast("long").as("label_sum"))
+    }),
+
+    // product-quantization ANN with asymmetric-distance scoring (the PQ
+    // half of the billion-scale IVF-PQ pairing; q49 is the IVF half):
+    // codes + broadcast ADC tables + a k-bounded top-k aggregate — no Q×N
+    // stage anywhere. Distances are half-up micro-rounded per subspace, so
+    // the ADC sum is an order-free integer and bitwise across engines
+    "q234_pq_adc_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.pqAdcTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+    }),
+
     // Unicode-normalized dedup keys: the precomposed (U+00E9) and
     // combining-mark (e + U+0301) encodings of the same visible text are
     // synthesized deterministically by doc parity, then collapsed by a
@@ -4719,6 +4846,97 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
        |  FROM cand)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q233's oracle: the q192 neighbor graph, then `rounds` synchronous
+    * label-propagation updates unrolled as identical CTE blocks —
+    * neighbor votes UNION the self-vote, (count DESC, label ASC) winner —
+    * and the community-size census.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT node, lbl, count(*)::BIGINT AS c FROM (
+         |    SELECT e.u AS node, l.lbl FROM e JOIN $prev l ON l.node = e.v
+         |    UNION ALL SELECT node, lbl FROM $prev)
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl)
+         |        AS r
+         |    FROM v$i) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id, (c_custkey * 48271) % 100000 AS x,
+       |    (c_custkey * 69621) % 100000 AS y
+       |  FROM customer),
+       |c AS (SELECT id, x, y, x // 2000 AS cx, y // 2000 AS cy FROM p),
+       |o AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+       |      (VALUES (-1), (0), (1)) b(dy)),
+       |pr AS (
+       |  SELECT a.id AS a_id, a.x AS ax, a.y AS ay,
+       |         b.id AS b_id, b.x AS bx, b.y AS b_y
+       |  FROM c a JOIN o ON true
+       |  JOIN c b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+       |  WHERE a.id < b.id),
+       |und AS (
+       |  SELECT a_id, b_id FROM pr
+       |  WHERE (ax - bx) * (ax - bx) + (ay - b_y) * (ay - b_y) <= 4000000),
+       |e AS (SELECT a_id AS u, b_id AS v FROM und
+       |      UNION ALL SELECT b_id, a_id FROM und),
+       |l0 AS (SELECT id AS node, id AS lbl FROM c),
+       |$roundCtes,
+       |comm AS (SELECT lbl, count(*)::BIGINT AS sz FROM l$rounds GROUP BY 1)
+       |SELECT sz AS comm_size, count(*)::BIGINT AS n_comms,
+       |  sum(lbl::HUGEINT)::BIGINT AS label_sum
+       |FROM comm GROUP BY 1""".stripMargin
+  }
+
+  /** q234's oracle: product quantization replayed relationally — subspace
+    * slices, first-16-by-id codebooks, (micro-distance, centroid) argmin
+    * codes, broadcast ADC tables, integer ADC sums, (distance ASC, id)
+    * ranking. Identical double arithmetic (xx − 2·xc + cc, half-up micro
+    * rounding) on both engines.
+    */
+  private def pqAdcOracleSql(k: Int, nSub: Int = 4, subDim: Int = 16,
+      nCent: Int = 16): String = {
+    def d2(x: String, c: String) =
+      s"floor((list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)" +
+        s" + list_dot_product($c, $c)) * 1e6 + 0.5)::BIGINT"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (SELECT unnest(range(0, $nSub)) AS sub),
+       |sl AS (
+       |  SELECT e.vec_id, s.sub,
+       |    list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim)
+       |      AS xs
+       |  FROM e, sub s),
+       |cents AS (
+       |  SELECT vec_id AS cid, sub, xs AS cs FROM sl
+       |  WHERE vec_id < $nCent),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, sub, cid AS code FROM (
+       |    SELECT sl.vec_id, sl.sub, c.cid,
+       |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+       |        ORDER BY ${d2("sl.xs", "c.cs")}, c.cid) AS r
+       |    FROM sl JOIN cents c ON c.sub = sl.sub) WHERE r = 1),
+       |qtab AS (
+       |  SELECT sl.vec_id AS query_id, sl.sub, c.cid AS code,
+       |    ${d2("sl.xs", "c.cs")} AS qd
+       |  FROM sl JOIN cents c ON c.sub = sl.sub
+       |  WHERE sl.vec_id < 10),
+       |sc AS (
+       |  SELECT q.query_id, cd.cand_id, sum(q.qd)::BIGINT AS adc_micro
+       |  FROM codes cd JOIN qtab q ON q.sub = cd.sub AND q.code = cd.code
+       |  WHERE q.query_id <> cd.cand_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, cand_id, adc_micro, rank FROM (
+       |  SELECT query_id, cand_id, adc_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro, cand_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -7671,6 +7889,111 @@ object SparkEntry {
         |  coalesce(max(d.dropped_id_sum), 0)::BIGINT AS dropped_id_sum
         |FROM asg t LEFT JOIN dstats d ON t.cluster = d.cluster
         |GROUP BY t.cluster""".stripMargin,
+
+    // q230: placement replayed relationally — fp % 8 bucketing, (fp,
+    // doc_id) intra-shard order via row_number, HUGEINT order-checksum
+    "q230_shard_shuffle" ->
+      s"""WITH fp AS (
+        |  SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents),
+        |pl AS (
+        |  SELECT doc_id, fp, fp % 8 AS shard,
+        |    row_number() OVER (PARTITION BY fp % 8 ORDER BY fp, doc_id)
+        |      ::BIGINT AS pos
+        |  FROM fp)
+        |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |  min(fp)::BIGINT AS min_fp, max(fp)::BIGINT AS max_fp,
+        |  sum((pos * (fp % 1000))::HUGEINT)::BIGINT AS ord_check
+        |FROM pl GROUP BY 1""".stripMargin,
+
+    // q231: the fixed linear model replayed feature by feature — identical
+    // integer floor divisions, identical stopword list, identical regex
+    "q231_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    length(text)::BIGINT AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t IN
+        |      ('the','a','of','and','to','in','is','on','for','with')))
+        |      ::BIGINT AS n_stop,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT
+        |      AS n_alpha
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, n_tokens,
+        |    (n_stop * 1000) // n_tokens AS stop_pm,
+        |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_pm,
+        |    ((n_chars - n_tokens + 1) * 1000) // n_tokens AS mtl_milli
+        |  FROM f),
+        |m AS (
+        |  SELECT lang, (4 * n_tokens + 2 * stop_pm + alpha_pm
+        |    - abs(mtl_milli - 4500) // 2 - 800)::BIGINT AS margin
+        |  FROM g)
+        |SELECT lang, (margin > 0)::BIGINT AS keep,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(margin::HUGEINT)::BIGINT AS sum_margin,
+        |  min(margin)::BIGINT AS min_margin,
+        |  max(margin)::BIGINT AS max_margin
+        |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // q232: the KMV algebra replayed relationally — per-source bottom-128
+    // distinct shingle hashes, pairwise union re-truncation, shared-below-
+    // kth intersection counting, identical floor-division estimators
+    "q232_kmv_overlap" ->
+      s"""WITH sh0 AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(
+        |      list_slice(string_split(text, ' '), i + 1, i + 3), ' '))))
+        |    AS g
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src10', 'src11')),
+        |hs AS (SELECT DISTINCT source, ${fingerprintSql("g")} AS h
+        |       FROM sh0),
+        |sk AS (SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |    FROM hs) WHERE r <= 128),
+        |est AS (
+        |  SELECT source, count(*)::BIGINT AS n_kept,
+        |    CASE WHEN count(*) < 128 THEN count(*)::BIGINT
+        |         ELSE (127::BIGINT * 2147483647) // (max(h) + 1) END
+        |      AS kmv_est
+        |  FROM sk GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    a.kmv_est AS est_a, b.kmv_est AS est_b
+        |  FROM est a, est b WHERE a.source < b.source),
+        |uni0 AS (
+        |  SELECT DISTINCT p.sa, p.sb, s.h
+        |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+        |uni AS (SELECT sa, sb, h FROM (
+        |    SELECT sa, sb, h,
+        |      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+        |    FROM uni0) WHERE r <= 128),
+        |us AS (
+        |  SELECT sa, sb, count(*)::BIGINT AS n_u, max(h)::BIGINT AS kth_u
+        |  FROM uni GROUP BY 1, 2),
+        |shared AS (
+        |  SELECT u.sa, u.sb, count(*)::BIGINT AS n_shared
+        |  FROM uni u
+        |  JOIN sk x ON x.source = u.sa AND x.h = u.h
+        |  JOIN sk y ON y.source = u.sb AND y.h = u.h
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, est_a, est_b, est_union, n_shared,
+        |  (n_shared * est_union) // 128 AS est_inter
+        |FROM (
+        |  SELECT p.sa, p.sb, p.est_a, p.est_b,
+        |    CASE WHEN us.n_u < 128 THEN us.n_u
+        |         ELSE (127::BIGINT * 2147483647) // (us.kth_u + 1) END
+        |      AS est_union,
+        |    coalesce(sh2.n_shared, 0)::BIGINT AS n_shared
+        |  FROM pairs p
+        |  JOIN us ON us.sa = p.sa AND us.sb = p.sb
+        |  LEFT JOIN shared sh2 ON sh2.sa = p.sa AND sh2.sb = p.sb)""".stripMargin,
+
+    "q233_label_propagation" -> lpaOracleSql(3),
+
+    "q234_pq_adc_topk" -> pqAdcOracleSql(5),
 
     // the q163 emission-model oracle on the type grain: batch i's emission
     // for a touched key is the cumulative (count, sum, max) over batches <= i

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketch (HyperLogLog, Flajolet et al. 2007) with a
@@ -124,4 +125,67 @@ object Sketch {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(col("c")).as("cms_est"))
   }
+
+  // ----- KMV (k-minimum-values) distinct sketch, Beyer et al. 2007 -----
+  //
+  // Complements HLL: the same |groups|·k shuffle bound, but the sketch
+  // retains actual hash VALUES, so two groups' sketches support SET
+  // OPERATIONS — union by merging bottom-k lists, intersection by counting
+  // shared hashes below the union's k-th value. That is how corpus-overlap
+  // between sources is estimated at 100 TB scale (e.g. "how much of src A's
+  // shingle universe also appears in src B") without ever joining the full
+  // shingle sets. Hash domain: the engine's 31-bit rolling fingerprint,
+  // M = 2^31 − 1 values, so every estimate is integer arithmetic.
+
+  /** Max hash value + 1 of the 31-bit fingerprint domain (h ∈ [0, M−1]). */
+  val KmvM: Long = 2147483647L
+
+  final case class KmvBuf(items: Seq[Long])
+
+  /** k smallest DISTINCT hash values as a mergeable aggregate: partial
+    * (map-side) aggregation bounds every shuffle row to ≤ k longs per
+    * group, and merge (sorted distinct union, re-truncated) is associative
+    * and commutative — reduce/merge order cannot change the result because
+    * "k smallest distinct" is order-free.
+    */
+  def kmvBottomK(k: Int): Aggregator[Long, KmvBuf, KmvBuf] =
+    new Aggregator[Long, KmvBuf, KmvBuf] {
+      override def zero: KmvBuf = KmvBuf(Vector.empty)
+      override def reduce(b: KmvBuf, h: Long): KmvBuf =
+        // steady-state fast path: a full buffer rejects a too-large hash in
+        // O(1); the sort+distinct only runs on candidate inserts
+        if (b.items.length >= k && h > b.items.last) b
+        else KmvBuf((h +: b.items).distinct.sorted.take(k))
+      override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+        KmvBuf((a.items ++ b.items).distinct.sorted.take(k))
+      override def finish(b: KmvBuf): KmvBuf = b
+      override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+      override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    }
+
+  /** Per-group KMV sketch rows (group..., h, r) with r the 1-based rank of
+    * h within the group's bottom-k. The input may contain duplicate hashes;
+    * the sketch is over the DISTINCT hash set by construction.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], hashCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(kmvBottomK(k), Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(hashCol).cast("long")).as("_kmv"))
+      .select(groupCols.map(col) :+ posexplode(col("_kmv.items")): _*)
+      .select(groupCols.map(col) :+ col("col").as("h")
+        :+ (col("pos") + 1).cast("long").as("r"): _*)
+  }
+
+  /** Per-group distinct estimate from sketch rows: exact when the sketch
+    * holds fewer than k values (the group had < k distinct hashes),
+    * otherwise the KMV estimator (k−1)·M / (h_(k)+1) in floor division
+    * (+1 maps the max hash M−1 onto the unit interval's 1.0).
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .withColumn("kmv_est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * $KmvM) div (kth + 1)")))
 }

@@ -160,6 +160,75 @@ object Similarity {
     TopK.rankTopK(cand, "cos", k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011) with asymmetric distance
+    * computation: vectors are encoded as `nSub` centroid codes (one per
+    * `subDim`-wide subspace; codebook = the subvectors of the first `nCent`
+    * rows by id — swap for k-means iterates offline, as with [[ivfCosineTopK]]),
+    * and a query ranks candidates by the SUM of per-subspace
+    * query-to-centroid distances looked up from a precomputed table — never
+    * touching the original vectors again. This is the memory side of the
+    * IVF-PQ pairing every billion-vector ANN system runs: N·nSub small ints
+    * instead of N·dim floats.
+    *
+    * Scale shape: the codebook and the Q·nSub·nCent ADC tables are tiny and
+    * broadcast; encoding is one map-side-combinable argmin (shuffle ≤ N·nSub
+    * rows); scoring is one equi-join on (sub, code) + an integer sum; the
+    * final ranking is the k-bounded [[TopK]] aggregate. No Q×N stage exists.
+    *
+    * Determinism: each subspace distance ‖x−c‖² is computed as
+    * xx − 2·xc + cc in left-to-right double arithmetic (bitwise equal in
+    * DuckDB's list_dot_product), then half-up-rounded to integer MICRO
+    * units — so the ADC sum is an order-free integer and the (distance,
+    * id) ranking cannot drift between engines.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nSub: Int = 4, subDim: Int = 16,
+      nCent: Int = 16): DataFrame = {
+    val subs = array((0 until nSub).map(lit): _*)
+    def d2Micro(x: Column, c: Column): Column =
+      floor((dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)) * 1e6 + lit(0.5))
+        .cast("long")
+
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCent)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .withColumn("sub", explode(subs))
+      .withColumn("cs", expr(s"slice(cv, sub * $subDim + 1, $subDim)"))
+      .select("sub", "cid", "cs"))
+
+    // encode: nearest centroid per (vector, subspace) — argmin as a
+    // partially-aggregable min-of-struct, so the exploded N·nSub·nCent
+    // candidate rows reduce map-side to one code per (vector, sub)
+    val codes = corpus.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).as("v"))
+      .withColumn("sub", explode(subs))
+      .withColumn("xs", expr(s"slice(v, sub * $subDim + 1, $subDim)"))
+      .join(cents, Seq("sub"))
+      .withColumn("d2m", d2Micro(col("xs"), col("cs")))
+      .groupBy("cand_id", "sub")
+      .agg(min(struct(col("d2m"), col("cid"))).as("best"))
+      .select(col("cand_id"), col("sub"), col("best.cid").as("code"))
+
+    // ADC lookup tables: per (query, sub, centroid) distance — broadcast
+    val qtab = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sub", explode(subs))
+      .withColumn("qs", expr(s"slice(qv, sub * $subDim + 1, $subDim)"))
+      .join(cents, Seq("sub"))
+      .withColumn("qd", d2Micro(col("qs"), col("cs")))
+      .select(col("query_id"), col("sub"), col("cid").as("code"), col("qd")))
+
+    val scored = codes.join(qtab, Seq("sub", "code"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("qd").as("adc_micro"))
+      // TopK ranks (score DESC, id ASC); negating the integer distance
+      // gives (distance ASC, id ASC) — integers < 2^53 negate exactly
+      .withColumn("neg_adc", -col("adc_micro").cast("double"))
+    TopK.rankTopK(scored, "neg_adc", k)
+      .select(col("query_id"), col("cand_id"),
+        (-col("neg_adc")).cast("long").as("adc_micro"), col("rank"))
+  }
+
   /** Scale path for near-dup pairs: candidates share an LSH bucket (single
     * equi-join shuffle on the bucket id — never all-pairs), then exact cosine
     * on candidates only. Recall < 1 by construction; raise nBits probes or

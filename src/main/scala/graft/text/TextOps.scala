@@ -76,6 +76,43 @@ object TextOps {
     scored.withColumn("lang_pred", greatest(structs: _*).getField("code"))
   }
 
+  /** Model-based quality filtering with a fixed linear classifier — the
+    * production pattern (a fastText/logreg quality model scored over every
+    * document) distilled to an integer contract: four integer features
+    * (token count, stopword permille, lowercase-alpha permille, mean token
+    * length in milli-chars) meet fixed integer weights in one codegen'd
+    * projection, and the decision is the sign of the margin. No sigmoid —
+    * P(keep) > ½ ⟺ margin > 0, so the filter decision needs no float math
+    * and is bitwise-reproducible in the oracle. Narrow map, no shuffle.
+    *
+    * The weights favor longer documents with natural stopword density and
+    * alphabetic content, and penalize abnormal mean token length — the
+    * shape of a real corpus-quality model, with made-up (but fixed)
+    * coefficients standing in for trained ones.
+    */
+  def linearQualityMargin(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", "")).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_stop_q", nStop)
+      .withColumn("n_alpha_q", nAlpha)
+      .withColumn("n_chars_q", nChars)
+      .withColumn("stop_pm", expr("(n_stop_q * 1000) div n_tokens"))
+      .withColumn("alpha_pm",
+        expr("(n_alpha_q * 1000) div greatest(n_chars_q, 1)"))
+      .withColumn("mtl_milli",
+        expr("((n_chars_q - n_tokens + 1) * 1000) div n_tokens"))
+      .withColumn("margin", expr(
+        "4 * n_tokens + 2 * stop_pm + alpha_pm" +
+          " - abs(mtl_milli - 4500) div 2 - 800"))
+      .withColumn("keep", (col("margin") > 0).cast("long"))
+      .drop("n_stop_q", "n_alpha_q", "n_chars_q")
+  }
+
   /** 31-polynomial rolling hash of the text modulo 2^31-1 — a deterministic
     * document fingerprint computable with identical integer arithmetic in
     * Spark and DuckDB (`list_reduce` over `ascii(substr(...))`) — verified
