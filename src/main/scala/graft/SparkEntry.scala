@@ -3053,6 +3053,101 @@ object SparkEntry {
           sum(col("lbl").cast("decimal(38,0)")).cast("long").as("label_sum"))
     }),
 
+    // native WITH RECURSIVE (new in Spark 4): bounded-depth walk census
+    // over the nation supply graph, written ONCE in ANSI SQL and executed
+    // verbatim by BOTH engines — the Spark side registers the base tables
+    // as temp views and runs the very string the oracle runs, so the
+    // contract pins Spark's recursive-CTE semantics (seed + UNION ALL
+    // step, depth-bounded) against an independent implementation.
+    // Complements q164, whose Spark side is the iterative-DataFrame BFS
+    "q235_recursive_cte" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_r")
+      orders(s, d).createOrReplaceTempView("orders_r")
+      supplier(s, d).createOrReplaceTempView("supplier_r")
+      customer(s, d).createOrReplaceTempView("customer_r")
+      s.sql(RecursiveReachSql("lineitem_r", "orders_r", "supplier_r",
+        "customer_r"))
+    }),
+
+    // SQL scalar UDF (CREATE FUNCTION ... RETURN, new in Spark 4): the
+    // catalog-function surface — a price-tier function defined IN SQL,
+    // inlined by the analyzer into the plan (stays codegen'd; unlike a
+    // Scala UDF it is no black box to the optimizer). The oracle inlines
+    // the identical CASE, so the function body is hash-checked
+    "q236_sql_udf" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_u")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_tier(
+        cents BIGINT) RETURNS STRING RETURN
+        CASE WHEN cents < 5000000 THEN 'low'
+             WHEN cents < 15000000 THEN 'mid'
+             WHEN cents < 30000000 THEN 'high' ELSE 'jumbo' END""")
+      s.sql("""SELECT graft_price_tier(
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS tier,
+        count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(38,0)))
+          AS BIGINT) AS sum_cents
+        FROM orders_u GROUP BY 1""")
+    }),
+
+    // deterministic negative sampling for contrastive training: per query
+    // vector, 4 pseudo-random negatives drawn by a pairwise hash —
+    // label-aware (same-class candidates excluded, the supervised-
+    // contrastive rule) and reproducible across re-runs/partitionings
+    // (the df.sample() problem again — a training pair list must be
+    // replayable). Scale shape: the per-pair hash filter keeps ~5% of
+    // candidates before the k-bounded bottom-k aggregate ranks them; the
+    // pair stage is a broadcast nested loop over the tiny query set —
+    // cheap integer hashing per pair, no dot products, no shuffle of the
+    // corpus
+    "q237_negative_sampling" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = broadcast(emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("ql")))
+      val c = emb.select(col("vec_id").as("cand_id"), col("label").as("cl"))
+      val scored = c.crossJoin(q)
+        .where(col("query_id") =!= col("cand_id") && col("ql") =!= col("cl"))
+        .withColumn("h",
+          expr("(query_id * 131071 + cand_id * 48271) % 2147483647"))
+        .where(col("h") * 20 < lit(2147483647L))
+        .withColumn("neg_h", -col("h").cast("double"))
+      graft.sim.TopK.rankTopK(scored, "neg_h", 4)
+        .select(col("query_id"), col("cand_id").as("neg_id"),
+          (-col("neg_h")).cast("long").as("h"), col("rank"))
+    }),
+
+    // Hilbert-curve clustering keys vs Z-order, judged by the statistics a
+    // file-skipping reader actually uses: bucket rows by each curve's
+    // index (100 cells per bucket — deliberately NOT a power of 4: at
+    // power-of-4 bucket sizes both curves tile into identical aligned
+    // quadrants and the comparison is vacuous) and compare the per-bucket
+    // bounding-box areas — Hilbert's no-jump property yields ~2.5x tighter
+    // envelopes than Morton's quadrant seams, i.e. better pruning for 2-D
+    // range predicates. The index is a native O(order) codegen'd
+    // expression (the rotation recurrence would blow up 3^order as a flat
+    // expression); the oracle unrolls the identical recurrence one CTE per
+    // level, so every per-cell index value is pinned through the census
+    "q238_hilbert_layout" -> ((s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+          expr("(c_custkey * 48271) % 100000").as("x"),
+          expr("(c_custkey * 69621) % 100000").as("y"))
+        .withColumn("gx", expr("(x * 256) div 100000"))
+        .withColumn("gy", expr("(y * 256) div 100000"))
+      val keyed = pts
+        .withColumn("hd", graft.ops.Hilbert.hValue(col("gx"), col("gy"), 8))
+        .withColumn("zd", graft.ops.ZOrder.zValue(col("gx"), col("gy"), 8))
+      def census(bucket: Column, layout: String) =
+        keyed.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"), min("gx").as("x0"), max("gx").as("x1"),
+            min("gy").as("y0"), max("gy").as("y1"))
+          .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_points"),
+            sum(expr("(x1 - x0 + 1) * (y1 - y0 + 1)")).as("sum_bbox_area"),
+            max(expr("(x1 - x0 + 1) * (y1 - y0 + 1)")).as("max_bbox_area"))
+          .select(lit(layout).as("layout"), col("n_buckets"),
+            col("n_points"), col("sum_bbox_area"), col("max_bbox_area"))
+      census(expr("hd div 100"), "hilbert")
+        .unionAll(census(expr("zd div 100"), "zorder"))
+    }),
+
     // product-quantization ANN with asymmetric-distance scoring (the PQ
     // half of the billion-scale IVF-PQ pairing; q49 is the IVF half):
     // codes + broadcast ADC tables + a k-bounded top-k aggregate — no Q×N
@@ -4847,6 +4942,33 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5""".stripMargin
   }
+
+  /** q235's SQL — ONE ANSI string both engines execute verbatim (the
+    * Spark side over temp views, the oracle over DuckDB's parquet views):
+    * a depth-bounded recursive walk census, seeded at the smallest nation
+    * with outgoing edges (data-derived — nation 0 has no suppliers at
+    * small SFs), over the distinct supplier→customer nation edges. `n_walks` counts WALKS (the
+    * UNION ALL keeps duplicates), so the recursion semantics — seed,
+    * step, bound — are pinned, not just the reachable set.
+    */
+  private def RecursiveReachSql(li: String, ord: String, sup: String,
+      cust: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT s_nationkey AS u, c_nationkey AS v
+       |  FROM $li
+       |  JOIN $ord ON l_orderkey = o_orderkey
+       |  JOIN $sup ON l_suppkey = s_suppkey
+       |  JOIN $cust ON o_custkey = c_custkey
+       |  WHERE s_nationkey <> c_nationkey),
+       |walk(node, hops) AS (
+       |  SELECT CAST(min(u) AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+       |  FROM edges
+       |  UNION ALL
+       |  SELECT CAST(e.v AS BIGINT), w.hops + 1
+       |  FROM walk w JOIN edges e ON e.u = w.node
+       |  WHERE w.hops < 3)
+       |SELECT node, min(hops) AS min_hops, count(*) AS n_walks
+       |FROM walk GROUP BY node""".stripMargin
 
   /** q233's oracle: the q192 neighbor graph, then `rounds` synchronous
     * label-propagation updates unrolled as identical CTE blocks —
@@ -7994,6 +8116,76 @@ object SparkEntry {
     "q233_label_propagation" -> lpaOracleSql(3),
 
     "q234_pq_adc_topk" -> pqAdcOracleSql(5),
+
+    "q235_recursive_cte" ->
+      RecursiveReachSql("lineitem", "orders", "supplier", "customer"),
+
+    // q238: the Hilbert recurrence unrolled one CTE per level, Morton via
+    // the shared zSql bit contract, identical bucket/bbox census
+    "q238_hilbert_layout" -> {
+      val zExpr = graft.ops.ZOrder.zSql("gx", "gy", 8)
+      s"""WITH p AS (
+        |  SELECT c_custkey AS id, (c_custkey * 48271) % 100000 AS x,
+        |    (c_custkey * 69621) % 100000 AS y
+        |  FROM customer),
+        |g AS (SELECT id, (x * 256) // 100000 AS gx,
+        |             (y * 256) // 100000 AS gy FROM p),
+        |${graft.ops.Hilbert.hilbertCtes("g", 8)},
+        |keyed AS (
+        |  SELECT f.id, f.gx, f.gy, f.d AS hd, $zExpr AS zd FROM hl8 f),
+        |hb AS (
+        |  SELECT hd // 100 AS bucket, count(*)::BIGINT AS n,
+        |    min(gx) AS x0, max(gx) AS x1, min(gy) AS y0, max(gy) AS y1
+        |  FROM keyed GROUP BY 1),
+        |zb AS (
+        |  SELECT zd // 100 AS bucket, count(*)::BIGINT AS n,
+        |    min(gx) AS x0, max(gx) AS x1, min(gy) AS y0, max(gy) AS y1
+        |  FROM keyed GROUP BY 1)
+        |SELECT 'hilbert' AS layout, count(*)::BIGINT AS n_buckets,
+        |  sum(n)::BIGINT AS n_points,
+        |  sum((x1 - x0 + 1) * (y1 - y0 + 1))::BIGINT AS sum_bbox_area,
+        |  max((x1 - x0 + 1) * (y1 - y0 + 1))::BIGINT AS max_bbox_area
+        |FROM hb
+        |UNION ALL
+        |SELECT 'zorder', count(*)::BIGINT, sum(n)::BIGINT,
+        |  sum((x1 - x0 + 1) * (y1 - y0 + 1))::BIGINT,
+        |  max((x1 - x0 + 1) * (y1 - y0 + 1))::BIGINT
+        |FROM zb""".stripMargin
+    },
+
+    // q237: the hash draw replayed — same affine pair hash, same 5%
+    // acceptance bound, same (h, cand) ranking, same label exclusion
+    "q237_negative_sampling" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS ql FROM embeddings
+        |  WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, label AS cl FROM embeddings),
+        |f AS (
+        |  SELECT query_id, cand_id,
+        |    (query_id * 131071 + cand_id * 48271) % 2147483647 AS h
+        |  FROM q, c
+        |  WHERE query_id <> cand_id AND ql <> cl
+        |    AND (query_id * 131071 + cand_id * 48271) % 2147483647 * 20
+        |        < 2147483647)
+        |SELECT query_id, cand_id AS neg_id, h, rank FROM (
+        |  SELECT query_id, cand_id, h,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY h, cand_id)
+        |      AS rank
+        |  FROM f)
+        |WHERE rank <= 4""".stripMargin,
+
+    // q236: the SQL-UDF body inlined — same CASE, same cents arithmetic
+    "q236_sql_udf" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CASE WHEN cents < 5000000 THEN 'low'
+        |            WHEN cents < 15000000 THEN 'mid'
+        |            WHEN cents < 30000000 THEN 'high' ELSE 'jumbo' END
+        |    AS tier,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1""".stripMargin,
 
     // the q163 emission-model oracle on the type grain: batch i's emission
     // for a touched key is the cumulative (count, sum, max) over batches <= i
