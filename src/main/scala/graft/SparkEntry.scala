@@ -2984,7 +2984,13 @@ object SparkEntry {
         .select(col("source"), explode(TextOps.shingles(col("text"), 3))
           .as("g"))
         .select(col("source"), TextOps.fingerprint(col("g")).as("h"))
+      // the sketch is referenced by four downstream branches (est, union,
+      // and both intersection probes) — localCheckpoint materializes the
+      // sources·k rows ONCE, so the corpus scan + aggregate runs once, not
+      // once per branch (the difference between 1 and 6 corpus scans at
+      // 100 TB; everything after this line is sketch-sized)
       val sk = graft.ops.Sketch.kmvSketch(sh, Seq("source"), "h", k)
+        .localCheckpoint()
       val est = graft.ops.Sketch.kmvEstimate(sk, Seq("source"), k)
       // source pairs (a < b) over the tiny sketch: union = distinct hash
       // merge re-truncated to bottom-k, intersection = shared below kth_u

@@ -428,4 +428,52 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"only the scalar funnel cross-join may nested-loop:\n$p")
   }
+
+  test("q230 shard shuffle: one hash exchange on shard, never a global range sort") {
+    val p = plan("q230_shard_shuffle")
+    assert(!p.contains("rangepartitioning"),
+      s"shard placement must not plan a global sort:\n$p")
+    assert("Exchange hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"the per-shard window must ride ONE hash exchange on shard:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "census must aggregate map-side")
+  }
+
+  test("q232 kmv: the corpus aggregate materializes once, branches are sketch-sized") {
+    val p = plan("q232_kmv_overlap")
+    // the sketch feeds 4 branches; localCheckpoint must cut the lineage so
+    // the corpus scan + ObjectHashAggregate never replays per branch
+    assert(!p.contains("ObjectHashAggregate"),
+      s"corpus-side KMV aggregate must not replay downstream of the checkpoint:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no branch may rescan the documents table:\n$p")
+  }
+
+  test("q233 label propagation: hash-keyed aggregates, no window, no cartesian") {
+    val p = plan("q233_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"LPA census must be pure hash aggregation:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined)
+  }
+
+  test("q234 pq-adc: broadcast equi-joins only, k-bounded partial top-k") {
+    val p = plan("q234_pq_adc_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"PQ must never plan a Q×N or shuffle join:\n$p")
+    assert("ObjectHashAggregate\\(keys=\\[query_id.*partial_".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined ||
+      "partial_\\(neg_adc".r.findFirstIn(p).isDefined,
+      s"top-k must aggregate map-side:\n$p")
+  }
+
+  test("q237 negative sampling: broadcast probe set, map-side bottom-k") {
+    val p = plan("q237_negative_sampling")
+    // the 10-query probe set broadcasts (nested-loop by design — the hash
+    // filter is per-pair); the corpus must never shuffle-join
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert("partial_\\(neg_h".r.findFirstIn(p).isDefined,
+      s"bottom-k must aggregate map-side:\n$p")
+  }
 }
