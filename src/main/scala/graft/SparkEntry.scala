@@ -3121,6 +3121,50 @@ object SparkEntry {
           (-col("neg_h")).cast("long").as("h"), col("rank"))
     }),
 
+    // sketch-in-stream: the q72 HLL register contract maintained BY a
+    // streaming aggregation across ≥2 micro-batches (median-split source)
+    // — running distinct-user counts per event type with groups·64 state
+    // rows however long the stream runs; register state merges across
+    // batches by the sketch's own max. Complete mode ⇒ final registers
+    // equal the batch build, so the relational oracle (registers →
+    // fixed-point estimate, exact count alongside) covers the streaming
+    // run bit for bit
+    "q240_stream_hll" -> ((s, d) => {
+      val reg = graft.streaming.StreamAgg.eventsHllRegisters(s, d,
+        s"$genDir/events_split_hll", s"graft_stream_hll_${System.nanoTime()}")
+      val est = graft.ops.Sketch.hllEstimate(reg, Seq("event_type"))
+      val exact = events(s, d).groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets_hit"), col("z_scaled"),
+          col("est_milli"), col("n_exact"))
+    }),
+
+    // perceptual image dedup: REAL codec path end to end — planted
+    // brightness-variant PNGs (4 exposures per base image) are ImageIO-
+    // decoded, thumbnailed 8×8 by the real nearest-neighbor resize, and
+    // average-hashed (bit j ⟺ 64·p_j > Σp, the division-free aHash rule,
+    // packed as two 32-bit halves so XOR/popcount hamming never touches
+    // the sign bit). The within-group hamming census proves the exposure
+    // variants collapse to (near-)identical codes — the image analogue of
+    // the q15-q17 text near-dup family. The oracle re-derives every pixel
+    // of every thumbnail codec-free from the raster formula
+    "q239_image_phash_dedup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val h = Multimodal.imageAHash(
+          Multimodal.synthVariantImageCorpus(documents(s, d))).toDF()
+        .withColumn("base", expr("mediaId div 4"))
+      val a = h.select(col("base"), col("mediaId").as("id_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = h.select(col("base"), col("mediaId").as("id_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      a.join(b, Seq("base")).where(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Hilbert-curve clustering keys vs Z-order, judged by the statistics a
     // file-skipping reader actually uses: bucket rows by each curve's
     // index (100 cells per bucket — deliberately NOT a power of 4: at
@@ -8125,6 +8169,67 @@ object SparkEntry {
 
     "q235_recursive_cte" ->
       RecursiveReachSql("lineitem", "orders", "supplier", "customer"),
+
+    // q240: the q72 register/estimate algebra over the per-type user hash
+    // — the streaming run must land on these exact registers
+    "q240_stream_hll" -> {
+      import graft.ops.Sketch.{HllM, HllP, HllMaxRho}
+      s"""WITH u AS (
+        |  SELECT event_type, (user_id * 48271) % 2147483647 AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h & ${HllM - 1} AS bucket, h >> $HllP AS w
+        |      FROM u),
+        |reg AS (SELECT event_type, bucket,
+        |          max(CASE WHEN w = 0 THEN $HllMaxRho
+        |                   ELSE bit_count((w & (-w)) - 1) + 1 END) AS max_rho
+        |        FROM r GROUP BY 1, 2),
+        |e AS (SELECT event_type, count(*)::BIGINT AS n_buckets_hit,
+        |        (sum(CAST(1 AS BIGINT) << (30 - max_rho)) +
+        |         ($HllM - count(*)) * ${1L << 30})::BIGINT AS z_scaled
+        |      FROM reg GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        |      FROM events GROUP BY 1)
+        |SELECT e.event_type, n_buckets_hit, z_scaled,
+        |  (${709L * HllM * HllM} * CAST(${1L << 30} AS BIGINT)) // z_scaled
+        |    AS est_milli,
+        |  n_exact
+        |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin
+    },
+
+    // q239: every thumbnail pixel re-derived codec-free — the variant
+    // raster formula (base seed, +7·variant clamp-255), the nearest-
+    // neighbor index mapping, the 64·p > Σp bit rule, the 32-bit packing,
+    // and XOR/popcount hamming, all replayed relationally
+    "q239_image_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id // 4 AS base, (doc_id % 4) * 7 AS dl
+        |  FROM documents),
+        |dims AS (
+        |  SELECT id, base, dl, 16 + base % 16 AS w, 12 + base % 8 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT id, base, j,
+        |    least(((base * 2654435761 +
+        |        ((((j // 8) * h) // 8) * w + ((j % 8) * w) // 8) * 40503)
+        |       % 2147483648) % 256 + dl, 255) AS p
+        |  FROM dims, range(64) t(j)),
+        |sums AS (SELECT id, sum(p)::BIGINT AS sp FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.id, px.base, px.j,
+        |    CASE WHEN 64 * px.p > s.sp THEN 1::BIGINT ELSE 0::BIGINT END
+        |      AS bit
+        |  FROM px JOIN sums s ON s.id = px.id),
+        |halves AS (
+        |  SELECT id, base,
+        |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)::BIGINT AS lo,
+        |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)::BIGINT
+        |      AS hi
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+        |    ::BIGINT AS hamming,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM halves a JOIN halves b ON a.base = b.base AND a.id < b.id
+        |GROUP BY 1""".stripMargin,
 
     // q238: the Hilbert recurrence unrolled one CTE per level, Morton via
     // the shared zSql bit contract, identical bucket/bbox census

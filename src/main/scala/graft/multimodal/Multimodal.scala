@@ -449,6 +449,64 @@ object Multimodal {
     }
   }
 
+  /** Corpus with PLANTED perceptual near-duplicates: each group of
+    * `variants` consecutive ids shares one base raster (dims and noise
+    * seeded by `id div variants`) and differs only by a small uniform
+    * brightness offset (`7·(id mod variants)`, clamped at 255) — the
+    * re-encoded-with-different-exposure duplicate class an image dedup
+    * stage must catch. PNG-encoded, so the detection pipeline exercises
+    * the REAL codec path end to end.
+    */
+  def synthVariantImageCorpus(docs: DataFrame, variants: Int = 4): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = id / variants
+      val delta = (id % variants) * 7L
+      val w = 16 + (base % 16).toInt
+      val h = 12 + (base % 8).toInt
+      val px = synthRaster(base, w, h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = math.min((px(i) & 0xff) + delta, 255L).toByte
+        i += 1
+      }
+      MediaRow(id, "image/png", encodePng(w, h, px), w, h)
+    }
+  }
+
+  final case class AHash(mediaId: Long, lo: Long, hi: Long)
+
+  /** 64-bit average hash (aHash) of each image: real decode →
+    * [[resizeNearest]] to 8×8 → bit j set iff 64·p_j > Σp (the integer
+    * spelling of p_j > mean, no division rounding). Emitted as two 32-bit
+    * halves so the packed value never touches the sign bit and XOR/
+    * popcount hamming stays exact in both engines. A uniform brightness
+    * shift moves every pixel AND the mean together, so variants hash to
+    * (near-)identical codes — the invariance perceptual dedup relies on.
+    */
+  def imageAHash(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val dec = resizeNearest(decodeImage(m.content), 8, 8)
+          var sum = 0L
+          var j = 0
+          while (j < 64) { sum += (dec.pixels(j) & 0xff); j += 1 }
+          var lo = 0L; var hi = 0L
+          j = 0
+          while (j < 64) {
+            if (64L * (dec.pixels(j) & 0xff) > sum) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          AHash(m.mediaId, lo, hi)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatures(mediaId: Long, nSamples: Long, sumAmp: Long,
       momentAmp: Long, nMidCrossings: Long, meanMilli: Long)
 

@@ -99,6 +99,24 @@ object StreamAgg {
       windowedAgg(StreamSupport.eventsSplitStream(spark, sfDir, splitDir), windowSec),
       queryName, outputMode = "complete")
 
+  /** HLL distinct-user registers maintained BY THE STREAM: the same
+    * integer register contract as the batch build ([[graft.ops.Sketch]])
+    * run as a streaming aggregation over a 2-micro-batch split source —
+    * per-(event_type, bucket) max-rank state merges across batches by the
+    * very `max` the sketch's mergeability guarantees, so running distinct
+    * counts on an unbounded stream cost groups·m state rows, ever.
+    * Complete mode ⇒ the final registers equal the batch build, and one
+    * relational oracle covers both.
+    */
+  def eventsHllRegisters(spark: SparkSession, sfDir: String, splitDir: String,
+      queryName: String): DataFrame = {
+    val src = StreamSupport.eventsSplitStream(spark, sfDir, splitDir)
+      .withColumn("h", expr("(user_id * 48271) % 2147483647"))
+    StreamSupport.runToMemory(
+      graft.ops.Sketch.hllRegisters(src, Seq("event_type"), "h"),
+      queryName, outputMode = "complete")
+  }
+
   /** Watermark LATE-DROP semantics made observable: the tumbling
     * aggregation in APPEND mode over a 3-batch late-replay source (live
     * head → in-watermark top-up → late replay of sealed history). Measured

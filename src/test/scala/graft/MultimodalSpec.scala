@@ -171,4 +171,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(up.pixels.take(8).toSeq ==
       Seq[Byte](10, 10, 20, 20, 30, 30, 40, 40))
   }
+
+  test("aHash: brightness variants are near-identical, cross-base pairs are not") {
+    import spark.implicits._
+    val docs = spark.range(0, 64).select(org.apache.spark.sql.functions
+      .col("id").as("doc_id"))
+    val hashes = Multimodal.imageAHash(
+        Multimodal.synthVariantImageCorpus(docs))
+      .collect().map(h => h.mediaId -> (h.lo, h.hi)).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // within-group (same base, different exposure): tiny distance
+    val within = for {
+      base <- 0L until 16L; i <- 0 to 2; j <- (i + 1) to 3
+    } yield hamming(hashes(base * 4 + i), hashes(base * 4 + j))
+    assert(within.max <= 4, s"exposure variants must collapse: max ${within.max}")
+    // cross-base (independent noise rasters): far apart on average
+    val cross = for { a <- 0L until 16L; b <- (a + 1) until 16L }
+      yield hamming(hashes(a * 4), hashes(b * 4))
+    assert(cross.sum.toDouble / cross.size > 16.0,
+      s"independent images must differ: mean ${cross.sum.toDouble / cross.size}")
+  }
+
+  test("aHash halves never touch the sign bit and pack 64 bits exactly") {
+    import spark.implicits._
+    val docs = spark.range(0, 32).select(org.apache.spark.sql.functions
+      .col("id").as("doc_id"))
+    Multimodal.imageAHash(Multimodal.synthVariantImageCorpus(docs))
+      .collect().foreach { h =>
+        assert(h.lo >= 0 && h.lo < (1L << 32), s"lo out of range: ${h.lo}")
+        assert(h.hi >= 0 && h.hi < (1L << 32), s"hi out of range: ${h.hi}")
+      }
+  }
 }

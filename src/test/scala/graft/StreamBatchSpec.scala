@@ -35,6 +35,24 @@ class StreamBatchSpec extends AnyFunSuite {
     assert(n === single.count())
   }
 
+  test("streaming HLL registers: 2 batches, final state equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val reg = StreamAgg.eventsHllRegisters(spark, d, splitDir = tmp("hll"),
+      queryName = s"t_hll_${System.nanoTime()}")
+    assert(StreamSupport.lastDataBatches === 2,
+      "register state must merge across two real micro-batches")
+    val batch = graft.ops.Sketch.hllRegisters(
+      graft.sources.Events.tsToLongNs(
+        spark.read.parquet(s"$d/events.parquet"))
+        .withColumn("h", expr("(user_id * 48271) % 2147483647")),
+      Seq("event_type"), "h")
+    val got = reg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = batch.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("complete-mode top-k: 2 parity batches, final sink equals the batch answer") {
     import org.apache.spark.sql.functions._
     val out = StreamAgg.eventsTopTypesComplete(spark, d,
