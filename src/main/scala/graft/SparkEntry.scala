@@ -3121,6 +3121,16 @@ object SparkEntry {
           (-col("neg_h")).cast("long").as("h"), col("rank"))
     }),
 
+    // greedy k-center coreset (farthest-point diversity selection, the
+    // data-selection staple for picking a maximally-spread training
+    // subset): k−1 rounds of broadcast-chosen-set min-distance + a 1-row
+    // argmax, distances in the order-free integer-micro contract. The
+    // emitted per-round selection distances are the coreset's covering-
+    // radius profile; the oracle unrolls the identical rounds
+    "q241_kcenter_coreset" -> ((s, d) =>
+      graft.sim.Clustering.kCenterGreedy(embeddings(s, d), "vec_id",
+        "embedding", k = 8)),
+
     // sketch-in-stream: the q72 HLL register contract maintained BY a
     // streaming aggregation across ≥2 micro-batches (median-split source)
     // — running distinct-user counts per event type with groups·64 state
@@ -5019,6 +5029,35 @@ object SparkEntry {
        |  WHERE w.hops < 3)
        |SELECT node, min(hops) AS min_hops, count(*) AS n_walks
        |FROM walk GROUP BY node""".stripMargin
+
+  /** q241's oracle: the greedy k-center rounds unrolled — each round's
+    * min-distance table over the not-yet-chosen points, the (dist DESC,
+    * id) 1-row argmax, and the growing chosen set, with the engine's
+    * micro-integer distance contract.
+    */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(x: String, c: String) =
+      s"floor((list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)" +
+        s" + list_dot_product($c, $c)) * 1e6 + 0.5)::BIGINT"
+    val rounds = (1 until k).map { i =>
+      s"""d$i AS (
+         |  SELECT p.vec_id, min(${d2("p.v", "cj.cv")}) AS dmin
+         |  FROM e p CROSS JOIN (
+         |    SELECT q.v AS cv FROM c${i - 1} ch
+         |    JOIN e q ON q.vec_id = ch.id) cj
+         |  WHERE p.vec_id NOT IN (SELECT id FROM c${i - 1})
+         |  GROUP BY p.vec_id),
+         |p$i AS (SELECT vec_id AS id, ${i}::BIGINT AS rnd, dmin AS dm
+         |        FROM d$i ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$i AS (SELECT id, rnd, dm FROM c${i - 1}
+         |        UNION ALL SELECT id, rnd, dm FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT 0::BIGINT AS id, 0::BIGINT AS rnd, 0::BIGINT AS dm),
+       |$rounds
+       |SELECT rnd AS sel_round, id AS vec_id, dm AS dist_micro
+       |FROM c${k - 1}""".stripMargin
+  }
 
   /** q233's oracle: the q192 neighbor graph, then `rounds` synchronous
     * label-propagation updates unrolled as identical CTE blocks —
@@ -8169,6 +8208,8 @@ object SparkEntry {
 
     "q235_recursive_cte" ->
       RecursiveReachSql("lineitem", "orders", "supplier", "customer"),
+
+    "q241_kcenter_coreset" -> kCenterOracleSql(8),
 
     // q240: the q72 register/estimate algebra over the per-type user hash
     // — the streaming run must land on these exact registers

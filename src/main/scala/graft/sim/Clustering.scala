@@ -238,4 +238,50 @@ object Clustering {
         (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
         coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985; the farthest-point
+    * diversity sampler modern data-selection pipelines use to pick a
+    * maximally-spread training subset): start from `seedId`, then k−1
+    * times add the point FARTHEST from the chosen set (max over points of
+    * min over chosen of distance). Output: (sel_round, vec_id,
+    * dist_micro) — the distance at which each point was selected, a
+    * decreasing sequence that doubles as the coreset's covering-radius
+    * profile.
+    *
+    * Determinism: distances are ‖x−c‖² as xx − 2·xc + cc in left-to-right
+    * double arithmetic, half-up-rounded to integer micro (the
+    * [[Similarity.pqAdcTopK]] contract), so min/argmax ranking with id
+    * tie-breaks is bitwise across engines and partitionings.
+    *
+    * Scale shape: the chosen set (≤ k rows) broadcasts; each round is one
+    * broadcast product reduced map-side by the per-point min — the
+    * shuffle carries one row per point — plus a 1-row TakeOrdered argmax.
+    * k rounds = k linear passes; nothing quadratic in N exists.
+    */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long = 0L): DataFrame = {
+    def d2Micro(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      floor((Similarity.dot(x, x) - lit(2.0) * Similarity.dot(x, c) +
+        Similarity.dot(c, c)) * 1e6 + lit(0.5)).cast("long")
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v")).localCheckpoint()
+    var chosen = e.where(col("vec_id") === seedId)
+      .select(col("vec_id").as("id"), lit(0L).as("rnd"), lit(0L).as("dm"),
+        col("v").as("cv"))
+      .localCheckpoint()
+    for (i <- 1L until k.toLong) {
+      val dmin = e
+        .join(chosen.select(col("id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        .crossJoin(broadcast(chosen.select(col("cv"))))
+        .withColumn("d2", d2Micro(col("v"), col("cv")))
+        .groupBy("vec_id").agg(min("d2").as("dmin"), first(col("v")).as("v"))
+      val pick = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("id"), lit(i).as("rnd"),
+          col("dmin").as("dm"), col("v").as("cv"))
+      chosen = chosen.unionAll(pick).localCheckpoint()
+    }
+    chosen.select(col("rnd").as("sel_round"), col("id").as("vec_id"),
+      col("dm").as("dist_micro"))
+  }
 }

@@ -148,4 +148,36 @@ class ClusteringSpec extends AnyFunSuite {
         s"cluster $cl: cap=1 dropped ${small(cl)._2} > cap=64 dropped $drBig")
     assert(big.values.map(_._2).sum > 0, "the uncapped prune must bite")
   }
+
+  test("k-center greedy: covering radius non-increasing, invariant, maximal first pick") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val sel = Clustering.kCenterGreedy(emb, "vec_id", "embedding", k = 6)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.length == 6 && sel.head == ((0L, 0L, 0L)))
+    // selection distances never increase (each pick shrinks the covering
+    // radius of the chosen set)
+    val dists = sel.drop(1).map(_._3)
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => a >= b },
+      s"profile must be non-increasing: ${dists.mkString(",")}")
+    // round 1's pick IS the argmax of distance to the seed — brute check
+    val d2 = expr("CAST(floor((dxx - 2.0 * dxc + dcc) * 1e6 + 0.5) AS LONG)")
+    val seed = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("sv"))
+    val far = emb.crossJoin(broadcast(seed))
+      .where(col("vec_id") =!= 0)
+      .withColumn("dxx", graft.sim.Similarity.dot(col("embedding"), col("embedding")))
+      .withColumn("dxc", graft.sim.Similarity.dot(col("embedding"), col("sv")))
+      .withColumn("dcc", graft.sim.Similarity.dot(col("sv"), col("sv")))
+      .withColumn("d2", d2)
+      .orderBy(col("d2").desc, col("vec_id")).limit(1)
+      .select("vec_id", "d2").head()
+    assert(sel(1)._2 == far.getLong(0) && sel(1)._3 == far.getLong(1))
+    // repartition invariance
+    val sel2 = Clustering.kCenterGreedy(emb.repartition(17), "vec_id",
+      "embedding", k = 6).orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.toSeq == sel2.toSeq)
+  }
 }
