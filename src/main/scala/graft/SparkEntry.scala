@@ -3121,6 +3121,119 @@ object SparkEntry {
           (-col("neg_h")).cast("long").as("h"), col("rank"))
     }),
 
+    // audio near-dup fingerprinting, completing the multimodal dedup pair
+    // with q239: planted gain-shifted WAV variants are REALLY decoded,
+    // then fingerprinted by the sign pattern of Walsh-Hadamard
+    // coefficients 1..32 over the first 64 samples — the ±1 integer-exact
+    // stand-in for a spectral fingerprint, DC term excluded so a uniform
+    // gain shift (which moves only W_0) leaves the code (near-)unchanged.
+    // Within-group hamming census; every coefficient re-derived codec-
+    // free by the oracle
+    "q242_audio_fingerprint" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val h = Multimodal.audioWhtFingerprint(
+          Multimodal.synthVariantAudioCorpus(
+            documents(s, d).where(col("doc_id") < 200))).toDF()
+        .withColumn("base", expr("mediaId div 4"))
+      val a = h.select(col("base").as("base_a"), col("mediaId").as("id_a"),
+        col("fp").as("fp_a"))
+      val b = h.select(col("base").as("base_b"), col("mediaId").as("id_b"),
+        col("fp").as("fp_b"))
+      // ALL-pairs hamming census over a deliberately bounded 200-track
+      // subset — the declared exact audit beside the scale path (dedup by
+      // fingerprint equality is ONE groupBy, as q245 runs it): n_within
+      // proves every planted gain-variant pair sits at hamming 0 (exact
+      // invariance — the corpus leaves clamping headroom), while cross-
+      // base pairs spread far away
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("base_a") === col("base_b")).cast("long")).as("n_within"))
+    }),
+
+    // curriculum reshard: the q230 content-keyed layout with a DIFFICULTY
+    // dimension — documents are staged easy→hard by token-count band,
+    // sharded within each stage, and deterministically ordered within
+    // each (stage, shard); a trainer consumes stage 0's shards first.
+    // Parallelism is stages×shards (scales with the corpus via nShards),
+    // never a global sort; the census order-checksum pins every in-shard
+    // position exactly as q230 does
+    "q243_curriculum_order" -> ((s, d) => {
+      val staged = documents(s, d)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("stage",
+          least(expr("size(split(text, ' ')) div 25"), lit(3L)))
+        .withColumn("shard", pmod(col("fp"), lit(8L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stage", "shard").orderBy(col("fp"), col("doc_id"))
+      staged.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy("stage", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("pos") * pmod(col("fp"), lit(1000L)))
+            .cast("decimal(38,0)")).cast("long").as("ord_check"))
+    }),
+
+    // largest-remainder (Hare) apportionment of a fixed sample budget
+    // across strata — the integer-exact answer to "allocate 100 eval
+    // slots proportionally over languages": floor quotas, then the
+    // leftover slots go to the largest fractional remainders with a
+    // deterministic tie-break. Survey-sampling's standard method, one
+    // 5-row aggregate; proportionality and the Σ=budget invariant are
+    // pinned by the oracle
+    "q244_quota_apportionment" -> ((s, d) => {
+      val b = 100L
+      val per = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum("n_docs").as("n_total"))
+      val q = per.crossJoin(broadcast(tot))
+        .withColumn("quota", expr(s"($b * n_docs) div n_total"))
+        .withColumn("rem", expr(s"($b * n_docs) % n_total"))
+      val short = q.agg((lit(b) - sum("quota")).as("n_extra"))
+      q.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .withColumn("extra", (col("rk") <= col("n_extra")).cast("long"))
+        .select(col("lang"), col("n_docs"), col("quota"), col("extra"),
+          (col("quota") + col("extra")).as("alloc"))
+    }),
+
+    // cross-modal dedup capstone (the q100 composition pattern for media):
+    // the same documents carry an image, an audio track, and text; each
+    // modality's fingerprint — q239's aHash, q242's WHT code, q12's text
+    // hash — elects a min-id survivor per EXACT fingerprint group, and
+    // the census over (dropped_by_image, dropped_by_audio, dropped_by_
+    // text) cells measures cross-modal agreement, including the cells
+    // where clamping split one modality's group but not another's. The
+    // oracle is composed from the SAME shared CTE fragments q239/q242
+    // use, so the capstone cannot drift from its parts
+    "q245_crossmodal_dedup" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val docs = documents(s, d)
+      val img = Multimodal.imageAHash(
+          Multimodal.synthVariantImageCorpus(docs)).toDF()
+        .withColumn("surv", min("mediaId").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lo", "hi")))
+        .select(col("mediaId").as("doc_id"),
+          (col("mediaId") =!= col("surv")).cast("long").as("d_img"))
+      val aud = Multimodal.audioWhtFingerprint(
+          Multimodal.synthVariantAudioCorpus(docs)).toDF()
+        .withColumn("surv", min("mediaId").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .select(col("mediaId").as("doc_id"),
+          (col("mediaId") =!= col("surv")).cast("long").as("d_aud"))
+      val txt = TextOps.fingerprints(docs)
+        .withColumn("surv", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("surv")).cast("long").as("d_txt"))
+      img.join(aud, Seq("doc_id")).join(txt, Seq("doc_id"))
+        .groupBy("d_img", "d_aud", "d_txt")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // greedy k-center coreset (farthest-point diversity selection, the
     // data-selection staple for picking a maximally-spread training
     // subset): k−1 rounds of broadcast-chosen-set min-distance + a 1-row
@@ -5029,6 +5142,59 @@ object SparkEntry {
        |  WHERE w.hops < 3)
        |SELECT node, min(hops) AS min_hops, count(*) AS n_walks
        |FROM walk GROUP BY node""".stripMargin
+
+  /** Shared CTE chains for the perceptual-fingerprint oracles — ONE
+    * definition of each modality's pixel/sample replay, so q239, q242 and
+    * the q245 cross-modal capstone cannot drift apart. `ImageAHashCtes`
+    * ends in `halves(id, base, lo, hi)`; `audioFpCtes(pred)` ends in
+    * `afp(id, base, fp)`. No leading WITH.
+    */
+  private val ImageAHashCtes: String =
+    """iids AS (
+      |  SELECT doc_id AS id, doc_id // 4 AS base, (doc_id % 4) * 7 AS dl
+      |  FROM documents),
+      |dims AS (
+      |  SELECT id, base, dl, 16 + base % 16 AS w, 12 + base % 8 AS h
+      |  FROM iids),
+      |px AS (
+      |  SELECT id, base, j,
+      |    least(((base * 2654435761 +
+      |        ((((j // 8) * h) // 8) * w + ((j % 8) * w) // 8) * 40503)
+      |       % 2147483648) % 256 + dl, 255) AS p
+      |  FROM dims, range(64) t(j)),
+      |sums AS (SELECT id, sum(p)::BIGINT AS sp FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.id, px.base, px.j,
+      |    CASE WHEN 64 * px.p > s.sp THEN 1::BIGINT ELSE 0::BIGINT END
+      |      AS bit
+      |  FROM px JOIN sums s ON s.id = px.id),
+      |halves AS (
+      |  SELECT id, base,
+      |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)::BIGINT AS lo,
+      |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)::BIGINT
+      |      AS hi
+      |  FROM bits GROUP BY 1, 2)""".stripMargin
+
+  private def audioFpCtes(pred: String): String =
+    s"""aids AS (
+      |  SELECT doc_id AS id, doc_id // 4 AS base, (doc_id % 4) * 5 AS dl
+      |  FROM documents WHERE $pred),
+      |sm AS (
+      |  SELECT id, base, n,
+      |    (((base + 7777) * 2654435761 + n * (40503 + 2 * base))
+      |      % 2147483648) % 256 % 240 + dl AS s
+      |  FROM aids, range(64) t(n)),
+      |wc AS (
+      |  SELECT sm.id, sm.base, k.k,
+      |    sum(CASE WHEN bit_count(k.k & sm.n) % 2 = 0 THEN sm.s
+      |             ELSE -sm.s END)::BIGINT AS w
+      |  FROM sm, range(1, 33) k(k)
+      |  GROUP BY 1, 2, 3),
+      |afp AS (
+      |  SELECT id, base,
+      |    sum(CASE WHEN w > 0 THEN 1::BIGINT << (k - 1)
+      |             ELSE 0 END)::BIGINT AS fp
+      |  FROM wc GROUP BY 1, 2)""".stripMargin
 
   /** q241's oracle: the greedy k-center rounds unrolled — each round's
     * min-distance table over the not-yet-chosen points, the (dist DESC,
@@ -8211,6 +8377,74 @@ object SparkEntry {
 
     "q241_kcenter_coreset" -> kCenterOracleSql(8),
 
+    // q242: samples from the variant formula, Walsh-Hadamard signs via
+    // bit_count parity, 32-bit pack, XOR/popcount hamming — all replayed
+    "q242_audio_fingerprint" ->
+      s"""WITH ${audioFpCtes("doc_id < 200")}
+        |SELECT bit_count(xor(a.fp, b.fp))::BIGINT AS hamming,
+        |  count(*)::BIGINT AS n_pairs,
+        |  sum((a.base = b.base)::INT)::BIGINT AS n_within
+        |FROM afp a JOIN afp b ON a.id < b.id
+        |GROUP BY 1""".stripMargin,
+
+    // q243: the staged layout replayed — token-band stage, fp mod 8
+    // shard, (fp, doc_id) in-shard order, HUGEINT order checksum
+    "q243_curriculum_order" ->
+      s"""WITH st AS (
+        |  SELECT doc_id, ${fingerprintSql("text")} AS fp,
+        |    least(len(string_split(text, ' ')) // 25, 3)::BIGINT AS stage
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, fp, stage, fp % 8 AS shard,
+        |    row_number() OVER (PARTITION BY stage, fp % 8
+        |      ORDER BY fp, doc_id)::BIGINT AS pos
+        |  FROM st)
+        |SELECT stage, shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |  sum((pos * (fp % 1000))::HUGEINT)::BIGINT AS ord_check
+        |FROM pl GROUP BY 1, 2""".stripMargin,
+
+    // q244: floor quotas + largest-remainder top-ups with the same
+    // (remainder DESC, lang) ranking
+    "q244_quota_apportionment" ->
+      """WITH per AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM per),
+        |q AS (
+        |  SELECT lang, n_docs,
+        |    (100 * n_docs) // n_total AS quota,
+        |    (100 * n_docs) % n_total AS rem
+        |  FROM per, tot),
+        |s AS (SELECT (100 - sum(quota))::BIGINT AS n_extra FROM q),
+        |r AS (
+        |  SELECT q.*, s.n_extra,
+        |    row_number() OVER (ORDER BY rem DESC, lang)::BIGINT AS rk
+        |  FROM q, s)
+        |SELECT lang, n_docs, quota::BIGINT AS quota,
+        |  (rk <= n_extra)::BIGINT AS extra,
+        |  (quota + (rk <= n_extra)::INT)::BIGINT AS alloc
+        |FROM r""".stripMargin,
+
+    // q245: the SAME q239/q242 fragment chains plus the q12 text hash —
+    // min-id survivor per exact fingerprint group, cross-modal cell census
+    "q245_crossmodal_dedup" ->
+      s"""WITH $ImageAHashCtes,
+        |${audioFpCtes("TRUE")},
+        |tf AS (SELECT doc_id AS id, ${fingerprintSql("text")} AS tfp
+        |       FROM documents),
+        |im AS (SELECT id,
+        |         (id <> min(id) OVER (PARTITION BY lo, hi))::BIGINT
+        |           AS d_img FROM halves),
+        |au AS (SELECT id,
+        |         (id <> min(id) OVER (PARTITION BY fp))::BIGINT
+        |           AS d_aud FROM afp),
+        |tx AS (SELECT id,
+        |         (id <> min(id) OVER (PARTITION BY tfp))::BIGINT
+        |           AS d_txt FROM tf)
+        |SELECT d_img, d_aud, d_txt, count(*)::BIGINT AS n_docs
+        |FROM im JOIN au USING (id) JOIN tx USING (id)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // q240: the q72 register/estimate algebra over the per-type user hash
     // — the streaming run must land on these exact registers
     "q240_stream_hll" -> {
@@ -8242,30 +8476,7 @@ object SparkEntry {
     // neighbor index mapping, the 64·p > Σp bit rule, the 32-bit packing,
     // and XOR/popcount hamming, all replayed relationally
     "q239_image_phash_dedup" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS id, doc_id // 4 AS base, (doc_id % 4) * 7 AS dl
-        |  FROM documents),
-        |dims AS (
-        |  SELECT id, base, dl, 16 + base % 16 AS w, 12 + base % 8 AS h
-        |  FROM ids),
-        |px AS (
-        |  SELECT id, base, j,
-        |    least(((base * 2654435761 +
-        |        ((((j // 8) * h) // 8) * w + ((j % 8) * w) // 8) * 40503)
-        |       % 2147483648) % 256 + dl, 255) AS p
-        |  FROM dims, range(64) t(j)),
-        |sums AS (SELECT id, sum(p)::BIGINT AS sp FROM px GROUP BY 1),
-        |bits AS (
-        |  SELECT px.id, px.base, px.j,
-        |    CASE WHEN 64 * px.p > s.sp THEN 1::BIGINT ELSE 0::BIGINT END
-        |      AS bit
-        |  FROM px JOIN sums s ON s.id = px.id),
-        |halves AS (
-        |  SELECT id, base,
-        |    sum(CASE WHEN j < 32 THEN bit << j ELSE 0 END)::BIGINT AS lo,
-        |    sum(CASE WHEN j >= 32 THEN bit << (j - 32) ELSE 0 END)::BIGINT
-        |      AS hi
-        |  FROM bits GROUP BY 1, 2)
+      s"""WITH $ImageAHashCtes
         |SELECT (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
         |    ::BIGINT AS hamming,
         |  count(*)::BIGINT AS n_pairs

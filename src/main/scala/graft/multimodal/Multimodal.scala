@@ -507,6 +507,73 @@ object Multimodal {
     }
   }
 
+  /** Audio analogue of [[synthVariantImageCorpus]]: groups of 4
+    * consecutive ids share one base PCM track (length and noise seeded by
+    * `id div 4`) and differ only by a uniform gain offset (+5·variant).
+    * Base samples are compressed into [0, 240) so the max offset (15)
+    * NEVER clamps — a clamp is a nonlinearity that would perturb
+    * Walsh-Hadamard coefficients near zero; headroom keeps the gain shift
+    * exactly linear, so the DC-excluded fingerprint is exactly invariant.
+    */
+  def synthVariantAudioCorpus(docs: DataFrame, variants: Int = 4): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val base = id / variants
+      val delta = (id % variants) * 5L
+      val n = 256 + 8 * (base % 96).toInt
+      val s = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        // base-dependent STRIDE, not just a base-dependent offset: an
+        // affine seed only shifts the one global LCG sequence (mod-256
+        // carry aside), which left every track a gain-shifted copy of
+        // every other and collapsed cross-base fingerprints; the stride
+        // makes tracks genuinely distinct signals
+        s(i) = ((((base + 7777L) * 2654435761L +
+          i.toLong * (40503L + 2L * base)) % 2147483648L)
+          % 256L % 240L + delta).toByte
+        i += 1
+      }
+      MediaRow(id, "audio/wav", encodeWav(s), n, 1)
+    }
+  }
+
+  final case class AudioFp(mediaId: Long, fp: Long)
+
+  /** 32-bit spectral fingerprint of each track: real WAV decode → Walsh-
+    * Hadamard transform of the first 64 samples (the ±1 integer-exact
+    * stand-in for the DFT a Shazam-style fingerprinter uses — sign of
+    * coefficient k is `(−1)^popcount(k AND n)` weighting, so the whole
+    * transform is integer arithmetic an engine without a codec replays
+    * verbatim) → bit k ⟺ W_k > 0 for k = 1..32. Coefficient 0 (the DC
+    * term) is EXCLUDED: a uniform gain shift moves only W_0, which is
+    * precisely why the fingerprint collapses level-shifted duplicates.
+    */
+  def audioWhtFingerprint(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFp] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val s = decodeAudio(m.content)
+          var fp = 0L
+          var k = 1
+          while (k <= 32) {
+            var w = 0L
+            var n = 0
+            while (n < 64) {
+              val sign = if (java.lang.Integer.bitCount(k & n) % 2 == 0) 1L else -1L
+              w += sign * (s(n) & 0xff)
+              n += 1
+            }
+            if (w > 0) fp |= 1L << (k - 1)
+            k += 1
+          }
+          AudioFp(m.mediaId, fp)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatures(mediaId: Long, nSamples: Long, sumAmp: Long,
       momentAmp: Long, nMidCrossings: Long, meanMilli: Long)
 

@@ -193,6 +193,48 @@ class MultimodalSpec extends AnyFunSuite {
       s"independent images must differ: mean ${cross.sum.toDouble / cross.size}")
   }
 
+  test("WHT audio fingerprint: gain variants collapse, cross-base tracks differ") {
+    import spark.implicits._
+    val docs = spark.range(0, 64).select(org.apache.spark.sql.functions
+      .col("id").as("doc_id"))
+    val fps = Multimodal.audioWhtFingerprint(
+        Multimodal.synthVariantAudioCorpus(docs))
+      .collect().map(f => f.mediaId -> f.fp).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val within = for {
+      base <- 0L until 16L; i <- 0 to 2; j <- (i + 1) to 3
+    } yield hamming(fps(base * 4 + i), fps(base * 4 + j))
+    // DC exclusion + clamp-free headroom make a uniform gain shift
+    // EXACTLY invisible — every planted pair collapses to hamming 0
+    assert(within.max == 0, s"gain variants must collapse: max ${within.max}")
+    val cross = for { a <- 0L until 16L; b <- (a + 1) until 16L }
+      yield hamming(fps(a * 4), fps(b * 4))
+    assert(cross.sum.toDouble / cross.size > 8.0,
+      s"independent tracks must differ: mean ${cross.sum.toDouble / cross.size}")
+  }
+
+  test("WHT fingerprint matches a direct transform of the decoded samples") {
+    import spark.implicits._
+    val docs = spark.range(0, 8).select(org.apache.spark.sql.functions
+      .col("id").as("doc_id"))
+    val corpus = Multimodal.synthVariantAudioCorpus(docs).collect()
+    val fps = Multimodal.audioWhtFingerprint(
+      Multimodal.synthVariantAudioCorpus(docs))
+      .collect().map(f => f.mediaId -> f.fp).toMap
+    corpus.foreach { m =>
+      val s = Multimodal.decodeAudio(m.content)
+      var want = 0L
+      for (k <- 1 to 32) {
+        val w = (0 until 64).map { n =>
+          (if (java.lang.Integer.bitCount(k & n) % 2 == 0) 1L else -1L) *
+            (s(n) & 0xff)
+        }.sum
+        if (w > 0) want |= 1L << (k - 1)
+      }
+      assert(fps(m.mediaId) == want, s"media ${m.mediaId}")
+    }
+  }
+
   test("aHash halves never touch the sign bit and pack 64 bits exactly") {
     import spark.implicits._
     val docs = spark.range(0, 32).select(org.apache.spark.sql.functions
