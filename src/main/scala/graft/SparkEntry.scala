@@ -3200,6 +3200,46 @@ object SparkEntry {
           (col("quota") + col("extra")).as("alloc"))
     }),
 
+    // winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    // algorithm): from each document's positional shingle hashes, keep
+    // the minimum of every w=4-length window, rightmost-min tie-break —
+    // guaranteeing any shared run of ≥ w+2 tokens yields a shared
+    // SELECTED fingerprint while storing only ~2/(w+1) of all hashes.
+    // The (h, pos-desc) window min rides ONE encoded integer key
+    // (h·4096 + 4095−pos — windows span 4 positions, so the mod-4096
+    // position field cannot collide), making the selection a plain
+    // frame-bounded min both engines evaluate identically. Per-doc
+    // density census + a selected-hash checksum pin every selection
+    "q246_winnowing" -> ((s, d) =>
+      TextOps.winnowedFingerprints(documents(s, d), "doc_id", "text", w = 4)
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(expr("(sh * 31 + spos) % 2147483647")).as("sel_checksum"))),
+
+    // DYNAMIC-gap session windows: the built-in session_window operator
+    // with a per-event gap EXPRESSION (clicks close after 10 min, other
+    // events keep the session alive 30 min) — the Spark surface q104's
+    // fixed gap cannot express. Merge semantics are strict-overlap over
+    // per-event intervals [t, t+gap(t)), which with heterogeneous gaps
+    // needs a RUNNING-MAX end (a short click window can sit wholly
+    // inside an earlier view's long window) — exactly how the oracle
+    // replays it relationally
+    "q247_dynamic_session_gap" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+      e.groupBy(col("user_id"),
+          session_window(col("event_time"),
+            when(col("event_type") === "click", "10 minutes")
+              .otherwise("30 minutes")).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1e6))).as("sum_value_micro"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value_micro"))
+    }),
+
     // cross-modal dedup capstone (the q100 composition pattern for media):
     // the same documents carry an image, an audio track, and text; each
     // modality's fingerprint — q239's aHash, q242's WHT code, q12's text
@@ -8424,6 +8464,69 @@ object SparkEntry {
         |  (rk <= n_extra)::BIGINT AS extra,
         |  (quota + (rk <= n_extra)::INT)::BIGINT AS alloc
         |FROM r""".stripMargin,
+
+    // q247: islands via RUNNING-MAX interval end (heterogeneous gaps make
+    // plain lag-based breaks wrong), session bounds = min start / max end
+    "q247_dynamic_session_gap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'click' THEN 600000000
+        |         ELSE 1800000000 END AS gap_us,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT *, ts_us + gap_us AS iend,
+        |    max(ts_us + gap_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL
+        |                   OR ts_us >= prev_max_end THEN 1 ELSE 0 END
+        |              AS brk
+        |  FROM w),
+        |sids AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts_us)::BIGINT AS start_us,
+        |  max(iend)::BIGINT AS end_us, count(*)::BIGINT AS n_events,
+        |  sum(vm)::BIGINT AS sum_value_micro
+        |FROM sids GROUP BY user_id, sid""".stripMargin,
+
+    // q246: positional shingles, the encoded (h, pos-desc) window min
+    // over the same 4-row frame, full-window filter, distinct selections
+    "q246_winnowing" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+        |    i -> struct_pack(p := i,
+        |      g := array_to_string(list_slice(t, i + 1, i + 3), ' '))))
+        |    AS u
+        |  FROM t),
+        |g AS (SELECT doc_id, u.p AS pos, ${fingerprintSql("u.g")} AS h
+        |      FROM g0),
+        |ns AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM g
+        |       GROUP BY 1),
+        |wm AS (
+        |  SELECT doc_id, pos,
+        |    min(h * 4096 + (4095 - pos % 4096)) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT w2.doc_id, ns.n_shingles,
+        |    wmin // 4096 AS sh, 4095 - wmin % 4096 AS spos
+        |  FROM wm w2 JOIN ns ON ns.doc_id = w2.doc_id
+        |  WHERE w2.pos <= ns.n_shingles - 4)
+        |SELECT doc_id, n_shingles, count(*)::BIGINT AS n_selected,
+        |  sum(((sh * 31 + spos) % 2147483647)::HUGEINT)::BIGINT
+        |    AS sel_checksum
+        |FROM sel GROUP BY 1, 2""".stripMargin,
 
     // q245: the SAME q239/q242 fragment chains plus the q12 text hash —
     // min-id survivor per exact fingerprint group, cross-modal cell census

@@ -113,6 +113,46 @@ object TextOps {
       .drop("n_stop_q", "n_alpha_q", "n_chars_q")
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): positional `n`-gram shingle hashes, then the minimum of
+    * every `w`-length window with a rightmost-min tie-break — any shared
+    * token run of length ≥ n + w − 1 + 1 between two documents yields a
+    * shared SELECTED hash, at ~2/(w+1) storage density. The (hash,
+    * pos-desc) window min rides one encoded integer key (h·4096 +
+    * 4095−pos mod 4096 — a window spans w ≤ 4096 positions, so the
+    * position field cannot collide), making the selection a plain
+    * frame-bounded `min` every engine evaluates identically.
+    *
+    * Returns one row per selected fingerprint: (idCol, n_shingles, sh,
+    * spos). Scale shape: per-document windows (bounded by document
+    * length), one exchange on the document id — embarrassingly parallel
+    * over documents.
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val grams = df.select(id, split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(id, posexplode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+      .select(id, col("pos").cast("long").as("pos"),
+        fingerprint(col("col")).as("h"))
+    val nsh = grams.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min(col("h") * 4096 +
+        (lit(4095L) - pmod(col("pos"), lit(4096L)))).over(win))
+      .join(nsh, Seq(idCol))
+      .where(col("pos") <= col("n_shingles") - w)
+      .select(id, col("n_shingles"),
+        expr("wmin div 4096").as("sh"),
+        (lit(4095L) - pmod(col("wmin"), lit(4096L))).as("spos"))
+      .distinct()
+  }
+
   /** 31-polynomial rolling hash of the text modulo 2^31-1 — a deterministic
     * document fingerprint computable with identical integer arithmetic in
     * Spark and DuckDB (`list_reduce` over `ascii(substr(...))`) — verified
