@@ -3017,8 +3017,12 @@ object SparkEntry {
       pairs.join(uStats, Seq("sa", "sb"))
         .join(inBoth, Seq("sa", "sb"), "left")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        // denominator = the union sketch's actual size: when the union has
+        // fewer than k values the sketch IS the exact union and n_shared
+        // the exact intersection — dividing by the constant k there would
+        // undercount precisely where the sketch could be exact
         .withColumn("est_inter",
-          expr("(n_shared * est_union) div " + k))
+          expr(s"(n_shared * est_union) div least($k, n_u)"))
         .select("sa", "sb", "est_a", "est_b", "est_union", "n_shared",
           "est_inter")
     }),
@@ -3206,9 +3210,9 @@ object SparkEntry {
     // guaranteeing any shared run of ≥ w+2 tokens yields a shared
     // SELECTED fingerprint while storing only ~2/(w+1) of all hashes.
     // The (h, pos-desc) window min rides ONE encoded integer key
-    // (h·4096 + 4095−pos — windows span 4 positions, so the mod-4096
-    // position field cannot collide), making the selection a plain
-    // frame-bounded min both engines evaluate identically. Per-doc
+    // (h·2^32 + 2^32−1−pos — full-width position field, exact for any
+    // document length), making the selection a plain frame-bounded min
+    // both engines evaluate identically. Per-doc
     // density census + a selected-hash checksum pin every selection
     "q246_winnowing" -> ((s, d) =>
       TextOps.winnowedFingerprints(documents(s, d), "doc_id", "text", w = 4)
@@ -8397,13 +8401,13 @@ object SparkEntry {
         |  JOIN sk y ON y.source = u.sb AND y.h = u.h
         |  GROUP BY 1, 2)
         |SELECT sa, sb, est_a, est_b, est_union, n_shared,
-        |  (n_shared * est_union) // 128 AS est_inter
+        |  (n_shared * est_union) // least(128, n_u) AS est_inter
         |FROM (
         |  SELECT p.sa, p.sb, p.est_a, p.est_b,
         |    CASE WHEN us.n_u < 128 THEN us.n_u
         |         ELSE (127::BIGINT * 2147483647) // (us.kth_u + 1) END
         |      AS est_union,
-        |    coalesce(sh2.n_shared, 0)::BIGINT AS n_shared
+        |    coalesce(sh2.n_shared, 0)::BIGINT AS n_shared, us.n_u
         |  FROM pairs p
         |  JOIN us ON us.sa = p.sa AND us.sb = p.sb
         |  LEFT JOIN shared sh2 ON sh2.sa = p.sa AND sh2.sb = p.sb)""".stripMargin,
@@ -8514,13 +8518,14 @@ object SparkEntry {
         |       GROUP BY 1),
         |wm AS (
         |  SELECT doc_id, pos,
-        |    min(h * 4096 + (4095 - pos % 4096)) OVER (
+        |    min(h * 4294967296 + (4294967295 - pos)) OVER (
         |      PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
         |  FROM g),
         |sel AS (
         |  SELECT DISTINCT w2.doc_id, ns.n_shingles,
-        |    wmin // 4096 AS sh, 4095 - wmin % 4096 AS spos
+        |    wmin // 4294967296 AS sh,
+        |    4294967295 - wmin % 4294967296 AS spos
         |  FROM wm w2 JOIN ns ON ns.doc_id = w2.doc_id
         |  WHERE w2.pos <= ns.n_shingles - 4)
         |SELECT doc_id, n_shingles, count(*)::BIGINT AS n_selected,

@@ -26,7 +26,11 @@ object Verify {
     // a DETERMINISTIC sibling, `<outDir>_gen`: re-runs overwrite it rather
     // than leaking a sweep dump per run, it survives as long as the outDir
     // artifact it belongs to, and archiving both keeps the oracle replayable
-    val genDir = new java.io.File(s"${outDir}_gen").getAbsolutePath
+    // strip trailing separators first: "/tmp/out/" would otherwise yield
+    // genDir = "/tmp/out/_gen" INSIDE outDir, where the `_gen` query's own
+    // overwrite-write would wipe the whole scratch mid-run
+    val outNorm = outDir.replaceAll("/+$", "")
+    val genDir = new java.io.File(s"${outNorm}_gen").getAbsolutePath
     System.setProperty("graft.gen.dir", genDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

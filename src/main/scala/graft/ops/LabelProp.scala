@@ -32,7 +32,15 @@ object LabelProp {
     * graph. `nodes`: (node, lbl) initial labels. Returns (node, lbl).
     */
   def propagate(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.localCheckpoint()
+    // drop edges touching unregistered endpoints up front: a neighbor
+    // vote would otherwise manufacture label rows for nodes the caller
+    // never supplied — and those phantoms would get no self-vote,
+    // violating the update rule documented above
+    val reg = nodes.select(col("node"))
+    val e = edges
+      .join(reg.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(reg.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .localCheckpoint()
     var lbl = nodes
     for (_ <- 1 to rounds) {
       val votes = e.join(lbl.withColumnRenamed("node", "v"), Seq("v"))

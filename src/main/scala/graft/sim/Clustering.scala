@@ -269,6 +269,11 @@ object Clustering {
       .select(col("vec_id").as("id"), lit(0L).as("rnd"), lit(0L).as("dm"),
         col("v").as("cv"))
       .localCheckpoint()
+    // a missing seed must fail loudly, not return an empty coreset (the
+    // SQL oracle fabricates its seed row unconditionally, so the two
+    // sides would silently diverge on a bad seed id)
+    require(chosen.count() == 1L,
+      s"k-center seed id $seedId not present (exactly once) in the corpus")
     for (i <- 1L until k.toLong) {
       val dmin = e
         .join(chosen.select(col("id").as("vec_id")), Seq("vec_id"),

@@ -189,7 +189,11 @@ object Similarity {
       floor((dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)) * 1e6 + lit(0.5))
         .cast("long")
 
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCent)
+    // ids < nCent, the repo's deterministic seeding convention (matches
+    // the oracle and ivfCosineTopK/kmeansStepStats; orderBy().limit()
+    // would pick DIFFERENT centroids on any non-0-contiguous id space
+    // and plan a global TakeOrdered besides)
+    val cents = broadcast(corpus.where(col(idCol) < nCent)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
       .withColumn("sub", explode(subs))
       .withColumn("cs", expr(s"slice(cv, sub * $subDim + 1, $subDim)"))

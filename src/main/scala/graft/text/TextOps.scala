@@ -118,10 +118,12 @@ object TextOps {
     * every `w`-length window with a rightmost-min tie-break — any shared
     * token run of length ≥ n + w − 1 + 1 between two documents yields a
     * shared SELECTED hash, at ~2/(w+1) storage density. The (hash,
-    * pos-desc) window min rides one encoded integer key (h·4096 +
-    * 4095−pos mod 4096 — a window spans w ≤ 4096 positions, so the
-    * position field cannot collide), making the selection a plain
-    * frame-bounded `min` every engine evaluates identically.
+    * pos-desc) window min rides one encoded integer key
+    * (h·2^32 + (2^32−1−pos): h < 2^31 keeps the product below 2^63, and
+    * the full-width position field is exact for any document below 2^32
+    * shingles — no modular wrap to mis-decode or mis-tie-break on long
+    * documents), making the selection a plain frame-bounded `min` every
+    * engine evaluates identically.
     *
     * Returns one row per selected fingerprint: (idCol, n_shingles, sh,
     * spos). Scale shape: per-document windows (bounded by document
@@ -142,14 +144,15 @@ object TextOps {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val f = 4294967296L // 2^32 position field
     grams
-      .withColumn("wmin", min(col("h") * 4096 +
-        (lit(4095L) - pmod(col("pos"), lit(4096L)))).over(win))
+      .withColumn("wmin", min(col("h") * f +
+        (lit(f - 1) - col("pos"))).over(win))
       .join(nsh, Seq(idCol))
       .where(col("pos") <= col("n_shingles") - w)
       .select(id, col("n_shingles"),
-        expr("wmin div 4096").as("sh"),
-        (lit(4095L) - pmod(col("wmin"), lit(4096L))).as("spos"))
+        expr(s"wmin div ${f}L").as("sh"),
+        (lit(f - 1) - pmod(col("wmin"), lit(f))).as("spos"))
       .distinct()
   }
 
