@@ -3220,6 +3220,84 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_selected"),
           sum(expr("(sh * 31 + spos) % 2147483647")).as("sel_checksum"))),
 
+    // MOSS similarity detection — q246's selections put to work: two
+    // documents are compared ONLY through their winnowed fingerprints
+    // (the guarantee: any shared ≥6-token run surfaces a shared selected
+    // hash), candidates meet in one equi-join on the selected hash value
+    // — never all-pairs, and the join input is already winnowed to
+    // ~2/(w+1) density. Per-pair match score = shared selections relative
+    // to the smaller side's selection count (exact permille). Planted
+    // overlaps: doc pairs (2i, 2i+1) with doc_id < 80 share a 12-token
+    // prefix splice, so detection has known ground truth in the census
+    "q248_moss_similarity" -> ((s, d) => {
+      // splice a shared prefix into paired docs: both members of a pair
+      // carry the SAME first-12-token run taken from the even member
+      val docs = documents(s, d).where(col("doc_id") < 80)
+      val donor = docs.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("pfx"))
+      val spliced = docs.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("pfx").isNotNull, concat_ws(" ", col("pfx"), col("text")))
+            .otherwise(col("text")).as("text"))
+      // compare on the DISTINCT-hash grain throughout (a hash selected at
+      // several positions of one doc is still one fingerprint)
+      val sel = TextOps.winnowedFingerprints(spliced, "doc_id", "text", w = 4)
+        .select("doc_id", "sh").distinct()
+        .localCheckpoint() // feeds counts AND the pair join — one pass
+      val cnt = sel.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+      val a = sel.select(col("doc_id").as("id_a"), col("sh"))
+      val b = sel.select(col("doc_id").as("id_b"), col("sh"))
+      val shared = a.join(b, Seq("sh"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(cnt.select(col("doc_id").as("id_a"), col("n_sel").as("na")),
+          Seq("id_a"))
+        .join(cnt.select(col("doc_id").as("id_b"), col("n_sel").as("nb")),
+          Seq("id_b"))
+        .withColumn("score_pm",
+          expr("(n_shared * 1000) div least(na, nb)"))
+        .where(col("n_shared") >= 2)
+        .withColumn("planted",
+          (col("id_b") - col("id_a") === 1 && col("id_a") % 2 === 0)
+            .cast("long"))
+        .groupBy("planted")
+        .agg(count(lit(1)).as("n_pairs"), sum("n_shared").as("sum_shared"),
+          max("score_pm").as("max_score_pm"), min("score_pm").as("min_score_pm"))
+    }),
+
+    // trending top-k churn ("what's new on the leaderboard"): monthly
+    // top-5 brands by exact-cents revenue, joined month-over-month to
+    // score entry churn — new entrants and absolute rank movement among
+    // stayers. The per-month rank partitions by month (bounded window),
+    // the churn join is an equi-join on (month+1, clerk) over the tiny
+    // top-k table — leaderboard-sized, never fact-sized
+    "q249_trending_topk" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(expr("(year(o_orderdate) - 1992) * 12" +
+            " + month(o_orderdate) - 1").cast("long").as("midx"),
+          col("p_brand"),
+          cents(col("l_extendedprice")).cast("long").as("c"))
+        .groupBy("midx", "p_brand").agg(sum("c").as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("midx")
+        .orderBy(col("rev_cents").desc, col("p_brand"))
+      val top = rev.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .localCheckpoint() // two branches below — rank once
+      val prev = top.select((col("midx") + 1).as("midx"),
+        col("p_brand"), col("rk").as("prev_rk"))
+      top.join(prev, Seq("midx", "p_brand"), "left")
+        .groupBy("midx")
+        .agg(count(lit(1)).as("n_top"),
+          sum(col("prev_rk").isNull.cast("long")).as("n_new"),
+          sum(coalesce(abs(col("rk") - col("prev_rk")), lit(0L)))
+            .as("sum_abs_delta"),
+          sum("rev_cents").as("top_rev_cents"))
+    }),
+
     // DYNAMIC-gap session windows: the built-in session_window operator
     // with a per-event gap EXPRESSION (clicks close after 10 min, other
     // events keep the session alive 30 min) — the Spark surface q104's
@@ -5239,6 +5317,37 @@ object SparkEntry {
       |    sum(CASE WHEN w > 0 THEN 1::BIGINT << (k - 1)
       |             ELSE 0 END)::BIGINT AS fp
       |  FROM wc GROUP BY 1, 2)""".stripMargin
+
+  /** Winnowing-selection CTE chain over a relation `src(doc_id, text)` —
+    * ONE definition shared by q246 and the q248 MOSS detector. Ends in
+    * `sel(doc_id, n_shingles, sh, spos)`. No leading WITH.
+    */
+  private def winnowSelCtes(src: String): String =
+    s"""wt AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+      |    i -> struct_pack(p := i,
+      |      g := array_to_string(list_slice(t, i + 1, i + 3), ' '))))
+      |    AS u
+      |  FROM wt),
+      |g AS (SELECT doc_id, u.p AS pos, ${fingerprintSql("u.g")} AS h
+      |      FROM g0),
+      |ns AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM g
+      |       GROUP BY 1),
+      |wm AS (
+      |  SELECT doc_id, pos,
+      |    min(h * 4294967296 + (4294967295 - pos)) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM g),
+      |sel AS (
+      |  SELECT DISTINCT w2.doc_id, ns.n_shingles,
+      |    wmin // 4294967296 AS sh,
+      |    4294967295 - wmin % 4294967296 AS spos
+      |  FROM wm w2 JOIN ns ON ns.doc_id = w2.doc_id
+      |  WHERE w2.pos <= ns.n_shingles - 4)""".stripMargin
 
   /** q241's oracle: the greedy k-center rounds unrolled — each round's
     * min-distance table over the not-yet-chosen points, the (dist DESC,
@@ -8500,34 +8609,75 @@ object SparkEntry {
         |  sum(vm)::BIGINT AS sum_value_micro
         |FROM sids GROUP BY user_id, sid""".stripMargin,
 
+    // q249: month-index arithmetic, (rev DESC, clerk) top-5 rank, month+1
+    // churn self-join, identical null-handling on entrants
+    "q249_trending_topk" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1992) * 12
+        |      + month(o_orderdate) - 1 AS midx,
+        |    p_brand,
+        |    sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+        |      AS rev_cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT midx::BIGINT AS midx, p_brand, rev_cents, rk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY midx
+        |      ORDER BY rev_cents DESC, p_brand)::BIGINT AS rk
+        |    FROM rev) WHERE rk <= 5)
+        |SELECT t.midx, count(*)::BIGINT AS n_top,
+        |  sum(CASE WHEN p.rk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(coalesce(abs(t.rk - p.rk), 0))::BIGINT AS sum_abs_delta,
+        |  sum(t.rev_cents)::BIGINT AS top_rev_cents
+        |FROM top t LEFT JOIN top p
+        |  ON p.midx + 1 = t.midx AND p.p_brand = t.p_brand
+        |GROUP BY 1""".stripMargin,
+
+    // q248: prefix splice, the SAME winnowing chain as q246, distinct-
+    // hash pair join, permille score, planted-vs-discovered census
+    "q248_moss_similarity" ->
+      s"""WITH b0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 80),
+        |donor AS (
+        |  SELECT doc_id + 1 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+        |      AS pfx
+        |  FROM b0 WHERE doc_id % 2 = 0),
+        |sp AS (
+        |  SELECT b0.doc_id,
+        |    CASE WHEN d.pfx IS NOT NULL THEN d.pfx || ' ' || b0.text
+        |         ELSE b0.text END AS text
+        |  FROM b0 LEFT JOIN donor d ON d.doc_id = b0.doc_id),
+        |${winnowSelCtes("sp")},
+        |sd AS (SELECT DISTINCT doc_id, sh FROM sel),
+        |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sel FROM sd
+        |        GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s2.id_a, s2.id_b, s2.n_shared,
+        |    (s2.n_shared * 1000) // least(ca.n_sel, cb.n_sel) AS score_pm,
+        |    CASE WHEN s2.id_b - s2.id_a = 1 AND s2.id_a % 2 = 0
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS planted
+        |  FROM shared s2
+        |  JOIN cnt ca ON ca.doc_id = s2.id_a
+        |  JOIN cnt cb ON cb.doc_id = s2.id_b
+        |  WHERE s2.n_shared >= 2)
+        |SELECT planted, count(*)::BIGINT AS n_pairs,
+        |  sum(n_shared)::BIGINT AS sum_shared,
+        |  max(score_pm)::BIGINT AS max_score_pm,
+        |  min(score_pm)::BIGINT AS min_score_pm
+        |FROM scored GROUP BY 1""".stripMargin,
+
     // q246: positional shingles, the encoded (h, pos-desc) window min
     // over the same 4-row frame, full-window filter, distinct selections
     "q246_winnowing" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |g0 AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
-        |    i -> struct_pack(p := i,
-        |      g := array_to_string(list_slice(t, i + 1, i + 3), ' '))))
-        |    AS u
-        |  FROM t),
-        |g AS (SELECT doc_id, u.p AS pos, ${fingerprintSql("u.g")} AS h
-        |      FROM g0),
-        |ns AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM g
-        |       GROUP BY 1),
-        |wm AS (
-        |  SELECT doc_id, pos,
-        |    min(h * 4294967296 + (4294967295 - pos)) OVER (
-        |      PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        |  FROM g),
-        |sel AS (
-        |  SELECT DISTINCT w2.doc_id, ns.n_shingles,
-        |    wmin // 4294967296 AS sh,
-        |    4294967295 - wmin % 4294967296 AS spos
-        |  FROM wm w2 JOIN ns ON ns.doc_id = w2.doc_id
-        |  WHERE w2.pos <= ns.n_shingles - 4)
+      s"""WITH ${winnowSelCtes("documents")}
         |SELECT doc_id, n_shingles, count(*)::BIGINT AS n_selected,
         |  sum(((sh * 31 + spos) % 2147483647)::HUGEINT)::BIGINT
         |    AS sel_checksum
