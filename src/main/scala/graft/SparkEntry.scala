@@ -3356,6 +3356,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // the FULL IVF-PQ pipeline with residual quantization — coarse
+    // routing (q49's half), PQ codebooks trained on and encoding the
+    // residual x − c(cell) (q234's half, on residuals), nProbe=4 probed
+    // cells, per-(cell, subspace) ADC tables over the query's own
+    // residual. The billion-vector index architecture end to end, with
+    // every distance an order-free integer micro and the probed-cell
+    // restriction carried BY the (cell, sub, code) equi-join itself
+    "q250_ivfpq_residual" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfPqAdcTopK(emb, emb.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+    }),
+
     // greedy k-center coreset (farthest-point diversity selection, the
     // data-selection staple for picking a maximally-spread training
     // subset): k−1 rounds of broadcast-chosen-set min-distance + a 1-row
@@ -5376,6 +5389,68 @@ object SparkEntry {
        |$rounds
        |SELECT rnd AS sel_round, id AS vec_id, dm AS dist_micro
        |FROM c${k - 1}""".stripMargin
+  }
+
+  /** q250's oracle: IVF-PQ with residual quantization replayed — coarse
+    * L2 assignment, elementwise residuals, codebooks from the residuals
+    * of ids [nCells, nCells+nCent), per-(vector, sub) argmin codes,
+    * nProbe probed cells, residual ADC tables, integer ADC sums.
+    */
+  private def ivfPqOracleSql(k: Int, nCells: Int = 16, nProbe: Int = 4,
+      nSub: Int = 4, subDim: Int = 16, nCent: Int = 16): String = {
+    def d2(x: String, c: String) =
+      s"floor((list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)" +
+        s" + list_dot_product($c, $c)) * 1e6 + 0.5)::BIGINT"
+    def sl(r: String) = s"list_slice($r, cb.sub * $subDim + 1," +
+      s" cb.sub * $subDim + $subDim)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS cellv FROM e
+       |          WHERE vec_id < $nCells),
+       |resC AS (
+       |  SELECT vec_id, cell_id,
+       |    list_transform(range(1, ${nSub * subDim + 1}),
+       |      i -> v[i] - cellv[i]) AS r
+       |  FROM (
+       |    SELECT e.vec_id, e.v, c.cell_id, c.cellv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cellv")}, c.cell_id) AS rk
+       |    FROM e, cents c) WHERE rk = 1),
+       |cb AS (
+       |  SELECT s.s AS sub, (rc.vec_id - $nCells)::BIGINT AS cid,
+       |    list_slice(rc.r, s.s * $subDim + 1, s.s * $subDim + $subDim)
+       |      AS cs
+       |  FROM resC rc, (SELECT unnest(range(0, $nSub)) AS s) s
+       |  WHERE rc.vec_id >= $nCells AND rc.vec_id < ${nCells + nCent}),
+       |codes AS (
+       |  SELECT vec_id AS cand_id, cell_id, sub, cid AS code FROM (
+       |    SELECT rc.vec_id, rc.cell_id, cb.sub, cb.cid,
+       |      row_number() OVER (PARTITION BY rc.vec_id, cb.sub
+       |        ORDER BY ${d2(sl("rc.r"), "cb.cs")}, cb.cid) AS rk
+       |    FROM resC rc CROSS JOIN cb) WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT query_id, cell_id, rq FROM (
+       |    SELECT e.vec_id AS query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cellv")}, c.cell_id) AS rk,
+       |      list_transform(range(1, ${nSub * subDim + 1}),
+       |        i -> e.v[i] - c.cellv[i]) AS rq
+       |    FROM e, cents c WHERE e.vec_id < 10) WHERE rk <= $nProbe),
+       |qtab AS (
+       |  SELECT q.query_id, q.cell_id, cb.sub, cb.cid AS code,
+       |    ${d2(sl("q.rq"), "cb.cs")} AS qd
+       |  FROM qprobe q CROSS JOIN cb),
+       |sc AS (
+       |  SELECT q.query_id, cd.cand_id, sum(q.qd)::BIGINT AS adc_micro
+       |  FROM codes cd JOIN qtab q ON q.cell_id = cd.cell_id
+       |    AND q.sub = cd.sub AND q.code = cd.code
+       |  WHERE q.query_id <> cd.cand_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, cand_id, adc_micro, rank FROM (
+       |  SELECT query_id, cand_id, adc_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro, cand_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** q233's oracle: the q192 neighbor graph, then `rounds` synchronous
@@ -8529,6 +8604,8 @@ object SparkEntry {
       RecursiveReachSql("lineitem", "orders", "supplier", "customer"),
 
     "q241_kcenter_coreset" -> kCenterOracleSql(8),
+
+    "q250_ivfpq_residual" -> ivfPqOracleSql(5),
 
     // q242: samples from the variant formula, Walsh-Hadamard signs via
     // bit_count parity, 32-bit pack, XOR/popcount hamming — all replayed

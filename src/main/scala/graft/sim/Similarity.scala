@@ -233,6 +233,102 @@ object Similarity {
         (-col("neg_adc")).cast("long").as("adc_micro"), col("rank"))
   }
 
+  /** Full IVF-PQ with RESIDUAL quantization (Jégou et al. 2011, the
+    * architecture billion-vector ANN indexes actually ship): a coarse
+    * quantizer routes each vector to its nearest cell by exact L2, PQ
+    * codes are trained on and encode the RESIDUAL x − c(cell) (residuals
+    * concentrate near the origin, which is why PQ-on-residuals beats
+    * PQ-on-raw at equal code budget), and a query probes its `nProbe`
+    * nearest cells scoring candidates by per-(cell, subspace) ADC lookup
+    * tables over the query's own residual in that cell.
+    *
+    * Deterministic seeding convention: coarse centroids are ids < nCells;
+    * PQ codebooks are the residuals of the next `nCent` ids (the first
+    * nCells ids ARE the centroids — their residuals are zero vectors and
+    * would be a degenerate codebook).
+    *
+    * Scale shape: centroids and codebooks broadcast; assignment and
+    * encoding are map-side-combinable argmins (shuffle ≤ N and N·nSub
+    * rows); candidates meet the ADC tables in ONE equi-join on (cell,
+    * sub, code) — the probed-cell restriction IS the join (qtab only
+    * carries probed cells); ranking is the k-bounded [[TopK]] aggregate.
+    * All distances are half-up micro-rounded integers ([[pqAdcTopK]]'s
+    * contract), so sums are order-free and bitwise across engines.
+    */
+  def ivfPqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      nSub: Int = 4, subDim: Int = 16, nCent: Int = 16): DataFrame = {
+    val subs = array((0 until nSub).map(lit): _*)
+    def d2Micro(x: Column, c: Column): Column =
+      floor((dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)) * 1e6 + lit(0.5))
+        .cast("long")
+    val cents = broadcast(corpus.where(col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cellv")))
+
+    // nearest-cell assignment + the residual against that cell's centroid
+    def assignResid(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId), col(vecCol).as("v"))
+        .crossJoin(cents)
+        .withColumn("d2m", d2Micro(col("v"), col("cellv")))
+        .groupBy(outId)
+        .agg(min(struct(col("d2m"), col("cell_id"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col(outId), col("v"), col("best.cell_id").as("cell_id"))
+        .join(cents, Seq("cell_id"))
+        .withColumn("r", zip_with(col("v"), col("cellv"),
+          (a, b) => a.cast("double") - b.cast("double")))
+        .drop("cellv")
+
+    // PQ codebooks from the residuals of ids [nCells, nCells + nCent)
+    val cb = broadcast(assignResid(
+        corpus.where(col(idCol) >= nCells && col(idCol) < nCells + nCent),
+        "seed_id")
+      .select((col("seed_id") - nCells).as("cid"), col("r"))
+      .withColumn("sub", explode(subs))
+      .withColumn("cs", expr(s"slice(r, sub * $subDim + 1, $subDim)"))
+      .select("sub", "cid", "cs"))
+
+    // encode every corpus vector's residual
+    val codes = assignResid(corpus, "cand_id")
+      .withColumn("sub", explode(subs))
+      .withColumn("xs", expr(s"slice(r, sub * $subDim + 1, $subDim)"))
+      .join(cb, Seq("sub"))
+      .withColumn("d2m", d2Micro(col("xs"), col("cs")))
+      .groupBy("cand_id", "cell_id", "sub")
+      .agg(min(struct(col("d2m"), col("cid"))).as("best"))
+      .select(col("cand_id"), col("cell_id"), col("sub"),
+        col("best.cid").as("code"))
+
+    // query side: nProbe nearest cells, residual per probed cell, ADC
+    // tables per (query, cell, sub, codebook entry)
+    val qcells = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("d2m", d2Micro(col("qv"), col("cellv")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2m"), col("cell_id"))))
+      .where(col("crank") <= nProbe)
+      .withColumn("rq", zip_with(col("qv"), col("cellv"),
+        (a, b) => a.cast("double") - b.cast("double")))
+      .select("query_id", "cell_id", "rq")
+    val qtab = broadcast(qcells
+      .withColumn("sub", explode(subs))
+      .withColumn("qs", expr(s"slice(rq, sub * $subDim + 1, $subDim)"))
+      .join(cb, Seq("sub"))
+      .withColumn("qd", d2Micro(col("qs"), col("cs")))
+      .select(col("query_id"), col("cell_id"), col("sub"),
+        col("cid").as("code"), col("qd")))
+
+    val scored = codes.join(qtab, Seq("cell_id", "sub", "code"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("qd").as("adc_micro"))
+      .withColumn("neg_adc", -col("adc_micro").cast("double"))
+    TopK.rankTopK(scored, "neg_adc", k)
+      .select(col("query_id"), col("cand_id"),
+        (-col("neg_adc")).cast("long").as("adc_micro"), col("rank"))
+  }
+
   /** Scale path for near-dup pairs: candidates share an LSH bucket (single
     * equi-join shuffle on the bucket id — never all-pairs), then exact cosine
     * on candidates only. Recall < 1 by construction; raise nBits probes or
