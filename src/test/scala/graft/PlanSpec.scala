@@ -467,6 +467,27 @@ class PlanSpec extends AnyFunSuite {
       s"top-k must aggregate map-side:\n$p")
   }
 
+  test("q248 moss: candidates meet on the selected-hash equi-join, never all-pairs") {
+    val p = plan("q248_moss_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the sh equi-join:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[sh".r
+      .findFirstIn(p).isDefined,
+      s"the fingerprint value must be the join key:\n$p")
+  }
+
+  test("q250 ivf-pq: no cartesian beyond the broadcast centroid products, no SMJ") {
+    val p = plan("q250_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cartesian may appear:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join must broadcast (centroids/codebooks/ADC tables are tiny):\n$p")
+    // the ADC scoring join must be hash-keyed on (cell, sub, code)
+    assert("BroadcastHashJoin \\[cell_id".r.findFirstIn(p).isDefined,
+      s"ADC lookup must equi-join on the cell/sub/code key:\n$p")
+  }
+
   test("q237 negative sampling: broadcast probe set, map-side bottom-k") {
     val p = plan("q237_negative_sampling")
     // the 10-query probe set broadcasts (nested-loop by design — the hash
