@@ -1189,8 +1189,11 @@ object SparkEntry {
     // map-side-combined groupBy at ANY corpus size; the 20 exact top tokens
     // are the probes, so the oracle shows est ≥ exact cell by cell
     "q78_cms_heavy_hitters" -> ((s, d) => {
+      // unit = 3-token grams (the corpus has only 31 distinct word
+      // tokens — a WORD vocabulary saturates at any size; the 16k
+      // distinct 3-grams give the sweep a real coverage curve)
       val tok = documents(s, d)
-        .select(explode(TextOps.tokensCol(col("text"))).as("tok"))
+        .select(explode(TextOps.shinglesAll(col("text"), 3)).as("tok"))
         .select(col("tok"), TextOps.fingerprint(col("tok")).as("h"))
       val exactTop = tok.groupBy("tok", "h").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
@@ -3219,6 +3222,68 @@ object SparkEntry {
         .groupBy("doc_id", "n_shingles")
         .agg(count(lit(1)).as("n_selected"),
           sum(expr("(sh * 31 + spos) % 2147483647")).as("sel_checksum"))),
+
+    // canonicalization-gain dedup: exact dedup finds nothing when the
+    // same content differs by case/punctuation (the copy-paste-with-
+    // house-style duplicate class), so the curation pipeline dedups on a
+    // CANONICAL form — lowercase, punctuation stripped, whitespace
+    // collapsed (POSIX-safe regexes, identical in Java regex and RE2).
+    // Planted variants: odd doc ids < 100 become an uppercased,
+    // punctuation-injected copy of their even neighbor. The census
+    // measures the gain: canonical groups vs raw groups per language
+    "q251_canonical_dedup_gain" -> ((s, d) => {
+      val docs = documents(s, d)
+      val donor = docs.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1).as("doc_id"),
+          concat(upper(col("text")), lit(" !!!")).as("vtext"))
+      val mixed = docs.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") < 100 && col("vtext").isNotNull, col("vtext"))
+            .otherwise(col("text")).as("text"))
+      val canon = mixed.withColumn("ctext",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          "  +", " ")))
+      // GLOBAL census: a variant and its donor usually sit in different
+      // language strata, so a per-lang distinct count would hide most of
+      // the planted collapses (measured: 12 of ~50)
+      canon.agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("raw_groups"),
+          count_distinct(col("ctext")).as("canon_groups"))
+        .withColumn("gained", col("raw_groups") - col("canon_groups"))
+    }),
+
+    // vocabulary-size sweep: the OOV cost curve a tokenizer designer
+    // reads before fixing a vocab budget — 3-gram occurrences covered by
+    // the top-{500, 1000, 2000, 4000} frequency vocabulary, as
+    // exact ppm, in ONE pass: the ranked vocabulary is a bounded
+    // TakeOrdered (4000 rows, broadcast back), and the four thresholds
+    // are conditional sums over one token scan
+    "q252_vocab_size_sweep" -> ((s, d) => {
+      // unit = 3-token grams (the corpus has only 31 distinct word
+      // tokens — a WORD vocabulary saturates at any size; the 16k
+      // distinct 3-grams give the sweep a real coverage curve)
+      val tok = documents(s, d)
+        .select(explode(TextOps.shinglesAll(col("text"), 3)).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("occ"))
+      val ranked = vocab
+        .orderBy(col("occ").desc, col("tok")).limit(4000)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("occ").desc, col("tok"))).cast("long"))
+        .select(col("tok"), col("rk"))
+      val scored = tok.join(broadcast(ranked), Seq("tok"), "left")
+        .withColumn("rk", coalesce(col("rk"), lit(Long.MaxValue)))
+      val sizes = Seq(500L, 1000L, 2000L, 4000L)
+      val census = scored.agg(count(lit(1)).as("n_occ"),
+        sizes.map(sz =>
+          sum((col("rk") > sz).cast("long")).as(s"oov_$sz")): _*)
+      census.select(explode(array(sizes.map(sz =>
+          struct(lit(sz).as("vocab_size"), col("n_occ"),
+            col(s"oov_$sz").as("n_oov"))): _*)).as("r"))
+        .select(col("r.vocab_size"), col("r.n_occ"), col("r.n_oov"),
+          expr("(r.n_oov * 1000000) div r.n_occ").as("oov_ppm"))
+    }),
 
     // MOSS similarity detection — q246's selections put to work: two
     // documents are compared ONLY through their winnowed fingerprints
@@ -8712,6 +8777,61 @@ object SparkEntry {
         |  ON p.midx + 1 = t.midx AND p.p_brand = t.p_brand
         |GROUP BY 1""".stripMargin,
 
+    // q251: the same donor splice, canonical form via identical
+    // POSIX-safe regex chain, distinct-count census per language
+    "q251_canonical_dedup_gain" ->
+      """WITH donor AS (
+        |  SELECT doc_id + 1 AS doc_id, upper(text) || ' !!!' AS vtext
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |mixed AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN d.doc_id < 100 AND dn.vtext IS NOT NULL
+        |         THEN dn.vtext ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN donor dn ON dn.doc_id = d.doc_id),
+        |c AS (
+        |  SELECT text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS ctext
+        |  FROM mixed)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT text)::BIGINT AS raw_groups,
+        |  count(DISTINCT ctext)::BIGINT AS canon_groups,
+        |  (count(DISTINCT text) - count(DISTINCT ctext))::BIGINT AS gained
+        |FROM c""".stripMargin,
+
+    // q252: df-ranked vocabulary (row_number then LIMIT — same top-4000
+    // set and ranks as the engine's limit-then-rank), four conditional
+    // sums over one token scan
+    "q252_vocab_size_sweep" -> {
+      val branches = Seq(500L, 1000L, 2000L, 4000L).map { sz =>
+        s"""SELECT ${sz}::BIGINT AS vocab_size, n_occ, o$sz AS n_oov,
+           |  (o$sz * 1000000) // n_occ AS oov_ppm FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(
+        |      list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))
+        |    AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS occ FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT tok, row_number() OVER (ORDER BY occ DESC, tok)::BIGINT
+        |    AS rk
+        |  FROM vocab ORDER BY occ DESC, tok LIMIT 4000),
+        |sc AS (
+        |  SELECT coalesce(r.rk, 9223372036854775807) AS rk
+        |  FROM tok t LEFT JOIN ranked r ON r.tok = t.tok),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_occ,
+        |    sum((rk > 500)::INT)::BIGINT AS o500,
+        |    sum((rk > 1000)::INT)::BIGINT AS o1000,
+        |    sum((rk > 2000)::INT)::BIGINT AS o2000,
+        |    sum((rk > 4000)::INT)::BIGINT AS o4000
+        |  FROM sc)
+        |$branches""".stripMargin
+    },
+
     // q248: prefix splice, the SAME winnowing chain as q246, distinct-
     // hash pair join, permille score, planted-vs-discovered census
     "q248_moss_similarity" ->
@@ -9429,7 +9549,12 @@ object SparkEntry {
 
     "q200_feature_hashing" ->
       s"""WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> array_to_string(
+        |      list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))
+        |    AS tok
+        |  FROM documents),
         |h AS (SELECT tok, (${fingerprintSql("tok")}) % 64 AS bucket
         |      FROM tok)
         |SELECT bucket, count(*)::BIGINT AS n_occurrences,
