@@ -1189,11 +1189,8 @@ object SparkEntry {
     // map-side-combined groupBy at ANY corpus size; the 20 exact top tokens
     // are the probes, so the oracle shows est ≥ exact cell by cell
     "q78_cms_heavy_hitters" -> ((s, d) => {
-      // unit = 3-token grams (the corpus has only 31 distinct word
-      // tokens — a WORD vocabulary saturates at any size; the 16k
-      // distinct 3-grams give the sweep a real coverage curve)
       val tok = documents(s, d)
-        .select(explode(TextOps.shinglesAll(col("text"), 3)).as("tok"))
+        .select(explode(TextOps.tokensCol(col("text"))).as("tok"))
         .select(col("tok"), TextOps.fingerprint(col("tok")).as("h"))
       val exactTop = tok.groupBy("tok", "h").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
@@ -9549,12 +9546,7 @@ object SparkEntry {
 
     "q200_feature_hashing" ->
       s"""WITH tok AS (
-        |  SELECT unnest(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> array_to_string(
-        |      list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))
-        |    AS tok
-        |  FROM documents),
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT tok, (${fingerprintSql("tok")}) % 64 AS bucket
         |      FROM tok)
         |SELECT bucket, count(*)::BIGINT AS n_occurrences,
