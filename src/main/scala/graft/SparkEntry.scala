@@ -4907,8 +4907,110 @@ object SparkEntry {
       o.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .select(col("o_orderstatus"), col("prio_nullable"),
           col("o_orderkey"), col("rn").cast("long").as("rn"))
-    })
+    }),
+
+    // DYNAMIC partition pruning — the join-driven counterpart of q206's
+    // static directory pruning: the fact side is partitioned on
+    // o_orderpriority, the pruning predicate lives on a DIMENSION (tier =
+    // 'hot'), so no static filter touches the partition column. Catalyst's
+    // PartitionPruning rule derives a runtime IN-subquery from the
+    // broadcast side and the scan lists only the two 'hot' directories —
+    // the single biggest scan saver on a 100 TB date/tenant-partitioned
+    // fact where every query filters through a dimension. PlanSpec pins
+    // the dynamicpruning expression in the scan's PartitionFilters
+    "q253_dpp_partition_join" -> ((s, d) => {
+      val dir = s"$genDir/q253_orders_by_priority"
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir)
+      import s.implicits._
+      // the dim must be a STORAGE scan, not a literal Seq: Catalyst's
+      // ConvertToLocalRelation would eagerly fold a Filter over a
+      // LocalRelation, and with no surviving selective predicate on the
+      // filtering side the PartitionPruning rule never inserts the DPP
+      // subquery (verified: the literal form plans a plain static scan)
+      val dimDir = s"$genDir/q253_priority_tier_dim"
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"),
+        ("3-MEDIUM", "warm"), ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("pri", "tier").write.mode("overwrite").parquet(dimDir)
+      s.read.parquet(dir)
+        .join(broadcast(s.read.parquet(dimDir)),
+          col("o_orderpriority") === col("pri"))
+        .where(col("tier") === "hot")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(ExactStats.micro(col("o_totalprice")).cast("long"))
+            .as("rev_micro"),
+          count_distinct(col("o_custkey")).as("n_custs"))
+    }),
+
+    // HITS hubs & authorities over the q86 supply graph: PageRank scores
+    // "importance" on one axis; HITS separates exporter (hub) from
+    // importer (authority) roles — a nation can rank high on one and near
+    // zero on the other. Same two-tier shape: fact-scale edge derivation
+    // (the only stage that touches lineitem), then 3 integer-exact
+    // iterations on the 25-node contracted graph with broadcast score
+    // state (ops/Hits.scala)
+    "q254_nation_hits" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
+        col("n_name").as("src"))
+      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
+        col("n_name").as("dst"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("s_nationkey").as("src_key"),
+          col("c_nationkey").as("dst_key"))
+        .agg(count(lit(1)).as("w"))
+        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
+        .select(col("src"), col("dst"), col("w"))
+      graft.ops.Hits.scoresMicro(edges, iterations = 3)
+        .select(col("node").as("nation"), col("auth_micro"), col("hub_micro"))
+    }),
+
+    // template/boilerplate stripping (text/Boilerplate.scala): 5-grams in
+    // ≥10% of documents are template chrome; every covered token position
+    // is dropped. Planted ground truth: docs with id%3=0 carry an
+    // 8-token injected header (df ≈ 33% → stripped), docs with id%29=0 a
+    // rarer one (df ≈ 3% → kept, the negative control). Body grams from
+    // the 31-word vocabulary stay far under the 10% document-frequency
+    // bar, so the census measures exactly the planted template
+    "q255_boilerplate_strip" -> ((s, d) => {
+      val mixed = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(BoilerTemplate + " "), col("text")))
+          .when(col("doc_id") % 29 === 0,
+            concat(lit(BoilerRareTemplate + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.text.Boilerplate.coverage(mixed, "doc_id", "text",
+        n = 5, permille = 100)
+    }),
+
+    // full iterative BPE tokenizer training (text/Bpe.scala): 6 merge
+    // rounds over the corpus word-frequency vocabulary — the corpus is
+    // scanned once, every round runs on distinct words. Each round's
+    // pre-merge state is dumped positionally so the oracle re-derives the
+    // argmax AND the merge application (candidate-chain parity) from the
+    // exact rows Spark used — selection and application are both pinned
+    "q256_bpe_train" -> ((s, d) =>
+      graft.text.Bpe.train(s, documents(s, d), "text", rounds = 6,
+        dumpDir = Some(s"$genDir/q256_bpe")))
   )
+
+  /** The q255 planted templates — embedded in both the Spark injection and
+    * the DuckDB oracle. Deliberately OUTSIDE the corpus vocabulary (real
+    * boilerplate is navigation/license English, not body prose); the
+    * boundary grams (template tail × document head) differ per document,
+    * so only the four fully-internal 5-grams of each template clear the
+    * document-frequency bar.
+    */
+  private val BoilerTemplate =
+    "terms of service apply all rights reserved contact"
+  private val BoilerRareTemplate =
+    "internal draft do not distribute pending review only"
 
   /** NDCG@5 integer discount table — 1e6 div bitlen(r+1) per rank and its
     * cumulative ideal prefix — rendered once here and embedded in BOTH the
@@ -9973,8 +10075,124 @@ object SparkEntry {
         |      ORDER BY nullif(o_orderpriority, '1-URGENT') ASC NULLS LAST,
         |        o_orderkey)::BIGINT AS rn
         |  FROM orders) r
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    "q253_dpp_partition_join" ->
+      """WITH dim(pri, tier) AS (VALUES
+        |  ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+        |  ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold'))
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum(floor(o_totalprice * 1e6)::BIGINT::HUGEINT)::BIGINT
+        |    AS rev_micro,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_custs
+        |FROM read_parquet(
+        |  '__GEN_DIR__/q253_orders_by_priority/*/*.parquet',
+        |  hive_partitioning = 1)
+        |JOIN dim ON o_orderpriority = pri
+        |WHERE tier = 'hot'
+        |GROUP BY 1""".stripMargin,
+
+    "q254_nation_hits" -> {
+      // two half-steps per iteration, each max-normalized back to micro
+      // units — every CTE is pure integer (HUGEINT sums, // floor-div),
+      // mirroring ops/Hits.scala bit-for-bit
+      val iters = (1 to 3).map { i =>
+        s"""ar$i AS (SELECT e.dst, sum(h.hub_micro::HUGEINT * e.w) AS raw
+           |  FROM raw e JOIN hb${i - 1} h ON h.node = e.src GROUP BY 1),
+           |am$i AS (SELECT greatest(max(raw), 1) AS mx FROM ar$i),
+           |au$i AS (SELECT n.node,
+           |    coalesce(((r.raw * 1000000) // m.mx)::BIGINT, 0) AS auth_micro
+           |  FROM nodes n LEFT JOIN ar$i r ON r.dst = n.node CROSS JOIN am$i m),
+           |hr$i AS (SELECT e.src, sum(a.auth_micro::HUGEINT * e.w) AS raw
+           |  FROM raw e JOIN au$i a ON a.node = e.dst GROUP BY 1),
+           |hm$i AS (SELECT greatest(max(raw), 1) AS mx FROM hr$i),
+           |hb$i AS (SELECT n.node,
+           |    coalesce(((r.raw * 1000000) // m.mx)::BIGINT, 0) AS hub_micro
+           |  FROM nodes n LEFT JOIN hr$i r ON r.src = n.node CROSS JOIN hm$i m)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        |hb0 AS (SELECT node, 1000000::BIGINT AS hub_micro FROM nodes),
+        |$iters
+        |SELECT a.node AS nation, a.auth_micro, h.hub_micro
+        |FROM au3 a JOIN hb3 h ON a.node = h.node""".stripMargin
+    },
+
+    "q255_boilerplate_strip" ->
+      s"""WITH mixed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '$BoilerTemplate ' || text
+        |         WHEN doc_id % 29 = 0 THEN '$BoilerRareTemplate ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM mixed),
+        |sh AS (SELECT doc_id, list_transform(
+        |    range(0, greatest(len(tk) - 4, 0)),
+        |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' ')) AS g
+        |  FROM tk),
+        |pg AS MATERIALIZED (SELECT doc_id, unnest(range(0, len(g))) AS pos,
+        |    unnest(g) AS gram FROM sh),
+        |nd AS (SELECT count(*) AS n_docs FROM mixed),
+        |boiler AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS gdf FROM pg GROUP BY 1), nd
+        |  WHERE gdf * 1000 >= n_docs * 100),
+        |cov AS (SELECT DISTINCT p.doc_id, p.pos + u.o AS tokpos
+        |  FROM pg p JOIN boiler b USING (gram), unnest(range(0, 5)) AS u(o)),
+        |covcnt AS (SELECT doc_id, count(*)::BIGINT AS n_covered
+        |  FROM cov GROUP BY 1)
+        |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+        |  coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+        |  (len(t.tk) - coalesce(c.n_covered, 0))::BIGINT AS n_retained
+        |FROM tk t LEFT JOIN covcnt c USING (doc_id)""".stripMargin,
+
+    "q256_bpe_train" -> bpeOracleSql(6)
   )
+
+  /** Per-round BPE cross-check over the positional dumps Spark wrote
+    * (`Bpe.train` dumpDir): round r's argmax pair is re-derived from dump r
+    * by weighted adjacent-pair counting, and the merge APPLICATION is
+    * re-derived via candidate-chain parity — a chain of L consecutive
+    * candidate positions (only possible when pa = pb) merges ceil(L/2)
+    * times under the left-to-right fold — giving an independent
+    * n_tokens_after from the same rows.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val per = (0 until rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT * FROM read_parquet('__GEN_DIR__/q256_bpe/r$r/*.parquet')),
+         |p$r AS (SELECT a.sym AS pa, b.sym AS pb, sum(a.cnt)::BIGINT AS cnt
+         |  FROM b$r a JOIN b$r b ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT pa, pb, cnt FROM p$r
+         |  ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |c$r AS (SELECT a.w, a.cnt, a.pos
+         |  FROM b$r a JOIN b$r b ON a.w = b.w AND b.pos = a.pos + 1
+         |  JOIN t$r t ON a.sym = t.pa AND b.sym = t.pb),
+         |g$r AS (SELECT w, cnt, count(*) AS chain FROM (
+         |    SELECT w, cnt, pos,
+         |      pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |    FROM c$r) GROUP BY w, cnt, grp),
+         |m$r AS (SELECT coalesce(sum(cnt * ((chain + 1) // 2)), 0)::BIGINT
+         |    AS merges FROM g$r),
+         |n$r AS (SELECT sum(cnt)::BIGINT AS total FROM b$r),
+         |r$r AS (SELECT $r::BIGINT AS round, t.pa, t.pb, t.cnt,
+         |    (n.total - m.merges)::BIGINT AS n_tokens_after
+         |  FROM t$r t, n$r n, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until rounds).map(r => s"SELECT * FROM r$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $per\n$unions"
+  }
 
   /** q195/q197's shared SQL fragment — the dirty registry and its blocked
     * candidate pairs, mirroring [[erRegistry]]/[[erCandidates]] literally

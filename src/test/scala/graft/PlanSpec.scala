@@ -364,6 +364,15 @@ class PlanSpec extends AnyFunSuite {
         s"pruning), not a post-scan filter:\n$p")
   }
 
+  test("q253 DPP: the dim filter prunes fact partitions at runtime") {
+    val p = plan("q253_dpp_partition_join")
+    assert(p.contains("dynamicpruningexpression"),
+      s"the tier='hot' dim filter must become a runtime partition filter " +
+        s"on the fact scan (dynamic partition pruning):\n$p")
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"the DPP subquery must land in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("q218 bucketed read: the key filter prunes to a subset of buckets") {
     val p = plan("q218_bucket_pruning")
     assert("SelectedBucketsCount: [1-3] out of 8".r.findFirstIn(p)
