@@ -4997,7 +4997,122 @@ object SparkEntry {
     // exact rows Spark used — selection and application are both pinned
     "q256_bpe_train" -> ((s, d) =>
       graft.text.Bpe.train(s, documents(s, d), "text", rounds = 6,
-        dumpDir = Some(s"$genDir/q256_bpe")))
+        dumpDir = Some(s"$genDir/q256_bpe"))),
+
+    // BPE ENCODING — the trained merges applied back to the corpus: every
+    // token occurrence joins its trained segmentation (distinct-word-sized
+    // vocab, AQE-broadcast) and the census counts each subword symbol's
+    // corpus occurrences and word spread. The oracle derives the same
+    // census from the dumped final vocabulary by the weighting identity
+    // Σ_corpus 1 = Σ_vocab cnt — an independent derivation path that
+    // cross-checks the encode join/explode plumbing against the dump
+    "q257_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val vocab = graft.text.Bpe.trainedVocab(s, docs, "text", rounds = 6,
+        dumpDir = Some(s"$genDir/q257_bpe"))
+      graft.text.Bpe.encode(docs, "doc_id", "text", vocab)
+        .groupBy("sym")
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("w")).as("n_words"))
+    }),
+
+    // closeness centrality over the top-3-trade-partner digraph: the full
+    // supply graph is near-complete (diameter ~1, distances trivial), so
+    // each nation keeps only its 3 heaviest-weight partners — a sparse
+    // deterministic digraph with real multi-hop structure. Multi-source
+    // BFS: 8 rounds of (expand ∪ keep → min), state keyed (src, node),
+    // lineage snapped per round; closeness = (reached−1)·1e6 div Σdist,
+    // pure integers end to end. Fact rows only feed the edge derivation
+    "q258_closeness_centrality" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
+        col("n_name").as("src"))
+      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
+        col("n_name").as("dst"))
+      val edgesW = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("s_nationkey").as("src_key"),
+          col("c_nationkey").as("dst_key"))
+        .agg(count(lit(1)).as("w"))
+        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
+        .select(col("src"), col("dst"), col("w"))
+      val top3 = edgesW
+        .withColumn("rk", row_number().over(Window.partitionBy("src")
+          .orderBy(col("w").desc, col("dst"))))
+        .where(col("rk") <= 3).select(col("src").as("u"), col("dst").as("v"))
+        .localCheckpoint(false)
+      val nodes = nation(s, d).select(col("n_name").as("node"))
+      var dist = nodes.select(col("node").as("src"), col("node"),
+        lit(0L).as("dist"))
+      for (_ <- 1 to 8) {
+        val nxt = dist.join(top3, dist("node") === top3("u"))
+          .select(col("src"), col("v").as("node"),
+            (col("dist") + 1L).as("dist"))
+        dist = dist.union(nxt).groupBy("src", "node")
+          .agg(min("dist").as("dist")).localCheckpoint(false)
+      }
+      dist.groupBy(col("src").as("nation"))
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
+        .select(col("nation"), col("n_reached"), col("sum_dist"),
+          expr("""case when sum_dist > 0
+                  then ((n_reached - 1) * 1000000) div sum_dist
+                  else 0L end""").as("closeness_micro"))
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013): pre-period
+    // purchase value is the covariate, θ = cov(X,Y)/var(X) from pooled
+    // exact sufficient statistics (one scalar row, DECIMAL(38,0) sums —
+    // Σxy ~ 1e20 overflows LONG at 500 users already), adjusted metric
+    // Y − θ(X − X̄) per user, then per-arm means. Every division is
+    // `div`/`//` — both engines truncate toward zero, negatives included
+    // (verified), so the fixed-point θ and the adjusted means are bitwise
+    // cross-engine. The period pivot is the overflow-safe midpoint test
+    // 2·ts < min+max (no division, order-preserving under the ns↔us unit
+    // change). Scale: two scans of events (per-user rollup, then scalar
+    // stats), state is one broadcast row — nothing widens with users
+    "q259_cuped_ab_adjust" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val piv = ev.agg(min("ts").as("mn"), max("ts").as("mx"))
+      val per = ev.crossJoin(broadcast(piv))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase"
+            && col("ts") * 2 < col("mn") + col("mx"), col("vm"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase"
+            && col("ts") * 2 >= col("mn") + col("mx"), col("vm"))
+            .otherwise(0L)).as("y"))
+        .localCheckpoint(false)
+      val stats = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .select(
+          expr("""case when n * sxx - sx * sx = 0 then 0L
+                  else ((n * sxy - sx * sy) * 1000000)
+                       div (n * sxx - sx * sx) end""").as("theta_micro"),
+          expr("sx div n").as("xbar_micro"))
+      per.crossJoin(broadcast(stats))
+        .withColumn("adj", col("y") -
+          expr("(theta_micro * (x - xbar_micro)) div 1000000"))
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("adj").cast("decimal(38,0)")).as("sadj"),
+          max("theta_micro").as("theta_micro"))
+        .select(col("arm"), col("n_users"),
+          expr("sy div n_users").as("mean_y_micro"),
+          expr("sadj div n_users").as("mean_adj_micro"),
+          col("theta_micro"))
+    })
   )
 
   /** The q255 planted templates — embedded in both the Spark injection and
@@ -10155,7 +10270,87 @@ object SparkEntry {
         |  (len(t.tk) - coalesce(c.n_covered, 0))::BIGINT AS n_retained
         |FROM tk t LEFT JOIN covcnt c USING (doc_id)""".stripMargin,
 
-    "q256_bpe_train" -> bpeOracleSql(6)
+    "q256_bpe_train" -> bpeOracleSql(6),
+
+    // the weighting identity: corpus-side occurrence counting ≡ vocab-side
+    // cnt-weighted counting over the dumped final segmentation
+    "q257_bpe_encode" ->
+      """SELECT sym, sum(cnt)::BIGINT AS n_occ,
+        |  count(DISTINCT w)::BIGINT AS n_words
+        |FROM read_parquet('__GEN_DIR__/q257_bpe/final/*.parquet')
+        |GROUP BY sym""".stripMargin,
+
+    "q258_closeness_centrality" -> {
+      val iters = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT src, node, min(dist) AS dist FROM (
+           |    SELECT src, node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT p.src, e.v AS node, p.dist + 1 AS dist
+           |    FROM d${i - 1} p JOIN top3 e ON e.u = p.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |top3 AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY w DESC, dst) AS rk
+        |    FROM raw) WHERE rk <= 3),
+        |d0 AS (SELECT n_name AS src, n_name AS node, 0::BIGINT AS dist
+        |       FROM nation),
+        |$iters
+        |SELECT src AS nation, count(*)::BIGINT AS n_reached,
+        |  sum(dist)::BIGINT AS sum_dist,
+        |  CASE WHEN sum(dist) > 0
+        |    THEN ((count(*) - 1) * 1000000) // sum(dist)
+        |    ELSE 0 END::BIGINT AS closeness_micro
+        |FROM d8 GROUP BY 1""".stripMargin
+    },
+
+    "q259_cuped_ab_adjust" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_type,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |piv AS (SELECT min(tu) AS mn, max(tu) AS mx FROM ev),
+        |per AS MATERIALIZED (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' AND tu * 2 < mn + mx
+        |        THEN vm ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' AND tu * 2 >= mn + mx
+        |        THEN vm ELSE 0 END)::BIGINT AS y
+        |  FROM ev, piv GROUP BY 1),
+        |st AS (
+        |  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+        |    sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(x::HUGEINT * y) AS sxy
+        |  FROM per),
+        |th AS (
+        |  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |    ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |    END::BIGINT AS theta_micro,
+        |    (sx // n)::BIGINT AS xbar_micro
+        |  FROM st),
+        |adj AS (
+        |  SELECT p.user_id, p.y,
+        |    p.y - (t.theta_micro::HUGEINT * (p.x - t.xbar_micro)) // 1000000
+        |      AS adj,
+        |    t.theta_micro
+        |  FROM per p, th t)
+        |SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
+        |  (sum(y::HUGEINT) // count(*))::BIGINT AS mean_y_micro,
+        |  (sum(adj::HUGEINT) // count(*))::BIGINT AS mean_adj_micro,
+        |  max(theta_micro)::BIGINT AS theta_micro
+        |FROM adj GROUP BY 1""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote

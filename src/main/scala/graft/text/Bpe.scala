@@ -42,7 +42,35 @@ object Bpe {
     * to a single symbol).
     */
   def train(spark: SparkSession, df: DataFrame, textCol: String, rounds: Int,
-      dumpDir: Option[String] = None): DataFrame = {
+      dumpDir: Option[String] = None): DataFrame =
+    run(spark, df, textCol, rounds, dumpDir)._1
+
+  /** The trained segmentation: the post-merge vocabulary (`w`, `cnt`,
+    * `syms`) after `rounds` merges — the artifact `encode` applies. When
+    * `dumpDir` is set, it is also dumped positionally to `dumpDir/final`
+    * so the oracle can cross-derive any encode census from the same rows.
+    */
+  def trainedVocab(spark: SparkSession, df: DataFrame, textCol: String,
+      rounds: Int, dumpDir: Option[String] = None): DataFrame =
+    run(spark, df, textCol, rounds, dumpDir)._2
+
+  /** Encode a corpus with a trained vocabulary: every token occurrence is
+    * replaced by its trained subword segmentation. Returns one row per
+    * (document, position, symbol). The vocabulary is distinct-word-sized,
+    * so the join broadcasts while it fits (AQE decides — no forced hint,
+    * the BM25 `dfreq` discipline); the corpus side never shuffles.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("tok_pos", "w")))
+      .where(col("w") =!= "")
+      .join(vocab.select(col("w"), col("syms")), "w")
+      .select(col("doc_id"), col("tok_pos"), col("w"),
+        posexplode(col("syms")).as(Seq("sym_pos", "sym")))
+
+  private def run(spark: SparkSession, df: DataFrame, textCol: String,
+      rounds: Int, dumpDir: Option[String]): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val words = df
       .select(explode(split(col(textCol), " ")).as("w"))
@@ -105,10 +133,17 @@ object Bpe {
         r += 1
       }
     }
-    if (roundRows.isEmpty)
-      spark.range(0).select(col("id").as("round"),
-        lit("").as("pa"), lit("").as("pb"), col("id").as("cnt"),
-        col("id").as("n_tokens_after"))
-    else roundRows.reduce(_ union _).orderBy("round")
+    dumpDir.foreach { dd =>
+      vocab.select(col("w"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "sym")))
+        .write.mode("overwrite").parquet(s"$dd/final")
+    }
+    val roundsDf =
+      if (roundRows.isEmpty)
+        spark.range(0).select(col("id").as("round"),
+          lit("").as("pa"), lit("").as("pb"), col("id").as("cnt"),
+          col("id").as("n_tokens_after"))
+      else roundRows.reduce(_ union _).orderBy("round")
+    (roundsDf, vocab)
   }
 }

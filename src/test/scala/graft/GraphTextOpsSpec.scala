@@ -95,6 +95,23 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(out(2) == (2L, "aa", "ab", 3L, 5L), s"round2: ${out(2)}")
   }
 
+  test("BPE encode: segmentation concatenates back to the word, in order") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab aaab"), (2L, "ab ba")).toDF("doc_id", "text")
+    val vocab = Bpe.trainedVocab(spark, docs, "text", rounds = 2, dumpDir = None)
+    val enc = Bpe.encode(docs, "doc_id", "text", vocab)
+    // per (doc, token position): symbols in sym_pos order rebuild the word
+    val rebuilt = enc.groupBy("doc_id", "tok_pos", "w")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("sym_pos"),
+        col("sym")))).getField("sym")).as("joined"))
+      .collect()
+    assert(rebuilt.nonEmpty)
+    rebuilt.foreach(r => assert(r.getString(2) == r.getString(3),
+      s"segmentation of '${r.getString(2)}' rebuilt as '${r.getString(3)}'"))
+    // corpus-side totals match vocab-side weighting: 5 tokens total
+    assert(enc.select("doc_id", "tok_pos").distinct().count() == 5L)
+  }
+
   test("BPE: stops early when every word is a single symbol") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
