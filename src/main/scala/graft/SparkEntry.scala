@@ -1280,25 +1280,9 @@ object SparkEntry {
     // contracted graph with broadcast rank state — fact rows never
     // re-shuffle. (customer is broadcast at bench scale; at a real SF it
     // becomes one more shuffle join on the derivation side only.)
-    "q86_nation_pagerank" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
-        col("n_name").as("src"))
-      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
-        col("n_name").as("dst"))
-      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .groupBy(col("s_nationkey").as("src_key"), col("c_nationkey").as("dst_key"))
-        .agg(count(lit(1)).as("w"))
-        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
-        .select(col("src"), col("dst"), col("w"))
-      graft.ops.PageRank.rankMicro(edges, iterations = 3)
-        .select(col("node").as("nation"), col("rank_micro"))
-    }),
+    "q86_nation_pagerank" -> ((s, d) =>
+      graft.ops.PageRank.rankMicro(nationTradeEdges(s, d), iterations = 3)
+        .select(col("node").as("nation"), col("rank_micro"))),
 
     // mid-frequency inverted-index slice: df-filter FIRST via semi-join, so
     // head terms never enter a collect_list — bounded per-group state at
@@ -4950,26 +4934,10 @@ object SparkEntry {
     // (the only stage that touches lineitem), then 3 integer-exact
     // iterations on the 25-node contracted graph with broadcast score
     // state (ops/Hits.scala)
-    "q254_nation_hits" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
-        col("n_name").as("src"))
-      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
-        col("n_name").as("dst"))
-      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .groupBy(col("s_nationkey").as("src_key"),
-          col("c_nationkey").as("dst_key"))
-        .agg(count(lit(1)).as("w"))
-        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
-        .select(col("src"), col("dst"), col("w"))
-      graft.ops.Hits.scoresMicro(edges, iterations = 3)
-        .select(col("node").as("nation"), col("auth_micro"), col("hub_micro"))
-    }),
+    "q254_nation_hits" -> ((s, d) =>
+      graft.ops.Hits.scoresMicro(nationTradeEdges(s, d), iterations = 3)
+        .select(col("node").as("nation"), col("auth_micro"),
+          col("hub_micro"))),
 
     // template/boilerplate stripping (text/Boilerplate.scala): 5-grams in
     // ≥10% of documents are template chrome; every covered token position
@@ -5024,23 +4992,7 @@ object SparkEntry {
     // lineage snapped per round; closeness = (reached−1)·1e6 div Σdist,
     // pure integers end to end. Fact rows only feed the edge derivation
     "q258_closeness_centrality" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-      val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-      val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
-        col("n_name").as("src"))
-      val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
-        col("n_name").as("dst"))
-      val edgesW = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .groupBy(col("s_nationkey").as("src_key"),
-          col("c_nationkey").as("dst_key"))
-        .agg(count(lit(1)).as("w"))
-        .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
-        .select(col("src"), col("dst"), col("w"))
-      val top3 = edgesW
+      val top3 = nationTradeEdges(s, d)
         .withColumn("rk", row_number().over(Window.partitionBy("src")
           .orderBy(col("w").desc, col("dst"))))
         .where(col("rk") <= 3).select(col("src").as("u"), col("dst").as("v"))
@@ -5112,6 +5064,74 @@ object SparkEntry {
           expr("sy div n_users").as("mean_y_micro"),
           expr("sadj div n_users").as("mean_adj_micro"),
           col("theta_micro"))
+    }),
+
+    // directed weighted modularity of the REGION partition over the trade
+    // graph — "is trade intra-region?" as an exact integer. Per community:
+    // Q_c = (m·e_c − a_c·b_c)·1e6 div m² with e_c = intra-community
+    // weight, a_c/b_c = out/in strength, m = total weight; all sums in
+    // DECIMAL(38,0) (m² ~1e24 at a 1e12-edge-weight corpus), the one
+    // division truncating identically on both engines (negatives
+    // included). Fact rows only feed the shared edge derivation; the
+    // modularity arithmetic runs on ≤ |nations|² rows
+    "q260_region_modularity" -> ((s, d) => {
+      val regs = nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("nname"), col("r_name").as("reg"))
+      val el = nationTradeEdges(s, d)
+        .join(broadcast(regs.select(col("nname").as("src"),
+          col("reg").as("rsrc"))), "src")
+        .join(broadcast(regs.select(col("nname").as("dst"),
+          col("reg").as("rdst"))), "dst")
+        .localCheckpoint(false)
+      val m = el.agg(sum("w").cast("decimal(38,0)").as("m"))
+      val intra = el.where(col("rsrc") === col("rdst"))
+        .groupBy(col("rsrc").as("reg"))
+        .agg(sum("w").as("e_w"))
+      val outS = el.groupBy(col("rsrc").as("reg"))
+        .agg(sum("w").as("out_w"))
+      val inS = el.groupBy(col("rdst").as("reg"))
+        .agg(sum("w").as("in_w"))
+      region(s, d).select(col("r_name").as("reg"))
+        .join(broadcast(intra), Seq("reg"), "left")
+        .join(broadcast(outS), Seq("reg"), "left")
+        .join(broadcast(inS), Seq("reg"), "left")
+        .select(col("reg"),
+          coalesce(col("e_w"), lit(0L)).as("e_w"),
+          coalesce(col("out_w"), lit(0L)).as("out_w"),
+          coalesce(col("in_w"), lit(0L)).as("in_w"))
+        .crossJoin(broadcast(m))
+        .select(col("reg"), col("e_w"), col("out_w"), col("in_w"),
+          expr("""case when m > 0 then
+                    ((m * e_w - cast(out_w as decimal(38,0)) * in_w)
+                      * 1000000) div (m * m)
+                  else 0L end""").as("contrib_micro"))
+    }),
+
+    // out-of-fold target encoding — the leakage-free categorical feature
+    // every tabular training pipeline ships: a row's encoding averages the
+    // target over all OTHER folds, enc(cat, fold) = (S_cat − S_cat,fold)
+    // div (N_cat − N_cat,fold). One aggregate at (category, fold) grain,
+    // per-category totals via a window over the 25-row grid — the fact
+    // table is scanned once and nothing joins at row grain. Folds are
+    // deterministic (o_custkey % 5)
+    "q261_target_encoding" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("cat"),
+        (col("o_custkey") % 5).as("fold"),
+        cents(col("o_totalprice")).cast("long").as("t"))
+      val grid = o.groupBy("cat", "fold")
+        .agg(count(lit(1)).as("n_cf"),
+          sum(col("t").cast("decimal(38,0)")).as("s_cf"))
+      val wc = Window.partitionBy("cat")
+      grid
+        .withColumn("n_cat", sum("n_cf").over(wc))
+        .withColumn("s_cat", sum("s_cf").over(wc))
+        .select(col("cat"), col("fold"),
+          (col("n_cat") - col("n_cf")).as("n_oof"),
+          expr("""case when n_cat - n_cf > 0
+                  then (s_cat - s_cf) div (n_cat - n_cf)
+                  else 0L end""").as("enc_cents"))
     })
   )
 
@@ -5154,6 +5174,31 @@ object SparkEntry {
     * alphabetic prefix, so the digit payload `right(name, 9)` is the
     * blocking key that survives every corruption.
     */
+  /** The contracted nation→nation trade graph shared by q86 (PageRank),
+    * q254 (HITS), q258 (closeness), q260 (modularity): supplier-nation →
+    * customer-nation weighted by lineitem count. The ONLY fact-scale stage
+    * of the graph family — the orders⋈lineitem shuffle with broadcast
+    * dims; everything downstream runs on ≤ |nations|² rows.
+    */
+  private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val srcN = nation(s, d).select(col("n_nationkey").as("src_key"),
+      col("n_name").as("src"))
+    val dstN = nation(s, d).select(col("n_nationkey").as("dst_key"),
+      col("n_name").as("dst"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("s_nationkey").as("src_key"),
+        col("c_nationkey").as("dst_key"))
+      .agg(count(lit(1)).as("w"))
+      .join(broadcast(srcN), "src_key").join(broadcast(dstN), "dst_key")
+      .select(col("src"), col("dst"), col("w"))
+  }
+
   private def erRegistry(s: SparkSession, d: String): DataFrame = {
     val base = customer(s, d).select(col("c_custkey").as("id"),
       col("c_name").as("name"))
@@ -10350,7 +10395,59 @@ object SparkEntry {
         |  (sum(y::HUGEINT) // count(*))::BIGINT AS mean_y_micro,
         |  (sum(adj::HUGEINT) // count(*))::BIGINT AS mean_adj_micro,
         |  max(theta_micro)::BIGINT AS theta_micro
-        |FROM adj GROUP BY 1""".stripMargin
+        |FROM adj GROUP BY 1""".stripMargin,
+
+    "q260_region_modularity" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |regs AS (SELECT n_name AS nname, r_name AS reg
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |el AS MATERIALIZED (
+        |  SELECT e.w, rs.reg AS rsrc, rd.reg AS rdst
+        |  FROM raw e JOIN regs rs ON rs.nname = e.src
+        |  JOIN regs rd ON rd.nname = e.dst),
+        |mm AS (SELECT sum(w)::HUGEINT AS m FROM el),
+        |intra AS (SELECT rsrc AS reg, sum(w)::BIGINT AS e_w FROM el
+        |  WHERE rsrc = rdst GROUP BY 1),
+        |outs AS (SELECT rsrc AS reg, sum(w)::BIGINT AS out_w FROM el
+        |  GROUP BY 1),
+        |ins AS (SELECT rdst AS reg, sum(w)::BIGINT AS in_w FROM el
+        |  GROUP BY 1)
+        |SELECT r.r_name AS reg,
+        |  coalesce(i.e_w, 0)::BIGINT AS e_w,
+        |  coalesce(o.out_w, 0)::BIGINT AS out_w,
+        |  coalesce(n.in_w, 0)::BIGINT AS in_w,
+        |  CASE WHEN mm.m > 0 THEN
+        |    ((mm.m * coalesce(i.e_w, 0)
+        |      - coalesce(o.out_w, 0)::HUGEINT * coalesce(n.in_w, 0))
+        |      * 1000000) // (mm.m * mm.m)
+        |  ELSE 0 END::BIGINT AS contrib_micro
+        |FROM region r
+        |LEFT JOIN intra i ON i.reg = r.r_name
+        |LEFT JOIN outs o ON o.reg = r.r_name
+        |LEFT JOIN ins n ON n.reg = r.r_name
+        |CROSS JOIN mm""".stripMargin,
+
+    "q261_target_encoding" ->
+      """WITH grid AS (
+        |  SELECT o_orderpriority AS cat, o_custkey % 5 AS fold,
+        |    count(*)::BIGINT AS n_cf,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT::HUGEINT) AS s_cf
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT cat, sum(n_cf)::BIGINT AS n_cat,
+        |    sum(s_cf) AS s_cat FROM grid GROUP BY 1)
+        |SELECT g.cat, g.fold, (t.n_cat - g.n_cf)::BIGINT AS n_oof,
+        |  CASE WHEN t.n_cat - g.n_cf > 0
+        |    THEN (t.s_cat - g.s_cf) // (t.n_cat - g.n_cf)
+        |    ELSE 0 END::BIGINT AS enc_cents
+        |FROM grid g JOIN tot t ON t.cat = g.cat""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote
