@@ -5132,6 +5132,56 @@ object SparkEntry {
           expr("""case when n_cat - n_cf > 0
                   then (s_cat - s_cf) div (n_cat - n_cf)
                   else 0L end""").as("enc_cents"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023, integer-exact
+    // skeleton): hashed-bigram features (fingerprint % 256), per-bucket
+    // target(lang=en)/raw frequency ratio as an integer log
+    // (bitlen((t+1)·1024 div (r+1)) — the q188/q189 device), per-doc
+    // score = Σ occurrences · log-ratio, then the deterministic
+    // content-keyed priority sampler (Sampling.weightedPrioritySample)
+    // draws 100 docs ∝ score. Scale: the feature table is 256 rows
+    // (broadcast), scoring is one equi-join + groupBy(doc) — the corpus
+    // is scanned twice (count pass, score pass), nothing else grows
+    "q262_dsir_resample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val big = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.shinglesAll(col("text"), 2)).as("g"))
+        .withColumn("b", TextOps.fingerprint(col("g")) % 256)
+      val raw = big.groupBy("b").agg(count(lit(1)).as("r_cnt"))
+      val tgt = big.where(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          expr("""cast(length(bin(
+                    (coalesce(t_cnt, 0L) + 1) * 1024 div (r_cnt + 1)))
+                  as bigint)""").as("lr"))
+      val scores = big.join(broadcast(lr), "b")
+        .groupBy("doc_id").agg(sum("lr").as("score"))
+      val scored = docs.join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("score"), lit(0L)).as("score"))
+      graft.text.Sampling.weightedPrioritySample(scored, "doc_id", "text",
+        col("score"), k = 100)
+    }),
+
+    // corpus-wide exact-substring dedup, keep-first (text/Dedup
+    // .substringDupCoverage — the Lee et al. 2021 dedup): planted ground
+    // truth reuses the q248 splice (doc pairs (2i, 2i+1) with id < 80
+    // share the even member's 12-token prefix), so the odd member's three
+    // duplicate 10-grams cover exactly its 12 spliced positions while the
+    // even member — the lexicographic first occurrence — keeps everything
+    "q263_substring_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val donor = docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 80)
+        .select((col("doc_id") + 1).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("pfx"))
+      val mixed = docs.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("pfx").isNotNull,
+            concat(col("pfx"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringDupCoverage(mixed, "doc_id", "text", k = 10)
     })
   )
 
@@ -10447,7 +10497,69 @@ object SparkEntry {
         |  CASE WHEN t.n_cat - g.n_cf > 0
         |    THEN (t.s_cat - g.s_cf) // (t.n_cat - g.n_cf)
         |    ELSE 0 END::BIGINT AS enc_cents
-        |FROM grid g JOIN tot t ON t.cat = g.cat""".stripMargin
+        |FROM grid g JOIN tot t ON t.cat = g.cat""".stripMargin,
+
+    "q262_dsir_resample" ->
+      s"""WITH big AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> array_to_string(
+        |      list_slice(string_split(text, ' '), i + 1, i + 2), ' '))) AS g
+        |  FROM documents),
+        |hb AS MATERIALIZED (
+        |  SELECT doc_id, lang, (${fingerprintSql("g", "fi")}) % 256 AS b
+        |  FROM big),
+        |raw AS (SELECT b, count(*)::BIGINT AS r_cnt FROM hb GROUP BY 1),
+        |tgt AS (SELECT b, count(*)::BIGINT AS t_cnt FROM hb
+        |  WHERE lang = 'en' GROUP BY 1),
+        |lr AS (SELECT r.b, length(bin(
+        |    (coalesce(t.t_cnt, 0) + 1) * 1024 // (r.r_cnt + 1)))::BIGINT
+        |    AS lr
+        |  FROM raw r LEFT JOIN tgt t ON t.b = r.b),
+        |sc AS (SELECT hb.doc_id, sum(lr.lr)::BIGINT AS score
+        |  FROM hb JOIN lr ON lr.b = hb.b GROUP BY 1),
+        |scored AS (SELECT d.doc_id, d.text,
+        |    coalesce(s.score, 0)::BIGINT AS score
+        |  FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id)
+        |SELECT doc_id, score AS weight,
+        |  (((${fingerprintSql("text", "fi")}) % 1000000) * 1000)
+        |    // greatest(score, 1) AS priority
+        |FROM scored
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    "q263_substring_dedup" ->
+      s"""WITH donor AS (
+        |  SELECT doc_id + 1 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+        |      AS pfx
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 80),
+        |mixed AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN o.pfx IS NOT NULL THEN o.pfx || ' ' || d.text
+        |         ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN donor o ON o.doc_id = d.doc_id),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM mixed),
+        |sh AS (SELECT doc_id, list_transform(
+        |    range(0, greatest(len(tk) - 9, 0)),
+        |    i -> array_to_string(list_slice(tk, i + 1, i + 10), ' ')) AS g
+        |  FROM tk),
+        |pg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(
+        |    list_transform(g, s -> (${fingerprintSql("s", "fi")}))) AS h
+        |  FROM sh),
+        |rk AS (SELECT doc_id, pos, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM pg),
+        |dups AS (SELECT doc_id, pos FROM rk WHERE cnt >= 2 AND rn >= 2),
+        |cov AS (SELECT DISTINCT d.doc_id, d.pos + u.o AS tp
+        |  FROM dups d, unnest(range(0, 10)) AS u(o)),
+        |covcnt AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM cov
+        |  GROUP BY 1)
+        |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
+        |  coalesce(c.n_dup, 0)::BIGINT AS n_dup,
+        |  (len(t.tk) - coalesce(c.n_dup, 0))::BIGINT AS n_kept
+        |FROM tk t LEFT JOIN covcnt c USING (doc_id)""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote

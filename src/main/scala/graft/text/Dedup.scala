@@ -314,4 +314,57 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Corpus-wide EXACT-SUBSTRING dedup, keep-first (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * token-k-gram formulation): every k-token run that occurs more than
+    * once in the corpus keeps only its first occurrence — (doc_id, pos)
+    * lexicographic — and every token position covered by a later
+    * occurrence is marked duplicate. Returns per-document counts
+    * (`idCol`, `n_tokens`, `n_dup`, `n_kept`); rewriting the stripped
+    * text is the caller's choice.
+    *
+    * Scale design: gram occurrences shuffle as 8-BYTE fingerprints, never
+    * gram strings (the [[shingleHash]] discipline); the first-occurrence
+    * reduce is a map-side-combinable (count, min-struct) aggregate — no
+    * window sort over the corpus; only grams with ≥2 occurrences survive
+    * into the join side, which is duplicate-sized, so AQE broadcasts it
+    * while it fits. Covered-position dedup shuffles (doc, pos) pairs
+    * bounded by k · duplicate occurrences, keyed by doc.
+    *
+    * Contract caveat: the 31-bit rolling fingerprint can collide, marking
+    * a non-duplicate run as duplicate; deterministic and mirrored exactly
+    * by the oracle. A production corpus would widen the hash to 128 bits
+    * — the plan shape is unchanged.
+    */
+  def substringDupCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesAll(col("text"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), shingleHash(col("g")).as("h"))
+    val firsts = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("cnt") >= 2)
+      .select(col("h"), col("first"))
+    val dups = grams.join(firsts, "h")
+      .where(!(col("doc_id") === col("first.doc_id")
+        && col("pos") === col("first.pos")))
+    val covered = dups
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    docs
+      .select(col("doc_id"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_tokens") - coalesce(col("n_dup"), lit(0L))).as("n_kept"))
+  }
 }

@@ -78,6 +78,20 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(out == List((6L, 6L, 0L)), s"overlap must dedup positions: $out")
   }
 
+  test("substring dedup: keep-first by (doc, pos), overlapping spans merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // first occurrence of the run a..e and b..f
+      (2L, "x a b c d e f"), // both 5-grams duplicated → 6 covered (0-based 1..6)
+      (3L, "p q r s t u"))   // clean
+      .toDF("doc_id", "text")
+    val out = graft.text.Dedup.substringDupCoverage(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (6L, 0L, 6L), s"doc 1 is the first occurrence: ${out(1L)}")
+    assert(out(2L) == (7L, 6L, 1L), s"doc 2 loses the 6 spliced positions: ${out(2L)}")
+    assert(out(3L) == (6L, 0L, 6L))
+  }
+
   test("BPE: merge order, counts, and overlap resolution (aaa → one merge)") {
     import spark.implicits._
     // corpus: "aaab" ×3, "ab" ×2. Round 0 pairs: (a,a) 2·3=6, (a,b) 3+2=5,
