@@ -5148,13 +5148,14 @@ object SparkEntry {
       val big = docs.select(col("doc_id"), col("lang"),
           explode(TextOps.shinglesAll(col("text"), 2)).as("g"))
         .withColumn("b", TextOps.fingerprint(col("g")) % 256)
-      val raw = big.groupBy("b").agg(count(lit(1)).as("r_cnt"))
-      val tgt = big.where(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("t_cnt"))
-      val lr = raw.join(tgt, Seq("b"), "left")
+      // raw and target counts in ONE map-side-combinable pass (a separate
+      // filtered aggregate would re-explode the corpus)
+      val lr = big.groupBy("b")
+        .agg(count(lit(1)).as("r_cnt"),
+          sum((col("lang") === "en").cast("long")).as("t_cnt"))
         .select(col("b"),
           expr("""cast(length(bin(
-                    (coalesce(t_cnt, 0L) + 1) * 1024 div (r_cnt + 1)))
+                    (t_cnt + 1) * 1024 div (r_cnt + 1)))
                   as bigint)""").as("lr"))
       val scores = big.join(broadcast(lr), "b")
         .groupBy("doc_id").agg(sum("lr").as("score"))

@@ -73,6 +73,13 @@ object Hits {
       val authScaled = normalize(authRaw, "dst", "raw", "a")
       auths = nodes.join(bc(authScaled), nodes("node") === authScaled("dst"), "left")
         .select(nodes("node"), coalesce(col("a"), lit(0L)).as("auth_micro"))
+      // snap the round's state: each score table is referenced multiple
+      // times (normalize max, the next half-step's join, the final join) —
+      // without truncation the plan tree duplicates per reference and
+      // grows geometrically over iterations (measured: 848 exchanges at
+      // 3 iterations un-snapped vs ~30 snapped). |nodes|-sized, so the
+      // checkpoint is tiny
+      auths = auths.localCheckpoint(false)
       val a = bc(auths)
       val hubRaw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src"))
@@ -80,6 +87,7 @@ object Hits {
       val hubScaled = normalize(hubRaw, "src", "raw", "h")
       hubs = nodes.join(bc(hubScaled), nodes("node") === hubScaled("src"), "left")
         .select(nodes("node"), coalesce(col("h"), lit(0L)).as("hub_micro"))
+        .localCheckpoint(false)
     }
     auths.join(hubs, "node")
   }

@@ -364,6 +364,13 @@ class PlanSpec extends AnyFunSuite {
         s"pruning), not a post-scan filter:\n$p")
   }
 
+  test("q254 HITS: iteration state snapped — plan does not grow with rounds") {
+    val p = plan("q254_nation_hits")
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"un-snapped HITS lineage duplicates per reference (was 848 " +
+        s"exchanges at 3 iterations); state must localCheckpoint:\n$p")
+  }
+
   test("q253 DPP: the dim filter prunes fact partitions at runtime") {
     val p = plan("q253_dpp_partition_join")
     assert(p.contains("dynamicpruningexpression"),
