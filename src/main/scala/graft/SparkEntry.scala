@@ -5183,6 +5183,37 @@ object SparkEntry {
             concat(col("pfx"), lit(" "), col("text")))
             .otherwise(col("text")).as("text"))
       Dedup.substringDupCoverage(mixed, "doc_id", "text", k = 10)
+    }),
+
+    // bigram-conditional perplexity filter — the KenLM-shaped quality gate
+    // (perplexity against a corpus LM is THE classic LLM-data filter;
+    // q188 is the unigram marginal, this is the conditional): surprisal
+    // of token b given predecessor a = bitlen(c(a·)) − bitlen(c(ab))
+    // (integer log2 ratio of context to bigram count), per-doc mean in
+    // milli-bits, keep ⇔ mean ≤ 4500. Scale: the bigram count table is
+    // vocab²-bounded (joined back equi-keyed, AQE-broadcast while it
+    // fits), the corpus is scanned twice (count pass, score pass), and
+    // both aggregates are map-side combinable
+    "q264_bigram_perplexity" -> ((s, d) => {
+      val big = documents(s, d).select(col("doc_id"),
+          explode(TextOps.shinglesAll(col("text"), 2)).as("g"))
+        .select(col("doc_id"), expr("split_part(g, ' ', 1)").as("a"),
+          expr("split_part(g, ' ', 2)").as("b"))
+      val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      // context count = bigram occurrences whose first token is a (token
+      // count minus doc-final positions — consistent with c_ab's support)
+      val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+      big.join(broadcast(cab), Seq("a", "b"))
+        .join(broadcast(ca), Seq("a"))
+        .select(col("doc_id"),
+          (length(bin(col("c_a"))) - length(bin(col("c_ab"))))
+            .cast("long").as("sbits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("sbits").as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          expr("(sum_bits * 1000) div n_bigrams").as("mean_milli"))
+        .withColumn("keep",
+          (col("mean_milli") <= 4500L).cast("long"))
     })
   )
 
@@ -10560,7 +10591,31 @@ object SparkEntry {
         |SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens,
         |  coalesce(c.n_dup, 0)::BIGINT AS n_dup,
         |  (len(t.tk) - coalesce(c.n_dup, 0))::BIGINT AS n_kept
-        |FROM tk t LEFT JOIN covcnt c USING (doc_id)""".stripMargin
+        |FROM tk t LEFT JOIN covcnt c USING (doc_id)""".stripMargin,
+
+    "q264_bigram_perplexity" ->
+      """WITH big AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 1)) AS a,
+        |    unnest(list_slice(string_split(text, ' '), 2,
+        |      len(string_split(text, ' ')))) AS b
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |cab AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM big GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM cab GROUP BY 1),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    (length(bin(ca.c_a)) - length(bin(cab.c_ab)))::BIGINT AS sbits
+        |  FROM big g
+        |  JOIN cab ON cab.a = g.a AND cab.b = g.b
+        |  JOIN ca ON ca.a = g.a)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(sbits)::BIGINT AS sum_bits,
+        |  ((sum(sbits) * 1000) // count(*))::BIGINT AS mean_milli,
+        |  (CASE WHEN (sum(sbits) * 1000) // count(*) <= 4500
+        |    THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM sc GROUP BY doc_id""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote
