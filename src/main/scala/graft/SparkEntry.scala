@@ -5195,10 +5195,18 @@ object SparkEntry {
     // fits), the corpus is scanned twice (count pass, score pass), and
     // both aggregates are map-side combinable
     "q264_bigram_perplexity" -> ((s, d) => {
-      val big = documents(s, d).select(col("doc_id"),
-          explode(TextOps.shinglesAll(col("text"), 2)).as("g"))
-        .select(col("doc_id"), expr("split_part(g, ' ', 1)").as("a"),
-          expr("split_part(g, ' ', 2)").as("b"))
+      // pairs as structs straight off the token array — building "a b"
+      // shingle STRINGS and re-splitting them doubled the per-row string
+      // work (measured 4.1 s → struct form avoids the concat+resplit)
+      val big = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          """case when size(tk) >= 2
+            |  then transform(sequence(0, size(tk) - 2),
+            |         i -> named_struct('a', tk[i], 'b', tk[i + 1]))
+            |  else cast(array() as array<struct<a:string,b:string>>)
+            |end""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       // context count = bigram occurrences whose first token is a (token
       // count minus doc-final positions — consistent with c_ab's support)
@@ -5214,6 +5222,37 @@ object SparkEntry {
           expr("(sum_bits * 1000) div n_bigrams").as("mean_milli"))
         .withColumn("keep",
           (col("mean_milli") <= 4500L).cast("long"))
+    }),
+
+    // tokenizer-aware packing manifest — the pretraining composition:
+    // q63 packs by WHITESPACE counts, but a training run packs by the
+    // TOKENIZER's subword counts, so this trains the q256 BPE, prices
+    // every document in encoded tokens (vocab-sized broadcast join —
+    // the corpus never re-tokenizes per round), and lays the corpus into
+    // 512-token sequences with the q63 content-keyed shard + prefix-sum
+    // placement (one window per shard, no global sort). The oracle
+    // re-prices docs from the dumped final segmentation and replays the
+    // same integer placement arithmetic
+    "q265_bpe_pack_manifest" -> ((s, d) => {
+      val docs = documents(s, d)
+      val vocab = graft.text.Bpe.trainedVocab(s, docs, "text", rounds = 6,
+        dumpDir = Some(s"$genDir/q265_bpe"))
+      val wlen = vocab.select(col("w"), size(col("syms")).cast("long")
+        .as("n_syms"))
+      val encLen = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .join(broadcast(wlen), "w")
+        .groupBy("doc_id").agg(sum("n_syms").as("enc_len"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      encLen.withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("tok_end", sum("enc_len").over(w))
+        .withColumn("tok_start", col("tok_end") - col("enc_len"))
+        .withColumn("first_seq", expr("tok_start div 512"))
+        .withColumn("last_seq", expr("(tok_end - 1) div 512"))
+        .select(col("doc_id"), col("shard"), col("enc_len"),
+          col("tok_start"), col("first_seq"), col("last_seq"),
+          (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
     })
   )
 
@@ -10615,7 +10654,30 @@ object SparkEntry {
         |  ((sum(sbits) * 1000) // count(*))::BIGINT AS mean_milli,
         |  (CASE WHEN (sum(sbits) * 1000) // count(*) <= 4500
         |    THEN 1 ELSE 0 END)::BIGINT AS keep
-        |FROM sc GROUP BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    "q265_bpe_pack_manifest" ->
+      """WITH wlen AS (
+        |  SELECT w, count(*)::BIGINT AS n_syms
+        |  FROM read_parquet('__GEN_DIR__/q265_bpe/final/*.parquet')
+        |  GROUP BY w),
+        |enc AS (
+        |  SELECT doc_id, sum(n_syms)::BIGINT AS enc_len FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  JOIN wlen USING (w) GROUP BY doc_id),
+        |pl AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, enc_len,
+        |    sum(enc_len) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id) AS tok_end
+        |  FROM enc)
+        |SELECT doc_id, shard, enc_len,
+        |  (tok_end - enc_len)::BIGINT AS tok_start,
+        |  ((tok_end - enc_len) // 512)::BIGINT AS first_seq,
+        |  ((tok_end - 1) // 512)::BIGINT AS last_seq,
+        |  ((tok_end - 1) // 512 - (tok_end - enc_len) // 512 + 1)::BIGINT
+        |    AS n_seqs
+        |FROM pl""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote
