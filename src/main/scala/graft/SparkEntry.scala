@@ -5253,6 +5253,50 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("enc_len"),
           col("tok_start"), col("first_seq"), col("last_seq"),
           (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
+    }),
+
+    // functional-dependency audit (the Hummingbird/Metanome-class data
+    // profiling primitive): for each candidate det → dep pair, count
+    // determinant groups and groups whose dependent is not single-valued.
+    // Each candidate is one column-pruned scan + one (det)-grain aggregate
+    // with count_distinct(dep) — map-side combinable, no row-grain joins;
+    // candidates union at the 4-row result grain
+    "q266_fd_audit" -> ((s, d) => {
+      def fd(name: String, det: String, dep: String) =
+        orders(s, d).groupBy(col(det))
+          .agg(count_distinct(col(dep)).as("ndep"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
+            sum((col("ndep") > 1).cast("long")).as("n_violating"))
+          .withColumn("holds", (col("n_violating") === 0L).cast("long"))
+      fd("orderkey_to_custkey", "o_orderkey", "o_custkey")
+        .unionByName(fd("custkey_to_status", "o_custkey", "o_orderstatus"))
+        .unionByName(fd("orderkey_to_priority",
+          "o_orderkey", "o_orderpriority"))
+        .unionByName(fd("orderdate_to_priority",
+          "o_orderdate", "o_orderpriority"))
+    }),
+
+    // shot-boundary keyframe selection over REAL video (PNG frames in a
+    // spec-correct AVI container, planted hard cut per video): per-frame
+    // motion from the honest decode path (multimodal/Multimodal
+    // .videoFrameMotion), keyframe ⇔ first frame or the frame carries
+    // ≥ half the video's total motion — which only the cut does, since
+    // within-shot jitter touches ~1/29 of pixels. The oracle re-derives
+    // every frame's motion codec-free from the synth formula, so a demux
+    // misalignment or pixel-layout bug breaks the hash
+    "q267_shot_keyframes" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      val fm = Multimodal
+        .videoFrameMotion(Multimodal.synthShotVideoCorpus(documents(s, d)))
+        .toDF()
+      val w = Window.partitionBy("mediaId")
+      fm.withColumn("total_motion", sum("motionAbs").over(w))
+        .select(col("mediaId").as("media_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("sumPix").as("sum_pix"), col("motionAbs").as("motion_abs"),
+          ((col("frameIdx") === 0) ||
+            (col("motionAbs") * 2 >= col("total_motion")))
+            .cast("long").as("is_key"))
     })
   )
 
@@ -10677,7 +10721,59 @@ object SparkEntry {
         |  ((tok_end - 1) // 512)::BIGINT AS last_seq,
         |  ((tok_end - 1) // 512 - (tok_end - enc_len) // 512 + 1)::BIGINT
         |    AS n_seqs
-        |FROM pl""".stripMargin
+        |FROM pl""".stripMargin,
+
+    "q266_fd_audit" -> {
+      def fd(name: String, det: String, dep: String) =
+        s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_groups,
+           |  sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_violating,
+           |  (CASE WHEN sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
+           |    THEN 1 ELSE 0 END)::BIGINT AS holds
+           |FROM (SELECT $det, count(DISTINCT $dep) AS ndep FROM orders
+           |      GROUP BY 1)""".stripMargin
+      Seq(
+        fd("orderkey_to_custkey", "o_orderkey", "o_custkey"),
+        fd("custkey_to_status", "o_custkey", "o_orderstatus"),
+        fd("orderkey_to_priority", "o_orderkey", "o_orderpriority"),
+        fd("orderdate_to_priority", "o_orderdate", "o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // every frame's raster re-derived codec-free from the shot-structured
+    // synth formula (base raster of the frame's shot seed + the mod-29
+    // jitter), motion via the (doc, pixel, f−1) self-join
+    "q267_shot_keyframes" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (16 + doc_id % 8)::BIGINT AS w,
+        |    (12 + doc_id % 4)::BIGINT AS h,
+        |    (4 + doc_id % 3)::BIGINT AS n,
+        |    (1 + doc_id % (3 + doc_id % 3))::BIGINT AS cut
+        |  FROM documents),
+        |fx AS (SELECT doc_id, w, h, cut, unnest(range(n)) AS f FROM dims),
+        |pxi AS (SELECT doc_id, f, cut, unnest(range(w * h)) AS i FROM fx),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, f, i,
+        |    CASE WHEN (i + 40503 * f) % 29 = 0
+        |      THEN ((((doc_id + CASE WHEN f >= cut THEN 777777 ELSE 0 END)
+        |               * 2654435761 + i * 40503) % 2147483648) % 256 + f)
+        |           % 256
+        |      ELSE (((doc_id + CASE WHEN f >= cut THEN 777777 ELSE 0 END)
+        |              * 2654435761 + i * 40503) % 2147483648) % 256
+        |    END AS pix
+        |  FROM pxi),
+        |fr AS (
+        |  SELECT a.doc_id, a.f, sum(a.pix)::BIGINT AS sum_pix,
+        |    coalesce(sum(abs(a.pix - b.pix)), 0)::BIGINT AS motion_abs
+        |  FROM px a LEFT JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.i = a.i AND b.f = a.f - 1
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(motion_abs) AS total FROM fr GROUP BY 1)
+        |SELECT f.doc_id AS media_id, f.f::BIGINT AS frame_idx, f.sum_pix,
+        |  f.motion_abs,
+        |  (CASE WHEN f.f = 0 OR 2 * f.motion_abs >= t.total
+        |    THEN 1 ELSE 0 END)::BIGINT AS is_key
+        |FROM fr f JOIN tot t USING (doc_id)""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote

@@ -226,6 +226,68 @@ object Multimodal {
       height: Int, nPixels: Long, sumPix: Long, frameMoment: Long,
       motionAbs: Long, meanMilli: Long)
 
+  /** Synthetic video corpus WITH SHOT STRUCTURE (for boundary-detection
+    * ops): each video has one hard cut at frame `1 + id mod (n−1)`.
+    * Frames within a shot share a base raster (`synthRaster` of the shot
+    * seed — shot 0 seeds `id`, shot 1 `id + 777777`) with a small
+    * deterministic per-frame jitter: pixel i is re-valued to
+    * (base + f) mod 256 only where (i + 40503·f) mod 29 = 0, so
+    * within-shot motion is ~|pixels|/29 · small deltas while the cut's
+    * motion is full-raster — the separation the keyframe rule keys on.
+    * The payload is honest: rasters go through the real PNG encoder and
+    * the spec-correct AVI muxer, and consumers re-decode them.
+    */
+  def synthShotVideoCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = 16 + (id % 8).toInt
+      val h = 12 + (id % 4).toInt
+      val n = 4 + (id % 3).toInt
+      val cut = 1 + (id % (n - 1)).toInt
+      val pngs = (0 until n).map { f =>
+        val shotSeed = if (f >= cut) id + 777777L else id
+        val base = synthRaster(shotSeed, w, h)
+        val px = base.clone()
+        var i = 0
+        while (i < px.length) {
+          if ((i + 40503L * f) % 29 == 0)
+            px(i) = (((px(i) & 0xff) + f) % 256).toByte
+          i += 1
+        }
+        encodePng(w, h, px)
+      }
+      MediaRow(id, "video/avi", encodeAvi(w, h, pngs), w, h)
+    }
+  }
+
+  final case class FrameMotion(mediaId: Long, frameIdx: Int, sumPix: Long,
+      motionAbs: Long)
+
+  /** Per-FRAME decode features (the grain shot-boundary detection needs;
+    * [[videoFeatures]] reduces to one row per video): frame pixel sum and
+    * absolute motion vs the previous frame (0 for frame 0). Same batched
+    * partition-local kernel discipline.
+    */
+  def videoFrameMotion(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[FrameMotion] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      val v = decodeVideo(m.content)
+      (0 until v.frames.length).map { f =>
+        val px = v.frames(f).pixels
+        val prev = if (f > 0) v.frames(f - 1).pixels else null
+        var sum = 0L; var motion = 0L
+        var i = 0
+        while (i < px.length) {
+          sum += px(i) & 0xff
+          if (prev != null) motion += math.abs((px(i) & 0xff) - (prev(i) & 0xff)).toLong
+          i += 1
+        }
+        FrameMotion(m.mediaId, f, sum, motion)
+      }
+    }
+  }
+
   /** Batched REAL video demux + decode + exact integer features: total
     * pixel count/sum, the frame moment Σ f·pixel (frame-ORDER-sensitive —
     * a demuxer that reorders or drops frames breaks it), and total

@@ -16,6 +16,25 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("shot corpus: per-frame motion localizes the planted cut exactly") {
+    import spark.implicits._
+    val docs = Seq(5L, 12L, 31L).toDF("doc_id")
+    val fm = Multimodal.videoFrameMotion(Multimodal.synthShotVideoCorpus(docs))
+      .collect().groupBy(_.mediaId)
+    for (id <- Seq(5L, 12L, 31L)) {
+      val n = 4 + (id % 3).toInt
+      val cut = 1 + (id % (n - 1)).toInt
+      val frames = fm(id).sortBy(_.frameIdx)
+      assert(frames.length == n)
+      assert(frames.head.motionAbs == 0L)
+      val total = frames.map(_.motionAbs).sum
+      val keys = frames.filter(f => f.frameIdx == 0 || f.motionAbs * 2 >= total)
+        .map(_.frameIdx).toList
+      assert(keys == List(0, cut),
+        s"video $id: keyframes $keys, expected List(0, $cut)")
+    }
+  }
+
   test("decodeStub dimensions cover the payload; resizeStub subsamples deterministically") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val d = Multimodal.decodeStub(bytes)
