@@ -5297,6 +5297,31 @@ object SparkEntry {
           ((col("frameIdx") === 0) ||
             (col("motionAbs") * 2 >= col("total_motion")))
             .cast("long").as("is_key"))
+    }),
+
+    // matryoshka truncation audit (MRL, Kusupati et al. 2022 — serve the
+    // first d′ dims, re-rank with full vectors): exact cosine top-5 under
+    // 16-of-64-dim prefixes vs the full-dimension truth, recall in exact
+    // ppm. The audit a vector-store operator runs before flipping serving
+    // to truncated embeddings; both rankers are the q14 partial top-k
+    // aggregate (corpus never shuffles, queries broadcast)
+    "q268_matryoshka_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val full = Similarity.cosineTopK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val e16 = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 16)").as("embedding"))
+      val trunc = Similarity.cosineTopK(e16,
+        e16.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val nF = full.agg(count(lit(1)).as("n_full"))
+      val nT = trunc.agg(count(lit(1)).as("n_trunc"))
+      val hit = full.select(col("query_id"), col("cand_id"))
+        .join(trunc.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      nF.crossJoin(broadcast(nT)).crossJoin(broadcast(hit))
+        .select(col("n_full"), col("n_trunc"), col("n_hit"),
+          expr("(n_hit * 1000000) div n_full").as("recall_ppm"))
     })
   )
 
@@ -5674,7 +5699,8 @@ object SparkEntry {
     * and (with the q190 probe set) the hybrid-retrieval fusion.
     */
   private def cosineTopkOracleSql(k: Int,
-      probePred: String = "q.vec_id < 10"): String =
+      probePred: String = "q.vec_id < 10",
+      table: String = "embeddings"): String =
     s"""SELECT query_id, cand_id, cos, rank FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
@@ -5685,7 +5711,7 @@ object SparkEntry {
       |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
       |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
       |      c.vec_id) AS rank
-      |  FROM embeddings q, embeddings c
+      |  FROM $table q, $table c
       |  WHERE $probePred AND q.vec_id <> c.vec_id)
       |WHERE rank <= $k""".stripMargin
 
@@ -10773,7 +10799,21 @@ object SparkEntry {
         |  f.motion_abs,
         |  (CASE WHEN f.f = 0 OR 2 * f.motion_abs >= t.total
         |    THEN 1 ELSE 0 END)::BIGINT AS is_key
-        |FROM fr f JOIN tot t USING (doc_id)""".stripMargin
+        |FROM fr f JOIN tot t USING (doc_id)""".stripMargin,
+
+    "q268_matryoshka_recall" ->
+      s"""WITH e16 AS (
+        |  SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+        |ex AS (${cosineTopkOracleSql(5)}),
+        |tr AS (${cosineTopkOracleSql(5, table = "e16")}),
+        |m AS (SELECT count(*)::BIGINT AS n_full FROM ex),
+        |l AS (SELECT count(*)::BIGINT AS n_trunc FROM tr),
+        |ht AS (SELECT count(*)::BIGINT AS n_hit
+        |       FROM ex e JOIN tr t
+        |         ON e.query_id = t.query_id AND e.cand_id = t.cand_id)
+        |SELECT m.n_full, l.n_trunc, ht.n_hit,
+        |  ((ht.n_hit * 1000000) // m.n_full)::BIGINT AS recall_ppm
+        |FROM m, l, ht""".stripMargin
   )
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote
