@@ -5322,8 +5322,214 @@ object SparkEntry {
       nF.crossJoin(broadcast(nT)).crossJoin(broadcast(hit))
         .select(col("n_full"), col("n_trunc"), col("n_hit"),
           expr("(n_hit * 1000000) div n_full").as("recall_ppm"))
+    }),
+
+    // ---- causal-discovery analysis suite (metrics/Causal.scala) ----
+    // The reference generates benchmark corpora FOR external causal-
+    // discovery tools and only ingests their output (R3-R5 converters);
+    // these four run the discovery step itself, engine-native. One
+    // fact-scale aggregation feeds a #series × #days panel; every test is
+    // an exact-integer cross-multiplied contract (no division touches a
+    // decision), so the census hashes bitwise against DuckDB.
+
+    // pairwise lag-1 Granger F-test census over the event-type panel:
+    // 20 ordered pairs, centered cross-moment integers, one Frisch-Waugh
+    // step instead of a 3x3 solve, F compared at the 5% critical value
+    // 4.22 = F(1, ~26) via 100·(n-3)·gain > 422·rss_u
+    "q269_granger_census" -> ((s, d) =>
+      graft.metrics.Causal.grangerLag1(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
+
+    // PC-algorithm skeleton to conditioning order 1 on Spearman ranks:
+    // rank panel (magnitudes bounded by #days at ANY corpus scale, which
+    // is what keeps the four-C-product partial-correlation test inside
+    // DECIMAL(38,0)/HUGEINT), all-pairs cross-moments once, τ = 0.25
+    // (τ² = 625 bp) for both the marginal and order-1 tests
+    "q270_pc_skeleton" -> ((s, d) =>
+      graft.metrics.Causal.pcSkeleton(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
+
+    // planted-structure recovery capstone: synthesize a 4-series panel
+    // with known lag-1 edges s1→s2→s4 (s1 = the 'view' daily means,
+    // descendants = lagged parent + small deterministic hash noise, s3 =
+    // pure hash noise), run the SAME q269 Granger contract on it, and
+    // score the recovered graph with the R7-R9 metrics operators
+    // (confusion, TPR/FDR, SHD) against the planted truth — generation,
+    // discovery, and scoring composed end-to-end
+    "q271_granger_recovery" -> ((s, d) => {
+      import s.implicits._
+      val panel = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      // 30-row single-partition window: the base series is one panel row
+      // per day, deliberately driver-scale
+      val w = Window.orderBy("day")
+      val bi = panel.where(col("series") === "view")
+        .select(col("day"), col("v"), row_number().over(w).as("i"),
+          lag("v", 1).over(w).as("bl"), lag("v", 2).over(w).as("bl2"))
+        .where(col("i") >= 3)
+      val synth = bi.select(lit("s1").as("series"), col("day"), col("v"))
+        .unionByName(bi.select(lit("s2").as("series"), col("day"),
+          expr("bl + ((bigint(i) * 2654435761) % 1001)").as("v")))
+        .unionByName(bi.select(lit("s3").as("series"), col("day"),
+          expr("(bigint(i) * 2246822519) % 100000").as("v")))
+        .unionByName(bi.select(lit("s4").as("series"), col("day"),
+          expr("bl2 + ((bigint(i - 1) * 2654435761) % 1001)" +
+            " + ((bigint(i) * 1779033703) % 1001)").as("v")))
+      val g = graft.metrics.Causal.grangerLag1(synth)
+      val pred = g.where(col("granger") === 1)
+        .select(lit("panel").as("graphId"), col("cause").as("source"),
+          col("effect").as("target"), lit(1).as("lag"))
+      val truth = Seq(("panel", "s1", "s2", 1), ("panel", "s2", "s4", 1))
+        .toDF("graphId", "source", "target", "lag")
+      val total = Seq(("panel", 12L)).toDF("graphId", "total")
+      val conf = graft.metrics.Metrics.tprFdr(
+        graft.metrics.Metrics.confusion(truth, pred, total))
+      val shd = graft.metrics.Metrics.shdXor(truth, pred)
+      conf.join(shd, Seq("graphId"))
+        .select(col("graphId").as("graph_id"), col("tp"), col("fp"),
+          col("fn"), col("tn"), round(col("tpr"), 6).as("tpr"),
+          round(col("fdr"), 6).as("fdr"), col("shd"))
+    }),
+
+    // binary-binned lag-1 transfer entropy census: series binned
+    // above/below their own integer mean, (y_t, y_{t-1}, x_{t-1}) triple
+    // counts, N·TE summed through the shared micro-ln lookup table (the
+    // single quantization both engines embed) — the information-theoretic
+    // sibling of q269's parametric F-test
+    "q272_transfer_entropy" -> ((s, d) =>
+      graft.metrics.Causal.transferEntropy(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
+
+    // Benford first-digit audit (data-profiling / fraud-screening
+    // primitive): observed first-significant-digit counts of
+    // l_extendedprice vs the Benford ppm table (the shared quantized
+    // log10(1+1/d) constants), χ² contribution per digit in micro units —
+    // (1e6·(obs−e))² div (1e6·e) with e = exp_ppm·N div 1e6 kept as the
+    // exact cross-multiplied form. One map-side-combined 9-group
+    // aggregation; no shuffle beyond it
+    "q273_benford_audit" -> ((s, d) => {
+      val obs = lineitem(s, d)
+        .select(substring(ExactStats.micro(col("l_extendedprice"))
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum("n_obs").as("n"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("exp_ppm", expr(BenfordPpmCase))
+        .select(col("digit"), col("n_obs"),
+          col("exp_ppm").cast("long").as("exp_ppm"),
+          expr("""(cast(n_obs as decimal(38,0)) * 1000000 - exp_ppm * n)
+                 | * (cast(n_obs as decimal(38,0)) * 1000000 - exp_ppm * n)
+                 | div (exp_ppm * n)""".stripMargin).as("chi2_micro"))
+    }),
+
+    // PMI collocation census over document bigrams: counts from ONE
+    // bigram relation (pair count, left-position count, right-position
+    // count, total), the PMI > ln 8 decision cross-multiplied as
+    // c_xy·N > 8·c_x·c_y — integers only. The unigram-position tables are
+    // vocab-sized and broadcast; the bounded top-50 never sorts the corpus
+    "q274_pmi_collocations" -> ((s, d) => {
+      val bi = documents(s, d)
+        .select(explode(TextOps.shinglesAll(col("text"), 2)).as("pair"))
+        .select(expr("split(pair, ' ')[0]").as("x"),
+          expr("split(pair, ' ')[1]").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(false)
+      val left = bi.groupBy("x").agg(sum("cxy").as("cx"))
+      val right = bi.groupBy("y").agg(sum("cxy").as("cy"))
+      val tot = bi.agg(sum("cxy").as("nbi"))
+      bi.where(col("cxy") >= 5)
+        .join(broadcast(left), Seq("x"))
+        .join(broadcast(right), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi8", expr(
+          "case when cxy * nbi > 8 * cx * cy then 1 else 0 end"))
+        .orderBy(col("cxy").desc, col("x"), col("y")).limit(50)
+        .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+          col("nbi"), col("pmi8"))
+    }),
+
+    // split-conformal interval calibration: 3-way deterministic split on
+    // event_id (train fits per-type means, calibration takes the exact
+    // ceil(0.9·(n+1))-th smallest |residual| via a per-type ordered
+    // window — the standard exact-order-statistic shape, one shuffle by
+    // type — and the held-out third audits empirical coverage in ppm)
+    "q275_conformal_interval" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val mu = ev.where(col("event_id") % 3 === 0)
+        .groupBy("event_type")
+        .agg(expr("sum(vm) div count(1)").as("mu_micro"))
+      val calib = ev.where(col("event_id") % 3 === 1)
+        .join(broadcast(mu), Seq("event_type"))
+        .withColumn("r", abs(col("vm") - col("mu_micro")))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(col("r"), col("event_id"))
+      val qhat = calib
+        .select(col("event_type"), col("r"),
+          row_number().over(wr).as("rk"),
+          count(lit(1)).over(Window.partitionBy("event_type")).as("nc"))
+        .where(col("rk") === expr("(9 * nc + 18) div 10"))
+        .select(col("event_type"), col("r").as("qhat_micro"),
+          col("nc").as("n_calib"))
+      ev.where(col("event_id") % 3 === 2)
+        .join(broadcast(mu), Seq("event_type"))
+        .join(broadcast(qhat), Seq("event_type"))
+        .groupBy(col("event_type"), col("mu_micro"), col("qhat_micro"),
+          col("n_calib"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("vm") - col("mu_micro")) <= col("qhat_micro"),
+            1L).otherwise(0L)).as("n_cover"))
+        .select(col("event_type"), col("mu_micro"), col("n_calib"),
+          col("qhat_micro"), col("n_test"),
+          expr("(n_cover * 1000000) div n_test").as("coverage_ppm"))
+    }),
+
+    // Holt double-exponential smoothing: integer recurrence folded inside
+    // one higher-order `aggregate` per series (recurrences are sequential
+    // per series, parallel across series — no driver loop, no per-step
+    // Spark job); the oracle replays it as a recursive CTE
+    "q276_holt_smoothing" -> ((s, d) =>
+      graft.ops.Smoothing.holt(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
+
+    // STL-lite weekly decomposition: trend = full-window centered 7-day
+    // mean, seasonal = day-of-week mean of the detrended residual,
+    // remainder census per (series, dow) — two window/aggregate stages,
+    // all integer div truncation
+    "q277_weekly_decompose" -> ((s, d) => {
+      val panel = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val wt = Window.partitionBy("series").orderBy("day")
+        .rowsBetween(-3, 3)
+      val detr = panel
+        .withColumn("wn", count(lit(1)).over(wt))
+        .withColumn("trend", sum(col("v")).over(wt))
+        .where(col("wn") === 7)
+        .select(col("series"), col("day"),
+          (col("v") - expr("trend div 7")).as("dt"))
+      val seas = detr.groupBy(col("series"), (col("day") % 7).as("dow"))
+        .agg(expr("sum(dt) div count(1)").as("seasonal_milli"),
+          count(lit(1)).as("n"))
+      val dj = detr.select(col("series").as("dseries"),
+        (col("day") % 7).as("ddow"), col("dt"))
+      dj.join(broadcast(seas),
+          dj("dseries") === seas("series") && dj("ddow") === seas("dow"))
+        .groupBy(col("series"), col("dow"), col("seasonal_milli"), col("n"))
+        .agg(sum(abs(col("dt") - col("seasonal_milli"))).as("sum_abs_rem"))
     })
   )
+
+  /** Benford expected first-digit frequencies, ppm: round(log10(1+1/d)·1e6)
+    * — one Scala constant rendered into both engines' CASE expressions.
+    */
+  private val BenfordPpm: IndexedSeq[Long] =
+    (1 to 9).map(dg => Math.round(Math.log10(1.0 + 1.0 / dg) * 1e6))
+  private val BenfordPpmCase: String =
+    "CASE digit " + BenfordPpm.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN cast($v as decimal(38,0))"
+    }.mkString(" ") + " END"
+  private val BenfordPpmCaseSql: String =
+    "CASE digit " + BenfordPpm.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v::HUGEINT"
+    }.mkString(" ") + " END"
 
   /** The q255 planted templates — embedded in both the Spark injection and
     * the DuckDB oracle. Deliberately OUTSIDE the corpus vocabulary (real
@@ -10813,8 +11019,231 @@ object SparkEntry {
         |         ON e.query_id = t.query_id AND e.cand_id = t.cand_id)
         |SELECT m.n_full, l.n_trunc, ht.n_hit,
         |  ((ht.n_hit * 1000000) // m.n_full)::BIGINT AS recall_ppm
-        |FROM m, l, ht""".stripMargin
+        |FROM m, l, ht""".stripMargin,
+
+    "q269_granger_census" ->
+      s"""WITH $CausalPanelCte,
+        |${graft.metrics.Causal.grangerSqlCtes("panel")}
+        |SELECT * FROM granger_out""".stripMargin,
+
+    "q270_pc_skeleton" ->
+      s"""WITH $CausalPanelCte,
+        |ranked AS (SELECT series, day,
+        |    row_number() OVER (PARTITION BY series ORDER BY v, day) AS r
+        |  FROM panel),
+        |cm AS (
+        |  SELECT a.series AS sa, b.series AS sb, count(*)::BIGINT AS n,
+        |    (count(*)::HUGEINT * sum(a.r::HUGEINT * b.r)
+        |      - sum(a.r)::HUGEINT * sum(b.r))::BIGINT AS c
+        |  FROM ranked a JOIN ranked b USING (day) GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.sa AS a, p.sb AS b, p.n, p.c AS cab,
+        |    da.c AS caa, db.c AS cbb,
+        |    CASE WHEN 10000 * p.c::HUGEINT * p.c
+        |           > 625 * da.c::HUGEINT * db.c
+        |    THEN 1 ELSE 0 END AS keep0
+        |  FROM cm p
+        |  JOIN cm da ON da.sa = p.sa AND da.sb = p.sa
+        |  JOIN cm db ON db.sa = p.sb AND db.sb = p.sb
+        |  WHERE p.sa < p.sb),
+        |trip AS (
+        |  SELECT pr.a, pr.b, z.sa AS z,
+        |    CASE WHEN 10000
+        |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
+        |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
+        |      <= 625
+        |        * (pr.caa::HUGEINT * z.c - az.c::HUGEINT * az.c)
+        |        * (pr.cbb::HUGEINT * z.c - bz.c::HUGEINT * bz.c)
+        |    THEN 1 ELSE 0 END AS sep
+        |  FROM pairs pr
+        |  JOIN cm z ON z.sa = z.sb AND z.sa <> pr.a AND z.sa <> pr.b
+        |  JOIN cm az ON az.sa = pr.a AND az.sb = z.sa
+        |  JOIN cm bz ON bz.sa = pr.b AND bz.sb = z.sa
+        |  WHERE pr.keep0 = 1),
+        |seps AS (SELECT a, b, min(CASE WHEN sep = 1 THEN z END) AS sepset
+        |  FROM trip GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n, p.cab, p.keep0, s.sepset,
+        |  (CASE WHEN p.keep0 = 1 AND s.sepset IS NULL
+        |   THEN 1 ELSE 0 END)::INT AS edge
+        |FROM pairs p LEFT JOIN seps s ON s.a = p.a AND s.b = p.b""".stripMargin,
+
+    "q271_granger_recovery" ->
+      s"""WITH $CausalPanelCte,
+        |b AS (
+        |  SELECT day, v, row_number() OVER (ORDER BY day) AS i,
+        |    lag(v, 1) OVER (ORDER BY day) AS bl,
+        |    lag(v, 2) OVER (ORDER BY day) AS bl2
+        |  FROM panel WHERE series = 'view'),
+        |bi AS (SELECT * FROM b WHERE i >= 3),
+        |synth AS (
+        |  SELECT 's1' AS series, day, v FROM bi
+        |  UNION ALL SELECT 's2', day,
+        |    bl + ((i * 2654435761) % 1001) FROM bi
+        |  UNION ALL SELECT 's3', day, (i * 2246822519) % 100000 FROM bi
+        |  UNION ALL SELECT 's4', day,
+        |    bl2 + (((i - 1) * 2654435761) % 1001)
+        |        + ((i * 1779033703) % 1001) FROM bi),
+        |${graft.metrics.Causal.grangerSqlCtes("synth")},
+        |pred AS (SELECT cause AS source, effect AS target
+        |  FROM granger_out WHERE granger = 1),
+        |truth(source, target) AS (VALUES ('s1', 's2'), ('s2', 's4')),
+        |conf AS (SELECT
+        |  (SELECT count(*) FROM truth t JOIN pred p
+        |     ON p.source = t.source AND p.target = t.target) AS tp,
+        |  (SELECT count(*) FROM pred p LEFT JOIN truth t
+        |     ON p.source = t.source AND p.target = t.target
+        |   WHERE t.source IS NULL) AS fp,
+        |  (SELECT count(*) FROM truth t LEFT JOIN pred p
+        |     ON p.source = t.source AND p.target = t.target
+        |   WHERE p.source IS NULL) AS fn)
+        |SELECT 'panel' AS graph_id, tp::BIGINT AS tp, fp::BIGINT AS fp,
+        |  fn::BIGINT AS fn, (12 - tp - fp - fn)::BIGINT AS tn,
+        |  round(CASE WHEN tp + fn = 0 THEN 0.0
+        |    ELSE tp / (tp + fn)::DOUBLE END, 6) AS tpr,
+        |  round(CASE WHEN fp + tp = 0 THEN 0.0
+        |    ELSE fp / (fp + tp)::DOUBLE END, 6) AS fdr,
+        |  (fp + fn)::BIGINT AS shd
+        |FROM conf""".stripMargin,
+
+    "q272_transfer_entropy" ->
+      s"""WITH $CausalPanelCte,
+        |means AS (SELECT series, sum(v) // count(*) AS mean_v
+        |  FROM panel GROUP BY 1),
+        |binned AS (SELECT p.series, p.day,
+        |    CASE WHEN p.v > m.mean_v THEN 1 ELSE 0 END AS bit
+        |  FROM panel p JOIN means m USING (series)),
+        |lagged AS (
+        |  SELECT x.series AS cause, y.series AS effect, y.day,
+        |    y.bit AS ynow,
+        |    lag(y.bit) OVER (PARTITION BY x.series, y.series
+        |      ORDER BY y.day) AS yprev,
+        |    lag(x.bit) OVER (PARTITION BY x.series, y.series
+        |      ORDER BY y.day) AS xprev
+        |  FROM binned y JOIN binned x USING (day)
+        |  WHERE x.series <> y.series),
+        |lv AS (SELECT * FROM lagged WHERE yprev IS NOT NULL),
+        |trip AS (SELECT cause, effect, ynow, yprev, xprev,
+        |    count(*)::BIGINT AS c3
+        |  FROM lv GROUP BY 1, 2, 3, 4, 5),
+        |cy AS (SELECT cause, effect, yprev, count(*)::BIGINT AS c_y
+        |  FROM lv GROUP BY 1, 2, 3),
+        |cyx AS (SELECT cause, effect, yprev, xprev,
+        |    count(*)::BIGINT AS c_yx
+        |  FROM lv GROUP BY 1, 2, 3, 4),
+        |cyy AS (SELECT cause, effect, ynow, yprev,
+        |    count(*)::BIGINT AS c_yy
+        |  FROM lv GROUP BY 1, 2, 3, 4)
+        |SELECT cause, effect, sum(c3)::BIGINT AS n,
+        |  sum(c3 * ((${lnMicroCaseSql("c3")})
+        |    + (${lnMicroCaseSql("c_y")})
+        |    - (${lnMicroCaseSql("c_yx")})
+        |    - (${lnMicroCaseSql("c_yy")})))::BIGINT AS te_micro_n
+        |FROM trip
+        |JOIN cy USING (cause, effect, yprev)
+        |JOIN cyx USING (cause, effect, yprev, xprev)
+        |JOIN cyy USING (cause, effect, ynow, yprev)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q273_benford_audit" ->
+      s"""WITH obs AS (
+        |  SELECT substr(floor(l_extendedprice * 1e6)::BIGINT::VARCHAR,
+        |      1, 1)::INT AS digit, count(*)::BIGINT AS n_obs
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n_obs)::HUGEINT AS n FROM obs)
+        |SELECT digit, n_obs, ($BenfordPpmCaseSql)::BIGINT AS exp_ppm,
+        |  ((n_obs::HUGEINT * 1000000 - ($BenfordPpmCaseSql) * n)
+        |   * (n_obs::HUGEINT * 1000000 - ($BenfordPpmCaseSql) * n)
+        |   // (($BenfordPpmCaseSql) * n))::BIGINT AS chi2_micro
+        |FROM obs, tot""".stripMargin,
+
+    "q274_pmi_collocations" ->
+      """WITH pr AS (
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '),
+        |      i + 1, i + 2), ' '))) AS pair
+        |  FROM documents),
+        |bi AS MATERIALIZED (
+        |  SELECT string_split(pair, ' ')[1] AS x,
+        |    string_split(pair, ' ')[2] AS y, count(*)::BIGINT AS cxy
+        |  FROM pr GROUP BY 1, 2),
+        |lft AS (SELECT x, sum(cxy)::BIGINT AS cx FROM bi GROUP BY 1),
+        |rgt AS (SELECT y, sum(cxy)::BIGINT AS cy FROM bi GROUP BY 1),
+        |tot AS (SELECT sum(cxy)::BIGINT AS nbi FROM bi)
+        |SELECT b.x, b.y, b.cxy, l.cx, r.cy, t.nbi,
+        |  CASE WHEN b.cxy * t.nbi > 8 * l.cx * r.cy
+        |  THEN 1 ELSE 0 END AS pmi8
+        |FROM bi b JOIN lft l USING (x) JOIN rgt r USING (y), tot t
+        |WHERE b.cxy >= 5
+        |ORDER BY b.cxy DESC, b.x, b.y LIMIT 50""".stripMargin,
+
+    "q275_conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |mu AS (SELECT event_type, sum(vm) // count(*) AS mu_micro
+        |  FROM ev WHERE event_id % 3 = 0 GROUP BY 1),
+        |calib AS (
+        |  SELECT e.event_type, abs(e.vm - m.mu_micro) AS r,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY abs(e.vm - m.mu_micro), e.event_id) AS rk,
+        |    count(*) OVER (PARTITION BY e.event_type) AS nc
+        |  FROM ev e JOIN mu m USING (event_type)
+        |  WHERE e.event_id % 3 = 1),
+        |qh AS (SELECT event_type, r AS qhat_micro, nc AS n_calib
+        |  FROM calib WHERE rk = (9 * nc + 18) // 10)
+        |SELECT e.event_type, m.mu_micro, q.n_calib, q.qhat_micro,
+        |  count(*)::BIGINT AS n_test,
+        |  ((sum(CASE WHEN abs(e.vm - m.mu_micro) <= q.qhat_micro
+        |      THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+        |    AS coverage_ppm
+        |FROM ev e JOIN mu m USING (event_type)
+        |JOIN qh q USING (event_type)
+        |WHERE e.event_id % 3 = 2
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q276_holt_smoothing" ->
+      s"""WITH RECURSIVE $CausalPanelCte,
+        |${graft.ops.Smoothing.holtSqlCtes("panel")}
+        |SELECT * FROM holt_out""".stripMargin,
+
+    "q277_weekly_decompose" ->
+      s"""WITH $CausalPanelCte,
+        |tr AS (
+        |  SELECT series, day, v,
+        |    count(*) OVER w AS wn, sum(v) OVER w AS trend
+        |  FROM panel
+        |  WINDOW w AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |detr AS (
+        |  SELECT series, day, v - (trend // 7) AS dt
+        |  FROM tr WHERE wn = 7),
+        |seas AS (
+        |  SELECT series, day % 7 AS dow,
+        |    sum(dt) // count(*) AS seasonal_milli,
+        |    count(*)::BIGINT AS n
+        |  FROM detr GROUP BY 1, 2)
+        |SELECT s.series, s.dow, s.seasonal_milli, s.n,
+        |  sum(abs(d.dt - s.seasonal_milli))::BIGINT AS sum_abs_rem
+        |FROM detr d JOIN seas s
+        |  ON s.series = d.series AND s.dow = d.day % 7
+        |GROUP BY 1, 2, 3, 4""".stripMargin
   )
+
+  /** The causal suite's shared daily panel — milli-unit day means per
+    * event_type (mirrors [[graft.metrics.Causal.dailyMeanPanel]]): means,
+    * not sums, so the integer magnitudes are corpus-scale-invariant.
+    */
+  private val CausalPanelCte: String =
+    """panel AS (
+      |  SELECT event_type AS series, epoch_us(ts) // 86400000000 AS day,
+      |    (sum(floor(value * 1e6)::BIGINT) // (count(*) * 1000))::BIGINT
+      |      AS v
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private def lnMicroCaseSql(operand: String): String =
+    graft.metrics.Causal.lnMicroCase(operand, 64)
 
   /** Per-round BPE cross-check over the positional dumps Spark wrote
     * (`Bpe.train` dumpDir): round r's argmax pair is re-derived from dump r

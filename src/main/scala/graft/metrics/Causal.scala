@@ -1,0 +1,311 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Causal-discovery ANALYSIS operators over aligned multivariate panels —
+  * the consumer-side counterpart of the generator families (the reference
+  * produces benchmark corpora FOR causal-discovery tools; these operators
+  * run the discovery step itself, Spark-native, so generated data can be
+  * scored end-to-end without leaving the engine — cf. the reference's
+  * Tetrad/Tigramite/TCDF result converters, metrics_helper.py:7-138,
+  * which only INGEST external tool output).
+  *
+  * Everything is an exact-integer contract: sufficient statistics are
+  * integer sums in DECIMAL(38,0) (HUGEINT on the DuckDB side), every
+  * division is a truncating `div` at a declared point, and every
+  * significance test is a cross-multiplied rational comparison — so the
+  * census of decisions hashes bitwise against the oracle.
+  *
+  * Scale shape: the ONLY fact-scale stage is the (series, day) aggregation
+  * — one map-side-combined shuffle at 100 TB. Pairing, lagging, and all
+  * test arithmetic run on the #series × #days panel (here 5 × 30; at a
+  * 1e5-sensor deployment the pairwise stage is O(S²·D) and callers select
+  * the candidate pair set first — the contract takes the panel, not the
+  * fact table, precisely so that selection composes upstream).
+  */
+object Causal {
+
+  /** Milli-unit daily mean per (series, day): sum of micro values div
+    * (1000 × count). Means, not sums, so the integer magnitudes are
+    * invariant to corpus scale — the downstream C-statistics stay ~1e13
+    * and their pairwise products inside DECIMAL(38,0) at any sf.
+    * `ev` must carry (event_type, ts long-ns, value double).
+    */
+  def dailyMeanPanel(ev: DataFrame): DataFrame =
+    ev.select(col("event_type").as("series"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        graft.ops.ExactStats.micro(col("value")).cast("long").as("vm"))
+      .groupBy("series", "day")
+      .agg(expr("sum(vm) div (count(1) * 1000)").as("v"))
+
+  /** Pairwise lag-1 Granger census over an aligned panel (series, day,
+    * v:long). For every ordered pair (cause, effect): regress y_t on
+    * [1, y_{t-1}] (restricted) vs [1, y_{t-1}, x_{t-1}] (unrestricted) via
+    * centered cross-moment integers C_ab = n·Σab − Σa·Σb, reduce the
+    * 3-parameter fit with one Frisch–Waugh step (partial out y_{t-1}), and
+    * decide with the cross-multiplied F test
+    * 100·(n−3)·gain > fCritCenti·RSS_u — no division ever touches the
+    * decision. RSS values are n²-scaled (both sides equally, F unchanged).
+    */
+  def grangerLag1(panel: DataFrame, fCritCenti: Long = 422L): DataFrame = {
+    val sums = grangerSums(panel)
+    grangerDecide(sums, fCritCenti)
+  }
+
+  /** The per-ordered-pair sufficient statistics for lag-1 Granger:
+    * align on day (inner join — both series observed), lag within the
+    * joined pair panel, then one aggregation to 10 integer sums.
+    */
+  def grangerSums(panel: DataFrame): DataFrame = {
+    val x = panel.select(col("series").as("cause"), col("day"),
+      col("v").as("xv"))
+    val y = panel.select(col("series").as("effect"), col("day"),
+      col("v").as("yv"))
+    // panel-sized join: broadcast the cause side (S·D rows, tiny vs fact)
+    val j = y.join(broadcast(x), Seq("day"))
+      .where(col("cause") =!= col("effect"))
+    val w = Window.partitionBy("cause", "effect").orderBy("day")
+    val lagged = j.select(col("cause"), col("effect"), col("day"),
+        col("yv"), lag("yv", 1).over(w).as("pv"),
+        lag("xv", 1).over(w).as("qv"))
+      .where(col("pv").isNotNull)
+    lagged.groupBy("cause", "effect").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("yv").cast("decimal(38,0)")).as("sy"),
+      sum(col("pv").cast("decimal(38,0)")).as("sp"),
+      sum(col("qv").cast("decimal(38,0)")).as("sq"),
+      sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("syy"),
+      sum((col("pv") * col("pv")).cast("decimal(38,0)")).as("spp"),
+      sum((col("qv") * col("qv")).cast("decimal(38,0)")).as("sqq"),
+      sum((col("yv") * col("pv")).cast("decimal(38,0)")).as("syp"),
+      sum((col("yv") * col("qv")).cast("decimal(38,0)")).as("syq"),
+      sum((col("pv") * col("qv")).cast("decimal(38,0)")).as("spq"))
+  }
+
+  /** Decision arithmetic from the sufficient sums — shared by the events
+    * census (q269) and the planted-recovery capstone (q271). Output longs:
+    * the C-statistics top out ~1e13 (milli panel) so every post-div value
+    * fits BIGINT; only the intermediate products need DECIMAL(38,0).
+    */
+  def grangerDecide(sums: DataFrame, fCritCenti: Long): DataFrame =
+    sums
+      .withColumn("cyy", expr("n*syy - sy*sy"))
+      .withColumn("cpp", expr("n*spp - sp*sp"))
+      .withColumn("cqq", expr("n*sqq - sq*sq"))
+      .withColumn("cyp", expr("n*syp - sy*sp"))
+      .withColumn("cyq", expr("n*syq - sy*sq"))
+      .withColumn("cpq", expr("n*spq - sp*sq"))
+      .withColumn("rss_r", expr(
+        "cyy - (case when cpp = 0 then 0 else (cyp*cyp) div cpp end)"))
+      .withColumn("cyq_p", expr(
+        "cyq - (case when cpp = 0 then 0 else (cpq*cyp) div cpp end)"))
+      .withColumn("cqq_p", expr(
+        "cqq - (case when cpp = 0 then 0 else (cpq*cpq) div cpp end)"))
+      .withColumn("gain", expr(
+        "case when cqq_p <= 0 then 0 else (cyq_p*cyq_p) div cqq_p end"))
+      .withColumn("rss_u", expr("rss_r - gain"))
+      .withColumn("granger", expr(
+        s"""case when n > 3 and gain > 0
+           |  and 100 * (n - 3) * gain > $fCritCenti * rss_u
+           |then 1 else 0 end""".stripMargin))
+      .select(col("cause"), col("effect"),
+        col("n").cast("long").as("n"),
+        col("cyy").cast("long").as("cyy"),
+        col("rss_r").cast("long").as("rss_r"),
+        col("rss_u").cast("long").as("rss_u"),
+        col("gain").cast("long").as("f_gain"),
+        col("granger").cast("int").as("granger"))
+
+  /** The same Granger contract as ANSI SQL, as a WITH-fragment over a CTE
+    * `\$panel(series, day, v)` — embedded verbatim in the q269/q271 DuckDB
+    * oracles so Spark and oracle share one arithmetic by construction.
+    * Yields a CTE named `granger_out`.
+    */
+  def grangerSqlCtes(panel: String, fCritCenti: Long = 422L): String =
+    s"""gr_j AS (
+       |  SELECT x.series AS cause, y.series AS effect, y.day,
+       |    y.v AS yv, x.v AS xv
+       |  FROM $panel y JOIN $panel x USING (day)
+       |  WHERE x.series <> y.series),
+       |gr_lag AS (
+       |  SELECT cause, effect, yv,
+       |    lag(yv) OVER (PARTITION BY cause, effect ORDER BY day) AS pv,
+       |    lag(xv) OVER (PARTITION BY cause, effect ORDER BY day) AS qv
+       |  FROM gr_j),
+       |gr_sums AS (
+       |  SELECT cause, effect, count(*)::HUGEINT AS n,
+       |    sum(yv)::HUGEINT AS sy, sum(pv)::HUGEINT AS sp,
+       |    sum(qv)::HUGEINT AS sq,
+       |    sum(yv::HUGEINT * yv) AS syy, sum(pv::HUGEINT * pv) AS spp,
+       |    sum(qv::HUGEINT * qv) AS sqq, sum(yv::HUGEINT * pv) AS syp,
+       |    sum(yv::HUGEINT * qv) AS syq, sum(pv::HUGEINT * qv) AS spq
+       |  FROM gr_lag WHERE pv IS NOT NULL GROUP BY 1, 2),
+       |gr_c AS (
+       |  SELECT cause, effect, n,
+       |    n*syy - sy*sy AS cyy, n*spp - sp*sp AS cpp,
+       |    n*sqq - sq*sq AS cqq, n*syp - sy*sp AS cyp,
+       |    n*syq - sy*sq AS cyq, n*spq - sp*sq AS cpq
+       |  FROM gr_sums),
+       |gr_fw AS (
+       |  SELECT cause, effect, n, cyy,
+       |    cyy - (CASE WHEN cpp = 0 THEN 0 ELSE (cyp*cyp) // cpp END)
+       |      AS rss_r,
+       |    cyq - (CASE WHEN cpp = 0 THEN 0 ELSE (cpq*cyp) // cpp END)
+       |      AS cyq_p,
+       |    cqq - (CASE WHEN cpp = 0 THEN 0 ELSE (cpq*cpq) // cpp END)
+       |      AS cqq_p
+       |  FROM gr_c),
+       |gr_g AS (
+       |  SELECT cause, effect, n, cyy, rss_r,
+       |    CASE WHEN cqq_p <= 0 THEN 0 ELSE (cyq_p*cyq_p) // cqq_p END
+       |      AS gain
+       |  FROM gr_fw),
+       |granger_out AS (
+       |  SELECT cause, effect, n::BIGINT AS n, cyy::BIGINT AS cyy,
+       |    rss_r::BIGINT AS rss_r, (rss_r - gain)::BIGINT AS rss_u,
+       |    gain::BIGINT AS f_gain,
+       |    (CASE WHEN n > 3 AND gain > 0
+       |       AND 100 * (n - 3) * gain > $fCritCenti * (rss_r - gain)
+       |     THEN 1 ELSE 0 END)::INT AS granger
+       |  FROM gr_g)""".stripMargin
+
+  /** Spearman rank panel: each series' daily values → ranks 1..n_s
+    * (row_number ordered by (v, day) — the day tiebreak makes ranks a
+    * deterministic permutation even under ties). Rank magnitudes are
+    * bounded by #days regardless of corpus scale, which is what lets the
+    * PC partial-correlation test run four-C-product integer arithmetic
+    * inside DECIMAL(38,0).
+    */
+  def rankPanel(panel: DataFrame): DataFrame =
+    panel.select(col("series"), col("day"),
+      row_number().over(
+        Window.partitionBy("series").orderBy("v", "day")).as("r"))
+
+  /** All-ordered-pairs centered rank cross-moments C_ab = n·Σr_a r_b −
+    * Σr_a·Σr_b over the days BOTH series observe (pairwise-complete).
+    * Includes the diagonal (a = b) — the variances the tests normalize by.
+    * Output is S² rows; downstream joins all broadcast.
+    */
+  def rankCrossMoments(ranked: DataFrame): DataFrame = {
+    val a = ranked.select(col("series").as("sa"), col("day"),
+      col("r").as("ra"))
+    val b = ranked.select(col("series").as("sb"), col("day"),
+      col("r").as("rb"))
+    a.join(broadcast(b), Seq("day"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("ra").cast("decimal(38,0)")).as("sra"),
+        sum(col("rb").cast("decimal(38,0)")).as("srb"),
+        sum((col("ra") * col("rb")).cast("decimal(38,0)")).as("srab"))
+      .select(col("sa"), col("sb"), col("n").cast("long").as("n"),
+        expr("n*srab - sra*srb").cast("long").as("c"))
+  }
+
+  /** PC-algorithm skeleton to conditioning order 1 over the Spearman rank
+    * panel. Order 0 drops {a,b} when 10000·C_ab² ≤ tauSqBp·C_aa·C_bb
+    * (|ρ| ≤ τ with τ² in basis points); order 1 drops a surviving pair
+    * when some z ∉ {a,b} has
+    * 10000·(C_ab C_zz − C_az C_bz)² ≤
+    *   tauSqBp·(C_aa C_zz − C_az²)(C_bb C_zz − C_bz²)
+    * — the partial correlation ρ_ab·z squared, fully rational, cross-
+    * multiplied. sepset = lexicographically-least separating z.
+    */
+  def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L): DataFrame = {
+    val cm = rankCrossMoments(rankPanel(panel)).localCheckpoint(false)
+    def cAs(na: String, nb: String, out: String): DataFrame =
+      cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
+    val pairs = cm.where(col("sa") < col("sb"))
+      .select(col("sa").as("a"), col("sb").as("b"), col("n"),
+        col("c").as("cab"))
+      .join(broadcast(cAs("a", "a2", "caa")).where(col("a") === col("a2"))
+        .drop("a2"), Seq("a"))
+      .join(broadcast(cAs("b", "b2", "cbb")).where(col("b") === col("b2"))
+        .drop("b2"), Seq("b"))
+      .withColumn("keep0", expr(
+        s"""case when 10000 * cast(cab as decimal(38,0)) * cab >
+           |  $tauSqBp * cast(caa as decimal(38,0)) * cbb
+           |then 1 else 0 end""".stripMargin))
+    val zs = cm.where(col("sa") === col("sb"))
+      .select(col("sa").as("z"), col("c").as("czz"))
+    val trip = pairs.where(col("keep0") === 1)
+      .crossJoin(broadcast(zs))
+      .where(col("z") =!= col("a") && col("z") =!= col("b"))
+      .join(broadcast(cAs("a", "z", "caz")), Seq("a", "z"))
+      .join(broadcast(cAs("b", "z", "cbz")), Seq("b", "z"))
+      .withColumn("sep", expr(
+        s"""case when 10000 *
+           |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz) *
+           |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz)
+           |  <= $tauSqBp *
+           |    (cast(caa as decimal(38,0))*czz - cast(caz as decimal(38,0))*caz) *
+           |    (cast(cbb as decimal(38,0))*czz - cast(cbz as decimal(38,0))*cbz)
+           |then 1 else 0 end""".stripMargin))
+    val sepsets = trip.groupBy("a", "b")
+      .agg(min(when(col("sep") === 1, col("z"))).as("sepset"))
+    pairs.join(broadcast(sepsets), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("n"), col("cab"), col("keep0"),
+        col("sepset"),
+        when(col("keep0") === 1 && col("sepset").isNull, 1).otherwise(0)
+          .as("edge"))
+  }
+
+  /** Quantized natural-log lookup ln(k)·1e6, k = 1..maxN — the single
+    * source of truth for the transfer-entropy oracle: rendered as a Spark
+    * CASE and a DuckDB CASE from the same table, so both engines share the
+    * identical quantization by construction.
+    */
+  def lnMicroTable(maxN: Int): IndexedSeq[Long] =
+    (1 to maxN).map(k => Math.round(Math.log(k.toDouble) * 1e6))
+
+  def lnMicroCase(operand: String, maxN: Int): String =
+    s"CASE $operand " + lnMicroTable(maxN).zipWithIndex.map {
+      case (v, i) => s"WHEN ${i + 1} THEN $v"
+    }.mkString(" ") + " ELSE 0 END"
+
+  /** Binary-binned lag-1 transfer entropy census per ordered pair:
+    * series values binned above/below their own integer mean (sum div n),
+    * triples (y_t, y_{t-1}, x_{t-1}) counted, and
+    * N·TE = Σ_c c·[ln c + ln c(y_{t-1}) − ln c(y_{t-1},x) − ln c(y_t,y_{t-1})]
+    * evaluated through the shared micro-ln table. Output integer
+    * micro-nats (×N) — quantization may dip a few micro below zero, the
+    * census pins whatever the shared table yields.
+    */
+  def transferEntropy(panel: DataFrame, maxN: Int = 64): DataFrame = {
+    val means = panel.groupBy("series")
+      .agg(expr("sum(v) div count(1)").as("mean_v"))
+    val binned = panel.join(broadcast(means), Seq("series"))
+      .select(col("series"), col("day"),
+        when(col("v") > col("mean_v"), 1).otherwise(0).as("bit"))
+    val x = binned.select(col("series").as("cause"), col("day"),
+      col("bit").as("xb"))
+    val y = binned.select(col("series").as("effect"), col("day"),
+      col("bit").as("yb"))
+    val w = Window.partitionBy("cause", "effect").orderBy("day")
+    val lagged = y.join(broadcast(x), Seq("day"))
+      .where(col("cause") =!= col("effect"))
+      .select(col("cause"), col("effect"), col("day"),
+        col("yb").as("ynow"), lag("yb", 1).over(w).as("yprev"),
+        lag("xb", 1).over(w).as("xprev"))
+      .where(col("yprev").isNotNull)
+    val trip = lagged.groupBy("cause", "effect", "ynow", "yprev", "xprev")
+      .agg(count(lit(1)).as("c3"))
+    val cY = lagged.groupBy("cause", "effect", "yprev")
+      .agg(count(lit(1)).as("c_y"))
+    val cYX = lagged.groupBy("cause", "effect", "yprev", "xprev")
+      .agg(count(lit(1)).as("c_yx"))
+    val cYY = lagged.groupBy("cause", "effect", "ynow", "yprev")
+      .agg(count(lit(1)).as("c_yy"))
+    val ln = (c: String) => expr(lnMicroCase(c, maxN))
+    trip
+      .join(broadcast(cY), Seq("cause", "effect", "yprev"))
+      .join(broadcast(cYX), Seq("cause", "effect", "yprev", "xprev"))
+      .join(broadcast(cYY), Seq("cause", "effect", "ynow", "yprev"))
+      .groupBy("cause", "effect")
+      .agg(sum(col("c3")).cast("long").as("n"),
+        sum(col("c3") *
+          (ln("c3") + ln("c_y") - ln("c_yx") - ln("c_yy")))
+          .cast("long").as("te_micro_n"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.metrics.Causal
+
+/** Causal-discovery analysis operators (metrics/Causal.scala): Granger
+  * lag-1 census, PC skeleton on Spearman ranks, binned transfer entropy.
+  * Planted-structure detection, invariances of the integer contracts, and
+  * the ln LUT parity with the JVM source of truth.
+  */
+class CausalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** A deterministic pseudo-noise stream, small relative to the signal. */
+  private def noise(i: Int, salt: Long): Long = (i * salt) % 97
+
+  /** 40-day, 3-series panel: x is a large-swing hash-white series (a
+    * multiplicative sequence like (i·7919) mod p would be linearly
+    * predictable at EVERY lag — the census correctly flags its own past,
+    * so the driver must be serially unpredictable), y_t = x_{t-1} + small
+    * noise (planted x→y), z = pure noise.
+    */
+  private def plantedPanel(): DataFrame = {
+    import spark.implicits._
+    val days = 1 to 40
+    val x = days.map(i => ("x", i.toLong,
+      Math.abs(scala.util.hashing.byteswap64(i.toLong)) % 10007 + 5000))
+    val xv = x.map(_._3)
+    val y = days.map(i => ("y", i.toLong,
+      (if (i > 1) xv(i - 2) else 0L) + noise(i, 2654435761L)))
+    val z = days.map(i => ("z", i.toLong, noise(i, 2246822519L) * 103))
+    (x ++ y ++ z).toDF("series", "day", "v")
+  }
+
+  test("granger census: planted lag-1 link detected, reverse and noise rejected") {
+    val g = Causal.grangerLag1(plantedPanel()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(7)).toMap
+    assert(g(("x", "y")) == 1, "planted x->y must be significant")
+    assert(g(("y", "x")) == 0, "reverse direction must not be")
+    assert(g(("z", "x")) == 0 && g(("z", "y")) == 0,
+      "pure noise must cause nothing")
+    assert(g.size == 6)
+  }
+
+  test("granger sums: rss_u <= rss_r and gain >= 0 on every pair; n excludes the first day") {
+    val rows = Causal.grangerLag1(plantedPanel()).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == 39) // n = 40 days - 1 lag
+      assert(r.getLong(5) <= r.getLong(4)) // rss_u <= rss_r
+      assert(r.getLong(6) >= 0) // f_gain
+    }
+  }
+
+  test("granger census is shift-invariant (centered moments) and row-order-invariant") {
+    val base = plantedPanel()
+    val out = Causal.grangerLag1(base).orderBy("cause", "effect").collect()
+    val shifted = Causal.grangerLag1(
+      base.withColumn("v", col("v") + 1000000L))
+      .orderBy("cause", "effect").collect()
+    // shifting a series moves sums but not the centered C statistics
+    assert(out.map(_.toSeq).toSeq == shifted.map(_.toSeq).toSeq)
+    val reshuffled = Causal.grangerLag1(base.orderBy(rand(7)))
+      .orderBy("cause", "effect").collect()
+    assert(out.map(_.toSeq).toSeq == reshuffled.map(_.toSeq).toSeq)
+  }
+
+  test("pc skeleton: monotone-linked pair kept, common-driver pair separated by the driver") {
+    import spark.implicits._
+    // c drives both a and b: Spearman(a,b) is high marginally but the
+    // partial given c collapses; the direct (a,c)/(b,c) edges survive.
+    val days = 1 to 40
+    val c = days.map(i => ("c", i.toLong,
+      Math.abs(scala.util.hashing.byteswap64(i.toLong)) % 10007))
+    val cv = c.map(_._3)
+    // a and b carry EQUAL independent moderate noise around c (ρ(a,c) ≈
+    // ρ(b,c) ≈ 0.95): a near-noiseless copy would be a second c and
+    // correctly separate EVERY other pair — the partials ρ(a,c|b) and
+    // ρ(b,c|a) only survive when neither child is a perfect proxy
+    val a = days.map(i => ("a", i.toLong, cv(i - 1) * 10 + noise(i, 2654435761L) * 300))
+    val b = days.map(i => ("b", i.toLong, cv(i - 1) * 10 + noise(i, 1779033703L) * 300))
+    val panel = (a ++ b ++ c).toDF("series", "day", "v")
+    val out = Causal.pcSkeleton(panel).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(4), Option(r.getString(5)), r.getInt(6))).toMap
+    assert(out(("a", "c"))._3 == 1 && out(("b", "c"))._3 == 1,
+      "direct driver edges survive")
+    assert(out(("a", "b"))._1 == 1, "a-b marginally dependent")
+    assert(out(("a", "b"))._2.contains("c"), "c separates a-b at order 1")
+    assert(out(("a", "b"))._3 == 0, "a-b edge removed")
+  }
+
+  test("pc skeleton is invariant to strictly monotone rescaling (rank contract)") {
+    val base = plantedPanel()
+    val out = Causal.pcSkeleton(base).orderBy("a", "b").collect()
+    val rescaled = Causal.pcSkeleton(
+      base.withColumn("v", col("v") * 7L + 3L)).orderBy("a", "b").collect()
+    assert(out.map(_.toSeq).toSeq == rescaled.map(_.toSeq).toSeq)
+  }
+
+  test("transfer entropy: planted copy direction dominates the reverse") {
+    val te = Causal.transferEntropy(plantedPanel()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(te(("x", "y")) > te(("y", "x")),
+      s"TE(x->y)=${te(("x", "y"))} must exceed TE(y->x)=${te(("y", "x"))}")
+    assert(te(("x", "y")) > te(("z", "y")),
+      "the planted parent must beat an unrelated series")
+  }
+
+  test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
+    import spark.implicits._
+    val ks = (1 to 64).toDF("k")
+    val got = ks.select(col("k"),
+        expr(Causal.lnMicroCase("k", 64)).cast("long").as("ln"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 64).foreach { k =>
+      assert(got(k) == Math.round(Math.log(k.toDouble) * 1e6))
+    }
+  }
+}
