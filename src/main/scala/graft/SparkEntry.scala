@@ -5514,8 +5514,133 @@ object SparkEntry {
           dj("dseries") === seas("series") && dj("ddow") === seas("dow"))
         .groupBy(col("series"), col("dow"), col("seasonal_milli"), col("n"))
         .agg(sum(abs(col("dt") - col("seasonal_milli"))).as("sum_abs_rem"))
+    }),
+
+    // iterative proportional fitting (survey raking): the 6-cell
+    // (returnflag × linestatus) table raked to the heavy-subset
+    // (quantity > 25) row/column margins, TWO full row+column rounds
+    // unrolled with ppm integer weights — every factor is
+    // (target·1e12) div mass then div 1e6, truncating identically in
+    // both engines. Fact rows feed two aggregations; the raking loop
+    // itself runs on ≤ |flags|·|statuses| rows, all broadcast
+    "q278_ipf_raking" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"), col("l_quantity"))
+      val cells = li.groupBy("rf", "ls").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val heavy = li.where(col("l_quantity") > 25)
+      val rT = heavy.groupBy("rf").agg(count(lit(1)).as("rt"))
+      val cT = heavy.groupBy("ls").agg(count(lit(1)).as("ct"))
+      var w = cells.withColumn("w", lit(1000000L))
+      (1 to 2).foreach { _ =>
+        val rm = w.groupBy("rf").agg(sum(expr("c * w")).as("rm"))
+        w = w.join(broadcast(rm), Seq("rf")).join(broadcast(rT), Seq("rf"))
+          .withColumn("w",
+            expr("(w * ((rt * 1000000000000) div rm)) div 1000000"))
+          .select(col("rf"), col("ls"), col("c"), col("w"))
+        val cm = w.groupBy("ls").agg(sum(expr("c * w")).as("cm"))
+        w = w.join(broadcast(cm), Seq("ls")).join(broadcast(cT), Seq("ls"))
+          .withColumn("w",
+            expr("(w * ((ct * 1000000000000) div cm)) div 1000000"))
+          .select(col("rf"), col("ls"), col("c"), col("w"))
+      }
+      w.select(col("rf"), col("ls"), col("c"), col("w").as("w_ppm"),
+        expr("(c * w) div 1000000").as("fitted"))
+    }),
+
+    // Mann-Kendall nonparametric trend test per series: S = Σ_{i<j}
+    // sign(v_j − v_i) over the panel's ordered day pairs, tie-corrected
+    // variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+    // continuity-corrected z test cross-multiplied at 5%
+    // (z² = 3.8416): 180000·max(|S|−1,0)² > 38416·varnum. Pairing is
+    // panel-sized (≤ days² per series); fact rows only feed the panel
+    "q279_mann_kendall" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+        .localCheckpoint(false)
+      val a = p.select(col("series"), col("day").as("di"),
+        col("v").as("vi"))
+      val b = p.select(col("series").as("sb"), col("day").as("dj"),
+        col("v").as("vj"))
+      val sStat = a.join(broadcast(b),
+          col("series") === col("sb") && col("di") < col("dj"))
+        .groupBy("series")
+        .agg(sum(expr(
+          "case when vj > vi then 1 when vj < vi then -1 else 0 end"))
+          .as("s_stat"))
+      val nS = p.groupBy("series").agg(count(lit(1)).as("n"))
+      val ties = p.groupBy("series", "v").agg(count(lit(1)).as("t"))
+        .groupBy("series")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+      sStat.join(broadcast(nS), Seq("series"))
+        .join(broadcast(ties), Seq("series"))
+        .withColumn("varnum",
+          expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+        .select(col("series"), col("n"), col("s_stat"), col("varnum"),
+          expr("""case when 180000 * greatest(abs(s_stat) - 1, 0)
+                 |       * greatest(abs(s_stat) - 1, 0)
+                 |       > 38416 * varnum
+                 |then case when s_stat > 0 then 1 else -1 end
+                 |else 0 end""".stripMargin).as("trend"))
+    }),
+
+    // exact two-sample Kolmogorov–Smirnov test (click vs error value
+    // distributions): D* = max|cumA·nB − cumB·nA| over the distinct-value
+    // grid (the value domain is a bounded cent grid, so the cumulative
+    // window runs on the ≤49k-row distinct table, not fact rows — at
+    // unbounded support this becomes the standard two-level bucketed
+    // prefix sum), rejection cross-multiplied at α=0.05
+    // (c² = 1.358² → 18442 bp·1e4): 10000·D*² > 18442·nA·nB·(nA+nB)
+    "q280_ks_two_sample" -> ((s, d) => {
+      val ev = events(s, d)
+        .where(col("event_type").isin("click", "error"))
+        .select(col("event_type"),
+          ExactStats.micro(col("value")).cast("long").as("vm"))
+      val byv = ev.groupBy("vm").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a_v"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("b_v"))
+      val wv = Window.orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv.select(col("vm"), sum("a_v").over(wv).as("ca"),
+        sum("b_v").over(wv).as("cb"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("d_star"))
+        .select(col("na"), col("nb"), col("d_star"),
+          expr("""case when 10000 * cast(d_star as decimal(38,0)) * d_star
+                 |       > 18442 * cast(na as decimal(38,0)) * nb * (na + nb)
+                 |then 1 else 0 end""".stripMargin).as("reject"))
+    }),
+
+    // LATERAL correlated subquery (SQL-surface parity): top-2 orders per
+    // order priority via one ANSI text both engines run — the correlated
+    // ORDER BY … LIMIT pushes the per-group bound into the subquery
+    // instead of ranking the whole fact table
+    "q281_lateral_topn" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_lat_v")
+      s.sql(LateralTopnSql("orders_lat_v"))
     })
   )
+
+  /** q281's one ANSI text, parameterized only by the table name (Spark
+    * runs it over a temp view, DuckDB over the parquet view).
+    */
+  private def LateralTopnSql(table: String): String =
+    s"""SELECT p.prio, t.o_orderkey, t.total_milli
+       |FROM (SELECT DISTINCT o_orderpriority AS prio FROM $table) p,
+       |LATERAL (
+       |  SELECT o_orderkey,
+       |    cast(floor(o_totalprice * 1000) as bigint) AS total_milli
+       |  FROM $table o
+       |  WHERE o.o_orderpriority = p.prio
+       |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t""".stripMargin
 
   /** Benford expected first-digit frequencies, ppm: round(log10(1+1/d)·1e6)
     * — one Scala constant rendered into both engines' CASE expressions.
@@ -11228,7 +11353,104 @@ object SparkEntry {
         |  sum(abs(d.dt - s.seasonal_milli))::BIGINT AS sum_abs_rem
         |FROM detr d JOIN seas s
         |  ON s.series = d.series AND s.dow = d.day % 7
-        |GROUP BY 1, 2, 3, 4""".stripMargin
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q278_ipf_raking" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
+        |  FROM lineitem),
+        |cells AS (SELECT rf, ls, count(*)::BIGINT AS c
+        |  FROM li GROUP BY 1, 2),
+        |rt AS (SELECT rf, count(*)::BIGINT AS rt FROM li
+        |  WHERE l_quantity > 25 GROUP BY 1),
+        |ct AS (SELECT ls, count(*)::BIGINT AS ct FROM li
+        |  WHERE l_quantity > 25 GROUP BY 1),
+        |w0 AS (SELECT rf, ls, c, 1000000::BIGINT AS w FROM cells),
+        |m1 AS (SELECT rf, sum(c * w)::BIGINT AS rm FROM w0 GROUP BY 1),
+        |w1 AS (SELECT w0.rf, w0.ls, w0.c,
+        |    (w0.w * ((rt.rt * 1000000000000) // m1.rm)) // 1000000 AS w
+        |  FROM w0 JOIN m1 ON m1.rf = w0.rf JOIN rt ON rt.rf = w0.rf),
+        |m2 AS (SELECT ls, sum(c * w)::BIGINT AS cm FROM w1 GROUP BY 1),
+        |w2 AS (SELECT w1.rf, w1.ls, w1.c,
+        |    (w1.w * ((ct.ct * 1000000000000) // m2.cm)) // 1000000 AS w
+        |  FROM w1 JOIN m2 ON m2.ls = w1.ls JOIN ct ON ct.ls = w1.ls),
+        |m3 AS (SELECT rf, sum(c * w)::BIGINT AS rm FROM w2 GROUP BY 1),
+        |w3 AS (SELECT w2.rf, w2.ls, w2.c,
+        |    (w2.w * ((rt.rt * 1000000000000) // m3.rm)) // 1000000 AS w
+        |  FROM w2 JOIN m3 ON m3.rf = w2.rf JOIN rt ON rt.rf = w2.rf),
+        |m4 AS (SELECT ls, sum(c * w)::BIGINT AS cm FROM w3 GROUP BY 1),
+        |w4 AS (SELECT w3.rf, w3.ls, w3.c,
+        |    (w3.w * ((ct.ct * 1000000000000) // m4.cm)) // 1000000 AS w
+        |  FROM w3 JOIN m4 ON m4.ls = w3.ls JOIN ct ON ct.ls = w3.ls)
+        |SELECT rf, ls, c, w AS w_ppm, (c * w) // 1000000 AS fitted
+        |FROM w4""".stripMargin,
+
+    "q279_mann_kendall" ->
+      s"""WITH $CausalPanelCte,
+        |pairs AS (
+        |  SELECT a.series,
+        |    CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |    ELSE 0 END AS sg
+        |  FROM panel a JOIN panel b
+        |    ON a.series = b.series AND a.day < b.day),
+        |st AS (SELECT series, sum(sg)::BIGINT AS s_stat
+        |  FROM pairs GROUP BY 1),
+        |ns AS (SELECT series, count(*)::BIGINT AS n
+        |  FROM panel GROUP BY 1),
+        |ties AS (
+        |  SELECT series,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+        |  FROM (SELECT series, v, count(*)::BIGINT AS t
+        |        FROM panel GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT st.series, ns.n, st.s_stat,
+        |  (ns.n * (ns.n - 1) * (2 * ns.n + 5) - ties.tie_term)::BIGINT
+        |    AS varnum,
+        |  (CASE WHEN 180000 * greatest(abs(st.s_stat) - 1, 0)
+        |          * greatest(abs(st.s_stat) - 1, 0)
+        |          > 38416 *
+        |            (ns.n * (ns.n - 1) * (2 * ns.n + 5) - ties.tie_term)
+        |   THEN CASE WHEN st.s_stat > 0 THEN 1 ELSE -1 END
+        |   ELSE 0 END)::INT AS trend
+        |FROM st JOIN ns ON ns.series = st.series
+        |JOIN ties ON ties.series = st.series""".stripMargin,
+
+    "q280_ks_two_sample" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |byv AS (
+        |  SELECT vm,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS a_v,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS b_v
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT vm,
+        |    sum(a_v) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    sum(b_v) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cb
+        |  FROM byv),
+        |tot AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS na,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS nb
+        |  FROM ev),
+        |ds AS (
+        |  SELECT max(t.na)::BIGINT AS na, max(t.nb)::BIGINT AS nb,
+        |    max(abs(c.ca * t.nb - c.cb * t.na))::BIGINT AS d_star
+        |  FROM cum c, tot t)
+        |SELECT na, nb, d_star,
+        |  (CASE WHEN 10000 * d_star::HUGEINT * d_star
+        |          > 18442 * na::HUGEINT * nb * (na + nb)
+        |   THEN 1 ELSE 0 END)::INT AS reject
+        |FROM ds""".stripMargin,
+
+    "q281_lateral_topn" -> LateralTopnSql("orders")
   )
 
   /** The causal suite's shared daily panel — milli-unit day means per
