@@ -513,4 +513,45 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_\\(neg_h".r.findFirstIn(p).isDefined,
       s"bottom-k must aggregate map-side:\n$p")
   }
+
+  test("q269 granger: one fact-scale aggregate, panel stages broadcast") {
+    val p = plan("q269_granger_census")
+    // the ONLY fact-scale stage is the (series, day) daily aggregation;
+    // the pair alignment on day must broadcast the panel-sized side, and
+    // nothing may all-pairs the fact table
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must be the day equi-join:\n$p")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      s"the panel self-join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no panel stage may shuffle-join:\n$p")
+  }
+
+  test("q274 pmi: unigram-position tables broadcast onto the bigram relation") {
+    val p = plan("q274_pmi_collocations")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab-sized count tables must broadcast, not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // bounded result: a TakeOrdered caps the output, never a global Sort
+    // of the full bigram table feeding an Exchange
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded TakeOrdered:\n$p")
+  }
+
+  test("q276 holt: recurrence folds in one shuffle keyed by series") {
+    val p = plan("q276_holt_smoothing")
+    // two exchanges total: the fact→panel aggregation and the per-series
+    // collect — the fold itself adds NO extra shuffle, window, or join
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"the fold must not rank or join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only panel-agg + series-group exchanges allowed:\n$p")
+  }
+
+  test("q275 conformal: per-type means and qhat broadcast back onto the fact rows") {
+    val p = plan("q275_conformal_interval")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 5-row mu/qhat tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
