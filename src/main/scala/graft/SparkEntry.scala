@@ -5626,8 +5626,140 @@ object SparkEntry {
     "q281_lateral_topn" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("orders_lat_v")
       s.sql(LateralTopnSql("orders_lat_v"))
+    }),
+
+    // binary-segmentation changepoint (one split) per series: candidate
+    // costs from prefix sums only — SSE·n = n·Σv² − (Σv)² needs no mean —
+    // quantized at one declared div per segment, argmin by (cost, index)
+    // via an ordered window over the ≤#days candidate rows. The q89 CUSUM
+    // flags drift; this one LOCATES the break with an exact two-segment
+    // least-squares criterion
+    "q282_binseg_changepoint" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val w = Window.partitionBy("series").orderBy("day")
+      val pre = p.select(col("series"), col("day"), col("v"),
+        row_number().over(w).as("i"),
+        sum("v").over(w).as("cs"),
+        sum(expr("v * v")).over(w).as("cs2"))
+      val tot = p.groupBy("series").agg(count(lit(1)).as("n"),
+        sum("v").as("st"), sum(expr("v * v")).as("qt"))
+      val cand = pre.join(broadcast(tot), Seq("series"))
+        .where(col("i") >= 2 && col("i") <= col("n") - 2)
+        .withColumn("cost_micro", expr(
+          """((cast(i as decimal(38,0)) * cs2 - cast(cs as decimal(38,0)) * cs)
+            |   * 1000000 div i)
+            | + ((cast(n - i as decimal(38,0)) * (qt - cs2)
+            |     - cast(st - cs as decimal(38,0)) * (st - cs))
+            |   * 1000000 div (n - i))""".stripMargin))
+        .withColumn("total_micro", expr(
+          """(cast(n as decimal(38,0)) * qt - cast(st as decimal(38,0)) * st)
+            | * 1000000 div n""".stripMargin))
+      val wb = Window.partitionBy("series")
+        .orderBy(col("cost_micro"), col("i"))
+      cand.withColumn("rk", row_number().over(wb))
+        .where(col("rk") === 1)
+        .select(col("series"), col("n"), col("day").as("split_day"),
+          col("cost_micro"), col("total_micro"),
+          (col("total_micro") - col("cost_micro")).as("gain_micro"))
+    }),
+
+    // single-bin DFT power (Goertzel-style) at the weekly and 5-day
+    // periods: re/im are integer dot products of the panel against the
+    // shared quantized cos/sin tables (one Scala constant rendered into
+    // both engines), power = (re² + im²) div 1e12 — a periodicity
+    // detector with zero floating point
+    "q283_periodogram" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+        .localCheckpoint(false)
+      def band(period: Int) = p.groupBy("series")
+        .agg(sum(expr(s"v * (${trigCase("cos", period)})")).as("re_u"),
+          sum(expr(s"v * (${trigCase("sin", period)})")).as("im_u"))
+        .select(col("series"), lit(period).as("period"),
+          col("re_u").as("re"), col("im_u").as("im"),
+          expr("""(cast(re_u as decimal(38,0)) * re_u
+                 | + cast(im_u as decimal(38,0)) * im_u)
+                 | div 1000000000000""".stripMargin).as("power"))
+      band(7).unionByName(band(5))
+    }),
+
+    // multi-touch attribution: every purchase credits the user's
+    // non-purchase events of the prior 7 days — last-touch (latest
+    // (ts, id) wins) and time-decay (half-life 1 day, the shared
+    // 2^-age ppm table, per-purchase shares normalized to 1e6). The
+    // purchase×prior pairing is a user-keyed equi-join (co-partitioned at
+    // scale), per-purchase normalization a purchase-keyed re-join — never
+    // a cross product
+    "q284_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("ts").as("pts"))
+      val prior = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("event_id").as("eid"), col("ts").as("ets"))
+      val j = purch.join(prior, Seq("user_id"))
+        .where(col("ets") < col("pts")
+          && col("pts") - col("ets") <= lit(604800000000000L))
+        .withColumn("age_d", expr("(pts - ets) div 86400000000000"))
+        .withColumn("w", expr(DecayPpmCase))
+        .localCheckpoint(false)
+      val last = j.groupBy("pid")
+        .agg(max(struct(col("ets"), col("eid"), col("channel")))
+          .as("top"))
+        .groupBy(col("top.channel").as("channel"))
+        .agg(count(lit(1)).as("n_last"))
+      val mass = j.groupBy("pid").agg(sum("w").as("m"))
+      val decay = j.join(mass, Seq("pid"))
+        .groupBy("channel")
+        .agg(sum(expr("(w * 1000000) div m")).as("decay_ppm"))
+      decay.join(broadcast(last), Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("decay_ppm"), lit(0L)).as("decay_ppm"))
+    }),
+
+    // Gopher-style repetition quality rules: per document the top-bigram
+    // coverage (2·max_count/n_tok) and the repeated-bigram-instance rate,
+    // thresholded at 20% / 30%, reported as a keep-matrix census. One
+    // doc-grain aggregation over the exploded bigrams; docs with < 2
+    // tokens are out of scope by construction
+    "q285_repetition_rules" -> ((s, d) => {
+      val bi = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shinglesAll(col("text"), 2)).as("pair"))
+        .groupBy("doc_id", "pair").agg(count(lit(1)).as("cnt"))
+      val per = bi.groupBy("doc_id").agg(max("cnt").as("mx"),
+        sum("cnt").as("tot"), count(lit(1)).as("npairs"))
+        .select(col("doc_id"), (col("tot") + 1).as("n_tok"),
+          expr("(2 * mx * 1000000) div (tot + 1)").as("cov_ppm"),
+          expr("((tot - npairs) * 1000000) div tot").as("dup_ppm"))
+      per.groupBy(
+          when(col("cov_ppm") <= 200000, 1).otherwise(0).as("keep_cov"),
+          when(col("dup_ppm") <= 300000, 1).otherwise(0).as("keep_dup"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
     })
   )
+
+  /** Quantized trig tables for q283: round(cos/sin(2πk/period)·1e6) keyed
+    * by day % period — one Scala constant rendered into both engines.
+    */
+  private def trigCase(fn: String, period: Int): String = {
+    val f: Double => Double =
+      if (fn == "cos") Math.cos else Math.sin
+    "CASE day % " + period + " " + (0 until period).map { k =>
+      s"WHEN $k THEN ${Math.round(f(2 * Math.PI * k / period) * 1e6)}"
+    }.mkString(" ") + " ELSE 0 END"
+  }
+
+  /** q284's half-life-1-day decay weights, ppm: round(1e6 / 2^age). */
+  private val DecayPpmCase: String =
+    "CASE age_d " + (0 to 6).map { k =>
+      s"WHEN $k THEN ${Math.round(1e6 / Math.pow(2, k))}L"
+    }.mkString(" ") + " ELSE 0L END"
+  private val DecayPpmCaseSql: String =
+    "CASE age_d " + (0 to 6).map { k =>
+      s"WHEN $k THEN ${Math.round(1e6 / Math.pow(2, k))}"
+    }.mkString(" ") + " ELSE 0 END"
 
   /** q281's one ANSI text, parameterized only by the table name (Spark
     * runs it over a temp view, DuckDB over the parquet view).
@@ -11450,7 +11582,111 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END)::INT AS reject
         |FROM ds""".stripMargin,
 
-    "q281_lateral_topn" -> LateralTopnSql("orders")
+    "q281_lateral_topn" -> LateralTopnSql("orders"),
+
+    "q282_binseg_changepoint" ->
+      s"""WITH $CausalPanelCte,
+        |pre AS (
+        |  SELECT series, day, v,
+        |    row_number() OVER w AS i,
+        |    sum(v) OVER w AS cs, sum(v * v) OVER w AS cs2
+        |  FROM panel
+        |  WINDOW w AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT series, count(*)::BIGINT AS n,
+        |    sum(v)::BIGINT AS st, sum(v * v)::BIGINT AS qt
+        |  FROM panel GROUP BY 1),
+        |cand AS (
+        |  SELECT p.series, t.n, p.day, p.i,
+        |    ((p.i::HUGEINT * p.cs2 - p.cs::HUGEINT * p.cs) * 1000000
+        |       // p.i)
+        |     + (((t.n - p.i)::HUGEINT * (t.qt - p.cs2)
+        |         - (t.st - p.cs)::HUGEINT * (t.st - p.cs)) * 1000000
+        |       // (t.n - p.i)) AS cost_micro,
+        |    ((t.n::HUGEINT * t.qt - t.st::HUGEINT * t.st) * 1000000
+        |       // t.n) AS total_micro
+        |  FROM pre p JOIN tot t ON t.series = p.series
+        |  WHERE p.i >= 2 AND p.i <= t.n - 2),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY series
+        |    ORDER BY cost_micro, i) AS r
+        |  FROM cand)
+        |SELECT series, n, day AS split_day, cost_micro::BIGINT AS cost_micro,
+        |  total_micro::BIGINT AS total_micro,
+        |  (total_micro - cost_micro)::BIGINT AS gain_micro
+        |FROM rk WHERE r = 1""".stripMargin,
+
+    "q283_periodogram" ->
+      s"""WITH $CausalPanelCte,
+        |b7 AS (
+        |  SELECT series, 7 AS period,
+        |    sum(v * (${trigCase("cos", 7)}))::BIGINT AS re,
+        |    sum(v * (${trigCase("sin", 7)}))::BIGINT AS im
+        |  FROM panel GROUP BY 1),
+        |b5 AS (
+        |  SELECT series, 5 AS period,
+        |    sum(v * (${trigCase("cos", 5)}))::BIGINT AS re,
+        |    sum(v * (${trigCase("sin", 5)}))::BIGINT AS im
+        |  FROM panel GROUP BY 1),
+        |u AS (SELECT * FROM b7 UNION ALL SELECT * FROM b5)
+        |SELECT series, period, re, im,
+        |  ((re::HUGEINT * re + im::HUGEINT * im)
+        |    // 1000000000000)::BIGINT AS power
+        |FROM u""".stripMargin,
+
+    "q284_attribution" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) * 1000 AS tsn, user_id,
+        |    event_type
+        |  FROM events),
+        |purch AS (SELECT user_id, event_id AS pid, tsn AS pts
+        |  FROM ev WHERE event_type = 'purchase'),
+        |prior AS (SELECT user_id, event_type AS channel,
+        |    event_id AS eid, tsn AS ets
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |j AS MATERIALIZED (
+        |  SELECT p.pid, r.channel, r.eid, r.ets,
+        |    (CASE age_d ${(0 to 6).map(k =>
+             s"WHEN $k THEN ${Math.round(1e6 / Math.pow(2, k))}")
+             .mkString(" ")} ELSE 0 END)::BIGINT AS w
+        |  FROM purch p JOIN prior r ON r.user_id = p.user_id,
+        |  LATERAL (SELECT (p.pts - r.ets) // 86400000000000 AS age_d) a
+        |  WHERE r.ets < p.pts AND p.pts - r.ets <= 604800000000000),
+        |lastt AS (
+        |  SELECT channel, count(*)::BIGINT AS n_last FROM (
+        |    SELECT pid, channel,
+        |      row_number() OVER (PARTITION BY pid
+        |        ORDER BY ets DESC, eid DESC) AS r
+        |    FROM j) WHERE r = 1 GROUP BY 1),
+        |mass AS (SELECT pid, sum(w)::BIGINT AS m FROM j GROUP BY 1),
+        |decay AS (
+        |  SELECT j.channel,
+        |    sum((j.w * 1000000) // s.m)::BIGINT AS decay_ppm
+        |  FROM j JOIN mass s ON s.pid = j.pid GROUP BY 1)
+        |SELECT coalesce(d.channel, l.channel) AS channel,
+        |  coalesce(l.n_last, 0)::BIGINT AS n_last,
+        |  coalesce(d.decay_ppm, 0)::BIGINT AS decay_ppm
+        |FROM decay d FULL OUTER JOIN lastt l ON l.channel = d.channel"""
+        .stripMargin,
+
+    "q285_repetition_rules" ->
+      """WITH pr AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> array_to_string(list_slice(string_split(text, ' '),
+        |      i + 1, i + 2), ' '))) AS pair
+        |  FROM documents),
+        |bi AS (SELECT doc_id, pair, count(*)::BIGINT AS cnt
+        |  FROM pr GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, sum(cnt) + 1 AS n_tok,
+        |    (2 * max(cnt) * 1000000) // (sum(cnt) + 1) AS cov_ppm,
+        |    ((sum(cnt) - count(*)) * 1000000) // sum(cnt) AS dup_ppm
+        |  FROM bi GROUP BY 1)
+        |SELECT CASE WHEN cov_ppm <= 200000 THEN 1 ELSE 0 END AS keep_cov,
+        |  CASE WHEN dup_ppm <= 300000 THEN 1 ELSE 0 END AS keep_dup,
+        |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tok
+        |FROM per GROUP BY 1, 2""".stripMargin
   )
 
   /** The causal suite's shared daily panel — milli-unit day means per
