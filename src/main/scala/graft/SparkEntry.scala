@@ -5737,8 +5737,113 @@ object SparkEntry {
           when(col("cov_ppm") <= 200000, 1).otherwise(0).as("keep_cov"),
           when(col("dup_ppm") <= 300000, 1).otherwise(0).as("keep_dup"))
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+    }),
+
+    // calibration reliability table (ECE ingredients) for the q231 linear
+    // quality classifier against the lang='en' label: margins bucketed
+    // into 21 clamped bins, confidence from the shared quantized logistic
+    // table, accuracy as exact ppm, per-bin |acc − conf|·n contribution.
+    // One doc-grain pass then a 21-group aggregate
+    "q286_calibration_ece" -> ((s, d) => {
+      val m = TextOps.linearQualityMargin(documents(s, d))
+        .select(col("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      m.select(expr("greatest(least(margin div 200, 10), -10)").as("bin"),
+          col("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("pos").as("npos"))
+        .withColumn("conf_ppm", expr(SigmoidPpmCase))
+        .select(col("bin"), col("n_b"),
+          col("conf_ppm").cast("long").as("conf_ppm"),
+          expr("(npos * 1000000) div n_b").as("acc_ppm"),
+          expr("abs((npos * 1000000) div n_b - conf_ppm) * n_b")
+            .as("ece_contrib"))
+    }),
+
+    // exact tie-aware ROC AUC for the same classifier/label: the
+    // Mann-Whitney U from average ranks kept integer by working in 2·rank
+    // units — tied group spanning ranks (c, c+t] contributes
+    // p_g·(2c + t + 1) — then AUC·1e6 = (2U − n_p(n_p+1))·1e6 div
+    // (2·n_p·n_n). The cumulative runs on the distinct-margin grid, not
+    // doc rows
+    "q287_auc_exact" -> ((s, d) => {
+      val m = TextOps.linearQualityMargin(documents(s, d))
+        .select(col("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byv = m.groupBy("margin")
+        .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      val wv = Window.orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grp = byv.select(col("t"), col("p"),
+        coalesce(sum("t").over(wv), lit(0L)).as("c"))
+      grp.agg(sum("p").as("n_pos"), sum(expr("t - p")).as("n_neg"),
+          sum(expr("p * (2 * c + t + 1)")).as("two_sum_rp"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("two_sum_rp - n_pos * (n_pos + 1)").as("two_u"),
+          expr("""((two_sum_rp - n_pos * (n_pos + 1)) * 1000000)
+                 | div (2 * n_pos * n_neg)""".stripMargin).as("auc_ppm"))
+    }),
+
+    // Neyman-allocation stratified sampling: per-stratum σ via exact
+    // integer variance + a float-sqrt CORRECTED to the true integer
+    // square root (±1 post-fix, so IEEE rounding can never flip the
+    // census), budget 1000 apportioned largest-remainder over N_h·σ_h,
+    // then the deterministic fingerprint bottom-k draw per stratum. The
+    // only fact-scale stages are the variance pass and the hash-ranked
+    // draw (one shuffle each)
+    "q288_neyman_sampling" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val st = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("vm").cast("decimal(38,0)")).as("sv"),
+          sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sq"))
+        .withColumn("varq",
+          expr("(nh * sq - sv * sv) div (cast(nh as decimal(38,0)) * nh)"))
+        .withColumn("s0",
+          floor(sqrt(col("varq").cast("double"))).cast("long"))
+        .withColumn("s_h", expr(
+          """case when (s0 + 1) * (s0 + 1) <= varq then s0 + 1
+            |when s0 * s0 > varq then s0 - 1 else s0 end""".stripMargin))
+        .withColumn("w_h", col("nh") * col("s_h"))
+        .localCheckpoint(false)
+      val tot = st.agg(sum("w_h").as("w"), count(lit(1)).as("k"))
+      val quota = st.crossJoin(broadcast(tot))
+        .withColumn("q0", expr("(1000 * w_h) div w"))
+        .withColumn("rem", expr("(1000 * w_h) % w"))
+      val short = quota.agg((lit(1000L) - sum("q0")).as("left1"))
+      val wq = Window.orderBy(col("rem").desc, col("event_type"))
+      val alloc = quota.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(wq))
+        .withColumn("alloc",
+          col("q0") + when(col("rk") <= col("left1"), 1L).otherwise(0L))
+        .select(col("event_type"), col("nh"), col("s_h"), col("w_h"),
+          col("alloc"))
+      val wd = Window.partitionBy("event_type")
+        .orderBy(pmod(TextOps.fingerprint(col("event_id").cast("string")),
+          lit(1000000L)), col("event_id"))
+      ev.join(broadcast(alloc), Seq("event_type"))
+        .withColumn("r", row_number().over(wd))
+        .where(col("r") <= col("alloc"))
+        .groupBy(col("event_type"), col("nh"), col("s_h"), col("alloc"))
+        .agg(count(lit(1)).as("n_drawn"),
+          sum("event_id").as("drawn_id_sum"))
     })
   )
+
+  /** q286's quantized logistic confidence table over the clamped margin
+    * bin: round(1e6 / (1 + e^(−bin/2))), bins −10..10 — one Scala
+    * constant rendered into both engines.
+    */
+  private val SigmoidPpm: Map[Int, Long] =
+    (-10 to 10).map(b =>
+      b -> Math.round(1e6 / (1.0 + Math.exp(-b / 2.0)))).toMap
+  private val SigmoidPpmCase: String =
+    "CASE bin " + (-10 to 10).map(b =>
+      s"WHEN $b THEN ${SigmoidPpm(b)}L").mkString(" ") + " ELSE 0L END"
+  private val SigmoidPpmCaseSql: String =
+    "CASE bin " + (-10 to 10).map(b =>
+      s"WHEN $b THEN ${SigmoidPpm(b)}").mkString(" ") + " ELSE 0 END"
 
   /** Quantized trig tables for q283: round(cos/sin(2πk/period)·1e6) keyed
     * by day % period — one Scala constant rendered into both engines.
@@ -9491,32 +9596,13 @@ object SparkEntry {
     // q231: the fixed linear model replayed feature by feature — identical
     // integer floor divisions, identical stopword list, identical regex
     "q231_quality_classifier" ->
-      """WITH f AS (
-        |  SELECT lang,
-        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |    length(text)::BIGINT AS n_chars,
-        |    len(list_filter(string_split(text, ' '), t -> t IN
-        |      ('the','a','of','and','to','in','is','on','for','with')))
-        |      ::BIGINT AS n_stop,
-        |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT
-        |      AS n_alpha
-        |  FROM documents),
-        |g AS (
-        |  SELECT lang, n_tokens,
-        |    (n_stop * 1000) // n_tokens AS stop_pm,
-        |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_pm,
-        |    ((n_chars - n_tokens + 1) * 1000) // n_tokens AS mtl_milli
-        |  FROM f),
-        |m AS (
-        |  SELECT lang, (4 * n_tokens + 2 * stop_pm + alpha_pm
-        |    - abs(mtl_milli - 4500) // 2 - 800)::BIGINT AS margin
-        |  FROM g)
+      s"""WITH $QualityMarginCtes
         |SELECT lang, (margin > 0)::BIGINT AS keep,
         |  count(*)::BIGINT AS n_docs,
         |  sum(margin::HUGEINT)::BIGINT AS sum_margin,
         |  min(margin)::BIGINT AS min_margin,
         |  max(margin)::BIGINT AS max_margin
-        |FROM m GROUP BY 1, 2""".stripMargin,
+        |FROM qmargin GROUP BY 1, 2""".stripMargin,
 
     // q232: the KMV algebra replayed relationally — per-source bottom-128
     // distinct shingle hashes, pairwise union re-truncation, shared-below-
@@ -11686,8 +11772,116 @@ object SparkEntry {
         |SELECT CASE WHEN cov_ppm <= 200000 THEN 1 ELSE 0 END AS keep_cov,
         |  CASE WHEN dup_ppm <= 300000 THEN 1 ELSE 0 END AS keep_dup,
         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tok
-        |FROM per GROUP BY 1, 2""".stripMargin
+        |FROM per GROUP BY 1, 2""".stripMargin,
+
+    "q286_calibration_ece" ->
+      s"""WITH $QualityMarginCtes,
+        |lb AS (
+        |  SELECT greatest(least(margin // 200, 10), -10) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM qmargin),
+        |bb AS (SELECT bin, count(*)::BIGINT AS n_b,
+        |    sum(pos)::BIGINT AS npos
+        |  FROM lb GROUP BY 1)
+        |SELECT bin, n_b, ($SigmoidPpmCaseSql)::BIGINT AS conf_ppm,
+        |  ((npos * 1000000) // n_b)::BIGINT AS acc_ppm,
+        |  (abs((npos * 1000000) // n_b - ($SigmoidPpmCaseSql)) * n_b)
+        |    ::BIGINT AS ece_contrib
+        |FROM bb""".stripMargin,
+
+    "q287_auc_exact" ->
+      s"""WITH $QualityMarginCtes,
+        |lb AS (SELECT margin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM qmargin),
+        |byv AS (SELECT margin, count(*)::BIGINT AS t,
+        |    sum(pos)::BIGINT AS p
+        |  FROM lb GROUP BY 1),
+        |grp AS (
+        |  SELECT t, p,
+        |    coalesce(sum(t) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM byv),
+        |ag AS (
+        |  SELECT sum(p)::BIGINT AS n_pos, sum(t - p)::BIGINT AS n_neg,
+        |    sum(p * (2 * c + t + 1))::BIGINT AS two_sum_rp
+        |  FROM grp)
+        |SELECT n_pos, n_neg,
+        |  (two_sum_rp - n_pos * (n_pos + 1))::BIGINT AS two_u,
+        |  (((two_sum_rp - n_pos * (n_pos + 1)) * 1000000)
+        |    // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+        |FROM ag""".stripMargin,
+
+    "q288_neyman_sampling" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, event_id, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS nh,
+        |    sum(vm::HUGEINT) AS sv, sum(vm::HUGEINT * vm) AS sq
+        |  FROM ev GROUP BY 1),
+        |sg AS (
+        |  SELECT event_type, nh,
+        |    ((nh * sq - sv * sv) // (nh::HUGEINT * nh))::BIGINT AS varq,
+        |    floor(sqrt(((nh * sq - sv * sv)
+        |      // (nh::HUGEINT * nh))::DOUBLE))::BIGINT AS s0
+        |  FROM st),
+        |sh AS (
+        |  SELECT event_type, nh, varq,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= varq THEN s0 + 1
+        |    WHEN s0 * s0 > varq THEN s0 - 1 ELSE s0 END AS s_h
+        |  FROM sg),
+        |wh AS (SELECT event_type, nh, s_h, nh * s_h AS w_h FROM sh),
+        |tt AS (SELECT sum(w_h)::BIGINT AS w FROM wh),
+        |qta AS (
+        |  SELECT wh.*, (1000 * w_h) // t.w AS q0, (1000 * w_h) % t.w
+        |    AS rem
+        |  FROM wh, tt t),
+        |shrt AS (SELECT 1000 - sum(q0) AS left1 FROM qta),
+        |alc AS (
+        |  SELECT event_type, nh, s_h, w_h,
+        |    q0 + (CASE WHEN row_number() OVER
+        |      (ORDER BY rem DESC, event_type) <= s.left1
+        |      THEN 1 ELSE 0 END) AS alloc
+        |  FROM qta, shrt s),
+        |drawn AS (
+        |  SELECT e.event_type, e.event_id, a.nh, a.s_h, a.alloc,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY ${fingerprintSql("e.event_id::VARCHAR")} % 1000000,
+        |        e.event_id) AS r
+        |  FROM ev e JOIN alc a USING (event_type))
+        |SELECT event_type, nh, s_h, alloc,
+        |  count(*)::BIGINT AS n_drawn,
+        |  sum(event_id)::BIGINT AS drawn_id_sum
+        |FROM drawn WHERE r <= alloc
+        |GROUP BY 1, 2, 3, 4""".stripMargin
   )
+
+  /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror
+    * of [[graft.text.TextOps.linearQualityMargin]]; yields
+    * `qmargin(lang, margin)`.
+    */
+  private val QualityMarginCtes: String =
+    """qm_f AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    length(text)::BIGINT AS n_chars,
+      |    len(list_filter(string_split(text, ' '), t -> t IN
+      |      ('the','a','of','and','to','in','is','on','for','with')))
+      |      ::BIGINT AS n_stop,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT
+      |      AS n_alpha
+      |  FROM documents),
+      |qm_g AS (
+      |  SELECT lang, n_tokens,
+      |    (n_stop * 1000) // n_tokens AS stop_pm,
+      |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_pm,
+      |    ((n_chars - n_tokens + 1) * 1000) // n_tokens AS mtl_milli
+      |  FROM qm_f),
+      |qmargin AS (
+      |  SELECT lang, (4 * n_tokens + 2 * stop_pm + alpha_pm
+      |    - abs(mtl_milli - 4500) // 2 - 800)::BIGINT AS margin
+      |  FROM qm_g)""".stripMargin
 
   /** The causal suite's shared daily panel — milli-unit day means per
     * event_type (mirrors [[graft.metrics.Causal.dailyMeanPanel]]): means,

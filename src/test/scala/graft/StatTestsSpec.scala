@@ -192,6 +192,67 @@ class StatTestsSpec extends AnyFunSuite {
       "the all-same-token doc fails both rules")
   }
 
+  test("auc: perfect separation scores 1e6, reversed 0, all-tied 500000") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): Long = {
+      val byv = rows.toDF("margin", "pos").groupBy("margin")
+        .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      val wv = org.apache.spark.sql.expressions.Window.orderBy("margin")
+        .rowsBetween(Long.MinValue, -1)
+      byv.select(col("t"), col("p"),
+          coalesce(sum("t").over(wv), lit(0L)).as("c"))
+        .agg(sum("p").as("np"), sum(expr("t - p")).as("nn"),
+          sum(expr("p * (2 * c + t + 1)")).as("s2"))
+        .select(expr(
+          "((s2 - np * (np + 1)) * 1000000) div (2 * np * nn)"))
+        .first().getLong(0)
+    }
+    val perfect = (1 to 10).map(i => (i.toLong, if (i > 5) 1L else 0L))
+    assert(auc(perfect) == 1000000L)
+    val reversed = perfect.map { case (m, p) => (m, 1L - p) }
+    assert(auc(reversed) == 0L)
+    val tied = (1 to 10).map(i => (7L, if (i % 2 == 0) 1L else 0L))
+    assert(auc(tied) == 500000L, "all-tied scores are chance level")
+  }
+
+  test("neyman sampling: allocations apportion the exact budget; isqrt correction is exact") {
+    val out = SparkEntry.queries("q288_neyman_sampling")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(3)).sum == 1000L, "Hare quotas sum to budget")
+    // at tiny sf a stratum can hold fewer rows than its quota — the draw
+    // is then the whole stratum: n_drawn = min(alloc, N_h)
+    assert(out.forall(r =>
+      r.getLong(4) == Math.min(r.getLong(3), r.getLong(1))),
+      "every stratum draws min(allocation, stratum size)")
+    // the ±1-corrected float sqrt equals the true integer sqrt on values
+    // around perfect squares, where raw floor(sqrt) can be off by one
+    import spark.implicits._
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 999999L, 1000000L, 1000001L,
+      4503599627370496L, 4503599627370495L, 999999999999999999L)
+    val got = xs.toDF("varq")
+      .withColumn("s0", floor(sqrt(col("varq").cast("double"))).cast("long"))
+      .select(col("varq"), expr(
+        """case when (s0 + 1) * (s0 + 1) <= varq then s0 + 1
+          |when s0 * s0 > varq then s0 - 1 else s0 end""".stripMargin)
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val t = Math.sqrt(x.toDouble).toLong
+      val exact = Seq(t - 1, t, t + 1).filter(s => s >= 0 && s * s <= x).max
+      assert(got(x) == exact, s"isqrt($x)")
+    }
+  }
+
+  test("calibration table: bins partition all documents, contributions non-negative") {
+    val out = SparkEntry.queries("q286_calibration_ece")(
+      spark, "/root/testdata/sf0.001").collect()
+    val nDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+    assert(out.forall(r => r.getLong(4) >= 0
+      && r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
