@@ -5828,6 +5828,76 @@ object SparkEntry {
         .groupBy(col("event_type"), col("nh"), col("s_h"), col("alloc"))
         .agg(count(lit(1)).as("n_drawn"),
           sum("event_id").as("drawn_id_sum"))
+    }),
+
+    // streaming drift monitor: a REAL streaming query maintains per-day
+    // coarse value histograms (tumbling event-time windows × bins,
+    // watermark-bounded state = #days × #bins), then each day's binned
+    // CDF is tested against the whole-corpus reference with the q280 KS
+    // integer contract — the production "is today's distribution off?"
+    // alarm. Reference includes the tested day (the stationary-baseline
+    // convention); a trailing split composes the same way
+    "q289_stream_drift_monitor" -> ((s, d) => {
+      val hist = graft.streaming.StreamAgg.eventsDailyHistogram(s, d,
+          50000000L, s"graft_stream_drift_${System.nanoTime()}")
+        .localCheckpoint(false)
+      val ref = hist.groupBy("bin").agg(sum("n").as("rn"))
+      val spine = hist.select("day_start_us").distinct()
+        .crossJoin(broadcast(ref))
+      val grid = spine.join(hist, Seq("day_start_us", "bin"), "left_outer")
+        .na.fill(0L, Seq("n"))
+      val wb = Window.partitionBy("day_start_us").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.select(col("day_start_us"),
+        sum("n").over(wb).as("cd"), sum("rn").over(wb).as("cr"))
+      val nday = hist.groupBy("day_start_us").agg(sum("n").as("nd"))
+      val tot = hist.agg(sum("n").as("ntot"))
+      cum.join(broadcast(nday), Seq("day_start_us"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("day_start_us"), col("nd"), col("ntot"))
+        .agg(max(abs(col("cd") * col("ntot") - col("cr") * col("nd")))
+          .as("d_star"))
+        .select(col("day_start_us"), col("nd"), col("d_star"),
+          expr("""case when 10000 * cast(d_star as decimal(38,0)) * d_star
+                 |  > 18442 * cast(nd as decimal(38,0)) * ntot * (nd + ntot)
+                 |then 1 else 0 end""".stripMargin).as("drift"))
+    }),
+
+    // hash-seeded deterministic random walks over the nation trade graph
+    // (the DeepWalk/node2vec sampling primitive, derandomized): from
+    // every node, 3 steps, next hop = argmin of the shared rolling-hash
+    // fingerprint over out-edges, ABSORBING at sinks (a node with no
+    // out-edges keeps its position — at sparse sf the supplier side is
+    // tiny and every walk would otherwise die). Each step is one
+    // frontier ⋈ edge-list join (broadcast here; co-partitioned
+    // equi-join at web scale), never a materialized path explosion
+    "q290_hash_walks" -> ((s, d) => {
+      val edges = nationTradeEdges(s, d)
+        .select(col("src"), col("dst")).localCheckpoint(false)
+      def step(cur: DataFrame, k: Int): DataFrame = {
+        val wk = Window.partitionBy("start").orderBy(col("h"), col("dst"))
+        val chosen = cur.join(broadcast(edges),
+            cur("cur") === edges("src"))
+          .withColumn("h", pmod(TextOps.fingerprint(
+            concat_ws("|", lit(k.toString), col("cur"), col("dst"))),
+            lit(1000000000L)))
+          .withColumn("rk", row_number().over(wk))
+          .where(col("rk") === 1)
+          .select(col("start"), col("dst").as("nxt"))
+        cur.join(chosen, Seq("start"), "left_outer")
+          .select(col("start"),
+            coalesce(col("nxt"), col("cur")).as("dst"))
+      }
+      val start = edges.select(col("src").as("start")).distinct()
+        .withColumn("cur", col("start"))
+      val h1 = step(start, 1).withColumnRenamed("dst", "hop1")
+      val h2 = step(h1.select(col("start"), col("hop1").as("cur")), 2)
+        .withColumnRenamed("dst", "hop2")
+      val h3 = step(
+        h1.join(h2, Seq("start")).select(col("start"),
+          col("hop2").as("cur")), 3).withColumnRenamed("dst", "hop3")
+      h1.join(h2, Seq("start")).join(h3, Seq("start"))
+        .select(col("start"), col("hop1"), col("hop2"), col("hop3"))
     })
   )
 
@@ -11854,7 +11924,80 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_drawn,
         |  sum(event_id)::BIGINT AS drawn_id_sum
         |FROM drawn WHERE r <= alloc
-        |GROUP BY 1, 2, 3, 4""".stripMargin
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q289_stream_drift_monitor" ->
+      """WITH hist AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400000000
+        |      AS day_start_us,
+        |    floor(value * 1e6)::BIGINT // 50000000 AS bin,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT bin, sum(n)::BIGINT AS rn FROM hist GROUP BY 1),
+        |spine AS (
+        |  SELECT d.day_start_us, r.bin, r.rn
+        |  FROM (SELECT DISTINCT day_start_us FROM hist) d, ref r),
+        |grid AS (
+        |  SELECT s.day_start_us, s.bin, s.rn, coalesce(h.n, 0) AS n
+        |  FROM spine s LEFT JOIN hist h
+        |    ON h.day_start_us = s.day_start_us AND h.bin = s.bin),
+        |cum AS (
+        |  SELECT day_start_us, sum(n) OVER w AS cd, sum(rn) OVER w AS cr
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY day_start_us ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nd AS (SELECT day_start_us, sum(n)::BIGINT AS nd
+        |  FROM hist GROUP BY 1),
+        |tt AS (SELECT sum(n)::BIGINT AS ntot FROM hist),
+        |ds AS (
+        |  SELECT c.day_start_us, d.nd, t.ntot,
+        |    max(abs(c.cd * t.ntot - c.cr * d.nd))::BIGINT AS d_star
+        |  FROM cum c JOIN nd d USING (day_start_us), tt t
+        |  GROUP BY 1, 2, 3)
+        |SELECT day_start_us, nd, d_star,
+        |  (CASE WHEN 10000 * d_star::HUGEINT * d_star
+        |     > 18442 * nd::HUGEINT * ntot * (nd + ntot)
+        |   THEN 1 ELSE 0 END)::INT AS drift
+        |FROM ds""".stripMargin,
+
+    "q290_hash_walks" ->
+      s"""WITH raw AS MATERIALIZED (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |el AS (SELECT DISTINCT src, dst FROM raw),
+        |n0 AS (SELECT DISTINCT src AS start, src AS cur FROM el),
+        |s1 AS (SELECT n.start, coalesce(c.nxt, n.cur) AS hop1
+        |  FROM n0 n LEFT JOIN (SELECT start, dst AS nxt FROM (
+        |    SELECT n.start, e.dst, row_number() OVER (
+        |      PARTITION BY n.start
+        |      ORDER BY ${fingerprintSql("'1|' || n.cur || '|' || e.dst")}
+        |        % 1000000000, e.dst) AS rk
+        |    FROM n0 n JOIN el e ON e.src = n.cur) WHERE rk = 1) c
+        |  ON c.start = n.start),
+        |s2 AS (SELECT n.start, coalesce(c.nxt, n.hop1) AS hop2
+        |  FROM s1 n LEFT JOIN (SELECT start, dst AS nxt FROM (
+        |    SELECT n.start, e.dst, row_number() OVER (
+        |      PARTITION BY n.start
+        |      ORDER BY ${fingerprintSql("'2|' || n.hop1 || '|' || e.dst")}
+        |        % 1000000000, e.dst) AS rk
+        |    FROM s1 n JOIN el e ON e.src = n.hop1) WHERE rk = 1) c
+        |  ON c.start = n.start),
+        |s3 AS (SELECT n.start, coalesce(c.nxt, n.hop2) AS hop3
+        |  FROM s2 n LEFT JOIN (SELECT start, dst AS nxt FROM (
+        |    SELECT n.start, e.dst, row_number() OVER (
+        |      PARTITION BY n.start
+        |      ORDER BY ${fingerprintSql("'3|' || n.hop2 || '|' || e.dst")}
+        |        % 1000000000, e.dst) AS rk
+        |    FROM s2 n JOIN el e ON e.src = n.hop2) WHERE rk = 1) c
+        |  ON c.start = n.start)
+        |SELECT start, hop1, hop2, hop3
+        |FROM s1 JOIN s2 USING (start) JOIN s3 USING (start)""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

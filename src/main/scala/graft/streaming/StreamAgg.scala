@@ -108,6 +108,28 @@ object StreamAgg {
     * Complete mode ⇒ the final registers equal the batch build, and one
     * relational oracle covers both.
     */
+  /** Per-day value-histogram stream for the q289 drift monitor: tumbling
+    * 1-day event-time windows × coarse value bins (vm div binMicro),
+    * complete mode — the same watermark-bounded shape as the windowed
+    * aggregations, state = #days × #bins rows. Downstream the batch side
+    * compares each day's binned CDF against the full-corpus reference
+    * with the q280 KS integer contract.
+    */
+  def eventsDailyHistogram(spark: SparkSession, sfDir: String,
+      binMicro: Long, queryName: String): DataFrame = {
+    val src = StreamSupport.eventsFileStream(spark, sfDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "86400 seconds").as("w"),
+        expr(s"cast(floor(value * 1e6) as bigint) div $binMicro")
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("day_start_us"),
+        col("bin"), col("n"))
+    StreamSupport.runToMemory(src, queryName, outputMode = "complete")
+  }
+
   def eventsHllRegisters(spark: SparkSession, sfDir: String, splitDir: String,
       queryName: String): DataFrame = {
     val src = StreamSupport.eventsSplitStream(spark, sfDir, splitDir)

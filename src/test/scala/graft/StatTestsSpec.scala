@@ -253,6 +253,54 @@ class StatTestsSpec extends AnyFunSuite {
       && r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
   }
 
+  test("stream drift monitor: the streamed histogram equals the batch histogram") {
+    val d = "/root/testdata/sf0.001"
+    val hist = graft.streaming.StreamAgg.eventsDailyHistogram(spark, d,
+        50000000L, s"graft_spec_drift_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.sources.Events.tsToLongNs(
+        spark.read.parquet(s"$d/events.parquet"))
+      .select(expr("((ts div 1000) div 86400000000) * 86400000000")
+        .as("day"), expr("cast(floor(value * 1e6) as bigint) div 50000000")
+        .as("bin"))
+      .groupBy("day", "bin").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(hist == batch, "complete-mode stream state == batch aggregate")
+  }
+
+  test("hash walks: every hop follows an existing edge or absorbs at a sink") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q290_hash_walks")(spark, d).collect()
+    assert(out.nonEmpty)
+    val el = {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val o = spark.read.parquet(s"$d/orders.parquet")
+      val su = spark.read.parquet(s"$d/supplier.parquet")
+      val c = spark.read.parquet(s"$d/customer.parquet")
+      val n = spark.read.parquet(s"$d/nation.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n.select(col("n_nationkey").as("sk"),
+          col("n_name").as("src")), col("s_nationkey") === col("sk"))
+        .join(n.select(col("n_nationkey").as("ck"),
+          col("n_name").as("dst")), col("c_nationkey") === col("ck"))
+        .select("src", "dst").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    out.foreach { r =>
+      val path = Seq(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(el.contains((a, b)) || a == b,
+          s"hop $a->$b must be an edge or an absorbing sink step")
+      }
+    }
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
