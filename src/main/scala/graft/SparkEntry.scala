@@ -5898,6 +5898,111 @@ object SparkEntry {
           col("hop2").as("cur")), 3).withColumnRenamed("dst", "hop3")
       h1.join(h2, Seq("start")).join(h3, Seq("start"))
         .select(col("start"), col("hop1"), col("hop2"), col("hop3"))
+    }),
+
+    // isotonic regression via the minimax identity — fitted_i =
+    // max_{j≤i} min_{k≥i} avg(v[j..k]) — which turns the sequential
+    // pool-adjacent-violators algorithm into three relational stages
+    // (segment averages from prefix sums, min over k, max over j), all on
+    // panel-sized tables (n³/6 segment rows per series). Averages
+    // quantized once ((S·1000) div len, micro units); the max-of-min
+    // structure keeps the quantized fit monotone by construction
+    "q291_isotonic_minimax" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val w = Window.partitionBy("series").orderBy("day")
+      val pre = p.select(col("series"), col("day"), col("v"),
+        row_number().over(w).as("i"), sum("v").over(w).as("cs"))
+        .localCheckpoint(false)
+      val jside = pre.select(col("series"), (col("i") + 1).as("j"),
+        col("cs").as("csj1"))
+        .unionByName(pre.where(col("i") === 1)
+          .select(col("series"), lit(1).as("j"), lit(0L).as("csj1")))
+      val seg = jside.join(pre.select(col("series"), col("i").as("k"),
+          col("cs").as("csk")), Seq("series"))
+        .where(col("j") <= col("k"))
+        .select(col("series"), col("j"), col("k"),
+          expr("((csk - csj1) * 1000) div (k - j + 1)").as("avg_micro"))
+      val spine = pre.select(col("series"), col("i"), col("day"),
+        col("v"))
+      spine.join(broadcast(seg), Seq("series"))
+        .where(col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("series"), col("i"), col("day"), col("v"), col("j"))
+        .agg(min("avg_micro").as("minv"))
+        .groupBy(col("series"), col("day"), col("v"))
+        .agg(max("minv").as("fitted_micro"))
+    }),
+
+    // Kaplan-Meier survival curve: time from each user's first event to
+    // first purchase (right-censored at the corpus horizon), risk sets
+    // from one user-grain pass, and the product-limit estimator folded in
+    // ppm over the ≤#days distinct event times — the same single-group
+    // higher-order fold the Holt entry uses, replayed by the oracle as a
+    // recursive CTE. S ← (S·(n_t − d_t)) div n_t at each event time
+    "q292_kaplan_meier" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"))
+      val horizon = ev.agg(max("day").as("hz"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("origin"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("pday"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          coalesce(col("pday") - col("origin"),
+            col("hz") - col("origin")).as("t"),
+          col("pday").isNotNull.cast("int").as("ev"))
+      val times = users.groupBy("t")
+        .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+      val wt = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = users.agg(count(lit(1)).as("ntot"))
+      val risk = times.crossJoin(broadcast(tot))
+        .select(col("t"), col("d"),
+          (col("ntot") - coalesce(sum("c").over(wt), lit(0L)))
+            .as("n_risk"))
+        .where(col("d") > 0)
+      risk.agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+          col("d")))).as("arr"))
+        .select(explode(expr(
+          """aggregate(arr,
+            |  named_struct('s', cast(1000000 as bigint),
+            |    'curve', cast(array() as array<struct<t:bigint,
+            |      n_risk:bigint, d:bigint, s_ppm:bigint>>)),
+            |  (st, x) -> named_struct(
+            |    's', (st.s * (x.n_risk - x.d)) div x.n_risk,
+            |    'curve', concat(st.curve, array(named_struct(
+            |      't', x.t, 'n_risk', x.n_risk, 'd', x.d,
+            |      's_ppm', (st.s * (x.n_risk - x.d)) div x.n_risk)))),
+            |  st -> st.curve)""".stripMargin)).as("r"))
+        .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+          col("r.d").as("d"), col("r.s_ppm").as("s_ppm"))
+    }),
+
+    // difference-in-differences: treatment = user parity, post = second
+    // half of the observed span (the q259 midpoint convention), outcome =
+    // purchase micro value per user-cell mean; DiD =
+    // (m_treat_post − m_treat_pre) − (m_ctl_post − m_ctl_pre), all
+    // truncating integer means. One fact pass, a 4-cell pivot
+    "q293_diff_in_diff" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+      val piv = ev.agg(min("ts").as("mn"), max("ts").as("mx"))
+      val cells = ev.where(col("event_type") === "purchase")
+        .crossJoin(broadcast(piv))
+        .groupBy((col("user_id") % 2).as("treat"),
+          (col("ts") * 2 >= col("mn") + col("mx")).cast("int").as("post"))
+        .agg(count(lit(1)).as("n"), sum("vm").as("sv"))
+        .select(col("treat"), col("post"), col("n"),
+          expr("sv div n").as("mean_micro"))
+      cells.groupBy()
+        .pivot(concat(col("treat"), lit("_"), col("post")),
+          Seq("0_0", "0_1", "1_0", "1_1"))
+        .agg(max("mean_micro"))
+        .select(col("0_0").as("m_ctl_pre"), col("0_1").as("m_ctl_post"),
+          col("1_0").as("m_treat_pre"), col("1_1").as("m_treat_post"),
+          expr("(`1_1` - `1_0`) - (`0_1` - `0_0`)").as("did_micro"))
     })
   )
 
@@ -11997,7 +12102,96 @@ object SparkEntry {
         |    FROM s2 n JOIN el e ON e.src = n.hop2) WHERE rk = 1) c
         |  ON c.start = n.start)
         |SELECT start, hop1, hop2, hop3
-        |FROM s1 JOIN s2 USING (start) JOIN s3 USING (start)""".stripMargin
+        |FROM s1 JOIN s2 USING (start) JOIN s3 USING (start)""".stripMargin,
+
+    "q291_isotonic_minimax" ->
+      s"""WITH $CausalPanelCte,
+        |pre AS (
+        |  SELECT series, day, v, row_number() OVER w AS i,
+        |    sum(v) OVER w AS cs
+        |  FROM panel
+        |  WINDOW w AS (PARTITION BY series ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |js AS (
+        |  SELECT series, i + 1 AS j, cs AS csj1 FROM pre
+        |  UNION ALL
+        |  SELECT series, 1, 0 FROM pre WHERE i = 1),
+        |seg AS (
+        |  SELECT a.series, a.j, b.i AS k,
+        |    ((b.cs - a.csj1) * 1000) // (b.i - a.j + 1) AS avg_micro
+        |  FROM js a JOIN pre b
+        |    ON b.series = a.series AND a.j <= b.i),
+        |mm AS (
+        |  SELECT p.series, p.day, p.v, s.j, min(s.avg_micro) AS minv
+        |  FROM pre p JOIN seg s
+        |    ON s.series = p.series AND s.j <= p.i AND s.k >= p.i
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT series, day, v, max(minv)::BIGINT AS fitted_micro
+        |FROM mm GROUP BY 1, 2, 3""".stripMargin,
+
+    "q292_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |hz AS (SELECT max(day) AS hz FROM ev),
+        |us AS (
+        |  SELECT user_id, min(day) AS origin,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pday
+        |  FROM ev GROUP BY 1),
+        |uu AS (
+        |  SELECT coalesce(pday - origin, h.hz - origin) AS t,
+        |    (pday IS NOT NULL)::INT AS e
+        |  FROM us, hz h),
+        |tm AS (SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c
+        |  FROM uu GROUP BY 1),
+        |tt AS (SELECT count(*)::BIGINT AS ntot FROM uu),
+        |risk AS (
+        |  SELECT t, d, n_risk FROM (
+        |    SELECT t, d, ntot - coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |    FROM tm, tt)
+        |  WHERE d > 0),
+        |ord AS (SELECT t, d, n_risk,
+        |    row_number() OVER (ORDER BY t) AS i
+        |  FROM risk),
+        |km AS (
+        |  SELECT i, t, n_risk, d,
+        |    (1000000 * (n_risk - d)) // n_risk AS s_ppm
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.t, o.n_risk, o.d,
+        |    (k.s_ppm * (o.n_risk - o.d)) // o.n_risk
+        |  FROM km k JOIN ord o ON o.i = k.i + 1)
+        |SELECT t, n_risk, d, s_ppm FROM km""".stripMargin,
+
+    "q293_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_type,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |piv AS (SELECT min(tu) AS mn, max(tu) AS mx FROM ev),
+        |cells AS (
+        |  SELECT user_id % 2 AS treat,
+        |    (tu * 2 >= mn + mx)::INT AS post,
+        |    count(*)::BIGINT AS n, sum(vm)::BIGINT AS sv
+        |  FROM ev, piv WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |m AS (SELECT treat, post, sv // n AS mean_micro FROM cells)
+        |SELECT
+        |  max(CASE WHEN treat = 0 AND post = 0 THEN mean_micro END)
+        |    ::BIGINT AS m_ctl_pre,
+        |  max(CASE WHEN treat = 0 AND post = 1 THEN mean_micro END)
+        |    ::BIGINT AS m_ctl_post,
+        |  max(CASE WHEN treat = 1 AND post = 0 THEN mean_micro END)
+        |    ::BIGINT AS m_treat_pre,
+        |  max(CASE WHEN treat = 1 AND post = 1 THEN mean_micro END)
+        |    ::BIGINT AS m_treat_post,
+        |  ((max(CASE WHEN treat = 1 AND post = 1 THEN mean_micro END)
+        |    - max(CASE WHEN treat = 1 AND post = 0 THEN mean_micro END))
+        |   - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_micro END)
+        |    - max(CASE WHEN treat = 0 AND post = 0 THEN mean_micro END)))
+        |    ::BIGINT AS did_micro
+        |FROM m""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror
