@@ -6003,8 +6003,43 @@ object SparkEntry {
         .select(col("0_0").as("m_ctl_pre"), col("0_1").as("m_ctl_post"),
           col("1_0").as("m_treat_pre"), col("1_1").as("m_treat_post"),
           expr("(`1_1` - `1_0`) - (`0_1` - `0_0`)").as("did_micro"))
+    }),
+
+    // the generation→discovery capstone on the reference's OWN equations:
+    // generate the A1 4-var lag-2 gaussian config with the kernel, dump
+    // it (so DuckDB replays the identical rows), run the q269 Granger
+    // contract over the 12 ordered variable pairs at lag 1, and flag each
+    // decision against the catalog's declared lag-1 links — the engine
+    // produces its benchmark data AND runs the discovery step the
+    // benchmark exists to evaluate
+    "q294_granger_on_generated" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q294_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4")))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.grangerLag1(panel)
+        .withColumn("truth_lag1", expr(GrangerGenTruthCase))
     })
   )
+
+  /** The catalog's A1 4-var lag-2 lag-1 edges as a CASE flag — built from
+    * the SAME Parser.truthLinks the generator uses, rendered identically
+    * into the Spark expression and the DuckDB oracle.
+    */
+  private val GrangerGenTruthCase: String = {
+    val edges = graft.core.Parser.truthLinks("A1", 4, 2)
+      .filter(_.lag == 1).map(l => (l.source, l.target)).distinct
+    if (edges.isEmpty) "0"
+    else "CASE " + edges.map { case (a, b) =>
+      s"WHEN cause = '$a' AND effect = '$b' THEN 1"
+    }.mkString(" ") + " ELSE 0 END"
+  }
 
   /** q286's quantized logistic confidence table over the clamped margin
     * bin: round(1e6 / (1 + e^(−bin/2))), bins −10..10 — one Scala
@@ -12191,7 +12226,21 @@ object SparkEntry {
         |   - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_micro END)
         |    - max(CASE WHEN treat = 0 AND post = 0 THEN mean_micro END)))
         |    ::BIGINT AS did_micro
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q294_granger_on_generated" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q294_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.grangerSqlCtes("panel")}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  ($GrangerGenTruthCase)::INT AS truth_lag1
+        |FROM granger_out""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

@@ -114,6 +114,23 @@ class CausalSpec extends AnyFunSuite {
       "the planted parent must beat an unrelated series")
   }
 
+  test("generated-data capstone: the declared A1 lag-1 edge is detected with dominant gain") {
+    val out = SparkEntry.queries("q294_granger_on_generated")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(7), r.getInt(8), r.getLong(6))).toMap
+    assert(out.size == 12)
+    val truthEdges = out.filter(_._2._2 == 1)
+    assert(truthEdges.nonEmpty, "catalog must declare a lag-1 edge")
+    truthEdges.foreach { case ((c, e), (g, _, gain)) =>
+      assert(g == 1, s"declared lag-1 edge $c->$e must be detected")
+      // the declared edge's F-gain dwarfs every non-edge's
+      val maxNull = out.filter(_._2._2 == 0).map(_._2._3).max
+      assert(gain > 4 * maxNull,
+        s"$c->$e gain $gain vs best null $maxNull")
+    }
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
