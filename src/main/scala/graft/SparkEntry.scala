@@ -6025,8 +6025,89 @@ object SparkEntry {
         .reduce(_ unionByName _)
       graft.metrics.Causal.grangerLag1(panel)
         .withColumn("truth_lag1", expr(GrangerGenTruthCase))
+    }),
+
+    // inclusion-dependency discovery (the foreign-key-profiling sibling
+    // of the q266 FD audit): for each candidate column pair A ⊆ B?, the
+    // distinct-A count and the count of A values absent from B — each
+    // candidate is a distinct-reduce then an anti-join on the key, never
+    // a row-level comparison. Census over 8 declared candidates, both
+    // true FKs and deliberate violations
+    "q295_inclusion_deps" -> ((s, d) => {
+      def ind(nm: String, a: DataFrame, ca: String, b: DataFrame,
+          cb: String): DataFrame = {
+        val da = a.select(col(ca).as("v")).distinct()
+        val db = b.select(col(cb).as("v")).distinct()
+        val miss = da.join(db, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"))
+        da.agg(count(lit(1)).as("n_distinct"))
+          .crossJoin(broadcast(miss))
+          .select(lit(nm).as("candidate"), col("n_distinct"),
+            col("n_missing"),
+            (col("n_missing") === 0).cast("int").as("holds"))
+      }
+      Seq(
+        ind("orders.custkey<customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"),
+        ind("customer<orders.custkey", customer(s, d), "c_custkey",
+          orders(s, d), "o_custkey"),
+        ind("lineitem.partkey<part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey"),
+        ind("part<lineitem.partkey", part(s, d), "p_partkey",
+          lineitem(s, d), "l_partkey"),
+        ind("lineitem.suppkey<supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey"),
+        ind("customer.nationkey<nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey"),
+        ind("nation.regionkey<region", nation(s, d), "n_regionkey",
+          region(s, d), "r_regionkey"),
+        ind("supplier.suppkey<customer", supplier(s, d), "s_suppkey",
+          customer(s, d), "c_custkey")
+      ).reduce(_ unionByName _)
+    }),
+
+    // sequence-length bucketing padding audit (training-batch
+    // efficiency): padding waste when every document pads to the global
+    // max vs to its 64-wide length-bucket max — the quantified case for
+    // length-bucketed batching. Two aggregate passes over doc token
+    // lengths, waste in exact ppm
+    "q296_padding_efficiency" -> ((s, d) => {
+      val lens = documents(s, d)
+        .select(expr("size(split(text, ' '))").cast("long").as("len"))
+        .localCheckpoint(false)
+      val global = lens.agg(count(lit(1)).as("n_docs"),
+          sum("len").as("token_sum"), max("len").as("mx"))
+        .select(lit("global_max_pad").as("strategy"), col("n_docs"),
+          col("token_sum"),
+          (col("n_docs") * col("mx") - col("token_sum"))
+            .as("padded_tokens"),
+          expr("""((n_docs * mx - token_sum) * 1000000)
+                 | div (n_docs * mx)""".stripMargin).as("waste_ppm"))
+      val bucketed = lens.groupBy(expr("len div 64").as("b"))
+        .agg(count(lit(1)).as("n"), sum("len").as("ts"), max("len").as("mx"))
+        .agg(sum("n").as("n_docs"), sum("ts").as("token_sum"),
+          sum(expr("n * mx - ts")).as("padded_tokens"),
+          sum(expr("n * mx")).as("padded_total"))
+        .select(lit("bucket64_pad").as("strategy"), col("n_docs"),
+          col("token_sum"), col("padded_tokens"),
+          expr("(padded_tokens * 1000000) div padded_total")
+            .as("waste_ppm"))
+      global.unionByName(bucketed)
+    }),
+
+    // GROUP BY ALL (SQL-surface parity): one ANSI text both engines run —
+    // the grouping key list is inferred from the non-aggregate select
+    // items on each side, pinning that the inference rules agree
+    "q297_group_by_all" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gba_v")
+      s.sql(GroupByAllSql("orders_gba_v"))
     })
   )
+
+  private def GroupByAllSql(table: String): String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  sum(cast(floor(o_totalprice * 100) as bigint)) AS cents
+       |FROM $table GROUP BY ALL""".stripMargin
 
   /** The catalog's A1 4-var lag-2 lag-1 edges as a CASE flag — built from
     * the SAME Parser.truthLinks the generator uses, rendered identically
@@ -12240,7 +12321,58 @@ object SparkEntry {
         |${graft.metrics.Causal.grangerSqlCtes("panel")}
         |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
         |  ($GrangerGenTruthCase)::INT AS truth_lag1
-        |FROM granger_out""".stripMargin
+        |FROM granger_out""".stripMargin,
+
+    "q295_inclusion_deps" -> Seq(
+        ("orders.custkey<customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("customer<orders.custkey", "customer", "c_custkey",
+          "orders", "o_custkey"),
+        ("lineitem.partkey<part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("part<lineitem.partkey", "part", "p_partkey",
+          "lineitem", "l_partkey"),
+        ("lineitem.suppkey<supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("customer.nationkey<nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("nation.regionkey<region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        ("supplier.suppkey<customer", "supplier", "s_suppkey",
+          "customer", "c_custkey")
+      ).map { case (nm, ta, ca, tb, cb) =>
+        s"""SELECT '$nm' AS candidate, n_distinct, n_missing,
+           |  (n_missing = 0)::INT AS holds FROM (
+           |  SELECT (SELECT count(DISTINCT $ca) FROM $ta)::BIGINT
+           |      AS n_distinct,
+           |    (SELECT count(*) FROM (SELECT DISTINCT $ca AS v FROM $ta
+           |      EXCEPT SELECT DISTINCT $cb FROM $tb))::BIGINT
+           |      AS n_missing)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    "q296_padding_efficiency" ->
+      """WITH lens AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS len
+        |  FROM documents),
+        |g AS (SELECT count(*)::BIGINT AS n_docs, sum(len)::BIGINT
+        |    AS token_sum, max(len)::BIGINT AS mx FROM lens),
+        |b AS (SELECT len // 64 AS b, count(*)::BIGINT AS n,
+        |    sum(len)::BIGINT AS ts, max(len)::BIGINT AS mx
+        |  FROM lens GROUP BY 1),
+        |bb AS (SELECT sum(n)::BIGINT AS n_docs, sum(ts)::BIGINT
+        |    AS token_sum, sum(n * mx - ts)::BIGINT AS padded_tokens,
+        |    sum(n * mx)::BIGINT AS padded_total FROM b)
+        |SELECT 'global_max_pad' AS strategy, n_docs, token_sum,
+        |  (n_docs * mx - token_sum)::BIGINT AS padded_tokens,
+        |  (((n_docs * mx - token_sum) * 1000000) // (n_docs * mx))
+        |    ::BIGINT AS waste_ppm
+        |FROM g
+        |UNION ALL
+        |SELECT 'bucket64_pad', n_docs, token_sum, padded_tokens,
+        |  ((padded_tokens * 1000000) // padded_total)::BIGINT
+        |FROM bb""".stripMargin,
+
+    "q297_group_by_all" -> GroupByAllSql("orders")
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror
