@@ -6101,8 +6101,132 @@ object SparkEntry {
     "q297_group_by_all" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("orders_gba_v")
       s.sql(GroupByAllSql("orders_gba_v"))
+    }),
+
+    // physical-layout sortedness / RLE-friendliness audit: for each
+    // audited lineitem column, adjacency within the (l_orderkey,
+    // l_linenumber) layout order — nondecreasing-pair fraction (sort
+    // pushdown / min-max pruning quality) and value-change runs (RLE
+    // compressibility). Windows partition by orderkey (never a global
+    // sort); cross-order boundaries are out of the contract
+    "q298_sortedness_audit" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"),
+        ExactStats.micro(col("l_quantity")).cast("long").as("qty"),
+        col("l_shipdate").as("ship"), col("l_partkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // the layout order needs a total tie-break or the adjacency census
+      // is run-dependent; exact-duplicate rows are interchangeable
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("qty"),
+          col("ship"))
+      def audit(nm: String, c: String): DataFrame =
+        li.select(col(c).as("v"), lag(c, 1).over(w).as("p"))
+          .where(col("p").isNotNull)
+          .agg(lit(nm).as("col_name"), count(lit(1)).as("n_pairs"),
+            sum(when(col("v") >= col("p"), 1L).otherwise(0L))
+              .as("nondec"),
+            sum(when(col("v") =!= col("p"), 1L).otherwise(0L))
+              .as("changes"))
+          .select(col("col_name"), col("n_pairs"),
+            expr("(nondec * 1000000) div n_pairs").as("sorted_ppm"),
+            (col("changes") + 1).as("runs_upper"))
+      audit("l_shipdate", "ship")
+        .unionByName(audit("l_quantity", "qty"))
+        .unionByName(audit("l_partkey", "l_partkey"))
+    }),
+
+    // group-sequential A/B monitoring with O'Brien-Fleming-shaped
+    // boundaries: three looks at days 10/20/30 of cumulative purchase
+    // value by arm, two-sample z² kept rational —
+    // 10000·(S1·n0 − S0·n1)² > bound_bp·(n1+n0)·n1·n0·varq — against the
+    // shared boundary table c²·K/k, c = 2.004. The early looks demand
+    // ~3× the final evidence, the classic peeking-safe monitor
+    "q299_group_sequential" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"),
+        ExactStats.micro(col("value")).cast("long").as("vm"))
+        .where(col("event_type") === "purchase")
+        .localCheckpoint(false)
+      val d0 = ev.agg(min("day").as("d0"))
+      val looks = (1 to 3).map { k =>
+        ev.crossJoin(broadcast(d0))
+          .where(col("day") <= col("d0") + (k * 10 - 1))
+          .groupBy()
+          .agg(
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+              .as("n0"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+              .as("n1"),
+            sum(when(col("user_id") % 2 === 0, col("vm"))
+              .otherwise(0L)).cast("decimal(38,0)").as("s0"),
+            sum(when(col("user_id") % 2 === 1, col("vm"))
+              .otherwise(0L)).cast("decimal(38,0)").as("s1"),
+            count(lit(1)).as("n"),
+            sum(col("vm").cast("decimal(38,0)")).as("sv"),
+            sum((col("vm") * col("vm")).cast("decimal(38,0)"))
+              .as("sq"))
+          .select(lit(k).as("look"), col("n0"), col("n1"),
+            expr("s1 * n0 - s0 * n1").cast("decimal(38,0)")
+              .as("diff_num"),
+            expr("(n * sq - sv * sv) div (cast(n as decimal(38,0)) * n)")
+              .as("varq"),
+            lit(ObfBoundBp(k - 1)).as("bound_bp"))
+          .select(col("look"), col("n0"), col("n1"),
+            col("diff_num").cast("long").as("diff_num"),
+            col("varq").cast("long").as("varq"), col("bound_bp"),
+            expr("""case when n0 > 0 and n1 > 0 and varq > 0 and
+                   |  10000 * diff_num * diff_num >
+                   |  bound_bp * cast(n0 + n1 as decimal(38,0))
+                   |    * n0 * n1 * varq
+                   |then 1 else 0 end""".stripMargin).as("reject"))
+      }
+      looks.reduce(_ unionByName _)
+    }),
+
+    // PC skeleton on the engine's own generated data (the q294 sibling
+    // for UNDIRECTED structure): generate the A1 4-var lag-2 config,
+    // keep the first 200 observations (Spearman rank magnitudes must
+    // keep the four-C-product partial-correlation test inside
+    // HUGEINT/DECIMAL(38) — n⁴-scaled cross-moments cap the window),
+    // run the q270 skeleton, flag each unordered pair against the
+    // catalog's any-lag adjacency
+    "q300_pc_on_generated" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q300_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4")))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.pcSkeleton(panel)
+        .withColumn("truth_adj", expr(PcGenTruthCase))
     })
   )
+
+  /** O'Brien-Fleming z² boundaries in basis points ×1e4: c²·K/k with
+    * c = 2.004, K = 3 looks — one Scala constant in both engines.
+    */
+  private val ObfBoundBp: IndexedSeq[Long] =
+    (1 to 3).map(k => Math.round(2.004 * 2.004 * 3.0 / k * 1e4))
+
+  /** The catalog's A1 4-var lag-2 ANY-lag unordered adjacency as a CASE
+    * flag over (a, b) with a < b — shared by q300 and its oracle.
+    */
+  private val PcGenTruthCase: String = {
+    val pairs = graft.core.Parser.truthLinks("A1", 4, 2)
+      .map(l => if (l.source < l.target) (l.source, l.target)
+        else (l.target, l.source))
+      .filter(p => p._1 != p._2).distinct
+    if (pairs.isEmpty) "0"
+    else "CASE " + pairs.map { case (x, y) =>
+      s"WHEN a = '$x' AND b = '$y' THEN 1"
+    }.mkString(" ") + " ELSE 0 END"
+  }
 
   private def GroupByAllSql(table: String): String =
     s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -11662,44 +11786,8 @@ object SparkEntry {
 
     "q270_pc_skeleton" ->
       s"""WITH $CausalPanelCte,
-        |ranked AS (SELECT series, day,
-        |    row_number() OVER (PARTITION BY series ORDER BY v, day) AS r
-        |  FROM panel),
-        |cm AS (
-        |  SELECT a.series AS sa, b.series AS sb, count(*)::BIGINT AS n,
-        |    (count(*)::HUGEINT * sum(a.r::HUGEINT * b.r)
-        |      - sum(a.r)::HUGEINT * sum(b.r))::BIGINT AS c
-        |  FROM ranked a JOIN ranked b USING (day) GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT p.sa AS a, p.sb AS b, p.n, p.c AS cab,
-        |    da.c AS caa, db.c AS cbb,
-        |    CASE WHEN 10000 * p.c::HUGEINT * p.c
-        |           > 625 * da.c::HUGEINT * db.c
-        |    THEN 1 ELSE 0 END AS keep0
-        |  FROM cm p
-        |  JOIN cm da ON da.sa = p.sa AND da.sb = p.sa
-        |  JOIN cm db ON db.sa = p.sb AND db.sb = p.sb
-        |  WHERE p.sa < p.sb),
-        |trip AS (
-        |  SELECT pr.a, pr.b, z.sa AS z,
-        |    CASE WHEN 10000
-        |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
-        |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
-        |      <= 625
-        |        * (pr.caa::HUGEINT * z.c - az.c::HUGEINT * az.c)
-        |        * (pr.cbb::HUGEINT * z.c - bz.c::HUGEINT * bz.c)
-        |    THEN 1 ELSE 0 END AS sep
-        |  FROM pairs pr
-        |  JOIN cm z ON z.sa = z.sb AND z.sa <> pr.a AND z.sa <> pr.b
-        |  JOIN cm az ON az.sa = pr.a AND az.sb = z.sa
-        |  JOIN cm bz ON bz.sa = pr.b AND bz.sb = z.sa
-        |  WHERE pr.keep0 = 1),
-        |seps AS (SELECT a, b, min(CASE WHEN sep = 1 THEN z END) AS sepset
-        |  FROM trip GROUP BY 1, 2)
-        |SELECT p.a, p.b, p.n, p.cab, p.keep0, s.sepset,
-        |  (CASE WHEN p.keep0 = 1 AND s.sepset IS NULL
-        |   THEN 1 ELSE 0 END)::INT AS edge
-        |FROM pairs p LEFT JOIN seps s ON s.a = p.a AND s.b = p.b""".stripMargin,
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
+        |SELECT * FROM pc_out""".stripMargin,
 
     "q271_granger_recovery" ->
       s"""WITH $CausalPanelCte,
@@ -12372,7 +12460,90 @@ object SparkEntry {
         |  ((padded_tokens * 1000000) // padded_total)::BIGINT
         |FROM bb""".stripMargin,
 
-    "q297_group_by_all" -> GroupByAllSql("orders")
+    "q297_group_by_all" -> GroupByAllSql("orders"),
+
+    "q298_sortedness_audit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    floor(l_quantity * 1e6)::BIGINT AS qty,
+        |    l_shipdate AS ship, l_partkey
+        |  FROM lineitem),
+        |lg AS (
+        |  SELECT qty, ship, l_partkey,
+        |    lag(qty) OVER w AS pqty, lag(ship) OVER w AS pship,
+        |    lag(l_partkey) OVER w AS ppart
+        |  FROM li
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, qty, ship))
+        |SELECT 'l_shipdate' AS col_name, count(*)::BIGINT AS n_pairs,
+        |  ((sum(CASE WHEN ship >= pship THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*))::BIGINT AS sorted_ppm,
+        |  (sum(CASE WHEN ship <> pship THEN 1 ELSE 0 END) + 1)::BIGINT
+        |    AS runs_upper
+        |FROM lg WHERE pship IS NOT NULL
+        |UNION ALL
+        |SELECT 'l_quantity', count(*)::BIGINT,
+        |  ((sum(CASE WHEN qty >= pqty THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*))::BIGINT,
+        |  (sum(CASE WHEN qty <> pqty THEN 1 ELSE 0 END) + 1)::BIGINT
+        |FROM lg WHERE pqty IS NOT NULL
+        |UNION ALL
+        |SELECT 'l_partkey', count(*)::BIGINT,
+        |  ((sum(CASE WHEN l_partkey >= ppart THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*))::BIGINT,
+        |  (sum(CASE WHEN l_partkey <> ppart THEN 1 ELSE 0 END) + 1)
+        |    ::BIGINT
+        |FROM lg WHERE ppart IS NOT NULL""".stripMargin,
+
+    "q299_group_sequential" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    floor(value * 1e6)::BIGINT AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |d0 AS (SELECT min(day) AS d0 FROM ev),
+        |lk AS (SELECT unnest([1, 2, 3]) AS k),
+        |looks AS (
+        |  SELECT l.k AS look,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n1,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN vm ELSE 0 END)::HUGEINT
+        |      AS s0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN vm ELSE 0 END)::HUGEINT
+        |      AS s1,
+        |    count(*)::HUGEINT AS n, sum(vm)::HUGEINT AS sv,
+        |    sum(vm::HUGEINT * vm) AS sq
+        |  FROM ev e, d0, lk l
+        |  WHERE e.day <= d0.d0 + (l.k * 10 - 1) GROUP BY 1),
+        |fin AS (
+        |  SELECT look, n0, n1,
+        |    (s1 * n0 - s0 * n1)::HUGEINT AS dn,
+        |    ((n * sq - sv * sv) // (n * n))::HUGEINT AS vq,
+        |    (CASE look WHEN 1 THEN ${ObfBoundBp(0)}
+        |     WHEN 2 THEN ${ObfBoundBp(1)}
+        |     WHEN 3 THEN ${ObfBoundBp(2)} END)::HUGEINT AS bb
+        |  FROM looks)
+        |SELECT look, n0, n1, dn::BIGINT AS diff_num, vq::BIGINT AS varq,
+        |  bb::BIGINT AS bound_bp,
+        |  (CASE WHEN n0 > 0 AND n1 > 0 AND vq > 0
+        |     AND 10000 * dn * dn > bb * (n0 + n1)::HUGEINT * n0 * n1 * vq
+        |   THEN 1 ELSE 0 END)::INT AS reject
+        |FROM fin""".stripMargin,
+
+    "q300_pc_on_generated" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q300_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
+        |SELECT a, b, n, cab, keep0, sepset, edge,
+        |  ($PcGenTruthCase)::INT AS truth_adj
+        |FROM pc_out""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

