@@ -6205,6 +6205,79 @@ object SparkEntry {
         .reduce(_ unionByName _)
       graft.metrics.Causal.pcSkeleton(panel)
         .withColumn("truth_adj", expr(PcGenTruthCase))
+    }),
+
+    // Dickey-Fuller unit-root audit per series (the stationarity
+    // precondition every test in the causal suite assumes): regress
+    // Δv_t on v_{t-1} via centered cross-moments, reject the unit root
+    // when the slope is negative and the cross-multiplied τ² clears the
+    // intercept-model 5% critical value 2.96² —
+    // 100·(n−2)·Cxy² > 876·(Cxx·Cyy − Cxy²)
+    "q301_unit_root" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val w = Window.partitionBy("series").orderBy("day")
+      val dl = p.select(col("series"), col("v"),
+          lag("v", 1).over(w).as("pv"))
+        .where(col("pv").isNotNull)
+        .select(col("series"), col("pv").as("x"),
+          (col("v") - col("pv")).as("y"))
+      dl.groupBy("series").agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        .withColumn("cxx", expr("n*sxx - sx*sx"))
+        .withColumn("cxy", expr("n*sxy - sx*sy"))
+        .withColumn("cyy", expr("n*syy - sy*sy"))
+        .select(col("series"), col("n").cast("long").as("n"),
+          col("cxx").cast("long").as("cxx"),
+          col("cxy").cast("long").as("cxy"),
+          expr("""case when cxy < 0 and
+                 |  100 * (n - 2) * cxy * cxy >
+                 |  876 * (cxx * cyy - cxy * cxy)
+                 |then 1 else 0 end""".stripMargin).as("stationary"))
+    }),
+
+    // lead-lag cross-correlation census (the exploratory sibling of the
+    // q269 test): for every ordered pair and displacement L ∈ 0..3,
+    // corr²(a_{t−L}, b_t) in basis points from centered cross-moments,
+    // with the argmax displacement flagged per pair — "who leads whom,
+    // by how many days". Four shifted panel joins, all broadcast
+    "q302_lead_lag_ccf" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+        .localCheckpoint(false)
+      val lagged = (0 to 3).map { l =>
+        val a = p.select(col("series").as("cause"),
+          (col("day") + l).as("day"), col("v").as("av"))
+        val b = p.select(col("series").as("effect"), col("day"),
+          col("v").as("bv"))
+        b.join(broadcast(a), Seq("day"))
+          .where(col("cause") =!= col("effect"))
+          .select(col("cause"), col("effect"), lit(l).as("lag_d"),
+            col("av"), col("bv"))
+      }.reduce(_ unionByName _)
+      val sums = lagged.groupBy("cause", "effect", "lag_d").agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("av").cast("decimal(38,0)")).as("sa"),
+          sum(col("bv").cast("decimal(38,0)")).as("sb"),
+          sum((col("av") * col("av")).cast("decimal(38,0)")).as("saa"),
+          sum((col("av") * col("bv")).cast("decimal(38,0)")).as("sab"),
+          sum((col("bv") * col("bv")).cast("decimal(38,0)")).as("sbb"))
+        .withColumn("caa", expr("n*saa - sa*sa"))
+        .withColumn("cab", expr("n*sab - sa*sb"))
+        .withColumn("cbb", expr("n*sbb - sb*sb"))
+        .select(col("cause"), col("effect"), col("lag_d"),
+          col("n").cast("long").as("n"),
+          expr("""case when caa = 0 or cbb = 0 then 0
+                 |else (cab * cab * 10000) div (caa * cbb) end"""
+            .stripMargin).as("corr_bp"),
+          expr("case when cab < 0 then -1 else 1 end").as("sign"))
+      val wb = Window.partitionBy("cause", "effect")
+        .orderBy(col("corr_bp").desc, col("lag_d"))
+      sums.withColumn("is_best",
+        (row_number().over(wb) === 1).cast("int"))
     })
   )
 
@@ -12543,7 +12616,65 @@ object SparkEntry {
         |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
         |SELECT a, b, n, cab, keep0, sepset, edge,
         |  ($PcGenTruthCase)::INT AS truth_adj
-        |FROM pc_out""".stripMargin
+        |FROM pc_out""".stripMargin,
+
+    "q301_unit_root" ->
+      s"""WITH $CausalPanelCte,
+        |dl AS (
+        |  SELECT series, pv AS x, v - pv AS y FROM (
+        |    SELECT series, v,
+        |      lag(v) OVER (PARTITION BY series ORDER BY day) AS pv
+        |    FROM panel)
+        |  WHERE pv IS NOT NULL),
+        |sm AS (
+        |  SELECT series, count(*)::HUGEINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+        |    sum(y::HUGEINT * y) AS syy
+        |  FROM dl GROUP BY 1),
+        |cc AS (
+        |  SELECT series, n, n*sxx - sx*sx AS cxx,
+        |    n*sxy - sx*sy AS cxy, n*syy - sy*sy AS cyy
+        |  FROM sm)
+        |SELECT series, n::BIGINT AS n, cxx::BIGINT AS cxx,
+        |  cxy::BIGINT AS cxy,
+        |  (CASE WHEN cxy < 0 AND
+        |     100 * (n - 2) * cxy * cxy > 876 * (cxx * cyy - cxy * cxy)
+        |   THEN 1 ELSE 0 END)::INT AS stationary
+        |FROM cc""".stripMargin,
+
+    "q302_lead_lag_ccf" ->
+      s"""WITH $CausalPanelCte,
+        |lk AS (SELECT unnest([0, 1, 2, 3]) AS lag_d),
+        |lagged AS (
+        |  SELECT a.series AS cause, b.series AS effect, l.lag_d,
+        |    a.v AS av, b.v AS bv
+        |  FROM panel b
+        |  JOIN lk l ON true
+        |  JOIN panel a
+        |    ON a.day + l.lag_d = b.day AND a.series <> b.series),
+        |sums AS (
+        |  SELECT cause, effect, lag_d, count(*)::HUGEINT AS n,
+        |    sum(av)::HUGEINT AS sa, sum(bv)::HUGEINT AS sb,
+        |    sum(av::HUGEINT * av) AS saa, sum(av::HUGEINT * bv) AS sab,
+        |    sum(bv::HUGEINT * bv) AS sbb
+        |  FROM lagged GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT cause, effect, lag_d, n::BIGINT AS n,
+        |    n*saa - sa*sa AS caa, n*sab - sa*sb AS cab,
+        |    n*sbb - sb*sb AS cbb
+        |  FROM sums),
+        |fin AS (
+        |  SELECT cause, effect, lag_d, n,
+        |    (CASE WHEN caa = 0 OR cbb = 0 THEN 0
+        |     ELSE (cab * cab * 10000) // (caa * cbb) END)::BIGINT
+        |      AS corr_bp,
+        |    (CASE WHEN cab < 0 THEN -1 ELSE 1 END)::INT AS sign
+        |  FROM cc)
+        |SELECT cause, effect, lag_d, n, corr_bp, sign,
+        |  (row_number() OVER (PARTITION BY cause, effect
+        |    ORDER BY corr_bp DESC, lag_d) = 1)::INT AS is_best
+        |FROM fin""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

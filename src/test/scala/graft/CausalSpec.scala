@@ -131,6 +131,81 @@ class CausalSpec extends AnyFunSuite {
     }
   }
 
+  test("unit root: iid daily means are stationary; a random walk is not") {
+    import spark.implicits._
+    // the production query on real data: iid-ish daily means must reject
+    // the unit root for every series
+    val out = SparkEntry.queries("q301_unit_root")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5 && out.forall(_.getInt(4) == 1),
+      "iid daily means must test stationary")
+    // a planted random walk must NOT reject: its Δv is uncorrelated with
+    // its level, so Cxy ≈ 0 and the τ² bound cannot clear
+    val walk = (1 to 40).scanLeft(0L) { (acc, i) =>
+      acc + (Math.abs(scala.util.hashing.byteswap64(i.toLong)) % 2001) - 1000
+    }.zipWithIndex.map { case (v, i) => ("rw", i.toLong, v + 100000L) }
+    val wdf = walk.toDF("series", "day", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy("day")
+    val dl = wdf.select(col("series"), col("v"),
+        lag("v", 1).over(w).as("pv"))
+      .where(col("pv").isNotNull)
+      .select(col("pv").as("x"), (col("v") - col("pv")).as("y"))
+    val r = dl.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .select(expr(
+        """case when (n*sxy - sx*sy) < 0 and
+          |  100 * (n - 2) * (n*sxy - sx*sy) * (n*sxy - sx*sy) >
+          |  876 * ((n*sxx - sx*sx) * (n*syy - sy*sy)
+          |    - (n*sxy - sx*sy) * (n*sxy - sx*sy))
+          |then 1 else 0 end""".stripMargin).cast("int"))
+      .first().getInt(0)
+    assert(r == 0, "a pure random walk must keep the unit root")
+  }
+
+  test("lead-lag ccf: a planted 2-day lead is flagged as the best displacement") {
+    import spark.implicits._
+    val days = 1 to 40
+    val xv = days.map(i =>
+      Math.abs(scala.util.hashing.byteswap64(i.toLong)) % 10007)
+    val x = days.map(i => ("x", i.toLong, xv(i - 1)))
+    val y = days.map(i => ("y", i.toLong,
+      (if (i > 2) xv(i - 3) else 0L) + (i * 2654435761L) % 97))
+    val panel = (x ++ y).toDF("series", "day", "v")
+    // replicate the q302 stages on the synthetic panel
+    val lagged = (0 to 3).map { l =>
+      val a = panel.select(col("series").as("cause"),
+        (col("day") + l).as("day"), col("v").as("av"))
+      val b = panel.select(col("series").as("effect"), col("day"),
+        col("v").as("bv"))
+      b.join(a, Seq("day")).where(col("cause") =!= col("effect"))
+        .select(col("cause"), col("effect"), lit(l).as("lag_d"),
+          col("av"), col("bv"))
+    }.reduce(_ unionByName _)
+    val best = lagged.groupBy("cause", "effect", "lag_d").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("av").cast("decimal(38,0)")).as("sa"),
+        sum(col("bv").cast("decimal(38,0)")).as("sb"),
+        sum((col("av") * col("av")).cast("decimal(38,0)")).as("saa"),
+        sum((col("av") * col("bv")).cast("decimal(38,0)")).as("sab"),
+        sum((col("bv") * col("bv")).cast("decimal(38,0)")).as("sbb"))
+      .select(col("cause"), col("effect"), col("lag_d"),
+        expr("""case when (n*saa - sa*sa) = 0 or (n*sbb - sb*sb) = 0
+               |then 0 else ((n*sab - sa*sb) * (n*sab - sa*sb) * 10000)
+               |  div ((n*saa - sa*sa) * (n*sbb - sb*sb)) end"""
+          .stripMargin).as("bp"))
+      .collect()
+      .filter(r => r.getString(0) == "x" && r.getString(1) == "y")
+      .map(r => r.getInt(2) -> r.getLong(3)).toMap
+    assert(best(2) > 9000, s"the planted 2-day lead must be near-perfect: $best")
+    assert((0 to 3).filter(_ != 2).forall(l => best(l) < best(2)),
+      s"displacement 2 must dominate: $best")
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
