@@ -554,4 +554,24 @@ class PlanSpec extends AnyFunSuite {
       s"the 5-row mu/qhat tables must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q291 isotonic: panel-sized segment table broadcasts, no fact-scale product") {
+    val p = plan("q291_isotonic_minimax")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"segment and spine meet on broadcast joins only:\n$p")
+  }
+
+  test("q288 neyman: strata stats and allocations broadcast onto the draw") {
+    val p = plan("q288_neyman_sampling")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 5-row alloc table must broadcast:\n$p")
+  }
+
+  test("q284 attribution: user-keyed equi-join, never an unkeyed product") {
+    val p = plan("q284_attribution")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"purchase x prior pairing must stay on the user_id key:\n$p")
+  }
 }
