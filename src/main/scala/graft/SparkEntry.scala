@@ -6278,6 +6278,73 @@ object SparkEntry {
         .orderBy(col("corr_bp").desc, col("lag_d"))
       sums.withColumn("is_best",
         (row_number().over(wb) === 1).cast("int"))
+    }),
+
+    // EWMA control chart (λ = 0.2, 3σ limits): z_t = (20·v + 80·z_{t−1})
+    // div 100 folded per series with the curve accumulated in-state (the
+    // q292 array-fold pattern); with λ = 0.2 the 3σ_z breach test
+    // simplifies EXACTLY to (z − μ)² > varq since 9·λ/(2−λ) = 1 — one
+    // more division-free decision. Output per (series, day)
+    "q303_ewma_chart" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+        .localCheckpoint(false)
+      val stats = p.groupBy("series").agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"),
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("sq"))
+        .select(col("series"), expr("sv div n").cast("long").as("mu"),
+          expr("(n*sq - sv*sv) div (n*n)").cast("long").as("varq"))
+      val curve = p.groupBy("series")
+        .agg(sort_array(collect_list(struct(col("day"), col("v"))))
+          .as("arr"))
+        .select(col("series"), explode(expr(
+          """aggregate(
+            |  slice(arr, 2, size(arr) - 1),
+            |  named_struct('z', arr[0].v,
+            |    'curve', array(named_struct('day', arr[0].day,
+            |      'z', arr[0].v))),
+            |  (st, x) -> named_struct(
+            |    'z', (20 * x.v + 80 * st.z) div 100,
+            |    'curve', concat(st.curve, array(named_struct(
+            |      'day', x.day, 'z', (20 * x.v + 80 * st.z) div 100)))),
+            |  st -> st.curve)""".stripMargin)).as("r"))
+        .select(col("series"), col("r.day").as("day"),
+          col("r.z").as("z_milli"))
+      curve.join(broadcast(stats), Seq("series"))
+        .select(col("series"), col("day"), col("z_milli"),
+          expr("""case when (z_milli - mu) * (z_milli - mu) > varq
+                 |then 1 else 0 end""".stripMargin).as("breach"))
+    }),
+
+    // PNG tEXt metadata extraction over REAL binary media: each document
+    // becomes a genuine PNG (JDK codec) with spec-correct tEXt chunks
+    // spliced after IHDR (CRC32-stamped); the pipeline walks the chunk
+    // stream back (CRC-VERIFYING every chunk), decodes the raster through
+    // the same codec (the splice must not break it), and reports a census
+    // by extracted source key — which the codec-free oracle re-derives
+    // relationally from the documents table alone
+    "q304_png_metadata" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val rows = documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"), col("lang"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, lang) =>
+          val w = 16 + (id % 16).toInt
+          val h = 12 + (id % 8).toInt
+          val png = Multimodal.injectPngText(
+            Multimodal.encodePng(w, h, Multimodal.synthRaster(id, w, h)),
+            Seq("src" -> src, "lang" -> lang))
+          val meta = Multimodal.extractPngText(png).toMap
+          val dec = Multimodal.decodeImage(png)
+          (meta("src"), meta("lang"), id,
+            dec.width.toLong * dec.height)
+        })
+        .toDF("src", "lang", "doc_id", "n_pixels")
+      rows.groupBy("src")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("n_pixels").as("pixel_sum"),
+          count_distinct(col("lang")).as("n_langs"))
     })
   )
 
@@ -12674,7 +12741,36 @@ object SparkEntry {
         |SELECT cause, effect, lag_d, n, corr_bp, sign,
         |  (row_number() OVER (PARTITION BY cause, effect
         |    ORDER BY corr_bp DESC, lag_d) = 1)::INT AS is_best
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    "q303_ewma_chart" ->
+      s"""WITH RECURSIVE $CausalPanelCte,
+        |ix AS (SELECT series, day, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY day) AS i
+        |  FROM panel),
+        |ew AS (
+        |  SELECT series, i, day, v::BIGINT AS z FROM ix WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.series, x.i, x.day, (20 * x.v + 80 * e.z) // 100
+        |  FROM ew e JOIN ix x ON x.series = e.series AND x.i = e.i + 1),
+        |st AS (SELECT series, count(*)::HUGEINT AS n,
+        |    sum(v)::HUGEINT AS sv, sum(v::HUGEINT * v) AS sq
+        |  FROM panel GROUP BY 1),
+        |mu AS (SELECT series, (sv // n)::BIGINT AS mu,
+        |    ((n * sq - sv * sv) // (n * n))::BIGINT AS varq
+        |  FROM st)
+        |SELECT e.series, e.day, e.z AS z_milli,
+        |  (CASE WHEN (e.z - m.mu) * (e.z - m.mu) > m.varq
+        |   THEN 1 ELSE 0 END)::INT AS breach
+        |FROM ew e JOIN mu m ON m.series = e.series""".stripMargin,
+
+    "q304_png_metadata" ->
+      """SELECT source AS src, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS id_sum,
+        |  sum((16 + doc_id % 16) * (12 + doc_id % 8))::BIGINT
+        |    AS pixel_sum,
+        |  count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM documents GROUP BY 1""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

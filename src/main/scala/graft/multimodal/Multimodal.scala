@@ -57,6 +57,55 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Inject PNG `tEXt` metadata chunks immediately after IHDR — spec-
+    * correct splicing (length/type/data/CRC32 over type+data), so any
+    * standards-compliant reader sees the keys. IHDR is mandatory-first
+    * with a fixed 13-byte body, so the insertion point is signature(8) +
+    * IHDR chunk(25) = 33.
+    */
+  def injectPngText(png: Array[Byte], kv: Seq[(String, String)]): Array[Byte] = {
+    require(png.length > 33, "not a PNG")
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.reset(); crc.update(t); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length); bb.put(t); bb.put(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val chunks = kv.toArray.flatMap { case (k, v) =>
+      chunk("tEXt", (k + "\u0000" + v).getBytes("ISO-8859-1"))
+    }
+    png.take(33) ++ chunks ++ png.drop(33)
+  }
+
+  /** Walk the PNG chunk stream and return every `tEXt` key→value pair,
+    * VERIFYING each chunk's CRC — a corrupted splice fails loudly rather
+    * than silently dropping metadata.
+    */
+  def extractPngText(png: Array[Byte]): Seq[(String, String)] = {
+    val bb = java.nio.ByteBuffer.wrap(png)
+    bb.position(8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (bb.remaining() >= 12) {
+      val len = bb.getInt
+      val typ = new Array[Byte](4); bb.get(typ)
+      val data = new Array[Byte](len); bb.get(data)
+      val crcStored = bb.getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      require(crc.getValue.toInt == crcStored,
+        s"PNG chunk CRC mismatch in ${new String(typ, "US-ASCII")}")
+      if (new String(typ, "US-ASCII") == "tEXt") {
+        val s = new String(data, "ISO-8859-1")
+        val i = s.indexOf('\u0000')
+        out += ((s.substring(0, i), s.substring(i + 1)))
+      }
+    }
+    out.toSeq
+  }
+
   /** Deterministic synthetic raster: pixel i of image `seed` is
     * `((seed·2654435761 + i·40503) mod 2^31) mod 256` — position-hashed
     * (no sequential recurrence), so an engine without a codec (the DuckDB

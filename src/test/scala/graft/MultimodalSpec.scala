@@ -264,4 +264,21 @@ class MultimodalSpec extends AnyFunSuite {
         assert(h.hi >= 0 && h.hi < (1L << 32), s"hi out of range: ${h.hi}")
       }
   }
+
+  test("PNG tEXt splice: metadata round-trips, the raster survives, tampering is caught") {
+    val png = Multimodal.encodePng(16, 12, Multimodal.synthRaster(7L, 16, 12))
+    val kv = Seq("src" -> "srcA", "lang" -> "en", "note" -> "x y z")
+    val spliced = Multimodal.injectPngText(png, kv)
+    assert(Multimodal.extractPngText(spliced) == kv, "exact round-trip")
+    // the spliced file still decodes through the real codec to the same raster
+    val before = Multimodal.decodeImage(png)
+    val after = Multimodal.decodeImage(spliced)
+    assert(after.width == before.width && after.height == before.height
+      && after.pixels.sameElements(before.pixels),
+      "splicing must not disturb the image data")
+    // flip one metadata byte: the CRC-verifying walker must refuse
+    val tampered = spliced.clone()
+    tampered(33 + 12) = (tampered(33 + 12) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.extractPngText(tampered))
+  }
 }

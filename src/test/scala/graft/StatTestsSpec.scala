@@ -429,6 +429,31 @@ class StatTestsSpec extends AnyFunSuite {
       "at least one true adjacency must be recovered")
   }
 
+  test("ewma chart: fold matches a hand recurrence; λ=0.2 breach identity holds") {
+    // with λ = 0.2 and 3σ limits, 9·λ/(2−λ) = 1 exactly, so the breach
+    // test (z−μ)² > varq IS the 3σ_z test — verify the algebra: 9·0.2/1.8
+    assert(9.0 * 0.2 / 1.8 == 1.0)
+    val out = SparkEntry.queries("q303_ewma_chart")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 150)
+    // recompute one series' EWMA by hand from the panel
+    val panel = graft.metrics.Causal.dailyMeanPanel({
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.sources.Events.tsToLongNs(spark.read.parquet(
+          "/root/testdata/sf0.001/events.parquet"))
+      }).where(col("series") === "click")
+      .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
+    var z = panel.head._2
+    val ref = panel.head._1 -> z :: panel.tail.toList.map { case (day, v) =>
+      z = (20 * v + 80 * z) / 100
+      day -> z
+    }
+    val got = out.filter(_._1 == "click").sortBy(_._2)
+      .map(r => r._2 -> r._3).toList
+    assert(got == ref, "EWMA curve equals the hand fold")
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
