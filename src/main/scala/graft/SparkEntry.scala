@@ -6345,6 +6345,70 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           sum("n_pixels").as("pixel_sum"),
           count_distinct(col("lang")).as("n_langs"))
+    }),
+
+    // moving-block bootstrap (autocorrelation-respecting uncertainty for
+    // the mean): 20 hash-seeded replicates × 6 length-5 blocks per
+    // series, replicate means in milli, bootstrap variance
+    // (R·Σm² − (Σm)²) div R² — the resampling plan is a 120-row spine
+    // joined to the panel on index ranges, deterministic end to end
+    "q305_block_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val w = Window.partitionBy("series").orderBy("day")
+      val ix = p.select(col("series"), col("v"),
+        row_number().over(w).as("i")).localCheckpoint(false)
+      val nBlocks = 26 // n - L + 1 with n = 30, L = 5
+      val spine = (for { r <- 1 to 20; j <- 0 until 6 } yield
+        (r, j, 1 + (((r * 31 + j).toLong * 2654435761L) % nBlocks).toInt))
+        .toDF("rep", "slot", "start")
+      val picked = ix.join(broadcast(spine),
+          ix("i") >= spine("start") && ix("i") <= spine("start") + 4)
+        .groupBy("series", "rep")
+        .agg(expr("sum(v) div 30").as("m"))
+      picked.groupBy("series")
+        .agg(count(lit(1)).as("n_reps"),
+          sum(col("m").cast("decimal(38,0)")).as("sm"),
+          sum((col("m") * col("m")).cast("decimal(38,0)")).as("smm"))
+        .select(col("series"), col("n_reps"),
+          expr("sm div n_reps").cast("long").as("boot_mean_milli"),
+          expr("(n_reps*smm - sm*sm) div (cast(n_reps as decimal(38,0)) * n_reps)")
+            .cast("long").as("boot_var"))
+    }),
+
+    // Ljung-Box whiteness audit per series (k = 1..3): autocovariances on
+    // EXACT scaled deviations d_t = n·v_t − Σv (no truncated mean ever
+    // enters), Q compared cross-multiplied against χ²₃ at 5% —
+    // 1000·n·(n+2)·Σ_k c_k²·Π_{j≠k}(n−j) > 7815·Π_k(n−k)·c₀² — the
+    // residual-diagnostics companion to the q301 stationarity audit
+    "q306_ljung_box" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val w = Window.partitionBy("series").orderBy("day")
+      val st = p.groupBy("series").agg(count(lit(1)).as("n"),
+        sum("v").as("sv"))
+      val dev = p.join(broadcast(st), Seq("series"))
+        .select(col("series"), col("n"), col("day"),
+          (col("n") * col("v") - col("sv")).as("dt"))
+      val lagd = dev.select(col("series"), col("n"), col("dt"),
+        lag("dt", 1).over(w).as("d1"), lag("dt", 2).over(w).as("d2"),
+        lag("dt", 3).over(w).as("d3"))
+      lagd.groupBy("series", "n").agg(
+          sum((col("dt") * col("dt")).cast("decimal(38,0)")).as("c0"),
+          sum((col("dt") * col("d1")).cast("decimal(38,0)")).as("c1"),
+          sum((col("dt") * col("d2")).cast("decimal(38,0)")).as("c2"),
+          sum((col("dt") * col("d3")).cast("decimal(38,0)")).as("c3"))
+        .select(col("series"), col("n"),
+          col("c0").cast("long").as("c0"),
+          col("c1").cast("long").as("c1"),
+          col("c2").cast("long").as("c2"),
+          col("c3").cast("long").as("c3"),
+          expr("""case when 1000 * n * (n + 2) *
+                 |    (cast(c1 as decimal(38,0)) * c1 * (n-2) * (n-3)
+                 |      + cast(c2 as decimal(38,0)) * c2 * (n-1) * (n-3)
+                 |      + cast(c3 as decimal(38,0)) * c3 * (n-1) * (n-2))
+                 |  > 7815 * (n-1) * (n-2) * (n-3)
+                 |    * cast(c0 as decimal(38,0)) * c0
+                 |then 0 else 1 end""".stripMargin).as("white"))
     })
   )
 
@@ -12770,7 +12834,54 @@ object SparkEntry {
         |  sum((16 + doc_id % 16) * (12 + doc_id % 8))::BIGINT
         |    AS pixel_sum,
         |  count(DISTINCT lang)::BIGINT AS n_langs
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q305_block_bootstrap" ->
+      s"""WITH $CausalPanelCte,
+        |ix AS (SELECT series, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY day) AS i
+        |  FROM panel),
+        |spine AS (
+        |  SELECT r.r AS rep, j.j AS slot,
+        |    1 + (((r.r * 31 + j.j) * 2654435761) % 26)::INT AS start
+        |  FROM (SELECT unnest(range(1, 21)) AS r) r,
+        |       (SELECT unnest(range(0, 6)) AS j) j),
+        |picked AS (
+        |  SELECT x.series, s.rep, sum(x.v) // 30 AS m
+        |  FROM ix x JOIN spine s
+        |    ON x.i >= s.start AND x.i <= s.start + 4
+        |  GROUP BY 1, 2)
+        |SELECT series, count(*)::BIGINT AS n_reps,
+        |  (sum(m) // count(*))::BIGINT AS boot_mean_milli,
+        |  ((count(*)::HUGEINT * sum(m::HUGEINT * m)
+        |     - sum(m)::HUGEINT * sum(m))
+        |   // (count(*)::HUGEINT * count(*)))::BIGINT AS boot_var
+        |FROM picked GROUP BY 1""".stripMargin,
+
+    "q306_ljung_box" ->
+      s"""WITH $CausalPanelCte,
+        |st AS (SELECT series, count(*)::BIGINT AS n, sum(v)::BIGINT
+        |    AS sv FROM panel GROUP BY 1),
+        |dev AS (SELECT p.series, s.n, p.day, s.n * p.v - s.sv AS dt
+        |  FROM panel p JOIN st s USING (series)),
+        |lagd AS (SELECT series, n, dt,
+        |    lag(dt, 1) OVER w AS d1, lag(dt, 2) OVER w AS d2,
+        |    lag(dt, 3) OVER w AS d3
+        |  FROM dev WINDOW w AS (PARTITION BY series ORDER BY day)),
+        |cs AS (SELECT series, n,
+        |    sum(dt::HUGEINT * dt)::BIGINT AS c0,
+        |    sum(dt::HUGEINT * d1)::BIGINT AS c1,
+        |    sum(dt::HUGEINT * d2)::BIGINT AS c2,
+        |    sum(dt::HUGEINT * d3)::BIGINT AS c3
+        |  FROM lagd GROUP BY 1, 2)
+        |SELECT series, n, c0, c1, c2, c3,
+        |  (CASE WHEN 1000 * n * (n + 2) *
+        |      (c1::HUGEINT * c1 * (n-2) * (n-3)
+        |        + c2::HUGEINT * c2 * (n-1) * (n-3)
+        |        + c3::HUGEINT * c3 * (n-1) * (n-2))
+        |    > 7815 * (n-1) * (n-2) * (n-3) * c0::HUGEINT * c0
+        |   THEN 0 ELSE 1 END)::INT AS white
+        |FROM cs""".stripMargin
   )
 
   /** The q231/q286/q287 linear quality margin as CTEs — THE DuckDB mirror

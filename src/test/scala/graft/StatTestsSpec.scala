@@ -454,6 +454,52 @@ class StatTestsSpec extends AnyFunSuite {
     assert(got == ref, "EWMA curve equals the hand fold")
   }
 
+  test("block bootstrap: replicate means stay within the series' observed range") {
+    val out = SparkEntry.queries("q305_block_bootstrap")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) == 20, "20 replicates per series")
+      assert(r.getLong(3) >= 0, "bootstrap variance nonnegative")
+    }
+  }
+
+  test("ljung-box: iid daily means test white; a strongly autocorrelated series doesn't") {
+    val out = SparkEntry.queries("q306_ljung_box")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 5 && out.forall(_.getInt(6) == 1),
+      "iid daily means must pass the whiteness test")
+    // a planted AR-like slow ramp must reject: compute the same contract
+    // arithmetic over a trending sequence
+    import spark.implicits._
+    val trend = (1 to 30).map(i => ("tr", i.toLong, i * 1000L))
+      .toDF("series", "day", "v")
+    val st = trend.groupBy("series").agg(count(lit(1)).as("n"),
+      sum("v").as("sv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series").orderBy("day")
+    val lagd = trend.join(st, Seq("series"))
+      .select(col("series"), col("n"), col("day"),
+        (col("n") * col("v") - col("sv")).as("dt"))
+      .select(col("series"), col("n"), col("dt"),
+        lag("dt", 1).over(w).as("d1"), lag("dt", 2).over(w).as("d2"),
+        lag("dt", 3).over(w).as("d3"))
+    val white = lagd.groupBy("series", "n").agg(
+        sum((col("dt") * col("dt")).cast("decimal(38,0)")).as("c0"),
+        sum((col("dt") * col("d1")).cast("decimal(38,0)")).as("c1"),
+        sum((col("dt") * col("d2")).cast("decimal(38,0)")).as("c2"),
+        sum((col("dt") * col("d3")).cast("decimal(38,0)")).as("c3"))
+      .select(expr("""case when 1000 * n * (n + 2) *
+          |    (cast(c1 as decimal(38,0)) * c1 * (n-2) * (n-3)
+          |      + cast(c2 as decimal(38,0)) * c2 * (n-1) * (n-3)
+          |      + cast(c3 as decimal(38,0)) * c3 * (n-1) * (n-2))
+          |  > 7815 * (n-1) * (n-2) * (n-3)
+          |    * cast(c0 as decimal(38,0)) * c0
+          |then 0 else 1 end""".stripMargin).cast("int"))
+      .first().getInt(0)
+    assert(white == 0, "a deterministic ramp must fail whiteness")
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
