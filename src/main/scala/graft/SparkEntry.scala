@@ -5436,9 +5436,13 @@ object SparkEntry {
       val left = bi.groupBy("x").agg(sum("cxy").as("cx"))
       val right = bi.groupBy("y").agg(sum("cxy").as("cy"))
       val tot = bi.agg(sum("cxy").as("nbi"))
+      // no broadcast HINT on the position tables: they are vocab-sized,
+      // and above the auto-broadcast threshold the right plan is a
+      // token-keyed shuffle join — let size-based planning degrade
+      // (the q189 dfreq lesson); at test sf they broadcast anyway
       bi.where(col("cxy") >= 5)
-        .join(broadcast(left), Seq("x"))
-        .join(broadcast(right), Seq("y"))
+        .join(left, Seq("x"))
+        .join(right, Seq("y"))
         .crossJoin(broadcast(tot))
         .withColumn("pmi8", expr(
           "case when cxy * nbi > 8 * cx * cy then 1 else 0 end"))
@@ -6374,6 +6378,65 @@ object SparkEntry {
           expr("sm div n_reps").cast("long").as("boot_mean_milli"),
           expr("(n_reps*smm - sm*sm) div (cast(n_reps as decimal(38,0)) * n_reps)")
             .cast("long").as("boot_var"))
+    }),
+
+    // exact average precision (PR-AUC companion to q287's ROC AUC) with
+    // the pessimistic tie contract: descending margin groups processed
+    // atomically, precision evaluated AFTER each whole group —
+    // AP·1e6 = Σ_g p_g·(cumP·1e6 div cumT) div n_p. Cumulative on the
+    // distinct-margin grid, never doc rows
+    "q307_average_precision" -> ((s, d) => {
+      val m = TextOps.linearQualityMargin(documents(s, d))
+        .select(col("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byv = m.groupBy("margin")
+        .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      val wv = Window.orderBy(col("margin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byv.select(col("p"),
+          sum("p").over(wv).as("cp"), sum("t").over(wv).as("ct"))
+        .agg(sum("p").as("n_pos"),
+          sum(expr("p * ((cp * 1000000) div ct)")).as("ap_num"))
+        .select(col("n_pos"),
+          expr("ap_num div n_pos").as("ap_ppm"))
+    }),
+
+    // Brier score with the Murphy decomposition over the q286 reliability
+    // bins: direct Brier from the 0/1 labels, reliability Σn_b(conf−acc)²,
+    // resolution Σn_b(acc−base)², uncertainty base·(1e6−base) — all in
+    // ppm² integers with one declared div N each, plus the decomposition
+    // residual (pure quantization, pinned)
+    "q308_brier_decomposition" -> ((s, d) => {
+      val m = TextOps.linearQualityMargin(documents(s, d))
+        .select(col("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val bins = m.select(
+          expr("greatest(least(margin div 200, 10), -10)").as("bin"),
+          col("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("pos").as("p_b"))
+        .withColumn("conf", expr(SigmoidPpmCase))
+        .withColumn("acc", expr("(p_b * 1000000) div n_b"))
+      val tot = bins.agg(sum("n_b").as("n"), sum("p_b").as("np"))
+        .select(col("n"), expr("(np * 1000000) div n").as("base"))
+      bins.crossJoin(broadcast(tot))
+        .agg(max("n").as("n"), max("base").as("base_ppm"),
+          sum(expr("""p_b * cast(conf - 1000000 as decimal(38,0))
+                     |  * (conf - 1000000)
+                     |+ (n_b - p_b) * cast(conf as decimal(38,0)) * conf"""
+            .stripMargin)).as("brier_num"),
+          sum(expr("n_b * cast(conf - acc as decimal(38,0)) * (conf - acc)"))
+            .as("rel_num"),
+          sum(expr("n_b * cast(acc - base as decimal(38,0)) * (acc - base)"))
+            .as("res_num"))
+        .select(col("n"), col("base_ppm"),
+          expr("brier_num div n").cast("long").as("brier_pm2"),
+          expr("rel_num div n").cast("long").as("rel_pm2"),
+          expr("res_num div n").cast("long").as("res_pm2"),
+          expr("base_ppm * (1000000 - base_ppm)").as("unc_pm2"),
+          expr("""(brier_num div n) - ((rel_num div n)
+                 | - (res_num div n) + base_ppm * (1000000 - base_ppm))"""
+            .stripMargin).cast("long").as("quant_residual"))
     }),
 
     // Ljung-Box whiteness audit per series (k = 1..3): autocovariances on
@@ -12835,6 +12898,54 @@ object SparkEntry {
         |    AS pixel_sum,
         |  count(DISTINCT lang)::BIGINT AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q307_average_precision" ->
+      s"""WITH $QualityMarginCtes,
+        |lb AS (SELECT margin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM qmargin),
+        |byv AS (SELECT margin, count(*)::BIGINT AS t,
+        |    sum(pos)::BIGINT AS p
+        |  FROM lb GROUP BY 1),
+        |cum AS (SELECT p, sum(p) OVER w AS cp, sum(t) OVER w AS ct
+        |  FROM byv
+        |  WINDOW w AS (ORDER BY margin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT sum(p)::BIGINT AS n_pos,
+        |  (sum(p * ((cp * 1000000) // ct)) // sum(p))::BIGINT AS ap_ppm
+        |FROM cum""".stripMargin,
+
+    "q308_brier_decomposition" ->
+      s"""WITH $QualityMarginCtes,
+        |lb AS (SELECT margin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM qmargin),
+        |bb AS (SELECT greatest(least(margin // 200, 10), -10) AS bin,
+        |    count(*)::BIGINT AS n_b, sum(pos)::BIGINT AS p_b
+        |  FROM lb GROUP BY 1),
+        |cf AS (SELECT bin, n_b, p_b,
+        |    ($SigmoidPpmCaseSql)::BIGINT AS conf,
+        |    (p_b * 1000000) // n_b AS acc
+        |  FROM bb),
+        |tt AS (SELECT sum(n_b)::BIGINT AS n,
+        |    (sum(p_b) * 1000000) // sum(n_b) AS base
+        |  FROM cf)
+        |SELECT t.n, t.base AS base_ppm,
+        |  (sum(p_b * (conf - 1000000)::HUGEINT * (conf - 1000000)
+        |     + (n_b - p_b) * conf::HUGEINT * conf) // t.n)::BIGINT
+        |    AS brier_pm2,
+        |  (sum(n_b * (conf - acc)::HUGEINT * (conf - acc)) // t.n)
+        |    ::BIGINT AS rel_pm2,
+        |  (sum(n_b * (acc - t.base)::HUGEINT * (acc - t.base)) // t.n)
+        |    ::BIGINT AS res_pm2,
+        |  (t.base * (1000000 - t.base))::BIGINT AS unc_pm2,
+        |  ((sum(p_b * (conf - 1000000)::HUGEINT * (conf - 1000000)
+        |      + (n_b - p_b) * conf::HUGEINT * conf) // t.n)
+        |   - ((sum(n_b * (conf - acc)::HUGEINT * (conf - acc)) // t.n)
+        |      - (sum(n_b * (acc - t.base)::HUGEINT * (acc - t.base))
+        |         // t.n)
+        |      + t.base * (1000000 - t.base)))::BIGINT AS quant_residual
+        |FROM cf, tt t GROUP BY t.n, t.base""".stripMargin,
 
     "q305_block_bootstrap" ->
       s"""WITH $CausalPanelCte,

@@ -500,6 +500,39 @@ class StatTestsSpec extends AnyFunSuite {
     assert(white == 0, "a deterministic ramp must fail whiteness")
   }
 
+  test("average precision: perfect ranking gives 1e6, inverted ranking the base rate") {
+    import spark.implicits._
+    def ap(rows: Seq[(Long, Long)]): Long = {
+      val byv = rows.toDF("margin", "pos").groupBy("margin")
+        .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("margin").desc)
+        .rowsBetween(Long.MinValue, 0)
+      byv.select(col("p"), sum("p").over(wv).as("cp"),
+          sum("t").over(wv).as("ct"))
+        .agg(sum("p").as("np"),
+          sum(expr("p * ((cp * 1000000) div ct)")).as("num"))
+        .select(expr("num div np")).first().getLong(0)
+    }
+    val perfect = (1 to 10).map(i => (i.toLong, if (i > 5) 1L else 0L))
+    assert(ap(perfect) == 1000000L)
+    // all positives ranked last: AP collapses toward the base rate
+    val inverted = perfect.map { case (m, p) => (m, 1L - p) }
+    assert(ap(inverted) < 550000L && ap(inverted) > 300000L)
+  }
+
+  test("brier decomposition: identity holds up to the pinned quantization residual") {
+    val r = SparkEntry.queries("q308_brier_decomposition")(
+      spark, "/root/testdata/sf0.01").collect().head
+    val (brier, rel, res, unc, resid) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(brier == rel - res + unc + resid)
+    // the residual is pure div-truncation noise: bounded by a few ppm²
+    // per bin over 21 bins at ppm scale
+    assert(Math.abs(resid) < 5000000L, s"residual $resid too large")
+    assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0)
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
