@@ -6439,6 +6439,77 @@ object SparkEntry {
             .stripMargin).cast("long").as("quant_residual"))
     }),
 
+    // embedding-outlier curation census: distance² of every vector to
+    // its label centroid as exact integers — per-dim deviation n·m − S
+    // (scaled by n, no truncated mean), normalized once by n² — then a
+    // per-label 2σ outlier flag, cross-multiplied. One posexplode pass,
+    // 640-row centroid table broadcast; the ANN/dedup stack's "drop the
+    // mislabeled tail before training" companion
+    "q309_embedding_outliers" -> ((s, d) => {
+      val vecs = embeddings(s, d).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("x") * 1e6).cast("long").as("m"))
+      val cent = vecs.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+      val d2 = vecs.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"), col("n"))
+        .agg(sum(expr(
+          "cast(n * m - sm as decimal(38,0)) * (n * m - sm)")).as("ss"))
+        .select(col("vec_id"), col("label"),
+          expr("ss div (cast(n as decimal(38,0)) * n)").as("d2"))
+      // the variance of d2 lives in d2² units (~1e21, past BIGINT — and
+      // past `div`'s long result, which would silently wrap) — so never
+      // materialize it: take σ = isqrt(num)/nv directly, with the ±1
+      // correction done against the exact decimal numerator via
+      // s² ≤ num div nv² ⟺ s²·nv² ≤ num, then flag with the LINEAR
+      // comparison d2 > μ + 2σ
+      val stats = d2.groupBy("label").agg(
+          count(lit(1)).as("nv"),
+          sum(col("d2").cast("decimal(38,0)")).as("sd"),
+          sum(expr("cast(d2 as decimal(38,0)) * d2")).as("sdd"))
+        .withColumn("num", expr("nv * sdd - sd * sd"))
+        .withColumn("s0",
+          floor(sqrt(col("num").cast("double")) / col("nv"))
+            .cast("long"))
+        .select(col("label"), col("nv"),
+          expr("sd div nv").cast("long").as("mu_d2"),
+          expr("""case when cast(s0 + 1 as decimal(38,0)) * (s0 + 1)
+                 |    * nv * nv <= num then s0 + 1
+                 |when cast(s0 as decimal(38,0)) * s0 * nv * nv > num
+                 |  then s0 - 1
+                 |else s0 end""".stripMargin).cast("long").as("sig_d2"))
+      d2.join(broadcast(stats), Seq("label"))
+        .groupBy(col("label"), col("nv"), col("mu_d2"), col("sig_d2"))
+        .agg(sum(expr(
+          "case when d2 > mu_d2 + 2 * sig_d2 then 1 else 0 end"))
+          .as("n_outliers"))
+        .select(col("label"), col("nv"), col("mu_d2"), col("sig_d2"),
+          col("n_outliers"))
+    }),
+
+    // TF-IDF top-keyword extraction: per-document argmax of
+    // tf·idf_bits with the BM25 family's bit-length idf
+    // (length(bin(n_docs div df)) — the shared quantized log), argmax
+    // tie-broken lexicographically-last via one max(struct) aggregate
+    // (no per-doc window sort); census of how often each keyword tops a
+    // document, bounded top-20
+    "q310_tfidf_keywords" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val top = tf.join(df, Seq("tok")).crossJoin(broadcast(nd))
+        .withColumn("score",
+          expr("tf * length(bin(n_docs div df))"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("score"), col("tok"))).as("t"))
+        .select(col("t.tok").as("keyword"))
+      top.groupBy("keyword").agg(count(lit(1)).as("n_docs_top"))
+        .orderBy(col("n_docs_top").desc, col("keyword")).limit(20)
+    }),
+
     // Ljung-Box whiteness audit per series (k = 1..3): autocovariances on
     // EXACT scaled deviations d_t = n·v_t − Σv (no truncated mean ever
     // enters), Q compared cross-multiplied against χ²₃ at 5% —
@@ -12898,6 +12969,66 @@ object SparkEntry {
         |    AS pixel_sum,
         |  count(DISTINCT lang)::BIGINT AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q309_embedding_outliers" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, u.d AS dim,
+        |    floor(embedding[u.d + 1] * 1e6)::BIGINT AS m
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(range(0, 64)) AS d) u),
+        |cent AS (SELECT label, dim, count(*)::BIGINT AS n,
+        |    sum(m)::BIGINT AS sm
+        |  FROM vecs GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT v.vec_id, v.label,
+        |    sum((c.n * v.m - c.sm)::HUGEINT * (c.n * v.m - c.sm))
+        |      // (max(c.n)::HUGEINT * max(c.n)) AS d2
+        |  FROM vecs v JOIN cent c
+        |    ON c.label = v.label AND c.dim = v.dim
+        |  GROUP BY 1, 2),
+        |sv AS (
+        |  SELECT label, count(*)::BIGINT AS nv,
+        |    (sum(d2) // count(*))::BIGINT AS mu_d2,
+        |    (count(*)::HUGEINT * sum(d2::HUGEINT * d2)
+        |       - sum(d2)::HUGEINT * sum(d2))
+        |     // (count(*)::HUGEINT * count(*)) AS varq
+        |  FROM d2 GROUP BY 1),
+        |sg AS (
+        |  SELECT label, nv, mu_d2, varq,
+        |    floor(sqrt(varq::DOUBLE))::BIGINT AS s0
+        |  FROM sv),
+        |st AS (
+        |  SELECT label, nv, mu_d2,
+        |    (CASE WHEN (s0 + 1)::HUGEINT * (s0 + 1) <= varq THEN s0 + 1
+        |     WHEN s0::HUGEINT * s0 > varq THEN s0 - 1
+        |     ELSE s0 END)::BIGINT AS sig_d2
+        |  FROM sg)
+        |SELECT d.label, s.nv, s.mu_d2, s.sig_d2,
+        |  sum(CASE WHEN d.d2 > s.mu_d2 + 2 * s.sig_d2
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM d2 d JOIN st s ON s.label = d.label
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q310_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.tok,
+        |    t.tf * length(bin(n.n_docs // d.df)) AS score
+        |  FROM tf t JOIN dfq d USING (tok), nd n),
+        |top AS (
+        |  SELECT doc_id, tok AS keyword FROM (
+        |    SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok DESC) AS r
+        |    FROM sc) WHERE r = 1)
+        |SELECT keyword, count(*)::BIGINT AS n_docs_top
+        |FROM top GROUP BY 1
+        |ORDER BY n_docs_top DESC, keyword LIMIT 20""".stripMargin,
 
     "q307_average_precision" ->
       s"""WITH $QualityMarginCtes,

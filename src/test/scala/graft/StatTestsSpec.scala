@@ -533,6 +533,48 @@ class StatTestsSpec extends AnyFunSuite {
     assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0)
   }
 
+  test("engine edge: decimal `div` WRAPS past LONG instead of throwing — never materialize a quotient that can exceed it") {
+    // observed on Spark 4.1.2 (q309's original varq bug): IntegralDivide
+    // on DECIMAL operands produces a LONG and silently wraps when the
+    // true quotient exceeds it, even under ANSI. Pin the behavior so a
+    // future Spark that starts throwing (or widening) flags every
+    // contract that relies on quotients staying in range.
+    val q = spark.sql(
+      "SELECT cast(100000000000000000000 as decimal(38,0)) div 10 AS x")
+      .first().getLong(0)
+    val truth = new java.math.BigInteger("10000000000000000000") // 1e19
+    assert(truth.bitLength > 63, "the true quotient cannot fit LONG")
+    assert(q == truth.longValue(),
+      s"wrapped value $q should be the two's-complement truncation")
+  }
+
+  test("embedding outliers: flags are a small tail and sigma is the exact integer sqrt") {
+    val out = SparkEntry.queries("q309_embedding_outliers")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (nv, out2) = (r.getLong(1), r.getLong(4))
+      assert(out2 * 10 <= nv * 2, // ≲ 5% at 2σ on near-gaussian distances
+        s"label ${r.getInt(0)}: $out2 of $nv flagged")
+      assert(r.getLong(3) > 0, "sigma positive")
+    }
+  }
+
+  test("tfidf keywords: every top keyword actually occurs in some document") {
+    val out = SparkEntry.queries("q310_tfidf_keywords")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val vocab = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    out.foreach(r => assert(vocab.contains(r.getString(0))))
+    // counts are positive and ordered
+    val counts = out.map(_.getLong(1))
+    assert(counts.forall(_ > 0)
+      && counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
