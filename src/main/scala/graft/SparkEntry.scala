@@ -6599,7 +6599,8 @@ object SparkEntry {
 
   private def GroupByAllSql(table: String): String =
     s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       |  sum(cast(floor(o_totalprice * 100) as bigint)) AS cents
+       |  cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)
+       |    AS cents
        |FROM $table GROUP BY ALL""".stripMargin
 
   /** The catalog's A1 4-var lag-2 lag-1 edges as a CASE flag — built from
@@ -12284,7 +12285,8 @@ object SparkEntry {
         |  WHERE e.event_id % 3 = 1),
         |qh AS (SELECT event_type, r AS qhat_micro, nc AS n_calib
         |  FROM calib WHERE rk = (9 * nc + 18) // 10)
-        |SELECT e.event_type, m.mu_micro, q.n_calib, q.qhat_micro,
+        |SELECT e.event_type, m.mu_micro::BIGINT AS mu_micro, q.n_calib,
+        |  q.qhat_micro::BIGINT AS qhat_micro,
         |  count(*)::BIGINT AS n_test,
         |  ((sum(CASE WHEN abs(e.vm - m.mu_micro) <= q.qhat_micro
         |      THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
@@ -12315,7 +12317,8 @@ object SparkEntry {
         |    sum(dt) // count(*) AS seasonal_milli,
         |    count(*)::BIGINT AS n
         |  FROM detr GROUP BY 1, 2)
-        |SELECT s.series, s.dow, s.seasonal_milli, s.n,
+        |SELECT s.series, s.dow, s.seasonal_milli::BIGINT AS seasonal_milli,
+        |  s.n,
         |  sum(abs(d.dt - s.seasonal_milli))::BIGINT AS sum_abs_rem
         |FROM detr d JOIN seas s
         |  ON s.series = d.series AND s.dow = d.day % 7
@@ -12736,7 +12739,8 @@ object SparkEntry {
         |  SELECT o.i, o.t, o.n_risk, o.d,
         |    (k.s_ppm * (o.n_risk - o.d)) // o.n_risk
         |  FROM km k JOIN ord o ON o.i = k.i + 1)
-        |SELECT t, n_risk, d, s_ppm FROM km""".stripMargin,
+        |SELECT t, n_risk::BIGINT AS n_risk, d, s_ppm::BIGINT AS s_ppm
+        |FROM km""".stripMargin,
 
     "q293_diff_in_diff" ->
       """WITH ev AS (
@@ -13112,7 +13116,7 @@ object SparkEntry {
         |tt AS (SELECT sum(n_b)::BIGINT AS n,
         |    (sum(p_b) * 1000000) // sum(n_b) AS base
         |  FROM cf)
-        |SELECT t.n, t.base AS base_ppm,
+        |SELECT t.n, t.base::BIGINT AS base_ppm,
         |  (sum(p_b * (conf - 1000000)::HUGEINT * (conf - 1000000)
         |     + (n_b - p_b) * conf::HUGEINT * conf) // t.n)::BIGINT
         |    AS brier_pm2,
