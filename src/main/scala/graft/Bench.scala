@@ -93,9 +93,19 @@ object Bench {
       if (t1 > 0.5 && !failed.contains(name)) {
         val t2 = once()
         val t3 = once()
-        val sorted = Seq(t1, t2, t3).sorted
-        runs(name) = Seq(t1, t2, t3)
-        results(name) = sorted(1)
+        // a >3x spread inside the triple means at least one run was
+        // contended (r7: q177's runs spanned 1.3-8.7 s on identical plans)
+        // — the median of such a triple is itself a coin flip, and driver
+        // round-over-round comparisons read the flip as a regression. Take
+        // two more runs and report the median of 5; the extra cost lands
+        // only on entries the host is actively disturbing.
+        val base = Seq(t1, t2, t3)
+        val all = if (base.max > 3.0 * base.min && base.min < 30.0)
+          base ++ Seq(once(), once())
+        else base
+        val sorted = all.sorted
+        runs(name) = all
+        results(name) = sorted(all.size / 2)
       } else results(name) = t1
       // queries are independent: release this query's cached plans,
       // localCheckpoint blocks and broadcasts before the next measurement —
@@ -105,6 +115,43 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+
+    def median3(name: String)(f: => Unit): Unit = {
+      val base = Seq(time(f), time(f), time(f))
+      // same adaptive widening as the query loop: a contended triple
+      // (gen_full_sweep_fast r7: 0.33-4.87 s) gets two more runs
+      val ts = if (base.max > 3.0 * base.min && base.min < 30.0)
+        base ++ Seq(time(f), time(f))
+      else base
+      runs(name) = ts
+      results(name) = ts.sorted.apply(ts.size / 2)
+    }
+
+    // Adversarial-skew dedup guard measurement: the q13 prefix-filtered
+    // AllPairs contract twice — over the corpus as-is, and over a corpus
+    // with a hot boilerplate sentence planted into 99% of documents (every
+    // 3-shingle of the plant lands in ~0.99·N docs). Without the
+    // maxDocFreq cap the planted run's candidate join is O((0.99N)²) per
+    // hot shingle; with it the hot shingles never become join keys and the
+    // planted run must stay within ~2x of the uniform one. This measures
+    // the guard PlanSpec only asserts.
+    val runSkew = only.forall(_.exists(_.startsWith("dedup")))
+    if (runSkew) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").localCheckpoint(true)
+      val plant = " the quick brown fox jumps over the lazy dog again and again"
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 100 =!= 0, concat(col("text"), lit(plant)))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      def jac(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+            minJaccard = 0.8, maxDocFreq = 1000L)
+          .write.mode("overwrite").format("noop").save()
+      median3("dedup_skew_uniform") { jac(docs) }
+      median3("dedup_skew_planted_99pct") { jac(planted) }
+      docs.unpersist(); planted.unpersist()
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
@@ -118,11 +165,6 @@ object Bench {
     // give the 25M-row generation stages a settled heap: the measurement
     // should see kernel + write cost, not the query suite's garbage
     System.gc()
-    def median3(name: String)(f: => Unit): Unit = {
-      val ts = Seq(time(f), time(f), time(f))
-      runs(name) = ts
-      results(name) = ts.sorted.apply(1)
-    }
     // full-sweep generation: every config of all 18 families (BASELINE headline)
     median3("gen_full_sweep") {
       Generate.series(spark, Grid.all()).toDF()

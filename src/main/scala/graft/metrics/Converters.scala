@@ -66,6 +66,57 @@ object Converters {
     (graph, vals)
   }
 
+  /** tcdf_helper.py:40-46 (`_to_bool_array`): float score tensor → bool.
+    * threshold=None → `a != 0` (NaN counts as an edge, as in NumPy where
+    * NaN != 0 is true); threshold=t → `a > t` (NaN > t is false).
+    */
+  def toBoolArray(arr: Array[Array[Array[Double]]],
+      threshold: Option[Double]): Array[Array[Array[Boolean]]] =
+    arr.map(_.map(_.map(v => threshold match {
+      case None    => v != 0.0
+      case Some(t) => v > t
+    })))
+
+  /** tcdf_helper.py:49-55 (`_ensure_3d_bool`): accept a 2D or 3D score /
+    * bool adjacency, apply the threshold conversion, and promote 2D → 3D
+    * with a single trailing lag slice (`b[:, :, np.newaxis]`). Any other
+    * rank raises, mirroring the reference's `ValueError`. The AnyRef entry
+    * point mirrors the reference's dynamic-ndim dispatch; the typed
+    * overloads are the API a Scala caller uses directly.
+    */
+  def ensure3dBool(arr: Array[Array[Double]],
+      threshold: Option[Double]): Array[Array[Array[Boolean]]] =
+    arr.map(_.map(v => Array(threshold match {
+      case None    => v != 0.0
+      case Some(t) => v > t
+    })))
+
+  def ensure3dBool(arr: Array[Array[Array[Double]]],
+      threshold: Option[Double]): Array[Array[Array[Boolean]]] =
+    toBoolArray(arr, threshold)
+
+  def ensure3dBool(arr: AnyRef, threshold: Option[Double]):
+      Array[Array[Array[Boolean]]] = arr match {
+    // bool input: threshold is ignored, returned as a copy
+    // (tcdf_helper.py:42-43)
+    case a: Array[Array[Array[Boolean]]] => a.map(_.map(_.clone()))
+    case a: Array[Array[Boolean]]        => a.map(_.map(Array(_)))
+    case a: Array[Array[Array[Double]]]  => ensure3dBool(a, threshold)
+    case a: Array[Array[Double]]         => ensure3dBool(a, threshold)
+    case other => throw new IllegalArgumentException(
+      s"Adjacency must be 2D or 3D array; got ${other.getClass.getSimpleName}")
+  }
+
+  /** Threshold view over `tcdfMakeMatrices`' val tensor: the graph a user
+    * gets when scoring raw TCDF score matrices at a cut `t` instead of the
+    * delay-dict bool graph (the reference's downstream
+    * `_ensure_3d_bool(val_matrix, threshold)` use).
+    */
+  def tcdfGraphAtThreshold(allDelays: Map[(Int, Int), Int], nVars: Int,
+      allScores: Map[Int, Map[Int, Double]], threshold: Option[Double]):
+      Array[Array[Array[Boolean]]] =
+    toBoolArray(tcdfMakeMatrices(allDelays, nVars, allScores)._2, threshold)
+
   /** R3 (py_tetrad_helper.py:51-182): Tetrad endpoint matrix → causal tensor.
     * Endpoint codes 0=NULL 1=CIRCLE 2=TAIL 3=ARROW; strict u→v iff
     * (TAIL, ARROW); errors on unknown endpoint pairs, future→past edges, and

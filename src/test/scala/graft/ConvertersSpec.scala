@@ -77,6 +77,54 @@ class ConvertersSpec extends AnyFunSuite {
     assert(vals(0)(1)(2) == 0.7 && vals(1)(2)(0) == 1.0)
   }
 
+  test("tcdf threshold path (tcdf_helper.py:40-55): no-threshold is !=0, " +
+      "threshold is strict >, NaN follows IEEE") {
+    val scores = Array(
+      Array(Array(0.0, 0.5), Array(0.7, -0.2)),
+      Array(Array(Double.NaN, 0.0), Array(1.0, 0.5)))
+    // threshold=None → a != 0 (NaN != 0 is TRUE in NumPy)
+    val noThr = Converters.toBoolArray(scores, None)
+    assert(!noThr(0)(0)(0) && noThr(0)(0)(1) && noThr(0)(1)(0) &&
+      noThr(0)(1)(1))
+    assert(noThr(1)(0)(0) && !noThr(1)(0)(1))
+    // threshold=0.5 → a > 0.5 strictly; NaN > t is false
+    val thr = Converters.toBoolArray(scores, Some(0.5))
+    assert(!thr(0)(0)(1) && thr(0)(1)(0) && !thr(0)(1)(1))
+    assert(!thr(1)(0)(0) && thr(1)(1)(0) && !thr(1)(1)(1))
+  }
+
+  test("tcdf ensure3dBool: 2D promotes to one lag slice, bool passes " +
+      "through as a copy, wrong rank raises") {
+    val m2 = Array(Array(0.0, 0.9), Array(0.3, 0.0))
+    val p = Converters.ensure3dBool(m2, Some(0.5))
+    assert(p.length == 2 && p(0)(0).length == 1)
+    assert(!p(0)(0)(0) && p(0)(1)(0) && !p(1)(0)(0))
+    // bool input: threshold ignored, result is a copy (mutating it does
+    // not alias the input) — tcdf_helper.py:42-43
+    val b = Array(Array(Array(true), Array(false)))
+    val c = Converters.ensure3dBool(b: AnyRef, Some(0.99))
+    assert(c(0)(0)(0) && !c(0)(1)(0))
+    c(0)(0)(0) = false
+    assert(b(0)(0)(0))
+    // 2D bool promotes too
+    val b2 = Converters.ensure3dBool(Array(Array(true, false)): AnyRef, None)
+    assert(b2(0)(0)(0) && !b2(0)(1)(0))
+    // rank guard mirrors the reference ValueError
+    intercept[IllegalArgumentException] {
+      Converters.ensure3dBool(Array(1.0, 2.0): AnyRef, None)
+    }
+  }
+
+  test("tcdf graph-at-threshold wires makeMatrices' val tensor") {
+    val delays = Map((1, 0) -> 1, (2, 1) -> 0)
+    val scores = Map(1 -> Map(0 -> 0.7))
+    // default score 1.0 survives any threshold < 1; 0.7 is cut at 0.8
+    val g = Converters.tcdfGraphAtThreshold(delays, 3, scores, Some(0.8))
+    assert(!g(0)(1)(1) && g(1)(2)(0))
+    val gAll = Converters.tcdfGraphAtThreshold(delays, 3, scores, None)
+    assert(gAll(0)(1)(1) && gAll(1)(2)(0))
+  }
+
   test("local SHD mirrors: reversal costs 1 structural, 2 xor") {
     val gt = Array.fill(2, 2, 1)(false)
     val pred = Array.fill(2, 2, 1)(false)
