@@ -6519,6 +6519,95 @@ object SparkEntry {
             + " div greatest(length(wa), length(wb))").as("dist_ppm"))
     }),
 
+    // S4 inverse at corpus scale: parse every shipped structure txt back
+    // into normalized causal links with the Sinks line parser (the
+    // reference's own downstream consumers read these files back,
+    // a1.py:297-306 grammar), then census links by (func, lag) — count,
+    // exact coef micro-sum, distinct endpoints. One recursive listing of
+    // 1,188 small files, line-parallel parsing, a ~20-row aggregate; the
+    // oracle re-parses the same tree in DuckDB with the same anchored
+    // grammars
+    "q312_structure_parse_census" -> ((s, d) => {
+      import s.implicits._
+      val lines = s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .text("/root/reference/Datasets")
+        .where(!input_file_name().like("%_statistics.txt"))
+        .select(col("value")).as[String]
+      lines.flatMap(graft.generate.Sinks.parseLinkLine _)
+        .toDF("source", "lag", "target", "func", "coef")
+        .groupBy(col("func"), col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(floor(col("coef") * 1e6 + 0.5).cast("long"))
+            .as("sum_coef_micro"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("target").as("n_targets"))
+    }),
+
+    // confounded generation→discovery capstone: A1C 4-var lag-2 WITH the
+    // confounder U observed as a fifth panel series. The q269 Granger
+    // contract over the 20 ordered pairs; truth_lag1 declares only the
+    // catalog's X lag-1 edges (U's edges are contemporaneous), so the
+    // U rows surface exactly the confounder-induced flags the benchmark
+    // family exists to create
+    "q313_granger_confounded" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1C").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q313_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4"),
+            col("U")))
+      val panel = ((1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        :+ gen.select(lit("U").as("series"), col("t").as("day"),
+          floor(col("U") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.grangerLag1(panel)
+        .withColumn("truth_lag1", expr(grangerTruthCase("A1C")))
+    }),
+
+    // irregular generation→discovery capstone: A2 4-var lag-2, whose
+    // kernel samples on an exponential-gap continuous clock. The lag
+    // alignment is the reference's own nearest-lag lookup
+    // (a2.py:162-167): for row i, the past index nearest to
+    // time_i − meanDiff — Lagged.nearestLagIndexView (union + one sort +
+    // two carries, the AsOf shape). Both regressors take the nearest-lag
+    // index (the generator's semantics); the Granger sums/decision tail
+    // is shared verbatim with q294/q269
+    "q314_granger_irregular" -> ((s, d) => {
+      val cfg = Grid.forFamily("A2").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q314_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t"), col("time"), col("X1"), col("X2"), col("X3"),
+            col("X4")))
+      val lx = graft.ops.Lagged.nearestLagIndexView(
+        gen.select(col("t"), col("time")), "t", "time")
+      val pan = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val e = pan.select(col("series").as("effect"), col("t"),
+        col("v").as("yv"))
+      val ep = pan.select(col("series").as("effect"),
+        col("t").as("lag_idx"), col("v").as("pv"))
+      val cp = pan.select(col("series").as("cause"),
+        col("t").as("lag_idx"), col("v").as("qv"))
+      val lagged = lx.join(e, Seq("t"))
+        .join(ep, Seq("effect", "lag_idx"))
+        .join(cp, Seq("lag_idx"))
+        .where(col("cause") =!= col("effect"))
+        .select(col("cause"), col("effect"), col("yv"), col("pv"),
+          col("qv"))
+      graft.metrics.Causal.grangerDecide(
+          graft.metrics.Causal.grangerSumsFromLagged(lagged), 422L)
+        .withColumn("truth_lag1", expr(grangerTruthCase("A2")))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -6603,18 +6692,22 @@ object SparkEntry {
        |    AS cents
        |FROM $table GROUP BY ALL""".stripMargin
 
-  /** The catalog's A1 4-var lag-2 lag-1 edges as a CASE flag — built from
-    * the SAME Parser.truthLinks the generator uses, rendered identically
-    * into the Spark expression and the DuckDB oracle.
+  /** The catalog's declared lag-1 edges for a (family, 4-var, lag-2) grid
+    * cell as a CASE flag — built from the SAME Parser.truthLinks the
+    * generator uses, rendered identically into the Spark expression and
+    * the DuckDB oracle. A1C's confounder edges are lag 0, so its CASE
+    * stays X-only — the capstone's point is that Granger flags the
+    * U-induced spurious edges the truth column does NOT declare.
     */
-  private val GrangerGenTruthCase: String = {
-    val edges = graft.core.Parser.truthLinks("A1", 4, 2)
+  private def grangerTruthCase(family: String): String = {
+    val edges = graft.core.Parser.truthLinks(family, 4, 2)
       .filter(_.lag == 1).map(l => (l.source, l.target)).distinct
     if (edges.isEmpty) "0"
     else "CASE " + edges.map { case (a, b) =>
       s"WHEN cause = '$a' AND effect = '$b' THEN 1"
     }.mkString(" ") + " ELSE 0 END"
   }
+  private val GrangerGenTruthCase: String = grangerTruthCase("A1")
 
   /** q286's quantized logistic confidence table over the clamped margin
     * bin: round(1e6 / (1 + e^(−bin/2))), bins −10..10 — one Scala
@@ -13063,6 +13156,160 @@ object SparkEntry {
         |   // greatest(length(a.word), length(b.word)))::BIGINT
         |    AS dist_ppm
         |FROM words a JOIN words b ON a.series < b.series""".stripMargin,
+
+    "q312_structure_parse_census" ->
+      """WITH f AS (
+        |  SELECT content
+        |  FROM read_text('/root/reference/Datasets/**/*.txt')
+        |  WHERE filename NOT LIKE '%_statistics.txt'),
+        |ln AS (
+        |  SELECT trim(unnest(string_split(content, chr(10)))) AS line
+        |  FROM f),
+        |ar AS (
+        |  SELECT regexp_extract(line,
+        |      '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$', 2)
+        |      AS func,
+        |    regexp_extract(line,
+        |      '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$', 3)
+        |      ::BIGINT AS lag,
+        |    regexp_extract(line,
+        |      '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$', 1)
+        |      AS src,
+        |    trim(regexp_extract(line,
+        |      '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$', 4))
+        |      AS tgt,
+        |    regexp_extract(line,
+        |      '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$', 5)
+        |      ::DOUBLE AS coef
+        |  FROM ln WHERE regexp_matches(line,
+        |    '^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$')),
+        |qt AS (
+        |  SELECT 'linear' AS func,
+        |    abs(regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 2)
+        |      ::BIGINT) AS lag,
+        |    regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 1)
+        |      AS src,
+        |    regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 3)
+        |      AS tgt,
+        |    regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 4)
+        |      ::DOUBLE AS coef
+        |  FROM ln WHERE regexp_matches(line,
+        |    '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$')),
+        |bc AS (
+        |  SELECT 'linear' AS func,
+        |    abs(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$',
+        |      2)::BIGINT) AS lag,
+        |    trim(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$',
+        |      1)) AS src,
+        |    trim(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$',
+        |      3)) AS tgt,
+        |    regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$',
+        |      4)::DOUBLE AS coef
+        |  FROM ln WHERE regexp_matches(line,
+        |    '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$')),
+        |pl AS (
+        |  SELECT 'linear' AS func,
+        |    abs(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$', 2)::BIGINT)
+        |      AS lag,
+        |    trim(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$', 1)) AS src,
+        |    trim(regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$', 3)) AS tgt,
+        |    regexp_extract(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$', 4)::DOUBLE
+        |      AS coef
+        |  FROM ln WHERE regexp_matches(line,
+        |      '^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$')
+        |    AND NOT regexp_matches(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$')),
+        |u AS (
+        |  SELECT * FROM ar UNION ALL SELECT * FROM qt
+        |  UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM pl),
+        |norm AS (
+        |  SELECT func, lag,
+        |    CASE WHEN regexp_matches(src, '^[0-9]+$') THEN 'X' || src
+        |      ELSE src END AS src,
+        |    CASE WHEN regexp_matches(tgt, '^[0-9]+$') THEN 'X' || tgt
+        |      ELSE tgt END AS tgt,
+        |    coef
+        |  FROM u)
+        |SELECT func, lag, count(*)::BIGINT AS n_links,
+        |  sum(floor(coef * 1e6 + 0.5)::BIGINT)::BIGINT AS sum_coef_micro,
+        |  count(DISTINCT src)::BIGINT AS n_sources,
+        |  count(DISTINCT tgt)::BIGINT AS n_targets
+        |FROM norm GROUP BY 1, 2""".stripMargin,
+
+    "q313_granger_confounded" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q313_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'U', t, floor(U * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.grangerSqlCtes("panel")}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  (${grangerTruthCase("A1C")})::INT AS truth_lag1
+        |FROM granger_out""".stripMargin,
+
+    "q314_granger_irregular" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q314_gen/*.parquet')),
+        |md AS (
+        |  SELECT (max("time") - min("time")) / (count(*) - 1) AS md
+        |  FROM gen),
+        |pts AS (
+        |  SELECT "time" AS ts, 0 AS kind, t AS idx FROM gen
+        |  UNION ALL
+        |  SELECT "time" - md.md, 1, t FROM gen, md WHERE t >= 1),
+        |carried AS (
+        |  SELECT ts, kind, idx,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wb AS bidx,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS fts,
+        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wf AS fidx
+        |  FROM pts
+        |  WINDOW wb AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |lx AS (
+        |  SELECT idx AS t,
+        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
+        |  FROM carried WHERE kind = 1),
+        |pan AS (
+        |  SELECT 'X1' AS series, t, floor(X1 * 1000)::BIGINT AS v FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |gl AS (
+        |  SELECT cp.series AS cause, e.series AS effect,
+        |    e.v AS yv, ep.v AS pv, cp.v AS qv
+        |  FROM lx
+        |  JOIN pan e ON e.t = lx.t
+        |  JOIN pan ep ON ep.t = lx.lag_idx AND ep.series = e.series
+        |  JOIN pan cp ON cp.t = lx.lag_idx AND cp.series <> e.series),
+        |${graft.metrics.Causal.grangerDecideSqlCtes("gl")}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  (${grangerTruthCase("A2")})::INT AS truth_lag1
+        |FROM granger_out""".stripMargin,
 
     "q310_tfidf_keywords" ->
       """WITH tok AS (

@@ -250,6 +250,58 @@ object Sinks {
     sb.toString
   }
 
+  // ---------------------------------------------------------------------------
+  // Structure text parser (S4 inverse): the reference's downstream consumers
+  // parse these files back (a1.py:297-306 writes the grammar; readers split
+  // on " => " / the arrow). One matcher per link-line grammar, all anchored —
+  // header, equation, noise and statistics lines match none of them.
+  // ---------------------------------------------------------------------------
+  private val ArrowLine =
+    """^(\S+) --\((\w+), lag=(\d+)\)--> ([^:]+): (-?[0-9.]+)$""".r
+  private val QuotedTupleLine =
+    """^\('([^']+)', (-?\d+), '([^']+)'\) => (-?[0-9.]+)$""".r
+  private val BaseCoefLine =
+    """^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+) \[base coefficient\]$""".r
+  private val PlainTupleLine =
+    """^\(([^,]+), (-?\d+), ([^)]+)\) => (-?[0-9.]+)$""".r
+
+  /** Parse one structure-file line into a normalized link
+    * (source, lag≥0, target, func, coef) — names digit-normalized to the
+    * `X<i>` form and lags stored non-negative exactly like
+    * `Parser.truthLinks`; `None` for non-link lines.
+    */
+  def parseLinkLine(line: String): Option[(String, Int, String, String, Double)] = {
+    def nm(s: String) = {
+      val t = s.trim
+      if (t.nonEmpty && t.forall(_.isDigit)) s"X$t" else t
+    }
+    line.trim match {
+      case ArrowLine(src, func, lag, tgt, coef) =>
+        Some((nm(src), lag.toInt, nm(tgt), func, coef.toDouble))
+      case QuotedTupleLine(src, lag, tgt, coef) =>
+        Some((nm(src), math.abs(lag.toInt), nm(tgt), "linear", coef.toDouble))
+      case BaseCoefLine(src, lag, tgt, coef) =>
+        Some((nm(src), math.abs(lag.toInt), nm(tgt), "linear", coef.toDouble))
+      case PlainTupleLine(src, lag, tgt, coef) =>
+        Some((nm(src), math.abs(lag.toInt), nm(tgt), "linear", coef.toDouble))
+      case _ => None
+    }
+  }
+
+  /** All links in a structure file, document order. */
+  def parseStructureLinks(content: String):
+      Vector[(String, Int, String, String, Double)] =
+    content.split('\n').iterator.flatMap(parseLinkLine).toVector
+
+  /** Round-trip to `CausalLink` rows; the grid coordinates come from the
+    * generic header or the file's location in the corpus tree.
+    */
+  def parseStructureText(content: String, family: String, nVars: Int,
+      maxLag: Int): Vector[graft.core.CausalLink] =
+    parseStructureLinks(content).map { case (src, lag, tgt, func, coef) =>
+      graft.core.CausalLink(family, nVars, maxLag, src, lag, tgt, func, coef)
+    }
+
   /** CSV scan (S6): read a reference-layout wide CSV back with an explicit
     * schema (X1..Xn [,U], time) — the consumption path of py_tetrad_helper.
     */

@@ -70,8 +70,16 @@ object Causal {
     val lagged = j.select(col("cause"), col("effect"), col("day"),
         col("yv"), lag("yv", 1).over(w).as("pv"),
         lag("xv", 1).over(w).as("qv"))
-      .where(col("pv").isNotNull)
-    lagged.groupBy("cause", "effect").agg(
+    grangerSumsFromLagged(lagged)
+  }
+
+  /** The same 10 sufficient sums over a PREBUILT lagged pair table
+    * (cause, effect, yv, pv, qv) — the irregular/nearest-lag path (q314)
+    * supplies its own lag alignment instead of the row-shift window.
+    */
+  def grangerSumsFromLagged(lagged: DataFrame): DataFrame =
+    lagged.where(col("pv").isNotNull)
+      .groupBy("cause", "effect").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("yv").cast("decimal(38,0)")).as("sy"),
       sum(col("pv").cast("decimal(38,0)")).as("sp"),
@@ -82,7 +90,6 @@ object Causal {
       sum((col("yv") * col("pv")).cast("decimal(38,0)")).as("syp"),
       sum((col("yv") * col("qv")).cast("decimal(38,0)")).as("syq"),
       sum((col("pv") * col("qv")).cast("decimal(38,0)")).as("spq"))
-  }
 
   /** Decision arithmetic from the sufficient sums — shared by the events
     * census (q269) and the planted-recovery capstone (q271). Output longs:
@@ -134,14 +141,23 @@ object Causal {
        |    lag(yv) OVER (PARTITION BY cause, effect ORDER BY day) AS pv,
        |    lag(xv) OVER (PARTITION BY cause, effect ORDER BY day) AS qv
        |  FROM gr_j),
-       |gr_sums AS (
+       |${grangerDecideSqlCtes("gr_lag", fCritCenti)}""".stripMargin
+
+  /** The sums→decision tail of [[grangerSqlCtes]] over ANY lagged-pair CTE
+    * `\$lagCte(cause, effect, yv, pv, qv)` — mirrors
+    * [[grangerSumsFromLagged]] + [[grangerDecide]]; the nearest-lag
+    * irregular capstone (q314) builds its own alignment CTE and reuses
+    * this tail verbatim. Yields a CTE named `granger_out`.
+    */
+  def grangerDecideSqlCtes(lagCte: String, fCritCenti: Long = 422L): String =
+    s"""gr_sums AS (
        |  SELECT cause, effect, count(*)::HUGEINT AS n,
        |    sum(yv)::HUGEINT AS sy, sum(pv)::HUGEINT AS sp,
        |    sum(qv)::HUGEINT AS sq,
        |    sum(yv::HUGEINT * yv) AS syy, sum(pv::HUGEINT * pv) AS spp,
        |    sum(qv::HUGEINT * qv) AS sqq, sum(yv::HUGEINT * pv) AS syp,
        |    sum(yv::HUGEINT * qv) AS syq, sum(pv::HUGEINT * qv) AS spq
-       |  FROM gr_lag WHERE pv IS NOT NULL GROUP BY 1, 2),
+       |  FROM $lagCte WHERE pv IS NOT NULL GROUP BY 1, 2),
        |gr_c AS (
        |  SELECT cause, effect, n,
        |    n*syy - sy*sy AS cyy, n*spp - sp*sp AS cpp,

@@ -33,6 +33,62 @@ object Lagged {
     df.select(keep ++ lagCols: _*).na.drop("any", names)
   }
 
+  /** Nearest-lag index view over an irregular time spine (a2.py:162-167
+    * `find_nearest_lag_idx`): for each row i ≥ 1, the index j < i whose
+    * timestamp is closest to `time_i − lagMult·meanDiff`, ties resolved to
+    * the EARLIER index (np.argmin first-hit); `meanDiff` is the mean
+    * successive gap, computed as (max−min)/(n−1) — np.mean(np.diff)
+    * telescoped, so both engines evaluate ONE identical IEEE expression.
+    *
+    * Shape: union the spine with per-row probe rows at the target time,
+    * one sort per partition, and two carries (last data row at-or-before /
+    * first data row after) — the AsOf pattern, linear in the spine, no
+    * per-row range probe. The spine is per-series at scale; pass
+    * `partitionCols` to keep the sort partition-local.
+    *
+    * Output: (partitionCols..., idxCol, lag_idx).
+    */
+  def nearestLagIndexView(spine: DataFrame, idxCol: String, tsCol: String,
+      partitionCols: Seq[String] = Nil, lagMult: Int = 1): DataFrame = {
+    val keys = if (partitionCols.isEmpty) Seq("_pk") else partitionCols
+    val keyed =
+      if (partitionCols.isEmpty) spine.withColumn("_pk", lit(1)) else spine
+    val st = keyed.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol).cast("double")).as("_mn"),
+        max(col(tsCol).cast("double")).as("_mx"),
+        count(lit(1)).as("_n"))
+    val withMd = keyed.join(broadcast(st), keys)
+      .withColumn("_md",
+        (col("_mx") - col("_mn")) / (col("_n") - lit(1)) * lagMult)
+    val data = withMd.select(keys.map(col) :+
+      col(tsCol).cast("double").as("_ts") :+ lit(0).as("_kind") :+
+      col(idxCol).cast("long").as("_idx"): _*)
+    val probes = withMd.where(col(idxCol) >= 1)
+      .select(keys.map(col) :+
+        (col(tsCol).cast("double") - col("_md")).as("_ts") :+
+        lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx"): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_kind").asc, col("_idx").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    // the candidate travels as one struct: ts and idx must come from the
+    // SAME data row (see the AsOf chimera note)
+    val dRow = when(col("_kind") === 0,
+      struct(col("_ts").as("ts"), col("_idx").as("idx")))
+    val carried = data.unionByName(probes)
+      .withColumn("_b", last(dRow, ignoreNulls = true).over(wb))
+      .withColumn("_f", first(dRow, ignoreNulls = true).over(wf))
+      .where(col("_kind") === 1)
+    // forward candidate only counts when it is still a PAST index; an
+    // exact tie goes backward (argmin returns the first minimizing index)
+    val takeFwd = col("_f").isNotNull && col("_f.idx") < col("_idx") &&
+      (col("_b").isNull ||
+        (col("_f.ts") - col("_ts")) < (col("_ts") - col("_b.ts")))
+    carried.select(partitionCols.map(col) :+ col("_idx").as(idxCol) :+
+      when(takeFwd, col("_f.idx"))
+        .otherwise(coalesce(col("_b.idx"), lit(0L))).as("lag_idx"): _*)
+  }
+
   /** Per-partition successive time gaps (R12 sanity stats: np.diff on time). */
   def timeGaps(df: DataFrame, partitionCols: Seq[String], tsCol: String): DataFrame = {
     val w =

@@ -33,6 +33,53 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getDouble(2) == 30.0 && r3.getDouble(3) == 20.0 && r3.getDouble(4) == 10.0)
   }
 
+  test("nearestLagIndexView matches the reference argmin over past " +
+      "timestamps (a2.py:162-167), incl. first-index ties and early rows") {
+    import spark.implicits._
+    val n = 300
+    val rnd = new scala.util.Random(7)
+    var acc = 0.0
+    val times = Array.fill(n) { acc += 0.1 + rnd.nextDouble(); acc }
+    val md = (times(n - 1) - times(0)) / (n - 1)
+    // the reference's literal semantics: argmin |past - target|, first hit
+    def expected(i: Int): Long = {
+      val target = times(i) - md
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < i) {
+        val dd = math.abs(times(j) - target)
+        if (dd < bestD) { best = j; bestD = dd }
+        j += 1
+      }
+      best.toLong
+    }
+    val spine = times.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toSeq.toDF("t", "time")
+    val got = Lagged.nearestLagIndexView(spine, "t", "time")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n - 1 && !got.contains(0L))
+    (1 until n).foreach { i =>
+      assert(got(i.toLong) == expected(i), s"row $i")
+    }
+  }
+
+  test("nearestLagIndexView is partition-local with partitionCols") {
+    import spark.implicits._
+    // two series with different clocks: indices must resolve per-series
+    val a = Seq(0.0, 1.0, 2.0, 3.0).zipWithIndex.map { case (ts, i) =>
+      ("a", i.toLong, ts) }
+    val b = Seq(0.0, 10.0, 20.0, 30.0).zipWithIndex.map { case (ts, i) =>
+      ("b", i.toLong, ts) }
+    val out = Lagged.nearestLagIndexView((a ++ b).toDF("s", "t", "time"),
+        "t", "time", partitionCols = Seq("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // both series have meanDiff == one step → lag index is i-1 everywhere
+    Seq("a", "b").foreach { s =>
+      (1 to 3).foreach(i => assert(out((s, i.toLong)) == i - 1L))
+    }
+  }
+
   test("asofBackward matches brute-force nearest-past join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -54,6 +54,43 @@ class SinksSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("structure parser round-trips parse(write(x)) == truthLinks over " +
+      "every (family, nVars, maxLag) the grid generates") {
+    val combos = Grid.all().map(c => (c.family, c.nVars, c.maxLag)).distinct
+    assert(combos.size >= 150) // the 153-set catalog, via the grid
+    combos.foreach { case (f, v, l) =>
+      val parsed = Sinks.parseStructureText(Sinks.structureText(f, v, l), f, v, l)
+      val truth = Parser.truthLinks(f, v, l)
+      assert(parsed == truth, s"round-trip mismatch for ($f, $v, $l)")
+    }
+  }
+
+  test("structure parser reads the SHIPPED per-family grammars back to " +
+      "truthLinks (B2 quoted, C2C/D3/D3C arrows, D2C base-coefficient)") {
+    Grid.all().filter(c => Sinks.txtPaths(c).nonEmpty).foreach { c =>
+      val links = Sinks.parseStructureLinks(Sinks.structureTxt(c))
+      val truth = Parser.truthLinks(c.family, c.nVars, c.maxLag)
+        .map(t => (t.source, t.lag, t.target, t.func, t.coef))
+      assert(links == truth,
+        s"shipped-grammar parse mismatch for ${c.family}/${c.nVars}/${c.maxLag}")
+    }
+  }
+
+  test("structure parser: headers, equations, noise/mask and statistics " +
+      "lines parse to no links; a real shipped file parses to its truth") {
+    assert(Sinks.parseLinkLine("Format: (source, lag, target) => coefficient").isEmpty)
+    assert(Sinks.parseLinkLine("X1[t] = 0.4*X2[t] + e1[t]").isEmpty)
+    assert(Sinks.parseLinkLine("Noise: 30% Gaussian, 70% Laplace").isEmpty)
+    assert(Sinks.parseLinkLine("Missing percentage: 25.90%").isEmpty)
+    assert(Sinks.parseLinkLine("").isEmpty)
+    val shippedTxt = Files.readString(Paths.get(
+      "/root/reference/Datasets/D3C/lag 2/" +
+        "nonlinear_ts_n1000_vars6_lag2_noise30_mcar10_block5_structure.txt"))
+    val truth = Parser.truthLinks("D3C", 6, 2)
+      .map(t => (t.source, t.lag, t.target, t.func, t.coef))
+    assert(Sinks.parseStructureLinks(shippedTxt) == truth)
+  }
+
   test("file-name grammar matches shipped corpus layout") {
     def cfg(family: String, n: Int, v: Int, l: Int, noise: String = "gaussian",
         ratio: Double = 0.5, mcar: Double = 0.0, block: Double = 0.0) =
