@@ -6608,6 +6608,72 @@ object SparkEntry {
         .withColumn("truth_lag1", expr(grangerTruthCase("A2")))
     }),
 
+    // R7-R10 at PANEL scale: 1,200 deterministically perturbed predicted
+    // graphs (drop by (g+3·idx)%5, reverse by (g+idx)%7, spurious
+    // self-loop by (g+idx)%11 — pure integer arithmetic both engines run)
+    // scored against the A1 4-var lag-2 truth in ONE pair-level join pass
+    // via Metrics.scoreAll: tp/fp/fn/tn, XOR-SHD and orientation-aware
+    // structural SHD all from a single full-outer join whose sides
+    // pre-collapse on the exact join key. The ARCHITECTURE "a million
+    // graphs is one shuffle" claim, oracled; PlanSpec pins the shape
+    "q315_shd_panel_scale" -> ((s, d) => {
+      import s.implicits._
+      val edges = s.createDataset(ShdPanelEdges)
+        .toDF("idx", "source", "lag", "target")
+      val gs = s.range(0, 1200).select(col("id").as("graphId"))
+      val base = gs.crossJoin(broadcast(edges))
+      val truth = base.select(col("graphId"), col("source"), col("target"),
+        col("lag"))
+      val flipRev = (col("graphId") + col("idx")) % 7 === 1
+      val flipped = base
+        .where((col("graphId") + lit(3) * col("idx")) % 5 =!= 0)
+        .select(col("graphId"),
+          when(flipRev, col("target")).otherwise(col("source")).as("source"),
+          when(flipRev, col("source")).otherwise(col("target")).as("target"),
+          col("lag"))
+      val spurName =
+        concat(lit("X"), ((col("graphId") + col("idx")) % 4 + 1).cast("string"))
+      val spurious = base
+        .where((col("graphId") + col("idx")) % 11 === 2)
+        .select(col("graphId"), spurName.as("source"), spurName.as("target"),
+          lit(0).as("lag"))
+      val pred = flipped.unionByName(spurious).distinct()
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .withColumn("tn",
+          lit(ShdPanelTotalCells) - col("tp") - col("fp") - col("fn"))
+        .select(col("graphId").as("graph_id"), col("tp"), col("fp"),
+          col("fn"), col("tn"), col("shd_xor"), col("shd_structural"))
+    }),
+
+    // interpolation-under-mask parity on the MAXIMAL family: a D3C kernel
+    // dump (irregular clock + MCAR∪block missing + confounder) regularized
+    // onto the 0.5-unit grid with the q71 Resample contract — the X1
+    // series interpolates only its UNMASKED observations (missing cells
+    // drop out before the as-of brackets), while U (always fully observed,
+    // the reference's declared D3C property) interpolates every row.
+    // Same two as-of joins, exact integer arithmetic
+    "q316_resample_d3c_masked" -> ((s, d) => {
+      val cfg = Grid.forFamily("D3C").find(c =>
+        c.nPoints == 1000 && c.nVars == 4 && c.maxLag == 2 &&
+          c.mixRatio == 0.5 && c.mcarProb == 0.1 && c.blockProb == 0.1).get
+      val gen = dumpGen(s, "q316_gen",
+        Generate.wideFast(s, Seq(cfg)).select(
+          ExactStats.micro(col("time")).cast("long").as("t_us"),
+          ExactStats.micro(col("X1")).cast("long").as("x1_micro"),
+          ExactStats.micro(col("U")).cast("long").as("u_micro"),
+          col("maskBits").bitwiseAND(lit(1)).as("mask1")))
+      val samples = gen.where(col("mask1") === 0)
+        .select(lit("X1").as("series"), col("t_us"),
+          col("x1_micro").as("v_micro"))
+        .unionByName(gen.select(lit("U").as("series"), col("t_us"),
+          col("u_micro").as("v_micro")))
+      val grid = samples.select(col("series")).distinct()
+        .select(col("series"),
+          explode(expr("sequence(0L, 100000000L, 500000L)")).as("grid_us"))
+      graft.ops.Resample.interpolateToGrid(samples, grid,
+        Seq("series"), "t_us", "v_micro")
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -6708,6 +6774,17 @@ object SparkEntry {
     }.mkString(" ") + " ELSE 0 END"
   }
   private val GrangerGenTruthCase: String = grangerTruthCase("A1")
+
+  /** q315's truth edge list (A1 4-var lag-2, enumeration-indexed) and cell
+    * count — ONE Scala value rendered into both engines (NdcgDisc pattern).
+    */
+  private val ShdPanelEdges: Vector[(Int, String, Int, String)] =
+    graft.core.Parser.truthLinks("A1", 4, 2).zipWithIndex
+      .map { case (l, i) => (i, l.source, l.lag, l.target) }.toVector
+  private val ShdPanelEdgesSqlValues: String =
+    ShdPanelEdges.map { case (i, src, lg, tgt) =>
+      s"($i, '$src', $lg, '$tgt')" }.mkString(", ")
+  private val ShdPanelTotalCells: Long = 4L * 4L * (2L + 1L)
 
   /** q286's quantized logistic confidence table over the clamped margin
     * bin: round(1e6 / (1 + e^(−bin/2))), bins −10..10 — one Scala
@@ -13247,6 +13324,92 @@ object SparkEntry {
         |  count(DISTINCT src)::BIGINT AS n_sources,
         |  count(DISTINCT tgt)::BIGINT AS n_targets
         |FROM norm GROUP BY 1, 2""".stripMargin,
+
+    "q315_shd_panel_scale" ->
+      s"""WITH gs AS (SELECT unnest(range(0, 1200))::BIGINT AS g),
+        |ed AS (SELECT * FROM (VALUES $ShdPanelEdgesSqlValues)
+        |  AS t(idx, source, lag, target)),
+        |ta AS (SELECT g, source, target, lag FROM gs, ed),
+        |keep AS (SELECT g, idx, source, lag, target FROM gs, ed
+        |  WHERE (g + 3 * idx) % 5 <> 0),
+        |fl AS (
+        |  SELECT g,
+        |    CASE WHEN (g + idx) % 7 = 1 THEN target ELSE source END
+        |      AS source,
+        |    CASE WHEN (g + idx) % 7 = 1 THEN source ELSE target END
+        |      AS target,
+        |    lag
+        |  FROM keep),
+        |sp AS (
+        |  SELECT g, 'X' || ((g + idx) % 4 + 1) AS source,
+        |    'X' || ((g + idx) % 4 + 1) AS target, 0 AS lag
+        |  FROM gs, ed WHERE (g + idx) % 11 = 2),
+        |pred AS (SELECT DISTINCT * FROM (
+        |  SELECT g, source, target, lag FROM fl
+        |  UNION ALL SELECT g, source, target, lag FROM sp)),
+        |tc AS (
+        |  SELECT g, least(source, target) AS u, greatest(source, target)
+        |      AS v, lag,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+        |  FROM ta GROUP BY 1, 2, 3, 4),
+        |pc AS (
+        |  SELECT g, least(source, target) AS u, greatest(source, target)
+        |      AS v, lag,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+        |  FROM pred GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT coalesce(tc.g, pc.g) AS g,
+        |    coalesce(t_fwd, 0) AS t_fwd, coalesce(t_rev, 0) AS t_rev,
+        |    coalesce(p_fwd, 0) AS p_fwd, coalesce(p_rev, 0) AS p_rev
+        |  FROM tc FULL OUTER JOIN pc
+        |    ON tc.g = pc.g AND tc.u = pc.u AND tc.v = pc.v
+        |      AND tc.lag = pc.lag),
+        |sc AS (
+        |  SELECT g,
+        |    sum(t_fwd * p_fwd + t_rev * p_rev)::BIGINT AS tp,
+        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev))::BIGINT AS fp,
+        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev))::BIGINT AS fn,
+        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+        |          AND t_fwd <> p_fwd THEN 1
+        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)::BIGINT
+        |      AS shd_structural
+        |  FROM j GROUP BY 1)
+        |SELECT g AS graph_id, tp, fp, fn,
+        |  ($ShdPanelTotalCells - tp - fp - fn)::BIGINT AS tn,
+        |  (fp + fn)::BIGINT AS shd_xor, shd_structural
+        |FROM sc""".stripMargin,
+
+    "q316_resample_d3c_masked" ->
+      """WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q316_gen/*.parquet')),
+        |sm AS (
+        |  SELECT 'X1' AS series, t_us, x1_micro AS v_micro FROM gen
+        |  WHERE mask1 = 0
+        |  UNION ALL SELECT 'U', t_us, u_micro FROM gen),
+        |s AS (
+        |  SELECT series, t_us, v_micro,
+        |    lead(t_us) OVER (PARTITION BY series ORDER BY t_us) AS t_next,
+        |    lead(v_micro) OVER (PARTITION BY series ORDER BY t_us)
+        |      AS v_next
+        |  FROM sm),
+        |g AS (
+        |  SELECT sr.series, grid_us
+        |  FROM (SELECT DISTINCT series FROM sm) sr,
+        |    (SELECT unnest(range(0, 100000001, 500000))::BIGINT
+        |       AS grid_us)),
+        |j AS (
+        |  SELECT s.series, grid_us, v_micro, t_next,
+        |    (v_next - v_micro) * (grid_us - t_us) AS num,
+        |    t_next - t_us AS den
+        |  FROM g JOIN s ON s.series = g.series AND grid_us >= t_us
+        |    AND (t_next IS NULL OR grid_us < t_next))
+        |SELECT series, grid_us,
+        |  CASE WHEN t_next IS NULL THEN v_micro
+        |       ELSE v_micro + (num - ((num % den + den) % den)) // den
+        |  END AS v_interp_micro
+        |FROM j""".stripMargin,
 
     "q313_granger_confounded" ->
       s"""WITH gen AS (

@@ -60,6 +60,49 @@ object Metrics {
       .agg(sum(when(col("_t").isNull || col("_p").isNull, 1).otherwise(0)).as("shd"))
   }
 
+  /** All the R7-R10 scores per graph in ONE pair-level join pass — the
+    * panel-scale path ("score a million predicted graphs in one shuffle").
+    * Each side collapses to canonical unordered-pair direction flags FIRST
+    * (grouped on the exact join key, so the pre-aggregation and the join
+    * share one hash partitioning per side); the full-outer join then yields
+    * per-pair flags from which tp/fp/fn, XOR-SHD (= fp + fn on distinct
+    * edge sets) and the orientation-aware structural SHD all derive in a
+    * single per-graph reduce of already-collapsed rows. Equivalence to
+    * [[confusion]]/[[shdXor]]/[[shdStructural]] is property-tested.
+    * Inputs must carry DISTINCT (graphId, source, target, lag) edges.
+    */
+  def scoreAll(truth: DataFrame, predicted: DataFrame): DataFrame = {
+    def canon(df: DataFrame, tag: String): DataFrame =
+      df.select(col("graphId"), col("source"), col("target"), col("lag"))
+        .withColumn("u", least(col("source"), col("target")))
+        .withColumn("v", greatest(col("source"), col("target")))
+        .withColumn("fwd", (col("source") <= col("target")).cast("int"))
+        .groupBy("graphId", "u", "v", "lag")
+        .agg(max(when(col("fwd") === 1, 1).otherwise(0)).as(s"${tag}_fwd"),
+             max(when(col("fwd") === 0, 1).otherwise(0)).as(s"${tag}_rev"))
+    val j = canon(truth, "t")
+      .join(canon(predicted, "p"), Seq("graphId", "u", "v", "lag"),
+        "full_outer")
+      .na.fill(0)
+    val cost = when(
+        col("t_fwd") + col("t_rev") === 1 &&
+          col("p_fwd") + col("p_rev") === 1 &&
+          (col("t_fwd") =!= col("p_fwd")), 1)
+      .otherwise(abs(col("t_fwd") - col("p_fwd")) +
+        abs(col("t_rev") - col("p_rev")))
+    j.groupBy("graphId").agg(
+        sum(col("t_fwd") * col("p_fwd") + col("t_rev") * col("p_rev"))
+          .cast("long").as("tp"),
+        sum(col("p_fwd") * (lit(1) - col("t_fwd")) +
+            col("p_rev") * (lit(1) - col("t_rev")))
+          .cast("long").as("fp"),
+        sum(col("t_fwd") * (lit(1) - col("p_fwd")) +
+            col("t_rev") * (lit(1) - col("p_rev")))
+          .cast("long").as("fn"),
+        sum(cost).cast("long").as("shd_structural"))
+      .withColumn("shd_xor", col("fp") + col("fn"))
+  }
+
   /** Orientation-aware structural SHD (metrics_helper.py:80-138), per graph:
     * for each unordered pair {u,v} at each lag — cost 1 for an extra/missing
     * edge, 1 for a reversal (both single but opposite); self-loops add/delete

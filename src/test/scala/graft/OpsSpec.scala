@@ -80,6 +80,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Metrics.scoreAll == confusion + shdXor + shdStructural on random " +
+      "distinct edge sets (single-pass panel scorer equivalence)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val names = Vector("X1", "X2", "X3", "X4")
+    def randomEdges(gid: Long): Seq[(Long, String, String, Int)] =
+      (for {
+        s <- names; t <- names; l <- 0 to 2
+        if rnd.nextDouble() < 0.25
+      } yield (gid, s, t, l)).distinct
+    val graphs = (0L until 40L)
+    val truth = graphs.flatMap(randomEdges)
+      .toDF("graphId", "source", "target", "lag")
+    val pred = graphs.flatMap(randomEdges)
+      .toDF("graphId", "source", "target", "lag")
+    val totals = graphs.map(g => (g, 48L)).toDF("graphId", "total")
+    import graft.metrics.Metrics
+    val one = Metrics.scoreAll(truth, pred)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(4))).toMap
+    val conf = Metrics.confusion(truth, pred, totals)
+      .collect().map(r => r.getAs[Long]("graphId") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))
+      .toMap
+    val xor = Metrics.shdXor(truth, pred)
+      .collect().map(r => r.getAs[Long]("graphId") ->
+        r.getAs[Long]("shd")).toMap
+    val struct = Metrics.shdStructural(truth, pred)
+      .collect().map(r => r.getAs[Long]("graphId") ->
+        r.getAs[Long]("shd_structural")).toMap
+    // scoreAll only emits graphs with at least one edge on either side;
+    // every such graph must agree with the three reference operators
+    assert(one.nonEmpty)
+    one.foreach { case (g, (tp, fp, fn, sx, ss)) =>
+      val (ctp, cfp, cfn) = conf(g)
+      assert((tp, fp, fn) == (ctp, cfp, cfn), s"confusion mismatch g=$g")
+      assert(sx == xor(g), s"xor-shd mismatch g=$g")
+      assert(ss == struct(g), s"structural-shd mismatch g=$g")
+    }
+  }
+
   test("asofBackward matches brute-force nearest-past join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

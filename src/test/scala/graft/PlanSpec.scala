@@ -364,6 +364,23 @@ class PlanSpec extends AnyFunSuite {
         s"pruning), not a post-scan filter:\n$p")
   }
 
+  test("q315 panel SHD: one edge-level shuffle per side, pre-agg shares " +
+      "the join partitioning, no cartesian blowup") {
+    val p = plan("q315_shd_panel_scale")
+    // each side: groupBy (graphId,u,v,lag) → one hashpartitioning Exchange
+    // that the full-outer join REUSES (same key); the per-graph reduce
+    // re-partitions already-collapsed pair rows. Anything beyond those
+    // three means the pre-agg/join partitioning alignment broke.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"panel scoring must be one edge-level shuffle per side plus the " +
+        s"per-graph reduce of collapsed rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested loops allowed are the graph-spine × 4-row edge
+    // literal broadcasts (truth, kept, spurious)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      s"only the tiny edge-literal cross joins may nested-loop:\n$p")
+  }
+
   test("q254 HITS: iteration state snapped — plan does not grow with rounds") {
     val p = plan("q254_nation_hits")
     assert("Exchange".r.findAllIn(p).size <= 4,
