@@ -6597,9 +6597,9 @@ object SparkEntry {
         col("t").as("lag_idx"), col("v").as("pv"))
       val cp = pan.select(col("series").as("cause"),
         col("t").as("lag_idx"), col("v").as("qv"))
-      val lagged = lx.join(e, Seq("t"))
-        .join(ep, Seq("effect", "lag_idx"))
-        .join(cp, Seq("lag_idx"))
+      val lagged = lx.join(broadcast(e), Seq("t"))
+        .join(broadcast(ep), Seq("effect", "lag_idx"))
+        .join(broadcast(cp), Seq("lag_idx"))
         .where(col("cause") =!= col("effect"))
         .select(col("cause"), col("effect"), col("yv"), col("pv"),
           col("qv"))
@@ -6672,6 +6672,130 @@ object SparkEntry {
           explode(expr("sequence(0L, 100000000L, 500000L)")).as("grid_us"))
       graft.ops.Resample.interpolateToGrid(samples, grid,
         Seq("series"), "t_us", "v_micro")
+    }),
+
+    // distributed PCA top component over the embedding table, exact
+    // integers end-to-end: centered covariance C_ab = n·Σm_a m_b −
+    // Σm_a·Σm_b from ONE dim-pair aggregation pass (64² groups, the
+    // fan-out is per-row dim², never row-pairs), then 6 unrolled power
+    // iterations over the broadcast 4,096-cell matrix with a ppm rescale
+    // by max|w| each round — w stays in [−1e6, 1e6], products peak
+    // ~1e33 inside DECIMAL(38)/HUGEINT, and the div quotient is ppm-
+    // bounded (the q309 wrap lesson). No driver loop: iteration state is
+    // a 64-row localCheckpoint, exactly the q254 HITS pattern
+    "q317_pca_power_iteration" -> ((s, d) => {
+      val (_, w) = pcaComponentParts(s, d)
+      w.select(col("dim").cast("long").as("dim"), col("w").as("w_ppm"))
+    }),
+
+    // PCA projection census (the curation use of q317's component:
+    // 1-D dimensionality reduction for binning/outlier cuts): every
+    // vector's exact integer projection Σ m_d·w_d (micro·ppm units,
+    // ≤6.4e13 — well inside LONG), bucketed at 1e11 grain. One broadcast
+    // join of the 64-row component against the exploded dims, then a
+    // two-level aggregate; shares every upstream stage with q317
+    "q318_pca_projection_census" -> ((s, d) => {
+      val (vm, w) = pcaComponentParts(s, d)
+      vm.join(broadcast(w), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(expr("m * w")).as("p"))
+        .groupBy(expr("p div 100000000000").as("bin"))
+        .agg(count(lit(1)).as("n_vecs"), sum("p").as("sum_proj"),
+          min("p").as("min_proj"), max("p").as("max_proj"))
+    }),
+
+    // DDSketch-style quantile sketch per order priority: log-bucket keys
+    // (bit-length octave + 4-bit mantissa → ≤16 sub-buckets per octave;
+    // the lower-bound estimate is within bucket width / value ≤ 1/8
+    // RELATIVE error at any magnitude — the skew-proof complement to
+    // q102's linear bins, observed ~7% at the gate sf), fully mergeable
+    // (the shuffle
+    // carries ≤ |groups|·octaves·16 bucket rows no matter the fact
+    // count), with the exact value-grain quantile and its error ppm
+    // audited inline — the hllWithExact validation pattern
+    "q319_ddsketch_quantiles" -> ((s, d) => {
+      val ov = orders(s, d).select(col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).cast("long").as("v"))
+      val keyed = ov
+        .withColumn("b", expr("length(bin(v))"))
+        .withColumn("lb", expr(
+          """(v div shiftleft(1L, cast(greatest(b - 4, 0) as int)))
+            | * shiftleft(1L, cast(greatest(b - 4, 0) as int))"""
+            .stripMargin))
+      val sk = keyed.groupBy("pri", "b", "lb")
+        .agg(count(lit(1)).as("cnt"))
+      val wS = Window.partitionBy("pri").orderBy("b", "lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wP = Window.partitionBy("pri")
+      val est = sk.withColumn("cum", sum("cnt").over(wS))
+        .withColumn("total", sum("cnt").over(wP))
+        .groupBy("pri")
+        .agg(max("total").as("n_rows"),
+          count(lit(1)).as("n_buckets"),
+          min(when(col("cum") * 100 >= col("total") * 50, col("lb")))
+            .as("p50_est"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("lb")))
+            .as("p90_est"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("lb")))
+            .as("p99_est"))
+      val vg = ov.groupBy("pri", "v").agg(count(lit(1)).as("cnt"))
+      val wV = Window.partitionBy("pri").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = vg.withColumn("cum", sum("cnt").over(wV))
+        .withColumn("total", sum("cnt").over(wP))
+        .groupBy("pri")
+        .agg(
+          min(when(col("cum") * 100 >= col("total") * 50, col("v")))
+            .as("p50_exact"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("v")))
+            .as("p90_exact"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("v")))
+            .as("p99_exact"))
+      est.join(exact, Seq("pri"))
+        .select(col("pri"), col("n_rows"), col("n_buckets"),
+          col("p50_est"), col("p50_exact"),
+          expr("((p50_exact - p50_est) * 1000000) div p50_exact")
+            .as("p50_err_ppm"),
+          col("p90_est"), col("p90_exact"),
+          expr("((p90_exact - p90_est) * 1000000) div p90_exact")
+            .as("p90_err_ppm"),
+          col("p99_est"), col("p99_exact"),
+          expr("((p99_exact - p99_est) * 1000000) div p99_exact")
+            .as("p99_err_ppm"))
+    }),
+
+    // Zipf rank-frequency slope audit per source: top-64 tokens (freq
+    // desc, token tie-break), x = qlog2(rank), y = qlog2(freq) via the
+    // shared quantized-log LUT (q319's octave+mantissa key reused as a
+    // logarithm), OLS slope from integer cross-moments — the corpus
+    // power-law health check (natural text ≈ −1000 milli; the word-salad
+    // synthetic corpus reads shallower). The token count is fact-scale;
+    // everything after the top-64 window is 64 rows per source
+    "q320_zipf_slope" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("f").desc, col("tok"))
+      val top = tf.withColumn("r", row_number().over(w))
+        .where(col("r") <= 64)
+        .select(col("source"),
+          expr(qlog2Expr("r", isSpark = true)).as("x"),
+          expr(qlog2Expr("f", isSpark = true)).as("y"))
+      top.groupBy("source").agg(
+          count(lit(1)).as("n_top"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        .select(col("source"), col("n_top"),
+          expr("cast(n_top as decimal(38,0)) * sxy - sx * sy")
+            .cast("long").as("cxy"),
+          expr("cast(n_top as decimal(38,0)) * sxx - sx * sx")
+            .cast("long").as("cxx"),
+          expr("""((cast(n_top as decimal(38,0)) * sxy - sx * sy) * 1000)
+                 | div (cast(n_top as decimal(38,0)) * sxx - sx * sx)"""
+            .stripMargin).cast("long").as("slope_milli"))
     }),
 
     // TF-IDF top-keyword extraction: per-document argmax of
@@ -6785,6 +6909,111 @@ object SparkEntry {
     ShdPanelEdges.map { case (i, src, lg, tgt) =>
       s"($i, '$src', $lg, '$tgt')" }.mkString(", ")
   private val ShdPanelTotalCells: Long = 4L * 4L * (2L + 1L)
+
+  /** Quantized log2 in micro units for q320: exact LUT for 1..7, then
+    * octave (bit-length) + 4-bit-mantissa LUT — the q319 bucket key
+    * doubling as a logarithm, one Scala constant rendered into both
+    * engines (the shift spelling is the only dialect difference).
+    */
+  private def qlog2Expr(v: String, isSpark: Boolean): String = {
+    def l2(x: Int) = Math.round(Math.log(x.toDouble) / Math.log(2.0) * 1e6)
+    val small = (1 to 7).map(i => s"WHEN $v = $i THEN ${l2(i)}")
+      .mkString(" ")
+    val hi =
+      if (isSpark) s"$v div shiftleft(1L, cast(length(bin($v)) - 4 as int))"
+      else s"$v // (1::BIGINT << (length(bin($v)) - 4))"
+    val lut = (8 to 15).map(h => s"WHEN $h THEN ${l2(h)}").mkString(" ")
+    s"(CASE $small ELSE cast(length(bin($v)) - 4 as bigint) * 1000000 + " +
+      s"(CASE $hi $lut ELSE 0 END) END)"
+  }
+
+  /** q317's power-iteration count — one Scala constant driving both the
+    * Spark loop and the generated DuckDB CTE chain.
+    */
+  private val PcaIters = 6
+
+  /** q317/q318 shared pipeline: exploded micro dims `vm(vec_id, dim, m)`
+    * and the converged ppm component `w(dim, w)` — exact-integer centered
+    * covariance + `PcaIters` unrolled power iterations (see the q317
+    * comment for the magnitude budget).
+    */
+  private def pcaComponentParts(s: SparkSession, d: String):
+      (DataFrame, DataFrame) = {
+    val vm = embeddings(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * 1e6).cast("long").as("m"))
+      .localCheckpoint(false)
+    val n = vm.agg(countDistinct("vec_id").as("n"))
+    val sums = vm.groupBy("dim")
+      .agg(sum(col("m").cast("decimal(38,0)")).as("sm"))
+      .localCheckpoint(false)
+    val av = vm.select(col("vec_id"), col("dim").as("da"),
+      col("m").as("ma"))
+    val bv = vm.select(col("vec_id"), col("dim").as("db"),
+      col("m").as("mb"))
+    val prods = av.join(bv, Seq("vec_id"))
+      .groupBy("da", "db")
+      .agg(sum((col("ma") * col("mb")).cast("decimal(38,0)")).as("sab"))
+    val cov = prods
+      .join(broadcast(sums.select(col("dim").as("da"),
+        col("sm").as("sa"))), Seq("da"))
+      .join(broadcast(sums.select(col("dim").as("db"),
+        col("sm").as("sb"))), Seq("db"))
+      .crossJoin(broadcast(n))
+      .select(col("da"), col("db"),
+        expr("cast(n as decimal(38,0)) * sab - sa * sb").as("c"))
+      .localCheckpoint(false)
+    var w = sums.select(col("dim"), lit(1000000L).as("w"))
+    (1 to PcaIters).foreach { _ =>
+      val cw = cov.join(broadcast(w), cov("db") === w("dim"))
+        .groupBy("da").agg(sum(expr("c * w")).as("cw"))
+      val mx = cw.agg(max(abs(col("cw"))).as("mx"))
+      w = cw.crossJoin(broadcast(mx))
+        .select(col("da").as("dim"),
+          expr("case when mx = 0 then cast(0 as bigint) " +
+            "else (cw * 1000000) div mx end").cast("long").as("w"))
+        .localCheckpoint(false)
+    }
+    (vm, w)
+  }
+  private def pcaIterSqlCtes: String = {
+    val sb = new StringBuilder
+    sb.append("w0 AS (SELECT dim, 1000000::HUGEINT AS w FROM sums)")
+    for (k <- 1 to PcaIters) {
+      sb.append(s""",
+        |i$k AS (
+        |  SELECT c.da AS dim, sum(c.c * w.w) AS cw
+        |  FROM cov c JOIN w${k - 1} w ON w.dim = c.db GROUP BY 1),
+        |w$k AS (
+        |  SELECT dim,
+        |    CASE WHEN mx = 0 THEN 0 ELSE (cw * 1000000) // mx END AS w
+        |  FROM i$k, (SELECT max(abs(cw)) AS mx FROM i$k))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** The full q317 pipeline as CTEs (vm → covariance → `w$PcaIters`),
+    * shared verbatim by the q317 and q318 oracles.
+    */
+  private lazy val PcaSqlCtes: String =
+    s"""vm AS (
+      |  SELECT vec_id, u.d AS dim,
+      |    floor(embedding[u.d + 1] * 1e6)::BIGINT AS m
+      |  FROM embeddings,
+      |  LATERAL (SELECT unnest(range(0, 64)) AS d) u),
+      |nn AS (SELECT count(DISTINCT vec_id)::HUGEINT AS n FROM vm),
+      |sums AS (SELECT dim, sum(m)::HUGEINT AS sm FROM vm GROUP BY 1),
+      |prods AS (
+      |  SELECT a.dim AS da, b.dim AS db,
+      |    sum(a.m::HUGEINT * b.m) AS sab
+      |  FROM vm a JOIN vm b USING (vec_id) GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT p.da, p.db, n.n * p.sab - sa.sm * sb.sm AS c
+      |  FROM prods p
+      |  JOIN sums sa ON sa.dim = p.da
+      |  JOIN sums sb ON sb.dim = p.db, nn n),
+      |$pcaIterSqlCtes""".stripMargin
 
   /** q286's quantized logistic confidence table over the clamped margin
     * bin: round(1e6 / (1 + e^(−bin/2))), bins −10..10 — one Scala
@@ -13380,6 +13609,108 @@ object SparkEntry {
         |  ($ShdPanelTotalCells - tp - fp - fn)::BIGINT AS tn,
         |  (fp + fn)::BIGINT AS shd_xor, shd_structural
         |FROM sc""".stripMargin,
+
+    "q317_pca_power_iteration" ->
+      s"""WITH $PcaSqlCtes
+        |SELECT dim::BIGINT AS dim, w::BIGINT AS w_ppm FROM w$PcaIters"""
+        .stripMargin,
+
+    "q318_pca_projection_census" ->
+      s"""WITH $PcaSqlCtes,
+        |proj AS (
+        |  SELECT v.vec_id, sum(v.m * w.w::BIGINT)::BIGINT AS p
+        |  FROM vm v JOIN w$PcaIters w ON w.dim = v.dim
+        |  GROUP BY 1)
+        |SELECT p // 100000000000 AS bin, count(*)::BIGINT AS n_vecs,
+        |  sum(p)::BIGINT AS sum_proj, min(p)::BIGINT AS min_proj,
+        |  max(p)::BIGINT AS max_proj
+        |FROM proj GROUP BY 1""".stripMargin,
+
+    "q320_zipf_slope" ->
+      s"""WITH tf AS (
+        |  SELECT source, tok, count(*)::BIGINT AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, f, r FROM (
+        |    SELECT source, tok, f,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY f DESC, tok) AS r
+        |    FROM tf) WHERE r <= 64),
+        |xy AS (
+        |  SELECT source,
+        |    ${qlog2Expr("r", isSpark = false)} AS x,
+        |    ${qlog2Expr("f", isSpark = false)} AS y
+        |  FROM top),
+        |mo AS (
+        |  SELECT source, count(*)::HUGEINT AS n_top,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_top::BIGINT AS n_top,
+        |  (n_top * sxy - sx * sy)::BIGINT AS cxy,
+        |  (n_top * sxx - sx * sx)::BIGINT AS cxx,
+        |  (((n_top * sxy - sx * sy) * 1000)
+        |    // (n_top * sxx - sx * sx))::BIGINT AS slope_milli
+        |FROM mo""".stripMargin,
+
+    "q319_ddsketch_quantiles" ->
+      """WITH ov AS (
+        |  SELECT o_orderpriority AS pri,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+        |  FROM orders),
+        |keyed AS (
+        |  SELECT pri, v, length(bin(v)) AS b,
+        |    (v // (1::BIGINT << greatest(length(bin(v)) - 4, 0)))
+        |      * (1::BIGINT << greatest(length(bin(v)) - 4, 0)) AS lb
+        |  FROM ov),
+        |sk AS (SELECT pri, b, lb, count(*)::BIGINT AS cnt
+        |  FROM keyed GROUP BY 1, 2, 3),
+        |cs AS (
+        |  SELECT pri, b, lb, cnt,
+        |    sum(cnt) OVER (PARTITION BY pri ORDER BY b, lb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY pri) AS total
+        |  FROM sk),
+        |est AS (
+        |  SELECT pri, max(total)::BIGINT AS n_rows,
+        |    count(*)::BIGINT AS n_buckets,
+        |    min(CASE WHEN cum * 100 >= total * 50 THEN lb END)::BIGINT
+        |      AS p50_est,
+        |    min(CASE WHEN cum * 100 >= total * 90 THEN lb END)::BIGINT
+        |      AS p90_est,
+        |    min(CASE WHEN cum * 100 >= total * 99 THEN lb END)::BIGINT
+        |      AS p99_est
+        |  FROM cs GROUP BY 1),
+        |vg AS (SELECT pri, v, count(*)::BIGINT AS cnt
+        |  FROM ov GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT pri, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY pri ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY pri) AS total
+        |  FROM vg),
+        |ex AS (
+        |  SELECT pri,
+        |    min(CASE WHEN cum * 100 >= total * 50 THEN v END)::BIGINT
+        |      AS p50_exact,
+        |    min(CASE WHEN cum * 100 >= total * 90 THEN v END)::BIGINT
+        |      AS p90_exact,
+        |    min(CASE WHEN cum * 100 >= total * 99 THEN v END)::BIGINT
+        |      AS p99_exact
+        |  FROM cv GROUP BY 1)
+        |SELECT e.pri, n_rows, n_buckets,
+        |  p50_est, p50_exact,
+        |  (((p50_exact - p50_est) * 1000000) // p50_exact)::BIGINT
+        |    AS p50_err_ppm,
+        |  p90_est, p90_exact,
+        |  (((p90_exact - p90_est) * 1000000) // p90_exact)::BIGINT
+        |    AS p90_err_ppm,
+        |  p99_est, p99_exact,
+        |  (((p99_exact - p99_est) * 1000000) // p99_exact)::BIGINT
+        |    AS p99_err_ppm
+        |FROM est e JOIN ex USING (pri)""".stripMargin,
 
     "q316_resample_d3c_masked" ->
       """WITH gen AS (
