@@ -6700,7 +6700,13 @@ object SparkEntry {
         .groupBy("vec_id")
         .agg(sum(expr("m * w")).as("p"))
         .groupBy(expr("p div 100000000000").as("bin"))
-        .agg(count(lit(1)).as("n_vecs"), sum("p").as("sum_proj"),
+        // per-bin MEAN, not sum: a corpus-scale sum of ~6e13-magnitude
+        // projections passes LONG near 100k vectors per bin and Spark's
+        // non-ANSI sum would wrap where DuckDB's HUGEINT doesn't —
+        // the mean stays ~6e13 at any scale (the daily-means rule)
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(cast(p as decimal(38,0))) div count(1)")
+            .cast("long").as("mean_proj_trunc"),
           min("p").as("min_proj"), max("p").as("max_proj"))
     }),
 
@@ -13622,8 +13628,8 @@ object SparkEntry {
         |  FROM vm v JOIN w$PcaIters w ON w.dim = v.dim
         |  GROUP BY 1)
         |SELECT p // 100000000000 AS bin, count(*)::BIGINT AS n_vecs,
-        |  sum(p)::BIGINT AS sum_proj, min(p)::BIGINT AS min_proj,
-        |  max(p)::BIGINT AS max_proj
+        |  (sum(p) // count(*))::BIGINT AS mean_proj_trunc,
+        |  min(p)::BIGINT AS min_proj, max(p)::BIGINT AS max_proj
         |FROM proj GROUP BY 1""".stripMargin,
 
     "q320_zipf_slope" ->

@@ -130,6 +130,29 @@ object StreamAgg {
     StreamSupport.runToMemory(src, queryName, outputMode = "complete")
   }
 
+  /** The q319 log-bucket quantile-sketch state as a STREAMING aggregation:
+    * (event_type, octave, bucket-lower-bound) counts merged across
+    * micro-batches in complete mode. The sketch's mergeability is exactly
+    * what makes it streamable with bounded state (≤ |types|·octaves·16
+    * bucket rows, independent of the event volume); positive-domain
+    * contract like the batch entry.
+    */
+  def eventsDdsketchBuckets(spark: SparkSession, sfDir: String,
+      splitDir: String, queryName: String): DataFrame = {
+    val keyed = StreamSupport.eventsSplitStream(spark, sfDir, splitDir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+      .where(col("v") > 0)
+      .withColumn("b", expr("length(bin(v))"))
+      .withColumn("lb", expr(
+        """(v div shiftleft(1L, cast(greatest(b - 4, 0) as int)))
+          | * shiftleft(1L, cast(greatest(b - 4, 0) as int))"""
+          .stripMargin))
+    StreamSupport.runToMemory(
+      keyed.groupBy("event_type", "b", "lb").agg(count(lit(1)).as("cnt")),
+      queryName, outputMode = "complete")
+  }
+
   def eventsHllRegisters(spark: SparkSession, sfDir: String, splitDir: String,
       queryName: String): DataFrame = {
     val src = StreamSupport.eventsSplitStream(spark, sfDir, splitDir)

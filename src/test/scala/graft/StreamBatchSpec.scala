@@ -53,6 +53,31 @@ class StreamBatchSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming DDSketch buckets: 2 batches, merged state equals the " +
+      "batch sketch (mergeability is the streamability)") {
+    import org.apache.spark.sql.functions._
+    val out = StreamAgg.eventsDdsketchBuckets(spark, d,
+      splitDir = tmp("dds"), queryName = s"t_dds_${System.nanoTime()}")
+    assert(StreamSupport.lastDataBatches === 2,
+      "bucket counts must merge across two real micro-batches")
+    val batch = graft.sources.Events.tsToLongNs(
+        spark.read.parquet(s"$d/events.parquet"))
+      .select(col("event_type"),
+        expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+      .where(col("v") > 0)
+      .withColumn("b", expr("length(bin(v))"))
+      .withColumn("lb", expr(
+        """(v div shiftleft(1L, cast(greatest(b - 4, 0) as int)))
+          | * shiftleft(1L, cast(greatest(b - 4, 0) as int))"""
+          .stripMargin))
+      .groupBy("event_type", "b", "lb").agg(count(lit(1)).as("cnt"))
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = batch.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("complete-mode top-k: 2 parity batches, final sink equals the batch answer") {
     import org.apache.spark.sql.functions._
     val out = StreamAgg.eventsTopTypesComplete(spark, d,
