@@ -6804,6 +6804,93 @@ object SparkEntry {
             .stripMargin).cast("long").as("slope_milli"))
     }),
 
+    // Theil-Sen robust trend per series (the estimator companion to
+    // q279's Mann-Kendall test): every ordered day pair's slope
+    // quantized as (Δv·1e6) div Δday, then the exact median of the
+    // quantized slopes (lower median — deterministic, no averaging of
+    // two middles). Pairing is panel-sized (≤ days² per series, the
+    // q279 bound); the median is one row_number window over the pair
+    // slopes, never a global sort
+    "q321_theil_sen" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+        .localCheckpoint(false)
+      val a = p.select(col("series"), col("day").as("di"),
+        col("v").as("vi"))
+      val b = p.select(col("series").as("sb"), col("day").as("dj"),
+        col("v").as("vj"))
+      val slopes = a.join(broadcast(b),
+          col("series") === col("sb") && col("di") < col("dj"))
+        .select(col("series"),
+          expr("((vj - vi) * 1000000) div (dj - di)").as("sl"))
+      val w = Window.partitionBy("series").orderBy("sl")
+      slopes
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("series")))
+        .where(col("rk") === expr("(n + 1) div 2"))
+        .select(col("series"), col("n").as("n_pairs"),
+          col("sl").as("median_slope_micro"),
+          signum(col("sl")).cast("long").as("trend_sign"))
+    }),
+
+    // propensity-score caliper matching (the missing member of the
+    // causal-adjustment family beside IPF/Neyman/CUPED/DiD): users
+    // collapse to one row (activity score = event count, outcome = mean
+    // purchase micro), treatment = user parity; every treated user
+    // matches its nearest-score control WITH replacement via the AsOf
+    // union-carry (one sort on the score axis, backward/forward struct
+    // carries, ties to the lower score then highest uid — all
+    // deterministic), caliper 5 drops distant matches; ATT = matched
+    // mean difference. User-grain input — fact-scale work is only the
+    // first aggregation; at 1e9 users the sort range-partitions on score
+    "q322_psm_matching" -> ((s, d) => {
+      val users = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          ExactStats.micro(col("value")).cast("long").as("vm"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          coalesce(expr(
+            """sum(case when event_type = 'purchase' then vm end)
+              | div nullif(sum(case when event_type = 'purchase'
+              |   then 1 else 0 end), 0)""".stripMargin), lit(0L))
+            .as("out"))
+        .select(col("user_id").as("uid"), col("score"), col("out"),
+          (col("user_id") % 2).as("treat"))
+        .localCheckpoint(false)
+      val ctl = users.where(col("treat") === 0)
+        .select(col("score").cast("long").as("s"), lit(0).as("kind"),
+          col("uid"), col("out"))
+      val trt = users.where(col("treat") === 1)
+        .select(col("score").cast("long").as("s"), lit(1).as("kind"),
+          col("uid"), col("out"))
+      val ord = Window.orderBy(col("s"), col("kind"), col("uid"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+      val cRow = when(col("kind") === 0,
+        struct(col("s").as("cs"), col("uid").as("cuid"),
+          col("out").as("cout")))
+      val matched = ctl.unionByName(trt)
+        .withColumn("_b", last(cRow, ignoreNulls = true).over(wb))
+        .withColumn("_f", first(cRow, ignoreNulls = true).over(wf))
+        .where(col("kind") === 1)
+        .withColumn("pick", when(
+          col("_f").isNotNull && (col("_b").isNull ||
+            col("_f.cs") - col("s") < col("s") - col("_b.cs")),
+          col("_f")).otherwise(col("_b")))
+        .where(col("pick").isNotNull &&
+          abs(col("pick.cs") - col("s")) <= 5)
+      matched.agg(count(lit(1)).as("n_matched"),
+          sum("out").as("sum_treated"),
+          sum("pick.cout").as("sum_control"))
+        .crossJoin(broadcast(
+          users.where(col("treat") === 1)
+            .agg(count(lit(1)).as("n_treated"))))
+        .select(col("n_treated"), col("n_matched"),
+          expr("sum_treated div n_matched").as("mean_treated_micro"),
+          expr("sum_control div n_matched").as("mean_control_micro"),
+          expr("(sum_treated div n_matched) - (sum_control div n_matched)")
+            .as("att_micro"))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -13631,6 +13718,73 @@ object SparkEntry {
         |  (sum(p) // count(*))::BIGINT AS mean_proj_trunc,
         |  min(p)::BIGINT AS min_proj, max(p)::BIGINT AS max_proj
         |FROM proj GROUP BY 1""".stripMargin,
+
+    "q321_theil_sen" ->
+      s"""WITH $CausalPanelCte,
+        |sl AS (
+        |  SELECT a.series,
+        |    ((b.v - a.v) * 1000000) // (b.day - a.day) AS sl
+        |  FROM panel a JOIN panel b
+        |    ON b.series = a.series AND a.day < b.day),
+        |rk AS (
+        |  SELECT series, sl,
+        |    row_number() OVER (PARTITION BY series ORDER BY sl) AS rk,
+        |    count(*) OVER (PARTITION BY series) AS n
+        |  FROM sl)
+        |SELECT series, n::BIGINT AS n_pairs,
+        |  sl::BIGINT AS median_slope_micro, sign(sl)::BIGINT AS trend_sign
+        |FROM rk WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q322_psm_matching" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, floor(value * 1e6)::BIGINT AS vm
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, count(*)::BIGINT AS score,
+        |    coalesce(
+        |      sum(CASE WHEN event_type = 'purchase' THEN vm END)
+        |        // nullif(sum(CASE WHEN event_type = 'purchase'
+        |            THEN 1 ELSE 0 END), 0),
+        |      0)::BIGINT AS out,
+        |    user_id % 2 AS treat
+        |  FROM ev GROUP BY user_id),
+        |pts AS (
+        |  SELECT score AS s, 0 AS kind, user_id AS uid, out
+        |  FROM u WHERE treat = 0
+        |  UNION ALL
+        |  SELECT score, 1, user_id, out FROM u WHERE treat = 1),
+        |car AS (
+        |  SELECT s, kind, uid, out,
+        |    last_value(CASE WHEN kind = 0 THEN s END IGNORE NULLS)
+        |      OVER wb AS bs,
+        |    last_value(CASE WHEN kind = 0 THEN out END IGNORE NULLS)
+        |      OVER wb AS bout,
+        |    first_value(CASE WHEN kind = 0 THEN s END IGNORE NULLS)
+        |      OVER wf AS fs,
+        |    first_value(CASE WHEN kind = 0 THEN out END IGNORE NULLS)
+        |      OVER wf AS fout
+        |  FROM pts
+        |  WINDOW wb AS (ORDER BY s, kind, uid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY s, kind, uid
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |mt AS (
+        |  SELECT s, out,
+        |    CASE WHEN fs IS NOT NULL AND (bs IS NULL OR fs - s < s - bs)
+        |      THEN fs ELSE bs END AS ms,
+        |    CASE WHEN fs IS NOT NULL AND (bs IS NULL OR fs - s < s - bs)
+        |      THEN fout ELSE bout END AS mout
+        |  FROM car WHERE kind = 1),
+        |ok AS (SELECT * FROM mt WHERE ms IS NOT NULL
+        |  AND abs(ms - s) <= 5),
+        |tt AS (SELECT count(*)::BIGINT AS n_treated FROM u
+        |  WHERE treat = 1)
+        |SELECT t.n_treated, count(*)::BIGINT AS n_matched,
+        |  (sum(out) // count(*))::BIGINT AS mean_treated_micro,
+        |  (sum(mout) // count(*))::BIGINT AS mean_control_micro,
+        |  ((sum(out) // count(*)) - (sum(mout) // count(*)))::BIGINT
+        |    AS att_micro
+        |FROM ok, tt t GROUP BY t.n_treated""".stripMargin,
 
     "q320_zipf_slope" ->
       s"""WITH tf AS (
