@@ -6891,6 +6891,131 @@ object SparkEntry {
             .as("att_micro"))
     }),
 
+    // log-rank test (the two-group comparison beside q292's
+    // Kaplan-Meier curve): groups = user parity, time-to-event = first
+    // purchase day offset with horizon censoring (the q292 contract).
+    // Per event time: at-risk and death counts by group from ONE
+    // cumulative window pass, expected deaths and hypergeometric
+    // variance in declared ppm quantization (every div truncates
+    // identically), χ² decision cross-multiplied at 5% (3.8416):
+    // 1e6·(O−E)² > 3841600·V with O−E and V in the same ppm scale
+    "q323_log_rank" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"))
+      val horizon = ev.agg(max("day").as("hz"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("origin"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("pday"))
+        .crossJoin(broadcast(horizon))
+        .select((col("user_id") % 2).as("g"),
+          coalesce(col("pday") - col("origin"),
+            col("hz") - col("origin")).as("t"),
+          col("pday").isNotNull.cast("long").as("e"))
+      val times = users.groupBy("t")
+        .agg(sum(when(col("g") === 1, col("e"))).as("d1"),
+          sum("e").as("dt"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+          count(lit(1)).as("ct"))
+      val wt = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = users.agg(count(lit(1)).as("ntot"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"))
+      val risk = times.crossJoin(broadcast(tot))
+        .select(col("t"), col("d1"), col("dt"),
+          (col("ntot") - coalesce(sum("ct").over(wt), lit(0L)))
+            .as("nt"),
+          (col("n1tot") - coalesce(sum("c1").over(wt), lit(0L)))
+            .as("n1t"))
+        .where(col("dt") > 0)
+        .select(col("t"), col("d1"), col("dt"), col("nt"), col("n1t"),
+          expr("(dt * n1t * 1000000) div nt").as("e1_ppm"),
+          expr("""case when nt <= 1 then 0 else
+                 |  (cast(dt * n1t as decimal(38,0)) * (nt - n1t)
+                 |   * (nt - dt) * 1000000)
+                 |  div (cast(nt as decimal(38,0)) * nt * (nt - 1))
+                 |end""".stripMargin).cast("long").as("v_ppm"))
+      risk.agg(count(lit(1)).as("n_times"),
+          sum(expr("d1 * 1000000 - e1_ppm")).as("o_minus_e_ppm"),
+          sum("v_ppm").as("v_ppm"))
+        .select(col("n_times"), col("o_minus_e_ppm"), col("v_ppm"),
+          expr("""case when v_ppm > 0 and
+                 |  cast(o_minus_e_ppm as decimal(38,0)) * o_minus_e_ppm
+                 |    > cast(3841600 as decimal(38,0)) * v_ppm
+                 |then 1 else 0 end""".stripMargin).cast("int")
+            .as("groups_differ"))
+    }),
+
+    // right-to-be-forgotten cascade census (the GDPR-deletion audit a
+    // pipeline needs before it mutates anything): a deterministic
+    // forget-set (key % 97 = 0) propagated through the FK graph
+    // customer→orders→lineitem plus the events user axis — per table
+    // the row count, the cascade-delete count and its ppm. Each hop is
+    // one semi join on the key (the delete-key set broadcasts at any
+    // corpus scale: it is customer-grain, not fact-grain)
+    "q324_deletion_cascade" -> ((s, d) => {
+      val cust = customer(s, d)
+      val ord = orders(s, d)
+      val li = lineitem(s, d)
+      val ev = events(s, d)
+      val fc = cust.where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey")).localCheckpoint(false)
+      val fo = ord.join(broadcast(fc),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey")).localCheckpoint(false)
+      def row(nm: String, total: DataFrame, del: DataFrame): DataFrame =
+        total.agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(del.agg(count(lit(1)).as("n_delete"))))
+          .select(lit(nm).as("table_name"), col("n_total"),
+            col("n_delete"),
+            expr("(n_delete * 1000000) div n_total").as("delete_ppm"))
+      row("customer", cust, fc)
+        .unionByName(row("orders", ord, fo))
+        .unionByName(row("lineitem", li,
+          li.join(broadcast(fo),
+            li("l_orderkey") === fo("o_orderkey"), "left_semi")))
+        .unionByName(row("events", ev,
+          ev.where(col("user_id") % 97 === 0)))
+    }),
+
+    // the full consumer loop on the reference's OWN shipped artifacts:
+    // S6-scan the shipped D3 *_missing.csv (irregular clock + masked
+    // cells), align with the nearest-lag view on the shared spine
+    // (q314's operator), run the Granger census, and flag decisions
+    // against the truth links PARSED FROM THE SHIPPED structure txt by
+    // the S4-inverse parser — file in, file-derived truth out, nothing
+    // generated. Masked cells drop out of the panel before pairing
+    "q325_granger_on_shipped" -> ((s, d) => {
+      val idxed = graft.generate.Sinks.readWideCsv(s,
+          s"$ShippedD3Base" + "_missing.csv")
+        .withColumn("t",
+          (row_number().over(Window.orderBy("time")) - 1).cast("long"))
+        .localCheckpoint(false)
+      val lx = graft.ops.Lagged.nearestLagIndexView(
+        idxed.select(col("t"), col("time")), "t", "time")
+      val pan = (1 to 4).map(i =>
+        idxed.where(col(s"X$i").isNotNull)
+          .select(lit(s"X$i").as("series"), col("t"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val e = pan.select(col("series").as("effect"), col("t"),
+        col("v").as("yv"))
+      val ep = pan.select(col("series").as("effect"),
+        col("t").as("lag_idx"), col("v").as("pv"))
+      val cp = pan.select(col("series").as("cause"),
+        col("t").as("lag_idx"), col("v").as("qv"))
+      val lagged = lx.join(broadcast(e), Seq("t"))
+        .join(broadcast(ep), Seq("effect", "lag_idx"))
+        .join(broadcast(cp), Seq("lag_idx"))
+        .where(col("cause") =!= col("effect"))
+        .select(col("cause"), col("effect"), col("yv"), col("pv"),
+          col("qv"))
+      graft.metrics.Causal.grangerDecide(
+          graft.metrics.Causal.grangerSumsFromLagged(lagged), 422L)
+        .withColumn("truth_lag1", expr(ShippedD3TruthCase))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -6991,6 +7116,24 @@ object SparkEntry {
     }.mkString(" ") + " ELSE 0 END"
   }
   private val GrangerGenTruthCase: String = grangerTruthCase("A1")
+
+  /** q325's shipped artifact pair and the truth CASE parsed from the
+    * SHIPPED structure txt by the S4-inverse parser — the same string
+    * renders into the Spark expression and the DuckDB oracle.
+    */
+  private val ShippedD3Base: String =
+    "/root/reference/Datasets/D3/lag 2/" +
+      "nonlinear_ts_n1000_vars4_lag2_noise30_mcar10_block10"
+  private lazy val ShippedD3TruthCase: String = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ShippedD3Base" + "_structure.txt"))
+    val edges = graft.generate.Sinks.parseStructureLinks(txt)
+      .filter(_._2 == 1).map(l => (l._1, l._3)).distinct
+    if (edges.isEmpty) "0"
+    else "CASE " + edges.map { case (a, b) =>
+      s"WHEN cause = '$a' AND effect = '$b' THEN 1"
+    }.mkString(" ") + " ELSE 0 END"
+  }
 
   /** q315's truth edge list (A1 4-var lag-2, enumeration-indexed) and cell
     * count — ONE Scala value rendered into both engines (NdcgDisc pattern).
@@ -13734,6 +13877,142 @@ object SparkEntry {
         |SELECT series, n::BIGINT AS n_pairs,
         |  sl::BIGINT AS median_slope_micro, sign(sl)::BIGINT AS trend_sign
         |FROM rk WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q325_granger_on_shipped" ->
+      s"""WITH csv AS (
+        |  SELECT X1, X2, X3, X4, "time",
+        |    row_number() OVER (ORDER BY "time") - 1 AS t
+        |  FROM read_csv('$ShippedD3Base${"_missing.csv"}', header=true,
+        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
+        |md AS (
+        |  SELECT (max("time") - min("time")) / (count(*) - 1) AS md
+        |  FROM csv),
+        |pts AS (
+        |  SELECT "time" AS ts, 0 AS kind, t AS idx FROM csv
+        |  UNION ALL
+        |  SELECT "time" - md.md, 1, t FROM csv, md WHERE t >= 1),
+        |carried AS (
+        |  SELECT ts, kind, idx,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wb AS bidx,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS fts,
+        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wf AS fidx
+        |  FROM pts
+        |  WINDOW wb AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |lx AS (
+        |  SELECT idx AS t,
+        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
+        |  FROM carried WHERE kind = 1),
+        |pan AS (
+        |  SELECT 'X1' AS series, t, floor(X1 * 1000)::BIGINT AS v
+        |  FROM csv WHERE X1 IS NOT NULL
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM csv
+        |  WHERE X2 IS NOT NULL
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM csv
+        |  WHERE X3 IS NOT NULL
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM csv
+        |  WHERE X4 IS NOT NULL),
+        |gl AS (
+        |  SELECT cp.series AS cause, e.series AS effect,
+        |    e.v AS yv, ep.v AS pv, cp.v AS qv
+        |  FROM lx
+        |  JOIN pan e ON e.t = lx.t
+        |  JOIN pan ep ON ep.t = lx.lag_idx AND ep.series = e.series
+        |  JOIN pan cp ON cp.t = lx.lag_idx AND cp.series <> e.series),
+        |${graft.metrics.Causal.grangerDecideSqlCtes("gl")}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  ($ShippedD3TruthCase)::INT AS truth_lag1
+        |FROM granger_out""".stripMargin,
+
+    "q324_deletion_cascade" ->
+      """WITH fc AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |fo AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM fc))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer)::BIGINT AS n_total,
+        |  (SELECT count(*) FROM fc)::BIGINT AS n_delete,
+        |  ((SELECT count(*) FROM fc) * 1000000
+        |    // (SELECT count(*) FROM customer))::BIGINT AS delete_ppm
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM fo)::BIGINT,
+        |  ((SELECT count(*) FROM fo) * 1000000
+        |    // (SELECT count(*) FROM orders))::BIGINT
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM fo))::BIGINT,
+        |  ((SELECT count(*) FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM fo)) * 1000000
+        |    // (SELECT count(*) FROM lineitem))::BIGINT
+        |UNION ALL
+        |SELECT 'events',
+        |  (SELECT count(*) FROM events)::BIGINT,
+        |  (SELECT count(*) FROM events WHERE user_id % 97 = 0)::BIGINT,
+        |  ((SELECT count(*) FROM events WHERE user_id % 97 = 0) * 1000000
+        |    // (SELECT count(*) FROM events))::BIGINT""".stripMargin,
+
+    "q323_log_rank" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |hz AS (SELECT max(day) AS hz FROM ev),
+        |us AS (
+        |  SELECT user_id, min(day) AS origin,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pday
+        |  FROM ev GROUP BY 1),
+        |uu AS (
+        |  SELECT user_id % 2 AS g,
+        |    coalesce(pday - origin, h.hz - origin) AS t,
+        |    (pday IS NOT NULL)::BIGINT AS e
+        |  FROM us, hz h),
+        |tm AS (
+        |  SELECT t, sum(CASE WHEN g = 1 THEN e END)::BIGINT AS d1,
+        |    sum(e)::BIGINT AS dt,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    count(*)::BIGINT AS ct
+        |  FROM uu GROUP BY 1),
+        |tt AS (SELECT count(*)::BIGINT AS ntot,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1tot
+        |  FROM uu),
+        |risk AS (
+        |  SELECT t, d1, dt,
+        |    (ntot - coalesce(sum(ct) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS nt,
+        |    (n1tot - coalesce(sum(c1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS n1t
+        |  FROM tm, tt),
+        |rq AS (
+        |  SELECT t, d1, dt, nt, n1t,
+        |    (dt * n1t * 1000000) // nt AS e1_ppm,
+        |    CASE WHEN nt <= 1 THEN 0 ELSE
+        |      ((dt * n1t)::HUGEINT * (nt - n1t) * (nt - dt) * 1000000)
+        |      // (nt::HUGEINT * nt * (nt - 1)) END AS v_ppm
+        |  FROM risk WHERE dt > 0)
+        |SELECT count(*)::BIGINT AS n_times,
+        |  sum(d1 * 1000000 - e1_ppm)::BIGINT AS o_minus_e_ppm,
+        |  sum(v_ppm)::BIGINT AS v_ppm,
+        |  (CASE WHEN sum(v_ppm) > 0 AND
+        |     sum(d1 * 1000000 - e1_ppm)::HUGEINT
+        |       * sum(d1 * 1000000 - e1_ppm)
+        |       > 3841600::HUGEINT * sum(v_ppm)
+        |   THEN 1 ELSE 0 END)::INT AS groups_differ
+        |FROM rq""".stripMargin,
 
     "q322_psm_matching" ->
       """WITH ev AS (
