@@ -381,6 +381,23 @@ class PlanSpec extends AnyFunSuite {
       s"only the tiny edge-literal cross joins may nested-loop:\n$p")
   }
 
+  test("q321 Theil-Sen: pair join broadcasts the panel, median window " +
+      "rides the single exchange") {
+    val p = plan("q321_theil_sen")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the day-pair join must broadcast the panel-sized side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"the per-series median window must ride one exchange:\n$p")
+  }
+
+  test("q319 DDSketch: bounded exchanges, no cartesian — the sketch and " +
+      "exact-audit pipelines each pre-aggregate before their windows") {
+    val p = plan("q319_ddsketch_quantiles")
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"sketch + exact audit must stay at two exchanges each:\n$p")
+  }
+
   test("q254 HITS: iteration state snapped — plan does not grow with rounds") {
     val p = plan("q254_nation_hits")
     assert("Exchange".r.findAllIn(p).size <= 4,
