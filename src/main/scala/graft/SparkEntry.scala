@@ -7016,6 +7016,70 @@ object SparkEntry {
         .withColumn("truth_lag1", expr(ShippedD3TruthCase))
     }),
 
+    // one-way ANOVA across the event-type series (the k-group member of
+    // the two-sample test family q280/q156): between/within sums of
+    // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
+    // div n_g (N²-scaled SSB) and W = Σ_g (n_g·Q_g − S_g²) div n_g
+    // (exact SSW up to the declared per-group div), F decision
+    // cross-multiplied at the 5% F(4,∞) value 2.372:
+    // 1000·(N−k)·B > 2372·(k−1)·W·N². Panel-grain only — magnitudes are
+    // corpus-scale-invariant (the daily-means rule)
+    "q326_anova_oneway" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val g = p.groupBy("series").agg(
+        count(lit(1)).as("n_g"),
+        sum(col("v").cast("decimal(38,0)")).as("s_g"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q_g"))
+      val tot = g.agg(sum("n_g").as("n"), sum("s_g").as("s"),
+        count(lit(1)).as("k"))
+      g.crossJoin(broadcast(tot))
+        .select(col("series"), col("n_g"), col("n"), col("k"),
+          expr("""((s_g * n - s * n_g) * (s_g * n - s * n_g))
+                 | div cast(n_g as decimal(38,0))""".stripMargin).as("b_g"),
+          expr("(cast(n_g as decimal(38,0)) * q_g - s_g * s_g)"
+            + " div cast(n_g as decimal(38,0))").as("w_g"))
+        .groupBy()
+        .agg(max("n").as("n_days"), max("k").as("k_groups"),
+          // Σb_g is N²-scaled and can pass LONG (silent Spark wrap vs a
+          // DuckDB HUGEINT cast error) — normalize by N once, declared
+          expr("sum(cast(b_g as decimal(38,0))) div max(n)")
+            .cast("long").as("ssb_n"),
+          sum(col("w_g").cast("decimal(38,0)")).cast("long").as("ssw"))
+        .select(col("n_days"), col("k_groups"), col("ssb_n"), col("ssw"),
+          expr("""case when ssw > 0 and
+                 |  1000 * (n_days - k_groups)
+                 |    * cast(ssb_n as decimal(38,0))
+                 |  > 2372 * (k_groups - 1)
+                 |    * cast(ssw as decimal(38,0)) * n_days
+                 |then 1 else 0 end""".stripMargin).cast("int")
+            .as("means_differ"))
+    }),
+
+    // Kruskal-Wallis rank test (q326's distribution-free sibling, the
+    // k-group extension of ranked two-sample comparisons): global panel
+    // ranks via one row_number with the (v, series, day) total
+    // tie-break, per-group rank sums, H cross-multiplied against χ²₄ at
+    // 5% (9.488): 1000·(12·Σ(R_g² div n_g) − 3·(N+1)²·N) >
+    // 9488·N·(N+1). Rank magnitudes are bounded by the panel day count
+    // — every product is small-LONG at any corpus scale
+    "q327_kruskal_wallis" -> ((s, d) => {
+      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
+      val ranked = p.select(col("series"),
+        row_number().over(Window.orderBy("v", "series", "day"))
+          .cast("long").as("r"))
+      val g = ranked.groupBy("series")
+        .agg(count(lit(1)).as("n_g"), sum("r").as("r_g"))
+      g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+          sum(expr("(r_g * r_g) div n_g")).as("t_sum"))
+        .select(col("n").as("n_days"), col("k").as("k_groups"),
+          col("t_sum"),
+          expr("""case when
+                 |  1000 * (12 * t_sum - 3 * (n + 1) * (n + 1) * n)
+                 |  > 9488 * n * (n + 1)
+                 |then 1 else 0 end""".stripMargin).cast("int")
+            .as("distributions_differ"))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -7201,7 +7265,7 @@ object SparkEntry {
         expr("cast(n as decimal(38,0)) * sab - sa * sb").as("c"))
       .localCheckpoint(false)
     var w = sums.select(col("dim"), lit(1000000L).as("w"))
-    (1 to PcaIters).foreach { _ =>
+    (1 to PcaIters).foreach { i =>
       val cw = cov.join(broadcast(w), cov("db") === w("dim"))
         .groupBy("da").agg(sum(expr("c * w")).as("cw"))
       val mx = cw.agg(max(abs(col("cw"))).as("mx"))
@@ -7209,7 +7273,11 @@ object SparkEntry {
         .select(col("da").as("dim"),
           expr("case when mx = 0 then cast(0 as bigint) " +
             "else (cw * 1000000) div mx end").cast("long").as("w"))
-        .localCheckpoint(false)
+      // snap only every other round: the iteration frames are 64 rows
+      // over a checkpointed cov, so the un-snapped plan stays tiny, and
+      // each localCheckpoint costs a full job — 6 of them made q317/q318
+      // scheduler-bound (~3.3 s for milliseconds of arithmetic)
+      if (i % 2 == 0) w = w.localCheckpoint(false)
     }
     (vm, w)
   }
@@ -13877,6 +13945,49 @@ object SparkEntry {
         |SELECT series, n::BIGINT AS n_pairs,
         |  sl::BIGINT AS median_slope_micro, sign(sl)::BIGINT AS trend_sign
         |FROM rk WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q327_kruskal_wallis" ->
+      s"""WITH $CausalPanelCte,
+        |rk AS (
+        |  SELECT series,
+        |    row_number() OVER (ORDER BY v, series, day)::BIGINT AS r
+        |  FROM panel),
+        |g AS (SELECT series, count(*)::BIGINT AS n_g,
+        |    sum(r)::BIGINT AS r_g
+        |  FROM rk GROUP BY 1),
+        |agg AS (
+        |  SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    sum((r_g * r_g) // n_g)::BIGINT AS t_sum
+        |  FROM g)
+        |SELECT n AS n_days, k AS k_groups, t_sum,
+        |  (CASE WHEN
+        |     1000 * (12 * t_sum - 3 * (n + 1) * (n + 1) * n)
+        |     > 9488 * n * (n + 1)
+        |   THEN 1 ELSE 0 END)::INT AS distributions_differ
+        |FROM agg""".stripMargin,
+
+    "q326_anova_oneway" ->
+      s"""WITH $CausalPanelCte,
+        |g AS (
+        |  SELECT series, count(*)::HUGEINT AS n_g,
+        |    sum(v)::HUGEINT AS s_g, sum(v::HUGEINT * v) AS q_g
+        |  FROM panel GROUP BY 1),
+        |tt AS (SELECT sum(n_g) AS n, sum(s_g) AS s, count(*)::HUGEINT AS k
+        |  FROM g),
+        |terms AS (
+        |  SELECT ((s_g * n - s * n_g) * (s_g * n - s * n_g)) // n_g
+        |      AS b_g,
+        |    (n_g * q_g - s_g * s_g) // n_g AS w_g,
+        |    n, k
+        |  FROM g, tt)
+        |SELECT max(n)::BIGINT AS n_days, max(k)::BIGINT AS k_groups,
+        |  (sum(b_g) // max(n))::BIGINT AS ssb_n,
+        |  sum(w_g)::BIGINT AS ssw,
+        |  (CASE WHEN sum(w_g) > 0 AND
+        |     1000 * (max(n) - max(k)) * (sum(b_g) // max(n))
+        |     > 2372 * (max(k) - 1) * sum(w_g) * max(n)
+        |   THEN 1 ELSE 0 END)::INT AS means_differ
+        |FROM terms""".stripMargin,
 
     "q325_granger_on_shipped" ->
       s"""WITH csv AS (
