@@ -93,12 +93,19 @@ object AsOf {
       keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
     val unioned = tagged(left, right, keyCols, tsCol, valueCols)
-    val tieBreak = valueCols.map(c => col(c).asc_nulls_first)
+    // the forward carry runs over the exactly-REVERSED total order with a
+    // growing frame: Spark recomputes an unbounded-FOLLOWING frame's
+    // aggregate from scratch at every row
+    // (UnboundedFollowingWindowFunctionFrame, O(n²) per key) while
+    // growing frames update incrementally — `last` over the reversed
+    // prefix selects the same row `first` over the forward suffix did
+    val tieBreakRev = valueCols.map(c => col(c).desc_nulls_last)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(tsCol).cast("double").asc +: col("_side").desc +: tieBreak): _*)
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy((col(tsCol).cast("double").desc +: col("_side").asc +:
+        tieBreakRev): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("_r",
-      first(rightRow(tsCol, valueCols), ignoreNulls = true).over(w))
+      last(rightRow(tsCol, valueCols), ignoreNulls = true).over(w))
     unpack(carried, lCols, col("_r"), tsCol, valueCols)
   }
 
@@ -110,16 +117,21 @@ object AsOf {
       keyCols: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
     val unioned = tagged(left, right, keyCols, tsCol, valueCols)
-    val base = Window.partitionBy(keyCols.map(col): _*)
+    val wb = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol).cast("double").asc +: col("_side").asc +:
         valueCols.map(c => col(c).asc_nulls_first)): _*)
-    val wb = base.rowsBetween(Window.unboundedPreceding, 0)
-    val wf = base.rowsBetween(0, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // reversed growing frame instead of an unbounded-following frame —
+    // see the asofForward O(n²) note
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).cast("double").desc +: col("_side").desc +:
+        valueCols.map(c => col(c).desc_nulls_last)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
 
     val rrow = rightRow(tsCol, valueCols)
     val withBoth = unioned
       .withColumn("_b", last(rrow, ignoreNulls = true).over(wb))
-      .withColumn("_f", first(rrow, ignoreNulls = true).over(wf))
+      .withColumn("_f", last(rrow, ignoreNulls = true).over(wf))
     val bts = col("_b").getField(tsCol).cast("double")
     val fts = col("_f").getField(tsCol).cast("double")
     val takeBackward = col("_f").isNull ||

@@ -67,17 +67,24 @@ object Lagged {
       .select(keys.map(col) :+
         (col(tsCol).cast("double") - col("_md")).as("_ts") :+
         lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx"): _*)
-    val ord = Window.partitionBy(keys.map(col): _*)
+    val wb = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_kind").asc, col("_idx").asc)
-    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the forward carry runs over the exactly-REVERSED total order with a
+    // growing frame: Spark recomputes an unbounded-FOLLOWING frame's
+    // aggregate from scratch at every row (O(n²) —
+    // UnboundedFollowingWindowFunctionFrame; profiled at 3 s for a 5k-row
+    // spine), while growing frames update incrementally
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").desc, col("_kind").desc, col("_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     // the candidate travels as one struct: ts and idx must come from the
     // SAME data row (see the AsOf chimera note)
     val dRow = when(col("_kind") === 0,
       struct(col("_ts").as("ts"), col("_idx").as("idx")))
     val carried = data.unionByName(probes)
       .withColumn("_b", last(dRow, ignoreNulls = true).over(wb))
-      .withColumn("_f", first(dRow, ignoreNulls = true).over(wf))
+      .withColumn("_f", last(dRow, ignoreNulls = true).over(wf))
       .where(col("_kind") === 1)
     // forward candidate only counts when it is still a PAST index; an
     // exact tie goes backward (argmin returns the first minimizing index)
