@@ -6865,15 +6865,19 @@ object SparkEntry {
       val trt = users.where(col("treat") === 1)
         .select(col("score").cast("long").as("s"), lit(1).as("kind"),
           col("uid"), col("out"))
-      val ord = Window.orderBy(col("s"), col("kind"), col("uid"))
-      val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
-      val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+      val wb = Window.orderBy(col("s"), col("kind"), col("uid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // reversed growing frame, not unbounded-following (the AsOf O(n²)
+      // note): last over the exactly-reversed order picks the same row
+      val wf = Window.orderBy(col("s").desc, col("kind").desc,
+          col("uid").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       val cRow = when(col("kind") === 0,
         struct(col("s").as("cs"), col("uid").as("cuid"),
           col("out").as("cout")))
       val matched = ctl.unionByName(trt)
         .withColumn("_b", last(cRow, ignoreNulls = true).over(wb))
-        .withColumn("_f", first(cRow, ignoreNulls = true).over(wf))
+        .withColumn("_f", last(cRow, ignoreNulls = true).over(wf))
         .where(col("kind") === 1)
         .withColumn("pick", when(
           col("_f").isNotNull && (col("_b").isNull ||
