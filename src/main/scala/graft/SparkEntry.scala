@@ -6911,7 +6911,7 @@ object SparkEntry {
         expr("(ts div 1000) div 86400000000").as("day"),
         col("event_type"))
       val horizon = ev.agg(max("day").as("hz"))
-      val users = ev.groupBy("user_id")
+      val subjects = ev.groupBy("user_id")
         .agg(min("day").as("origin"),
           min(when(col("event_type") === "purchase", col("day")))
             .as("pday"))
@@ -6920,38 +6920,7 @@ object SparkEntry {
           coalesce(col("pday") - col("origin"),
             col("hz") - col("origin")).as("t"),
           col("pday").isNotNull.cast("long").as("e"))
-      val times = users.groupBy("t")
-        .agg(sum(when(col("g") === 1, col("e"))).as("d1"),
-          sum("e").as("dt"),
-          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
-          count(lit(1)).as("ct"))
-      val wt = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val tot = users.agg(count(lit(1)).as("ntot"),
-        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"))
-      val risk = times.crossJoin(broadcast(tot))
-        .select(col("t"), col("d1"), col("dt"),
-          (col("ntot") - coalesce(sum("ct").over(wt), lit(0L)))
-            .as("nt"),
-          (col("n1tot") - coalesce(sum("c1").over(wt), lit(0L)))
-            .as("n1t"))
-        .where(col("dt") > 0)
-        .select(col("t"), col("d1"), col("dt"), col("nt"), col("n1t"),
-          expr("(dt * n1t * 1000000) div nt").as("e1_ppm"),
-          expr("""case when nt <= 1 then 0 else
-                 |  (cast(dt * n1t as decimal(38,0)) * (nt - n1t)
-                 |   * (nt - dt) * 1000000)
-                 |  div (cast(nt as decimal(38,0)) * nt * (nt - 1))
-                 |end""".stripMargin).cast("long").as("v_ppm"))
-      risk.agg(count(lit(1)).as("n_times"),
-          sum(expr("d1 * 1000000 - e1_ppm")).as("o_minus_e_ppm"),
-          sum("v_ppm").as("v_ppm"))
-        .select(col("n_times"), col("o_minus_e_ppm"), col("v_ppm"),
-          expr("""case when v_ppm > 0 and
-                 |  cast(o_minus_e_ppm as decimal(38,0)) * o_minus_e_ppm
-                 |    > cast(3841600 as decimal(38,0)) * v_ppm
-                 |then 1 else 0 end""".stripMargin).cast("int")
-            .as("groups_differ"))
+      graft.metrics.Causal.logRank(subjects)
     }),
 
     // right-to-be-forgotten cascade census (the GDPR-deletion audit a
@@ -7033,36 +7002,9 @@ object SparkEntry {
     // cross-multiplied at the 5% F(4,∞) value 2.372:
     // 1000·(N−k)·B > 2372·(k−1)·W·N². Panel-grain only — magnitudes are
     // corpus-scale-invariant (the daily-means rule)
-    "q326_anova_oneway" -> ((s, d) => {
-      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
-      val g = p.groupBy("series").agg(
-        count(lit(1)).as("n_g"),
-        sum(col("v").cast("decimal(38,0)")).as("s_g"),
-        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q_g"))
-      val tot = g.agg(sum("n_g").as("n"), sum("s_g").as("s"),
-        count(lit(1)).as("k"))
-      g.crossJoin(broadcast(tot))
-        .select(col("series"), col("n_g"), col("n"), col("k"),
-          expr("""((s_g * n - s * n_g) * (s_g * n - s * n_g))
-                 | div cast(n_g as decimal(38,0))""".stripMargin).as("b_g"),
-          expr("(cast(n_g as decimal(38,0)) * q_g - s_g * s_g)"
-            + " div cast(n_g as decimal(38,0))").as("w_g"))
-        .groupBy()
-        .agg(max("n").as("n_days"), max("k").as("k_groups"),
-          // Σb_g is N²-scaled and can pass LONG (silent Spark wrap vs a
-          // DuckDB HUGEINT cast error) — normalize by N once, declared
-          expr("sum(cast(b_g as decimal(38,0))) div max(n)")
-            .cast("long").as("ssb_n"),
-          sum(col("w_g").cast("decimal(38,0)")).cast("long").as("ssw"))
-        .select(col("n_days"), col("k_groups"), col("ssb_n"), col("ssw"),
-          expr("""case when ssw > 0 and
-                 |  1000 * (n_days - k_groups)
-                 |    * cast(ssb_n as decimal(38,0))
-                 |  > 2372 * (k_groups - 1)
-                 |    * cast(ssw as decimal(38,0)) * n_days
-                 |then 1 else 0 end""".stripMargin).cast("int")
-            .as("means_differ"))
-    }),
+    "q326_anova_oneway" -> ((s, d) =>
+      graft.metrics.Causal.anovaOneWay(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
 
     // Kruskal-Wallis rank test (q326's distribution-free sibling, the
     // k-group extension of ranked two-sample comparisons): global panel
@@ -7071,23 +7013,9 @@ object SparkEntry {
     // 5% (9.488): 1000·(12·Σ(R_g² div n_g) − 3·(N+1)²·N) >
     // 9488·N·(N+1). Rank magnitudes are bounded by the panel day count
     // — every product is small-LONG at any corpus scale
-    "q327_kruskal_wallis" -> ((s, d) => {
-      val p = graft.metrics.Causal.dailyMeanPanel(events(s, d))
-      val ranked = p.select(col("series"),
-        row_number().over(Window.orderBy("v", "series", "day"))
-          .cast("long").as("r"))
-      val g = ranked.groupBy("series")
-        .agg(count(lit(1)).as("n_g"), sum("r").as("r_g"))
-      g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
-          sum(expr("(r_g * r_g) div n_g")).as("t_sum"))
-        .select(col("n").as("n_days"), col("k").as("k_groups"),
-          col("t_sum"),
-          expr("""case when
-                 |  1000 * (12 * t_sum - 3 * (n + 1) * (n + 1) * n)
-                 |  > 9488 * n * (n + 1)
-                 |then 1 else 0 end""".stripMargin).cast("int")
-            .as("distributions_differ"))
-    }),
+    "q327_kruskal_wallis" -> ((s, d) =>
+      graft.metrics.Causal.kruskalWallis(
+        graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
 
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf

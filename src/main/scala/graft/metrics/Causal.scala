@@ -371,4 +371,98 @@ object Causal {
           (ln("c3") + ln("c_y") - ln("c_yx") - ln("c_yy")))
           .cast("long").as("te_micro_n"))
   }
+
+  /** One-way ANOVA over a panel (series, day, v): between/within sums of
+    * squares from per-group integer moments (B N²-scaled with a declared
+    * per-group div, then one N-normalization so the sum stays in LONG),
+    * F decision cross-multiplied at the 5% F(k−1, ∞) value `fCritMilli`.
+    * q326's engine; panel-grain magnitudes are corpus-scale-invariant.
+    */
+  def anovaOneWay(panel: DataFrame, fCritMilli: Long = 2372L): DataFrame = {
+    val g = panel.groupBy("series").agg(
+      count(lit(1)).as("n_g"),
+      sum(col("v").cast("decimal(38,0)")).as("s_g"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).as("q_g"))
+    val tot = g.agg(sum("n_g").as("n"), sum("s_g").as("s"),
+      count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .select(col("series"), col("n_g"), col("n"), col("k"),
+        expr("""((s_g * n - s * n_g) * (s_g * n - s * n_g))
+               | div cast(n_g as decimal(38,0))""".stripMargin).as("b_g"),
+        expr("(cast(n_g as decimal(38,0)) * q_g - s_g * s_g)"
+          + " div cast(n_g as decimal(38,0))").as("w_g"))
+      .groupBy()
+      .agg(max("n").as("n_days"), max("k").as("k_groups"),
+        expr("sum(cast(b_g as decimal(38,0))) div max(n)")
+          .cast("long").as("ssb_n"),
+        sum(col("w_g").cast("decimal(38,0)")).cast("long").as("ssw"))
+      .select(col("n_days"), col("k_groups"), col("ssb_n"), col("ssw"),
+        expr(s"""case when ssw > 0 and
+               |  1000 * (n_days - k_groups)
+               |    * cast(ssb_n as decimal(38,0))
+               |  > $fCritMilli * (k_groups - 1)
+               |    * cast(ssw as decimal(38,0)) * n_days
+               |then 1 else 0 end""".stripMargin).cast("int")
+          .as("means_differ"))
+  }
+
+  /** Kruskal-Wallis over a panel (series, day, v): global ranks with the
+    * (v, series, day) total tie-break, H cross-multiplied against the
+    * χ²_{k−1} 5% value `chi2Milli`. q327's engine.
+    */
+  def kruskalWallis(panel: DataFrame, chi2Milli: Long = 9488L): DataFrame = {
+    val ranked = panel.select(col("series"),
+      row_number().over(Window.orderBy("v", "series", "day"))
+        .cast("long").as("r"))
+    val g = ranked.groupBy("series")
+      .agg(count(lit(1)).as("n_g"), sum("r").as("r_g"))
+    g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(expr("(r_g * r_g) div n_g")).as("t_sum"))
+      .select(col("n").as("n_days"), col("k").as("k_groups"),
+        col("t_sum"),
+        expr(s"""case when
+               |  1000 * (12 * t_sum - 3 * (n + 1) * (n + 1) * n)
+               |  > $chi2Milli * n * (n + 1)
+               |then 1 else 0 end""".stripMargin).cast("int")
+          .as("distributions_differ"))
+  }
+
+  /** Log-rank test over subjects (g ∈ {0,1}, t time-to-event-or-censor,
+    * e event flag): per event time the at-risk/death counts by group from
+    * one cumulative pass, ppm-quantized expectation + hypergeometric
+    * variance, χ²₁ decision cross-multiplied (`z2Ppm` = z²·10⁶ at the
+    * chosen level). q323's engine.
+    */
+  def logRank(subjects: DataFrame, z2Ppm: Long = 3841600L): DataFrame = {
+    val times = subjects.groupBy("t")
+      .agg(sum(when(col("g") === 1, col("e"))).as("d1"),
+        sum("e").as("dt"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("ct"))
+    val wt = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = subjects.agg(count(lit(1)).as("ntot"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"))
+    val risk = times.crossJoin(broadcast(tot))
+      .select(col("t"), col("d1"), col("dt"),
+        (col("ntot") - coalesce(sum("ct").over(wt), lit(0L))).as("nt"),
+        (col("n1tot") - coalesce(sum("c1").over(wt), lit(0L))).as("n1t"))
+      .where(col("dt") > 0)
+      .select(col("t"), col("d1"), col("dt"), col("nt"), col("n1t"),
+        expr("(dt * n1t * 1000000) div nt").as("e1_ppm"),
+        expr("""case when nt <= 1 then 0 else
+               |  (cast(dt * n1t as decimal(38,0)) * (nt - n1t)
+               |   * (nt - dt) * 1000000)
+               |  div (cast(nt as decimal(38,0)) * nt * (nt - 1))
+               |end""".stripMargin).cast("long").as("v_ppm"))
+    risk.agg(count(lit(1)).as("n_times"),
+        sum(expr("d1 * 1000000 - e1_ppm")).as("o_minus_e_ppm"),
+        sum("v_ppm").as("v_ppm"))
+      .select(col("n_times"), col("o_minus_e_ppm"), col("v_ppm"),
+        expr(s"""case when v_ppm > 0 and
+               |  cast(o_minus_e_ppm as decimal(38,0)) * o_minus_e_ppm
+               |    > cast($z2Ppm as decimal(38,0)) * v_ppm
+               |then 1 else 0 end""".stripMargin).cast("int")
+          .as("groups_differ"))
+  }
 }

@@ -615,4 +615,56 @@ class StatTestsSpec extends AnyFunSuite {
         s"priority $prio top-2")
     }
   }
+
+  test("anova + kruskal-wallis: identical groups never reject; a " +
+      "planted mean shift rejects both") {
+    import spark.implicits._
+    def panel(shift: Long) = (for {
+      s <- Seq("a", "b", "c")
+      day <- 0L until 40L
+    } yield (s, day, 1000L + (day % 7) * 10 +
+        (if (s == "c") shift else 0L)))
+      .toDF("series", "day", "v")
+    val same = Causal.anovaOneWay(panel(0)).collect()(0)
+    assert(same.getAs[Int]("means_differ") == 0)
+    val shifted = Causal.anovaOneWay(panel(500)).collect()(0)
+    assert(shifted.getAs[Int]("means_differ") == 1)
+    assert(shifted.getAs[Long]("k_groups") == 3
+      && shifted.getAs[Long]("n_days") == 120)
+    val kwSame = Causal.kruskalWallis(panel(0)).collect()(0)
+    assert(kwSame.getAs[Int]("distributions_differ") == 0)
+    val kwShift = Causal.kruskalWallis(panel(500)).collect()(0)
+    assert(kwShift.getAs[Int]("distributions_differ") == 1)
+  }
+
+  test("log-rank: symmetric groups never reject; a group with uniformly " +
+      "earlier events rejects") {
+    import spark.implicits._
+    // symmetric: both groups share the identical (t, e) profile
+    val sym = (for {
+      g <- Seq(0, 1); i <- 1 to 60
+    } yield (g, (i % 20 + 1).toLong, (i % 3 != 0).compare(false).toLong))
+      .toDF("g", "t", "e")
+    assert(Causal.logRank(sym).collect()(0)
+      .getAs[Int]("groups_differ") == 0)
+    // planted: group 1 experiences every event much earlier
+    val shifted = (for (i <- 1 to 60) yield (0, 20L + (i % 10), 1L))
+      .++(for (i <- 1 to 60) yield (1, 1L + (i % 10), 1L))
+      .toDF("g", "t", "e")
+    assert(Causal.logRank(shifted).collect()(0)
+      .getAs[Int]("groups_differ") == 1)
+  }
+
+  test("psm matching: every pick is a control within the caliper and is " +
+      "the nearest score (q322 on the gate sf)") {
+    val out = SparkEntry.queries("q322_psm_matching")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val nT = out.getAs[Long]("n_treated")
+    val nM = out.getAs[Long]("n_matched")
+    assert(nT > 0 && nM > 0 && nM <= nT)
+    // ATT is exactly the difference of the two reported truncated means
+    assert(out.getAs[Long]("att_micro") ==
+      out.getAs[Long]("mean_treated_micro") -
+        out.getAs[Long]("mean_control_micro"))
+  }
 }
