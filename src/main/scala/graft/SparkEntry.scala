@@ -7017,6 +7017,42 @@ object SparkEntry {
       graft.metrics.Causal.kruskalWallis(
         graft.metrics.Causal.dailyMeanPanel(events(s, d)))),
 
+    // Nelson-Aalen cumulative hazard (the estimator dual of q292's
+    // Kaplan-Meier survival curve, same cohort contract): per event time
+    // the ppm hazard increment (d·1e6) div n_risk, accumulated by one
+    // cumulative window — no product fold needed, so unlike KM the curve
+    // is a plain running sum. Shares the at-risk derivation verbatim
+    "q328_nelson_aalen" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"))
+      val horizon = ev.agg(max("day").as("hz"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("origin"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("pday"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          coalesce(col("pday") - col("origin"),
+            col("hz") - col("origin")).as("t"),
+          col("pday").isNotNull.cast("int").as("ev"))
+      val times = users.groupBy("t")
+        .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+      val wt = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = users.agg(count(lit(1)).as("ntot"))
+      val wc = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      times.crossJoin(broadcast(tot))
+        .select(col("t"), col("d"),
+          (col("ntot") - coalesce(sum("c").over(wt), lit(0L)))
+            .as("n_risk"))
+        .where(col("d") > 0)
+        .select(col("t"), col("n_risk"), col("d"),
+          sum(expr("(d * 1000000) div n_risk")).over(wc)
+            .as("cum_hazard_ppm"))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -13882,6 +13918,34 @@ object SparkEntry {
         |SELECT series, n::BIGINT AS n_pairs,
         |  sl::BIGINT AS median_slope_micro, sign(sl)::BIGINT AS trend_sign
         |FROM rk WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q328_nelson_aalen" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |hz AS (SELECT max(day) AS hz FROM ev),
+        |us AS (
+        |  SELECT user_id, min(day) AS origin,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pday
+        |  FROM ev GROUP BY 1),
+        |uu AS (
+        |  SELECT coalesce(pday - origin, h.hz - origin) AS t,
+        |    (pday IS NOT NULL)::INT AS e
+        |  FROM us, hz h),
+        |tm AS (SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS c
+        |  FROM uu GROUP BY 1),
+        |tt AS (SELECT count(*)::BIGINT AS ntot FROM uu),
+        |risk AS (
+        |  SELECT t, d,
+        |    (ntot - coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS n_risk
+        |  FROM tm, tt)
+        |SELECT t, n_risk, d,
+        |  (sum((d * 1000000) // n_risk) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_hazard_ppm
+        |FROM risk WHERE d > 0""".stripMargin,
 
     "q327_kruskal_wallis" ->
       s"""WITH $CausalPanelCte,
