@@ -61,6 +61,39 @@ class E2ESpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/val_matrix.npy").length() > 128)
   }
 
+  test("shipped-artifact loop (q325): the structure-file edge X3->X2 is " +
+      "recovered from the shipped masked CSV, and truth flags come only " +
+      "from the parsed file") {
+    System.setProperty("graft.gen.dir", Files.createTempDirectory("e2e_q325").toString)
+    val rows = SparkEntry.queries("q325_granger_on_shipped")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 12) // 4 series, ordered pairs
+    val byPair = rows.map(r => (r.getAs[String]("cause"),
+      r.getAs[String]("effect")) ->
+      (r.getAs[Int]("granger"), r.getAs[Int]("truth_lag1"))).toMap
+    // the shipped D3 structure txt declares exactly one lag-1 edge
+    assert(byPair.count(_._2._2 == 1) == 1)
+    assert(byPair(("X3", "X2")) == (1, 1),
+      "the declared lag-1 edge must be both flagged and true")
+  }
+
+  test("shipped-tree census (q312): only the four grammars' funcs appear, " +
+      "lags are non-negative, and the census is non-trivial") {
+    val rows = SparkEntry.queries("q312_structure_parse_census")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val allowedFuncs = Set("linear", "cos", "sin", "confounder") ++
+      (2 to 3).map(p => s"power$p")
+    rows.foreach { r =>
+      assert(allowedFuncs.contains(r.getAs[String]("func")),
+        s"unexpected func ${r.getAs[String]("func")}")
+      assert(r.getAs[Long]("lag") >= 0)
+      assert(r.getAs[Long]("n_links") > 0)
+    }
+    // the shipped tree carries thousands of link lines
+    assert(rows.map(_.getAs[Long]("n_links")).sum > 5000)
+  }
+
   test("determinism end-to-end: same config twice gives identical rows") {
     val cfg = Grid.forFamily("D3C").head.copy(nPoints = 500)
     import spark.implicits._
