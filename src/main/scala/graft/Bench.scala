@@ -154,6 +154,24 @@ object Bench {
       docs.unpersist(); planted.unpersist()
     }
 
+    // Panel-scale graph scoring at the ARCHITECTURE-claimed magnitude:
+    // ONE pair-level join pass scoring 1,000,000 deterministically
+    // perturbed predicted graphs against the A1 4-var lag-2 truth
+    // (q315's exact contract at ~830x its oracle size — ~10M edge rows
+    // per side). Measures the "a million graphs is one shuffle" claim
+    // instead of asserting it.
+    val runShd = only.forall(_.exists(_.startsWith("shd")))
+    if (runShd) {
+      val edges = graft.core.Parser.truthLinks("A1", 4, 2).zipWithIndex
+        .map { case (l, i) => (i, l.source, l.lag, l.target) }
+      median3("shd_panel_1m_graphs") {
+        val (truth, pred) = graft.metrics.Metrics.perturbedGraphs(
+          spark, 1000000L, edges)
+        graft.metrics.Metrics.scoreAll(truth, pred)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
     // matches no query name but selects the generation stages alone — the
     // fresh-JVM profiling shape). Only tokens that themselves start with

@@ -6620,27 +6620,8 @@ object SparkEntry {
     // pre-collapse on the exact join key. The ARCHITECTURE "a million
     // graphs is one shuffle" claim, oracled; PlanSpec pins the shape
     "q315_shd_panel_scale" -> ((s, d) => {
-      import s.implicits._
-      val edges = s.createDataset(ShdPanelEdges)
-        .toDF("idx", "source", "lag", "target")
-      val gs = s.range(0, 1200).select(col("id").as("graphId"))
-      val base = gs.crossJoin(broadcast(edges))
-      val truth = base.select(col("graphId"), col("source"), col("target"),
-        col("lag"))
-      val flipRev = (col("graphId") + col("idx")) % 7 === 1
-      val flipped = base
-        .where((col("graphId") + lit(3) * col("idx")) % 5 =!= 0)
-        .select(col("graphId"),
-          when(flipRev, col("target")).otherwise(col("source")).as("source"),
-          when(flipRev, col("source")).otherwise(col("target")).as("target"),
-          col("lag"))
-      val spurName =
-        concat(lit("X"), ((col("graphId") + col("idx")) % 4 + 1).cast("string"))
-      val spurious = base
-        .where((col("graphId") + col("idx")) % 11 === 2)
-        .select(col("graphId"), spurName.as("source"), spurName.as("target"),
-          lit(0).as("lag"))
-      val pred = flipped.unionByName(spurious).distinct()
+      val (truth, pred) = graft.metrics.Metrics.perturbedGraphs(
+        s, 1200L, ShdPanelEdges)
       graft.metrics.Metrics.scoreAll(truth, pred)
         .withColumn("tn",
           lit(ShdPanelTotalCells) - col("tp") - col("fp") - col("fn"))

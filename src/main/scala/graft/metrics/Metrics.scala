@@ -103,6 +103,37 @@ object Metrics {
       .withColumn("shd_xor", col("fp") + col("fn"))
   }
 
+  /** Deterministic perturbed-prediction builder for panel-scale scoring
+    * (q315's contract, reused by the 1M-graph bench entry): graphs
+    * 0..nGraphs−1 over an indexed truth edge list — drop by
+    * (g+3·idx)%5, reverse by (g+idx)%7, spurious self-loop by
+    * (g+idx)%11 — pure integer arithmetic a SQL oracle can replay.
+    * Returns (truth, predicted) edge DataFrames keyed by graphId.
+    */
+  def perturbedGraphs(spark: SparkSession, nGraphs: Long,
+      edges: Seq[(Int, String, Int, String)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ed = spark.createDataset(edges).toDF("idx", "source", "lag", "target")
+    val gs = spark.range(0, nGraphs).select(col("id").as("graphId"))
+    val base = gs.crossJoin(broadcast(ed))
+    val truth = base.select(col("graphId"), col("source"), col("target"),
+      col("lag"))
+    val flipRev = (col("graphId") + col("idx")) % 7 === 1
+    val flipped = base
+      .where((col("graphId") + lit(3) * col("idx")) % 5 =!= 0)
+      .select(col("graphId"),
+        when(flipRev, col("target")).otherwise(col("source")).as("source"),
+        when(flipRev, col("source")).otherwise(col("target")).as("target"),
+        col("lag"))
+    val spurName =
+      concat(lit("X"), ((col("graphId") + col("idx")) % 4 + 1).cast("string"))
+    val spurious = base
+      .where((col("graphId") + col("idx")) % 11 === 2)
+      .select(col("graphId"), spurName.as("source"), spurName.as("target"),
+        lit(0).as("lag"))
+    (truth, flipped.unionByName(spurious).distinct())
+  }
+
   /** Orientation-aware structural SHD (metrics_helper.py:80-138), per graph:
     * for each unordered pair {u,v} at each lag — cost 1 for an extra/missing
     * edge, 1 for a reversal (both single but opposite); self-loops add/delete
