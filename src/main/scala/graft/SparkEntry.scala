@@ -7034,6 +7034,27 @@ object SparkEntry {
             .as("cum_hazard_ppm"))
     }),
 
+    // PC skeleton under a HIDDEN confounder (q300's A1C sibling and
+    // q313's undirected dual): generate A1C but observe only X1..X4 —
+    // U's contemporaneous fan-in leaves extra dependence the skeleton
+    // cannot separate, so `edge` flags surface against truth_adj = 0
+    // rows built from the catalog's X-X adjacencies alone. Same 200-obs
+    // window (the rank-moment n⁴ cap) and shared PC CTEs as q300
+    "q329_pc_confounded" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1C").find(c =>
+        c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q329_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4")))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.pcSkeleton(panel)
+        .withColumn("truth_adj", expr(pcTruthCase("A1C")))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -7101,8 +7122,14 @@ object SparkEntry {
   /** The catalog's A1 4-var lag-2 ANY-lag unordered adjacency as a CASE
     * flag over (a, b) with a < b — shared by q300 and its oracle.
     */
-  private val PcGenTruthCase: String = {
-    val pairs = graft.core.Parser.truthLinks("A1", 4, 2)
+  /** Declared X-X adjacencies of a (family, 4-var, lag-2) cell as a CASE
+    * flag over unordered pairs — U-incident links are excluded because
+    * the PC capstones observe only the X panel (q329's point: the hidden
+    * confounder's footprint shows in `edge` against truth_adj = 0 rows).
+    */
+  private def pcTruthCase(family: String): String = {
+    val pairs = graft.core.Parser.truthLinks(family, 4, 2)
+      .filter(l => l.source != "U" && l.target != "U")
       .map(l => if (l.source < l.target) (l.source, l.target)
         else (l.target, l.source))
       .filter(p => p._1 != p._2).distinct
@@ -7111,6 +7138,7 @@ object SparkEntry {
       s"WHEN a = '$x' AND b = '$y' THEN 1"
     }.mkString(" ") + " ELSE 0 END"
   }
+  private val PcGenTruthCase: String = pcTruthCase("A1")
 
   private def GroupByAllSql(table: String): String =
     s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -13899,6 +13927,20 @@ object SparkEntry {
         |SELECT series, n::BIGINT AS n_pairs,
         |  sl::BIGINT AS median_slope_micro, sign(sl)::BIGINT AS trend_sign
         |FROM rk WHERE rk = (n + 1) // 2""".stripMargin,
+
+    "q329_pc_confounded" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q329_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
+        |SELECT a, b, n, cab, keep0, sepset, edge,
+        |  (${pcTruthCase("A1C")})::INT AS truth_adj
+        |FROM pc_out""".stripMargin,
 
     "q328_nelson_aalen" ->
       """WITH ev AS (
