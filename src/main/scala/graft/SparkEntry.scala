@@ -6660,29 +6660,36 @@ object SparkEntry {
 
     // distributed PCA top component over the embedding table, exact
     // integers end-to-end: centered covariance C_ab = n·Σm_a m_b −
-    // Σm_a·Σm_b from ONE dim-pair aggregation pass (64² groups, the
-    // fan-out is per-row dim², never row-pairs), then 6 unrolled power
+    // Σm_a·Σm_b from ONE CovMatrix.pairSums sufficient-statistics
+    // aggregate (map-side combined; the shuffle carries a single 2,145-
+    // field row, never vector rows), then 6 unrolled power
     // iterations over the broadcast 4,096-cell matrix with a ppm rescale
     // by max|w| each round — w stays in [−1e6, 1e6], products peak
     // ~1e33 inside DECIMAL(38)/HUGEINT, and the div quotient is ppm-
     // bounded (the q309 wrap lesson). No driver loop: iteration state is
     // a 64-row localCheckpoint, exactly the q254 HITS pattern
     "q317_pca_power_iteration" -> ((s, d) => {
-      val (_, w) = pcaComponentParts(s, d)
-      w.select(col("dim").cast("long").as("dim"), col("w").as("w_ppm"))
+      pcaComponentParts(s, d)
+        .select(col("dim").cast("long").as("dim"), col("w").as("w_ppm"))
     }),
 
     // PCA projection census (the curation use of q317's component:
     // 1-D dimensionality reduction for binning/outlier cuts): every
     // vector's exact integer projection Σ m_d·w_d (micro·ppm units,
-    // ≤6.4e13 — well inside LONG), bucketed at 1e11 grain. One broadcast
-    // join of the 64-row component against the exploded dims, then a
-    // two-level aggregate; shares every upstream stage with q317
+    // ≤6.4e13 — well inside LONG), bucketed at 1e11 grain. The 64-row
+    // component is folded to ONE broadcast array and the dot product runs
+    // as a per-row `aggregate` lambda over the array column — no explode,
+    // no per-vector shuffle; the only exchange left is the tiny bin
+    // aggregate. Shares the covariance/iteration stages with q317
     "q318_pca_projection_census" -> ((s, d) => {
-      val (vm, w) = pcaComponentParts(s, d)
-      vm.join(broadcast(w), Seq("dim"))
-        .groupBy("vec_id")
-        .agg(sum(expr("m * w")).as("p"))
+      val w = pcaComponentParts(s, d)
+      val warr = w.agg(array_sort(collect_list(
+          struct(col("dim"), col("w")))).as("sw"))
+        .select(transform(col("sw"), x => x.getField("w")).as("warr"))
+      embeddings(s, d).crossJoin(broadcast(warr))
+        .select(expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+          "acc + floor(element_at(embedding, i + 1) * 1e6) * " +
+          "element_at(warr, i + 1))").as("p"))
         .groupBy(expr("p div 100000000000").as("bin"))
         // per-bin MEAN, not sum: a corpus-scale sum of ~6e13-magnitude
         // projections passes LONG near 100k vectors per bin and Spark's
@@ -7214,39 +7221,48 @@ object SparkEntry {
     */
   private val PcaIters = 6
 
-  /** q317/q318 shared pipeline: exploded micro dims `vm(vec_id, dim, m)`
-    * and the converged ppm component `w(dim, w)` — exact-integer centered
-    * covariance + `PcaIters` unrolled power iterations (see the q317
-    * comment for the magnitude budget).
+  /** q317/q318 shared pipeline: the converged ppm component `w(dim, w)` —
+    * exact-integer centered covariance + `PcaIters` unrolled power
+    * iterations (see the q317 comment for the magnitude budget).
+    *
+    * The covariance comes from [[graft.ops.CovMatrix.pairSums]] over the
+    * 64 quantized array slots: ONE map-side-combinable aggregate over the
+    * fact rows (n + 64 sums + 64 sums-of-squares + 2,016 cross-products in
+    * a single sufficient-statistics row), zero shuffles of vector rows —
+    * the r8 verdict's fix for the prior vec_id self-join of the
+    * 64×-exploded matrix, which double-shuffled N·64 rows and blew up to
+    * 4,096 rows per vector before its partial aggregate. decimalOut keeps
+    * the sums in DECIMAL(38,0), so the n·Σab magnitude holds to ~1e13
+    * vectors; the iteration arithmetic is bit-identical to the oracle's
+    * HUGEINT formulation.
     */
-  private def pcaComponentParts(s: SparkSession, d: String):
-      (DataFrame, DataFrame) = {
-    val vm = embeddings(s, d).select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("x") * 1e6).cast("long").as("m"))
+  private def pcaComponentParts(s: SparkSession, d: String): DataFrame = {
+    val qdims = (0 until 64).map(i =>
+      (i.toString, floor(element_at(col("embedding"), i + 1) * 1e6)))
+    val ps = graft.ops.CovMatrix.pairSums(embeddings(s, d), qdims,
+        decimalOut = true)
       .localCheckpoint(false)
-    val n = vm.agg(countDistinct("vec_id").as("n"))
-    val sums = vm.groupBy("dim")
-      .agg(sum(col("m").cast("decimal(38,0)")).as("sm"))
-      .localCheckpoint(false)
-    val av = vm.select(col("vec_id"), col("dim").as("da"),
-      col("m").as("ma"))
-    val bv = vm.select(col("vec_id"), col("dim").as("db"),
-      col("m").as("mb"))
-    val prods = av.join(bv, Seq("vec_id"))
-      .groupBy("da", "db")
-      .agg(sum((col("ma") * col("mb")).cast("decimal(38,0)")).as("sab"))
-    val cov = prods
-      .join(broadcast(sums.select(col("dim").as("da"),
-        col("sm").as("sa"))), Seq("da"))
-      .join(broadcast(sums.select(col("dim").as("db"),
-        col("sm").as("sb"))), Seq("db"))
-      .crossJoin(broadcast(n))
-      .select(col("da"), col("db"),
-        expr("cast(n as decimal(38,0)) * sab - sa * sb").as("c"))
-      .localCheckpoint(false)
-    var w = sums.select(col("dim"), lit(1000000L).as("w"))
+    val cNum = (s_ab: Column, s_a: Column, s_b: Column) =>
+      (col("n").cast("decimal(38,0)") * s_ab - s_a * s_b).as("c")
+    // full symmetric 64×64 matrix from the 2,016 unordered-pair records:
+    // mirror each pair both ways, and recover each diagonal cell once
+    // from the s_aa/s_bb columns (dedup because a dim appears in 63 pairs)
+    val up = ps.select(col("col_a").cast("int").as("da"),
+      col("col_b").cast("int").as("db"),
+      cNum(col("s_ab"), col("s_a"), col("s_b")))
+    val lo = ps.select(col("col_b").cast("int").as("da"),
+      col("col_a").cast("int").as("db"),
+      cNum(col("s_ab"), col("s_a"), col("s_b")))
+    val dg = ps.select(col("col_a").as("k"), col("n"),
+        col("s_a").as("sv"), col("s_aa").as("qv"))
+      .unionByName(ps.select(col("col_b").as("k"), col("n"),
+        col("s_b").as("sv"), col("s_bb").as("qv")))
+      .dropDuplicates("k")
+      .select(col("k").cast("int").as("da"), col("k").cast("int").as("db"),
+        cNum(col("qv"), col("sv"), col("sv")))
+    val cov = up.unionByName(lo).unionByName(dg).localCheckpoint(false)
+    var w = s.range(64).select(col("id").cast("int").as("dim"),
+      lit(1000000L).as("w"))
     (1 to PcaIters).foreach { i =>
       val cw = cov.join(broadcast(w), cov("db") === w("dim"))
         .groupBy("da").agg(sum(expr("c * w")).as("cw"))
@@ -7261,7 +7277,7 @@ object SparkEntry {
       // scheduler-bound (~3.3 s for milliseconds of arithmetic)
       if (i % 2 == 0) w = w.localCheckpoint(false)
     }
-    (vm, w)
+    w
   }
   private def pcaIterSqlCtes: String = {
     val sb = new StringBuilder
@@ -13780,11 +13796,11 @@ object SparkEntry {
         |    abs(regexp_extract(line,
         |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 2)
         |      ::BIGINT) AS lag,
-        |    regexp_extract(line,
-        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 1)
+        |    trim(regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 1))
         |      AS src,
-        |    regexp_extract(line,
-        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 3)
+        |    trim(regexp_extract(line,
+        |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 3))
         |      AS tgt,
         |    regexp_extract(line,
         |      '^\(''([^'']+)'', (-?\d+), ''([^'']+)''\) => (-?[0-9.]+)$', 4)
@@ -14038,7 +14054,7 @@ object SparkEntry {
         |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
         |      OVER wf AS fidx
         |  FROM pts
-        |  WINDOW wb AS (ORDER BY ts, kind, idx
+        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    wf AS (ORDER BY ts, kind, idx
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
@@ -14115,7 +14131,7 @@ object SparkEntry {
         |    (pday IS NOT NULL)::BIGINT AS e
         |  FROM us, hz h),
         |tm AS (
-        |  SELECT t, sum(CASE WHEN g = 1 THEN e END)::BIGINT AS d1,
+        |  SELECT t, sum(CASE WHEN g = 1 THEN e ELSE 0 END)::BIGINT AS d1,
         |    sum(e)::BIGINT AS dt,
         |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
         |    count(*)::BIGINT AS ct
@@ -14352,7 +14368,7 @@ object SparkEntry {
         |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
         |      OVER wf AS fidx
         |  FROM pts
-        |  WINDOW wb AS (ORDER BY ts, kind, idx
+        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    wf AS (ORDER BY ts, kind, idx
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),

@@ -405,6 +405,12 @@ object Sinks {
     // (relPath, nVars, hasU, regular-time) per config, broadcast to tasks
     val meta: Map[Long, (String, Int, Boolean, Boolean)] = cfgs.map { c =>
       val spec = Kernel.specs(c.family)
+      // the row loop below reads X values positionally from the fixed
+      // X1..X8,U,time select — widen that select before admitting a
+      // config with more variables, else U/time would silently
+      // serialize as X columns
+      require(c.nVars <= 8,
+        s"writeCsvCorpus supports nVars <= 8, got ${c.nVars}")
       c.configId -> (relPath(c, missing), c.nVars, spec.hasU, !spec.irregular)
     }.toMap
     // pre-create every target directory driver-side so tasks never race
@@ -420,10 +426,23 @@ object Sinks {
       .sortWithinPartitions("configId", "t")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val m = metaB.value
+        // write to a task-attempt-unique temp name and rename into
+        // place on close: a speculative or retried attempt can then
+        // never interleave with (or truncate under) a concurrent
+        // attempt's writer — last atomic rename wins, and a killed
+        // attempt leaves only an orphan temp, never a torn final file
+        val tc = org.apache.spark.TaskContext.get()
+        val sfx = s".tmp-${tc.stageId}-${tc.taskAttemptId}"
         var curId = Long.MinValue
         var w: java.io.Writer = null
+        var curFinal: java.nio.file.Path = null
         var nVars = 0; var hasU = false; var regular = false
-        def close(): Unit = if (w != null) { w.close(); w = null }
+        def close(): Unit = if (w != null) {
+          w.close(); w = null
+          Files.move(Paths.get(curFinal.toString + sfx), curFinal,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         try {
           val sb = new java.lang.StringBuilder(256)
           it.foreach { r =>
@@ -433,8 +452,9 @@ object Sinks {
               curId = id
               val (rel, v, u, reg) = m(id)
               nVars = v; hasU = u; regular = reg
+              curFinal = Paths.get(s"$root/$rel")
               w = new java.io.BufferedWriter(new java.io.FileWriter(
-                s"$root/$rel"), 1 << 16)
+                s"$root/$rel$sfx"), 1 << 16)
               sb.setLength(0)
               var i = 1
               while (i <= nVars) { sb.append('X').append(i).append(','); i += 1 }

@@ -435,7 +435,7 @@ object Causal {
     */
   def logRank(subjects: DataFrame, z2Ppm: Long = 3841600L): DataFrame = {
     val times = subjects.groupBy("t")
-      .agg(sum(when(col("g") === 1, col("e"))).as("d1"),
+      .agg(sum(when(col("g") === 1, col("e")).otherwise(lit(0L))).as("d1"),
         sum("e").as("dt"),
         sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
         count(lit(1)).as("ct"))

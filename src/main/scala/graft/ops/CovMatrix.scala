@@ -35,8 +35,14 @@ object CovMatrix {
   /** Pairwise sufficient statistics for `cols` = (name, integer expression).
     * Output: (col_a, col_b, n, s_a, s_b, s_ab, s_aa, s_bb), one row per
     * unordered pair in input order (a before b).
+    *
+    * `decimalOut = true` skips the final BIGINT cast and emits the raw
+    * DECIMAL(38,0) accumulators — for consumers (q317/q318 PCA) whose
+    * downstream arithmetic stays in exact decimal and whose n·|a·b|
+    * magnitude can pass 2^63 at corpus scale.
     */
-  def pairSums(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+  def pairSums(df: DataFrame, cols: Seq[(String, Column)],
+      decimalOut: Boolean = false): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val named = cols.map { case (n, c) => (n, dec(c.cast("long"))) }
@@ -50,11 +56,12 @@ object CovMatrix {
       pairs.map { case ((na, ca), (nb, cb)) => sum(ca * cb).as(s"p_${na}_$nb") } :+
       count(lit(1)).as("n")
     val row = df.agg(aggs.head, aggs.tail: _*)
+    val out = (c: Column) => if (decimalOut) c else c.cast("long")
     val records = pairs.map { case ((na, _), (nb, _)) =>
       struct(lit(na).as("col_a"), lit(nb).as("col_b"), col("n").as("n"),
-        col(s"s_$na").cast("long").as("s_a"), col(s"s_$nb").cast("long").as("s_b"),
-        col(s"p_${na}_$nb").cast("long").as("s_ab"),
-        col(s"q_$na").cast("long").as("s_aa"), col(s"q_$nb").cast("long").as("s_bb"))
+        out(col(s"s_$na")).as("s_a"), out(col(s"s_$nb")).as("s_b"),
+        out(col(s"p_${na}_$nb")).as("s_ab"),
+        out(col(s"q_$na")).as("s_aa"), out(col(s"q_$nb")).as("s_bb"))
     }
     row.select(explode(array(records: _*)).as("r")).select(col("r.*"))
   }

@@ -67,8 +67,11 @@ object Lagged {
       .select(keys.map(col) :+
         (col(tsCol).cast("double") - col("_md")).as("_ts") :+
         lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx"): _*)
+    // _idx DESC inside an equal-_ts group: the carried (= last) data row
+    // is then the SMALLEST index among duplicate timestamps, matching
+    // np.argmin's first-hit rule on a spine with repeated clocks
     val wb = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_kind").asc, col("_idx").asc)
+      .orderBy(col("_ts").asc, col("_kind").asc, col("_idx").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     // the forward carry runs over the exactly-REVERSED total order with a
     // growing frame: Spark recomputes an unbounded-FOLLOWING frame's

@@ -63,6 +63,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestLagIndexView on a spine with REPEATED timestamps still " +
+      "takes np.argmin's first hit (smallest index wins every tie)") {
+    import spark.implicits._
+    // duplicate-heavy clock: each value repeats 2-4 times, so nearly
+    // every backward carry lands inside an equal-timestamp group and
+    // many probes sit at an exact backward/forward distance tie
+    val rnd = new scala.util.Random(11)
+    val times = {
+      val b = Array.newBuilder[Double]
+      var v = 0.0
+      while (b.knownSize < 120) {
+        v += 1.0
+        (0 until (1 + rnd.nextInt(3))).foreach(_ => b += v)
+      }
+      b.result().take(120)
+    }
+    val n = times.length
+    val md = (times(n - 1) - times(0)) / (n - 1)
+    def expected(i: Int): Long = {
+      val target = times(i) - md
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < i) {
+        val dd = math.abs(times(j) - target)
+        if (dd < bestD) { best = j; bestD = dd }
+        j += 1
+      }
+      best.toLong
+    }
+    val spine = times.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toSeq.toDF("t", "time")
+    val got = Lagged.nearestLagIndexView(spine, "t", "time")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 until n).foreach { i =>
+      assert(got(i.toLong) == expected(i), s"row $i (ts=${times(i)})")
+    }
+  }
+
   test("nearestLagIndexView is partition-local with partitionCols") {
     import spark.implicits._
     // two series with different clocks: indices must resolve per-series

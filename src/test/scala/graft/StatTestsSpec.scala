@@ -655,6 +655,23 @@ class StatTestsSpec extends AnyFunSuite {
       .getAs[Int]("groups_differ") == 1)
   }
 
+  test("log-rank: event times with zero group-1 deaths still charge the " +
+      "expectation (d1 must be 0, not NULL, when only group 0 exits)") {
+    import spark.implicits._
+    // group 0 dies at t=1,2,3; group 1 all censored at t=10 — every
+    // event time has d1 = 0 while group 1 is fully at risk. Before the
+    // otherwise(0) fix these rows summed as NULL and O−E dropped to
+    // NULL → never rejects; the true statistic is strongly negative.
+    val df = Seq((0, 1L, 1L), (0, 2L, 1L), (0, 3L, 1L),
+      (1, 10L, 0L), (1, 10L, 0L), (1, 10L, 0L)).toDF("g", "t", "e")
+    val r = Causal.logRank(df).collect()(0)
+    assert(r.getAs[Long]("n_times") == 3L)
+    // hand-derived: e1_ppm = 500000 + 600000 + 750000, all d1 = 0
+    assert(r.getAs[Long]("o_minus_e_ppm") == -1850000L)
+    assert(r.getAs[Long]("v_ppm") == 250000L + 240000L + 187500L)
+    assert(r.getAs[Int]("groups_differ") == 1)
+  }
+
   test("psm matching: every pick is a control within the caliper and is " +
       "the nearest score (q322 on the gate sf)") {
     val out = SparkEntry.queries("q322_psm_matching")(
