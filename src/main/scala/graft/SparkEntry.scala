@@ -7062,6 +7062,30 @@ object SparkEntry {
         .withColumn("truth_adj", expr(pcTruthCase("A1C")))
     }),
 
+    // multi-lag generation→discovery capstone (the r8 verdict's "next
+    // rung": q269/q313/q314 test Granger at lag 1 only, while the
+    // catalog declares effects at lags up to 4, a1.py:310-313): A1
+    // 4-var lag-4 panel, ORDER-4 Granger — y_t on 4 own lags vs + 4
+    // cause lags, 8 sequential Frisch-Waugh eliminations over the 9×9
+    // centered-moment integer matrix, joint F(4, n−9) decided
+    // cross-multiplied. truth_any flags pairs with a declared X-edge at
+    // ANY lag 1..4 — the cells a lag-1-only test structurally misses
+    "q330_granger_multilag" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 4
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q330_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4")))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.grangerMulti(panel, 4)
+        .withColumn("truth_any",
+          expr(grangerTruthCaseAnyLag("A1", 4, 4)))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -7169,6 +7193,21 @@ object SparkEntry {
     }.mkString(" ") + " ELSE 0 END"
   }
   private val GrangerGenTruthCase: String = grangerTruthCase("A1")
+
+  /** q330's truth cell: a declared X-edge at ANY lag 1..maxLag — the
+    * ground truth an order-L joint test answers for (vs the lag-1-only
+    * slice grangerTruthCase takes). One Scala value, both engines.
+    */
+  private def grangerTruthCaseAnyLag(family: String, nVars: Int,
+      maxLag: Int): String = {
+    val edges = graft.core.Parser.truthLinks(family, nVars, maxLag)
+      .filter(l => l.lag >= 1 && l.lag <= maxLag)
+      .map(l => (l.source, l.target)).distinct
+    if (edges.isEmpty) "0"
+    else "CASE " + edges.map { case (a, b) =>
+      s"WHEN cause = '$a' AND effect = '$b' THEN 1"
+    }.mkString(" ") + " ELSE 0 END"
+  }
 
   /** q325's shipped artifact pair and the truth CASE parsed from the
     * SHIPPED structure txt by the S4-inverse parser — the same string
@@ -13957,6 +13996,20 @@ object SparkEntry {
         |SELECT a, b, n, cab, keep0, sepset, edge,
         |  (${pcTruthCase("A1C")})::INT AS truth_adj
         |FROM pc_out""".stripMargin,
+
+    "q330_granger_multilag" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q330_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.grangerMultiSqlCtes("panel", 4)}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  (${grangerTruthCaseAnyLag("A1", 4, 4)})::INT AS truth_any
+        |FROM granger_ml_out""".stripMargin,
 
     "q328_nelson_aalen" ->
       """WITH ev AS (

@@ -187,6 +187,212 @@ object Causal {
        |     THEN 1 ELSE 0 END)::INT AS granger
        |  FROM gr_g)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Multi-lag Granger (order-L VAR F-test)
+  // ---------------------------------------------------------------------
+
+  /** Variable order for the order-L test: the regressand `y`, the L
+    * restricted regressors `p1..pL` (effect's own lags), then the L
+    * tested regressors `q1..qL` (cause's lags). Elimination runs in this
+    * order after `y`, so the restricted RSS materializes exactly when the
+    * last `p` is partialled out.
+    */
+  private def mlVars(l: Int): Vector[String] =
+    ("y" +: ((1 to l).map(i => s"p$i") ++ (1 to l).map(i => s"q$i"))).toVector
+
+  /** Canonical centered-moment column name for the unordered pair (a,b)
+    * at elimination step k: `k{k}_{a}_{b}` with a before b in mlVars
+    * order — step-suffixed so no select list ever reuses a live name
+    * (lateral alias resolution differs between engines).
+    */
+  private def mlC(k: Int, a: String, b: String, vars: Vector[String]): String = {
+    val (x, y) =
+      if (vars.indexOf(a) <= vars.indexOf(b)) (a, b) else (b, a)
+    s"k${k}_${x}_$y"
+  }
+
+  private def mlPairs(rem: Vector[String], vars: Vector[String]) =
+    for { (a, i) <- rem.zipWithIndex; b <- rem.drop(i) } yield (a, b)
+
+  /** The shared arithmetic strings for one Frisch–Waugh elimination step:
+    * partial variable z out of every remaining pair,
+    *   C'_ab = C_ab − (C_az·C_bz) div C_zz   (0 when C_zz ≤ 0),
+    * rendered identically into Spark (`divOp = "div"`) and DuckDB
+    * (`divOp = "//"`) — both truncate toward zero, negatives included.
+    */
+  private def mlStepExprs(k: Int, rem: Vector[String], z: String,
+      vars: Vector[String], divOp: String): Seq[String] =
+    mlPairs(rem, vars).map { case (a, b) =>
+      val cab = mlC(k - 1, a, b, vars); val caz = mlC(k - 1, a, z, vars)
+      val cbz = mlC(k - 1, b, z, vars); val czz = mlC(k - 1, z, z, vars)
+      s"$cab - (CASE WHEN $czz <= 0 THEN 0 ELSE " +
+        s"($caz * $cbz) $divOp $czz END) AS ${mlC(k, a, b, vars)}"
+    }
+
+  /** Order-L Granger census over an aligned panel (series, day, v:long):
+    * for every ordered pair, regress y_t on [1, y_{t-1..L}] (restricted)
+    * vs [1, y_{t-1..L}, x_{t-1..L}] (unrestricted) entirely in centered
+    * cross-moment integers — 2L sequential Frisch–Waugh eliminations over
+    * the (2L+1)×(2L+1) moment matrix, each a truncating-div rational step
+    * mirrored bit-for-bit in the SQL twin — and decide with the
+    * cross-multiplied joint F test
+    *   100·(n−2L−1)·gain > fCritCenti·L·RSS_u.
+    * Every post-elimination statistic is bounded by the step-0 moments
+    * (~n²·v² ≈ 2.5e15 at a 5k-row milli panel), products peak ~6e30
+    * inside DECIMAL(38,0)/HUGEINT. Default fCritCenti 237 = F(4,∞) at
+    * α=0.05. Scale shape: identical to [[grangerLag1]] — the only
+    * fact-scale stage is upstream panel construction; everything here is
+    * S²-pair arithmetic with one small aggregate.
+    */
+  def grangerMulti(panel: DataFrame, l: Int,
+      fCritCenti: Long = 237L): DataFrame = {
+    val x = panel.select(col("series").as("cause"), col("day"),
+      col("v").as("xv"))
+    val y = panel.select(col("series").as("effect"), col("day"),
+      col("v").as("yv"))
+    val j = y.join(broadcast(x), Seq("day"))
+      .where(col("cause") =!= col("effect"))
+    val w = Window.partitionBy("cause", "effect").orderBy("day")
+    val lagged = j.select(Seq(col("cause"), col("effect"), col("day"),
+      col("yv").as("y")) ++
+      (1 to l).map(i => lag("yv", i).over(w).as(s"p$i")) ++
+      (1 to l).map(i => lag("xv", i).over(w).as(s"q$i")): _*)
+    grangerMultiDecide(grangerMultiSums(lagged, l), l, fCritCenti)
+  }
+
+  /** The (2L+1)-variable sufficient sums over a lagged pair table with
+    * columns (cause, effect, y, p1..pL, q1..qL): rows where every lag
+    * resolved, one aggregation to 1 + (2L+1) + (2L+2)(2L+1)/2 integers.
+    */
+  def grangerMultiSums(lagged: DataFrame, l: Int): DataFrame = {
+    val vars = mlVars(l)
+    val aggs =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      vars.map(v => sum(col(v).cast("decimal(38,0)")).as(s"s_$v")) ++
+      mlPairs(vars, vars).map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"m_${a}_$b") }
+    lagged
+      .where(vars.tail.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy("cause", "effect").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sums → decision for the order-L test; Spark twin of
+    * [[grangerMultiDecideSqlCtes]] (same generated strings, `div` token).
+    */
+  def grangerMultiDecide(sums: DataFrame, l: Int,
+      fCritCenti: Long): DataFrame = {
+    val vars = mlVars(l)
+    val c0 = mlPairs(vars, vars).map { case (a, b) =>
+      expr(s"n*m_${a}_$b - s_$a*s_$b").as(mlC(0, a, b, vars)) }
+    var df = sums.select(Seq(col("cause"), col("effect"), col("n"),
+      expr("n*m_y_y - s_y*s_y").as("cyy")) ++ c0: _*)
+    var rem = vars
+    val elim = vars.tail
+    elim.zipWithIndex.foreach { case (z, i) =>
+      val k = i + 1
+      rem = rem.filterNot(_ == z)
+      val carry = Seq("cause", "effect", "n", "cyy").map(col) ++
+        (if (k == l + 1) Seq(col(mlC(l, "y", "y", vars)).as("rss_r"))
+         else if (k > l + 1) Seq(col("rss_r")) else Nil)
+      df = df.select(carry ++ mlStepExprs(k, rem, z, vars, "div").map(expr): _*)
+    }
+    val kp = 2 * l + 1 // parameters of the unrestricted fit (incl. mean)
+    df
+      .withColumn("rss_u", col(mlC(2 * l, "y", "y", vars)))
+      .withColumn("gain", expr("rss_r - rss_u"))
+      .withColumn("granger", expr(
+        s"""case when n > $kp and gain > 0
+           |  and 100 * (n - $kp) * gain > $fCritCenti * $l * rss_u
+           |then 1 else 0 end""".stripMargin))
+      .select(col("cause"), col("effect"),
+        col("n").cast("long").as("n"),
+        col("cyy").cast("long").as("cyy"),
+        col("rss_r").cast("long").as("rss_r"),
+        col("rss_u").cast("long").as("rss_u"),
+        col("gain").cast("long").as("f_gain"),
+        col("granger").cast("int").as("granger"))
+  }
+
+  /** The order-L contract as ANSI SQL over a CTE `\$panel(series, day,
+    * v)` — pair join + L window lags, then the generated sums/elimination
+    * CTE chain. Yields a CTE named `granger_ml_out`.
+    */
+  def grangerMultiSqlCtes(panel: String, l: Int,
+      fCritCenti: Long = 237L): String = {
+    val lagSel =
+      ((1 to l).map(i => s"lag(yv, $i) OVER w AS p$i") ++
+       (1 to l).map(i => s"lag(xv, $i) OVER w AS q$i")).mkString(",\n    ")
+    s"""gm_j AS (
+       |  SELECT x.series AS cause, y.series AS effect, y.day,
+       |    y.v AS yv, x.v AS xv
+       |  FROM $panel y JOIN $panel x USING (day)
+       |  WHERE x.series <> y.series),
+       |gm_lag AS (
+       |  SELECT cause, effect, yv AS y,
+       |    $lagSel
+       |  FROM gm_j
+       |  WINDOW w AS (PARTITION BY cause, effect ORDER BY day)),
+       |${grangerMultiDecideSqlCtes("gm_lag", l, fCritCenti)}""".stripMargin
+  }
+
+  /** Sums → decision as DuckDB CTEs over ANY lagged table `\$lagCte(cause,
+    * effect, y, p1..pL, q1..qL)` — the same generated elimination strings
+    * as [[grangerMultiDecide]] with the `//` token. Yields
+    * `granger_ml_out`.
+    */
+  def grangerMultiDecideSqlCtes(lagCte: String, l: Int,
+      fCritCenti: Long = 237L): String = {
+    val vars = mlVars(l)
+    val sumSel =
+      (vars.map(v => s"sum($v)::HUGEINT AS s_$v") ++
+       mlPairs(vars, vars).map { case (a, b) =>
+         s"sum($a::HUGEINT * $b) AS m_${a}_$b" }).mkString(",\n    ")
+    val notNull = vars.tail.map(v => s"$v IS NOT NULL").mkString(" AND ")
+    val c0 = mlPairs(vars, vars).map { case (a, b) =>
+      s"n*m_${a}_$b - s_$a*s_$b AS ${mlC(0, a, b, vars)}" }
+      .mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""gml_sums AS (
+         |  SELECT cause, effect, count(*)::HUGEINT AS n,
+         |    $sumSel
+         |  FROM $lagCte WHERE $notNull GROUP BY 1, 2),
+         |gml_st0 AS (
+         |  SELECT cause, effect, n, n*m_y_y - s_y*s_y AS cyy,
+         |    $c0
+         |  FROM gml_sums)""".stripMargin)
+    var rem = vars
+    val elim = vars.tail
+    elim.zipWithIndex.foreach { case (z, i) =>
+      val k = i + 1
+      rem = rem.filterNot(_ == z)
+      val carry = Seq("cause", "effect", "n", "cyy") ++
+        (if (k == l + 1) Seq(s"${mlC(l, "y", "y", vars)} AS rss_r")
+         else if (k > l + 1) Seq("rss_r") else Nil)
+      val sel = (carry ++ mlStepExprs(k, rem, z, vars, "//"))
+        .mkString(",\n    ")
+      sb.append(
+        s""",
+           |gml_st$k AS (
+           |  SELECT $sel
+           |  FROM gml_st${k - 1})""".stripMargin)
+    }
+    val kp = 2 * l + 1
+    val uy = mlC(2 * l, "y", "y", vars)
+    sb.append(
+      s""",
+         |granger_ml_out AS (
+         |  SELECT cause, effect, n::BIGINT AS n, cyy::BIGINT AS cyy,
+         |    rss_r::BIGINT AS rss_r, $uy::BIGINT AS rss_u,
+         |    (rss_r - $uy)::BIGINT AS f_gain,
+         |    (CASE WHEN n > $kp AND rss_r - $uy > 0
+         |       AND 100 * (n - $kp) * (rss_r - $uy) >
+         |         $fCritCenti * $l * $uy
+         |     THEN 1 ELSE 0 END)::INT AS granger
+         |  FROM gml_st${2 * l})""".stripMargin)
+    sb.toString
+  }
+
   /** Spearman rank panel: each series' daily values → ranks 1..n_s
     * (row_number ordered by (v, day) — the day tiebreak makes ranks a
     * deterministic permutation even under ties). Rank magnitudes are

@@ -50,6 +50,51 @@ class CausalSpec extends AnyFunSuite {
     assert(g.size == 6)
   }
 
+  /** 80-day panel with a LAG-3 planted link: y_t = x_{t-3} + small
+    * noise — invisible to the lag-1 census, the order-4 test's reason
+    * to exist. y starts at day 4 so the relation holds on EVERY emitted
+    * row (a zero-filled spin-up would be a level shift the reverse
+    * regression can spuriously exploit).
+    */
+  private def plantedLag3Panel(): DataFrame = {
+    import spark.implicits._
+    val days = 1 to 80
+    val xv = days.map(i =>
+      Math.abs(scala.util.hashing.byteswap64(i.toLong)) % 10007 + 5000)
+    val x = days.map(i => ("x", i.toLong, xv(i - 1)))
+    val y = days.drop(3).map(i => ("y", i.toLong,
+      xv(i - 4) + noise(i, 2654435761L)))
+    (x ++ y).toDF("series", "day", "v")
+  }
+
+  test("order-4 granger finds the planted lag-3 link that lag-1 misses") {
+    val ml = Causal.grangerMulti(plantedLag3Panel(), 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(7)).toMap
+    assert(ml(("x", "y")) == 1, "order-4 must flag the lag-3 link")
+    assert(ml(("y", "x")) == 0, "reverse must not flag")
+    val l1 = Causal.grangerLag1(plantedLag3Panel()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(7)).toMap
+    assert(l1(("x", "y")) == 0,
+      "the lag-1 census is structurally blind to a lag-3 effect")
+  }
+
+  test("order-4 granger invariants: n drops L spin-up days, rss_u <= rss_r, gain >= 0") {
+    Causal.grangerMulti(plantedPanel(), 4).collect().foreach { r =>
+      assert(r.getLong(2) == 36) // n = 40 days - 4 lags
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(6) >= 0)
+    }
+    // order-1 multi must agree with the dedicated lag-1 path's decisions
+    // (same moments; the dedicated path's guards differ only on the
+    // degenerate cpp=0 cell, absent here)
+    val a = Causal.grangerMulti(plantedPanel(), 1, fCritCenti = 422L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(7))
+      .toMap
+    val b = Causal.grangerLag1(plantedPanel()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(7)).toMap
+    assert(a == b)
+  }
+
   test("granger sums: rss_u <= rss_r and gain >= 0 on every pair; n excludes the first day") {
     val rows = Causal.grangerLag1(plantedPanel()).collect()
     rows.foreach { r =>
