@@ -6660,36 +6660,37 @@ object SparkEntry {
 
     // distributed PCA top component over the embedding table, exact
     // integers end-to-end: centered covariance C_ab = n·Σm_a m_b −
-    // Σm_a·Σm_b from ONE CovMatrix.pairSums sufficient-statistics
-    // aggregate (map-side combined; the shuffle carries a single 2,145-
-    // field row, never vector rows), then 6 unrolled power
-    // iterations over the broadcast 4,096-cell matrix with a ppm rescale
-    // by max|w| each round — w stays in [−1e6, 1e6], products peak
-    // ~1e33 inside DECIMAL(38)/HUGEINT, and the div quotient is ppm-
-    // bounded (the q309 wrap lesson). No driver loop: iteration state is
-    // a 64-row localCheckpoint, exactly the q254 HITS pattern
+    // Σm_a·Σm_b and 6 power iterations with a ppm rescale by max|cw|
+    // each round (w stays in [−1e6, 1e6]; BigInteger internally — the
+    // same values the oracle's HUGEINT CTEs compute, div truncation
+    // included), ALL from ONE CovVec.topComponent typed aggregate: the
+    // map-side-combined buffer is the 2,144-slot sufficient-statistics
+    // array, the shuffle carries that single row (never vector rows),
+    // and the k×k iteration runs in the aggregate's finish — the
+    // RowMatrix Gramian pattern, executor-side, one job total
     "q317_pca_power_iteration" -> ((s, d) => {
-      pcaComponentParts(s, d)
-        .select(col("dim").cast("long").as("dim"), col("w").as("w_ppm"))
+      pcaComponentRow(s, d)
+        .select(posexplode(col("warr")).as(Seq("dim", "w_ppm")))
+        .select(col("dim").cast("long").as("dim"), col("w_ppm"))
     }),
 
     // PCA projection census (the curation use of q317's component:
     // 1-D dimensionality reduction for binning/outlier cuts): every
     // vector's exact integer projection Σ m_d·w_d (micro·ppm units,
-    // ≤6.4e13 — well inside LONG), bucketed at 1e11 grain. The 64-row
-    // component is folded to ONE broadcast array and the dot product runs
-    // as a per-row `aggregate` lambda over the array column — no explode,
-    // no per-vector shuffle; the only exchange left is the tiny bin
-    // aggregate. Shares the covariance/iteration stages with q317
+    // ≤6.4e13 — well inside LONG), bucketed at 1e11 grain. The component
+    // arrives as q317's one-row array (one CovVec.topComponent job),
+    // broadcast, and the dot product runs as a per-row `aggregate` lambda
+    // over the array column — no explode, no per-vector shuffle; the only
+    // exchange left is the tiny bin aggregate
     "q318_pca_projection_census" -> ((s, d) => {
-      val w = pcaComponentParts(s, d)
-      val warr = w.agg(array_sort(collect_list(
-          struct(col("dim"), col("w")))).as("sw"))
-        .select(transform(col("sw"), x => x.getField("w")).as("warr"))
+      val warr = pcaComponentRow(s, d)
       embeddings(s, d).crossJoin(broadcast(warr))
+        // coalesce per term, NOT on acc: a NULL or missing embedding slot
+        // contributes 0 — matching the DuckDB twin's sum() over vm, which
+        // skips NULL dims — instead of NULL-poisoning the whole fold
         .select(expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
-          "acc + floor(element_at(embedding, i + 1) * 1e6) * " +
-          "element_at(warr, i + 1))").as("p"))
+          "acc + coalesce(floor(element_at(embedding, i + 1) * 1e6) * " +
+          "element_at(warr, i + 1), 0L))").as("p"))
         .groupBy(expr("p div 100000000000").as("bin"))
         // per-bin MEAN, not sum: a corpus-scale sum of ~6e13-magnitude
         // projections passes LONG near 100k vectors per bin and Spark's
@@ -7086,6 +7087,72 @@ object SparkEntry {
           expr(grangerTruthCaseAnyLag("A1", 4, 4)))
     }),
 
+    // full 64×64 centered-covariance census of the embedding table — the
+    // wide-k dataset variant of q88's 3-column CovMatrix (a 64-dim matrix
+    // via q88's per-pair agg expressions would be the 2,145-expression
+    // driver explosion q317 retired): ONE CovVec.suffStats typed
+    // aggregate (single sufficient-statistics row over the wire), cells
+    // decoded through a 2,080-row broadcast index, reported at the
+    // scale-stable n²-normalized grain c div n² (micro² units, ≤~1e12 —
+    // BIGINT-safe at any corpus size where raw c is not)
+    "q331_embedding_covariance" -> ((s, d) => {
+      pcaCovCells(s, d)
+        .select(col("da").cast("long").as("da"),
+          col("db").cast("long").as("db"),
+          expr("cast(c div (n * n) as long)").as("cov_n2"))
+    }),
+
+    // PC with the ORIENTATION phase (q300's skeleton stops at the
+    // undirected graph; the reference's consumers emit directed graphs
+    // and its structural SHD charges reversals): v-structures from the
+    // skeleton's own order-≤1 sepset decisions + 3 Meek-rule-1 rounds
+    // (Causal.pcOrient, conflict-cancel pinned), the resulting CPDAG
+    // expanded to directed edge rows (undirected → both directions) and
+    // scored orientation-aware against the catalog's declared A1 edges
+    // through the SAME Metrics.scoreAll one-pass join the 1M-graph panel
+    // path uses — fact-scale work is only the skeleton's rank moments
+    "q332_pc_orientation_scored" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      // same 200-point cut as q300 (the rank-moment n⁴ cap: the order-1
+      // CI test squares products of ~n⁴ C-statistics, so n = 500 would
+      // pass the 10³⁸ budget in BOTH engines) but τ = 0.1 instead of
+      // q300's 0.25: the denser skeleton admits shared-node triples, so
+      // the v-structure + Meek stages decide real orientations here
+      val gen = dumpGen(s, "q332_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+          .select(col("t"), col("X1"), col("X2"), col("X3"), col("X4")))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val st = graft.metrics.Causal.pcOrient(
+        graft.metrics.Causal.pcSkeleton(panel, PcOrientTauSqBp),
+        PcMeekRounds)
+      val pred = st.where(col("dir") === 1)
+          .select(col("a").as("source"), col("b").as("target"))
+        .unionByName(st.where(col("dir") === 2)
+          .select(col("b").as("source"), col("a").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("a").as("source"), col("b").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("b").as("source"), col("a").as("target")))
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      import s.implicits._
+      val truth = PcDirectedTruth.toDF("source", "target")
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      val counts = st.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
+          .as("n_directed"))
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .crossJoin(broadcast(counts))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          col("n_directed").cast("long").as("n_directed"),
+          col("tp"), col("fp"), col("fn"),
+          col("shd_structural"), col("shd_xor"))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -7170,6 +7237,30 @@ object SparkEntry {
     }.mkString(" ") + " ELSE 0 END"
   }
   private val PcGenTruthCase: String = pcTruthCase("A1")
+
+  /** q332's Meek-rule-1 round count — one Scala constant driving both the
+    * Spark loop and the generated DuckDB CTE chain.
+    */
+  private val PcMeekRounds = 3
+
+  /** q332's skeleton threshold τ² in basis points (τ = 0.1 — denser than
+    * q300's default 0.25 so triples exist to orient).
+    */
+  private val PcOrientTauSqBp = 100L
+
+  /** q332's directed truth: the catalog's declared A1 4-var lag-2 X→X
+    * edges (any lag, distinct ordered pairs, self-loops excluded — PC is
+    * lag-free and the skeleton never proposes self edges). One Parser
+    * call rendered into the Spark literal AND the oracle VALUES.
+    */
+  private lazy val PcDirectedTruth: Seq[(String, String)] =
+    graft.core.Parser.truthLinks("A1", 4, 2)
+      .filter(l => l.source != "U" && l.target != "U"
+        && l.source != l.target)
+      .map(l => (l.source, l.target)).distinct
+  private def pcDirectedTruthValuesSql: String =
+    PcDirectedTruth.map { case (s0, t0) => s"('$s0', '$t0')" }
+      .mkString("(VALUES ", ", ", ") t(source, target)")
 
   private def GroupByAllSql(table: String): String =
     s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -7264,60 +7355,65 @@ object SparkEntry {
     * exact-integer centered covariance + `PcaIters` unrolled power
     * iterations (see the q317 comment for the magnitude budget).
     *
-    * The covariance comes from [[graft.ops.CovMatrix.pairSums]] over the
-    * 64 quantized array slots: ONE map-side-combinable aggregate over the
-    * fact rows (n + 64 sums + 64 sums-of-squares + 2,016 cross-products in
-    * a single sufficient-statistics row), zero shuffles of vector rows —
-    * the r8 verdict's fix for the prior vec_id self-join of the
-    * 64×-exploded matrix, which double-shuffled N·64 rows and blew up to
-    * 4,096 rows per vector before its partial aggregate. decimalOut keeps
-    * the sums in DECIMAL(38,0), so the n·Σab magnitude holds to ~1e13
-    * vectors; the iteration arithmetic is bit-identical to the oracle's
-    * HUGEINT formulation.
+    * The covariance comes from [[graft.ops.CovVec.suffStats]] over the 64
+    * quantized array slots: ONE `TypedImperativeAggregate`-backed pass over
+    * the fact rows (n + 64 sums + 2,080 upper-triangle products
+    * accumulated in a single primitive-array buffer with BigInteger
+    * overflow carry — exact at any row count), map-side combined, so the
+    * shuffle carries one sufficient-statistics row, never vector rows.
+    * This replaces the r9 [[graft.ops.CovMatrix.pairSums]] encoding of the
+    * same shape, whose 2,145 DECIMAL(38,0) agg expressions + 2,016-struct
+    * explode cost ~20 s of DRIVER analysis/codegen per query regardless of
+    * data size; the data-pass shape (one aggregate, single-row shuffle) is
+    * unchanged and the iteration arithmetic stays bit-identical to the
+    * oracle's HUGEINT formulation.
     */
-  private def pcaComponentParts(s: SparkSession, d: String): DataFrame = {
-    val qdims = (0 until 64).map(i =>
-      (i.toString, floor(element_at(col("embedding"), i + 1) * 1e6)))
-    val ps = graft.ops.CovMatrix.pairSums(embeddings(s, d), qdims,
-        decimalOut = true)
-      .localCheckpoint(false)
-    val cNum = (s_ab: Column, s_a: Column, s_b: Column) =>
-      (col("n").cast("decimal(38,0)") * s_ab - s_a * s_b).as("c")
-    // full symmetric 64×64 matrix from the 2,016 unordered-pair records:
-    // mirror each pair both ways, and recover each diagonal cell once
-    // from the s_aa/s_bb columns (dedup because a dim appears in 63 pairs)
-    val up = ps.select(col("col_a").cast("int").as("da"),
-      col("col_b").cast("int").as("db"),
-      cNum(col("s_ab"), col("s_a"), col("s_b")))
-    val lo = ps.select(col("col_b").cast("int").as("da"),
-      col("col_a").cast("int").as("db"),
-      cNum(col("s_ab"), col("s_a"), col("s_b")))
-    val dg = ps.select(col("col_a").as("k"), col("n"),
-        col("s_a").as("sv"), col("s_aa").as("qv"))
-      .unionByName(ps.select(col("col_b").as("k"), col("n"),
-        col("s_b").as("sv"), col("s_bb").as("qv")))
-      .dropDuplicates("k")
-      .select(col("k").cast("int").as("da"), col("k").cast("int").as("db"),
-        cNum(col("qv"), col("sv"), col("sv")))
-    val cov = up.unionByName(lo).unionByName(dg).localCheckpoint(false)
-    var w = s.range(64).select(col("id").cast("int").as("dim"),
-      lit(1000000L).as("w"))
-    (1 to PcaIters).foreach { i =>
-      val cw = cov.join(broadcast(w), cov("db") === w("dim"))
-        .groupBy("da").agg(sum(expr("c * w")).as("cw"))
-      val mx = cw.agg(max(abs(col("cw"))).as("mx"))
-      w = cw.crossJoin(broadcast(mx))
-        .select(col("da").as("dim"),
-          expr("case when mx = 0 then cast(0 as bigint) " +
-            "else (cw * 1000000) div mx end").cast("long").as("w"))
-      // snap only every other round: the iteration frames are 64 rows
-      // over a checkpointed cov, so the un-snapped plan stays tiny, and
-      // each localCheckpoint costs a full job — 6 of them made q317/q318
-      // scheduler-bound (~3.3 s for milliseconds of arithmetic)
-      if (i % 2 == 0) w = w.localCheckpoint(false)
-    }
-    w
+  /** The quantized embedding slots both PCA stages aggregate over. */
+  private def pcaQuant: Column =
+    transform(col("embedding"), v => floor(v * lit(1e6)))
+
+  private[graft] def pcaSuffStats(s: SparkSession, d: String): DataFrame =
+    graft.ops.CovVec.suffStats(embeddings(s, d), pcaQuant, 64)
+
+  /** q331's centered covariance cells (da, db, c) decoded from the one
+    * sufficient-statistics row — a 2,080-row broadcast index maps pair
+    * positions onto (da, db), the strict-upper pairs mirror, and the cell
+    * is the numerator n·Σab − Σa·Σb. Everything after the single
+    * `CovVec.suffStats` aggregate touches ≤ 4,096 rows.
+    */
+  private[graft] def pcaCovCells(s: SparkSession, d: String): DataFrame = {
+    val ex = pcaSuffStats(s, d).localCheckpoint(false)
+    val k = 64
+    import s.implicits._
+    val idx = (for { i <- 0 until k; j <- i until k }
+      yield (1 + k + i * k - i * (i - 1) / 2 + (j - i), i, j))
+      .toDF("pos", "da", "db")
+    val nRow = ex.where(col("pos") === 0).select(col("v").as("n"))
+    val sums = ex.where(col("pos").between(1, k))
+      .select((col("pos") - 1).cast("int").as("dim"), col("v").as("sm"))
+    val prods = ex.where(col("pos") > k).join(broadcast(idx), "pos")
+      .select(col("da"), col("db"), col("v").as("sab"))
+    val both = prods.unionByName(prods.where(col("da") =!= col("db"))
+      .select(col("db").as("da"), col("da").as("db"), col("sab")))
+    both
+      .join(broadcast(sums.select(col("dim").as("da"), col("sm").as("sma"))),
+        Seq("da"))
+      .join(broadcast(sums.select(col("dim").as("db"), col("sm").as("smb"))),
+        Seq("db"))
+      .crossJoin(broadcast(nRow))
+      .select(col("da"), col("db"),
+        (col("n") * col("sab") - col("sma") * col("smb")).as("c"), col("n"))
   }
+
+  /** q317/q318 component as ONE row (warr: 64 ppm longs): a single
+    * `CovVec.topComponent` job — the covariance assembly and all
+    * `PcaIters` power-iteration rounds run in the aggregate's `finish`
+    * (O(k²·iters) exact BigInteger arithmetic on the sufficient-statistics
+    * buffer), so the r9 pipeline's six 64-row scheduler round-trips
+    * (checkpointed cov + iteration snaps) collapse into the one data pass.
+    */
+  private def pcaComponentRow(s: SparkSession, d: String): DataFrame =
+    graft.ops.CovVec.topComponentArr(embeddings(s, d), pcaQuant, 64, PcaIters)
   private def pcaIterSqlCtes: String = {
     val sb = new StringBuilder
     sb.append("w0 AS (SELECT dim, 1000000::HUGEINT AS w FROM sums)")
@@ -13955,6 +14051,64 @@ object SparkEntry {
       s"""WITH $PcaSqlCtes
         |SELECT dim::BIGINT AS dim, w::BIGINT AS w_ppm FROM w$PcaIters"""
         .stripMargin,
+
+    "q331_embedding_covariance" ->
+      s"""WITH $PcaSqlCtes
+        |SELECT c.da::BIGINT AS da, c.db::BIGINT AS db,
+        |  (c.c // (n.n * n.n))::BIGINT AS cov_n2
+        |FROM cov c, nn n""".stripMargin,
+
+    "q332_pc_orientation_scored" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q332_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel", PcOrientTauSqBp)},
+        |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
+        |pc_pred AS (
+        |  SELECT a AS source, b AS target FROM pc_st$PcMeekRounds
+        |  WHERE dir = 1
+        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds WHERE dir = 2
+        |  UNION ALL SELECT a, b FROM pc_st$PcMeekRounds WHERE dir = 0
+        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds WHERE dir = 0),
+        |pc_truth AS (SELECT * FROM $pcDirectedTruthValuesSql),
+        |pc_ct AS (
+        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+        |  FROM pc_truth GROUP BY 1, 2),
+        |pc_cp AS (
+        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+        |  FROM pc_pred GROUP BY 1, 2),
+        |pc_j AS (
+        |  SELECT coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
+        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
+        |  FROM pc_ct t FULL JOIN pc_cp p ON p.u = t.u AND p.v = t.v),
+        |pc_sc AS (
+        |  SELECT sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
+        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
+        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
+        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+        |          AND t_fwd <> p_fwd THEN 1
+        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
+        |      AS shd_structural
+        |  FROM pc_j),
+        |pc_cnt AS (SELECT count(*) AS n_edges,
+        |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
+        |      AS n_directed
+        |  FROM pc_st$PcMeekRounds)
+        |SELECT c.n_edges::BIGINT AS n_edges,
+        |  c.n_directed::BIGINT AS n_directed,
+        |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
+        |  s.shd_structural::BIGINT AS shd_structural,
+        |  (s.fp + s.fn)::BIGINT AS shd_xor
+        |FROM pc_cnt c, pc_sc s""".stripMargin,
 
     "q318_pca_projection_census" ->
       s"""WITH $PcaSqlCtes,

@@ -429,8 +429,11 @@ object Sinks {
         // write to a task-attempt-unique temp name and rename into
         // place on close: a speculative or retried attempt can then
         // never interleave with (or truncate under) a concurrent
-        // attempt's writer — last atomic rename wins, and a killed
-        // attempt leaves only an orphan temp, never a torn final file
+        // attempt's writer — last atomic rename wins. The rename runs
+        // ONLY on the success paths (config switch after its last row, or
+        // clean end of partition): a task that throws or is killed
+        // mid-config aborts — the in-progress temp is closed and deleted,
+        // never renamed — so a torn file can never shadow a complete one
         val tc = org.apache.spark.TaskContext.get()
         val sfx = s".tmp-${tc.stageId}-${tc.taskAttemptId}"
         var curId = Long.MinValue
@@ -443,6 +446,12 @@ object Sinks {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
+        def abort(): Unit = if (w != null) {
+          try w.close() catch { case _: java.io.IOException => () }
+          w = null
+          Files.deleteIfExists(Paths.get(curFinal.toString + sfx))
+        }
+        var ok = false
         try {
           val sb = new java.lang.StringBuilder(256)
           it.foreach { r =>
@@ -478,7 +487,8 @@ object Sinks {
             sb.append('\n')
             w.write(sb.toString)
           }
-        } finally close()
+          ok = true
+        } finally { if (ok) close() else abort() }
       }
   }
 

@@ -269,8 +269,12 @@ object Causal {
     val aggs =
       Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
       vars.map(v => sum(col(v).cast("decimal(38,0)")).as(s"s_$v")) ++
+      // widen BEFORE the product (the HUGEINT-before-multiply ordering of
+      // the SQL twin): a LONG·LONG product would silently wrap past
+      // |v| ≈ 3e9 where DECIMAL(38,0)·DECIMAL(38,0) cannot
       mlPairs(vars, vars).map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"m_${a}_$b") }
+        sum(col(a).cast("decimal(38,0)") *
+          col(b).cast("decimal(38,0)")).as(s"m_${a}_$b") }
     lagged
       .where(vars.tail.map(col(_).isNotNull).reduce(_ && _))
       .groupBy("cause", "effect").agg(aggs.head, aggs.tail: _*)
@@ -519,6 +523,143 @@ object Causal {
        |     THEN 1 ELSE 0 END)::INT AS edge
        |  FROM pc_pairs p LEFT JOIN pc_seps s
        |    ON s.a = p.a AND s.b = p.b)""".stripMargin
+
+  /** PC orientation phase over a [[pcSkeleton]] output: collider
+    * (v-structure) detection from the skeleton's own order-≤1 separation
+    * decisions, then `meekRounds` unrolled applications of Meek rule 1.
+    *
+    * Pinned deterministic semantics (mirrored CTE-for-CTE by
+    * [[pcOrientSqlCtes]]):
+    *  - Unshielded triple x–z–y (x < y canonically, x,y non-adjacent in
+    *    the skeleton): orient x→z←y iff z is NOT the recorded sepset of
+    *    (x,y) — a pair dropped at order 0 has sepset NULL (the empty
+    *    separating set), so every such triple is a collider, the
+    *    textbook rule.
+    *  - Claims are applied simultaneously per phase; an edge claimed in
+    *    BOTH directions (within one phase, or rule 1 against an existing
+    *    v-orientation — existing direction wins) stays/remains as it was:
+    *    conservative-PC conflict handling, order-free and therefore
+    *    partitioning-invariant.
+    *  - Meek rule 1, `meekRounds` fixed rounds: a→z directed, z–b
+    *    undirected, a,b non-adjacent ⇒ claim z→b. Each round reads the
+    *    previous round's state only (PC-stable discipline).
+    *
+    * Output: one row per skeleton edge (a, b, dir) with a < b and
+    * dir ∈ {1: a→b, 2: b→a, 0: undirected}. Everything here is
+    * panel-grain (≤ p² rows); the fact-scale work stays upstream in the
+    * skeleton's rank cross-moments.
+    *
+    * Reference anchor: the reference's consumers emit DIRECTED graphs and
+    * its structural SHD charges reversals
+    * (helper_funcs/metrics_helper.py:80-138) — a skeleton alone
+    * under-specifies what [[Metrics.scoreAll]] scores; this supplies the
+    * CPDAG the PC family is defined to return.
+    */
+  def pcOrient(skeleton: DataFrame, meekRounds: Int = 3): DataFrame = {
+    val sk = skeleton.select(col("a"), col("b"), col("sepset"), col("edge"))
+      .localCheckpoint(false)
+    val und = sk.where(col("edge") === 1).select(col("a"), col("b"))
+    val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    // the skeleton keeps a row for EVERY pair, so the triple's
+    // non-adjacency + sepset test is one equi-join against pc_out
+    val trip = adj.select(col("a").as("x"), col("b").as("z"))
+      .join(adj.select(col("a").as("z"), col("b").as("y")), Seq("z"))
+      .where(col("x") < col("y"))
+      .join(sk.select(col("a").as("x"), col("b").as("y"), col("sepset"),
+        col("edge")), Seq("x", "y"))
+      .where(col("edge") === 0 &&
+        (col("sepset").isNull || col("sepset") =!= col("z")))
+      .select(col("x"), col("y"), col("z"))
+    val vclaims = trip.select(col("x").as("src"), col("z").as("dst"))
+      .unionByName(trip.select(col("y").as("src"), col("z").as("dst")))
+      .distinct()
+    // simultaneous application with conflict-cancel: claims must be
+    // DISTINCT so the two left joins cannot fan state rows out
+    def applyClaims(state: DataFrame, claims: DataFrame): DataFrame =
+      state
+        .join(broadcast(claims.select(col("src").as("a"), col("dst").as("b"),
+          lit(1).as("cf"))), Seq("a", "b"), "left_outer")
+        .join(broadcast(claims.select(col("dst").as("a"), col("src").as("b"),
+          lit(1).as("cr"))), Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          when(col("dir") =!= 0, col("dir"))
+            .when(col("cf").isNotNull && col("cr").isNull, 1)
+            .when(col("cr").isNotNull && col("cf").isNull, 2)
+            .otherwise(0).as("dir"))
+    var state = applyClaims(und.withColumn("dir", lit(0)), vclaims)
+      .localCheckpoint(false)
+    (1 to meekRounds).foreach { _ =>
+      val dd = state.where(col("dir") === 1)
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(state.where(col("dir") === 2)
+          .select(col("b").as("src"), col("a").as("dst")))
+      val uu = state.where(col("dir") === 0)
+        .select(col("a").as("z"), col("b").as("w"))
+        .unionByName(state.where(col("dir") === 0)
+          .select(col("b").as("z"), col("a").as("w")))
+      val claims = dd.join(uu, dd("dst") === uu("z"))
+        .where(col("w") =!= col("src"))
+        .join(broadcast(adj.select(col("a").as("src"), col("b").as("w"),
+          lit(1).as("isadj"))), Seq("src", "w"), "left_outer")
+        .where(col("isadj").isNull)
+        .select(col("z").as("src"), col("w").as("dst"))
+        .distinct()
+      state = applyClaims(state, claims).localCheckpoint(false)
+    }
+    state
+  }
+
+  /** [[pcOrient]] as CTEs downstream of `pc_out` (the
+    * [[pcSkeletonSqlCtes]] terminal); yields `pc_st$meekRounds(a, b, dir)`.
+    */
+  def pcOrientSqlCtes(meekRounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """pc_und AS MATERIALIZED (SELECT a, b FROM pc_out WHERE edge = 1),
+        |pc_adj AS MATERIALIZED (SELECT a, b FROM pc_und UNION ALL SELECT b, a FROM pc_und),
+        |pc_trip2 AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS z, e2.b AS y
+        |  FROM pc_adj e1
+        |  JOIN pc_adj e2 ON e2.a = e1.b AND e1.a < e2.b
+        |  JOIN pc_out p ON p.a = e1.a AND p.b = e2.b
+        |  WHERE p.edge = 0 AND (p.sepset IS NULL OR p.sepset <> e1.b)),
+        |pc_vcl AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT x AS src, z AS dst FROM pc_trip2
+        |    UNION ALL SELECT y, z FROM pc_trip2)),
+        |pc_st0 AS MATERIALIZED (
+        |  SELECT u.a, u.b,
+        |    CASE WHEN cf.src IS NOT NULL AND cr.src IS NULL THEN 1
+        |         WHEN cr.src IS NOT NULL AND cf.src IS NULL THEN 2
+        |         ELSE 0 END AS dir
+        |  FROM pc_und u
+        |  LEFT JOIN pc_vcl cf ON cf.src = u.a AND cf.dst = u.b
+        |  LEFT JOIN pc_vcl cr ON cr.src = u.b AND cr.dst = u.a)"""
+        .stripMargin)
+    for (k <- 1 to meekRounds) {
+      sb.append(s""",
+        |pc_cl$k AS MATERIALIZED (
+        |  SELECT DISTINCT u.z AS src, u.w AS dst
+        |  FROM (SELECT a AS src, b AS dst FROM pc_st${k - 1} WHERE dir = 1
+        |        UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 2) d
+        |  JOIN (SELECT a AS z, b AS w FROM pc_st${k - 1} WHERE dir = 0
+        |        UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 0) u
+        |    ON u.z = d.dst AND u.w <> d.src
+        |  LEFT JOIN pc_adj n ON n.a = d.src AND n.b = u.w
+        |  WHERE n.a IS NULL),
+        |pc_st$k AS MATERIALIZED (
+        |  SELECT s.a, s.b,
+        |    CASE WHEN s.dir <> 0 THEN s.dir
+        |         WHEN cf.src IS NOT NULL AND cr.src IS NULL THEN 1
+        |         WHEN cr.src IS NOT NULL AND cf.src IS NULL THEN 2
+        |         ELSE 0 END AS dir
+        |  FROM pc_st${k - 1} s
+        |  LEFT JOIN pc_cl$k cf ON cf.src = s.a AND cf.dst = s.b
+        |  LEFT JOIN pc_cl$k cr ON cr.src = s.b AND cr.dst = s.a)"""
+        .stripMargin)
+    }
+    sb.toString
+  }
 
   /** Quantized natural-log lookup ln(k)·1e6, k = 1..maxN — the single
     * source of truth for the transfer-entropy oracle: rendered as a Spark

@@ -251,6 +251,56 @@ class CausalSpec extends AnyFunSuite {
       s"displacement 2 must dominate: $best")
   }
 
+  /** Hand-built skeleton rows (a, b, sepset, edge) → pcOrient dirs. */
+  private def orient(rows: Seq[(String, String, Option[String], Int)],
+      rounds: Int = 3): Map[(String, String), Int] = {
+    import spark.implicits._
+    Causal.pcOrient(rows.toDF("a", "b", "sepset", "edge"), rounds)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+  }
+
+  test("pc orient: unshielded collider orients both edges into z") {
+    // a–c, b–c; (a,b) dropped at order 0 (sepset empty) → a→c←b
+    val dirs = orient(Seq(
+      ("a", "b", None, 0), ("a", "c", None, 1), ("b", "c", None, 1)))
+    assert(dirs === Map(("a", "c") -> 1, ("b", "c") -> 1))
+  }
+
+  test("pc orient: z in the recorded sepset blocks the collider") {
+    val dirs = orient(Seq(
+      ("a", "b", Some("c"), 0), ("a", "c", None, 1), ("b", "c", None, 1)))
+    assert(dirs === Map(("a", "c") -> 0, ("b", "c") -> 0))
+  }
+
+  test("pc orient: Meek rule 1 propagates along the chain round by round") {
+    // a→c←b collider, then c–d and d–e orient away over two rounds
+    // ((a,d)/(c,e) sepsets block the spurious colliders on the chain)
+    val sk = Seq(
+      ("a", "b", None, 0),
+      ("a", "c", None, 1), ("b", "c", None, 1),
+      ("c", "d", None, 1), ("d", "e", None, 1),
+      ("a", "d", Some("c"), 0), ("b", "d", Some("c"), 0),
+      ("c", "e", Some("d"), 0), ("a", "e", None, 0), ("b", "e", None, 0))
+    val dirs = orient(sk)
+    assert(dirs(("a", "c")) == 1 && dirs(("b", "c")) == 1, "collider")
+    assert(dirs(("c", "d")) == 1, "Meek round 1: a→c, c–d, a,d non-adjacent")
+    assert(dirs(("d", "e")) == 1, "Meek round 2: c→d, d–e, c,e non-adjacent")
+    // one round only: the second hop must NOT yet be oriented
+    val one = orient(sk, rounds = 1)
+    assert(one(("c", "d")) == 1 && one(("d", "e")) == 0)
+  }
+
+  test("pc orient: opposing collider claims cancel, the edge stays undirected") {
+    // a→c←d and c→d←f claim c–d both ways → conservative undirected
+    val dirs = orient(Seq(
+      ("a", "c", None, 1), ("c", "d", None, 1), ("d", "f", None, 1),
+      ("a", "d", None, 0), ("c", "f", None, 0), ("a", "f", None, 0)))
+    assert(dirs(("a", "c")) == 1, "a→c survives (claimed one way only)")
+    assert(dirs(("d", "f")) == 2, "f→d survives (claimed one way only)")
+    assert(dirs(("c", "d")) == 0, "conflicting claims cancel")
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")

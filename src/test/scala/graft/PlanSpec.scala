@@ -608,4 +608,51 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("BroadcastNestedLoopJoin"),
       s"purchase x prior pairing must stay on the user_id key:\n$p")
   }
+
+  test("q317 pca: ONE typed sufficient-stats aggregate — single-row " +
+      "shuffle, no vec_id exchange, no join, no per-dim explode") {
+    // the r8 regression (vec_id self-join of the 64x-exploded matrix) and
+    // the r9 one (2,145-expression agg) must both stay dead: the whole
+    // covariance + iteration is one ObjectHashAggregate whose only
+    // exchange is the SinglePartition gather of the one partial row
+    val p = plan("q317_pca_power_iteration")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the CovVec typed aggregate must drive the plan:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"vector rows must never shuffle:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the only exchange is the SinglePartition gather:\n$p")
+    assert(!p.contains("Join"), s"no join may appear:\n$p")
+  }
+
+  test("q318 pca census: component broadcast, dot product in-row, only " +
+      "the bin aggregate exchanges") {
+    val p = plan("q318_pca_projection_census")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"vector rows must never shuffle on vec_id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the one-row component must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"only the 1e11-grain bin aggregate may hash-exchange:\n$p")
+  }
+
+  test("q331 covariance census: sufficient-stats row decodes via broadcast " +
+      "index only — no vec_id exchange, no shuffle join") {
+    // the decode side (downstream of the stats localCheckpoint)
+    val p = plan("q331_embedding_covariance")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"vector rows must never shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 2,080-row index and 64-row sums must broadcast:\n$p")
+    // the stats side (pre-checkpoint, the part the checkpoint hides):
+    // one typed aggregate, single-row shuffle, nothing keyed by vec_id
+    val sp = SparkEntry.pcaSuffStats(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate"),
+      s"the CovVec typed aggregate must drive the stats pass:\n$sp")
+    assert(!sp.contains("hashpartitioning(vec_id") &&
+      "Exchange hashpartitioning".r.findAllIn(sp).isEmpty,
+      s"the only exchange is the SinglePartition gather:\n$sp")
+    assert(!sp.contains("Join"), s"no join in the stats pass:\n$sp")
+  }
 }
