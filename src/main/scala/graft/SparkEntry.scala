@@ -7153,6 +7153,130 @@ object SparkEntry {
           col("shd_structural"), col("shd_xor"))
     }),
 
+    // whole-tree shipped-artifact scoring capstone (q325 proved ONE
+    // shipped D3 file end-to-end; this runs the consumer loop at CORPUS
+    // grain): every D3 vars4/lag2 *_missing.csv — 48 files, 4 sizes × 12
+    // mask/noise combos — in ONE glob scan with file identity from
+    // input_file_name, per-config nearest-lag alignment on the shared
+    // irregular spine (partitioned AsOf carries, no per-row probe),
+    // Granger census per config (config rides inside the cause/effect
+    // key, so the shared sums→decision contract applies untouched), and
+    // per-config TPR/FDR + SHD through Metrics.scoreAll against truth
+    // parsed from each config's OWN shipped structure txt. At 100 TB this
+    // is the real shape of "score a generated corpus": one multi-file
+    // columnar scan, per-file keys, a single keyed aggregate per stage
+    "q333_shipped_tree_scored" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType((1 to 4).map(i =>
+        StructField(s"X$i", DoubleType, nullable = true)) :+
+        StructField("time", DoubleType, nullable = false))
+      val cfgOf = regexp_extract(input_file_name(),
+        "([^/]+)_missing\\.csv$", 1)
+      val idxed = s.read.option("header", "true").schema(schema)
+        .csv(ShippedD3TreeGlob)
+        .withColumn("cfg", cfgOf)
+        .withColumn("t", (row_number().over(
+          Window.partitionBy("cfg").orderBy("time")) - 1).cast("long"))
+        .localCheckpoint(false)
+      val lx = graft.ops.Lagged.nearestLagIndexView(
+        idxed.select(col("cfg"), col("t"), col("time")), "t", "time",
+        Seq("cfg")).localCheckpoint(false)
+      // DECI grain, not the milli the single-file q325 uses: the n5000
+      // trended configs push milli C-statistics to ~1e20 and their
+      // products past the 10^38 budget in BOTH engines; at deci the
+      // worst cell is ~2.5e13 and the squared products keep a 1e10
+      // margin (n <= 5000, |v| <= ~1e3)
+      val pan = (1 to 4).map(i =>
+        idxed.where(col(s"X$i").isNotNull)
+          .select(col("cfg"), lit(s"X$i").as("series"), col("t"),
+            floor(col(s"X$i") * 10).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val e = pan.select(col("cfg"), col("series").as("effect"),
+        col("t"), col("v").as("yv"))
+      val ep = pan.select(col("cfg"), col("series").as("effect"),
+        col("t").as("lag_idx"), col("v").as("pv"))
+      val cp = pan.select(col("cfg"), col("series").as("cause"),
+        col("t").as("lag_idx"), col("v").as("qv"))
+      val lagged = lx.join(e, Seq("cfg", "t"))
+        .join(ep, Seq("cfg", "effect", "lag_idx"))
+        .join(cp, Seq("cfg", "lag_idx"))
+        .where(col("cause") =!= col("effect"))
+        .select(concat(col("cfg"), lit("|"), col("cause")).as("cause"),
+          concat(col("cfg"), lit("|"), col("effect")).as("effect"),
+          col("yv"), col("pv"), col("qv"))
+      val gout = graft.metrics.Causal.grangerDecide(
+        graft.metrics.Causal.grangerSumsFromLagged(lagged), 422L)
+      val pred = gout.where(col("granger") === 1)
+        .select(substring_index(col("cause"), "|", 1).as("graphId"),
+          substring_index(col("cause"), "|", -1).as("source"),
+          substring_index(col("effect"), "|", -1).as("target"),
+          lit(1).as("lag"))
+      import s.implicits._
+      val truth = ShippedD3TreeTruth.toDF("graphId", "source", "target")
+        .withColumn("lag", lit(1))
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .select(col("graphId").as("cfg"), col("tp"), col("fp"), col("fn"),
+          col("shd_structural"), col("shd_xor"),
+          expr("case when tp + fn = 0 then 0L " +
+            "else (1000 * tp) div (tp + fn) end").as("tpr_permille"),
+          expr("case when tp + fp = 0 then 0L " +
+            "else (1000 * fp) div (tp + fp) end").as("fdr_permille"))
+    }),
+
+    // order-2 Granger on the IRREGULAR path (q330 runs order-L on the
+    // regular A1 clock; q314 runs the irregular path at lag 1 only): a
+    // B2 kernel dump — irregular exponential-gap spine, mixed noise —
+    // aligned by TWO nearest-lag passes (lagMult 1 and 2 over the
+    // spine, the a2.py lookup), then the SAME grangerMulti
+    // sufficient-stats + Frisch-Waugh elimination contract as q330 at
+    // L=2. B2's cubic-dropped quirk leaves PURE even-power links
+    // (X4 = 0.25·X1[t−2]²…), which a linear regressor cannot see at all
+    // (corr(X, X²) = 0 for a symmetric series) — so the tested cause
+    // lags enter SQUARED (second-moment Granger; own-effect lags stay
+    // linear), recovering the declared lag-2 X1→X4 edge the lag-1 test
+    // cannot. Centi quantization keeps v² ≤ ~1e4 and every elimination
+    // product inside the 10³⁸ budget. F crit 300 centi = F(2,∞) at 5%
+    "q334_granger_multilag_irregular" -> ((s, d) => {
+      val cfg = Grid.forFamily("B2").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2 &&
+          c.mixRatio == 0.5).get
+      val gen = dumpGen(s, "q334_gen",
+        Generate.wideFast(s, Seq(cfg)).select(
+          col("t"), col("time"), col("X1"), col("X2"), col("X3"),
+          col("X4")))
+      val spine = gen.select(col("t"), col("time"))
+      val lx1 = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
+          Nil, 1).withColumnRenamed("lag_idx", "li1").localCheckpoint(false)
+      val lx2 = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
+          Nil, 2).withColumnRenamed("lag_idx", "li2").localCheckpoint(false)
+      val pan = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t"),
+            floor(col(s"X$i") * 100).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val y = pan.select(col("series").as("effect"), col("t"),
+        col("v").as("y"))
+      val ep1 = pan.select(col("series").as("effect"),
+        col("t").as("li1"), col("v").as("p1"))
+      val ep2 = pan.select(col("series").as("effect"),
+        col("t").as("li2"), col("v").as("p2"))
+      val cq1 = pan.select(col("series").as("cause"),
+        col("t").as("li1"), (col("v") * col("v")).as("q1"))
+      val cq2 = pan.select(col("series").as("cause"),
+        col("t").as("li2"), (col("v") * col("v")).as("q2"))
+      val lagged = lx1.join(lx2, Seq("t"))
+        .join(broadcast(y), Seq("t"))
+        .join(broadcast(ep1), Seq("effect", "li1"))
+        .join(broadcast(ep2), Seq("effect", "li2"))
+        .join(broadcast(cq1), Seq("li1"))
+        .join(broadcast(cq2), Seq("cause", "li2"))
+        .where(col("cause") =!= col("effect"))
+        .select(col("cause"), col("effect"), col("y"),
+          col("p1"), col("p2"), col("q1"), col("q2"))
+      graft.metrics.Causal.grangerMultiDecide(
+          graft.metrics.Causal.grangerMultiSums(lagged, 2), 2, 300L)
+        .withColumn("truth_any", expr(grangerTruthCaseAnyLag("B2", 4, 2)))
+    }),
+
     // TF-IDF top-keyword extraction: per-document argmax of
     // tf·idf_bits with the BM25 family's bit-length idf
     // (length(bin(n_docs div df)) — the shared quantized log), argmax
@@ -7317,6 +7441,33 @@ object SparkEntry {
       s"WHEN cause = '$a' AND effect = '$b' THEN 1"
     }.mkString(" ") + " ELSE 0 END"
   }
+
+  /** q333's whole-tree shipped cell: every D3 (vars=4, lag=2) *_missing.csv
+    * (48 files — 12 noise/mcar/block combos × 4 sizes), read by ONE glob in
+    * both engines; truth parsed PER CONFIG from each sibling structure txt
+    * by the S4-inverse grammar (lag-1 X→X edges, the q325 contract, at
+    * corpus grain).
+    */
+  private val ShippedD3TreeDir = "/root/reference/Datasets/D3/lag 2"
+  private val ShippedD3TreeGlob =
+    s"$ShippedD3TreeDir/nonlinear_ts_*_vars4_lag2_*_missing.csv"
+  private lazy val ShippedD3TreeTruth: Vector[(String, String, String)] = {
+    val files = Option(new java.io.File(ShippedD3TreeDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("nonlinear_ts_.*_vars4_lag2_.*_missing\\.csv"))
+      .sortBy(_.getName)
+    files.toVector.flatMap { f =>
+      val cfg = f.getName.stripSuffix("_missing.csv")
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$ShippedD3TreeDir/${cfg}_structure.txt"))
+      graft.generate.Sinks.parseStructureLinks(txt)
+        .filter(l => l._2 == 1 && l._1 != l._3)
+        .map(l => (cfg, l._1, l._3)).distinct
+    }
+  }
+  private def shippedD3TreeTruthValuesSql: String =
+    ShippedD3TreeTruth.map { case (g, s0, t0) => s"('$g', '$s0', '$t0')" }
+      .mkString("(VALUES ", ", ", ") t(graphId, source, target)")
 
   /** q315's truth edge list (A1 4-var lag-2, enumeration-indexed) and cell
     * count — ONE Scala value rendered into both engines (NdcgDisc pattern).
@@ -14109,6 +14260,186 @@ object SparkEntry {
         |  s.shd_structural::BIGINT AS shd_structural,
         |  (s.fp + s.fn)::BIGINT AS shd_xor
         |FROM pc_cnt c, pc_sc s""".stripMargin,
+
+    "q333_shipped_tree_scored" ->
+      s"""WITH csv AS MATERIALIZED (
+        |  SELECT X1, X2, X3, X4, "time",
+        |    regexp_extract(filename, '([^/]+)_missing\\.csv$$', 1) AS cfg,
+        |    row_number() OVER (
+        |      PARTITION BY filename ORDER BY "time") - 1 AS t
+        |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
+        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
+        |md AS (
+        |  SELECT cfg, (max("time") - min("time")) / (count(*) - 1) AS md
+        |  FROM csv GROUP BY 1),
+        |pts AS (
+        |  SELECT cfg, "time" AS ts, 0 AS kind, t AS idx FROM csv
+        |  UNION ALL
+        |  SELECT c.cfg, c."time" - m.md, 1, c.t
+        |  FROM csv c JOIN md m USING (cfg) WHERE c.t >= 1),
+        |carried AS (
+        |  SELECT cfg, ts, kind, idx,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wb AS bidx,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS fts,
+        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wf AS fidx
+        |  FROM pts
+        |  WINDOW wb AS (PARTITION BY cfg ORDER BY ts, kind, idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY cfg ORDER BY ts, kind, idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |lx AS MATERIALIZED (
+        |  SELECT cfg, idx AS t,
+        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
+        |  FROM carried WHERE kind = 1),
+        |pan AS MATERIALIZED (
+        |  SELECT cfg, 'X1' AS series, t, floor(X1 * 10)::BIGINT AS v
+        |  FROM csv WHERE X1 IS NOT NULL
+        |  UNION ALL SELECT cfg, 'X2', t, floor(X2 * 10)::BIGINT FROM csv
+        |  WHERE X2 IS NOT NULL
+        |  UNION ALL SELECT cfg, 'X3', t, floor(X3 * 10)::BIGINT FROM csv
+        |  WHERE X3 IS NOT NULL
+        |  UNION ALL SELECT cfg, 'X4', t, floor(X4 * 10)::BIGINT FROM csv
+        |  WHERE X4 IS NOT NULL),
+        |gl AS (
+        |  SELECT lx.cfg || '|' || cp.series AS cause,
+        |    lx.cfg || '|' || e.series AS effect,
+        |    e.v AS yv, ep.v AS pv, cp.v AS qv
+        |  FROM lx
+        |  JOIN pan e ON e.cfg = lx.cfg AND e.t = lx.t
+        |  JOIN pan ep ON ep.cfg = lx.cfg AND ep.series = e.series
+        |    AND ep.t = lx.lag_idx
+        |  JOIN pan cp ON cp.cfg = lx.cfg AND cp.t = lx.lag_idx
+        |  WHERE cp.series <> e.series),
+        |${graft.metrics.Causal.grangerDecideSqlCtes("gl", 422L)},
+        |st_pred AS (
+        |  SELECT split_part(cause, '|', 1) AS graphId,
+        |    split_part(cause, '|', 2) AS source,
+        |    split_part(effect, '|', 2) AS target
+        |  FROM granger_out WHERE granger = 1),
+        |st_truth AS (SELECT * FROM $shippedD3TreeTruthValuesSql),
+        |st_ct AS (
+        |  SELECT graphId, least(source, target) AS u,
+        |    greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+        |  FROM st_truth GROUP BY 1, 2, 3),
+        |st_cp AS (
+        |  SELECT graphId, least(source, target) AS u,
+        |    greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+        |  FROM st_pred GROUP BY 1, 2, 3),
+        |st_j AS (
+        |  SELECT coalesce(t.graphId, p.graphId) AS g,
+        |    coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
+        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
+        |  FROM st_ct t FULL JOIN st_cp p
+        |    ON p.graphId = t.graphId AND p.u = t.u AND p.v = t.v),
+        |st_sc AS (
+        |  SELECT g,
+        |    sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
+        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
+        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
+        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+        |          AND t_fwd <> p_fwd THEN 1
+        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
+        |      AS shd_structural
+        |  FROM st_j GROUP BY 1)
+        |SELECT g AS cfg, tp::BIGINT AS tp, fp::BIGINT AS fp,
+        |  fn::BIGINT AS fn, shd_structural::BIGINT AS shd_structural,
+        |  (fp + fn)::BIGINT AS shd_xor,
+        |  (CASE WHEN tp + fn = 0 THEN 0
+        |    ELSE (1000 * tp) // (tp + fn) END)::BIGINT AS tpr_permille,
+        |  (CASE WHEN tp + fp = 0 THEN 0
+        |    ELSE (1000 * fp) // (tp + fp) END)::BIGINT AS fdr_permille
+        |FROM st_sc""".stripMargin,
+
+    "q334_granger_multilag_irregular" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q334_gen/*.parquet')),
+        |sp AS (SELECT t, "time" AS ts FROM gen),
+        |md AS (
+        |  SELECT (max(ts) - min(ts)) / (count(*) - 1) AS md FROM sp),
+        |pts1 AS (
+        |  SELECT ts, 0 AS kind, t AS idx FROM sp
+        |  UNION ALL SELECT s.ts - m.md, 1, s.t FROM sp s, md m
+        |  WHERE s.t >= 1),
+        |pts2 AS (
+        |  SELECT ts, 0 AS kind, t AS idx FROM sp
+        |  UNION ALL SELECT s.ts - m.md * 2, 1, s.t FROM sp s, md m
+        |  WHERE s.t >= 1),
+        |car1 AS (
+        |  SELECT ts, kind, idx,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wb AS bidx,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS fts,
+        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wf AS fidx
+        |  FROM pts1
+        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |car2 AS (
+        |  SELECT ts, kind, idx,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wb AS bidx,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS fts,
+        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+        |      OVER wf AS fidx
+        |  FROM pts2
+        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (ORDER BY ts, kind, idx
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |lx1 AS MATERIALIZED (
+        |  SELECT idx AS t,
+        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+        |      THEN fidx ELSE coalesce(bidx, 0) END AS li1
+        |  FROM car1 WHERE kind = 1),
+        |lx2 AS MATERIALIZED (
+        |  SELECT idx AS t,
+        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+        |      THEN fidx ELSE coalesce(bidx, 0) END AS li2
+        |  FROM car2 WHERE kind = 1),
+        |pan AS MATERIALIZED (
+        |  SELECT 'X1' AS series, t, floor(X1 * 100)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 100)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 100)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 100)::BIGINT FROM gen),
+        |gl AS (
+        |  SELECT cq1.series AS cause, e.series AS effect, e.v AS y,
+        |    ep1.v AS p1, ep2.v AS p2,
+        |    cq1.v * cq1.v AS q1, cq2.v * cq2.v AS q2
+        |  FROM lx1
+        |  JOIN lx2 ON lx2.t = lx1.t
+        |  JOIN pan e ON e.t = lx1.t
+        |  JOIN pan ep1 ON ep1.series = e.series AND ep1.t = lx1.li1
+        |  JOIN pan ep2 ON ep2.series = e.series AND ep2.t = lx2.li2
+        |  JOIN pan cq1 ON cq1.t = lx1.li1
+        |  JOIN pan cq2 ON cq2.series = cq1.series AND cq2.t = lx2.li2
+        |  WHERE cq1.series <> e.series),
+        |${graft.metrics.Causal.grangerMultiDecideSqlCtes("gl", 2, 300L)}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  (${grangerTruthCaseAnyLag("B2", 4, 2)})::INT AS truth_any
+        |FROM granger_ml_out""".stripMargin,
 
     "q318_pca_projection_census" ->
       s"""WITH $PcaSqlCtes,

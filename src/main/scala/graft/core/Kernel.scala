@@ -174,22 +174,75 @@ object Kernel {
 
   /** Exponential-gap scan with clamp + whole-prefix rescale (a2.py:146-160).
     * min_gap is NOT actually guaranteed (§2.4-4).
+    *
+    * The reference loop (numpy `times = times * scale` per overflow) is
+    * O(n²) once MinGap·n > TotalTime — every step past ~T/MinGap rows
+    * triggers a whole-prefix rescale (37-84 s per 500k-point config,
+    * measured). n ≤ 5000 covers the ENTIRE reference catalog, so every
+    * bitwise-gated artifact keeps the exact eager loop; above it (engine
+    * scale-ladder territory the reference never reaches) the same
+    * recurrence runs with the prefix rescales folded into one running
+    * multiplier — algebraically identical, O(n) (amortized renorm keeps
+    * the factor inside double range), differing only in ulp-level
+    * rounding of values nothing gates. KernelSpec pins closeness and the
+    * invariants (sorted, ≤ TotalTime, identical RNG draw sequence).
     */
-  private def irregularTimestamps(n: Int, rng: Rng): Array[Double] = {
-    val times = new Array[Double](n)
-    times(0) = rng.nextDouble() * MinGap
-    var i = 1
-    while (i < n) {
-      val gap = rng.nextExponential() * ((TotalTime - times(i - 1)) / (n - i))
-      times(i) = times(i - 1) + math.max(gap, MinGap)
-      if (times(i) > TotalTime) {
-        val scale = TotalTime / times(i)
-        var j = 0
-        while (j <= i) { times(j) *= scale; j += 1 }
+  private val EagerRescaleMaxN = 5000
+
+  private def irregularTimestamps(n: Int, rng: Rng): Array[Double] =
+    if (n <= EagerRescaleMaxN) irregularTimestampsEager(n, rng)
+    else irregularTimestampsLazy(n, rng)
+
+  private[graft] def irregularTimestampsEager(n: Int, rng: Rng): Array[Double] = {
+    {
+      val times = new Array[Double](n)
+      times(0) = rng.nextDouble() * MinGap
+      var i = 1
+      while (i < n) {
+        val gap = rng.nextExponential() * ((TotalTime - times(i - 1)) / (n - i))
+        times(i) = times(i - 1) + math.max(gap, MinGap)
+        if (times(i) > TotalTime) {
+          val scale = TotalTime / times(i)
+          var j = 0
+          while (j <= i) { times(j) *= scale; j += 1 }
+        }
+        i += 1
       }
-      i += 1
+      times
     }
-    times
+  }
+
+  private[graft] def irregularTimestampsLazy(n: Int, rng: Rng): Array[Double] = {
+    {
+      // raw(j)·m == times(j) at every step; a rescale multiplies m only.
+      // m decays ~e^(−MinGap/T) per clamped step, so fold it back into
+      // raw (and reset to 1) before it can leave double range — ~every
+      // 230k rows, amortized O(n)
+      val raw = new Array[Double](n)
+      var m = 1.0
+      raw(0) = rng.nextDouble() * MinGap
+      var i = 1
+      while (i < n) {
+        val prev = raw(i - 1) * m
+        val gap = rng.nextExponential() * ((TotalTime - prev) / (n - i))
+        var ti = prev + math.max(gap, MinGap)
+        if (ti > TotalTime) {
+          val scale = TotalTime / ti
+          m *= scale
+          ti *= scale
+        }
+        raw(i) = ti / m
+        if (m < 1e-100) {
+          var j = 0
+          while (j <= i) { raw(j) *= m; j += 1 }
+          m = 1.0
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < n) { raw(j) *= m; j += 1 }
+      raw
+    }
   }
 
   /** Strict-mode irregular timestamps: the DECLARED constraint honored up to

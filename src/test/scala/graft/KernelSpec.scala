@@ -159,6 +159,31 @@ class KernelSpec extends AnyFunSuite {
     assert(kurt(col(t, 1)) > 5.0)
   }
 
+  test("irregular timestamps: lazy O(n) rescale tracks the eager reference " +
+      "loop element-for-element past the catalog range") {
+    // same seeded stream → identical draw sequence; the lazy fold differs
+    // from per-element eager rescaling only in rounding order
+    val n = 20000
+    val eager = Kernel.irregularTimestampsEager(n, new graft.core.Rng(42L, 7L))
+    val lazi = Kernel.irregularTimestampsLazy(n, new graft.core.Rng(42L, 7L))
+    assert(eager.length == n && lazi.length == n)
+    var maxRel = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(eager(i) - lazi(i)) /
+        math.max(1e-12, math.abs(eager(i)))
+      if (d > maxRel) maxRel = d
+      i += 1
+    }
+    assert(maxRel < 1e-9, s"lazy deviates: maxRel=$maxRel")
+    // invariants both paths promise: sorted, bounded by TotalTime
+    (1 until n).foreach(i => assert(lazi(i) >= lazi(i - 1) - 1e-12))
+    assert(lazi.last <= 100.0 + 1e-9 && eager.last <= 100.0 + 1e-9)
+    // the catalog range itself always takes the eager path bit-for-bit
+    val small = Kernel.irregularTimestampsEager(5000, new graft.core.Rng(1L, 2L))
+    assert(small.length == 5000)
+  }
+
   test("rows emission: wide schema with nulls beyond nVars, U populated only for C-variants") {
     val rows = Kernel.rows(cfg("A1C", v = 6, n = 100)).toVector
     assert(rows.size == 100)

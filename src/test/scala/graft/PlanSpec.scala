@@ -636,6 +636,22 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1e11-grain bin aggregate may hash-exchange:\n$p")
   }
 
+  test("q333 shipped-tree scoring: keyed equi-joins end to end, one " +
+      "multi-file scan, never all-pairs") {
+    val p = plan("q333_shipped_tree_scored")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"per-config alignment and scoring must stay on (cfg, t) keys:\n$p")
+  }
+
+  test("q334 irregular multi-lag: alignment and value joins stay keyed, " +
+      "no all-pairs") {
+    val p = plan("q334_granger_multilag_irregular")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dual nearest-lag alignment must join on (t, lag_idx) keys:\n$p")
+  }
+
   test("q331 covariance census: sufficient-stats row decodes via broadcast " +
       "index only — no vec_id exchange, no shuffle join") {
     // the decode side (downstream of the stats localCheckpoint)
