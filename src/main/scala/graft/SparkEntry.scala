@@ -7102,6 +7102,40 @@ object SparkEntry {
           expr("cast(c div (n * n) as long)").as("cov_n2"))
     }),
 
+    // spectral summary of the embedding covariance (the dimensionality-
+    // choice statistic a curation pipeline reads before projecting):
+    // top-eigenvalue estimate as the exact-integer Rayleigh quotient
+    // λ₁ = (wᵀCw) div (wᵀw) of q317's converged ppm component over
+    // q331's n²-normalized cells, the total variance as the trace, and
+    // the explained-variance ratio in permille. Normalizing each cell by
+    // n² BEFORE the w products keeps every term ≤ ~1e24 and the 4,096-
+    // cell sum ≤ ~4e27 at ANY corpus size (the raw-c formulation would
+    // pass 10³⁸ near sf1); all panel-grain arithmetic on broadcast
+    // frames — the fact passes are the two shared PCA aggregates
+    "q335_pca_spectrum" -> ((s, d) => {
+      val w = pcaComponentRow(s, d)
+        .select(posexplode(col("warr")).as(Seq("dim", "w")))
+      val cells = pcaCovCells(s, d)
+        .select(col("da"), col("db"), expr("c div (n * n)").as("cn2"))
+      val rq = cells
+        .join(broadcast(w.select(col("dim").as("da"), col("w").as("wa"))),
+          Seq("da"))
+        .join(broadcast(w.select(col("dim").as("db"), col("w").as("wb"))),
+          Seq("db"))
+        // cn2 is LONG (`div` output) — widen BEFORE the two w products
+        // (≤1e12·1e6·1e6 = 1e24 > LONG); DuckDB's `//` is already HUGEINT
+        .agg(sum(expr("cast(cn2 as decimal(38,0)) * wa * wb")).as("num"))
+      val den = w.agg(sum(expr("w * w")).as("den"))
+      val tr = cells.where(col("da") === col("db"))
+        .agg(sum(col("cn2")).as("trace_n2"))
+      rq.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+        .select(col("trace_n2").cast("long").as("trace_n2"),
+          expr("num div den").cast("long").as("lambda1_n2"),
+          expr("case when trace_n2 = 0 then 0 else " +
+            "(1000 * (num div den)) div trace_n2 end").cast("long")
+            .as("explained_permille"))
+    }),
+
     // PC with the ORIENTATION phase (q300's skeleton stops at the
     // undirected graph; the reference's consumers emit directed graphs
     // and its structural SHD charges reversals): v-structures from the
@@ -14208,6 +14242,26 @@ object SparkEntry {
         |SELECT c.da::BIGINT AS da, c.db::BIGINT AS db,
         |  (c.c // (n.n * n.n))::BIGINT AS cov_n2
         |FROM cov c, nn n""".stripMargin,
+
+    "q335_pca_spectrum" ->
+      s"""WITH $PcaSqlCtes,
+        |sp_cells AS (
+        |  SELECT c.da, c.db, c.c // (n.n * n.n) AS cn2
+        |  FROM cov c, nn n),
+        |sp_rq AS (
+        |  SELECT sum(cl.cn2 * wa.w * wb.w) AS num
+        |  FROM sp_cells cl
+        |  JOIN w$PcaIters wa ON wa.dim = cl.da
+        |  JOIN w$PcaIters wb ON wb.dim = cl.db),
+        |sp_den AS (SELECT sum(w * w) AS den FROM w$PcaIters),
+        |sp_tr AS (
+        |  SELECT sum(cn2) AS trace_n2 FROM sp_cells WHERE da = db)
+        |SELECT t.trace_n2::BIGINT AS trace_n2,
+        |  (r.num // d.den)::BIGINT AS lambda1_n2,
+        |  (CASE WHEN t.trace_n2 = 0 THEN 0
+        |    ELSE (1000 * (r.num // d.den)) // t.trace_n2 END)::BIGINT
+        |    AS explained_permille
+        |FROM sp_rq r, sp_den d, sp_tr t""".stripMargin,
 
     "q332_pc_orientation_scored" ->
       s"""WITH gen AS (

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * Reference anchor: the reference computes no cross-series statistics; this
   * generalizes its per-series OLS fit (SURVEY §3.3 R12, `ops/OlsAggregator`)
   * to the pairwise matrix a feature-correlation or redundancy scan needs.
+  *
+  * SIZE LIMIT: each sum is its own Catalyst agg expression, so analysis
+  * cost grows as k² — fine for a handful of columns (q88's 3), a ~20 s
+  * driver stall by k = 64. Wide-k vector columns use [[CovVec]] (one
+  * typed aggregate, same output contract) instead.
   */
 object CovMatrix {
 
