@@ -211,4 +211,65 @@ class AlgoPropertySpec extends AnyFunSuite {
     assert(finalSessions.sortBy(_._1) == expected.sortBy(_._1),
       s"trial $trial (batches=${batches.map(_.size)}): got ${finalSessions.sortBy(_._1)} want ${expected.sortBy(_._1)}")
   }
+
+  test("pc orientation equals a reference fixpoint evaluator and is " +
+      "partitioning/row-order invariant (random skeletons)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 5) {
+      val nodes = (0 until (4 + rnd.nextInt(3))).map(i => s"n$i")
+      // random pair table: ~50% edges; dropped pairs get a random sepset
+      // (one of the other nodes) or none
+      val pairs = for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+      } yield {
+        val edge = if (rnd.nextBoolean()) 1 else 0
+        val others = nodes.patch(j, Nil, 1).patch(i, Nil, 1)
+        val sep = if (edge == 1 || rnd.nextBoolean()) None
+          else Some(others(rnd.nextInt(others.size)))
+        (nodes(i), nodes(j), sep, edge)
+      }
+      // reference: plain-Scala v-structures + 3 simultaneous Meek-1
+      // rounds with conflict-cancel (the pinned q332 semantics)
+      val und = pairs.collect { case (a, b, _, 1) => (a, b) }.toSet
+      def adjacent(x: String, y: String) =
+        und(if (x < y) (x, y) else (y, x))
+      val sepOf = pairs.collect { case (a, b, s, 0) => (a, b) -> s }.toMap
+      def applyCl(dir: Map[(String, String), Int],
+          claims: Set[(String, String)]): Map[(String, String), Int] =
+        dir.map { case ((a, b), d0) =>
+          val cf = claims((a, b)); val cr = claims((b, a))
+          (a, b) -> (if (d0 != 0) d0
+            else if (cf && !cr) 1 else if (cr && !cf) 2 else 0)
+        }
+      val vcl = (for {
+        (x, z) <- und.toSeq.flatMap(e => Seq(e, e.swap))
+        (z2, y) <- und.toSeq.flatMap(e => Seq(e, e.swap))
+        if z2 == z && x < y && !adjacent(x, y)
+        if sepOf.getOrElse((x, y), None).forall(_ != z)
+        cl <- Seq((x, z), (y, z))
+      } yield cl).toSet
+      var dir = applyCl(und.map(_ -> 0).toMap, vcl)
+      for (_ <- 1 to 3) {
+        val dd = dir.collect { case ((a, b), 1) => (a, b)
+                               case ((a, b), 2) => (b, a) }.toSet
+        val uu = dir.collect { case ((a, b), 0) => (a, b) }
+          .flatMap(e => Seq(e, e.swap)).toSet
+        val cl = (for {
+          (a, z) <- dd; (z2, w) <- uu
+          if z2 == z && w != a && !adjacent(a, w)
+        } yield (z, w)).toSet
+        dir = applyCl(dir, cl)
+      }
+      val skBase = pairs.toDF("a", "b", "sepset", "edge")
+      Seq(skBase, skBase.repartition(7), skBase.orderBy($"b".desc))
+        .foreach { sk =>
+          val got = graft.metrics.Causal.pcOrient(sk, 3)
+            .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+            .toMap
+          assert(got == dir.filter { case (k, _) => und(k) },
+            s"trial $trial: got $got want $dir (pairs=$pairs)")
+        }
+    }
+  }
 }
