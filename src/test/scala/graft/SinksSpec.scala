@@ -91,6 +91,52 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.parseStructureLinks(shippedTxt) == truth)
   }
 
+  test("CSV corpus writer: a task failing mid-config aborts its temp — " +
+      "completed configs stay published, no torn or orphan file remains") {
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val cfgs = graft.core.Grid.forFamily("A1").filter(c =>
+      c.nPoints == 500 && c.maxLag == 2 && c.noiseType == "gaussian")
+      .take(2)
+    assert(cfgs.size == 2)
+    val rows = graft.generate.Generate.series(spark, cfgs)
+    val dir = Files.createTempDirectory("sink_abort").toString
+    // pass only ONE config's metadata: the other config's first row hits
+    // the meta lookup INSIDE the row loop and throws — the exact
+    // torn-file scenario the rename-on-success contract guards (a task
+    // dying between a config switch and its close())
+    val boom = intercept[Exception] {
+      graft.generate.Sinks.writeCsvCorpus(rows, cfgs.take(1), dir,
+        missing = false)
+    }
+    assert(boom != null)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    val files = walk(new java.io.File(dir))
+    // no temp may survive the abort, published or orphaned
+    assert(!files.exists(_.getName.contains(".tmp-")),
+      s"orphan/torn temp left behind: $files")
+    // any file that DID publish is a byte-complete config (header +
+    // every row): re-run the writer cleanly and compare
+    val clean = Files.createTempDirectory("sink_clean").toString
+    graft.generate.Sinks.writeCsvCorpus(
+      graft.generate.Generate.series(spark, cfgs), cfgs, clean,
+      missing = false)
+    files.filter(_.getName.endsWith(".csv")).foreach { f =>
+      val rel = f.getAbsolutePath.stripPrefix(dir).stripPrefix("/")
+      val ref = new java.io.File(clean, rel)
+      assert(ref.isFile &&
+        java.util.Arrays.equals(Files.readAllBytes(f.toPath),
+          Files.readAllBytes(ref.toPath)),
+        s"published file $rel is not byte-complete")
+    }
+  }
+
   test("file-name grammar matches shipped corpus layout") {
     def cfg(family: String, n: Int, v: Int, l: Int, noise: String = "gaussian",
         ratio: Double = 0.5, mcar: Double = 0.0, block: Double = 0.0) =
