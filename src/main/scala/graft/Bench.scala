@@ -183,6 +183,49 @@ object Bench {
     // "gen" select it: the reversed substring match used before meant any
     // token that happened to be a substring of a stage name (ONLY=s) silently
     // enabled the heavy generation stages alongside the selected queries.
+    // Query-side scale ladder: the gen section proves GENERATION scales;
+    // this proves the ANALYTICS operators do. Build a 100× lineitem
+    // (60M rows at sf0.1 — the sf10-equivalent fact table) by key-shifted
+    // replication, then measure the q01-shaped scan+filter+aggregate and
+    // a broadcast-join+aggregate at 1× and 100×. The 100×/1× wall-clock
+    // ratio ≪ 100 (the 1× run is overhead-bound) and ~linear rows/s at
+    // 100× is the evidence; both entries carry median-of-3.
+    val runQscale = only.forall(_.exists(_.startsWith("qscale")))
+    if (runQscale) {
+      System.gc()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val maxOk = li.agg(max("l_orderkey")).collect()(0).getLong(0) + 1L
+      val dir100 = "target/bench_lineitem_100x"
+      results("qscale_lineitem_100x_build") = time {
+        li.withColumn("rep", explode(expr("sequence(0L, 99L)")))
+          .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+          .drop("rep")
+          .write.mode("overwrite").parquet(dir100)
+      }
+      val li100 = spark.read.parquet(dir100)
+      def priceAgg(df: org.apache.spark.sql.DataFrame): Unit =
+        df.where(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)), sum("l_quantity"), sum("l_extendedprice"))
+          .write.mode("overwrite").format("noop").save()
+      // the replicated keys fold back to the original order via mod, so
+      // the 1x orders side stays broadcast at EVERY scale — the shape a
+      // fact-to-dimension join keeps on a real cluster
+      val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      def revJoin(df: org.apache.spark.sql.DataFrame): Unit =
+        df.join(broadcast(ords),
+            pmod(df("l_orderkey"), lit(maxOk)) === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")))
+          .write.mode("overwrite").format("noop").save()
+      median3("qscale_agg_1x") { priceAgg(li) }
+      median3("qscale_agg_100x") { priceAgg(li100) }
+      median3("qscale_join_1x") { revJoin(li) }
+      median3("qscale_join_100x") { revJoin(li100) }
+      scala.reflect.io.Directory(new java.io.File(dir100)).deleteRecursively()
+    }
+
     val runGen = only.forall(_.exists(_.startsWith("gen")))
     // per-section anchor: a contended GEN section is identifiable post hoc
     // even when the start/end anchors look clean (the r9 artifact's 133.7 s
