@@ -7113,9 +7113,15 @@ object SparkEntry {
     // pass 10³⁸ near sf1); all panel-grain arithmetic on broadcast
     // frames — the fact passes are the two shared PCA aggregates
     "q335_pca_spectrum" -> ((s, d) => {
-      val w = pcaComponentRow(s, d)
-        .select(posexplode(col("warr")).as(Seq("dim", "w")))
-      val cells = pcaCovCells(s, d)
+      // ONE combined aggregate pass (CovVec.statsAndComponentRow) yields
+      // the matrix AND the component — the separate q317/q331 helpers
+      // would each scan the fact table, doubling the only fact-scale cost
+      val row = graft.ops.CovVec.statsAndComponentRow(
+        embeddings(s, d), pcaQuant, 64, PcaIters).localCheckpoint(false)
+      val w = row.select(posexplode(col("warr")).as(Seq("dim", "w")))
+      val cells = covCellsFrom(s,
+          row.select(posexplode(col("ss")).as(Seq("pos", "v")))
+            .select(col("pos"), col("v").cast("decimal(38,0)").as("v")))
         .select(col("da"), col("db"), expr("c div (n * n)").as("cn2"))
       val rq = cells
         .join(broadcast(w.select(col("dim").as("da"), col("w").as("wa"))),
@@ -7566,8 +7572,14 @@ object SparkEntry {
     * is the numerator n·Σab − Σa·Σb. Everything after the single
     * `CovVec.suffStats` aggregate touches ≤ 4,096 rows.
     */
-  private[graft] def pcaCovCells(s: SparkSession, d: String): DataFrame = {
-    val ex = pcaSuffStats(s, d).localCheckpoint(false)
+  private[graft] def pcaCovCells(s: SparkSession, d: String): DataFrame =
+    covCellsFrom(s, pcaSuffStats(s, d).localCheckpoint(false))
+
+  /** The decode half of [[pcaCovCells]], reusable over ANY (pos, v)
+    * sufficient-statistics frame (q335 feeds it the combined one-pass
+    * aggregate's ss array instead of running a second fact scan).
+    */
+  private def covCellsFrom(s: SparkSession, ex: DataFrame): DataFrame = {
     val k = 64
     import s.implicits._
     val idx = (for { i <- 0 until k; j <- i until k }
@@ -14324,35 +14336,8 @@ object SparkEntry {
         |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
         |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
         |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
-        |md AS (
-        |  SELECT cfg, (max("time") - min("time")) / (count(*) - 1) AS md
-        |  FROM csv GROUP BY 1),
-        |pts AS (
-        |  SELECT cfg, "time" AS ts, 0 AS kind, t AS idx FROM csv
-        |  UNION ALL
-        |  SELECT c.cfg, c."time" - m.md, 1, c.t
-        |  FROM csv c JOIN md m USING (cfg) WHERE c.t >= 1),
-        |carried AS (
-        |  SELECT cfg, ts, kind, idx,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS bts,
-        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wb AS bidx,
-        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS fts,
-        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wf AS fidx
-        |  FROM pts
-        |  WINDOW wb AS (PARTITION BY cfg ORDER BY ts, kind, idx DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (PARTITION BY cfg ORDER BY ts, kind, idx
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |lx AS MATERIALIZED (
-        |  SELECT cfg, idx AS t,
-        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
-        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
-        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
-        |  FROM carried WHERE kind = 1),
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("csv", "\"time\"",
+          Seq("cfg"), materialized = true)},
         |pan AS MATERIALIZED (
         |  SELECT cfg, 'X1' AS series, t, floor(X1 * 10)::BIGINT AS v
         |  FROM csv WHERE X1 IS NOT NULL
@@ -14420,58 +14405,10 @@ object SparkEntry {
       s"""WITH gen AS (
         |  SELECT * FROM read_parquet('__GEN_DIR__/q334_gen/*.parquet')),
         |sp AS (SELECT t, "time" AS ts FROM gen),
-        |md AS (
-        |  SELECT (max(ts) - min(ts)) / (count(*) - 1) AS md FROM sp),
-        |pts1 AS (
-        |  SELECT ts, 0 AS kind, t AS idx FROM sp
-        |  UNION ALL SELECT s.ts - m.md, 1, s.t FROM sp s, md m
-        |  WHERE s.t >= 1),
-        |pts2 AS (
-        |  SELECT ts, 0 AS kind, t AS idx FROM sp
-        |  UNION ALL SELECT s.ts - m.md * 2, 1, s.t FROM sp s, md m
-        |  WHERE s.t >= 1),
-        |car1 AS (
-        |  SELECT ts, kind, idx,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS bts,
-        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wb AS bidx,
-        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS fts,
-        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wf AS fidx
-        |  FROM pts1
-        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (ORDER BY ts, kind, idx
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |car2 AS (
-        |  SELECT ts, kind, idx,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS bts,
-        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wb AS bidx,
-        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS fts,
-        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wf AS fidx
-        |  FROM pts2
-        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (ORDER BY ts, kind, idx
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |lx1 AS MATERIALIZED (
-        |  SELECT idx AS t,
-        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
-        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
-        |      THEN fidx ELSE coalesce(bidx, 0) END AS li1
-        |  FROM car1 WHERE kind = 1),
-        |lx2 AS MATERIALIZED (
-        |  SELECT idx AS t,
-        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
-        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
-        |      THEN fidx ELSE coalesce(bidx, 0) END AS li2
-        |  FROM car2 WHERE kind = 1),
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("sp", "ts",
+          lagMult = 1, sfx = "1", outCol = "li1", materialized = true)},
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("sp", "ts",
+          lagMult = 2, sfx = "2", outCol = "li2", materialized = true)},
         |pan AS MATERIALIZED (
         |  SELECT 'X1' AS series, t, floor(X1 * 100)::BIGINT AS v
         |  FROM gen
@@ -14628,34 +14565,7 @@ object SparkEntry {
         |  FROM read_csv('$ShippedD3Base${"_missing.csv"}', header=true,
         |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
         |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
-        |md AS (
-        |  SELECT (max("time") - min("time")) / (count(*) - 1) AS md
-        |  FROM csv),
-        |pts AS (
-        |  SELECT "time" AS ts, 0 AS kind, t AS idx FROM csv
-        |  UNION ALL
-        |  SELECT "time" - md.md, 1, t FROM csv, md WHERE t >= 1),
-        |carried AS (
-        |  SELECT ts, kind, idx,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS bts,
-        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wb AS bidx,
-        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS fts,
-        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wf AS fidx
-        |  FROM pts
-        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (ORDER BY ts, kind, idx
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |lx AS (
-        |  SELECT idx AS t,
-        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
-        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
-        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
-        |  FROM carried WHERE kind = 1),
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("csv", "\"time\"")},
         |pan AS (
         |  SELECT 'X1' AS series, t, floor(X1 * 1000)::BIGINT AS v
         |  FROM csv WHERE X1 IS NOT NULL
@@ -14942,34 +14852,7 @@ object SparkEntry {
     "q314_granger_irregular" ->
       s"""WITH gen AS (
         |  SELECT * FROM read_parquet('__GEN_DIR__/q314_gen/*.parquet')),
-        |md AS (
-        |  SELECT (max("time") - min("time")) / (count(*) - 1) AS md
-        |  FROM gen),
-        |pts AS (
-        |  SELECT "time" AS ts, 0 AS kind, t AS idx FROM gen
-        |  UNION ALL
-        |  SELECT "time" - md.md, 1, t FROM gen, md WHERE t >= 1),
-        |carried AS (
-        |  SELECT ts, kind, idx,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wb AS bts,
-        |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wb AS bidx,
-        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-        |      OVER wf AS fts,
-        |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
-        |      OVER wf AS fidx
-        |  FROM pts
-        |  WINDOW wb AS (ORDER BY ts, kind, idx DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (ORDER BY ts, kind, idx
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |lx AS (
-        |  SELECT idx AS t,
-        |    CASE WHEN fidx IS NOT NULL AND fidx < idx
-        |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
-        |      THEN fidx ELSE coalesce(bidx, 0) END AS lag_idx
-        |  FROM carried WHERE kind = 1),
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("gen", "\"time\"")},
         |pan AS (
         |  SELECT 'X1' AS series, t, floor(X1 * 1000)::BIGINT AS v FROM gen
         |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen

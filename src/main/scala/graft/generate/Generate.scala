@@ -60,21 +60,11 @@ object Generate {
     * equality), ~2-3× the emission rate. Use for bulk generation; the typed
     * Dataset[SeriesRow] path remains the API for typed consumers.
     */
-  /** `slicesOverride` > 0 pins the partition count (otherwise
-    * 2×parallelism, capped at the config count). For BIG-nPoints corpora
-    * one config per task bounds the dynamic-partition write's per-task
-    * sort buffer to a single config's rows and gives the scheduler finer
-    * stragglers; at the 256M-row bench rung the default 64 slices
-    * measure within noise of 512, so this stays a knob, not a default.
-    */
   def wideFast(spark: SparkSession, cfgs: Seq[GenConfig],
-      strict: Boolean = false, slicesOverride: Int = 0): DataFrame = {
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
     import org.apache.spark.unsafe.types.UTF8String
-    val slices =
-      if (slicesOverride > 0) math.min(cfgs.size, slicesOverride)
-      else math.max(1,
-        math.min(cfgs.size, spark.sparkContext.defaultParallelism * 2))
+    val slices = math.max(1, math.min(cfgs.size, spark.sparkContext.defaultParallelism * 2))
     // one residue class (i mod slices) per partition, NOT contiguous count
     // slices: the grid is family-blocked with nPoints ascending inside each
     // block, so contiguous slicing concentrates the expensive configs in a

@@ -439,17 +439,30 @@ object Sinks {
         var curId = Long.MinValue
         var w: java.io.Writer = null
         var curFinal: java.nio.file.Path = null
+        // the temp path tracked SEPARATELY from the writer: if close()'s
+        // rename itself fails (ENOSPC, FS error) after nulling w, abort()
+        // can still delete the stranded temp by path
+        var curTmp: java.nio.file.Path = null
         var nVars = 0; var hasU = false; var regular = false
         def close(): Unit = if (w != null) {
           w.close(); w = null
-          Files.move(Paths.get(curFinal.toString + sfx), curFinal,
+          Files.move(curTmp, curFinal,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          curTmp = null
         }
-        def abort(): Unit = if (w != null) {
-          try w.close() catch { case _: java.io.IOException => () }
-          w = null
-          Files.deleteIfExists(Paths.get(curFinal.toString + sfx))
+        def abort(): Unit = {
+          // never let cleanup failures shadow the task's root exception
+          if (w != null) {
+            try w.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            w = null
+          }
+          if (curTmp != null) {
+            try Files.deleteIfExists(curTmp)
+            catch { case scala.util.control.NonFatal(_) => () }
+            curTmp = null
+          }
         }
         var ok = false
         try {
@@ -462,8 +475,9 @@ object Sinks {
               val (rel, v, u, reg) = m(id)
               nVars = v; hasU = u; regular = reg
               curFinal = Paths.get(s"$root/$rel")
+              curTmp = Paths.get(s"$root/$rel$sfx")
               w = new java.io.BufferedWriter(new java.io.FileWriter(
-                s"$root/$rel$sfx"), 1 << 16)
+                curTmp.toFile), 1 << 16)
               sb.setLength(0)
               var i = 1
               while (i <= nVars) { sb.append('X').append(i).append(','); i += 1 }

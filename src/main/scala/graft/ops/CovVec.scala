@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   * inside the engines' 10³⁸ budget). Reduce/merge order cannot change an
   * integer sum, so the result is partitioning-invariant.
   *
-  * NULL semantics (the per-expression SQL contract): every row counts
-  * toward n; a NULL slot (or a slot past the array's end, or a NULL array)
-  * is skipped by the sums and by every product involving it — matching
-  * `sum(m_a)` / `sum(m_a*m_b)` null-skipping in both engines.
+  * NULL semantics (the per-expression SQL contract, INCLUDING empty sums):
+  * every row counts toward n; a NULL slot (or a slot past the array's end,
+  * or a NULL array) is skipped by the sums and by every product involving
+  * it; and a sum that received NO contribution at all (a dim never
+  * observed, a pair never co-observed) is emitted as SQL NULL — exactly
+  * what `sum(...)` over an empty set yields in both engines — not 0. The
+  * power-iteration `finish` then mirrors NULL propagation through the
+  * matrix arithmetic the way the engines' expressions would: a NULL cell
+  * drops out of Σc·w, an all-NULL row yields a NULL component weight (and
+  * the mx = 0 degenerate case zeroes every weight, the CASE's semantics).
   *
   * Slot layout of the buffer (length k + k·(k+1)/2): [i] = Σ m_i;
   * [k + pairIdx(i,j)] = Σ m_i·m_j for i ≤ j, where
@@ -47,11 +53,19 @@ import org.apache.spark.sql.functions._
 object CovVec {
 
   /** Buffer: primitive long accumulators + lazy BigInteger carry (encoded
-    * as minimal two's-complement byte arrays; empty = zero) + the
-    * saturating magnitude bound that triggers a spill before overflow.
+    * as minimal two's-complement byte arrays; empty = zero) + per-slot
+    * touched flags (an untouched slot is SQL NULL, not 0) + the saturating
+    * magnitude bound that triggers a spill before overflow.
     */
   final case class Buf(var n: Long, var bound: Long, acc: Array[Long],
-      carry: Array[Array[Byte]])
+      carry: Array[Array[Byte]], touched: Array[Boolean])
+
+  /** Aggregate output: the sufficient statistics as decimal strings
+    * (`null` = the SQL-NULL empty sum; index 0 is n, never null) and the
+    * converged ppm component (empty when `iters` = 0; `null` elements
+    * where the engines' NULL propagation yields NULL weights).
+    */
+  final case class Out(ss: Seq[String], warr: Seq[Option[Long]])
 
   private val SafeBound = Long.MaxValue / 2
 
@@ -71,161 +85,177 @@ object CovVec {
     b.bound = 0L
   }
 
-  /** reduce/merge shared by every output flavor; `finish` is the plug. */
-  private abstract class CovAgg[OUT](k: Int)
-      extends Aggregator[Seq[Option[Long]], Buf, OUT] {
-    protected val nSlots: Int = k + k * (k + 1) / 2
+  /** One aggregator serves every flavor: `iters` = 0 emits the sums alone,
+    * `iters` ≥ 1 additionally runs the k×k power iteration in `finish`
+    * (O(k²·iters) exact BigInteger arithmetic on the one buffer,
+    * executor-side, zero extra jobs). BigInteger.divide truncates toward
+    * zero — the exact semantics of Spark's `div` and the oracle's HUGEINT
+    * `//` — so the ppm weights are bit-identical to the engine-level CTE
+    * iteration they replace (graft.SparkEntry.pcaIterSqlCtes renders the
+    * same loop for DuckDB). This is the RowMatrix.computeGramian pattern
+    * — one distributed pass, then eigen-iteration on the k×k result —
+    * minus MLlib's driver-side step: even the iteration stays in the plan.
+    */
+  def sumsAndComponent(k: Int, iters: Int,
+      scale: Long = 1000000L): Aggregator[Seq[Option[Long]], Buf, Out] =
+    new Aggregator[Seq[Option[Long]], Buf, Out] {
+      private val nSlots = k + k * (k + 1) / 2
 
-    final override def zero: Buf = Buf(0L, 0L, new Array[Long](nSlots),
-      Array.fill(nSlots)(Array.emptyByteArray))
+      override def zero: Buf = Buf(0L, 0L, new Array[Long](nSlots),
+        Array.fill(nSlots)(Array.emptyByteArray), new Array[Boolean](nSlots))
 
-    final override def reduce(b: Buf, xs: Seq[Option[Long]]): Buf = {
-      b.n += 1
-      if (xs == null) return b
-      val m = new Array[Long](k)
-      val ok = new Array[Boolean](k)
-      var maxA = 0L
-      val len = math.min(xs.length, k)
-      var i = 0
-      while (i < len) {
-        val o = xs(i)
-        if (o != null && o.isDefined) {
-          val v = o.get
-          m(i) = v; ok(i) = true
-          val a = math.abs(v)
-          if (a > maxA) maxA = a
-        }
-        i += 1
-      }
-      require(maxA < (1L << 31),
-        s"CovVec slot magnitude $maxA >= 2^31 — re-quantize coarser")
-      // every slot add this row is ≤ max(maxA², maxA); spill the longs
-      // into the BigInteger carry before any slot could pass ±2^62
-      val step = math.max(maxA * maxA, 1L)
-      if (b.bound > SafeBound - step) spill(b)
-      b.bound += step
-      i = 0
-      while (i < k) {
-        if (ok(i)) {
-          b.acc(i) += m(i)
-          val base = k + i * k - i * (i - 1) / 2 - i
-          var j = i
-          while (j < k) {
-            if (ok(j)) b.acc(base + j) += m(i) * m(j)
-            j += 1
+      override def reduce(b: Buf, xs: Seq[Option[Long]]): Buf = {
+        b.n += 1
+        if (xs == null) return b
+        val m = new Array[Long](k)
+        val ok = new Array[Boolean](k)
+        var maxA = 0L
+        val len = math.min(xs.length, k)
+        var i = 0
+        while (i < len) {
+          val o = xs(i)
+          if (o != null && o.isDefined) {
+            val v = o.get
+            m(i) = v; ok(i) = true
+            val a = math.abs(v)
+            if (a > maxA) maxA = a
           }
+          i += 1
         }
-        i += 1
-      }
-      b
-    }
-
-    final override def merge(a: Buf, b: Buf): Buf = {
-      spill(a); spill(b)
-      a.n += b.n
-      var s = 0
-      while (s < nSlots) {
-        if (!b.carry(s).isEmpty) {
-          a.carry(s) = toBig(a.carry(s)).add(toBig(b.carry(s))).toByteArray
+        require(maxA < (1L << 31),
+          s"CovVec slot magnitude $maxA >= 2^31 — re-quantize coarser")
+        // every slot add this row is ≤ max(maxA², maxA); spill the longs
+        // into the BigInteger carry before any slot could pass ±2^62
+        val step = math.max(maxA * maxA, 1L)
+        if (b.bound > SafeBound - step) spill(b)
+        b.bound += step
+        i = 0
+        while (i < k) {
+          if (ok(i)) {
+            b.acc(i) += m(i)
+            b.touched(i) = true
+            val base = k + i * k - i * (i - 1) / 2 - i
+            var j = i
+            while (j < k) {
+              if (ok(j)) {
+                b.acc(base + j) += m(i) * m(j)
+                b.touched(base + j) = true
+              }
+              j += 1
+            }
+          }
+          i += 1
         }
-        s += 1
+        b
       }
-      a
-    }
 
-    final override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def merge(a: Buf, b: Buf): Buf = {
+        spill(a); spill(b)
+        a.n += b.n
+        var s = 0
+        while (s < nSlots) {
+          if (!b.carry(s).isEmpty) {
+            a.carry(s) = toBig(a.carry(s)).add(toBig(b.carry(s))).toByteArray
+          }
+          if (b.touched(s)) a.touched(s) = true
+          s += 1
+        }
+        a
+      }
 
-    /** finish helper: exact sums, slot layout above. */
-    protected final def bigSums(b: Buf): Array[BigInteger] = {
-      spill(b); b.carry.map(toBig)
-    }
-  }
-
-  /** The raw sufficient statistics: [n, Σm_0..Σm_{k−1}, pair products] as
-    * decimal strings (1 + k + k·(k+1)/2 entries).
-    */
-  def sums(k: Int): Aggregator[Seq[Option[Long]], Buf, Seq[String]] =
-    new CovAgg[Seq[String]](k) {
-      override def finish(b: Buf): Seq[String] =
-        b.n.toString +: bigSums(b).toIndexedSeq.map(_.toString)
-      override def outputEncoder: Encoder[Seq[String]] =
-        ExpressionEncoder[Seq[String]]()
-    }
-
-  /** Top principal component by power iteration, computed in the SAME
-    * single pass: `finish` assembles the centered covariance numerators
-    * C_ij = n·Σm_im_j − Σm_i·Σm_j (exact BigInteger) and runs `iters`
-    * rounds of w ← (C·w)·scale ∕ max|C·w| — O(k²·iters) arithmetic on the
-    * one sufficient-statistics buffer, executor-side, zero extra jobs.
-    * BigInteger.divide truncates toward zero, the exact semantics of
-    * Spark's `div` and the oracle's HUGEINT `//`, so the emitted ppm
-    * weights are bit-identical to the engine-level CTE iteration they
-    * replace (graft.SparkEntry.pcaIterSqlCtes renders the same loop for
-    * DuckDB). This is the RowMatrix.computeGramian pattern — one
-    * distributed pass, then eigen-iteration on the k×k result — minus
-    * MLlib's driver-side step: here even the iteration stays in the plan.
-    */
-  def topComponent(k: Int, iters: Int,
-      scale: Long = 1000000L): Aggregator[Seq[Option[Long]], Buf, Seq[Long]] =
-    new CovAgg[Seq[Long]](k) {
-      override def finish(b: Buf): Seq[Long] = {
-        val s = bigSums(b)
+      override def finish(b: Buf): Out = {
+        spill(b)
+        val sums = b.carry.map(toBig)
+        val ss = b.n.toString +: sums.toIndexedSeq.zipWithIndex.map {
+          case (v, s) => if (b.touched(s)) v.toString else null
+        }
+        if (iters <= 0) return Out(ss, Nil)
+        // centered covariance numerators; an untouched pair sum is the
+        // engines' NULL sab → the whole cell is NULL (valid = false) and
+        // drops out of every Σ c·w exactly as sum() would drop it
         val n = BigInteger.valueOf(b.n)
         val c = Array.ofDim[BigInteger](k, k)
+        val valid = Array.ofDim[Boolean](k, k)
         var i = 0
         while (i < k) {
           var j = i
           while (j < k) {
-            val pij = s(k + i * k - i * (i - 1) / 2 + (j - i))
-            val cell = n.multiply(pij).subtract(s(i).multiply(s(j)))
-            c(i)(j) = cell; c(j)(i) = cell
+            val p = k + i * k - i * (i - 1) / 2 + (j - i)
+            if (b.touched(p)) {
+              val cell = n.multiply(sums(p))
+                .subtract(sums(i).multiply(sums(j)))
+              c(i)(j) = cell; c(j)(i) = cell
+              valid(i)(j) = true; valid(j)(i) = true
+            }
             j += 1
           }
           i += 1
         }
         val sc = BigInteger.valueOf(scale)
-        var w = Array.fill(k)(sc)
+        var w: Array[BigInteger] = Array.fill(k)(sc) // null = NULL weight
         var it = 0
         while (it < iters) {
           val cw = Array.tabulate(k) { a =>
-            var acc = BigInteger.ZERO
+            var acc: BigInteger = null // empty sum = NULL
             var bIx = 0
             while (bIx < k) {
-              acc = acc.add(c(a)(bIx).multiply(w(bIx))); bIx += 1
+              if (valid(a)(bIx) && w(bIx) != null) {
+                val t = c(a)(bIx).multiply(w(bIx))
+                acc = if (acc == null) t else acc.add(t)
+              }
+              bIx += 1
             }
             acc
           }
-          val mx = cw.map(_.abs).max
+          val defined = cw.filter(_ != null)
+          val mx = if (defined.isEmpty) null else defined.map(_.abs).max
           w =
-            if (mx.signum == 0) Array.fill(k)(BigInteger.ZERO)
-            else cw.map(_.multiply(sc).divide(mx))
+            if (mx == null) Array.fill[BigInteger](k)(null)
+            else if (mx.signum == 0)
+              // the CASE WHEN mx = 0 THEN 0 branch applies to EVERY dim,
+              // NULL cw included — mirrored exactly
+              Array.fill(k)(BigInteger.ZERO)
+            else cw.map(v =>
+              if (v == null) null else v.multiply(sc).divide(mx))
           it += 1
         }
-        w.toIndexedSeq.map(_.longValueExact)
+        Out(ss, w.toIndexedSeq.map(v =>
+          if (v == null) None else Some(v.longValueExact)))
       }
-      override def outputEncoder: Encoder[Seq[Long]] =
-        ExpressionEncoder[Seq[Long]]()
+
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Out] = Encoders.product[Out]
     }
 
-  /** Sufficient-statistics rows over an integer-array column: one
-    * aggregate over `df`, exploded to (pos, v DECIMAL(38,0)) with the slot
-    * layout documented above (pos 0 = n) — 1 + k + k·(k+1)/2 rows total,
-    * however many fact rows went in.
-    */
-  def suffStats(df: DataFrame, arr: Column, k: Int): DataFrame = {
-    val agg = udaf(sums(k), ExpressionEncoder[Seq[Option[Long]]]())
-    df.agg(agg(arr).as("ss"))
-      .select(posexplode(col("ss")).as(Seq("pos", "v")))
-      .select(col("pos"), col("v").cast("decimal(38,0)").as("v"))
+  private def agg(df: DataFrame, arr: Column, k: Int, iters: Int): DataFrame = {
+    val a = udaf(sumsAndComponent(k, iters),
+      ExpressionEncoder[Seq[Option[Long]]]())
+    df.agg(a(arr).as("cv"))
   }
+
+  /** Sufficient-statistics rows over an integer-array column: one
+    * aggregate over `df`, exploded to (pos, v DECIMAL(38,0) — NULL for an
+    * empty sum) with the slot layout documented above (pos 0 = n) —
+    * 1 + k + k·(k+1)/2 rows total, however many fact rows went in.
+    */
+  def suffStats(df: DataFrame, arr: Column, k: Int): DataFrame =
+    agg(df, arr, k, 0)
+      .select(posexplode(col("cv.ss")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("decimal(38,0)").as("v"))
 
   /** One-row (k-slot array) ppm top component over an integer-array
     * column: the single-job driver of the PCA family.
     */
   def topComponentArr(df: DataFrame, arr: Column, k: Int,
-      iters: Int): DataFrame = {
-    val agg = udaf(topComponent(k, iters),
-      ExpressionEncoder[Seq[Option[Long]]]())
-    df.agg(agg(arr).as("warr"))
-  }
+      iters: Int): DataFrame =
+    agg(df, arr, k, iters).select(col("cv.warr").as("warr"))
+
+  /** Both outputs of the ONE pass — (ss, warr) as a single row — for
+    * consumers (q335) that need the matrix AND the component and must not
+    * scan the fact table twice for them.
+    */
+  def statsAndComponentRow(df: DataFrame, arr: Column, k: Int,
+      iters: Int): DataFrame =
+    agg(df, arr, k, iters).select(col("cv.ss").as("ss"),
+      col("cv.warr").as("warr"))
 }

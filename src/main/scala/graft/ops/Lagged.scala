@@ -99,6 +99,59 @@ object Lagged {
         .otherwise(coalesce(col("_b.idx"), lit(0L))).as("lag_idx"): _*)
   }
 
+  /** [[nearestLagIndexView]]'s DuckDB twin, rendered from ONE Scala value
+    * (the pcSkeletonSqlCtes discipline): CTEs `md$sfx, pts$sfx, car$sfx,
+    * lx$sfx` over a spine CTE `$spine(t, $tsExpr [, partCols...])`,
+    * yielding `lx$sfx(partCols..., t, $outCol)`. The q314/q325/q333/q334
+    * oracles each rendered a hand-edited copy of this block before —
+    * a tie-break or carry fix had to land in four places.
+    */
+  def nearestLagIndexSqlCtes(spine: String, tsExpr: String,
+      partCols: Seq[String] = Nil, lagMult: Int = 1, sfx: String = "",
+      outCol: String = "lag_idx", materialized: Boolean = false): String = {
+    val pcSel = partCols.map(c => s"$c, ").mkString
+    val pcPart =
+      if (partCols.isEmpty) "" else s"PARTITION BY ${partCols.mkString(", ")} "
+    val mdGroup =
+      if (partCols.isEmpty) ""
+      else s" GROUP BY ${partCols.indices.map(_ + 1).mkString(", ")}"
+    val mdJoin =
+      if (partCols.isEmpty) s"$spine s, md$sfx m"
+      else s"$spine s JOIN md$sfx m USING (${partCols.mkString(", ")})"
+    val mult = if (lagMult == 1) "m.md" else s"m.md * $lagMult"
+    val mat = if (materialized) "MATERIALIZED " else ""
+    s"""md$sfx AS (
+       |  SELECT $pcSel(max($tsExpr) - min($tsExpr)) / (count(*) - 1) AS md
+       |  FROM $spine$mdGroup),
+       |pts$sfx AS (
+       |  SELECT $pcSel$tsExpr AS ts, 0 AS kind, t AS idx FROM $spine
+       |  UNION ALL
+       |  SELECT ${partCols.map(c => s"s.$c, ").mkString}s.$tsExpr - $mult,
+       |    1, s.t
+       |  FROM $mdJoin WHERE s.t >= 1),
+       |car$sfx AS (
+       |  SELECT ${pcSel}ts, kind, idx,
+       |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+       |      OVER wb AS bts,
+       |    last_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+       |      OVER wb AS bidx,
+       |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+       |      OVER wf AS fts,
+       |    first_value(CASE WHEN kind = 0 THEN idx END IGNORE NULLS)
+       |      OVER wf AS fidx
+       |  FROM pts$sfx
+       |  WINDOW wb AS (${pcPart}ORDER BY ts, kind, idx DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (${pcPart}ORDER BY ts, kind, idx
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       |lx$sfx AS $mat(
+       |  SELECT ${pcSel}idx AS t,
+       |    CASE WHEN fidx IS NOT NULL AND fidx < idx
+       |        AND (bts IS NULL OR (fts - ts) < (ts - bts))
+       |      THEN fidx ELSE coalesce(bidx, 0) END AS $outCol
+       |  FROM car$sfx WHERE kind = 1)""".stripMargin
+  }
+
   /** Per-partition successive time gaps (R12 sanity stats: np.diff on time). */
   def timeGaps(df: DataFrame, partitionCols: Seq[String], tsCol: String): DataFrame = {
     val w =
