@@ -652,6 +652,24 @@ class PlanSpec extends AnyFunSuite {
       s"dual nearest-lag alignment must join on (t, lag_idx) keys:\n$p")
   }
 
+  test("q335 spectrum: ONE combined stats+component aggregate — a single " +
+      "embeddings scan feeds both the matrix and the component") {
+    // the stats row is checkpointed, so assert on the pre-checkpoint
+    // aggregate: exactly one parquet scan of embeddings, one typed agg
+    val sp = graft.ops.CovVec.statsAndComponentRow(
+        spark.read.parquet(s"$d/embeddings.parquet"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding"),
+          v => org.apache.spark.sql.functions.floor(
+            v * org.apache.spark.sql.functions.lit(1e6))), 64, 6)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate"),
+      s"the combined CovVec aggregate must drive the pass:\n$sp")
+    assert("Scan parquet".r.findAllIn(sp).size <= 1,
+      s"one embeddings scan only:\n$sp")
+    assert(!sp.contains("Join"), s"no join in the stats pass:\n$sp")
+  }
+
   test("q331 covariance census: sufficient-stats row decodes via broadcast " +
       "index only — no vec_id exchange, no shuffle join") {
     // the decode side (downstream of the stats localCheckpoint)
