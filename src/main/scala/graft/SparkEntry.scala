@@ -7145,8 +7145,9 @@ object SparkEntry {
     // PC with the ORIENTATION phase (q300's skeleton stops at the
     // undirected graph; the reference's consumers emit directed graphs
     // and its structural SHD charges reversals): v-structures from the
-    // skeleton's own order-≤1 sepset decisions + 3 Meek-rule-1 rounds
-    // (Causal.pcOrient, conflict-cancel pinned), the resulting CPDAG
+    // skeleton's own order-≤1 sepset decisions + 3 full-Meek rounds
+    // (rules 1-3 — complete absent background knowledge, Meek 1995;
+    // Causal.pcOrient, conflict-cancel pinned), the resulting CPDAG
     // expanded to directed edge rows (undirected → both directions) and
     // scored orientation-aware against the catalog's declared A1 edges
     // through the SAME Metrics.scoreAll one-pass join the 1M-graph panel
@@ -7181,6 +7182,76 @@ object SparkEntry {
         .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
       import s.implicits._
       val truth = PcDirectedTruth.toDF("source", "target")
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      val counts = st.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
+          .as("n_directed"))
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .crossJoin(broadcast(counts))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          col("n_directed").cast("long").as("n_directed"),
+          col("tp"), col("fp"), col("fn"),
+          col("shd_structural"), col("shd_xor"))
+    }),
+
+    // PC skeleton to conditioning ORDER 2 (q300/q332 stop at order 1;
+    // the reference's PC consumers condition to higher orders, and a
+    // 6-var A1 cell — cycle X1→X4→X3→X2→X1 plus X4↔X5 feedback —
+    // leaves chained spurious pairs that no SINGLE conditioner
+    // separates): Causal.pcSkeleton2's cofactor identity
+    // ρ²_ab·{z,w} = cof_ab²/(cof_aa·cof_bb) on n²-normalized rank
+    // moments, exact integers end-to-end, every order-2 structure
+    // panel-grain on broadcast frames — the one fact-scale pass is the
+    // shared rank cross-moment aggregate
+    "q336_pc_order2_scored" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q336_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.pcSkeleton2(panel, Pc2TauSqBp)
+        .select(col("a"), col("b"), col("edge"), col("sepset"),
+          col("sepset2"), col("edge2"))
+        .withColumn("truth_adj", expr(PcTruth6Case))
+    }),
+
+    // the COMPLETE constraint-based pipeline at order 2: q336's
+    // 6-var order-2 skeleton oriented by the SAME v-structure +
+    // full-Meek machinery q332 pins (pcOrient2 folds the order-2
+    // sepset pair into the shared ~-membership collider test), the
+    // CPDAG scored orientation-aware against the 6-var catalog truth.
+    // One fact-scale pass (the rank cross-moments); skeleton,
+    // cofactors, orientation and scoring all panel-grain broadcasts
+    "q337_pc_order2_oriented" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q337_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val st = graft.metrics.Causal.pcOrient2(
+        graft.metrics.Causal.pcSkeleton2(panel, Pc2TauSqBp),
+        PcMeekRounds2)
+      val pred = st.where(col("dir") === 1)
+          .select(col("a").as("source"), col("b").as("target"))
+        .unionByName(st.where(col("dir") === 2)
+          .select(col("b").as("source"), col("a").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("a").as("source"), col("b").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("b").as("source"), col("a").as("target")))
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      import s.implicits._
+      val truth = PcDirectedTruth6.toDF("source", "target")
         .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
       val counts = st.agg(count(lit(1)).as("n_edges"),
         coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
@@ -7384,13 +7455,13 @@ object SparkEntry {
   /** The catalog's A1 4-var lag-2 ANY-lag unordered adjacency as a CASE
     * flag over (a, b) with a < b — shared by q300 and its oracle.
     */
-  /** Declared X-X adjacencies of a (family, 4-var, lag-2) cell as a CASE
+  /** Declared X-X adjacencies of a (family, nVars, lag-2) cell as a CASE
     * flag over unordered pairs — U-incident links are excluded because
     * the PC capstones observe only the X panel (q329's point: the hidden
     * confounder's footprint shows in `edge` against truth_adj = 0 rows).
     */
-  private def pcTruthCase(family: String): String = {
-    val pairs = graft.core.Parser.truthLinks(family, 4, 2)
+  private def pcTruthCase(family: String, nVars: Int = 4): String = {
+    val pairs = graft.core.Parser.truthLinks(family, nVars, 2)
       .filter(l => l.source != "U" && l.target != "U")
       .map(l => if (l.source < l.target) (l.source, l.target)
         else (l.target, l.source))
@@ -7402,29 +7473,58 @@ object SparkEntry {
   }
   private val PcGenTruthCase: String = pcTruthCase("A1")
 
-  /** q332's Meek-rule-1 round count — one Scala constant driving both the
-    * Spark loop and the generated DuckDB CTE chain.
+  /** q336's truth: the A1 6-var lag-2 adjacency (the 6_2 cell carries the
+    * X1→X4→X3→X2→X1 cycle plus the X4↔X5 feedback — dense enough that
+    * order-1 conditioning leaves chained spurious pairs for the order-2
+    * cofactor test to separate).
+    */
+  private val PcTruth6Case: String = pcTruthCase("A1", 6)
+
+  /** q332's full-Meek (R1+R2+R3) round count — one Scala constant driving
+    * both the Spark loop and the generated DuckDB CTE chain.
     */
   private val PcMeekRounds = 3
+
+  /** q337's round count: one more than q332's — the 6-var order-2 graph
+    * can chain an orientation across more hops, and rounds are unrolled
+    * (each is one fixed CTE block), so the extra round is one cheap
+    * panel-grain stage that buys fixpoint headroom.
+    */
+  private val PcMeekRounds2 = 4
 
   /** q332's skeleton threshold τ² in basis points (τ = 0.1 — denser than
     * q300's default 0.25 so triples exist to orient).
     */
   private val PcOrientTauSqBp = 100L
 
+  /** q336's threshold τ² in basis points (τ = 0.03): tight enough that
+    * the A1 6-var chained correlations survive orders 0-1 — at τ = 0.1
+    * the skeleton is already 3 edges and order 2 has nothing to decide —
+    * and the order-2 stage demonstrably separates X4–X6 (the X4↔X5
+    * feedback holds every ORDER-1 partial above τ; only a conditioning
+    * PAIR breaks the path).
+    */
+  private val Pc2TauSqBp = 9L
+
   /** q332's directed truth: the catalog's declared A1 4-var lag-2 X→X
     * edges (any lag, distinct ordered pairs, self-loops excluded — PC is
     * lag-free and the skeleton never proposes self edges). One Parser
     * call rendered into the Spark literal AND the oracle VALUES.
     */
-  private lazy val PcDirectedTruth: Seq[(String, String)] =
-    graft.core.Parser.truthLinks("A1", 4, 2)
+  private def pcDirectedTruthFor(nVars: Int): Seq[(String, String)] =
+    graft.core.Parser.truthLinks("A1", nVars, 2)
       .filter(l => l.source != "U" && l.target != "U"
         && l.source != l.target)
       .map(l => (l.source, l.target)).distinct
-  private def pcDirectedTruthValuesSql: String =
-    PcDirectedTruth.map { case (s0, t0) => s"('$s0', '$t0')" }
+  private lazy val PcDirectedTruth: Seq[(String, String)] =
+    pcDirectedTruthFor(4)
+  private lazy val PcDirectedTruth6: Seq[(String, String)] =
+    pcDirectedTruthFor(6)
+  private def pcTruthValuesSql(truth: Seq[(String, String)]): String =
+    truth.map { case (s0, t0) => s"('$s0', '$t0')" }
       .mkString("(VALUES ", ", ", ") t(source, target)")
+  private def pcDirectedTruthValuesSql: String =
+    pcTruthValuesSql(PcDirectedTruth)
 
   private def GroupByAllSql(table: String): String =
     s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -14320,6 +14420,76 @@ object SparkEntry {
         |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
         |      AS n_directed
         |  FROM pc_st$PcMeekRounds)
+        |SELECT c.n_edges::BIGINT AS n_edges,
+        |  c.n_directed::BIGINT AS n_directed,
+        |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
+        |  s.shd_structural::BIGINT AS shd_structural,
+        |  (s.fp + s.fn)::BIGINT AS shd_xor
+        |FROM pc_cnt c, pc_sc s""".stripMargin,
+
+    "q336_pc_order2_scored" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q336_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X5', t, floor(X5 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X6', t, floor(X6 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.pcSkeleton2SqlCtes("panel", Pc2TauSqBp)}
+        |SELECT a, b, edge::INT AS edge, sepset, sepset2,
+        |  edge2::INT AS edge2, ($PcTruth6Case)::INT AS truth_adj
+        |FROM pc2_out""".stripMargin,
+
+    "q337_pc_order2_oriented" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q337_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X5', t, floor(X5 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X6', t, floor(X6 * 1000)::BIGINT FROM gen),
+        |${graft.metrics.Causal.pcSkeleton2SqlCtes("panel", Pc2TauSqBp)},
+        |${graft.metrics.Causal.pcOrient2SqlCtes(PcMeekRounds2)},
+        |pc_pred AS (
+        |  SELECT a AS source, b AS target FROM pc_st$PcMeekRounds2
+        |  WHERE dir = 1
+        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds2 WHERE dir = 2
+        |  UNION ALL SELECT a, b FROM pc_st$PcMeekRounds2 WHERE dir = 0
+        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds2 WHERE dir = 0),
+        |pc_truth AS (SELECT * FROM ${pcTruthValuesSql(PcDirectedTruth6)}),
+        |pc_ct AS (
+        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+        |  FROM pc_truth GROUP BY 1, 2),
+        |pc_cp AS (
+        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+        |  FROM pc_pred GROUP BY 1, 2),
+        |pc_j AS (
+        |  SELECT coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
+        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
+        |  FROM pc_ct t FULL JOIN pc_cp p ON p.u = t.u AND p.v = t.v),
+        |pc_sc AS (
+        |  SELECT sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
+        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
+        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
+        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+        |          AND t_fwd <> p_fwd THEN 1
+        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
+        |      AS shd_structural
+        |  FROM pc_j),
+        |pc_cnt AS (SELECT count(*) AS n_edges,
+        |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
+        |      AS n_directed
+        |  FROM pc_st$PcMeekRounds2)
         |SELECT c.n_edges::BIGINT AS n_edges,
         |  c.n_directed::BIGINT AS n_directed,
         |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,

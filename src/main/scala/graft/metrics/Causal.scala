@@ -438,8 +438,16 @@ object Causal {
     * — the partial correlation ρ_ab·z squared, fully rational, cross-
     * multiplied. sepset = lexicographically-least separating z.
     */
-  def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L): DataFrame = {
-    val cm = rankCrossMoments(rankPanel(panel)).localCheckpoint(false)
+  def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L): DataFrame =
+    pcSkeletonMoments(
+      rankCrossMoments(rankPanel(panel)).localCheckpoint(false), tauSqBp)
+
+  /** The moments→skeleton stage of [[pcSkeleton]], split out so
+    * [[pcSkeleton2]] can reuse one fact-scale cross-moment pass for both
+    * the order-≤1 decisions and the order-2 cofactor tests.
+    */
+  private[metrics] def pcSkeletonMoments(cm: DataFrame,
+      tauSqBp: Long): DataFrame = {
     def cAs(na: String, nb: String, out: String): DataFrame =
       cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
     val pairs = cm.where(col("sa") < col("sb"))
@@ -524,25 +532,159 @@ object Causal {
        |  FROM pc_pairs p LEFT JOIN pc_seps s
        |    ON s.a = p.a AND s.b = p.b)""".stripMargin
 
+  /** PC-algorithm skeleton to conditioning order 2. Orders 0/1 are
+    * exactly [[pcSkeleton]]; each surviving pair (a,b) is then tested
+    * against every unordered conditioning pair {z,w} ⊄ {a,b} via the
+    * cofactor identity ρ²_ab·{z,w} = cof_ab² / (cof_aa·cof_bb) over the
+    * 4×4 moment matrix on (a,b,z,w) — separated when
+    * 10000·cof_ab² ≤ τ²bp·cof_aa·cof_bb, fully rational.
+    *
+    * The order-2 stage runs on NORMALIZED moments ĉ = c div n² (exact
+    * truncating division, identical in both engines): raw rank moments
+    * are O(n⁴) and a squared 3×3 cofactor of those is O(n²⁴) — past any
+    * 128-bit budget at n > 26 — while ĉ = O(n²) keeps
+    * 10⁴·cof² ≤ ~1.2e35 up to n = 500 observations. The quantization
+    * (≤ n² absolute, ~1e-5 relative at n = 200) is far inside a
+    * τ = 0.1..0.25 decision margin and is part of the pinned contract.
+    *
+    * `sepset2` is the minimum over separating pairs of the string
+    * `z || '~' || w` (z < w) — the pinned deterministic tie-break (plain
+    * string ordering, NOT tuple ordering when series names vary in
+    * length). Output: [[pcSkeleton]]'s columns plus (sepset2,
+    * edge2 = survived order ≤ 2). Fact-scale work is the single rank
+    * cross-moment pass; every order-2 structure is panel-grain
+    * (≤ p²·C(p,2) rows) on broadcast frames.
+    */
+  def pcSkeleton2(panel: DataFrame, tauSqBp: Long = 625L): DataFrame = {
+    val cm = rankCrossMoments(rankPanel(panel)).localCheckpoint(false)
+    val sk1 = pcSkeletonMoments(cm, tauSqBp).localCheckpoint(false)
+    val nc = cm.select(col("sa"), col("sb"),
+      expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
+    def m(x: String, y: String, out: String): DataFrame =
+      broadcast(nc.select(col("sa").as(x), col("sb").as(y),
+        col("ch").as(out)))
+    def diag(x: String, out: String): DataFrame =
+      broadcast(nc.where(col("sa") === col("sb"))
+        .select(col("sa").as(x), col("ch").as(out)))
+    val ser = nc.where(col("sa") === col("sb")).select(col("sa").as("z"))
+    val cand = sk1.where(col("edge") === 1).select(col("a"), col("b"))
+      .crossJoin(broadcast(ser))
+      .crossJoin(broadcast(ser.select(col("z").as("w"))))
+      .where(col("z") < col("w") &&
+        col("z") =!= col("a") && col("z") =!= col("b") &&
+        col("w") =!= col("a") && col("w") =!= col("b"))
+    val mm = cand
+      .join(m("a", "b", "mab"), Seq("a", "b"))
+      .join(m("a", "z", "maz"), Seq("a", "z"))
+      .join(m("a", "w", "maw"), Seq("a", "w"))
+      .join(m("b", "z", "mbz"), Seq("b", "z"))
+      .join(m("b", "w", "mbw"), Seq("b", "w"))
+      .join(m("z", "w", "mzw"), Seq("z", "w"))
+      .join(diag("a", "maa"), Seq("a"))
+      .join(diag("b", "mbb"), Seq("b"))
+      .join(diag("z", "mzz"), Seq("z"))
+      .join(diag("w", "mww"), Seq("w"))
+    val cof = mm
+      .withColumn("dzw", expr("mzz*mww - mzw*mzw"))
+      .withColumn("t1", expr("maz*mww - mzw*maw"))
+      .withColumn("t2", expr("maz*mzw - mzz*maw"))
+      .withColumn("cofab", expr("mab*dzw - mbz*t1 + mbw*t2"))
+      .withColumn("cofbb", expr("maa*dzw - maz*t1 + maw*t2"))
+      .withColumn("cofaa",
+        expr("mbb*dzw - mbz*(mbz*mww - mzw*mbw) + mbw*(mbz*mzw - mzz*mbw)"))
+      .withColumn("sep", expr(
+        s"case when 10000*cofab*cofab <= $tauSqBp*cofaa*cofbb " +
+          "then 1 else 0 end"))
+    val seps = cof.groupBy("a", "b")
+      .agg(min(when(col("sep") === 1,
+        concat(col("z"), lit("~"), col("w")))).as("sepset2"))
+    sk1.join(broadcast(seps), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("n"), col("cab"), col("keep0"),
+        col("sepset"), col("edge"), col("sepset2"),
+        when(col("edge") === 1 && col("sepset2").isNull, 1).otherwise(0)
+          .as("edge2"))
+  }
+
+  /** [[pcSkeleton2]] as ANSI CTEs: [[pcSkeletonSqlCtes]] plus the
+    * order-2 cofactor stage; yields
+    * `pc2_out(a, b, n, cab, keep0, sepset, edge, sepset2, edge2)`.
+    */
+  def pcSkeleton2SqlCtes(panel: String, tauSqBp: Long = 625L): String =
+    pcSkeletonSqlCtes(panel, tauSqBp) + s""",
+       |pc_nc AS MATERIALIZED (
+       |  SELECT sa, sb, (c // (n * n))::HUGEINT AS ch FROM pc_cm),
+       |pc2_ser AS MATERIALIZED (SELECT sa AS s FROM pc_nc WHERE sa = sb),
+       |pc2_cand AS MATERIALIZED (
+       |  SELECT e.a, e.b, z.s AS z, w.s AS w
+       |  FROM pc_out e, pc2_ser z, pc2_ser w
+       |  WHERE e.edge = 1 AND z.s < w.s
+       |    AND z.s <> e.a AND z.s <> e.b AND w.s <> e.a AND w.s <> e.b),
+       |pc2_cof AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.z, c.w,
+       |    mab.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - mbz.ch*(maz.ch*mww.ch - mzw.ch*maw.ch)
+       |      + mbw.ch*(maz.ch*mzw.ch - mzz.ch*maw.ch) AS cofab,
+       |    maa.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - maz.ch*(maz.ch*mww.ch - mzw.ch*maw.ch)
+       |      + maw.ch*(maz.ch*mzw.ch - mzz.ch*maw.ch) AS cofbb,
+       |    mbb.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - mbz.ch*(mbz.ch*mww.ch - mzw.ch*mbw.ch)
+       |      + mbw.ch*(mbz.ch*mzw.ch - mzz.ch*mbw.ch) AS cofaa
+       |  FROM pc2_cand c
+       |  JOIN pc_nc mab ON mab.sa = c.a AND mab.sb = c.b
+       |  JOIN pc_nc maz ON maz.sa = c.a AND maz.sb = c.z
+       |  JOIN pc_nc maw ON maw.sa = c.a AND maw.sb = c.w
+       |  JOIN pc_nc mbz ON mbz.sa = c.b AND mbz.sb = c.z
+       |  JOIN pc_nc mbw ON mbw.sa = c.b AND mbw.sb = c.w
+       |  JOIN pc_nc mzw ON mzw.sa = c.z AND mzw.sb = c.w
+       |  JOIN pc_nc maa ON maa.sa = c.a AND maa.sb = c.a
+       |  JOIN pc_nc mbb ON mbb.sa = c.b AND mbb.sb = c.b
+       |  JOIN pc_nc mzz ON mzz.sa = c.z AND mzz.sb = c.z
+       |  JOIN pc_nc mww ON mww.sa = c.w AND mww.sb = c.w),
+       |pc2_sep AS MATERIALIZED (
+       |  SELECT a, b, min(CASE WHEN 10000*cofab*cofab
+       |                     <= $tauSqBp*cofaa*cofbb
+       |                   THEN z || '~' || w END) AS sepset2
+       |  FROM pc2_cof GROUP BY 1, 2),
+       |pc2_out AS MATERIALIZED (
+       |  SELECT o.a, o.b, o.n, o.cab, o.keep0, o.sepset, o.edge,
+       |    s.sepset2,
+       |    (CASE WHEN o.edge = 1 AND s.sepset2 IS NULL
+       |     THEN 1 ELSE 0 END)::INT AS edge2
+       |  FROM pc_out o LEFT JOIN pc2_sep s ON s.a = o.a AND s.b = o.b)"""
+      .stripMargin
+
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation
-    * decisions, then `meekRounds` unrolled applications of Meek rule 1.
+    * decisions, then `meekRounds` unrolled rounds of the FULL Meek
+    * closure — rules 1, 2 and 3 applied simultaneously per round. Meek
+    * (1995) proves R1–R3 complete for the CPDAG of a pattern with no
+    * background knowledge (R4 fires only when background orientations
+    * exist), so a fixpoint of these rounds IS the maximally-oriented
+    * CPDAG the PC family is defined to return.
     *
     * Pinned deterministic semantics (mirrored CTE-for-CTE by
     * [[pcOrientSqlCtes]]):
     *  - Unshielded triple x–z–y (x < y canonically, x,y non-adjacent in
-    *    the skeleton): orient x→z←y iff z is NOT the recorded sepset of
-    *    (x,y) — a pair dropped at order 0 has sepset NULL (the empty
-    *    separating set), so every such triple is a collider, the
-    *    textbook rule.
+    *    the skeleton): orient x→z←y iff z is NOT a MEMBER of the recorded
+    *    sepset of (x,y) — sepset is a `~`-delimited series list (one
+    *    element from [[pcSkeleton]], `z~w` from [[pcSkeleton2]] via
+    *    [[pcOrient2]]; series names must not contain `~`). A pair dropped
+    *    at order 0 has sepset NULL (the empty separating set), so every
+    *    such triple is a collider, the textbook rule.
     *  - Claims are applied simultaneously per phase; an edge claimed in
-    *    BOTH directions (within one phase, or rule 1 against an existing
-    *    v-orientation — existing direction wins) stays/remains as it was:
-    *    conservative-PC conflict handling, order-free and therefore
-    *    partitioning-invariant.
-    *  - Meek rule 1, `meekRounds` fixed rounds: a→z directed, z–b
-    *    undirected, a,b non-adjacent ⇒ claim z→b. Each round reads the
-    *    previous round's state only (PC-stable discipline).
+    *    BOTH directions (within one phase, or any rule against an
+    *    existing v-orientation — existing direction wins) stays/remains
+    *    as it was: conservative-PC conflict handling, order-free and
+    *    therefore partitioning-invariant.
+    *  - `meekRounds` fixed rounds, each reading the previous round's
+    *    state only (PC-stable discipline), claiming per rule:
+    *     R1: a→z directed, z–b undirected, a,b non-adjacent ⇒ z→b;
+    *     R2: a→c→b directed chain, a–b undirected ⇒ a→b
+    *         (the reverse would make the cycle a→c→b→a);
+    *     R3: a–b, a–c, a–d undirected, c→b and d→b directed, c,d
+    *         non-adjacent ⇒ a→b (b←a would force one of c→b←d's tails
+    *         through a into a new v-structure or cycle).
     *
     * Output: one row per skeleton edge (a, b, dir) with a < b and
     * dir ∈ {1: a→b, 2: b→a, 0: undirected}. Everything here is
@@ -568,7 +710,8 @@ object Causal {
       .join(sk.select(col("a").as("x"), col("b").as("y"), col("sepset"),
         col("edge")), Seq("x", "y"))
       .where(col("edge") === 0 &&
-        (col("sepset").isNull || col("sepset") =!= col("z")))
+        (col("sepset").isNull ||
+          !array_contains(split(col("sepset"), "~"), col("z"))))
       .select(col("x"), col("y"), col("z"))
     val vclaims = trip.select(col("x").as("src"), col("z").as("dst"))
       .unionByName(trip.select(col("y").as("src"), col("z").as("dst")))
@@ -593,36 +736,76 @@ object Causal {
         .select(col("a").as("src"), col("b").as("dst"))
         .unionByName(state.where(col("dir") === 2)
           .select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(false)
       val uu = state.where(col("dir") === 0)
         .select(col("a").as("z"), col("b").as("w"))
         .unionByName(state.where(col("dir") === 0)
           .select(col("b").as("z"), col("a").as("w")))
-      val claims = dd.join(uu, dd("dst") === uu("z"))
+        .localCheckpoint(false)
+      val r1 = dd.join(uu, dd("dst") === uu("z"))
         .where(col("w") =!= col("src"))
         .join(broadcast(adj.select(col("a").as("src"), col("b").as("w"),
           lit(1).as("isadj"))), Seq("src", "w"), "left_outer")
         .where(col("isadj").isNull)
         .select(col("z").as("src"), col("w").as("dst"))
-        .distinct()
+      // R2: src→mid→dst directed, src–dst undirected ⇒ src→dst. The
+      // undirected test is the equi-join against uu (which carries both
+      // orientations of every dir=0 edge, so (src,dst) hits either way)
+      val r2 = dd.select(col("src"), col("dst").as("mid"))
+        .join(dd.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .join(uu.select(col("z").as("src"), col("w").as("dst")),
+          Seq("src", "dst"))
+        .select(col("src"), col("dst"))
+      // R3: tail–head undirected with two undirected spokes tail–c,
+      // tail–d whose far ends both point at head (c→head, d→head) and
+      // c,d non-adjacent ⇒ tail→head. c < d dedups the symmetric pick.
+      val r3 = uu.select(col("z").as("tail"), col("w").as("head"))
+        .join(uu.select(col("z").as("tail"), col("w").as("c")), Seq("tail"))
+        .join(uu.select(col("z").as("tail"), col("w").as("d")), Seq("tail"))
+        .where(col("c") < col("d") &&
+          col("c") =!= col("head") && col("d") =!= col("head"))
+        .join(dd.select(col("src").as("c"), col("dst").as("head")),
+          Seq("c", "head"))
+        .join(dd.select(col("src").as("d"), col("dst").as("head")),
+          Seq("d", "head"))
+        .join(broadcast(adj.select(col("a").as("c"), col("b").as("d"),
+          lit(1).as("cdadj"))), Seq("c", "d"), "left_outer")
+        .where(col("cdadj").isNull)
+        .select(col("tail").as("src"), col("head").as("dst"))
+      val claims = r1.unionByName(r2).unionByName(r3).distinct()
       state = applyClaims(state, claims).localCheckpoint(false)
     }
     state
   }
 
-  /** [[pcOrient]] as CTEs downstream of `pc_out` (the
-    * [[pcSkeletonSqlCtes]] terminal); yields `pc_st$meekRounds(a, b, dir)`.
+  /** [[pcOrient]] over a [[pcSkeleton2]] output: identical v-structure +
+    * full-Meek contract on the ORDER-2 graph — adjacency is `edge2` and
+    * the blocking set of a removed pair is whichever stage separated it
+    * (the order-1 `sepset` when present, else the order-2 `z~w` pair;
+    * both flow through [[pcOrient]]'s `~`-membership test).
     */
-  def pcOrientSqlCtes(meekRounds: Int = 3): String = {
+  def pcOrient2(skeleton2: DataFrame, meekRounds: Int = 3): DataFrame =
+    pcOrient(skeleton2.select(col("a"), col("b"),
+      coalesce(col("sepset"), col("sepset2")).as("sepset"),
+      col("edge2").as("edge")), meekRounds)
+
+  /** [[pcOrient]] as CTEs downstream of `src` (`pc_out` from
+    * [[pcSkeletonSqlCtes]] by default; pass an adapter CTE name for the
+    * order-2 graph); yields `pc_st$meekRounds(a, b, dir)`.
+    */
+  def pcOrientSqlCtes(meekRounds: Int = 3,
+      src: String = "pc_out"): String = {
     val sb = new StringBuilder
     sb.append(
-      """pc_und AS MATERIALIZED (SELECT a, b FROM pc_out WHERE edge = 1),
+      s"""pc_und AS MATERIALIZED (SELECT a, b FROM $src WHERE edge = 1),
         |pc_adj AS MATERIALIZED (SELECT a, b FROM pc_und UNION ALL SELECT b, a FROM pc_und),
         |pc_trip2 AS MATERIALIZED (
         |  SELECT e1.a AS x, e1.b AS z, e2.b AS y
         |  FROM pc_adj e1
         |  JOIN pc_adj e2 ON e2.a = e1.b AND e1.a < e2.b
-        |  JOIN pc_out p ON p.a = e1.a AND p.b = e2.b
-        |  WHERE p.edge = 0 AND (p.sepset IS NULL OR p.sepset <> e1.b)),
+        |  JOIN $src p ON p.a = e1.a AND p.b = e2.b
+        |  WHERE p.edge = 0 AND (p.sepset IS NULL
+        |    OR NOT list_contains(string_split(p.sepset, '~'), e1.b))),
         |pc_vcl AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT x AS src, z AS dst FROM pc_trip2
@@ -638,15 +821,32 @@ object Causal {
         .stripMargin)
     for (k <- 1 to meekRounds) {
       sb.append(s""",
+        |pc_d$k AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM pc_st${k - 1} WHERE dir = 1
+        |  UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 2),
+        |pc_u$k AS MATERIALIZED (
+        |  SELECT a AS z, b AS w FROM pc_st${k - 1} WHERE dir = 0
+        |  UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 0),
         |pc_cl$k AS MATERIALIZED (
-        |  SELECT DISTINCT u.z AS src, u.w AS dst
-        |  FROM (SELECT a AS src, b AS dst FROM pc_st${k - 1} WHERE dir = 1
-        |        UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 2) d
-        |  JOIN (SELECT a AS z, b AS w FROM pc_st${k - 1} WHERE dir = 0
-        |        UNION ALL SELECT b, a FROM pc_st${k - 1} WHERE dir = 0) u
-        |    ON u.z = d.dst AND u.w <> d.src
-        |  LEFT JOIN pc_adj n ON n.a = d.src AND n.b = u.w
-        |  WHERE n.a IS NULL),
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT u.z AS src, u.w AS dst
+        |    FROM pc_d$k d JOIN pc_u$k u ON u.z = d.dst AND u.w <> d.src
+        |    LEFT JOIN pc_adj n ON n.a = d.src AND n.b = u.w
+        |    WHERE n.a IS NULL
+        |    UNION ALL
+        |    SELECT d1.src, d2.dst
+        |    FROM pc_d$k d1 JOIN pc_d$k d2 ON d2.src = d1.dst
+        |    JOIN pc_u$k u ON u.z = d1.src AND u.w = d2.dst
+        |    UNION ALL
+        |    SELECT ub.z, ub.w
+        |    FROM pc_u$k ub
+        |    JOIN pc_u$k uc ON uc.z = ub.z AND uc.w <> ub.w
+        |    JOIN pc_u$k ud ON ud.z = ub.z AND ud.w <> ub.w
+        |      AND uc.w < ud.w
+        |    JOIN pc_d$k dc ON dc.src = uc.w AND dc.dst = ub.w
+        |    JOIN pc_d$k dd ON dd.src = ud.w AND dd.dst = ub.w
+        |    LEFT JOIN pc_adj n ON n.a = uc.w AND n.b = ud.w
+        |    WHERE n.a IS NULL) cl(src, dst)),
         |pc_st$k AS MATERIALIZED (
         |  SELECT s.a, s.b,
         |    CASE WHEN s.dir <> 0 THEN s.dir
@@ -660,6 +860,17 @@ object Causal {
     }
     sb.toString
   }
+
+  /** [[pcOrient2]] as CTEs downstream of `pc2_out` (the
+    * [[pcSkeleton2SqlCtes]] terminal): one adapter CTE folds the order-2
+    * columns into the [[pcOrientSqlCtes]] shape, then the shared
+    * orientation chain runs off it; yields `pc_st$meekRounds(a, b, dir)`.
+    */
+  def pcOrient2SqlCtes(meekRounds: Int = 3): String =
+    """pc2_sk AS MATERIALIZED (
+      |  SELECT a, b, coalesce(sepset, sepset2) AS sepset, edge2 AS edge
+      |  FROM pc2_out),
+      |""".stripMargin + pcOrientSqlCtes(meekRounds, "pc2_sk")
 
   /** Quantized natural-log lookup ln(k)·1e6, k = 1..maxN — the single
     * source of truth for the transfer-entropy oracle: rendered as a Spark

@@ -229,8 +229,8 @@ class AlgoPropertySpec extends AnyFunSuite {
           else Some(others(rnd.nextInt(others.size)))
         (nodes(i), nodes(j), sep, edge)
       }
-      // reference: plain-Scala v-structures + 3 simultaneous Meek-1
-      // rounds with conflict-cancel (the pinned q332 semantics)
+      // reference: plain-Scala v-structures + 3 simultaneous full-Meek
+      // (R1+R2+R3) rounds with conflict-cancel (the pinned q332 semantics)
       val und = pairs.collect { case (a, b, _, 1) => (a, b) }.toSet
       def adjacent(x: String, y: String) =
         und(if (x < y) (x, y) else (y, x))
@@ -251,15 +251,28 @@ class AlgoPropertySpec extends AnyFunSuite {
       } yield cl).toSet
       var dir = applyCl(und.map(_ -> 0).toMap, vcl)
       for (_ <- 1 to 3) {
-        val dd = dir.collect { case ((a, b), 1) => (a, b)
-                               case ((a, b), 2) => (b, a) }.toSet
-        val uu = dir.collect { case ((a, b), 0) => (a, b) }
+        // dir.toSeq FIRST: collect/flatMap on a Map re-key by the tuple's
+        // first element and silently drop same-source edges / same-tail
+        // orientations (a dd with n0->n1 and n0->n2 would keep one; a uu
+        // around a 3-spoke tail kept one spoke and starved R3)
+        val dd = dir.toSeq.collect { case ((a, b), 1) => (a, b)
+                                     case ((a, b), 2) => (b, a) }.toSet
+        val uu = dir.toSeq.collect { case ((a, b), 0) => (a, b) }
           .flatMap(e => Seq(e, e.swap)).toSet
-        val cl = (for {
+        val r1 = (for {
           (a, z) <- dd; (z2, w) <- uu
           if z2 == z && w != a && !adjacent(a, w)
         } yield (z, w)).toSet
-        dir = applyCl(dir, cl)
+        val r2 = (for {
+          (a, c) <- dd; (c2, b) <- dd
+          if c2 == c && uu((a, b))
+        } yield (a, b)).toSet
+        val r3 = (for {
+          (t, h) <- uu; (t2, c) <- uu; (t3, d) <- uu
+          if t2 == t && t3 == t && c < d && c != h && d != h
+          if dd((c, h)) && dd((d, h)) && !adjacent(c, d)
+        } yield (t, h)).toSet
+        dir = applyCl(dir, r1 ++ r2 ++ r3)
       }
       val skBase = pairs.toDF("a", "b", "sepset", "edge")
       Seq(skBase, skBase.repartition(7), skBase.orderBy($"b".desc))

@@ -291,6 +291,60 @@ class CausalSpec extends AnyFunSuite {
     assert(one(("c", "d")) == 1 && one(("d", "e")) == 0)
   }
 
+  test("pc orient: Meek rule 2 closes the a→c→b chain's a–b shortcut") {
+    // collider a→c←e (sepset of (a,e) empty); R1 round 1 orients c→b
+    // (e→c, c–b, (e,b) non-adjacent); round 2's ONLY claim is R2's
+    // a→b from the directed chain a→c→b over the undirected a–b (R1 at
+    // b is blocked: the sole directed-in source c is adjacent to a)
+    val dirs = orient(Seq(
+      ("a", "b", None, 1), ("a", "c", None, 1), ("b", "c", None, 1),
+      ("c", "e", None, 1),
+      ("a", "e", None, 0), ("b", "e", Some("c"), 0)))
+    assert(dirs(("a", "c")) == 1 && dirs(("c", "e")) == 2, "collider at c")
+    assert(dirs(("b", "c")) == 2, "R1: e→c, c–b, e,b non-adjacent")
+    assert(dirs(("a", "b")) == 1, "R2: a→c→b chain orients a–b as a→b")
+  }
+
+  test("pc orient: Meek rule 3 orients the double-spoke tail into the head") {
+    // collider c→h←d (sepset of (c,d) = t blocks the collider at t but
+    // not at h); t keeps undirected spokes t–c, t–d and the t–h edge;
+    // R1/R2 claim nothing (c,t and d,t adjacent; no directed chain), so
+    // t→h is R3's claim alone
+    val dirs = orient(Seq(
+      ("c", "h", None, 1), ("d", "h", None, 1), ("h", "t", None, 1),
+      ("c", "t", None, 1), ("d", "t", None, 1),
+      ("c", "d", Some("t"), 0)))
+    assert(dirs(("c", "h")) == 1 && dirs(("d", "h")) == 1, "collider at h")
+    assert(dirs(("c", "t")) == 0 && dirs(("d", "t")) == 0, "spokes stay")
+    assert(dirs(("h", "t")) == 2, "R3: c→h←d with t–c, t–d ⇒ t→h")
+  }
+
+  test("pc orient 2: an order-2 sepset pair blocks colliders on BOTH " +
+      "members and a third common neighbour still colliders") {
+    import spark.implicits._
+    // x–y removed at order 2 by {m,n}; x,y each keep edges to m, n, p.
+    // The pairs among {m,n,p} are removed with sepset pair {x,y} so no
+    // spurious collider forms at x or y through them. Expected CPDAG:
+    // x→p←y only — m and n are sepset members (no collider), p is not
+    val rows = Seq(
+      ("m", "x", None, None, 1, 1), ("m", "y", None, None, 1, 1),
+      ("n", "x", None, None, 1, 1), ("n", "y", None, None, 1, 1),
+      ("p", "x", None, None, 1, 1), ("p", "y", None, None, 1, 1),
+      ("x", "y", Option.empty[String], Some("m~n"), 1, 0),
+      ("m", "n", None, Some("x~y"), 1, 0),
+      ("m", "p", None, Some("x~y"), 1, 0),
+      ("n", "p", None, Some("x~y"), 1, 0))
+      .toDF("a", "b", "sepset", "sepset2", "edge", "edge2")
+    val dirs = Causal.pcOrient2(rows, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(dirs(("p", "x")) == 2 && dirs(("p", "y")) == 2,
+      s"x and y collider into p (dir 2 on the canonical (p,*) rows): $dirs")
+    assert(dirs.filterNot(k => Set(("p", "x"), ("p", "y"))(k._1))
+      .values.forall(_ == 0),
+      s"sepset members m,n must not collider; spokes stay undirected: $dirs")
+    assert(dirs.size == 6, s"only edge2 = 1 rows survive as edges: $dirs")
+  }
+
   test("pc orient: opposing collider claims cancel, the edge stays undirected") {
     // a→c←d and c→d←f claim c–d both ways → conservative undirected
     val dirs = orient(Seq(
@@ -299,6 +353,109 @@ class CausalSpec extends AnyFunSuite {
     assert(dirs(("a", "c")) == 1, "a→c survives (claimed one way only)")
     assert(dirs(("d", "f")) == 2, "f→d survives (claimed one way only)")
     assert(dirs(("c", "d")) == 0, "conflicting claims cancel")
+  }
+
+  test("pc skeleton order 2: the double-path pair separates only on {z,w}") {
+    // a exogenous; z = a + e1, w = a + e2, b = z + w + e3: a–b stays
+    // correlated given ANY single conditioner (the other path leaks) but
+    // is separated by the PAIR {z,w} — the motif order-1 PC cannot crack
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def g() = Math.round(rnd.nextGaussian() * 500)
+    val rows = (1 to 120).flatMap { day =>
+      // e3 at FULL signal scale: with a small e3, conditioning on b ≈ 2a
+      // screens a from z (ρ_az·b ≈ 0.07 in the Gaussian limit) and the
+      // true parent edges die at order 1; σ3 = σa keeps every true-edge
+      // partial ≥ ~0.37 while ρ_ab·{z,w} is exactly 0 (e3 ⊥ a)
+      val av = g(); val zv = av + g() / 2; val wv = av + g() / 2
+      val bv = zv + wv + g()
+      Seq(("a", day.toLong, av), ("z", day.toLong, zv),
+        ("w", day.toLong, wv), ("b", day.toLong, bv))
+    }
+    val out = Causal.pcSkeleton2(rows.toDF("series", "day", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(6), Option(r.getString(5)), Option(r.getString(7)),
+          r.getInt(8))).toMap
+    val (abEdge, _, abSep2, abEdge2) = out(("a", "b"))
+    assert(abEdge == 1, s"a-b must survive order<=1: $out")
+    assert(abEdge2 == 0 && abSep2.contains("w~z"),
+      s"a-b must separate on the pair {w,z}: $out")
+    assert(out(("a", "z"))._4 == 1 && out(("a", "w"))._4 == 1,
+      s"true parent edges survive order 2: $out")
+    assert(out(("b", "z"))._4 == 1 && out(("b", "w"))._4 == 1,
+      s"true component edges survive order 2: $out")
+    assert(out(("w", "z"))._1 == 0 && out(("w", "z"))._2.contains("a"),
+      s"z-w is separated at order 1 by its common cause a: $out")
+  }
+
+  test("pc skeleton order 2 equals an independent BigInt evaluator and is " +
+      "partitioning invariant (random panels)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val names = (0 until 5).map(i => s"s$i")
+      val nDays = 60
+      // mixed structure: shared factor + idiosyncratic noise, some ties
+      val fac = (1 to nDays).map(_ => Math.round(rnd.nextGaussian() * 300))
+      val rows = for {
+        (s, si) <- names.zipWithIndex; d <- 1 to nDays
+      } yield (s, d.toLong,
+        (if (si % 2 == 0) fac(d - 1) else -fac(d - 1) / 2) +
+          Math.round(rnd.nextGaussian() * 200) / 10 * 10)
+      // independent evaluator: ranks by (v, day), LONG moments, BigInt
+      // cofactors, identical truncating div — no Spark involved
+      val byS = rows.groupBy(_._1).map { case (s, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2)).zipWithIndex
+          .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+        s -> (1 to nDays).map(d => sorted(d.toLong))
+      }
+      val n = BigInt(nDays)
+      def c(x: String, y: String): BigInt = {
+        val (rx, ry) = (byS(x), byS(y))
+        n * rx.zip(ry).map { case (u, v) => BigInt(u) * v }.sum -
+          rx.map(BigInt(_)).sum * ry.map(BigInt(_)).sum
+      }
+      val tau = BigInt(625)
+      def sq(x: BigInt) = x * x
+      val expected = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+        a = names(i); b = names(j)
+      } yield {
+        val keep0 = 10000 * sq(c(a, b)) > tau * c(a, a) * c(b, b)
+        val others = names.filterNot(s => s == a || s == b)
+        val sep1 = others.filter { z =>
+          10000 * sq(c(a, b) * c(z, z) - c(a, z) * c(b, z)) <=
+            tau * (c(a, a) * c(z, z) - sq(c(a, z))) *
+              (c(b, b) * c(z, z) - sq(c(b, z)))
+        }.sorted.headOption.filter(_ => keep0)
+        val edge = keep0 && sep1.isEmpty
+        val ch = scala.collection.mutable.Map.empty[(String, String), BigInt]
+        def m(x: String, y: String) = ch.getOrElseUpdate((x, y),
+          c(x, y) / (n * n)) // BigInt / truncates toward zero, like div
+        val sep2 = (for {
+          zi <- others.indices; wi <- (zi + 1) until others.size
+          z = others(zi); w = others(wi)
+          dzw = m(z, z) * m(w, w) - sq(m(z, w))
+          t1 = m(a, z) * m(w, w) - m(z, w) * m(a, w)
+          t2 = m(a, z) * m(z, w) - m(z, z) * m(a, w)
+          cofab = m(a, b) * dzw - m(b, z) * t1 + m(b, w) * t2
+          cofbb = m(a, a) * dzw - m(a, z) * t1 + m(a, w) * t2
+          cofaa = m(b, b) * dzw -
+            m(b, z) * (m(b, z) * m(w, w) - m(z, w) * m(b, w)) +
+            m(b, w) * (m(b, z) * m(z, w) - m(z, z) * m(b, w))
+          if 10000 * sq(cofab) <= tau * cofaa * cofbb
+        } yield s"$z~$w").sorted.headOption.filter(_ => edge)
+        (a, b) -> (if (edge) 1 else 0, sep2,
+          if (edge && sep2.isEmpty) 1 else 0)
+      }).toMap
+      val base = rows.toDF("series", "day", "v")
+      Seq(base, base.repartition(7)).foreach { panel =>
+        val got = Causal.pcSkeleton2(panel)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getInt(6), Option(r.getString(7)), r.getInt(8))).toMap
+        assert(got == expected, s"trial $trial: got $got want $expected")
+      }
+    }
   }
 
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
