@@ -438,9 +438,25 @@ object Causal {
     * — the partial correlation ρ_ab·z squared, fully rational, cross-
     * multiplied. sepset = lexicographically-least separating z.
     */
+  /** Materialize a panel-grain frame AND reset its statistics. Spark 4's
+    * `localCheckpoint` copies the pre-checkpoint plan's ESTIMATED
+    * `sizeInBytes` into the resulting `LogicalRDD`; in an iterated-join
+    * algorithm those estimates compound multiplicatively across rounds
+    * (size(join) = Πsize(child) over `defaultSizeInBytes` ≈ 9e18 leaves),
+    * and the driver ends up multiplying BigInts with MILLIONS of digits
+    * inside `SizeInBytesOnlyStatsPlanVisitor.visitJoin` — measured 160 s
+    * of pure stats arithmetic at 4 Meek rounds. Rebuilding the frame from
+    * the materialized RDD drops the poisoned estimate back to the
+    * default. Only for ≤ p²-row frames: the Row round-trip is O(rows).
+    */
+  private def pinTiny(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L): DataFrame =
     pcSkeletonMoments(
-      rankCrossMoments(rankPanel(panel)).localCheckpoint(false), tauSqBp)
+      pinTiny(rankCrossMoments(rankPanel(panel))), tauSqBp)
 
   /** The moments→skeleton stage of [[pcSkeleton]], split out so
     * [[pcSkeleton2]] can reuse one fact-scale cross-moment pass for both
@@ -556,8 +572,8 @@ object Causal {
     * (≤ p²·C(p,2) rows) on broadcast frames.
     */
   def pcSkeleton2(panel: DataFrame, tauSqBp: Long = 625L): DataFrame = {
-    val cm = rankCrossMoments(rankPanel(panel)).localCheckpoint(false)
-    val sk1 = pcSkeletonMoments(cm, tauSqBp).localCheckpoint(false)
+    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    val sk1 = pinTiny(pcSkeletonMoments(cm, tauSqBp))
     val nc = cm.select(col("sa"), col("sb"),
       expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
     def m(x: String, y: String, out: String): DataFrame =
@@ -698,17 +714,18 @@ object Causal {
     * CPDAG the PC family is defined to return.
     */
   def pcOrient(skeleton: DataFrame, meekRounds: Int = 3): DataFrame = {
-    val sk = skeleton.select(col("a"), col("b"), col("sepset"), col("edge"))
-      .localCheckpoint(false)
+    val sk = pinTiny(
+      skeleton.select(col("a"), col("b"), col("sepset"), col("edge")))
     val und = sk.where(col("edge") === 1).select(col("a"), col("b"))
     val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
     // the skeleton keeps a row for EVERY pair, so the triple's
     // non-adjacency + sepset test is one equi-join against pc_out
     val trip = adj.select(col("a").as("x"), col("b").as("z"))
-      .join(adj.select(col("a").as("z"), col("b").as("y")), Seq("z"))
+      .join(broadcast(adj.select(col("a").as("z"), col("b").as("y"))),
+        Seq("z"))
       .where(col("x") < col("y"))
-      .join(sk.select(col("a").as("x"), col("b").as("y"), col("sepset"),
-        col("edge")), Seq("x", "y"))
+      .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
+        col("sepset"), col("edge"))), Seq("x", "y"))
       .where(col("edge") === 0 &&
         (col("sepset").isNull ||
           !array_contains(split(col("sepset"), "~"), col("z"))))
@@ -716,6 +733,7 @@ object Causal {
     val vclaims = trip.select(col("x").as("src"), col("z").as("dst"))
       .unionByName(trip.select(col("y").as("src"), col("z").as("dst")))
       .distinct()
+      .localCheckpoint(false)
     // simultaneous application with conflict-cancel: claims must be
     // DISTINCT so the two left joins cannot fan state rows out
     def applyClaims(state: DataFrame, claims: DataFrame): DataFrame =
@@ -729,20 +747,29 @@ object Causal {
             .when(col("cf").isNotNull && col("cr").isNull, 1)
             .when(col("cr").isNotNull && col("cf").isNull, 2)
             .otherwise(0).as("dir"))
-    var state = applyClaims(und.withColumn("dir", lit(0)), vclaims)
-      .localCheckpoint(false)
+    // EAGER checkpoints on the loop state: a lazy one never truncates the
+    // plan between rounds (no action runs inside the loop), so each round
+    // re-references the whole previous round's tree ~6 times and Catalyst
+    // analysis goes exponential — measured 7.5 s at 3 rounds, 171 s at 4;
+    // eager materialization keeps every round's plan constant-size
+    var state = pinTiny(applyClaims(und.withColumn("dir", lit(0)), vclaims))
     (1 to meekRounds).foreach { _ =>
+      // dd/uu stay lazy: they are 1-step selections over the checkpointed
+      // state, and a localCheckpoint here would cost one extra Spark job
+      // per frame per round (measured: q332 1.2 s → 4.3 s)
       val dd = state.where(col("dir") === 1)
         .select(col("a").as("src"), col("b").as("dst"))
         .unionByName(state.where(col("dir") === 2)
           .select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(false)
       val uu = state.where(col("dir") === 0)
         .select(col("a").as("z"), col("b").as("w"))
         .unionByName(state.where(col("dir") === 0)
           .select(col("b").as("z"), col("a").as("w")))
-        .localCheckpoint(false)
-      val r1 = dd.join(uu, dd("dst") === uu("z"))
+      // every join below carries an explicit broadcast hint: these frames
+      // are ≤ p² rows, and without the hint Spark plans 32-partition
+      // shuffle joins whose exchange overhead dominates (q332 measured
+      // seconds of pure tiny-shuffle scheduling)
+      val r1 = dd.join(broadcast(uu), dd("dst") === uu("z"))
         .where(col("w") =!= col("src"))
         .join(broadcast(adj.select(col("a").as("src"), col("b").as("w"),
           lit(1).as("isadj"))), Seq("src", "w"), "left_outer")
@@ -752,28 +779,35 @@ object Causal {
       // undirected test is the equi-join against uu (which carries both
       // orientations of every dir=0 edge, so (src,dst) hits either way)
       val r2 = dd.select(col("src"), col("dst").as("mid"))
-        .join(dd.select(col("src").as("mid"), col("dst")), Seq("mid"))
-        .join(uu.select(col("z").as("src"), col("w").as("dst")),
+        .join(broadcast(dd.select(col("src").as("mid"), col("dst"))),
+          Seq("mid"))
+        .join(broadcast(uu.select(col("z").as("src"), col("w").as("dst"))),
           Seq("src", "dst"))
         .select(col("src"), col("dst"))
       // R3: tail–head undirected with two undirected spokes tail–c,
       // tail–d whose far ends both point at head (c→head, d→head) and
       // c,d non-adjacent ⇒ tail→head. c < d dedups the symmetric pick.
       val r3 = uu.select(col("z").as("tail"), col("w").as("head"))
-        .join(uu.select(col("z").as("tail"), col("w").as("c")), Seq("tail"))
-        .join(uu.select(col("z").as("tail"), col("w").as("d")), Seq("tail"))
+        .join(broadcast(uu.select(col("z").as("tail"), col("w").as("c"))),
+          Seq("tail"))
+        .join(broadcast(uu.select(col("z").as("tail"), col("w").as("d"))),
+          Seq("tail"))
         .where(col("c") < col("d") &&
           col("c") =!= col("head") && col("d") =!= col("head"))
-        .join(dd.select(col("src").as("c"), col("dst").as("head")),
-          Seq("c", "head"))
-        .join(dd.select(col("src").as("d"), col("dst").as("head")),
-          Seq("d", "head"))
+        .join(broadcast(dd.select(col("src").as("c"),
+          col("dst").as("head"))), Seq("c", "head"))
+        .join(broadcast(dd.select(col("src").as("d"),
+          col("dst").as("head"))), Seq("d", "head"))
         .join(broadcast(adj.select(col("a").as("c"), col("b").as("d"),
           lit(1).as("cdadj"))), Seq("c", "d"), "left_outer")
         .where(col("cdadj").isNull)
         .select(col("tail").as("src"), col("head").as("dst"))
+      // checkpoint the round's claims ONCE: applyClaims broadcasts the
+      // frame twice, and an un-materialized claims DAG would be fully
+      // re-evaluated by each broadcast
       val claims = r1.unionByName(r2).unionByName(r3).distinct()
-      state = applyClaims(state, claims).localCheckpoint(false)
+        .localCheckpoint(false)
+      state = pinTiny(applyClaims(state, claims))
     }
     state
   }
