@@ -226,6 +226,55 @@ object Bench {
       scala.reflect.io.Directory(new java.io.File(dir100)).deleteRecursively()
     }
 
+    // Text-pipeline scale ladder: qscale proves the RELATIONAL operators
+    // scale; this proves the text side does. 100× documents (500k docs at
+    // sf0.1) by id-shifted replication with the text left VERBATIM, so at
+    // 100× every document sits in a 100-way exact-duplicate group — the
+    // dup-heavy extreme a crawl-scale dedup actually faces (the two-phase
+    // hash-groupBy must absorb 100× group width, not merely 100× rows).
+    // Quality scoring is the linear map rung; BM25 is the inverted-index
+    // shuffle rung (every df scales 100×, the salting path active) with
+    // the PROBE set held fixed at the 1× queries so the measured growth
+    // is the posting side alone, not probes × postings.
+    val runDscale = only.forall(_.exists(_.startsWith("dscale")))
+    if (runDscale) {
+      System.gc()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      val dDir = "target/bench_documents_100x"
+      results("dscale_documents_100x_build") = time {
+        docs.withColumn("rep", explode(expr("sequence(0L, 99L)")))
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+          .drop("rep")
+          .write.mode("overwrite").parquet(dDir)
+      }
+      val d100 = spark.read.parquet(dDir)
+      def dedup(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.Dedup.exactDuplicateGroupsScalable(df, "doc_id", "text")
+          .write.mode("overwrite").format("noop").save()
+      def qual(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.TextOps.qualityScore(df)
+          .write.mode("overwrite").format("noop").save()
+      val probe = col("doc_id") < maxDoc && col("doc_id") % 50 === 0
+      def bm25(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.Index.bm25TopK(df, "doc_id", "text", probe, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      median3("dscale_exact_dedup_1x") { dedup(docs) }
+      median3("dscale_exact_dedup_100x") { dedup(d100) }
+      median3("dscale_quality_1x") { qual(docs) }
+      median3("dscale_quality_100x") { qual(d100) }
+      // BM25's probe join is O(corpus × probes) on this 31-token head-heavy
+      // vocabulary (every posting row meets ~all 100 probes sharing its
+      // token): the 100× rung is an honest ~2.5 B-row join but costs
+      // ~100 s × median3 — the 10× rung (≈250 M joined rows) carries the
+      // same linearity evidence at a round-budget-compatible cost
+      median3("dscale_bm25_1x") { bm25(docs) }
+      median3("dscale_bm25_10x") {
+        bm25(d100.where(col("doc_id") < maxDoc * 10L)) }
+      scala.reflect.io.Directory(new java.io.File(dDir)).deleteRecursively()
+    }
+
     val runGen = only.forall(_.exists(_.startsWith("gen")))
     // per-section anchor: a contended GEN section is identifiable post hoc
     // even when the start/end anchors look clean (the r9 artifact's 133.7 s

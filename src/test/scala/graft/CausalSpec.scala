@@ -458,6 +458,29 @@ class CausalSpec extends AnyFunSuite {
     }
   }
 
+  test("pc orient 2: q337's pinned 4 rounds reach the Meek fixpoint on " +
+      "its actual generated graph (round 5 is a no-op)") {
+    import graft.core.Grid
+    val cfg = Grid.forFamily("A1").find(c =>
+      c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
+        && c.noiseType == "gaussian").get
+    val gen = graft.generate.Generate.wideFast(spark, Seq(cfg))
+      .where(col("t") < 200)
+      .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*)
+      .localCheckpoint(true)
+    val panel = (1 to 6).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    val sk2 = Causal.pcSkeleton2(panel, 9L).localCheckpoint(true)
+    def dirs(rounds: Int) = Causal.pcOrient2(sk2, rounds).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val at4 = dirs(4)
+    assert(dirs(5) == at4, "an extra round past PcMeekRounds2 changes " +
+      "nothing — the published CPDAG is the closure, not a truncation")
+    assert(at4.values.count(_ != 0) > 0, "the graph orients something")
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
