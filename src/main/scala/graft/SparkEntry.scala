@@ -6983,6 +6983,53 @@ object SparkEntry {
         .withColumn("truth_lag1", expr(ShippedD3TruthCase))
     }),
 
+    // PC skeleton on a SHIPPED missing-data artifact (q325 runs the
+    // Granger consumer on this file; the reference's constraint-based
+    // consumers run on the same corpus CSVs, 25%+ masked): pairwise-
+    // complete Spearman — each series ranks over ITS OWN observed rows
+    // and each pair's cross-moments carry their own n, so missingness
+    // needs no imputation and no alignment stage. First 200 time
+    // indices (q300's rank-moment n⁴ budget); truth_adj = ANY-lag
+    // unordered adjacency parsed from the shipped structure txt.
+    // Recovers the full 4-edge truth with zero false positives; both
+    // non-edges separate at order 1
+    "q338_pc_on_shipped" -> ((s, d) =>
+      graft.metrics.Causal.pcSkeleton(shippedD3Panel(s))
+        .withColumn("truth_adj", expr(ShippedD3AdjCase))),
+
+    // the complete constraint-based consumer on the shipped artifact:
+    // q338's pairwise-complete skeleton through the q332 orientation
+    // machinery (v-structures from the order-≤1 sepsets + 3 full-Meek
+    // rounds), the CPDAG scored orientation-aware — reversals charged —
+    // against the DIRECTED truth parsed from the shipped structure txt.
+    // This is the reference's end-to-end tetrad-consumer shape
+    // (corpus CSV → directed graph → metrics) on real shipped bytes
+    "q339_pc_oriented_on_shipped" -> ((s, d) => {
+      val st = graft.metrics.Causal.pcOrient(
+        graft.metrics.Causal.pcSkeleton(shippedD3Panel(s)), PcMeekRounds)
+      val pred = st.where(col("dir") === 1)
+          .select(col("a").as("source"), col("b").as("target"))
+        .unionByName(st.where(col("dir") === 2)
+          .select(col("b").as("source"), col("a").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("a").as("source"), col("b").as("target")))
+        .unionByName(st.where(col("dir") === 0)
+          .select(col("b").as("source"), col("a").as("target")))
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      import s.implicits._
+      val truth = ShippedD3DirectedTruth.toDF("source", "target")
+        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+      val counts = st.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
+          .as("n_directed"))
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .crossJoin(broadcast(counts))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          col("n_directed").cast("long").as("n_directed"),
+          col("tp"), col("fp"), col("fn"),
+          col("shd_structural"), col("shd_xor"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -7523,6 +7570,76 @@ object SparkEntry {
   private def pcTruthValuesSql(truth: Seq[(String, String)]): String =
     truth.map { case (s0, t0) => s"('$s0', '$t0')" }
       .mkString("(VALUES ", ", ", ") t(source, target)")
+
+  /** The orientation-aware scoring tail shared by q332/q337/q339: CPDAG
+    * rows from `pc_st$rounds` expanded to directed edges (undirected →
+    * both), fwd/rev flags per unordered pair on BOTH sides, reversal
+    * charged 1 — the `Metrics.scoreAll` structural-SHD contract — plus
+    * edge/direction counts. One generator, three oracles.
+    */
+  private def pcScoringSqlTail(rounds: Int, truthValues: String): String =
+    s"""pc_pred AS (
+       |  SELECT a AS source, b AS target FROM pc_st$rounds
+       |  WHERE dir = 1
+       |  UNION ALL SELECT b, a FROM pc_st$rounds WHERE dir = 2
+       |  UNION ALL SELECT a, b FROM pc_st$rounds WHERE dir = 0
+       |  UNION ALL SELECT b, a FROM pc_st$rounds WHERE dir = 0),
+       |pc_truth AS (SELECT * FROM $truthValues),
+       |pc_ct AS (
+       |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+       |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+       |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+       |  FROM pc_truth GROUP BY 1, 2),
+       |pc_cp AS (
+       |  SELECT least(source, target) AS u, greatest(source, target) AS v,
+       |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+       |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+       |  FROM pc_pred GROUP BY 1, 2),
+       |pc_j AS (
+       |  SELECT coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
+       |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
+       |  FROM pc_ct t FULL JOIN pc_cp p ON p.u = t.u AND p.v = t.v),
+       |pc_sc AS (
+       |  SELECT sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
+       |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
+       |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
+       |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+       |          AND t_fwd <> p_fwd THEN 1
+       |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
+       |      AS shd_structural
+       |  FROM pc_j),
+       |pc_cnt AS (SELECT count(*) AS n_edges,
+       |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
+       |      AS n_directed
+       |  FROM pc_st$rounds)
+       |SELECT c.n_edges::BIGINT AS n_edges,
+       |  c.n_directed::BIGINT AS n_directed,
+       |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
+       |  s.shd_structural::BIGINT AS shd_structural,
+       |  (s.fp + s.fn)::BIGINT AS shd_xor
+       |FROM pc_cnt c, pc_sc s""".stripMargin
+
+  /** q338/q339's shared oracle CTE block: the shipped CSV indexed and
+    * unpivoted to the 200-cut pairwise-complete `panel(series, day, v)`.
+    */
+  private def shippedD3PanelCtes: String =
+    s"""csv AS (
+       |  SELECT X1, X2, X3, X4,
+       |    row_number() OVER (ORDER BY "time") - 1 AS t
+       |  FROM read_csv('$ShippedD3Base${"_missing.csv"}', header=true,
+       |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+       |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
+       |panel AS (
+       |  SELECT series, day, v FROM (
+       |    SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+       |    FROM csv WHERE X1 IS NOT NULL
+       |    UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM csv
+       |    WHERE X2 IS NOT NULL
+       |    UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM csv
+       |    WHERE X3 IS NOT NULL
+       |    UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM csv
+       |    WHERE X4 IS NOT NULL) u(series, day, v)
+       |  WHERE day < 200)""".stripMargin
   private def pcDirectedTruthValuesSql: String =
     pcTruthValuesSql(PcDirectedTruth)
 
@@ -7579,6 +7696,50 @@ object SparkEntry {
     if (edges.isEmpty) "0"
     else "CASE " + edges.map { case (a, b) =>
       s"WHEN cause = '$a' AND effect = '$b' THEN 1"
+    }.mkString(" ") + " ELSE 0 END"
+  }
+
+  /** q338/q339's shared panel: the q325 shipped D3 missing-data CSV,
+    * first 200 time indices (the rank-moment n⁴ budget), per-series
+    * null-dropped milli-quantized rows — pairwise-complete by
+    * construction.
+    */
+  private def shippedD3Panel(s: SparkSession): DataFrame = {
+    val idxed = graft.generate.Sinks.readWideCsv(s,
+        s"$ShippedD3Base" + "_missing.csv")
+      .withColumn("t",
+        (row_number().over(Window.orderBy("time")) - 1).cast("long"))
+      .where(col("t") < 200)
+    (1 to 4).map(i =>
+      idxed.where(col(s"X$i").isNotNull)
+        .select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+  }
+
+  /** q339's truth: the shipped structure txt's ANY-lag DIRECTED X-X
+    * edges (distinct ordered pairs, self-loops excluded — the q332
+    * contract applied to shipped bytes).
+    */
+  private lazy val ShippedD3DirectedTruth: Seq[(String, String)] = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ShippedD3Base" + "_structure.txt"))
+    graft.generate.Sinks.parseStructureLinks(txt)
+      .filter(l => l._1 != l._3).map(l => (l._1, l._3)).distinct
+  }
+
+  /** q338's truth: the same shipped structure txt as ANY-lag unordered
+    * X-X adjacency (PC is lag-free), a CASE over (a, b) with a < b.
+    */
+  private lazy val ShippedD3AdjCase: String = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$ShippedD3Base" + "_structure.txt"))
+    val pairs = graft.generate.Sinks.parseStructureLinks(txt)
+      .map(l => if (l._1 < l._3) (l._1, l._3) else (l._3, l._1))
+      .filter(p => p._1 != p._2).distinct
+    if (pairs.isEmpty) "0"
+    else "CASE " + pairs.map { case (x, y) =>
+      s"WHEN a = '$x' AND b = '$y' THEN 1"
     }.mkString(" ") + " ELSE 0 END"
   }
 
@@ -14386,46 +14547,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
         |${graft.metrics.Causal.pcSkeletonSqlCtes("panel", PcOrientTauSqBp)},
         |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
-        |pc_pred AS (
-        |  SELECT a AS source, b AS target FROM pc_st$PcMeekRounds
-        |  WHERE dir = 1
-        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds WHERE dir = 2
-        |  UNION ALL SELECT a, b FROM pc_st$PcMeekRounds WHERE dir = 0
-        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds WHERE dir = 0),
-        |pc_truth AS (SELECT * FROM $pcDirectedTruthValuesSql),
-        |pc_ct AS (
-        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
-        |  FROM pc_truth GROUP BY 1, 2),
-        |pc_cp AS (
-        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
-        |  FROM pc_pred GROUP BY 1, 2),
-        |pc_j AS (
-        |  SELECT coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
-        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
-        |  FROM pc_ct t FULL JOIN pc_cp p ON p.u = t.u AND p.v = t.v),
-        |pc_sc AS (
-        |  SELECT sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
-        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
-        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
-        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
-        |          AND t_fwd <> p_fwd THEN 1
-        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
-        |      AS shd_structural
-        |  FROM pc_j),
-        |pc_cnt AS (SELECT count(*) AS n_edges,
-        |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
-        |      AS n_directed
-        |  FROM pc_st$PcMeekRounds)
-        |SELECT c.n_edges::BIGINT AS n_edges,
-        |  c.n_directed::BIGINT AS n_directed,
-        |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
-        |  s.shd_structural::BIGINT AS shd_structural,
-        |  (s.fp + s.fn)::BIGINT AS shd_xor
-        |FROM pc_cnt c, pc_sc s""".stripMargin,
+        |${pcScoringSqlTail(PcMeekRounds, pcDirectedTruthValuesSql)}""".stripMargin,
 
     "q336_pc_order2_scored" ->
       s"""WITH gen AS (
@@ -14456,46 +14578,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'X6', t, floor(X6 * 1000)::BIGINT FROM gen),
         |${graft.metrics.Causal.pcSkeleton2SqlCtes("panel", Pc2TauSqBp)},
         |${graft.metrics.Causal.pcOrient2SqlCtes(PcMeekRounds2)},
-        |pc_pred AS (
-        |  SELECT a AS source, b AS target FROM pc_st$PcMeekRounds2
-        |  WHERE dir = 1
-        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds2 WHERE dir = 2
-        |  UNION ALL SELECT a, b FROM pc_st$PcMeekRounds2 WHERE dir = 0
-        |  UNION ALL SELECT b, a FROM pc_st$PcMeekRounds2 WHERE dir = 0),
-        |pc_truth AS (SELECT * FROM ${pcTruthValuesSql(PcDirectedTruth6)}),
-        |pc_ct AS (
-        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
-        |  FROM pc_truth GROUP BY 1, 2),
-        |pc_cp AS (
-        |  SELECT least(source, target) AS u, greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
-        |  FROM pc_pred GROUP BY 1, 2),
-        |pc_j AS (
-        |  SELECT coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
-        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
-        |  FROM pc_ct t FULL JOIN pc_cp p ON p.u = t.u AND p.v = t.v),
-        |pc_sc AS (
-        |  SELECT sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
-        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
-        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
-        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
-        |          AND t_fwd <> p_fwd THEN 1
-        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
-        |      AS shd_structural
-        |  FROM pc_j),
-        |pc_cnt AS (SELECT count(*) AS n_edges,
-        |    coalesce(sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END), 0)
-        |      AS n_directed
-        |  FROM pc_st$PcMeekRounds2)
-        |SELECT c.n_edges::BIGINT AS n_edges,
-        |  c.n_directed::BIGINT AS n_directed,
-        |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
-        |  s.shd_structural::BIGINT AS shd_structural,
-        |  (s.fp + s.fn)::BIGINT AS shd_xor
-        |FROM pc_cnt c, pc_sc s""".stripMargin,
+        |${pcScoringSqlTail(PcMeekRounds2, pcTruthValuesSql(PcDirectedTruth6))}""".stripMargin,
 
     "q333_shipped_tree_scored" ->
       s"""WITH csv AS MATERIALIZED (
@@ -14756,6 +14839,19 @@ object SparkEntry {
         |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
         |  ($ShippedD3TruthCase)::INT AS truth_lag1
         |FROM granger_out""".stripMargin,
+
+    "q338_pc_on_shipped" ->
+      s"""WITH $shippedD3PanelCtes,
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
+        |SELECT a, b, n, cab, keep0, sepset, edge,
+        |  ($ShippedD3AdjCase)::INT AS truth_adj
+        |FROM pc_out""".stripMargin,
+
+    "q339_pc_oriented_on_shipped" ->
+      s"""WITH $shippedD3PanelCtes,
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")},
+        |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
+        |${pcScoringSqlTail(PcMeekRounds, pcTruthValuesSql(ShippedD3DirectedTruth))}""".stripMargin,
 
     "q324_deletion_cascade" ->
       """WITH fc AS (SELECT c_custkey FROM customer
