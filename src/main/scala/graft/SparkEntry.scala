@@ -7004,31 +7004,12 @@ object SparkEntry {
     // against the DIRECTED truth parsed from the shipped structure txt.
     // This is the reference's end-to-end tetrad-consumer shape
     // (corpus CSV → directed graph → metrics) on real shipped bytes
-    "q339_pc_oriented_on_shipped" -> ((s, d) => {
-      val st = graft.metrics.Causal.pcOrient(
-        graft.metrics.Causal.pcSkeleton(shippedD3Panel(s)), PcMeekRounds)
-      val pred = st.where(col("dir") === 1)
-          .select(col("a").as("source"), col("b").as("target"))
-        .unionByName(st.where(col("dir") === 2)
-          .select(col("b").as("source"), col("a").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("a").as("source"), col("b").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("b").as("source"), col("a").as("target")))
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      import s.implicits._
-      val truth = ShippedD3DirectedTruth.toDF("source", "target")
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      val counts = st.agg(count(lit(1)).as("n_edges"),
-        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
-          .as("n_directed"))
-      graft.metrics.Metrics.scoreAll(truth, pred)
-        .crossJoin(broadcast(counts))
-        .select(col("n_edges").cast("long").as("n_edges"),
-          col("n_directed").cast("long").as("n_directed"),
-          col("tp"), col("fp"), col("fn"),
-          col("shd_structural"), col("shd_xor"))
-    }),
+    "q339_pc_oriented_on_shipped" -> ((s, d) =>
+      pcScoreOriented(s,
+        graft.metrics.Causal.pcOrient(
+          graft.metrics.Causal.pcSkeleton(shippedD3Panel(s)),
+          PcMeekRounds),
+        ShippedD3DirectedTruth)),
 
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
@@ -7215,30 +7196,11 @@ object SparkEntry {
         gen.select(lit(s"X$i").as("series"), col("t").as("day"),
           floor(col(s"X$i") * 1000).cast("long").as("v")))
         .reduce(_ unionByName _)
-      val st = graft.metrics.Causal.pcOrient(
-        graft.metrics.Causal.pcSkeleton(panel, PcOrientTauSqBp),
-        PcMeekRounds)
-      val pred = st.where(col("dir") === 1)
-          .select(col("a").as("source"), col("b").as("target"))
-        .unionByName(st.where(col("dir") === 2)
-          .select(col("b").as("source"), col("a").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("a").as("source"), col("b").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("b").as("source"), col("a").as("target")))
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      import s.implicits._
-      val truth = PcDirectedTruth.toDF("source", "target")
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      val counts = st.agg(count(lit(1)).as("n_edges"),
-        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
-          .as("n_directed"))
-      graft.metrics.Metrics.scoreAll(truth, pred)
-        .crossJoin(broadcast(counts))
-        .select(col("n_edges").cast("long").as("n_edges"),
-          col("n_directed").cast("long").as("n_directed"),
-          col("tp"), col("fp"), col("fn"),
-          col("shd_structural"), col("shd_xor"))
+      pcScoreOriented(s,
+        graft.metrics.Causal.pcOrient(
+          graft.metrics.Causal.pcSkeleton(panel, PcOrientTauSqBp),
+          PcMeekRounds),
+        PcDirectedTruth)
     }),
 
     // PC skeleton to conditioning ORDER 2 (q300/q332 stop at order 1;
@@ -7250,22 +7212,11 @@ object SparkEntry {
     // moments, exact integers end-to-end, every order-2 structure
     // panel-grain on broadcast frames — the one fact-scale pass is the
     // shared rank cross-moment aggregate
-    "q336_pc_order2_scored" -> ((s, d) => {
-      val cfg = Grid.forFamily("A1").find(c =>
-        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
-          && c.noiseType == "gaussian").get
-      val gen = dumpGen(s, "q336_gen",
-        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
-          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
-      val panel = (1 to 6).map(i =>
-        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
-          floor(col(s"X$i") * 1000).cast("long").as("v")))
-        .reduce(_ unionByName _)
-      graft.metrics.Causal.pcSkeleton2(panel, Pc2TauSqBp)
+    "q336_pc_order2_scored" -> ((s, d) =>
+      graft.metrics.Causal.pcSkeleton2(pcOrder2Panel(s), Pc2TauSqBp)
         .select(col("a"), col("b"), col("edge"), col("sepset"),
           col("sepset2"), col("edge2"))
-        .withColumn("truth_adj", expr(PcTruth6Case))
-    }),
+        .withColumn("truth_adj", expr(PcTruth6Case))),
 
     // the COMPLETE constraint-based pipeline at order 2: q336's
     // 6-var order-2 skeleton oriented by the SAME v-structure +
@@ -7274,42 +7225,12 @@ object SparkEntry {
     // CPDAG scored orientation-aware against the 6-var catalog truth.
     // One fact-scale pass (the rank cross-moments); skeleton,
     // cofactors, orientation and scoring all panel-grain broadcasts
-    "q337_pc_order2_oriented" -> ((s, d) => {
-      val cfg = Grid.forFamily("A1").find(c =>
-        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
-          && c.noiseType == "gaussian").get
-      val gen = dumpGen(s, "q337_gen",
-        Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
-          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
-      val panel = (1 to 6).map(i =>
-        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
-          floor(col(s"X$i") * 1000).cast("long").as("v")))
-        .reduce(_ unionByName _)
-      val st = graft.metrics.Causal.pcOrient2(
-        graft.metrics.Causal.pcSkeleton2(panel, Pc2TauSqBp),
-        PcMeekRounds2)
-      val pred = st.where(col("dir") === 1)
-          .select(col("a").as("source"), col("b").as("target"))
-        .unionByName(st.where(col("dir") === 2)
-          .select(col("b").as("source"), col("a").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("a").as("source"), col("b").as("target")))
-        .unionByName(st.where(col("dir") === 0)
-          .select(col("b").as("source"), col("a").as("target")))
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      import s.implicits._
-      val truth = PcDirectedTruth6.toDF("source", "target")
-        .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
-      val counts = st.agg(count(lit(1)).as("n_edges"),
-        coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
-          .as("n_directed"))
-      graft.metrics.Metrics.scoreAll(truth, pred)
-        .crossJoin(broadcast(counts))
-        .select(col("n_edges").cast("long").as("n_edges"),
-          col("n_directed").cast("long").as("n_directed"),
-          col("tp"), col("fp"), col("fn"),
-          col("shd_structural"), col("shd_xor"))
-    }),
+    "q337_pc_order2_oriented" -> ((s, d) =>
+      pcScoreOriented(s,
+        graft.metrics.Causal.pcOrient2(
+          graft.metrics.Causal.pcSkeleton2(pcOrder2Panel(s), Pc2TauSqBp),
+          PcMeekRounds2),
+        PcDirectedTruth6)),
 
     // whole-tree shipped-artifact scoring capstone (q325 proved ONE
     // shipped D3 file end-to-end; this runs the consumer loop at CORPUS
@@ -7568,7 +7489,11 @@ object SparkEntry {
   private lazy val PcDirectedTruth6: Seq[(String, String)] =
     pcDirectedTruthFor(6)
   private def pcTruthValuesSql(truth: Seq[(String, String)]): String =
-    truth.map { case (s0, t0) => s"('$s0', '$t0')" }
+    if (truth.isEmpty)
+      // zero-row relation, not "(VALUES )" (a parse error): the scoring
+      // tail then charges every predicted edge as a false positive
+      "(SELECT NULL::VARCHAR, NULL::VARCHAR WHERE 1 = 0) t(source, target)"
+    else truth.map { case (s0, t0) => s"('$s0', '$t0')" }
       .mkString("(VALUES ", ", ", ") t(source, target)")
 
   /** The orientation-aware scoring tail shared by q332/q337/q339: CPDAG
@@ -7697,6 +7622,54 @@ object SparkEntry {
     else "CASE " + edges.map { case (a, b) =>
       s"WHEN cause = '$a' AND effect = '$b' THEN 1"
     }.mkString(" ") + " ELSE 0 END"
+  }
+
+  /** q336/q337's shared panel: the A1 6-var lag-2 gaussian cell cut at
+    * 200 observations, dumped ONCE under `q336_gen` (both queries — and
+    * both oracles — read the same dump; `dumpGen` regenerates
+    * byte-identically whichever entry runs first).
+    */
+  private def pcOrder2Panel(s: SparkSession): DataFrame = {
+    val cfg = Grid.forFamily("A1").find(c =>
+      c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2
+        && c.noiseType == "gaussian").get
+    val gen = dumpGen(s, "q336_gen",
+      Generate.wideFast(s, Seq(cfg)).where(col("t") < 200)
+        .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+    (1 to 6).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+  }
+
+  /** The Spark twin of [[pcScoringSqlTail]], shared by q332/q337/q339:
+    * CPDAG rows (a, b, dir) expanded to directed edges (undirected →
+    * both), scored orientation-aware through `Metrics.scoreAll` against
+    * a directed truth list, with edge/direction counts alongside.
+    */
+  private def pcScoreOriented(s: SparkSession, st: DataFrame,
+      truthEdges: Seq[(String, String)]): DataFrame = {
+    val pred = st.where(col("dir") === 1)
+        .select(col("a").as("source"), col("b").as("target"))
+      .unionByName(st.where(col("dir") === 2)
+        .select(col("b").as("source"), col("a").as("target")))
+      .unionByName(st.where(col("dir") === 0)
+        .select(col("a").as("source"), col("b").as("target")))
+      .unionByName(st.where(col("dir") === 0)
+        .select(col("b").as("source"), col("a").as("target")))
+      .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+    import s.implicits._
+    val truth = truthEdges.toDF("source", "target")
+      .withColumn("graphId", lit(0L)).withColumn("lag", lit(0))
+    val counts = st.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum(when(col("dir") =!= 0, 1).otherwise(0)), lit(0))
+        .as("n_directed"))
+    graft.metrics.Metrics.scoreAll(truth, pred)
+      .crossJoin(broadcast(counts))
+      .select(col("n_edges").cast("long").as("n_edges"),
+        col("n_directed").cast("long").as("n_directed"),
+        col("tp"), col("fp"), col("fn"),
+        col("shd_structural"), col("shd_xor"))
   }
 
   /** q338/q339's shared panel: the q325 shipped D3 missing-data CSV,
@@ -14567,7 +14540,7 @@ object SparkEntry {
 
     "q337_pc_order2_oriented" ->
       s"""WITH gen AS (
-        |  SELECT * FROM read_parquet('__GEN_DIR__/q337_gen/*.parquet')),
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q336_gen/*.parquet')),
         |panel AS (
         |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
         |  FROM gen

@@ -481,6 +481,48 @@ class CausalSpec extends AnyFunSuite {
     assert(at4.values.count(_ != 0) > 0, "the graph orients something")
   }
 
+  test("pc orient: q332's and q339's pinned 3 rounds reach the Meek " +
+      "fixpoint on their actual graphs (round 4 is a no-op)") {
+    import graft.core.Grid
+    def fixpoint(skeleton: org.apache.spark.sql.DataFrame,
+        rounds: Int, tag: String): Unit = {
+      val sk = skeleton.localCheckpoint(true)
+      def dirs(r: Int) = Causal.pcOrient(sk, r).collect()
+        .map(r0 => (r0.getString(0), r0.getString(1)) -> r0.getInt(2)).toMap
+      assert(dirs(rounds + 1) == dirs(rounds),
+        s"$tag: round ${rounds + 1} changed the CPDAG — the pinned " +
+          s"$rounds rounds truncate the closure")
+    }
+    // q332's graph: A1 4-var lag-2 gaussian, 200-obs cut, tau^2 = 100 bp
+    val cfg = Grid.forFamily("A1").find(c =>
+      c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2
+        && c.noiseType == "gaussian").get
+    val gen = graft.generate.Generate.wideFast(spark, Seq(cfg))
+      .where(col("t") < 200)
+      .select(col("t") +: (1 to 4).map(i => col(s"X$i")): _*)
+      .localCheckpoint(true)
+    val panel332 = (1 to 4).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    fixpoint(Causal.pcSkeleton(panel332, 100L), 3, "q332")
+    // q339's graph: the shipped D3 missing-data CSV, default tau
+    val idxed = graft.generate.Sinks.readWideCsv(spark,
+        "/root/reference/Datasets/D3/lag 2/" +
+          "nonlinear_ts_n1000_vars4_lag2_noise30_mcar10_block10" +
+          "_missing.csv")
+      .withColumn("t", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("time")) - 1)
+        .cast("long"))
+      .where(col("t") < 200)
+    val panel339 = (1 to 4).map(i =>
+      idxed.where(col(s"X$i").isNotNull)
+        .select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    fixpoint(Causal.pcSkeleton(panel339), 3, "q339")
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
