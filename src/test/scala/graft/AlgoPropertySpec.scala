@@ -216,17 +216,27 @@ class AlgoPropertySpec extends AnyFunSuite {
       "partitioning/row-order invariant (random skeletons)") {
     import spark.implicits._
     val rnd = new scala.util.Random(97)
-    for (trial <- 1 to 5) {
-      val nodes = (0 until (4 + rnd.nextInt(3))).map(i => s"n$i")
-      // random pair table: ~50% edges; dropped pairs get a random sepset
-      // (one of the other nodes) or none
+    for (trial <- 1 to 8) {
+      // trials 6-8 are denser (7-8 nodes, ~65% edges) so the R2 chain
+      // and R3 double-spoke rules fire across more shapes; some dropped
+      // pairs get a TWO-element `z~w` sepset (the pcSkeleton2 form the
+      // ~-membership collider test must treat as a set)
+      val dense = trial > 5
+      val nNodes = if (dense) 7 + rnd.nextInt(2) else 4 + rnd.nextInt(3)
+      val edgeP = if (dense) 65 else 50
+      val nodes = (0 until nNodes).map(i => s"n$i")
       val pairs = for {
         i <- nodes.indices; j <- (i + 1) until nodes.size
       } yield {
-        val edge = if (rnd.nextBoolean()) 1 else 0
+        val edge = if (rnd.nextInt(100) < edgeP) 1 else 0
         val others = nodes.patch(j, Nil, 1).patch(i, Nil, 1)
         val sep = if (edge == 1 || rnd.nextBoolean()) None
-          else Some(others(rnd.nextInt(others.size)))
+          else if (dense && rnd.nextBoolean() && others.size >= 2) {
+            val z = others(rnd.nextInt(others.size))
+            val w = (others.filterNot(_ == z))(
+              rnd.nextInt(others.size - 1))
+            Some(s"$z~$w")
+          } else Some(others(rnd.nextInt(others.size)))
         (nodes(i), nodes(j), sep, edge)
       }
       // reference: plain-Scala v-structures + 3 simultaneous full-Meek
@@ -246,7 +256,8 @@ class AlgoPropertySpec extends AnyFunSuite {
         (x, z) <- und.toSeq.flatMap(e => Seq(e, e.swap))
         (z2, y) <- und.toSeq.flatMap(e => Seq(e, e.swap))
         if z2 == z && x < y && !adjacent(x, y)
-        if sepOf.getOrElse((x, y), None).forall(_ != z)
+        if sepOf.getOrElse((x, y), None)
+          .forall(s => !s.split("~").contains(z))
         cl <- Seq((x, z), (y, z))
       } yield cl).toSet
       var dir = applyCl(und.map(_ -> 0).toMap, vcl)
