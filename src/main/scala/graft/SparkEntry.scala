@@ -6687,10 +6687,21 @@ object SparkEntry {
       embeddings(s, d).crossJoin(broadcast(warr))
         // coalesce per term, NOT on acc: a NULL or missing embedding slot
         // contributes 0 — matching the DuckDB twin's sum() over vm, which
-        // skips NULL dims — instead of NULL-poisoning the whole fold
-        .select(expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
-          "acc + coalesce(floor(element_at(embedding, i + 1) * 1e6) * " +
-          "element_at(warr, i + 1), 0L))").as("p"))
+        // skips NULL dims — instead of NULL-poisoning the whole fold. But
+        // an ALL-null vector must yield NULL, not 0: SQL sum() over zero
+        // non-null terms is NULL, so the fold carries a contributing-term
+        // count and the finish lambda nulls p when it is 0
+        .select(expr(
+          """aggregate(
+            |  transform(sequence(0, 63), i ->
+            |    floor(element_at(embedding, i + 1) * 1e6) *
+            |      element_at(warr, i + 1)),
+            |  named_struct('s', 0L, 'c', 0),
+            |  (acc, t) -> named_struct(
+            |    's', acc.s + coalesce(t, 0L),
+            |    'c', acc.c + if(t IS NULL, 0, 1)),
+            |  acc -> if(acc.c = 0, cast(NULL AS BIGINT), acc.s))"""
+            .stripMargin).as("p"))
         .groupBy(expr("p div 100000000000").as("bin"))
         // per-bin MEAN, not sum: a corpus-scale sum of ~6e13-magnitude
         // projections passes LONG near 100k vectors per bin and Spark's

@@ -707,6 +707,19 @@ object Causal {
     * panel-grain (≤ p² rows); the fact-scale work stays upstream in the
     * skeleton's rank cross-moments.
     *
+    * PRECONDITION (load-bearing): `skeleton` must carry a row for every
+    * unordered pair the triples can touch — in particular the edge=0
+    * (separated) rows — exactly [[pcSkeleton]]'s output shape. The
+    * collider stage inner-joins each unshielded triple against its (x,y)
+    * pair row, so a caller passing only surviving-edge rows would
+    * silently lose every collider rather than fail. Enforced up front
+    * with an exact assertion over the (tiny, already-checkpointed)
+    * frame: every x–z–y triple candidate must find its (x,y) row. (A
+    * plain C(p,2) row count would over-reject the multi-graph folding
+    * where several disjoint graphs share one frame via key-prefixed
+    * series names; the anti-join form asserts precisely the rows the
+    * algorithm reads.)
+    *
     * Reference anchor: the reference's consumers emit DIRECTED graphs and
     * its structural SHD charges reversals
     * (helper_funcs/metrics_helper.py:80-138) — a skeleton alone
@@ -718,12 +731,29 @@ object Causal {
       skeleton.select(col("a"), col("b"), col("sepset"), col("edge")))
     val und = sk.where(col("edge") === 1).select(col("a"), col("b"))
     val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    // the skeleton keeps a row for EVERY pair, so the triple's
-    // non-adjacency + sepset test is one equi-join against pc_out
-    val trip = adj.select(col("a").as("x"), col("b").as("z"))
+    // the skeleton keeps a row for every pair a triple can form, so the
+    // triple's non-adjacency + sepset test is one equi-join against
+    // pc_out — candidates built once, precondition-checked, then reused
+    val cand = adj.select(col("a").as("x"), col("b").as("z"))
       .join(broadcast(adj.select(col("a").as("z"), col("b").as("y"))),
         Seq("z"))
       .where(col("x") < col("y"))
+    // enforce the every-pair-row precondition (see scaladoc): a triple
+    // candidate whose (x,y) row is absent would be dropped by the inner
+    // join below — a silent collider loss — so fail loudly instead; one
+    // tiny count job over checkpointed panel-grain frames
+    locally {
+      val miss = cand
+        .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
+          lit(1).as("hit"))), Seq("x", "y"), "left_outer")
+        .where(col("hit").isNull).count()
+      require(miss == 0L,
+        s"pcOrient requires a skeleton row for every unordered pair its " +
+          s"unshielded triples touch (pcSkeleton emits ALL pairs, " +
+          s"edge=0 included): $miss triple candidate(s) found no (x,y) " +
+          s"row — the caller likely passed only surviving-edge rows")
+    }
+    val trip = cand
       .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
         col("sepset"), col("edge"))), Seq("x", "y"))
       .where(col("edge") === 0 &&
@@ -817,6 +847,11 @@ object Causal {
     * the blocking set of a removed pair is whichever stage separated it
     * (the order-1 `sepset` when present, else the order-2 `z~w` pair;
     * both flow through [[pcOrient]]'s `~`-membership test).
+    *
+    * Inherits [[pcOrient]]'s PRECONDITION: the skeleton2 frame must carry
+    * a row for every unordered series pair (edge2=0 rows included) —
+    * [[pcSkeleton2]]'s output shape; the same triple-candidate pair-row
+    * assertion applies.
     */
   def pcOrient2(skeleton2: DataFrame, meekRounds: Int = 3): DataFrame =
     pcOrient(skeleton2.select(col("a"), col("b"),

@@ -267,6 +267,17 @@ class CausalSpec extends AnyFunSuite {
     assert(dirs === Map(("a", "c") -> 1, ("b", "c") -> 1))
   }
 
+  test("pc orient: surviving-edge-only skeleton fails the pair-row " +
+      "precondition loudly instead of silently losing colliders") {
+    // same graph as the collider test but WITHOUT the (a,b) edge=0 row:
+    // the a–c–b triple candidate has no (x,y) row to test against
+    val ex = intercept[IllegalArgumentException] {
+      orient(Seq(("a", "c", None, 1), ("b", "c", None, 1)))
+    }
+    assert(ex.getMessage.contains("every unordered pair"),
+      s"unexpected message: ${ex.getMessage}")
+  }
+
   test("pc orient: z in the recorded sepset blocks the collider") {
     val dirs = orient(Seq(
       ("a", "b", Some("c"), 0), ("a", "c", None, 1), ("b", "c", None, 1)))
