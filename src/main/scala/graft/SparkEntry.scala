@@ -7022,6 +7022,68 @@ object SparkEntry {
           PcMeekRounds),
         ShippedD3DirectedTruth)),
 
+    // corpus-grain constraint-based discovery capstone: the COMPLETE PC
+    // consumer (q338's pairwise-complete Spearman skeleton → q332's
+    // v-structures + full-Meek closure) over the whole shipped D3
+    // vars4/lag2 cell — 48 configs in ONE glob scan and ONE plan. The
+    // config folds into the series AND day keys (q333's fold, extended:
+    // cfg-unique days mean cross-config series share no observations,
+    // so no cross moment ever forms and one pcSkeleton/pcOrient call
+    // carries all 48 disjoint graphs — the pair-row precondition holds
+    // per component by construction). First 200 indices per config
+    // (q338's rank-moment n⁴ budget — the cell's n5000 members would
+    // blow the 10³⁸ product budget unwindowed), milli grain; each
+    // config's CPDAG scored orientation-aware against ITS OWN
+    // structure-txt truth (any-lag directed X-X edges) via one scoreAll
+    // pass. This is the reference's tetrad loop — search per dataset
+    // file, metrics per config (py_tetrad_helper.py:51-182,
+    // metrics_helper.py:80-138) — as a single distributed job instead
+    // of a per-file driver loop: at 100k configs the scan is one
+    // parallel read and the panel work stays ≤ p² rows per config
+    "q340_pc_corpus_sweep" -> ((s, d) => {
+      val idxed = shippedD3TreeIdxed(s)
+      val pan = (1 to 4).map(i =>
+        idxed.where(col(s"X$i").isNotNull && col("t") < 200)
+          .select(concat(col("cfg"), lit(s"|X$i")).as("series"),
+            concat(col("cfg"), lit("|"),
+              lpad(col("t").cast("string"), 3, "0")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val st = graft.metrics.Causal.pcOrient(
+          graft.metrics.Causal.pcSkeleton(pan), PcMeekRounds)
+        .withColumn("cfg", substring_index(col("a"), "|", 1))
+        .localCheckpoint(false)
+      def dirEdges(w: Int, src: String, dst: String) =
+        st.where(col("dir") === w).select(col("cfg"),
+          col(src).as("source"), col(dst).as("target"))
+      val pred = dirEdges(1, "a", "b")
+        .unionByName(dirEdges(2, "b", "a"))
+        .unionByName(dirEdges(0, "a", "b"))
+        .unionByName(dirEdges(0, "b", "a"))
+        .select(col("cfg").as("graphId"),
+          substring_index(col("source"), "|", -1).as("source"),
+          substring_index(col("target"), "|", -1).as("target"),
+          lit(0).as("lag"))
+      import s.implicits._
+      val truth = ShippedD3TreeDirectedTruth
+        .toDF("graphId", "source", "target").withColumn("lag", lit(0))
+      val counts = st.groupBy("cfg")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("dir") =!= 0, 1L).otherwise(0L)).as("n_directed"))
+      graft.metrics.Metrics.scoreAll(truth, pred)
+        .join(broadcast(counts), col("graphId") === col("cfg"),
+          "left_outer")
+        .select(col("graphId").as("cfg"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_directed"), lit(0L)).as("n_directed"),
+          col("tp"), col("fp"), col("fn"),
+          col("shd_structural"), col("shd_xor"),
+          expr("case when tp + fn = 0 then 0L " +
+            "else (1000 * tp) div (tp + fn) end").as("tpr_permille"),
+          expr("case when tp + fp = 0 then 0L " +
+            "else (1000 * fp) div (tp + fp) end").as("fdr_permille"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -7256,18 +7318,7 @@ object SparkEntry {
     // is the real shape of "score a generated corpus": one multi-file
     // columnar scan, per-file keys, a single keyed aggregate per stage
     "q333_shipped_tree_scored" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val schema = StructType((1 to 4).map(i =>
-        StructField(s"X$i", DoubleType, nullable = true)) :+
-        StructField("time", DoubleType, nullable = false))
-      val cfgOf = regexp_extract(input_file_name(),
-        "([^/]+)_missing\\.csv$", 1)
-      val idxed = s.read.option("header", "true").schema(schema)
-        .csv(ShippedD3TreeGlob)
-        .withColumn("cfg", cfgOf)
-        .withColumn("t", (row_number().over(
-          Window.partitionBy("cfg").orderBy("time")) - 1).cast("long"))
-        .localCheckpoint(false)
+      val idxed = shippedD3TreeIdxed(s)
       val lx = graft.ops.Lagged.nearestLagIndexView(
         idxed.select(col("cfg"), col("t"), col("time")), "t", "time",
         Seq("cfg")).localCheckpoint(false)
@@ -7736,7 +7787,11 @@ object SparkEntry {
   private val ShippedD3TreeDir = "/root/reference/Datasets/D3/lag 2"
   private val ShippedD3TreeGlob =
     s"$ShippedD3TreeDir/nonlinear_ts_*_vars4_lag2_*_missing.csv"
-  private lazy val ShippedD3TreeTruth: Vector[(String, String, String)] = {
+  /** Every structure-txt link of the cell, one parse pass: (cfg, src,
+    * lag, tgt) — q333 slices the lag-1 Granger truth and q340 the
+    * any-lag directed PC truth from this one vector.
+    */
+  private lazy val ShippedD3TreeLinks: Vector[(String, String, Int, String)] = {
     val files = Option(new java.io.File(ShippedD3TreeDir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.matches("nonlinear_ts_.*_vars4_lag2_.*_missing\\.csv"))
@@ -7746,13 +7801,83 @@ object SparkEntry {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
         s"$ShippedD3TreeDir/${cfg}_structure.txt"))
       graft.generate.Sinks.parseStructureLinks(txt)
-        .filter(l => l._2 == 1 && l._1 != l._3)
-        .map(l => (cfg, l._1, l._3)).distinct
+        .map(l => (cfg, l._1, l._2, l._3))
     }
   }
+  private lazy val ShippedD3TreeTruth: Vector[(String, String, String)] =
+    ShippedD3TreeLinks.filter(l => l._3 == 1 && l._2 != l._4)
+      .map(l => (l._1, l._2, l._4)).distinct
+  /** q340's truth: each config's ANY-lag directed X-X edges (the q339
+    * contract at corpus grain — PC is lag-free, reversals charged).
+    */
+  private lazy val ShippedD3TreeDirectedTruth: Vector[(String, String, String)] =
+    ShippedD3TreeLinks.filter(l => l._2 != l._4)
+      .map(l => (l._1, l._2, l._4)).distinct
   private def shippedD3TreeTruthValuesSql: String =
     ShippedD3TreeTruth.map { case (g, s0, t0) => s"('$g', '$s0', '$t0')" }
       .mkString("(VALUES ", ", ", ") t(graphId, source, target)")
+  private def shippedD3TreeDirectedTruthValuesSql: String =
+    ShippedD3TreeDirectedTruth
+      .map { case (g, s0, t0) => s"('$g', '$s0', '$t0')" }
+      .mkString("(VALUES ", ", ", ") t(graphId, source, target)")
+
+  /** The shipped-cell glob scan shared by q333/q340: 48 CSVs in one
+    * read, config identity from the file name, per-config observation
+    * index from the time column — checkpointed so each consumer reads
+    * the files once.
+    */
+  private def shippedD3TreeIdxed(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType((1 to 4).map(i =>
+      StructField(s"X$i", DoubleType, nullable = true)) :+
+      StructField("time", DoubleType, nullable = false))
+    s.read.option("header", "true").schema(schema)
+      .csv(ShippedD3TreeGlob)
+      .withColumn("cfg", regexp_extract(input_file_name(),
+        "([^/]+)_missing\\.csv$", 1))
+      .withColumn("t", (row_number().over(
+        Window.partitionBy("cfg").orderBy("time")) - 1).cast("long"))
+      .localCheckpoint(false)
+  }
+
+  /** Per-graph orientation-aware scoring CTEs shared by the q333/q340
+    * oracles — the `Metrics.scoreAll` contract keyed by graphId: both
+    * sides collapse to canonical unordered-pair direction flags, a full
+    * join yields per-pair flags, and tp/fp/fn plus the reversal-charging
+    * structural SHD reduce per graph. Consumes `$truthCte(graphId,
+    * source, target)` and `$predCte(graphId, source, target)`; yields
+    * `st_sc(g, tp, fp, fn, shd_structural)`.
+    */
+  private def scoreByGraphSqlCtes(truthCte: String = "st_truth",
+      predCte: String = "st_pred"): String =
+    s"""st_ct AS (
+       |  SELECT graphId, least(source, target) AS u,
+       |    greatest(source, target) AS v,
+       |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
+       |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
+       |  FROM $truthCte GROUP BY 1, 2, 3),
+       |st_cp AS (
+       |  SELECT graphId, least(source, target) AS u,
+       |    greatest(source, target) AS v,
+       |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
+       |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
+       |  FROM $predCte GROUP BY 1, 2, 3),
+       |st_j AS (
+       |  SELECT coalesce(t.graphId, p.graphId) AS g,
+       |    coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
+       |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
+       |  FROM st_ct t FULL JOIN st_cp p
+       |    ON p.graphId = t.graphId AND p.u = t.u AND p.v = t.v),
+       |st_sc AS (
+       |  SELECT g,
+       |    sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
+       |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
+       |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
+       |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
+       |          AND t_fwd <> p_fwd THEN 1
+       |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
+       |      AS shd_structural
+       |  FROM st_j GROUP BY 1)""".stripMargin
 
   /** q315's truth edge list (A1 4-var lag-2, enumeration-indexed) and cell
     * count — ONE Scala value rendered into both engines (NdcgDisc pattern).
@@ -14601,34 +14726,7 @@ object SparkEntry {
         |    split_part(effect, '|', 2) AS target
         |  FROM granger_out WHERE granger = 1),
         |st_truth AS (SELECT * FROM $shippedD3TreeTruthValuesSql),
-        |st_ct AS (
-        |  SELECT graphId, least(source, target) AS u,
-        |    greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS t_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS t_rev
-        |  FROM st_truth GROUP BY 1, 2, 3),
-        |st_cp AS (
-        |  SELECT graphId, least(source, target) AS u,
-        |    greatest(source, target) AS v,
-        |    max(CASE WHEN source <= target THEN 1 ELSE 0 END) AS p_fwd,
-        |    max(CASE WHEN source > target THEN 1 ELSE 0 END) AS p_rev
-        |  FROM st_pred GROUP BY 1, 2, 3),
-        |st_j AS (
-        |  SELECT coalesce(t.graphId, p.graphId) AS g,
-        |    coalesce(t.t_fwd, 0) AS t_fwd, coalesce(t.t_rev, 0) AS t_rev,
-        |    coalesce(p.p_fwd, 0) AS p_fwd, coalesce(p.p_rev, 0) AS p_rev
-        |  FROM st_ct t FULL JOIN st_cp p
-        |    ON p.graphId = t.graphId AND p.u = t.u AND p.v = t.v),
-        |st_sc AS (
-        |  SELECT g,
-        |    sum(t_fwd * p_fwd + t_rev * p_rev) AS tp,
-        |    sum(p_fwd * (1 - t_fwd) + p_rev * (1 - t_rev)) AS fp,
-        |    sum(t_fwd * (1 - p_fwd) + t_rev * (1 - p_rev)) AS fn,
-        |    sum(CASE WHEN t_fwd + t_rev = 1 AND p_fwd + p_rev = 1
-        |          AND t_fwd <> p_fwd THEN 1
-        |        ELSE abs(t_fwd - p_fwd) + abs(t_rev - p_rev) END)
-        |      AS shd_structural
-        |  FROM st_j GROUP BY 1)
+        |${scoreByGraphSqlCtes()}
         |SELECT g AS cfg, tp::BIGINT AS tp, fp::BIGINT AS fp,
         |  fn::BIGINT AS fn, shd_structural::BIGINT AS shd_structural,
         |  (fp + fn)::BIGINT AS shd_xor,
@@ -14836,6 +14934,62 @@ object SparkEntry {
         |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")},
         |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
         |${pcScoringSqlTail(PcMeekRounds, pcTruthValuesSql(ShippedD3DirectedTruth))}""".stripMargin,
+
+    "q340_pc_corpus_sweep" ->
+      s"""WITH csv AS MATERIALIZED (
+        |  SELECT X1, X2, X3, X4,
+        |    regexp_extract(filename, '([^/]+)_missing\\.csv$$', 1) AS cfg,
+        |    row_number() OVER (
+        |      PARTITION BY filename ORDER BY "time") - 1 AS t
+        |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
+        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
+        |panel AS MATERIALIZED (
+        |  SELECT cfg || '|X1' AS series,
+        |    cfg || '|' || lpad(t::VARCHAR, 3, '0') AS day,
+        |    floor(X1 * 1000)::BIGINT AS v
+        |  FROM csv WHERE X1 IS NOT NULL AND t < 200
+        |  UNION ALL
+        |  SELECT cfg || '|X2', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+        |    floor(X2 * 1000)::BIGINT
+        |  FROM csv WHERE X2 IS NOT NULL AND t < 200
+        |  UNION ALL
+        |  SELECT cfg || '|X3', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+        |    floor(X3 * 1000)::BIGINT
+        |  FROM csv WHERE X3 IS NOT NULL AND t < 200
+        |  UNION ALL
+        |  SELECT cfg || '|X4', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+        |    floor(X4 * 1000)::BIGINT
+        |  FROM csv WHERE X4 IS NOT NULL AND t < 200),
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")},
+        |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
+        |st_pred AS (
+        |  SELECT split_part(a, '|', 1) AS graphId,
+        |    split_part(a, '|', 2) AS source, split_part(b, '|', 2) AS target
+        |  FROM pc_st$PcMeekRounds WHERE dir = 1
+        |  UNION ALL SELECT split_part(a, '|', 1), split_part(b, '|', 2),
+        |    split_part(a, '|', 2) FROM pc_st$PcMeekRounds WHERE dir = 2
+        |  UNION ALL SELECT split_part(a, '|', 1), split_part(a, '|', 2),
+        |    split_part(b, '|', 2) FROM pc_st$PcMeekRounds WHERE dir = 0
+        |  UNION ALL SELECT split_part(a, '|', 1), split_part(b, '|', 2),
+        |    split_part(a, '|', 2) FROM pc_st$PcMeekRounds WHERE dir = 0),
+        |st_truth AS (SELECT * FROM $shippedD3TreeDirectedTruthValuesSql),
+        |st_cnt AS (
+        |  SELECT split_part(a, '|', 1) AS g, count(*) AS n_edges,
+        |    sum(CASE WHEN dir <> 0 THEN 1 ELSE 0 END) AS n_directed
+        |  FROM pc_st$PcMeekRounds GROUP BY 1),
+        |${scoreByGraphSqlCtes()}
+        |SELECT s.g AS cfg,
+        |  coalesce(c.n_edges, 0)::BIGINT AS n_edges,
+        |  coalesce(c.n_directed, 0)::BIGINT AS n_directed,
+        |  s.tp::BIGINT AS tp, s.fp::BIGINT AS fp, s.fn::BIGINT AS fn,
+        |  s.shd_structural::BIGINT AS shd_structural,
+        |  (s.fp + s.fn)::BIGINT AS shd_xor,
+        |  (CASE WHEN s.tp + s.fn = 0 THEN 0
+        |    ELSE (1000 * s.tp) // (s.tp + s.fn) END)::BIGINT AS tpr_permille,
+        |  (CASE WHEN s.tp + s.fp = 0 THEN 0
+        |    ELSE (1000 * s.fp) // (s.tp + s.fp) END)::BIGINT AS fdr_permille
+        |FROM st_sc s LEFT JOIN st_cnt c ON c.g = s.g""".stripMargin,
 
     "q324_deletion_cascade" ->
       """WITH fc AS (SELECT c_custkey FROM customer

@@ -534,6 +534,29 @@ class CausalSpec extends AnyFunSuite {
     fixpoint(Causal.pcSkeleton(panel339), 3, "q339")
   }
 
+  test("q340's corpus fold is exactly the single-graph path: all 48 " +
+      "configs present and the q339 config's row equals q339's scores") {
+    // the fold's correctness claim: cfg-unique day keys mean one
+    // pcSkeleton/pcOrient call over 48 graphs decides each graph
+    // EXACTLY as the single-graph path would — proven here on real
+    // shipped bytes by comparing the shared member config
+    val sweep = SparkEntry.queries("q340_pc_corpus_sweep")(spark, "unused")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sweep.size == 48, s"expected 48 configs, got ${sweep.size}")
+    val single = SparkEntry.queries("q339_pc_oriented_on_shipped")(
+      spark, "unused").collect()
+    assert(single.length == 1)
+    val s1 = single.head
+    val row = sweep("nonlinear_ts_n1000_vars4_lag2_noise30_mcar10_block10")
+    // q339 columns: n_edges, n_directed, tp, fp, fn, shd_structural,
+    // shd_xor — q340 carries the same seven shifted one right of cfg
+    (0 until 7).foreach { i =>
+      assert(row.getLong(i + 1) == s1.getLong(i),
+        s"column ${s1.schema.fieldNames(i)} differs between the corpus " +
+          s"fold (${row.getLong(i + 1)}) and q339 (${s1.getLong(i)})")
+    }
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
