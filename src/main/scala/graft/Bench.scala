@@ -177,6 +177,41 @@ object Bench {
       }
     }
 
+    // Constraint-based discovery at CATALOG scale: q340's multi-graph
+    // fold (config-unique series/day keys → ONE pcSkeleton/pcOrient call
+    // over disjoint graphs) across EVERY 4-var config of the full
+    // 18-family grid (864 configs — 18× q340's shipped cell), generated
+    // in-flight, cut at 200 observations (the rank-moment budget).
+    // Measures the complete per-dataset discovery loop — ranks, cross
+    // moments, order-0/1 CI, v-structures, 3 full-Meek rounds — as a
+    // single plan: the moment pass is the only fact-scale stage and the
+    // order-1 stage enumerates conditioners from co-observed moments
+    // (linear in configs; the old diagonal crossJoin was quadratic).
+    // Generation is checkpointed OUT of the measured loop (it has its
+    // own gen_* entries).
+    val runPcsweep = only.forall(_.exists(_.startsWith("pcsweep")))
+    if (runPcsweep) {
+      val cfgs = graft.core.Grid.all().filter(_.nVars == 4)
+      val wide = Generate.wideFast(spark, cfgs).where(col("t") < 200)
+        .select(col("configId"), col("t"),
+          col("X1"), col("X2"), col("X3"), col("X4"))
+        .localCheckpoint(true)
+      val pan = (1 to 4).map(i =>
+        wide.where(col(s"X$i").isNotNull)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            concat(col("configId"), lit("|"),
+              lpad(col("t").cast("string"), 3, "0")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      median3("pcsweep_catalog_fold") {
+        graft.metrics.Causal.pcOrient(
+            graft.metrics.Causal.pcSkeleton(pan), 3)
+          .groupBy("dir").count()
+          .write.mode("overwrite").format("noop").save()
+      }
+      wide.unpersist()
+    }
+
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
     // matches no query name but selects the generation stages alone — the
     // fresh-JVM profiling shape). Only tokens that themselves start with

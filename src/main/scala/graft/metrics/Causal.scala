@@ -479,11 +479,20 @@ object Causal {
            |then 1 else 0 end""".stripMargin))
     val zs = cm.where(col("sa") === col("sb"))
       .select(col("sa").as("z"), col("c").as("czz"))
+    // conditioning candidates are ENUMERATED from the moment table, not
+    // cross-joined: a usable z must have (a,z) and (b,z) cross-moment
+    // rows anyway (the inner joins below demanded them), so starting
+    // from the (a,z) rows yields the identical triple set while keeping
+    // the fan-out per pair at the z's a actually co-observes. Under the
+    // multi-graph fold (q340: many disjoint graphs via key-prefixed
+    // series sharing no days) this is what keeps the stage linear in
+    // the graph count — a crossJoin against ALL graphs' diagonals would
+    // be quadratic across configs
     val trip = pairs.where(col("keep0") === 1)
-      .crossJoin(broadcast(zs))
+      .join(broadcast(cAs("a", "z", "caz")), Seq("a"))
       .where(col("z") =!= col("a") && col("z") =!= col("b"))
-      .join(broadcast(cAs("a", "z", "caz")), Seq("a", "z"))
       .join(broadcast(cAs("b", "z", "cbz")), Seq("b", "z"))
+      .join(broadcast(zs), Seq("z"))
       .withColumn("sep", expr(
         s"""case when 10000 *
            |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz) *
@@ -582,13 +591,18 @@ object Causal {
     def diag(x: String, out: String): DataFrame =
       broadcast(nc.where(col("sa") === col("sb"))
         .select(col("sa").as(x), col("ch").as(out)))
-    val ser = nc.where(col("sa") === col("sb")).select(col("sa").as("z"))
+    // conditioning pairs {z,w} enumerated from a's co-observed series
+    // (the (a,z)/(a,w) moment rows the joins below demand anyway), not
+    // cross-joined against the global diagonal — identical candidate
+    // set, and under the q340-style multi-graph fold the fan-out stays
+    // per-graph instead of quadratic across graphs
+    val adjz = broadcast(nc.where(col("sa") =!= col("sb"))
+      .select(col("sa").as("a"), col("sb").as("z")))
     val cand = sk1.where(col("edge") === 1).select(col("a"), col("b"))
-      .crossJoin(broadcast(ser))
-      .crossJoin(broadcast(ser.select(col("z").as("w"))))
+      .join(adjz, Seq("a"))
+      .join(broadcast(adjz.select(col("a"), col("z").as("w"))), Seq("a"))
       .where(col("z") < col("w") &&
-        col("z") =!= col("a") && col("z") =!= col("b") &&
-        col("w") =!= col("a") && col("w") =!= col("b"))
+        col("z") =!= col("b") && col("w") =!= col("b"))
     val mm = cand
       .join(m("a", "b", "mab"), Seq("a", "b"))
       .join(m("a", "z", "maz"), Seq("a", "z"))
