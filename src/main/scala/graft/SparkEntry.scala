@@ -7041,14 +7041,7 @@ object SparkEntry {
     // of a per-file driver loop: at 100k configs the scan is one
     // parallel read and the panel work stays ≤ p² rows per config
     "q340_pc_corpus_sweep" -> ((s, d) => {
-      val idxed = shippedD3TreeIdxed(s)
-      val pan = (1 to 4).map(i =>
-        idxed.where(col(s"X$i").isNotNull && col("t") < 200)
-          .select(concat(col("cfg"), lit(s"|X$i")).as("series"),
-            concat(col("cfg"), lit("|"),
-              lpad(col("t").cast("string"), 3, "0")).as("day"),
-            floor(col(s"X$i") * 1000).cast("long").as("v")))
-        .reduce(_ unionByName _).localCheckpoint(false)
+      val pan = shippedD3TreeFoldedPanel(shippedD3TreeIdxed(s))
       val st = graft.metrics.Causal.pcOrient(
           graft.metrics.Causal.pcSkeleton(pan), PcMeekRounds)
         .withColumn("cfg", substring_index(col("a"), "|", 1))
@@ -7082,6 +7075,57 @@ object SparkEntry {
             "else (1000 * tp) div (tp + fn) end").as("tpr_permille"),
           expr("case when tp + fp = 0 then 0L " +
             "else (1000 * fp) div (tp + fp) end").as("fdr_permille"))
+    }),
+
+    // cross-METHOD agreement census at corpus grain: the engine's two
+    // discovery consumers — predictive (q333's nearest-lag lag-1
+    // Granger) and constraint-based (q340's pairwise-complete PC
+    // skeleton fold) — over the SAME 48 shipped configs in one plan,
+    // each config reporting how far the two UNORDERED adjacency sets
+    // agree: n_granger / n_pc / n_both / n_union and Jaccard permille
+    // (truncating div, 0 at empty union). The reference's consumer
+    // suite runs multiple algorithms over one corpus and compares their
+    // metrics; this is that comparison as a first-class query — the
+    // low-agreement configs are where a practitioner looks first. One
+    // glob scan feeds both pipelines; the agreement join and census are
+    // panel-grain (≤ 48·C(4,2) rows)
+    "q341_method_agreement" -> ((s, d) => {
+      val idxed = shippedD3TreeIdxed(s)
+      def unfold(folded: org.apache.spark.sql.Column) =
+        substring_index(folded, "|", -1)
+      val gp = shippedD3TreeGrangerOut(s, idxed)
+        .where(col("granger") === 1)
+        .select(substring_index(col("cause"), "|", 1).as("cfg"),
+          least(unfold(col("cause")), unfold(col("effect"))).as("u"),
+          greatest(unfold(col("cause")), unfold(col("effect"))).as("v"))
+        .distinct()
+      val pp = graft.metrics.Causal
+        .pcSkeleton(shippedD3TreeFoldedPanel(idxed))
+        .where(col("edge") === 1)
+        // skeleton rows have a < b with a shared cfg prefix, so the
+        // unfolded (u, v) pair is already canonical
+        .select(substring_index(col("a"), "|", 1).as("cfg"),
+          unfold(col("a")).as("u"), unfold(col("b")).as("v"))
+      val ag = gp.withColumn("g", lit(1))
+        .join(pp.withColumn("p", lit(1)),
+          Seq("cfg", "u", "v"), "full_outer")
+        .groupBy("cfg")
+        .agg(sum(coalesce(col("g"), lit(0))).cast("long").as("n_granger"),
+          sum(coalesce(col("p"), lit(0))).cast("long").as("n_pc"),
+          sum(when(col("g").isNotNull && col("p").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+      // every config reports, including the (0,0,0,0) all-quiet ones
+      idxed.select(col("cfg")).distinct()
+        .join(ag, Seq("cfg"), "left_outer")
+        .select(col("cfg"),
+          coalesce(col("n_granger"), lit(0L)).as("n_granger"),
+          coalesce(col("n_pc"), lit(0L)).as("n_pc"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_union"), lit(0L)).as("n_union"))
+        .withColumn("jaccard_permille",
+          expr("case when n_union = 0 then 0L " +
+            "else (1000 * n_both) div n_union end"))
     }),
 
     // one-way ANOVA across the event-type series (the k-group member of
@@ -7318,35 +7362,7 @@ object SparkEntry {
     // is the real shape of "score a generated corpus": one multi-file
     // columnar scan, per-file keys, a single keyed aggregate per stage
     "q333_shipped_tree_scored" -> ((s, d) => {
-      val idxed = shippedD3TreeIdxed(s)
-      val lx = graft.ops.Lagged.nearestLagIndexView(
-        idxed.select(col("cfg"), col("t"), col("time")), "t", "time",
-        Seq("cfg")).localCheckpoint(false)
-      // DECI grain, not the milli the single-file q325 uses: the n5000
-      // trended configs push milli C-statistics to ~1e20 and their
-      // products past the 10^38 budget in BOTH engines; at deci the
-      // worst cell is ~2.5e13 and the squared products keep a 1e10
-      // margin (n <= 5000, |v| <= ~1e3)
-      val pan = (1 to 4).map(i =>
-        idxed.where(col(s"X$i").isNotNull)
-          .select(col("cfg"), lit(s"X$i").as("series"), col("t"),
-            floor(col(s"X$i") * 10).cast("long").as("v")))
-        .reduce(_ unionByName _).localCheckpoint(false)
-      val e = pan.select(col("cfg"), col("series").as("effect"),
-        col("t"), col("v").as("yv"))
-      val ep = pan.select(col("cfg"), col("series").as("effect"),
-        col("t").as("lag_idx"), col("v").as("pv"))
-      val cp = pan.select(col("cfg"), col("series").as("cause"),
-        col("t").as("lag_idx"), col("v").as("qv"))
-      val lagged = lx.join(e, Seq("cfg", "t"))
-        .join(ep, Seq("cfg", "effect", "lag_idx"))
-        .join(cp, Seq("cfg", "lag_idx"))
-        .where(col("cause") =!= col("effect"))
-        .select(concat(col("cfg"), lit("|"), col("cause")).as("cause"),
-          concat(col("cfg"), lit("|"), col("effect")).as("effect"),
-          col("yv"), col("pv"), col("qv"))
-      val gout = graft.metrics.Causal.grangerDecide(
-        graft.metrics.Causal.grangerSumsFromLagged(lagged), 422L)
+      val gout = shippedD3TreeGrangerOut(s, shippedD3TreeIdxed(s))
       val pred = gout.where(col("granger") === 1)
         .select(substring_index(col("cause"), "|", 1).as("graphId"),
           substring_index(col("cause"), "|", -1).as("source"),
@@ -7839,6 +7855,130 @@ object SparkEntry {
         Window.partitionBy("cfg").orderBy("time")) - 1).cast("long"))
       .localCheckpoint(false)
   }
+
+  /** q333/q341's shared Granger-per-config pass over the shipped cell:
+    * nearest-lag alignment on each config's own irregular spine
+    * (partitioned AsOf carries, no per-row probe) + the lag-1 Granger
+    * sums→decision contract with the config folded into the
+    * cause/effect key, so the shared arithmetic applies untouched.
+    * DECI grain, not the milli the single-file q325 uses: the n5000
+    * trended configs push milli C-statistics to ~1e20 and their
+    * products past the 10^38 budget in BOTH engines; at deci the worst
+    * cell is ~2.5e13 and the squared products keep a 1e10 margin
+    * (n <= 5000, |v| <= ~1e3). Returns granger_out rows with FOLDED
+    * cause/effect.
+    */
+  private def shippedD3TreeGrangerOut(s: SparkSession,
+      idxed: DataFrame): DataFrame = {
+    val lx = graft.ops.Lagged.nearestLagIndexView(
+      idxed.select(col("cfg"), col("t"), col("time")), "t", "time",
+      Seq("cfg")).localCheckpoint(false)
+    val pan = (1 to 4).map(i =>
+      idxed.where(col(s"X$i").isNotNull)
+        .select(col("cfg"), lit(s"X$i").as("series"), col("t"),
+          floor(col(s"X$i") * 10).cast("long").as("v")))
+      .reduce(_ unionByName _).localCheckpoint(false)
+    val e = pan.select(col("cfg"), col("series").as("effect"),
+      col("t"), col("v").as("yv"))
+    val ep = pan.select(col("cfg"), col("series").as("effect"),
+      col("t").as("lag_idx"), col("v").as("pv"))
+    val cp = pan.select(col("cfg"), col("series").as("cause"),
+      col("t").as("lag_idx"), col("v").as("qv"))
+    val lagged = lx.join(e, Seq("cfg", "t"))
+      .join(ep, Seq("cfg", "effect", "lag_idx"))
+      .join(cp, Seq("cfg", "lag_idx"))
+      .where(col("cause") =!= col("effect"))
+      .select(concat(col("cfg"), lit("|"), col("cause")).as("cause"),
+        concat(col("cfg"), lit("|"), col("effect")).as("effect"),
+        col("yv"), col("pv"), col("qv"))
+    graft.metrics.Causal.grangerDecide(
+      graft.metrics.Causal.grangerSumsFromLagged(lagged), 422L)
+  }
+
+  /** q340/q341's shared cfg-folded pairwise-complete panel (milli
+    * grain, 200-obs window for the rank-moment n⁴ budget): the config
+    * folds into BOTH the series and day keys, so cross-config series
+    * share no observation days, no cross moment ever forms, and one
+    * pcSkeleton/pcOrient call carries all 48 disjoint graphs.
+    */
+  private def shippedD3TreeFoldedPanel(idxed: DataFrame): DataFrame =
+    (1 to 4).map(i =>
+      idxed.where(col(s"X$i").isNotNull && col("t") < 200)
+        .select(concat(col("cfg"), lit(s"|X$i")).as("series"),
+          concat(col("cfg"), lit("|"),
+            lpad(col("t").cast("string"), 3, "0")).as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _).localCheckpoint(false)
+
+  /** The shipped-cell glob scan as a CTE (q333/q340/q341 oracles): 48
+    * CSVs in one read_csv, config identity from the file name,
+    * per-config observation index — the SQL twin of
+    * [[shippedD3TreeIdxed]].
+    */
+  private def shippedD3TreeCsvCte: String =
+    s"""csv AS MATERIALIZED (
+       |  SELECT X1, X2, X3, X4, "time",
+       |    regexp_extract(filename, '([^/]+)_missing\\.csv$$', 1) AS cfg,
+       |    row_number() OVER (
+       |      PARTITION BY filename ORDER BY "time") - 1 AS t
+       |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
+       |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+       |      'X4': 'DOUBLE', 'time': 'DOUBLE'}))""".stripMargin
+
+  /** q333/q341's shared Granger CTE block downstream of
+    * [[shippedD3TreeCsvCte]] — the SQL twin of
+    * [[shippedD3TreeGrangerOut]]; yields `granger_out` with folded
+    * cause/effect (deci grain, the n5000 magnitude budget).
+    */
+  private def shippedD3TreeGrangerSqlCtes: String =
+    s"""${graft.ops.Lagged.nearestLagIndexSqlCtes("csv", "\"time\"",
+        Seq("cfg"), materialized = true)},
+       |pan AS MATERIALIZED (
+       |  SELECT cfg, 'X1' AS series, t, floor(X1 * 10)::BIGINT AS v
+       |  FROM csv WHERE X1 IS NOT NULL
+       |  UNION ALL SELECT cfg, 'X2', t, floor(X2 * 10)::BIGINT FROM csv
+       |  WHERE X2 IS NOT NULL
+       |  UNION ALL SELECT cfg, 'X3', t, floor(X3 * 10)::BIGINT FROM csv
+       |  WHERE X3 IS NOT NULL
+       |  UNION ALL SELECT cfg, 'X4', t, floor(X4 * 10)::BIGINT FROM csv
+       |  WHERE X4 IS NOT NULL),
+       |gl AS (
+       |  SELECT lx.cfg || '|' || cp.series AS cause,
+       |    lx.cfg || '|' || e.series AS effect,
+       |    e.v AS yv, ep.v AS pv, cp.v AS qv
+       |  FROM lx
+       |  JOIN pan e ON e.cfg = lx.cfg AND e.t = lx.t
+       |  JOIN pan ep ON ep.cfg = lx.cfg AND ep.series = e.series
+       |    AND ep.t = lx.lag_idx
+       |  JOIN pan cp ON cp.cfg = lx.cfg AND cp.t = lx.lag_idx
+       |  WHERE cp.series <> e.series),
+       |${graft.metrics.Causal.grangerDecideSqlCtes("gl", 422L)}"""
+      .stripMargin
+
+  /** q340/q341's shared cfg-folded PC panel + skeleton CTE block
+    * downstream of [[shippedD3TreeCsvCte]] — the SQL twin of
+    * [[shippedD3TreeFoldedPanel]] + `pcSkeletonSqlCtes`; yields
+    * `pc_out` on folded keys (milli grain, 200-obs window).
+    */
+  private def shippedD3TreePcFoldSqlCtes: String =
+    s"""panel AS MATERIALIZED (
+       |  SELECT cfg || '|X1' AS series,
+       |    cfg || '|' || lpad(t::VARCHAR, 3, '0') AS day,
+       |    floor(X1 * 1000)::BIGINT AS v
+       |  FROM csv WHERE X1 IS NOT NULL AND t < 200
+       |  UNION ALL
+       |  SELECT cfg || '|X2', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+       |    floor(X2 * 1000)::BIGINT
+       |  FROM csv WHERE X2 IS NOT NULL AND t < 200
+       |  UNION ALL
+       |  SELECT cfg || '|X3', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+       |    floor(X3 * 1000)::BIGINT
+       |  FROM csv WHERE X3 IS NOT NULL AND t < 200
+       |  UNION ALL
+       |  SELECT cfg || '|X4', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
+       |    floor(X4 * 1000)::BIGINT
+       |  FROM csv WHERE X4 IS NOT NULL AND t < 200),
+       |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}""".stripMargin
 
   /** Per-graph orientation-aware scoring CTEs shared by the q333/q340
     * oracles — the `Metrics.scoreAll` contract keyed by graphId: both
@@ -14690,36 +14830,8 @@ object SparkEntry {
         |${pcScoringSqlTail(PcMeekRounds2, pcTruthValuesSql(PcDirectedTruth6))}""".stripMargin,
 
     "q333_shipped_tree_scored" ->
-      s"""WITH csv AS MATERIALIZED (
-        |  SELECT X1, X2, X3, X4, "time",
-        |    regexp_extract(filename, '([^/]+)_missing\\.csv$$', 1) AS cfg,
-        |    row_number() OVER (
-        |      PARTITION BY filename ORDER BY "time") - 1 AS t
-        |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
-        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
-        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
-        |${graft.ops.Lagged.nearestLagIndexSqlCtes("csv", "\"time\"",
-          Seq("cfg"), materialized = true)},
-        |pan AS MATERIALIZED (
-        |  SELECT cfg, 'X1' AS series, t, floor(X1 * 10)::BIGINT AS v
-        |  FROM csv WHERE X1 IS NOT NULL
-        |  UNION ALL SELECT cfg, 'X2', t, floor(X2 * 10)::BIGINT FROM csv
-        |  WHERE X2 IS NOT NULL
-        |  UNION ALL SELECT cfg, 'X3', t, floor(X3 * 10)::BIGINT FROM csv
-        |  WHERE X3 IS NOT NULL
-        |  UNION ALL SELECT cfg, 'X4', t, floor(X4 * 10)::BIGINT FROM csv
-        |  WHERE X4 IS NOT NULL),
-        |gl AS (
-        |  SELECT lx.cfg || '|' || cp.series AS cause,
-        |    lx.cfg || '|' || e.series AS effect,
-        |    e.v AS yv, ep.v AS pv, cp.v AS qv
-        |  FROM lx
-        |  JOIN pan e ON e.cfg = lx.cfg AND e.t = lx.t
-        |  JOIN pan ep ON ep.cfg = lx.cfg AND ep.series = e.series
-        |    AND ep.t = lx.lag_idx
-        |  JOIN pan cp ON cp.cfg = lx.cfg AND cp.t = lx.lag_idx
-        |  WHERE cp.series <> e.series),
-        |${graft.metrics.Causal.grangerDecideSqlCtes("gl", 422L)},
+      s"""WITH $shippedD3TreeCsvCte,
+        |$shippedD3TreeGrangerSqlCtes,
         |st_pred AS (
         |  SELECT split_part(cause, '|', 1) AS graphId,
         |    split_part(cause, '|', 2) AS source,
@@ -14936,32 +15048,8 @@ object SparkEntry {
         |${pcScoringSqlTail(PcMeekRounds, pcTruthValuesSql(ShippedD3DirectedTruth))}""".stripMargin,
 
     "q340_pc_corpus_sweep" ->
-      s"""WITH csv AS MATERIALIZED (
-        |  SELECT X1, X2, X3, X4,
-        |    regexp_extract(filename, '([^/]+)_missing\\.csv$$', 1) AS cfg,
-        |    row_number() OVER (
-        |      PARTITION BY filename ORDER BY "time") - 1 AS t
-        |  FROM read_csv('$ShippedD3TreeGlob', header=true, filename=true,
-        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
-        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
-        |panel AS MATERIALIZED (
-        |  SELECT cfg || '|X1' AS series,
-        |    cfg || '|' || lpad(t::VARCHAR, 3, '0') AS day,
-        |    floor(X1 * 1000)::BIGINT AS v
-        |  FROM csv WHERE X1 IS NOT NULL AND t < 200
-        |  UNION ALL
-        |  SELECT cfg || '|X2', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
-        |    floor(X2 * 1000)::BIGINT
-        |  FROM csv WHERE X2 IS NOT NULL AND t < 200
-        |  UNION ALL
-        |  SELECT cfg || '|X3', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
-        |    floor(X3 * 1000)::BIGINT
-        |  FROM csv WHERE X3 IS NOT NULL AND t < 200
-        |  UNION ALL
-        |  SELECT cfg || '|X4', cfg || '|' || lpad(t::VARCHAR, 3, '0'),
-        |    floor(X4 * 1000)::BIGINT
-        |  FROM csv WHERE X4 IS NOT NULL AND t < 200),
-        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")},
+      s"""WITH $shippedD3TreeCsvCte,
+        |$shippedD3TreePcFoldSqlCtes,
         |${graft.metrics.Causal.pcOrientSqlCtes(PcMeekRounds)},
         |st_pred AS (
         |  SELECT split_part(a, '|', 1) AS graphId,
@@ -14990,6 +15078,41 @@ object SparkEntry {
         |  (CASE WHEN s.tp + s.fp = 0 THEN 0
         |    ELSE (1000 * s.fp) // (s.tp + s.fp) END)::BIGINT AS fdr_permille
         |FROM st_sc s LEFT JOIN st_cnt c ON c.g = s.g""".stripMargin,
+
+    "q341_method_agreement" ->
+      s"""WITH $shippedD3TreeCsvCte,
+        |$shippedD3TreeGrangerSqlCtes,
+        |$shippedD3TreePcFoldSqlCtes,
+        |gp AS MATERIALIZED (
+        |  SELECT DISTINCT split_part(cause, '|', 1) AS cfg,
+        |    least(split_part(cause, '|', 2),
+        |      split_part(effect, '|', 2)) AS u,
+        |    greatest(split_part(cause, '|', 2),
+        |      split_part(effect, '|', 2)) AS v
+        |  FROM granger_out WHERE granger = 1),
+        |pp AS MATERIALIZED (
+        |  SELECT split_part(a, '|', 1) AS cfg,
+        |    split_part(a, '|', 2) AS u, split_part(b, '|', 2) AS v
+        |  FROM pc_out WHERE edge = 1),
+        |jj AS (
+        |  SELECT coalesce(g.cfg, p.cfg) AS cfg,
+        |    CASE WHEN g.cfg IS NOT NULL THEN 1 ELSE 0 END AS gf,
+        |    CASE WHEN p.cfg IS NOT NULL THEN 1 ELSE 0 END AS pf
+        |  FROM gp g FULL JOIN pp p
+        |    ON p.cfg = g.cfg AND p.u = g.u AND p.v = g.v),
+        |ag AS (
+        |  SELECT cfg, sum(gf) AS n_granger, sum(pf) AS n_pc,
+        |    sum(gf * pf) AS n_both, count(*) AS n_union
+        |  FROM jj GROUP BY 1)
+        |SELECT c.cfg,
+        |  coalesce(n_granger, 0)::BIGINT AS n_granger,
+        |  coalesce(n_pc, 0)::BIGINT AS n_pc,
+        |  coalesce(n_both, 0)::BIGINT AS n_both,
+        |  coalesce(n_union, 0)::BIGINT AS n_union,
+        |  (CASE WHEN coalesce(n_union, 0) = 0 THEN 0
+        |    ELSE (1000 * n_both) // n_union END)::BIGINT AS jaccard_permille
+        |FROM (SELECT DISTINCT cfg FROM csv) c
+        |LEFT JOIN ag ON ag.cfg = c.cfg""".stripMargin,
 
     "q324_deletion_cascade" ->
       """WITH fc AS (SELECT c_custkey FROM customer
