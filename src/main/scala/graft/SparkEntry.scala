@@ -7077,6 +7077,22 @@ object SparkEntry {
             "else (1000 * fp) div (tp + fp) end").as("fdr_permille"))
     }),
 
+    // PC threshold-STABILITY sweep on the shipped artifact (the
+    // StARS-style sensitivity analysis a practitioner runs before
+    // trusting q338's graph): the rank cross-moments are τ-free, so ONE
+    // moment pass feeds the order-≤1 decision stage at six τ² rungs
+    // (25..900 bp ⇒ τ = 0.05..0.30). Decisions are monotone in τ
+    // (keep0 only drops, separating sets only appear), so the per-τ
+    // edge sets are NESTED — an edge that dies at τ = 0.1 is a
+    // threshold artifact, one alive at τ = 0.3 is structural; spec pins
+    // the nesting. truth_adj rides along so each rung reads as a
+    // recovery row. Fact-scale cost is unchanged from q338: the sweep
+    // multiplies only the ≤ p²-row decision frames
+    "q342_pc_tau_stability" -> ((s, d) =>
+      graft.metrics.Causal.pcSkeletonTauSweep(shippedD3Panel(s),
+          PcTauSweepBps)
+        .withColumn("truth_adj", expr(ShippedD3AdjCase))),
+
     // cross-METHOD agreement census at corpus grain: the engine's two
     // discovery consumers — predictive (q333's nearest-lag lag-1
     // Granger) and constraint-based (q340's pairwise-complete PC
@@ -7530,6 +7546,10 @@ object SparkEntry {
     * both the Spark loop and the generated DuckDB CTE chain.
     */
   private val PcMeekRounds = 3
+  /** q342's τ² ladder in basis points: τ = 0.05, 0.10, 0.15, 0.20,
+    * 0.25 (q338's default), 0.30 — ONE Scala value, both engines.
+    */
+  private val PcTauSweepBps = Seq(25L, 100L, 225L, 400L, 625L, 900L)
 
   /** q337's round count: one more than q332's — the 6-var order-2 graph
     * can chain an orientation across more hops, and rounds are unrolled
@@ -15113,6 +15133,18 @@ object SparkEntry {
         |    ELSE (1000 * n_both) // n_union END)::BIGINT AS jaccard_permille
         |FROM (SELECT DISTINCT cfg FROM csv) c
         |LEFT JOIN ag ON ag.cfg = c.cfg""".stripMargin,
+
+    "q342_pc_tau_stability" ->
+      s"""WITH $shippedD3PanelCtes,
+        |${graft.metrics.Causal.pcMomentSqlCtes("panel")},
+        |${PcTauSweepBps.map(t =>
+          graft.metrics.Causal.pcDecisionSqlCtes(t, s"_t$t"))
+          .mkString(",\n")}
+        |${PcTauSweepBps.map(t =>
+          s"SELECT ${t}::BIGINT AS tau_sq_bp, a, b, n, cab, keep0, " +
+            s"sepset, edge, ($ShippedD3AdjCase)::INT AS truth_adj " +
+            s"FROM pc_out_t$t")
+          .mkString("\nUNION ALL\n")}""".stripMargin,
 
     "q324_deletion_cascade" ->
       """WITH fc AS (SELECT c_custkey FROM customer

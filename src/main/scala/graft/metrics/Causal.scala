@@ -458,6 +458,24 @@ object Causal {
     pcSkeletonMoments(
       pinTiny(rankCrossMoments(rankPanel(panel))), tauSqBp)
 
+  /** PC-skeleton THRESHOLD-STABILITY sweep (the StARS-style sensitivity
+    * analysis): the rank cross-moments are τ-free, so ONE fact-scale
+    * pass feeds the order-≤1 decision stage at every τ² in `tauSqBps`.
+    * Output: [[pcSkeleton]]'s columns plus `tau_sq_bp`. Both decision
+    * stages are monotone in τ (keep0 can only drop as τ grows, a
+    * separating z can only appear), so the per-τ edge sets are NESTED —
+    * an edge that vanishes early is a threshold artifact, one that
+    * survives the whole ladder is structural. Pinned by spec.
+    */
+  def pcSkeletonTauSweep(panel: DataFrame,
+      tauSqBps: Seq[Long]): DataFrame = {
+    require(tauSqBps.nonEmpty, "tauSqBps must be non-empty")
+    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    tauSqBps.map(t =>
+        pcSkeletonMoments(cm, t).withColumn("tau_sq_bp", lit(t)))
+      .reduce(_ unionByName _)
+  }
+
   /** The moments→skeleton stage of [[pcSkeleton]], split out so
     * [[pcSkeleton2]] can reuse one fact-scale cross-moment pass for both
     * the order-≤1 decisions and the order-2 cofactor tests.
@@ -510,11 +528,12 @@ object Causal {
           .as("edge"))
   }
 
-  /** The PC-skeleton contract as ANSI CTEs over `\$panel(series, day, v)`
-    * — shared by the q270 (events) and q300 (generated-data) oracles;
-    * yields `pc_out(a, b, n, cab, keep0, sepset, edge)`.
+  /** The τ-FREE rank/moment head of [[pcSkeletonSqlCtes]]: yields
+    * `pc_ranked` and `pc_cm` over `\$panel(series, day, v)`. Split out
+    * so a threshold sweep ([[pcSkeletonTauSweep]]'s oracle) can hang
+    * several decision tails off ONE moment head.
     */
-  def pcSkeletonSqlCtes(panel: String, tauSqBp: Long = 625L): String =
+  def pcMomentSqlCtes(panel: String): String =
     s"""pc_ranked AS (SELECT series, day,
        |    row_number() OVER (PARTITION BY series ORDER BY v, day) AS r
        |  FROM $panel),
@@ -522,8 +541,16 @@ object Causal {
        |  SELECT a.series AS sa, b.series AS sb, count(*)::BIGINT AS n,
        |    (count(*)::HUGEINT * sum(a.r::HUGEINT * b.r)
        |      - sum(a.r)::HUGEINT * sum(b.r))::BIGINT AS c
-       |  FROM pc_ranked a JOIN pc_ranked b USING (day) GROUP BY 1, 2),
-       |pc_pairs AS (
+       |  FROM pc_ranked a JOIN pc_ranked b USING (day) GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** The τ-DEPENDENT order-0/1 decision tail over `pc_cm`; every CTE
+    * name carries `sfx` so a sweep can instantiate one tail per τ
+    * against a single moment head. Yields
+    * `pc_out\$sfx(a, b, n, cab, keep0, sepset, edge)`.
+    */
+  def pcDecisionSqlCtes(tauSqBp: Long, sfx: String = ""): String =
+    s"""pc_pairs$sfx AS (
        |  SELECT p.sa AS a, p.sb AS b, p.n, p.c AS cab,
        |    da.c AS caa, db.c AS cbb,
        |    CASE WHEN 10000 * p.c::HUGEINT * p.c
@@ -533,7 +560,7 @@ object Causal {
        |  JOIN pc_cm da ON da.sa = p.sa AND da.sb = p.sa
        |  JOIN pc_cm db ON db.sa = p.sb AND db.sb = p.sb
        |  WHERE p.sa < p.sb),
-       |pc_trip AS (
+       |pc_trip$sfx AS (
        |  SELECT pr.a, pr.b, z.sa AS z,
        |    CASE WHEN 10000
        |        * (pr.cab::HUGEINT * z.c - az.c::HUGEINT * bz.c)
@@ -542,20 +569,27 @@ object Causal {
        |        * (pr.caa::HUGEINT * z.c - az.c::HUGEINT * az.c)
        |        * (pr.cbb::HUGEINT * z.c - bz.c::HUGEINT * bz.c)
        |    THEN 1 ELSE 0 END AS sep
-       |  FROM pc_pairs pr
+       |  FROM pc_pairs$sfx pr
        |  JOIN pc_cm z ON z.sa = z.sb AND z.sa <> pr.a AND z.sa <> pr.b
        |  JOIN pc_cm az ON az.sa = pr.a AND az.sb = z.sa
        |  JOIN pc_cm bz ON bz.sa = pr.b AND bz.sb = z.sa
        |  WHERE pr.keep0 = 1),
-       |pc_seps AS (SELECT a, b, min(CASE WHEN sep = 1 THEN z END)
+       |pc_seps$sfx AS (SELECT a, b, min(CASE WHEN sep = 1 THEN z END)
        |    AS sepset
-       |  FROM pc_trip GROUP BY 1, 2),
-       |pc_out AS (
+       |  FROM pc_trip$sfx GROUP BY 1, 2),
+       |pc_out$sfx AS (
        |  SELECT p.a, p.b, p.n, p.cab, p.keep0, s.sepset,
        |    (CASE WHEN p.keep0 = 1 AND s.sepset IS NULL
        |     THEN 1 ELSE 0 END)::INT AS edge
-       |  FROM pc_pairs p LEFT JOIN pc_seps s
+       |  FROM pc_pairs$sfx p LEFT JOIN pc_seps$sfx s
        |    ON s.a = p.a AND s.b = p.b)""".stripMargin
+
+  /** The PC-skeleton contract as ANSI CTEs over `\$panel(series, day, v)`
+    * — shared by the q270 (events) and q300 (generated-data) oracles;
+    * yields `pc_out(a, b, n, cab, keep0, sepset, edge)`.
+    */
+  def pcSkeletonSqlCtes(panel: String, tauSqBp: Long = 625L): String =
+    pcMomentSqlCtes(panel) + ",\n" + pcDecisionSqlCtes(tauSqBp)
 
   /** PC-algorithm skeleton to conditioning order 2. Orders 0/1 are
     * exactly [[pcSkeleton]]; each surviving pair (a,b) is then tested

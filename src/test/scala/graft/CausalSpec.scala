@@ -557,6 +557,27 @@ class CausalSpec extends AnyFunSuite {
     }
   }
 
+  test("q342 tau sweep: six rungs over every pair, edge and keep0 sets " +
+      "nested as tau grows") {
+    val rows = SparkEntry.queries("q342_pc_tau_stability")(spark, "unused")
+      .collect()
+    val taus = rows.map(_.getAs[Long]("tau_sq_bp")).distinct.sorted
+    assert(taus.length == 6, s"expected 6 rungs, got ${taus.toSeq}")
+    assert(rows.length == taus.length * 6,
+      s"expected 6 pairs per rung, got ${rows.length} rows")
+    def setOf(t: Long, flag: String) = rows
+      .filter(r => r.getAs[Long]("tau_sq_bp") == t &&
+        r.getAs[Int](flag) == 1)
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    taus.sliding(2).foreach { w =>
+      val (lo, hi) = (w(0), w(1))
+      assert(setOf(hi, "edge").subsetOf(setOf(lo, "edge")),
+        s"edge set at tau²=$hi must nest inside tau²=$lo")
+      assert(setOf(hi, "keep0").subsetOf(setOf(lo, "keep0")),
+        s"keep0 set at tau²=$hi must nest inside tau²=$lo")
+    }
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
