@@ -209,6 +209,16 @@ object Bench {
           .groupBy("dir").count()
           .write.mode("overwrite").format("noop").save()
       }
+      // the fold composed with q342's τ sweep: 864 configs × 6
+      // thresholds = 5,184 graph decisions in ONE plan, still a single
+      // fact-scale moment pass — only the ≤ p²-row decision frames
+      // multiply, so this should cost little over the fold alone
+      median3("pcsweep_catalog_tau6") {
+        graft.metrics.Causal.pcSkeletonTauSweep(pan,
+            Seq(25L, 100L, 225L, 400L, 625L, 900L))
+          .groupBy("tau_sq_bp").agg(sum("edge"))
+          .write.mode("overwrite").format("noop").save()
+      }
       wide.unpersist()
     }
 
