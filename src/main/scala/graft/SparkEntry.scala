@@ -7077,6 +7077,40 @@ object SparkEntry {
             "else (1000 * fp) div (tp + fp) end").as("fdr_permille"))
     }),
 
+    // PC edge SUPPORT via disjoint-block subsampling (q342 asks "is the
+    // edge a threshold artifact?"; this asks "is it a sampling
+    // artifact?" — together they are the StARS stability pair): the
+    // shipped file's FULL 1000 rows split into 5 disjoint 200-obs
+    // windows — each inside the rank-moment n⁴ budget that forced
+    // q338's single 200-cut — with the block index folded into the
+    // series/day keys, so ONE pcSkeleton call decides all 5 windows
+    // independently (the q340 fold with time blocks as the graphs).
+    // Per unordered pair: in how many of the 5 windows does the edge
+    // survive order ≤ 1 — the support count a practitioner reads as
+    // edge confidence, with truth_adj alongside
+    "q343_pc_edge_support" -> ((s, d) => {
+      val idxed = graft.generate.Sinks.readWideCsv(s,
+          s"$ShippedD3Base" + "_missing.csv")
+        .withColumn("t",
+          (row_number().over(Window.orderBy("time")) - 1).cast("long"))
+        .withColumn("blk", expr("t div 200"))
+      val pan = (1 to 4).map(i =>
+        idxed.where(col(s"X$i").isNotNull)
+          .select(concat(col("blk"), lit(s"|X$i")).as("series"),
+            concat(col("blk"), lit("|"),
+              lpad((col("t") % 200).cast("string"), 3, "0")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      graft.metrics.Causal.pcSkeleton(pan)
+        .groupBy(substring_index(col("a"), "|", -1).as("a"),
+          substring_index(col("b"), "|", -1).as("b"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("edge")).cast("long").as("support"))
+        .withColumn("support_permille",
+          expr("(1000 * support) div n_blocks"))
+        .withColumn("truth_adj", expr(ShippedD3AdjCase))
+    }),
+
     // PC threshold-STABILITY sweep on the shipped artifact (the
     // StARS-style sensitivity analysis a practitioner runs before
     // trusting q338's graph): the rank cross-moments are τ-free, so ONE
@@ -15133,6 +15167,40 @@ object SparkEntry {
         |    ELSE (1000 * n_both) // n_union END)::BIGINT AS jaccard_permille
         |FROM (SELECT DISTINCT cfg FROM csv) c
         |LEFT JOIN ag ON ag.cfg = c.cfg""".stripMargin,
+
+    "q343_pc_edge_support" ->
+      s"""WITH csvf AS (
+        |  SELECT X1, X2, X3, X4,
+        |    row_number() OVER (ORDER BY "time") - 1 AS t
+        |  FROM read_csv('$ShippedD3Base${"_missing.csv"}', header=true,
+        |    columns={'X1': 'DOUBLE', 'X2': 'DOUBLE', 'X3': 'DOUBLE',
+        |      'X4': 'DOUBLE', 'time': 'DOUBLE'})),
+        |panel AS (
+        |  SELECT (t // 200)::VARCHAR || '|X1' AS series,
+        |    (t // 200)::VARCHAR || '|' ||
+        |      lpad((t % 200)::VARCHAR, 3, '0') AS day,
+        |    floor(X1 * 1000)::BIGINT AS v
+        |  FROM csvf WHERE X1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT (t // 200)::VARCHAR || '|X2', (t // 200)::VARCHAR ||
+        |    '|' || lpad((t % 200)::VARCHAR, 3, '0'),
+        |    floor(X2 * 1000)::BIGINT FROM csvf WHERE X2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT (t // 200)::VARCHAR || '|X3', (t // 200)::VARCHAR ||
+        |    '|' || lpad((t % 200)::VARCHAR, 3, '0'),
+        |    floor(X3 * 1000)::BIGINT FROM csvf WHERE X3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT (t // 200)::VARCHAR || '|X4', (t // 200)::VARCHAR ||
+        |    '|' || lpad((t % 200)::VARCHAR, 3, '0'),
+        |    floor(X4 * 1000)::BIGINT FROM csvf WHERE X4 IS NOT NULL),
+        |${graft.metrics.Causal.pcSkeletonSqlCtes("panel")}
+        |SELECT a, b, n_blocks, support, support_permille,
+        |  ($ShippedD3AdjCase)::INT AS truth_adj
+        |FROM (
+        |  SELECT split_part(a, '|', 2) AS a, split_part(b, '|', 2) AS b,
+        |    count(*)::BIGINT AS n_blocks, sum(edge)::BIGINT AS support,
+        |    ((1000 * sum(edge)) // count(*))::BIGINT AS support_permille
+        |  FROM pc_out GROUP BY 1, 2) s""".stripMargin,
 
     "q342_pc_tau_stability" ->
       s"""WITH $shippedD3PanelCtes,

@@ -578,6 +578,23 @@ class CausalSpec extends AnyFunSuite {
     }
   }
 
+  test("q343 edge support: 5 disjoint windows per pair, support bounded, " +
+      "the two strong shipped edges at full support") {
+    val rows = SparkEntry.queries("q343_pc_edge_support")(spark, "unused")
+      .collect()
+    assert(rows.length == 6, s"expected C(4,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") == 5L, s"window count: $r")
+      val sup = r.getAs[Long]("support")
+      assert(sup >= 0L && sup <= 5L, s"support out of range: $r")
+    }
+    def sup(a: String, b: String) = rows.find(r =>
+      r.getAs[String]("a") == a && r.getAs[String]("b") == b).get
+      .getAs[Long]("support")
+    assert(sup("X1", "X2") == 5L && sup("X3", "X4") == 5L,
+      "the two strong shipped edges must survive every window")
+  }
+
   test("ln LUT: CASE expression reproduces Math.round(ln(k)*1e6) for all k") {
     import spark.implicits._
     val ks = (1 to 64).toDF("k")
