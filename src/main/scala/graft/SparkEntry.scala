@@ -7094,6 +7094,8 @@ object SparkEntry {
         .withColumn("t",
           (row_number().over(Window.orderBy("time")) - 1).cast("long"))
         .withColumn("blk", expr("t div 200"))
+        // one CSV read + one global sort for all four series branches
+        .localCheckpoint(false)
       val pan = (1 to 4).map(i =>
         idxed.where(col(s"X$i").isNotNull)
           .select(concat(col("blk"), lit(s"|X$i")).as("series"),

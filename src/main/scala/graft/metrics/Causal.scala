@@ -768,13 +768,22 @@ object Causal {
     * series names; the anti-join form asserts precisely the rows the
     * algorithm reads.)
     *
+    * One legitimate input also trips it: a pairwise-complete panel
+    * where two series NEVER co-observe a day has no cross-moment row
+    * and therefore no skeleton row for that pair — not a caller error.
+    * For such panels pass `requirePairRows = false`: the triple whose
+    * pair was never testable is then dropped by the inner join — no
+    * independence record exists, so claiming a collider from it would
+    * be evidence-free; the conservative skip is the pinned semantic.
+    *
     * Reference anchor: the reference's consumers emit DIRECTED graphs and
     * its structural SHD charges reversals
     * (helper_funcs/metrics_helper.py:80-138) — a skeleton alone
     * under-specifies what [[Metrics.scoreAll]] scores; this supplies the
     * CPDAG the PC family is defined to return.
     */
-  def pcOrient(skeleton: DataFrame, meekRounds: Int = 3): DataFrame = {
+  def pcOrient(skeleton: DataFrame, meekRounds: Int = 3,
+      requirePairRows: Boolean = true): DataFrame = {
     val sk = pinTiny(
       skeleton.select(col("a"), col("b"), col("sepset"), col("edge")))
     val und = sk.where(col("edge") === 1).select(col("a"), col("b"))
@@ -789,17 +798,23 @@ object Causal {
     // enforce the every-pair-row precondition (see scaladoc): a triple
     // candidate whose (x,y) row is absent would be dropped by the inner
     // join below — a silent collider loss — so fail loudly instead; one
-    // tiny count job over checkpointed panel-grain frames
-    locally {
+    // tiny count job over checkpointed panel-grain frames. Skippable
+    // (requirePairRows = false) for pairwise-complete panels where a
+    // pair legitimately never co-observes — there the drop IS the
+    // pinned conservative semantic (scaladoc)
+    if (requirePairRows) {
       val miss = cand
         .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
           lit(1).as("hit"))), Seq("x", "y"), "left_outer")
         .where(col("hit").isNull).count()
       require(miss == 0L,
         s"pcOrient requires a skeleton row for every unordered pair its " +
-          s"unshielded triples touch (pcSkeleton emits ALL pairs, " +
-          s"edge=0 included): $miss triple candidate(s) found no (x,y) " +
-          s"row — the caller likely passed only surviving-edge rows")
+          s"unshielded triples touch (edge=0 rows included): $miss " +
+          s"triple candidate(s) found no (x,y) row — either the caller " +
+          s"passed only surviving-edge rows (the bug this catches), or " +
+          s"a pair never co-observes a day in a pairwise-complete " +
+          s"panel (legitimate: pass requirePairRows = false to pin the " +
+          s"conservative skip)")
     }
     val trip = cand
       .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
@@ -899,12 +914,14 @@ object Causal {
     * Inherits [[pcOrient]]'s PRECONDITION: the skeleton2 frame must carry
     * a row for every unordered series pair (edge2=0 rows included) —
     * [[pcSkeleton2]]'s output shape; the same triple-candidate pair-row
-    * assertion applies.
+    * assertion (and its `requirePairRows` escape for never-co-observed
+    * pairs) applies.
     */
-  def pcOrient2(skeleton2: DataFrame, meekRounds: Int = 3): DataFrame =
+  def pcOrient2(skeleton2: DataFrame, meekRounds: Int = 3,
+      requirePairRows: Boolean = true): DataFrame =
     pcOrient(skeleton2.select(col("a"), col("b"),
       coalesce(col("sepset"), col("sepset2")).as("sepset"),
-      col("edge2").as("edge")), meekRounds)
+      col("edge2").as("edge")), meekRounds, requirePairRows)
 
   /** [[pcOrient]] as CTEs downstream of `src` (`pc_out` from
     * [[pcSkeletonSqlCtes]] by default; pass an adapter CTE name for the

@@ -278,6 +278,20 @@ class CausalSpec extends AnyFunSuite {
       s"unexpected message: ${ex.getMessage}")
   }
 
+  test("pc orient: requirePairRows=false pins the conservative skip for " +
+      "never-co-observed pairs — no throw, no evidence-free collider") {
+    import spark.implicits._
+    // same missing-(a,b)-row graph as the loud-failure test: with the
+    // escape hatch the untestable triple is dropped (no independence
+    // record for (a,b) exists), both edges stay undirected
+    val sk = Seq(("a", "c", None: Option[String], 1),
+      ("b", "c", None: Option[String], 1)).toDF("a", "b", "sepset", "edge")
+    val dirs = Causal.pcOrient(sk, 3, requirePairRows = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(dirs === Map(("a", "c") -> 0, ("b", "c") -> 0))
+  }
+
   test("pc orient: z in the recorded sepset blocks the collider") {
     val dirs = orient(Seq(
       ("a", "b", Some("c"), 0), ("a", "c", None, 1), ("b", "c", None, 1)))
