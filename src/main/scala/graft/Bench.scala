@@ -220,6 +220,32 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       }
       wide.unpersist()
+      // the ENTIRE catalog — all 2,592 configs, 4/6/8-var mixed —
+      // skeleton + orientation in one plan. At this width the folded
+      // panel is megarows, so the rank self-join takes the partitioned
+      // shuffle path (broadcastRankJoin = false): broadcasting a
+      // multi-MB build side is the single-node shortcut a real cluster
+      // must NOT take; this rung measures the cluster-shaped plan
+      val wideAll = Generate.wideFast(spark, graft.core.Grid.all())
+        .where(col("t") < 200)
+        .select(col("configId") +: col("t") +:
+          (1 to 8).map(i => col(s"X$i")): _*)
+        .localCheckpoint(true)
+      val panAll = (1 to 8).map(i =>
+        wideAll.where(col(s"X$i").isNotNull)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            concat(col("configId"), lit("|"),
+              lpad(col("t").cast("string"), 3, "0")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      median3("pcsweep_catalog_2592_shuffle") {
+        graft.metrics.Causal.pcOrient(
+            graft.metrics.Causal.pcSkeleton(panAll,
+              broadcastRankJoin = false), 3)
+          .groupBy("dir").count()
+          .write.mode("overwrite").format("noop").save()
+      }
+      wideAll.unpersist()
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_

@@ -413,13 +413,23 @@ object Causal {
     * Σr_a·Σr_b over the days BOTH series observe (pairwise-complete).
     * Includes the diagonal (a = b) — the variances the tests normalize by.
     * Output is S² rows; downstream joins all broadcast.
+    *
+    * `broadcastB`: a single-graph panel is a few thousand rows, where
+    * broadcasting the self-join's build side beats a 32-partition
+    * exchange on scheduling overhead alone (the default). A
+    * corpus-scale FOLDED panel (thousands of graphs in one frame via
+    * q340's key trick) is megarows — pass false and the day join
+    * becomes a partitioned shuffle join, the shape a real cluster
+    * needs; results are identical either way.
     */
-  def rankCrossMoments(ranked: DataFrame): DataFrame = {
+  def rankCrossMoments(ranked: DataFrame,
+      broadcastB: Boolean = true): DataFrame = {
     val a = ranked.select(col("series").as("sa"), col("day"),
       col("r").as("ra"))
-    val b = ranked.select(col("series").as("sb"), col("day"),
+    val b0 = ranked.select(col("series").as("sb"), col("day"),
       col("r").as("rb"))
-    a.join(broadcast(b), Seq("day"))
+    val b = if (broadcastB) broadcast(b0) else b0
+    a.join(b, Seq("day"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("ra").cast("decimal(38,0)")).as("sra"),
@@ -454,9 +464,11 @@ object Causal {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L): DataFrame =
+  def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L,
+      broadcastRankJoin: Boolean = true): DataFrame =
     pcSkeletonMoments(
-      pinTiny(rankCrossMoments(rankPanel(panel))), tauSqBp)
+      pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin)),
+      tauSqBp)
 
   /** PC-skeleton THRESHOLD-STABILITY sweep (the StARS-style sensitivity
     * analysis): the rank cross-moments are τ-free, so ONE fact-scale

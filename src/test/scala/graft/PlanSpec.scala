@@ -689,4 +689,46 @@ class PlanSpec extends AnyFunSuite {
       s"the only exchange is the SinglePartition gather:\n$sp")
     assert(!sp.contains("Join"), s"no join in the stats pass:\n$sp")
   }
+
+  test("pc moments: rank self-join broadcasts by default, takes the " +
+      "partitioned shuffle path on demand — same moments either way") {
+    import spark.implicits._
+    // a 4-graph folded panel (the q340 key shape), values deterministic
+    val panel = (for {
+      g <- 0 to 3; s <- Seq("X1", "X2"); t <- 0 to 19
+    } yield (s"$g|$s", f"$g|$t%03d", ((t * 7 + g * 3) % 13).toLong))
+      .toDF("series", "day", "v")
+    def cm(b: Boolean) = graft.metrics.Causal
+      .rankCrossMoments(graft.metrics.Causal.rankPanel(panel), b)
+    // isolate the knob from Spark's size-based auto-broadcast (the test
+    // relation is tiny and accurately sized, so Catalyst would convert
+    // the unhinted join right back): with auto off, only the FORCED
+    // hint broadcasts — which is exactly the contract under test. On a
+    // megarow folded panel the same unhinted join stays partitioned by
+    // the same stats logic.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pb = cm(true).queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"),
+        s"panel-grain default must broadcast the day self-join:\n$pb")
+      val ps = cm(false).queryExecution.executedPlan.toString
+      assert(!ps.contains("BroadcastHashJoin"),
+        s"broadcastB=false must leave the join strategy to stats (the " +
+          s"megarow-fold cluster shape is a partitioned join):\n$ps")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // the strategy knob must not change a single moment
+    def rows(b: Boolean) = cm(b).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(true) == rows(false))
+  }
+
+  test("q340 corpus fold: no cartesian or nested-loop join anywhere — " +
+      "the conditioning stage enumerates, never cross-joins") {
+    val p = plan("q340_pc_corpus_sweep")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the fold must stay equi-join only:\n$p")
+  }
 }
