@@ -7180,6 +7180,62 @@ object SparkEntry {
             "else (1000 * n_both) div n_union end"))
     }),
 
+    // STREAMING causal monitoring — Granger edge decisions that update
+    // as data arrives: the lagged pair tuples of a generated A1 panel
+    // stream in TWO time-ordered micro-batches (days <200, then the
+    // rest) through a transformWithState processor whose per-pair state
+    // is the 10-sum moment matrix (fixed-size, mergeable — O(pairs)
+    // state however long the stream runs); each batch emits each
+    // touched pair's PREFIX sums and the decision arithmetic stays in
+    // the ONE shared Causal.grangerDecide, so the emission log reads as
+    // "the causal graph as of each batch" (n=199 prefix rows, then
+    // n=399 full rows — 24 rows, decisions comparable across time).
+    // The oracle replays the emission model with the q183 batch-fold
+    // (bb <= i) and the q333 key fold (batch id inside the pair key),
+    // reusing the shared Granger decide CTEs verbatim
+    "q344_stream_granger" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2 &&
+          c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q344_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 400)
+          .select(col("t") +: (1 to 4).map(i => col(s"X$i")): _*))
+      val panel = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val x = panel.select(col("series").as("cause"), col("day"),
+        col("v").as("xv"))
+      val y = panel.select(col("series").as("effect"), col("day"),
+        col("v").as("yv"))
+      val w = Window.partitionBy("cause", "effect").orderBy("day")
+      val tuples = y.join(broadcast(x), Seq("day"))
+        .where(col("cause") =!= col("effect"))
+        .select(col("cause"), col("effect"), col("day"), col("yv"),
+          lag("yv", 1).over(w).as("pv"), lag("xv", 1).over(w).as("qv"))
+        .where(col("pv").isNotNull)
+        .select(concat(col("cause"), lit("|"), col("effect")).as("pair"),
+          col("yv"), col("pv"), col("qv"), col("day"))
+      val log = graft.streaming.StatefulOps.grangerSumsTws(s, tuples,
+        "day", 200L, s"$genDir/q344_granger_split", "q344:A1:400:v1",
+        s"graft_stream_granger_${System.nanoTime()}")
+      val sums = log.select(
+        substring_index(col("pair"), "|", 1).as("cause"),
+        substring_index(col("pair"), "|", -1).as("effect"),
+        col("n").cast("decimal(38,0)").as("n"),
+        col("sy").cast("decimal(38,0)").as("sy"),
+        col("sp").cast("decimal(38,0)").as("sp"),
+        col("sq").cast("decimal(38,0)").as("sq"),
+        col("syy").cast("decimal(38,0)").as("syy"),
+        col("spp").cast("decimal(38,0)").as("spp"),
+        col("sqq").cast("decimal(38,0)").as("sqq"),
+        col("syp").cast("decimal(38,0)").as("syp"),
+        col("syq").cast("decimal(38,0)").as("syq"),
+        col("spq").cast("decimal(38,0)").as("spq"))
+      graft.metrics.Causal.grangerDecide(sums, 422L)
+        .withColumn("truth_lag1", expr(GrangerGenTruthCase))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -15203,6 +15259,41 @@ object SparkEntry {
         |    count(*)::BIGINT AS n_blocks, sum(edge)::BIGINT AS support,
         |    ((1000 * sum(edge)) // count(*))::BIGINT AS support_permille
         |  FROM pc_out GROUP BY 1, 2) s""".stripMargin,
+
+    "q344_stream_granger" ->
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q344_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |gj AS (
+        |  SELECT x.series AS cause, y.series AS effect, y.day,
+        |    y.v AS yv, x.v AS xv
+        |  FROM panel y JOIN panel x USING (day)
+        |  WHERE x.series <> y.series),
+        |glag AS (
+        |  SELECT cause, effect, day, yv,
+        |    lag(yv) OVER (PARTITION BY cause, effect ORDER BY day) AS pv,
+        |    lag(xv) OVER (PARTITION BY cause, effect ORDER BY day) AS qv
+        |  FROM gj),
+        |bs AS (SELECT unnest([1, 2]) AS i),
+        |gl AS (
+        |  SELECT bs.i || '|' || cause AS cause,
+        |    bs.i || '|' || effect AS effect, yv, pv, qv
+        |  FROM bs JOIN glag
+        |    ON (CASE WHEN day < 200 THEN 1 ELSE 2 END) <= bs.i
+        |  WHERE pv IS NOT NULL),
+        |${graft.metrics.Causal.grangerDecideSqlCtes("gl", 422L)}
+        |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,
+        |  ($GrangerGenTruthCase)::INT AS truth_lag1
+        |FROM (
+        |  SELECT split_part(cause, '|', 2) AS cause,
+        |    split_part(effect, '|', 2) AS effect,
+        |    n, cyy, rss_r, rss_u, f_gain, granger
+        |  FROM granger_out) u""".stripMargin,
 
     "q342_pc_tau_stability" ->
       s"""WITH $shippedD3PanelCtes,

@@ -49,6 +49,83 @@ object StatefulOps {
     }
   }
 
+  final case class GrangerSumsRow(pair: String, n: Long,
+      sy: Long, sp: Long, sq: Long, syy: Long, spp: Long, sqq: Long,
+      syp: Long, syq: Long, spq: Long)
+
+  /** Running Granger sufficient statistics per directed pair — the q344
+    * streaming causal monitor. State is ONE fixed-size row of the 10
+    * mergeable sums the batch `Causal.grangerSumsFromLagged` computes
+    * (plus n); each micro-batch that touches a pair emits that pair's
+    * PREFIX sums, so the emission log is exactly "the moment matrix as
+    * of each batch" and the decision arithmetic stays in the one shared
+    * `Causal.grangerDecide` downstream. Sum magnitudes: milli-quantized
+    * A1 values keep |v| ≲ 1e4, so each product ≤ 1e8 and each sum
+    * ≤ n·1e8 — far inside LONG for any realistic stream; the decision's
+    * n·Σ products run in DECIMAL(38,0) downstream as in batch.
+    */
+  class GrangerSumsProcessor
+      extends StatefulProcessor[String, (String, Long, Long, Long),
+        GrangerSumsRow] {
+    @transient private var state: ValueState[GrangerSumsRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GrangerSumsRow]("gsums",
+        Encoders.product[GrangerSumsRow], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[GrangerSumsRow] = {
+      var st = if (state.exists()) state.get()
+               else GrangerSumsRow(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      var touched = false
+      while (rows.hasNext) {
+        val (_, y, p, q) = rows.next()
+        st = GrangerSumsRow(key, st.n + 1, st.sy + y, st.sp + p, st.sq + q,
+          st.syy + y * y, st.spp + p * p, st.sqq + q * q,
+          st.syp + y * p, st.syq + y * q, st.spq + p * q)
+        touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update(st)
+        Iterator.single(st)
+      }
+    }
+  }
+
+  /** The q344 harness: per-pair running Granger sums via
+    * transformWithState over a caller-built 2-batch time split of lagged
+    * tuples `(pair, yv, pv, qv)`; update-mode memory sink = the per-batch
+    * moment-matrix log. Same RocksDB set/restore discipline as q183.
+    */
+  def grangerSumsTws(spark: SparkSession, tuples: DataFrame,
+      splitCol: String, boundary: Long, splitDir: String, cacheKey: String,
+      queryName: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val cols = tuples.select(col("pair"), col("yv"), col("pv"), col("qv"),
+        col(splitCol))
+      val src = StreamSupport.splitFilesStream(spark, splitDir, cacheKey) {
+        Seq(cols.where(col(splitCol) < boundary).drop(splitCol),
+          cols.where(col(splitCol) >= boundary).drop(splitCol))
+      }
+      val out = src.as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new GrangerSumsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+      StreamSupport.runToMemory(out, queryName, outputMode = "update")
+    } finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   /** The q183 harness: per-type running stats via transformWithState over
     * the 2-batch parity split (even event ids then odd), update-mode memory
     * sink = the emission log. transformWithState REQUIRES the RocksDB state

@@ -54,26 +54,26 @@ private[streaming] object StreamSupport {
     * the (cached) events frame and produces the per-batch predicated views
     * in stream order.
     */
-  private def splitStream(spark: SparkSession, sfDir: String, splitDir: String)
-      (parts: DataFrame => Seq[DataFrame]): DataFrame =
+  /** The source-agnostic core of the split builders: materialize `parts` as
+    * split_a, split_b, … in `splitDir` with pinned ascending modification
+    * times (split_a streams first), cache-keyed on `cacheKey`, and return
+    * the 1-file-per-trigger stream. `parts` is by-name — only evaluated
+    * (and executed) when the cached splits are stale. Generic over any
+    * source frame; the events builders layer their source identity key and
+    * source caching on top, generated-data callers key on their dump
+    * identity (regeneration is deterministic).
+    */
+  private[streaming] def splitFilesStream(spark: SparkSession,
+      splitDir: String, cacheKey: String)
+      (parts: => Seq[DataFrame]): DataFrame =
     splitLock.synchronized {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = tsToLongNs(spark.read.parquet(s"$sfDir/events.parquet"))
-    val schema = ev.schema
     val dir = new java.io.File(splitDir)
-    // cache keyed on the SOURCE file identity — a bare existence check would
-    // silently stream stale splits after an sfDir change into the same dir
-    val src = new java.io.File(s"$sfDir/events.parquet")
-    val key = s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}"
     val marker = new java.io.File(dir, "_source_key.txt")
     val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == key
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == cacheKey
+    lazy val ps = parts
     if (!fresh) {
       dir.mkdirs()
-      // the build makes several passes (split stats + one filtered write per
-      // batch) — cache the source across them; freed right after the build
-      ev.persist()
-      try {
       def writeOne(df: DataFrame, target: java.io.File, modMs: Long): Unit = {
         val tmp = new java.io.File(dir, s"_tmp_${target.getName}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
@@ -92,17 +92,40 @@ private[streaming] object StreamSupport {
       // into this stream
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("split_")).foreach(_.delete())
-      parts(ev).zipWithIndex.foreach { case (df, i) =>
+      ps.zipWithIndex.foreach { case (df, i) =>
         writeOne(df, new java.io.File(dir, s"split_${('a' + i).toChar}.parquet"),
           (i + 1) * 1000000L)
       }
-      java.nio.file.Files.write(marker.toPath, key.getBytes)
-      } finally ev.unpersist() // a failed write must not leak the cache
+      java.nio.file.Files.write(marker.toPath, cacheKey.getBytes)
     }
+    // schema from the first part frame — construction only, no job; when
+    // fresh, read it from the split files themselves to avoid building parts
+    val schema =
+      if (fresh) spark.read.parquet(splitDir).schema else ps.head.schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)
+  }
+
+  private def splitStream(spark: SparkSession, sfDir: String, splitDir: String)
+      (parts: DataFrame => Seq[DataFrame]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cache keyed on the SOURCE file identity — a bare existence check would
+    // silently stream stale splits after an sfDir change into the same dir
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = s"${src.getAbsolutePath}:${src.length()}:${src.lastModified()}"
+    // the build makes several passes (split stats + one filtered write per
+    // batch) — the by-name block persists the source across them (it only
+    // runs when the splits are stale, and the writes happen before
+    // splitFilesStream returns), freed here right after
+    var cached: Option[DataFrame] = None
+    try splitFilesStream(spark, splitDir, key) {
+      val ev = tsToLongNs(spark.read.parquet(s"$sfDir/events.parquet"))
+      ev.persist()
+      cached = Some(ev)
+      parts(ev)
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Time-split: batch A = events at or before the median timestamp, batch

@@ -138,4 +138,31 @@ class StreamBatchSpec extends AnyFunSuite {
       .where(col("final_n") =!= col("n")).count() === 0,
       "last emission must carry the full cumulative count")
   }
+
+  test("streaming Granger: 2 batches, final emissions equal the batch " +
+      "sums→decide pipeline on the full panel") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q344_stream_granger")(spark, d)
+      .localCheckpoint(true)
+    assert(StreamSupport.lastDataBatches === 2,
+      "the time split must arrive as two micro-batches")
+    assert(out.count() === 24, "12 pairs x 2 batch emissions")
+    // the n=399 (full-prefix) emissions must be row-identical to the
+    // batch engine run on the same generated panel — stream ≡ batch
+    val gen = spark.read.parquet(
+      s"${graft.SparkEntry.genDir}/q344_gen")
+    val panel = (1 to 4).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    val batch = graft.metrics.Causal.grangerDecide(
+      graft.metrics.Causal.grangerSums(panel), 422L)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("cause", "effect", "n", "cyy", "rss_r", "rss_u",
+        "f_gain", "granger")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(keyed(out.where(col("n") === 399)) === keyed(batch),
+      "final streaming state must reproduce the batch decisions exactly")
+  }
 }
