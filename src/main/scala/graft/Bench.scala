@@ -191,18 +191,23 @@ object Bench {
     // own gen_* entries).
     val runPcsweep = only.forall(_.exists(_.startsWith("pcsweep")))
     if (runPcsweep) {
+      // one fold-builder for both rungs: config into BOTH keys, lpad
+      // width 3 in lockstep with the 200-row cut
+      def foldPanel(wide: org.apache.spark.sql.DataFrame,
+          nVars: Int): org.apache.spark.sql.DataFrame =
+        (1 to nVars).map(i =>
+          wide.where(col(s"X$i").isNotNull)
+            .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+              concat(col("configId"), lit("|"),
+                lpad(col("t").cast("string"), 3, "0")).as("day"),
+              floor(col(s"X$i") * 1000).cast("long").as("v")))
+          .reduce(_ unionByName _)
       val cfgs = graft.core.Grid.all().filter(_.nVars == 4)
       val wide = Generate.wideFast(spark, cfgs).where(col("t") < 200)
         .select(col("configId"), col("t"),
           col("X1"), col("X2"), col("X3"), col("X4"))
         .localCheckpoint(true)
-      val pan = (1 to 4).map(i =>
-        wide.where(col(s"X$i").isNotNull)
-          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
-            concat(col("configId"), lit("|"),
-              lpad(col("t").cast("string"), 3, "0")).as("day"),
-            floor(col(s"X$i") * 1000).cast("long").as("v")))
-        .reduce(_ unionByName _)
+      val pan = foldPanel(wide, 4)
       median3("pcsweep_catalog_fold") {
         graft.metrics.Causal.pcOrient(
             graft.metrics.Causal.pcSkeleton(pan), 3)
@@ -231,13 +236,7 @@ object Bench {
         .select(col("configId") +: col("t") +:
           (1 to 8).map(i => col(s"X$i")): _*)
         .localCheckpoint(true)
-      val panAll = (1 to 8).map(i =>
-        wideAll.where(col(s"X$i").isNotNull)
-          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
-            concat(col("configId"), lit("|"),
-              lpad(col("t").cast("string"), 3, "0")).as("day"),
-            floor(col(s"X$i") * 1000).cast("long").as("v")))
-        .reduce(_ unionByName _)
+      val panAll = foldPanel(wideAll, 8)
       median3("pcsweep_catalog_2592_shuffle") {
         graft.metrics.Causal.pcOrient(
             graft.metrics.Causal.pcSkeleton(panAll,

@@ -7191,8 +7191,10 @@ object SparkEntry {
     // "the causal graph as of each batch" (n=199 prefix rows, then
     // n=399 full rows — 24 rows, decisions comparable across time).
     // The oracle replays the emission model with the q183 batch-fold
-    // (bb <= i) and the q333 key fold (batch id inside the pair key),
-    // reusing the shared Granger decide CTEs verbatim
+    // (bb <= i, a per-batch touched semijoin pinning update-mode's
+    // emit-only-touched-keys rule) and the q333 key fold (batch id
+    // inside the pair key), reusing the shared Granger decide CTEs
+    // verbatim
     "q344_stream_granger" -> ((s, d) => {
       val cfg = Grid.forFamily("A1").find(c =>
         c.nPoints == 500 && c.nVars == 4 && c.maxLag == 2 &&
@@ -7204,20 +7206,22 @@ object SparkEntry {
         gen.select(lit(s"X$i").as("series"), col("t").as("day"),
           floor(col(s"X$i") * 1000).cast("long").as("v")))
         .reduce(_ unionByName _)
-      val x = panel.select(col("series").as("cause"), col("day"),
-        col("v").as("xv"))
-      val y = panel.select(col("series").as("effect"), col("day"),
-        col("v").as("yv"))
-      val w = Window.partitionBy("cause", "effect").orderBy("day")
-      val tuples = y.join(broadcast(x), Seq("day"))
-        .where(col("cause") =!= col("effect"))
-        .select(col("cause"), col("effect"), col("day"), col("yv"),
-          lag("yv", 1).over(w).as("pv"), lag("xv", 1).over(w).as("qv"))
+      // the EXACT batch alignment, shared: grangerSums = this + sums
+      val tuples = graft.metrics.Causal.grangerLagged(panel)
         .where(col("pv").isNotNull)
         .select(concat(col("cause"), lit("|"), col("effect")).as("pair"),
           col("yv"), col("pv"), col("qv"), col("day"))
+      // split cache keyed on the DUMP's file identity (the events-path
+      // discipline): dumpGen rewrites q344_gen every run, so a kernel or
+      // grid change invalidates the splits by construction instead of by
+      // a hand-bumped version tag
+      val dumpSig = Option(new java.io.File(s"$genDir/q344_gen")
+          .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString(";")
       val log = graft.streaming.StatefulOps.grangerSumsTws(s, tuples,
-        "day", 200L, s"$genDir/q344_granger_split", "q344:A1:400:v1",
+        "day", 200L, s"$genDir/q344_granger_split", s"q344:$dumpSig",
         s"graft_stream_granger_${System.nanoTime()}")
       val sums = log.select(
         substring_index(col("pair"), "|", 1).as("cause"),
@@ -15280,11 +15284,18 @@ object SparkEntry {
         |    lag(xv) OVER (PARTITION BY cause, effect ORDER BY day) AS qv
         |  FROM gj),
         |bs AS (SELECT unnest([1, 2]) AS i),
+        |tb AS (
+        |  SELECT DISTINCT (CASE WHEN day < 200 THEN 1 ELSE 2 END) AS i,
+        |    cause, effect
+        |  FROM glag WHERE pv IS NOT NULL),
         |gl AS (
-        |  SELECT bs.i || '|' || cause AS cause,
-        |    bs.i || '|' || effect AS effect, yv, pv, qv
-        |  FROM bs JOIN glag
-        |    ON (CASE WHEN day < 200 THEN 1 ELSE 2 END) <= bs.i
+        |  SELECT bs.i || '|' || g.cause AS cause,
+        |    bs.i || '|' || g.effect AS effect, yv, pv, qv
+        |  FROM bs
+        |  JOIN glag g
+        |    ON (CASE WHEN g.day < 200 THEN 1 ELSE 2 END) <= bs.i
+        |  JOIN tb ON tb.i = bs.i AND tb.cause = g.cause
+        |    AND tb.effect = g.effect
         |  WHERE pv IS NOT NULL),
         |${graft.metrics.Causal.grangerDecideSqlCtes("gl", 422L)}
         |SELECT cause, effect, n, cyy, rss_r, rss_u, f_gain, granger,

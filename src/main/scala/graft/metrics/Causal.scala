@@ -58,7 +58,16 @@ object Causal {
     * align on day (inner join — both series observed), lag within the
     * joined pair panel, then one aggregation to 10 integer sums.
     */
-  def grangerSums(panel: DataFrame): DataFrame = {
+  def grangerSums(panel: DataFrame): DataFrame =
+    grangerSumsFromLagged(grangerLagged(panel))
+
+  /** The regular-clock lagged pair tuples grangerSums aggregates —
+    * split out so the streaming monitor (q344) feeds the EXACT same
+    * alignment through its micro-batches: (cause, effect, day, yv,
+    * pv = effect's lag-1, qv = cause's lag-1), day-0 rows carrying NULL
+    * lags (the sums stage filters them).
+    */
+  def grangerLagged(panel: DataFrame): DataFrame = {
     val x = panel.select(col("series").as("cause"), col("day"),
       col("v").as("xv"))
     val y = panel.select(col("series").as("effect"), col("day"),
@@ -67,10 +76,9 @@ object Causal {
     val j = y.join(broadcast(x), Seq("day"))
       .where(col("cause") =!= col("effect"))
     val w = Window.partitionBy("cause", "effect").orderBy("day")
-    val lagged = j.select(col("cause"), col("effect"), col("day"),
-        col("yv"), lag("yv", 1).over(w).as("pv"),
-        lag("xv", 1).over(w).as("qv"))
-    grangerSumsFromLagged(lagged)
+    j.select(col("cause"), col("effect"), col("day"),
+      col("yv"), lag("yv", 1).over(w).as("pv"),
+      lag("xv", 1).over(w).as("qv"))
   }
 
   /** The same 10 sufficient sums over a PREBUILT lagged pair table

@@ -49,6 +49,23 @@ object StatefulOps {
     }
   }
 
+  /** transformWithState REQUIRES the RocksDB state store provider — set
+    * for the body, restored after (the default HDFS-backed provider
+    * stays in force for the other streaming entries). One definition
+    * for every transformWithState harness in this module.
+    */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   final case class GrangerSumsRow(pair: String, n: Long,
       sy: Long, sp: Long, sq: Long, syy: Long, spp: Long, sqq: Long,
       syp: Long, syq: Long, spq: Long)
@@ -101,29 +118,20 @@ object StatefulOps {
     */
   def grangerSumsTws(spark: SparkSession, tuples: DataFrame,
       splitCol: String, boundary: Long, splitDir: String, cacheKey: String,
-      queryName: String): DataFrame = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      import spark.implicits._
-      val cols = tuples.select(col("pair"), col("yv"), col("pv"), col("qv"),
-        col(splitCol))
-      val src = StreamSupport.splitFilesStream(spark, splitDir, cacheKey) {
-        Seq(cols.where(col(splitCol) < boundary).drop(splitCol),
-          cols.where(col(splitCol) >= boundary).drop(splitCol))
-      }
-      val out = src.as[(String, Long, Long, Long)]
-        .groupByKey(_._1)
-        .transformWithState(new GrangerSumsProcessor,
-          TimeMode.None(), OutputMode.Update())
-        .toDF()
-      StreamSupport.runToMemory(out, queryName, outputMode = "update")
-    } finally prev match {
-      case Some(p) => spark.conf.set(provKey, p)
-      case None    => spark.conf.unset(provKey)
+      queryName: String): DataFrame = withRocksDbProvider(spark) {
+    import spark.implicits._
+    val cols = tuples.select(col("pair"), col("yv"), col("pv"), col("qv"),
+      col(splitCol))
+    val src = StreamSupport.splitFilesStream(spark, splitDir, cacheKey) {
+      Seq(cols.where(col(splitCol) < boundary).drop(splitCol),
+        cols.where(col(splitCol) >= boundary).drop(splitCol))
     }
+    val out = src.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GrangerSumsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+    StreamSupport.runToMemory(out, queryName, outputMode = "update")
   }
 
   /** The q183 harness: per-type running stats via transformWithState over
@@ -133,12 +141,8 @@ object StatefulOps {
     * HDFS-backed provider stays in force for the other streaming entries).
     */
   def eventsRunningStatsTws(spark: SparkSession, sfDir: String,
-      splitDir: String, queryName: String): DataFrame = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+      splitDir: String, queryName: String): DataFrame =
+    withRocksDbProvider(spark) {
       import spark.implicits._
       val src = StreamSupport.eventsParityStream(spark, sfDir, splitDir)
         .select(col("event_type"),
@@ -153,9 +157,5 @@ object StatefulOps {
           col("sumValueMicro").as("sum_value_micro"),
           col("maxValueMicro").as("max_value_micro"))
       StreamSupport.runToMemory(out, queryName, outputMode = "update")
-    } finally prev match {
-      case Some(p) => spark.conf.set(provKey, p)
-      case None    => spark.conf.unset(provKey)
     }
-  }
 }
