@@ -7017,9 +7017,14 @@ object SparkEntry {
     // (corpus CSV → directed graph → metrics) on real shipped bytes
     "q339_pc_oriented_on_shipped" -> ((s, d) =>
       pcScoreOriented(s,
+        // pairwise-complete missing-data panel: a pair that never
+        // co-observes inside the window has no moment row, legitimately —
+        // pin the documented conservative triple-skip instead of the
+        // every-pair-row assertion (which would hard-fail on a data
+        // refresh even though the DuckDB oracle silently drops the triple)
         graft.metrics.Causal.pcOrient(
           graft.metrics.Causal.pcSkeleton(shippedD3Panel(s)),
-          PcMeekRounds),
+          PcMeekRounds, requirePairRows = false),
         ShippedD3DirectedTruth)),
 
     // corpus-grain constraint-based discovery capstone: the COMPLETE PC
@@ -7042,8 +7047,12 @@ object SparkEntry {
     // parallel read and the panel work stays ≤ p² rows per config
     "q340_pc_corpus_sweep" -> ((s, d) => {
       val pan = shippedD3TreeFoldedPanel(shippedD3TreeIdxed(s))
+      // folded pairwise-complete panels pin the conservative triple-skip
+      // (q339's rationale, per config): a never-co-observed pair inside
+      // some config's 200-obs window is legitimate, not a caller error
       val st = graft.metrics.Causal.pcOrient(
-          graft.metrics.Causal.pcSkeleton(pan), PcMeekRounds)
+          graft.metrics.Causal.pcSkeleton(pan), PcMeekRounds,
+          requirePairRows = false)
         .withColumn("cfg", substring_index(col("a"), "|", 1))
         .localCheckpoint(false)
       def dirEdges(w: Int, src: String, dst: String) =
@@ -7642,10 +7651,12 @@ object SparkEntry {
     * both the Spark loop and the generated DuckDB CTE chain.
     */
   private val PcMeekRounds = 3
-  /** q342's τ² ladder in basis points: τ = 0.05, 0.10, 0.15, 0.20,
-    * 0.25 (q338's default), 0.30 — ONE Scala value, both engines.
+  /** q342's τ² ladder in basis points — the shared
+    * [[graft.metrics.Causal.TauSweepBps]] constant (Bench's catalog
+    * sweep rung reads the same value, so the benched ladder can never
+    * drift from this correctness-gated one).
     */
-  private val PcTauSweepBps = Seq(25L, 100L, 225L, 400L, 625L, 900L)
+  private val PcTauSweepBps = graft.metrics.Causal.TauSweepBps
 
   /** q337's round count: one more than q332's — the 6-var order-2 graph
     * can chain an orientation across more hops, and rounds are unrolled

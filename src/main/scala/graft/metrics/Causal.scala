@@ -478,6 +478,14 @@ object Causal {
       pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin)),
       tauSqBp)
 
+  /** The canonical τ² stability ladder in basis points: τ = 0.05, 0.10,
+    * 0.15, 0.20, 0.25 ([[pcSkeleton]]'s default), 0.30 — ONE value
+    * shared by the q342 query/oracle pair and Bench's catalog sweep
+    * rung, so the benched ladder can never silently drift from the
+    * correctness-gated one.
+    */
+  val TauSweepBps: Seq[Long] = Seq(25L, 100L, 225L, 400L, 625L, 900L)
+
   /** PC-skeleton THRESHOLD-STABILITY sweep (the StARS-style sensitivity
     * analysis): the rank cross-moments are τ-free, so ONE fact-scale
     * pass feeds the order-≤1 decision stage at every τ² in `tauSqBps`.
@@ -486,11 +494,14 @@ object Causal {
     * separating z can only appear), so the per-τ edge sets are NESTED —
     * an edge that vanishes early is a threshold artifact, one that
     * survives the whole ladder is structural. Pinned by spec.
+    * `broadcastRankJoin` as in [[pcSkeleton]]: pass false for folded
+    * megarow panels where broadcasting the rank self-join's build side
+    * is the single-node shortcut a cluster plan must not take.
     */
-  def pcSkeletonTauSweep(panel: DataFrame,
-      tauSqBps: Seq[Long]): DataFrame = {
+  def pcSkeletonTauSweep(panel: DataFrame, tauSqBps: Seq[Long],
+      broadcastRankJoin: Boolean = true): DataFrame = {
     require(tauSqBps.nonEmpty, "tauSqBps must be non-empty")
-    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    val cm = pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin))
     tauSqBps.map(t =>
         pcSkeletonMoments(cm, t).withColumn("tau_sq_bp", lit(t)))
       .reduce(_ unionByName _)
@@ -761,8 +772,11 @@ object Causal {
     *    existing v-orientation — existing direction wins) stays/remains
     *    as it was: conservative-PC conflict handling, order-free and
     *    therefore partitioning-invariant.
-    *  - `meekRounds` fixed rounds, each reading the previous round's
-    *    state only (PC-stable discipline), claiming per rule:
+    *  - up to `meekRounds` rounds (a cap — the loop exits early at the
+    *    fixpoint, i.e. the first round that generates no claims; results
+    *    are identical because applying an empty claim set is the
+    *    identity), each reading the previous round's state only
+    *    (PC-stable discipline), claiming per rule:
     *     R1: a→z directed, z–b undirected, a,b non-adjacent ⇒ z→b;
     *     R2: a→c→b directed chain, a–b undirected ⇒ a→b
     *         (the reverse would make the cycle a→c→b→a);
@@ -802,6 +816,41 @@ object Causal {
     * under-specifies what [[Metrics.scoreAll]] scores; this supplies the
     * CPDAG the PC family is defined to return.
     */
+  /** [[pcOrient]]'s every-pair-row precondition as a standalone check:
+    * every unshielded-triple candidate the skeleton's adjacency can form
+    * must find its (x,y) skeleton row (edge=0 rows included). Callers
+    * that time repeated pcOrient runs over ONE skeleton (Bench's
+    * median-of-N loops) verify here once, outside the timed region, then
+    * pass `requirePairRows = false` — the check is an eager count job
+    * and would otherwise be measured into every repetition.
+    */
+  def assertPairRows(skeleton: DataFrame): Unit = {
+    val sk = pinTiny(
+      skeleton.select(col("a"), col("b"), col("edge")))
+    val und = sk.where(col("edge") === 1).select(col("a"), col("b"))
+    val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val cand = adj.select(col("a").as("x"), col("b").as("z"))
+      .join(broadcast(adj.select(col("a").as("z"), col("b").as("y"))),
+        Seq("z"))
+      .where(col("x") < col("y"))
+    assertPairRowsFrom(sk, cand)
+  }
+
+  private def assertPairRowsFrom(sk: DataFrame, cand: DataFrame): Unit = {
+    val miss = cand
+      .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
+        lit(1).as("hit"))), Seq("x", "y"), "left_outer")
+      .where(col("hit").isNull).count()
+    require(miss == 0L,
+      s"pcOrient requires a skeleton row for every unordered pair its " +
+        s"unshielded triples touch (edge=0 rows included): $miss " +
+        s"triple candidate(s) found no (x,y) row — either the caller " +
+        s"passed only surviving-edge rows (the bug this catches), or " +
+        s"a pair never co-observes a day in a pairwise-complete " +
+        s"panel (legitimate: pass requirePairRows = false to pin the " +
+        s"conservative skip)")
+  }
+
   def pcOrient(skeleton: DataFrame, meekRounds: Int = 3,
       requirePairRows: Boolean = true): DataFrame = {
     val sk = pinTiny(
@@ -821,21 +870,11 @@ object Causal {
     // tiny count job over checkpointed panel-grain frames. Skippable
     // (requirePairRows = false) for pairwise-complete panels where a
     // pair legitimately never co-observes — there the drop IS the
-    // pinned conservative semantic (scaladoc)
-    if (requirePairRows) {
-      val miss = cand
-        .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
-          lit(1).as("hit"))), Seq("x", "y"), "left_outer")
-        .where(col("hit").isNull).count()
-      require(miss == 0L,
-        s"pcOrient requires a skeleton row for every unordered pair its " +
-          s"unshielded triples touch (edge=0 rows included): $miss " +
-          s"triple candidate(s) found no (x,y) row — either the caller " +
-          s"passed only surviving-edge rows (the bug this catches), or " +
-          s"a pair never co-observes a day in a pairwise-complete " +
-          s"panel (legitimate: pass requirePairRows = false to pin the " +
-          s"conservative skip)")
-    }
+    // pinned conservative semantic (scaladoc) — and for callers that
+    // verified the same skeleton once up front via [[assertPairRows]]
+    // (Bench's timed loops: the eager count job would otherwise land
+    // inside every measured repetition)
+    if (requirePairRows) assertPairRowsFrom(sk, cand)
     val trip = cand
       .join(broadcast(sk.select(col("a").as("x"), col("b").as("y"),
         col("sepset"), col("edge"))), Seq("x", "y"))
@@ -866,7 +905,16 @@ object Causal {
     // analysis goes exponential — measured 7.5 s at 3 rounds, 171 s at 4;
     // eager materialization keeps every round's plan constant-size
     var state = pinTiny(applyClaims(und.withColumn("dir", lit(0)), vclaims))
-    (1 to meekRounds).foreach { _ =>
+    // meekRounds is a CAP, not a schedule: the loop exits at the fixpoint —
+    // a round whose claims frame is empty cannot change state (applyClaims
+    // of no claims is the identity), and claims are a pure function of
+    // state, so every later round would be empty too. The isEmpty probe
+    // costs one job over the already-checkpointed ≤ p²-row claims frame,
+    // against the 2 eager checkpoints + ~10 tiny broadcast joins a dead
+    // round would pay — at catalog grain (864-config CPDAG closing before
+    // round 3) the dead rounds WERE the dominant cost of the whole rung
+    var converged = false
+    (1 to meekRounds).foreach { _ => if (!converged) {
       // dd/uu stay lazy: they are 1-step selections over the checkpointed
       // state, and a localCheckpoint here would cost one extra Spark job
       // per frame per round (measured: q332 1.2 s → 4.3 s)
@@ -920,8 +968,9 @@ object Causal {
       // re-evaluated by each broadcast
       val claims = r1.unionByName(r2).unionByName(r3).distinct()
         .localCheckpoint(false)
-      state = pinTiny(applyClaims(state, claims))
-    }
+      if (claims.isEmpty) converged = true
+      else state = pinTiny(applyClaims(state, claims))
+    }}
     state
   }
 
