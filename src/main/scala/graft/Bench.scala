@@ -73,7 +73,59 @@ object Bench {
       .filter(_.nonEmpty) // empty/blank env var means unset, not "run nothing"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
-    selected.foreach { case (name, fn) =>
+
+    // ---- self-defending sections (r11 verdict #1) ----------------------
+    // Two rounds running, the committed BENCH record published contention
+    // artifacts as medians (r11: 39 s for a 10 s pcsweep workload; r9:
+    // 133.7 s for a 6.8 s one) because nothing ACTED on the disk anchors.
+    // Now every section is bracketed by its own anchor pair, and a section
+    // whose post-anchor fell >30% below max(its own pre-anchor, run start)
+    // re-measures each of its non-trivial entries ONCE — appended to the
+    // entry's runs list, median recomputed — BEFORE the section's cleanup
+    // runs (so cached/checkpointed inputs are still alive; a re-run after
+    // an unpersisted localCheckpoint would crash on truncated lineage).
+    val sectionAnchors =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val contendedSections =
+      scala.collection.mutable.LinkedHashSet.empty[String]
+    val defensiveReruns =
+      scala.collection.mutable.LinkedHashSet.empty[String]
+    // entries the CURRENT section may defensively re-measure: (name, thunk
+    // returning one fresh wall-clock measurement)
+    var curSectionEntries =
+      scala.collection.mutable.ListBuffer.empty[(String, () => Double)]
+    def section[T](name: String)(body: => T)(cleanup: => Unit = ()): T = {
+      val pre = diskAnchorMbps()
+      curSectionEntries = scala.collection.mutable.ListBuffer.empty
+      val out = body
+      val post = diskAnchorMbps()
+      sectionAnchors(name) = (pre, post)
+      if (post < 0.7 * math.max(pre, anchorStart)) {
+        contendedSections += name
+        curSectionEntries.foreach { case (n, thunk) =>
+          // sub-0.5 s entries sit below the noise floor; >120 s entries
+          // are the multi-minute stalls the adjacent anchors already
+          // condemn (tripling them would burn the round's bench budget)
+          if (!failed.contains(n) && results.get(n).exists(m =>
+              m > 0.5 && m < 120.0)) {
+            val t = thunk()
+            val all = runs.getOrElse(n, Seq(results(n))) :+ t
+            runs(n) = all
+            results(n) = all.sorted.apply(all.size / 2)
+            defensiveReruns += n
+          }
+        }
+      }
+      cleanup
+      out
+    }
+
+    // the 300+-entry query loop runs in blocks of 60 so a mid-loop stall
+    // is localized to one block's anchor pair instead of condemning (and
+    // re-running) the whole loop
+    selected.grouped(60).zipWithIndex.foreach { case (chunk, ci) =>
+      section(s"queries_${ci + 1}") {
+    chunk.foreach { case (name, fn) =>
       def once(): Double = time {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable =>
@@ -111,6 +163,7 @@ object Bench {
         runs(name) = all
         results(name) = sorted(all.size / 2)
       } else results(name) = t1
+      curSectionEntries += name -> (() => once())
       // queries are independent: release this query's cached plans,
       // localCheckpoint blocks and broadcasts before the next measurement —
       // ~100 queries of accumulated executor state in one 8g JVM otherwise
@@ -119,6 +172,8 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+      }()
     }
 
     def median3(name: String)(f: => Unit): Unit = {
@@ -131,6 +186,7 @@ object Bench {
       else base
       runs(name) = ts
       results(name) = ts.sorted.apply(ts.size / 2)
+      curSectionEntries += name -> (() => time(f))
     }
 
     // Adversarial-skew dedup guard measurement: the q13 prefix-filtered
@@ -154,9 +210,10 @@ object Bench {
         graft.text.Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
             minJaccard = 0.8, maxDocFreq = 1000L)
           .write.mode("overwrite").format("noop").save()
-      median3("dedup_skew_uniform") { jac(docs) }
-      median3("dedup_skew_planted_99pct") { jac(planted) }
-      docs.unpersist(); planted.unpersist()
+      section("dedup_skew") {
+        median3("dedup_skew_uniform") { jac(docs) }
+        median3("dedup_skew_planted_99pct") { jac(planted) }
+      } { docs.unpersist(); planted.unpersist() }
     }
 
     // Panel-scale graph scoring at the ARCHITECTURE-claimed magnitude:
@@ -169,12 +226,14 @@ object Bench {
     if (runShd) {
       val edges = graft.core.Parser.truthLinks("A1", 4, 2).zipWithIndex
         .map { case (l, i) => (i, l.source, l.lag, l.target) }
-      median3("shd_panel_1m_graphs") {
-        val (truth, pred) = graft.metrics.Metrics.perturbedGraphs(
-          spark, 1000000L, edges)
-        graft.metrics.Metrics.scoreAll(truth, pred)
-          .write.mode("overwrite").format("noop").save()
-      }
+      section("shd") {
+        median3("shd_panel_1m_graphs") {
+          val (truth, pred) = graft.metrics.Metrics.perturbedGraphs(
+            spark, 1000000L, edges)
+          graft.metrics.Metrics.scoreAll(truth, pred)
+            .write.mode("overwrite").format("noop").save()
+        }
+      }()
     }
 
     // Constraint-based discovery at CATALOG scale: q340's multi-graph
@@ -213,6 +272,7 @@ object Bench {
       // measured into every repetition); the timed runs then pass
       // requirePairRows = false
       graft.metrics.Causal.assertPairRows(graft.metrics.Causal.pcSkeleton(pan))
+      section("pcsweep_fold") {
       median3("pcsweep_catalog_fold") {
         graft.metrics.Causal.pcOrient(
             graft.metrics.Causal.pcSkeleton(pan), 3,
@@ -234,7 +294,7 @@ object Bench {
           .groupBy("tau_sq_bp").agg(sum("edge"))
           .write.mode("overwrite").format("noop").save()
       }
-      wide.unpersist()
+      } { wide.unpersist() }
       // the ENTIRE catalog — all 2,592 configs, 4/6/8-var mixed —
       // skeleton + orientation in one plan. At this width the folded
       // panel is megarows, so the rank self-join takes the partitioned
@@ -250,15 +310,16 @@ object Bench {
       // precondition once outside the timed region, as above
       graft.metrics.Causal.assertPairRows(
         graft.metrics.Causal.pcSkeleton(panAll, broadcastRankJoin = false))
-      median3("pcsweep_catalog_2592_shuffle") {
-        graft.metrics.Causal.pcOrient(
-            graft.metrics.Causal.pcSkeleton(panAll,
-              broadcastRankJoin = false), 3,
-            requirePairRows = false)
-          .groupBy("dir").count()
-          .write.mode("overwrite").format("noop").save()
-      }
-      wideAll.unpersist()
+      section("pcsweep_2592") {
+        median3("pcsweep_catalog_2592_shuffle") {
+          graft.metrics.Causal.pcOrient(
+              graft.metrics.Causal.pcSkeleton(panAll,
+                broadcastRankJoin = false), 3,
+              requirePairRows = false)
+            .groupBy("dir").count()
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { wideAll.unpersist() }
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
@@ -280,6 +341,7 @@ object Bench {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val maxOk = li.agg(max("l_orderkey")).collect()(0).getLong(0) + 1L
       val dir100 = "target/bench_lineitem_100x"
+      section("qscale") {
       results("qscale_lineitem_100x_build") = time {
         li.withColumn("rep", explode(expr("sequence(0L, 99L)")))
           .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
@@ -307,7 +369,8 @@ object Bench {
       median3("qscale_agg_100x") { priceAgg(li100) }
       median3("qscale_join_1x") { revJoin(li) }
       median3("qscale_join_100x") { revJoin(li100) }
-      scala.reflect.io.Directory(new java.io.File(dir100)).deleteRecursively()
+      } { scala.reflect.io.Directory(
+            new java.io.File(dir100)).deleteRecursively() }
     }
 
     // Text-pipeline scale ladder: qscale proves the RELATIONAL operators
@@ -327,6 +390,7 @@ object Bench {
         .select("doc_id", "text")
       val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
       val dDir = "target/bench_documents_100x"
+      section("dscale") {
       results("dscale_documents_100x_build") = time {
         docs.withColumn("rep", explode(expr("sequence(0L, 99L)")))
           .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
@@ -356,17 +420,16 @@ object Bench {
       median3("dscale_bm25_1x") { bm25(docs) }
       median3("dscale_bm25_10x") {
         bm25(d100.where(col("doc_id") < maxDoc * 10L)) }
-      scala.reflect.io.Directory(new java.io.File(dDir)).deleteRecursively()
+      } { scala.reflect.io.Directory(
+            new java.io.File(dDir)).deleteRecursively() }
     }
 
     val runGen = only.forall(_.exists(_.startsWith("gen")))
-    // per-section anchor: a contended GEN section is identifiable post hoc
-    // even when the start/end anchors look clean (the r9 artifact's 133.7 s
-    // corpus entry had no adjacent reading to condemn it with)
-    val anchorPreGen = if (runGen) diskAnchorMbps() else 0.0
     val (genStage, taskSkew, genStage10x, taskSkew10x, anchor10x) =
       if (!runGen) (Array.empty[Long], 0.0, Array.empty[Long], 0.0, (0.0, 0.0))
       else {
+    val corpusDir = "target/bench_corpus_full"
+    section("gen") {
     // give the 25M-row generation stages a settled heap: the measurement
     // should see kernel + write cost, not the query suite's garbage
     System.gc()
@@ -390,16 +453,21 @@ object Bench {
     // single-shot caught a host stall and published 133.7 s as if it were
     // a regression (CorpusSpec separately proves the output diffs clean
     // against the shipped tree; re-runs overwrite via the atomic renames)
-    val corpusDir = "target/bench_corpus_full"
     median3("gen_corpus_4320_csv_write") {
       graft.generate.Sinks.writeFullCorpus(spark, corpusDir)
     }
-    scala.reflect.io.Directory(new java.io.File(corpusDir)).deleteRecursively()
+    } { scala.reflect.io.Directory(
+          new java.io.File(corpusDir)).deleteRecursively() }
 
     // 100×-scale generation: 512 configs × 50k points = 25.6M rows through the
     // same zero-shuffle kernel fan-out, written as family/nVars/maxLag-
     // partitioned parquet; a listener captures per-task durations of the
-    // generation+write stage to prove even load (round-robin config spread)
+    // generation+write stage to prove even load (round-robin config spread).
+    // Its own section: the disk-destroying writes run LAST in the suite and
+    // get their own anchor pair (the scale entries are deliberately NOT
+    // re-run candidates — the 256M write is single-shot by size and both
+    // rungs carry adjacent anchors that condemn a contended run post hoc)
+    section("gen_scale") {
     val byStage = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     // only count tasks LAUNCHED after this point — the async listener bus can
     // still deliver queued task-ends from earlier bench queries
@@ -461,6 +529,7 @@ object Bench {
     val a10After = diskAnchorMbps()
     scala.reflect.io.Directory(new java.io.File(scale10Dir)).deleteRecursively()
     (genStage, taskSkew, genStage10x, taskSkew10x, (a10Before, a10After))
+    }()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -485,9 +554,24 @@ object Bench {
         s""""anchor_before_mbps":${f1(anchor10x._1)},""" +
         s""""anchor_after_mbps":${f1(anchor10x._2)}}"""
     val anchor = s"""{"start_mbps":${f1(anchorStart)},""" +
-      (if (runGen) s""""pre_gen_mbps":${f1(anchorPreGen)},""" else "") +
       s""""end_mbps":${f1(anchorEnd)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sf":"$sfDir"}"""
+    // per-section anchor pairs + the contended verdict the runner ACTED on
+    val sectionsJson = sectionAnchors.map { case (n, (pre, post)) =>
+      s""""$n":{"pre_mbps":${f1(pre)},"post_mbps":${f1(post)},""" +
+        s""""contended":${contendedSections.contains(n)}}"""
+    }.mkString("{", ",", "}")
+    val rerunJson = defensiveReruns.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    // the honesty flag the r11 verdict demanded: any entry >5 s whose runs
+    // STILL spread ≥2x after the defensive re-measure is published as
+    // contended — a reader must not take its median as a quiet-host number
+    val contendedEntries = runs.collect {
+      case (n, vs) if results.get(n).exists(_ > 5.0) &&
+        vs.max > 2.0 * vs.min => n
+    }
+    val contendedJson = contendedEntries.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sections":$sectionsJson,"defensive_reruns":$rerunJson,"contended_entries":$contendedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json artifact has historically kept only the
     // log TAIL, truncating the per-query map and making regression-vs-noise
