@@ -11,6 +11,36 @@ import graft.generate.Generate
   * the JVM kernel fan-out runs the complete grid here).
   */
 object Bench {
+
+  /** Deterministic p-wide single-graph panel for the wide-PC rung and its
+    * plan guard: v_s(d) = n_s(d) + 8·n_{s-1}(d) + 4·n_{s-2}(d) +
+    * 2·n_{s-3}(d) over integer hash noise n ∈ [0, 1000) — a 4-ancestor
+    * moving average along the series chain, so adjacent pairs correlate
+    * strongly (ρ ≈ 0.56), 2-hop pairs weakly (ρ ≈ 0.24), and the
+    * order-1/2 conditioning stages get real work at every width. Pure
+    * column arithmetic (no RNG, no self-join): benches and specs
+    * regenerate it bit-identically.
+    */
+  def widePanel(spark: SparkSession, p: Int, nObs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def noise(s: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) =
+      pmod(xxhash64(lit("pcwide"), s, d), lit(1000L))
+    spark.range(0, p).select(col("id").as("s"))
+      .crossJoin(spark.range(0, nObs).select(col("id").as("d")))
+      .select(
+        concat(lit("X"), lpad(col("s").cast("string"), 2, "0")).as("series"),
+        col("d").as("day"),
+        (noise(col("s"), col("d"))
+          + when(col("s") >= 1, noise(col("s") - 1, col("d")) * 8)
+            .otherwise(0L)
+          + when(col("s") >= 2, noise(col("s") - 2, col("d")) * 4)
+            .otherwise(0L)
+          + when(col("s") >= 3, noise(col("s") - 3, col("d")) * 2)
+            .otherwise(0L)
+        ).cast("long").as("v"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -322,6 +352,34 @@ object Bench {
       } { wideAll.unpersist() }
     }
 
+    // Wide-panel PC rung (r11 verdict #4a): every corpus graph is ≤ 8
+    // series wide, so the fold rungs above never exercise the order-1
+    // O(p³) triple stage or the order-2 O(p⁴) cofactor stage at the
+    // width a real sensor deployment brings. One synthetic 32-series ×
+    // 200-obs graph (chain MA structure, widePanel) through the FULL
+    // order-2 pipeline — skeleton, cofactor tests, v-structures, Meek to
+    // fixpoint — at q332's τ² = 100 bp (τ = 0.1: keeps the 2-hop pairs
+    // too, so order-1/2 test ~90 surviving pairs × ~30/435 conditioners).
+    // PlanSpec pins that the candidate stages stay moment-enumerated
+    // equi-joins at this width (no cartesian, no nested-loop).
+    val runPcwide = only.forall(_.exists(_.startsWith("pcwide")))
+    if (runPcwide) {
+      val pan32 = widePanel(spark, 32, 200).localCheckpoint(true)
+      // complete panel: the pair-row precondition holds by construction —
+      // verified once outside the timed region (as in the pcsweep rungs)
+      graft.metrics.Causal.assertPairRows(
+        graft.metrics.Causal.pcSkeleton(pan32, 100L))
+      section("pcwide") {
+        median3("pcwide_p32_order2_oriented") {
+          graft.metrics.Causal.pcOrient2(
+              graft.metrics.Causal.pcSkeleton2(pan32, 100L), 3,
+              requirePairRows = false)
+            .groupBy("dir").count()
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { pan32.unpersist() }
+    }
+
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
     // matches no query name but selects the generation stages alone — the
     // fresh-JVM profiling shape). Only tokens that themselves start with
@@ -390,6 +448,26 @@ object Bench {
         .select("doc_id", "text")
       val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
       val dDir = "target/bench_documents_100x"
+      // Zipf-vocabulary corpus for the retrieval ladder (r11 verdict
+      // #4b): the replicated documents corpus has a degenerate 31-token
+      // vocabulary, so every probe meets ~every posting row and exact
+      // BM25 must score the whole corpus — kept below as the honest
+      // worst case. These docs instead draw 80 tokens each from a
+      // 10k-type vocabulary with log-uniform ranks (rank =
+      // ⌊exp(u·ln V)⌋, the inverse-CDF of Zipf s≈1), so posting lists
+      // are selective and the zipf rungs measure what a real inverted
+      // index pays: posting-side growth, not probes × corpus
+      def zipfDocs(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(0, n).select(col("id").as("doc_id"))
+          .withColumn("pos", explode(expr("sequence(0, 79)")))
+          .select(col("doc_id"), concat(lit("t"),
+            floor(exp((pmod(xxhash64(lit("zipf"), col("doc_id"), col("pos")),
+                lit(1000000L)).cast("double") / 1e6) *
+              log(lit(10000.0)))).cast("long")).as("tok"))
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+      val z1 = zipfDocs(5000L).localCheckpoint(true)
+      val z10 = zipfDocs(50000L).localCheckpoint(true)
       section("dscale") {
       results("dscale_documents_100x_build") = time {
         docs.withColumn("rep", explode(expr("sequence(0L, 99L)")))
@@ -420,7 +498,17 @@ object Bench {
       median3("dscale_bm25_1x") { bm25(docs) }
       median3("dscale_bm25_10x") {
         bm25(d100.where(col("doc_id") < maxDoc * 10L)) }
-      } { scala.reflect.io.Directory(
+      // the realistic-vocabulary twins: same probe density (1 per 50 docs
+      // of the 1x corpus), fresh text per doc so the 10x rung grows real
+      // posting lists instead of replaying 10 copies of each
+      val zprobe = col("doc_id") % 50 === 0 && col("doc_id") < 5000L
+      def bm25z(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.text.Index.bm25TopK(df, "doc_id", "text", zprobe, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      median3("dscale_bm25_zipf_1x") { bm25z(z1) }
+      median3("dscale_bm25_zipf_10x") { bm25z(z10) }
+      } { z1.unpersist(); z10.unpersist()
+          scala.reflect.io.Directory(
             new java.io.File(dDir)).deleteRecursively() }
     }
 

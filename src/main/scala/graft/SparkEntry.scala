@@ -7249,6 +7249,34 @@ object SparkEntry {
         .withColumn("truth_lag1", expr(GrangerGenTruthCase))
     }),
 
+    // strict-mode kernel digest (SURVEY §2.4's optional "fixed" mode as a
+    // first-class oracle entry): q178 pins HOW MANY rows strict changes vs
+    // compat, but the strict VALUES themselves had no CORRECTNESS row —
+    // the one shipped behavior the DuckDB gate never hashed. Same q30
+    // pattern on a strict A1/B2 pair: the strict kernel dump is written
+    // once and both engines aggregate it to exact micro sums, covering
+    // the three §2.4 corrections at once — B2's retained cubic links
+    // (value sums), the strict contemporaneous evaluation order (X6
+    // sums), and the min-gap irregular timestamps (time sums)
+    "q345_strict_kernel_digest" -> ((s, d) => {
+      val cfgs = Seq("A1", "B2").map(f =>
+        Grid.forFamily(f).find(c =>
+          c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2).get)
+      // ±1e6 clamp before quantizing (the sweepDigest discipline): strict
+      // B2 retains the cubic links the compat parser drops, so values can
+      // legitimately diverge — least/greatest treat Inf and NaN
+      // identically on both engines where floor(Inf·1e6) has no integer
+      def cl(c: Column) = greatest(least(c, lit(1e6)), lit(-1e6))
+      dumpGen(s, "q345_strict_wide",
+          Generate.wideFast(s, cfgs, strict = true))
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_rows"),
+          ExactStats.sumMicro(cl(col("X1"))).as("sum_x1c_micro"),
+          ExactStats.sumMicro(cl(col("X4"))).as("sum_x4c_micro"),
+          ExactStats.sumMicro(cl(col("X6"))).as("sum_x6c_micro"),
+          ExactStats.sumMicro(col("time")).as("sum_time_micro"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -9874,6 +9902,15 @@ object SparkEntry {
         |  ${sumMicroSql("X1")} AS sum_x1_micro,
         |  ${sumMicroSql("X6")} AS sum_x6_micro
         |FROM read_parquet('__GEN_DIR__/q30_wide/*.parquet')
+        |GROUP BY family""".stripMargin,
+
+    "q345_strict_kernel_digest" ->
+      s"""SELECT family, count(*) AS n_rows,
+        |  ${sumMicroSql("greatest(least(X1, 1e6), -1e6)")} AS sum_x1c_micro,
+        |  ${sumMicroSql("greatest(least(X4, 1e6), -1e6)")} AS sum_x4c_micro,
+        |  ${sumMicroSql("greatest(least(X6, 1e6), -1e6)")} AS sum_x6c_micro,
+        |  ${sumMicroSql("\"time\"")} AS sum_time_micro
+        |FROM read_parquet('__GEN_DIR__/q345_strict_wide/*.parquet')
         |GROUP BY family""".stripMargin,
 
     "q179_aqe_skew_join" ->

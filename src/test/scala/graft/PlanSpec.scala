@@ -731,4 +731,24 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the fold must stay equi-join only:\n$p")
   }
+
+  test("p=32 wide panel: the order-2 candidate stage stays moment-" +
+      "enumerated equi-joins — no cartesian or nested-loop at real-" +
+      "deployment width") {
+    // the bench rung's exact input (checkpointed so the builder's own
+    // range×range product is not what the guard reads): the plan under
+    // test is the O(p³)/O(p⁴) conditioning fan-out at 32 series, where a
+    // diagonal crossJoin would be 496 pairs × 32 z (order 1) and
+    // 496 × C(31,2) quadruples (order 2) of NESTED-LOOP work — the shape
+    // this guard forbids; enumeration from co-observed moment rows keeps
+    // every stage an equi-join
+    val pan32 = Bench.widePanel(spark, 32, 200).localCheckpoint(true)
+    try {
+      val p = graft.metrics.Causal.pcSkeleton2(pan32, 100L)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"wide-panel order-2 must stay equi-join only:\n$p")
+    } finally pan32.unpersist()
+  }
 }
