@@ -7277,6 +7277,25 @@ object SparkEntry {
           ExactStats.sumMicro(col("time")).as("sum_time_micro"))
     }),
 
+    // PC at deployment WIDTH as a correctness row (the pcwide bench
+    // rung's bitwise twin): q336/q337 gate the order-2 machinery at 6
+    // series; this gates it at 32 — the width where a candidate-
+    // enumeration divergence between the Spark moment-driven stage and
+    // the SQL twin's series-enumeration stage would actually surface,
+    // and where the Meek fixpoint early-exit must still agree with the
+    // oracle's fully-unrolled round chain. The deterministic chain-MA
+    // panel (Bench.widePanel — pure hash arithmetic, no RNG) is dumped
+    // once; both engines run the complete order-2 skeleton + cofactor +
+    // v-structure + Meek pipeline on it and the full 496-pair dir
+    // census hashes bitwise.
+    "q346_pc_wide_oriented" -> ((s, d) => {
+      val pan = dumpGen(s, "q346_panel", Bench.widePanel(s, 32, 200))
+      graft.metrics.Causal.pcOrient2(
+          graft.metrics.Causal.pcSkeleton2(pan, PcOrientTauSqBp),
+          PcMeekRounds)
+        .select(col("a"), col("b"), col("dir"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -9912,6 +9931,14 @@ object SparkEntry {
         |  ${sumMicroSql("\"time\"")} AS sum_time_micro
         |FROM read_parquet('__GEN_DIR__/q345_strict_wide/*.parquet')
         |GROUP BY family""".stripMargin,
+
+    "q346_pc_wide_oriented" ->
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q346_panel/*.parquet')),
+        |${graft.metrics.Causal.pcSkeleton2SqlCtes("panel", PcOrientTauSqBp)},
+        |${graft.metrics.Causal.pcOrient2SqlCtes(PcMeekRounds)}
+        |SELECT a, b, dir FROM pc_st$PcMeekRounds""".stripMargin,
 
     "q179_aqe_skew_join" ->
       """WITH ev AS (
