@@ -355,11 +355,11 @@ object Bench {
     // Wide-panel PC rung (r11 verdict #4a): every corpus graph is ≤ 8
     // series wide, so the fold rungs above never exercise the order-1
     // O(p³) triple stage or the order-2 O(p⁴) cofactor stage at the
-    // width a real sensor deployment brings. One synthetic 32-series ×
-    // 200-obs graph (chain MA structure, widePanel) through the FULL
+    // width a real sensor deployment brings. Synthetic 32- and 64-series
+    // × 200-obs graphs (chain MA structure, widePanel) through the FULL
     // order-2 pipeline — skeleton, cofactor tests, v-structures, Meek to
     // fixpoint — at q332's τ² = 100 bp (τ = 0.1: keeps the 2-hop pairs
-    // too, so order-1/2 test ~90 surviving pairs × ~30/435 conditioners).
+    // too, so the order-1/2 stages get real conditioning work).
     // PlanSpec pins that the candidate stages stay moment-enumerated
     // equi-joins at this width (no cartesian, no nested-loop).
     val runPcwide = only.forall(_.exists(_.startsWith("pcwide")))
@@ -369,15 +369,23 @@ object Bench {
       // verified once outside the timed region (as in the pcsweep rungs)
       graft.metrics.Causal.assertPairRows(
         graft.metrics.Causal.pcSkeleton(pan32, 100L))
+      val pan64 = widePanel(spark, 64, 200).localCheckpoint(true)
+      graft.metrics.Causal.assertPairRows(
+        graft.metrics.Causal.pcSkeleton(pan64, 100L))
+      def wideOnce(pan: org.apache.spark.sql.DataFrame): Unit =
+        graft.metrics.Causal.pcOrient2(
+            graft.metrics.Causal.pcSkeleton2(pan, 100L), 3,
+            requirePairRows = false)
+          .groupBy("dir").count()
+          .write.mode("overwrite").format("noop").save()
       section("pcwide") {
-        median3("pcwide_p32_order2_oriented") {
-          graft.metrics.Causal.pcOrient2(
-              graft.metrics.Causal.pcSkeleton2(pan32, 100L), 3,
-              requirePairRows = false)
-            .groupBy("dir").count()
-            .write.mode("overwrite").format("noop").save()
-        }
-      } { pan32.unpersist() }
+        median3("pcwide_p32_order2_oriented") { wideOnce(pan32) }
+        // the p=64 rung: ~2016 pairs, ~11k order-1 triples, ~350k order-2
+        // cofactor quadruples — the slope from 32 to 64 is the measured
+        // evidence that the polynomial stages grow as panel arithmetic
+        // (broadcast equi-joins over moment rows), not as plan blow-up
+        median3("pcwide_p64_order2_oriented") { wideOnce(pan64) }
+      } { pan32.unpersist(); pan64.unpersist() }
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
