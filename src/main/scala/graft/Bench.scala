@@ -378,6 +378,20 @@ object Bench {
             requirePairRows = false)
           .groupBy("dir").count()
           .write.mode("overwrite").format("noop").save()
+      // PC-STABLE twins (q347): conditioning candidates from the
+      // surviving adjacency, not every co-observed series — the
+      // O(E·d²)-not-O(p⁴) form. On these chain panels the order-2
+      // candidate volume drops from 496·C(30,2)≈216k (p=32) /
+      // 2016·C(62,2)≈3.8M (p=64) to the few thousand quadruples the
+      // actual neighborhoods admit; the rung pair (stable vs
+      // unrestricted at both widths) is the measured evidence that the
+      // restriction, not the width, controls the cost
+      def wideStableOnce(pan: org.apache.spark.sql.DataFrame): Unit =
+        graft.metrics.Causal.pcOrient2(
+            graft.metrics.Causal.pcSkeleton2Stable(pan, 100L), 4,
+            requirePairRows = false)
+          .groupBy("dir").count()
+          .write.mode("overwrite").format("noop").save()
       section("pcwide") {
         median3("pcwide_p32_order2_oriented") { wideOnce(pan32) }
         // the p=64 rung: ~2016 pairs, ~11k order-1 triples, ~350k order-2
@@ -385,6 +399,8 @@ object Bench {
         // evidence that the polynomial stages grow as panel arithmetic
         // (broadcast equi-joins over moment rows), not as plan blow-up
         median3("pcwide_p64_order2_oriented") { wideOnce(pan64) }
+        median3("pcwide_p32_stable_oriented") { wideStableOnce(pan32) }
+        median3("pcwide_p64_stable_oriented") { wideStableOnce(pan64) }
       } { pan32.unpersist(); pan64.unpersist() }
     }
 

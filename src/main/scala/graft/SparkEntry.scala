@@ -7296,6 +7296,26 @@ object SparkEntry {
         .select(col("a"), col("b"), col("dir"))
     }),
 
+    // PC-STABLE at deployment width (q346's adjacency-restricted twin,
+    // Colombo & Maathuis 2014): conditioning candidates come from the
+    // adjacency surviving the previous order instead of every
+    // co-observed series — the O(E·d²)-not-O(p⁴) form a 100-TB-wide
+    // sensor panel needs, and a genuinely different estimator (a
+    // non-neighbor separation the unrestricted variant accepts is NOT
+    // a PC-stable separation; its edge set is a superset by
+    // construction, pinned by PcStableSpec). Same dumped panel family
+    // as q346 (own dump dir — Verify runs queries concurrently), full
+    // skeleton + cofactor + v-structure + Meek-to-fixpoint pipeline,
+    // 496-pair dir census hashed bitwise against the SQL twin's
+    // adjacency-CTE chain
+    "q347_pc_stable_wide" -> ((s, d) => {
+      val pan = dumpGen(s, "q347_panel", Bench.widePanel(s, 32, 200))
+      graft.metrics.Causal.pcOrient2(
+          graft.metrics.Causal.pcSkeleton2Stable(pan, PcOrientTauSqBp),
+          PcStableMeekRounds)
+        .select(col("a"), col("b"), col("dir"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -7711,6 +7731,16 @@ object SparkEntry {
     * panel-grain stage that buys fixpoint headroom.
     */
   private val PcMeekRounds2 = 4
+
+  /** q347's round count: the PC-STABLE skeleton keeps a SUPERSET of the
+    * unrestricted variant's edges (candidate-subset ⇒ edge-superset),
+    * so its undirected chains run longer and Meek propagation needs the
+    * 4th round on the 32-wide panel (measured: round 4 still orients;
+    * PcStableSpec pins round 5 as a no-op). The Spark loop exits at the
+    * fixpoint anyway — the constant only sizes the oracle's unrolled
+    * CTE chain.
+    */
+  private val PcStableMeekRounds = 4
 
   /** q332's skeleton threshold τ² in basis points (τ = 0.1 — denser than
     * q300's default 0.25 so triples exist to orient).
@@ -9939,6 +9969,14 @@ object SparkEntry {
         |${graft.metrics.Causal.pcSkeleton2SqlCtes("panel", PcOrientTauSqBp)},
         |${graft.metrics.Causal.pcOrient2SqlCtes(PcMeekRounds)}
         |SELECT a, b, dir FROM pc_st$PcMeekRounds""".stripMargin,
+
+    "q347_pc_stable_wide" ->
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q347_panel/*.parquet')),
+        |${graft.metrics.Causal.pcStable2SqlCtes("panel", PcOrientTauSqBp)},
+        |${graft.metrics.Causal.pcOrientStableSqlCtes(PcStableMeekRounds)}
+        |SELECT a, b, dir FROM pc_st$PcStableMeekRounds""".stripMargin,
 
     "q179_aqe_skew_join" ->
       """WITH ev AS (

@@ -511,11 +511,14 @@ object Causal {
     * [[pcSkeleton2]] can reuse one fact-scale cross-moment pass for both
     * the order-≤1 decisions and the order-2 cofactor tests.
     */
-  private[metrics] def pcSkeletonMoments(cm: DataFrame,
-      tauSqBp: Long): DataFrame = {
+  /** Shared order-0 stage: every co-observed pair (a < b) with its
+    * cross/diagonal moments and the keep0 decision — the frame both the
+    * unrestricted and the PC-stable skeletons build on.
+    */
+  private def pcPairs0(cm: DataFrame, tauSqBp: Long): DataFrame = {
     def cAs(na: String, nb: String, out: String): DataFrame =
       cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
-    val pairs = cm.where(col("sa") < col("sb"))
+    cm.where(col("sa") < col("sb"))
       .select(col("sa").as("a"), col("sb").as("b"), col("n"),
         col("c").as("cab"))
       .join(broadcast(cAs("a", "a2", "caa")).where(col("a") === col("a2"))
@@ -526,6 +529,26 @@ object Causal {
         s"""case when 10000 * cast(cab as decimal(38,0)) * cab >
            |  $tauSqBp * cast(caa as decimal(38,0)) * cbb
            |then 1 else 0 end""".stripMargin))
+  }
+
+  /** The order-1 partial-correlation separation decision (ρ²_ab·z ≤ τ²,
+    * cross-multiplied in DECIMAL(38,0)) over a frame carrying
+    * cab/caa/cbb/caz/cbz/czz — shared by both skeleton variants.
+    */
+  private def sep1Expr(tauSqBp: Long) = expr(
+    s"""case when 10000 *
+       |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz) *
+       |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz)
+       |  <= $tauSqBp *
+       |    (cast(caa as decimal(38,0))*czz - cast(caz as decimal(38,0))*caz) *
+       |    (cast(cbb as decimal(38,0))*czz - cast(cbz as decimal(38,0))*cbz)
+       |then 1 else 0 end""".stripMargin)
+
+  private[metrics] def pcSkeletonMoments(cm: DataFrame,
+      tauSqBp: Long): DataFrame = {
+    def cAs(na: String, nb: String, out: String): DataFrame =
+      cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
+    val pairs = pcPairs0(cm, tauSqBp)
     val zs = cm.where(col("sa") === col("sb"))
       .select(col("sa").as("z"), col("c").as("czz"))
     // conditioning candidates are ENUMERATED from the moment table, not
@@ -542,14 +565,7 @@ object Causal {
       .where(col("z") =!= col("a") && col("z") =!= col("b"))
       .join(broadcast(cAs("b", "z", "cbz")), Seq("b", "z"))
       .join(broadcast(zs), Seq("z"))
-      .withColumn("sep", expr(
-        s"""case when 10000 *
-           |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz) *
-           |    (cast(cab as decimal(38,0))*czz - cast(caz as decimal(38,0))*cbz)
-           |  <= $tauSqBp *
-           |    (cast(caa as decimal(38,0))*czz - cast(caz as decimal(38,0))*caz) *
-           |    (cast(cbb as decimal(38,0))*czz - cast(cbz as decimal(38,0))*cbz)
-           |then 1 else 0 end""".stripMargin))
+      .withColumn("sep", sep1Expr(tauSqBp))
     val sepsets = trip.groupBy("a", "b")
       .agg(min(when(col("sep") === 1, col("z"))).as("sepset"))
     pairs.join(broadcast(sepsets), Seq("a", "b"), "left_outer")
@@ -748,6 +764,246 @@ object Causal {
        |     THEN 1 ELSE 0 END)::INT AS edge2
        |  FROM pc_out o LEFT JOIN pc2_sep s ON s.a = o.a AND s.b = o.b)"""
       .stripMargin
+
+  /** PC-STABLE order-≤2 skeleton: the identical rational partial-
+    * correlation tests as [[pcSkeleton2]], but conditioning candidates
+    * restricted to the ADJACENCY surviving the previous order — the
+    * level-synchronous algorithm of Colombo & Maathuis, "Order-
+    * Independent Constraint-Based Causal Structure Learning" (JMLR 15,
+    * 2014). Order 1 tests z ∈ adj₀(a)\{b} ∪ adj₀(b)\{a} (adj₀ = pairs
+    * surviving order 0); order 2 tests {z,w} ⊆ adj₁(a)\{b} OR
+    * {z,w} ⊆ adj₁(b)\{a} — both elements from ONE endpoint's neighbor
+    * set, the published definition (a mixed pick is not a subset of
+    * either side and is NOT tested).
+    *
+    * Semantics vs [[pcSkeleton2]]: the unrestricted variant conditions
+    * on every co-observed series, so a non-neighbor z can separate a
+    * pair by threshold artifact; PC-stable only accepts separations
+    * witnessed inside the current adjacency, hence on a fully
+    * co-observed panel its candidate set per pair is a SUBSET of the
+    * unrestricted one and its surviving edge set a SUPERSET (pinned by
+    * spec). Both variants are level-synchronous and therefore
+    * order-independent / partitioning-invariant.
+    *
+    * This is the wide-panel scale form: the unrestricted order-1/2
+    * stages are O(p³)/O(p⁴) per graph regardless of sparsity, while the
+    * stable stages are O(E·d) and O(E·d²) for max surviving degree d —
+    * on a sparse deployment-width graph (p = 32..64, d ≈ 4) that is a
+    * 50-100× candidate-volume cut, and the restriction composes with
+    * the multi-graph fold unchanged (adjacency rows carry the folded
+    * series names, so the fan-out stays per-graph). Every stage below
+    * is a broadcast equi-join over panel-grain frames; the single
+    * fact-scale pass remains the rank cross-moment aggregation.
+    *
+    * Output: [[pcSkeleton2]]'s exact column contract (a, b, n, cab,
+    * keep0, sepset, edge, sepset2, edge2) with every co-observed pair
+    * present — [[pcOrient2]] applies unchanged.
+    */
+  def pcSkeleton2Stable(panel: DataFrame, tauSqBp: Long = 625L)
+      : DataFrame = {
+    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    def cAs(na: String, nb: String, out: String): DataFrame =
+      cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
+    val pairs = pinTiny(pcPairs0(cm, tauSqBp))
+    val kept0 = pairs.where(col("keep0") === 1).select(col("a"), col("b"))
+    val adj0 = kept0.unionByName(
+      kept0.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("x"), col("b").as("y"))
+    // order-1 candidates from the surviving adjacency, both endpoints'
+    // neighbor sets (distinct: z ∈ adj(a) ∩ adj(b) appears via both
+    // sides). Inner joins against the (a,z)/(b,z) moment rows below
+    // keep the conservative-skip semantic for never-co-observed pairs
+    val cand1 = kept0
+      .join(broadcast(adj0.select(col("x").as("a"), col("y").as("z"))),
+        Seq("a"))
+      .unionByName(kept0
+        .join(broadcast(adj0.select(col("x").as("b"), col("y").as("z"))),
+          Seq("b"))
+        .select(col("a"), col("b"), col("z")))
+      .where(col("z") =!= col("a") && col("z") =!= col("b"))
+      .distinct()
+    val zs = cm.where(col("sa") === col("sb"))
+      .select(col("sa").as("z"), col("c").as("czz"))
+    val trip = cand1
+      .join(broadcast(pairs.select(col("a"), col("b"), col("cab"),
+        col("caa"), col("cbb"))), Seq("a", "b"))
+      .join(broadcast(cAs("a", "z", "caz")), Seq("a", "z"))
+      .join(broadcast(cAs("b", "z", "cbz")), Seq("b", "z"))
+      .join(broadcast(zs), Seq("z"))
+      .withColumn("sep", sep1Expr(tauSqBp))
+    val sepsets = trip.groupBy("a", "b")
+      .agg(min(when(col("sep") === 1, col("z"))).as("sepset"))
+    val sk1 = pinTiny(pairs
+      .join(broadcast(sepsets), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("n"), col("cab"), col("keep0"),
+        col("sepset"),
+        when(col("keep0") === 1 && col("sepset").isNull, 1).otherwise(0)
+          .as("edge")))
+    // order 2 on the NORMALIZED moments, exactly pcSkeleton2's contract
+    val nc = cm.select(col("sa"), col("sb"),
+      expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
+    def m(x: String, y: String, out: String): DataFrame =
+      broadcast(nc.select(col("sa").as(x), col("sb").as(y),
+        col("ch").as(out)))
+    def diag(x: String, out: String): DataFrame =
+      broadcast(nc.where(col("sa") === col("sb"))
+        .select(col("sa").as(x), col("ch").as(out)))
+    val e1 = sk1.where(col("edge") === 1).select(col("a"), col("b"))
+    val adj1 = e1.unionByName(
+      e1.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("x"), col("b").as("y"))
+    // {z,w} both from one endpoint's order-1 neighbor set; the UNION of
+    // the two sides deduplicates pairs drawn from both
+    def side(key: String, other: String): DataFrame = e1
+      .join(broadcast(adj1.select(col("x").as(key), col("y").as("z"))),
+        Seq(key))
+      .join(broadcast(adj1.select(col("x").as(key), col("y").as("w"))),
+        Seq(key))
+      .where(col("z") < col("w") &&
+        col("z") =!= col(other) && col("w") =!= col(other))
+      .select(col("a"), col("b"), col("z"), col("w"))
+    val cand2 = side("a", "b").unionByName(side("b", "a")).distinct()
+    val mm = cand2
+      .join(m("a", "b", "mab"), Seq("a", "b"))
+      .join(m("a", "z", "maz"), Seq("a", "z"))
+      .join(m("a", "w", "maw"), Seq("a", "w"))
+      .join(m("b", "z", "mbz"), Seq("b", "z"))
+      .join(m("b", "w", "mbw"), Seq("b", "w"))
+      .join(m("z", "w", "mzw"), Seq("z", "w"))
+      .join(diag("a", "maa"), Seq("a"))
+      .join(diag("b", "mbb"), Seq("b"))
+      .join(diag("z", "mzz"), Seq("z"))
+      .join(diag("w", "mww"), Seq("w"))
+    val cof = mm
+      .withColumn("dzw", expr("mzz*mww - mzw*mzw"))
+      .withColumn("t1", expr("maz*mww - mzw*maw"))
+      .withColumn("t2", expr("maz*mzw - mzz*maw"))
+      .withColumn("cofab", expr("mab*dzw - mbz*t1 + mbw*t2"))
+      .withColumn("cofbb", expr("maa*dzw - maz*t1 + maw*t2"))
+      .withColumn("cofaa",
+        expr("mbb*dzw - mbz*(mbz*mww - mzw*mbw) + mbw*(mbz*mzw - mzz*mbw)"))
+      .withColumn("sep", expr(
+        s"case when 10000*cofab*cofab <= $tauSqBp*cofaa*cofbb " +
+          "then 1 else 0 end"))
+    val seps = cof.groupBy("a", "b")
+      .agg(min(when(col("sep") === 1,
+        concat(col("z"), lit("~"), col("w")))).as("sepset2"))
+    sk1.join(broadcast(seps), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("n"), col("cab"), col("keep0"),
+        col("sepset"), col("edge"), col("sepset2"),
+        when(col("edge") === 1 && col("sepset2").isNull, 1).otherwise(0)
+          .as("edge2"))
+  }
+
+  /** [[pcSkeleton2Stable]] as ANSI CTEs over `\$panel(series, day, v)`:
+    * shares [[pcMomentSqlCtes]]'s rank/moment head, then the adjacency-
+    * restricted decision chain under `pcs_` names; yields
+    * `pcs2_out(a, b, n, cab, keep0, sepset, edge, sepset2, edge2)`.
+    * Candidate CTEs enumerate from the symmetrized adjacency of the
+    * previous order — the SQL twin of the Spark neighbor joins.
+    */
+  def pcStable2SqlCtes(panel: String, tauSqBp: Long = 625L): String =
+    pcMomentSqlCtes(panel) + s""",
+       |pcs_pairs AS MATERIALIZED (
+       |  SELECT p.sa AS a, p.sb AS b, p.n, p.c AS cab,
+       |    da.c AS caa, db.c AS cbb,
+       |    CASE WHEN 10000 * p.c::HUGEINT * p.c
+       |           > $tauSqBp * da.c::HUGEINT * db.c
+       |    THEN 1 ELSE 0 END AS keep0
+       |  FROM pc_cm p
+       |  JOIN pc_cm da ON da.sa = p.sa AND da.sb = p.sa
+       |  JOIN pc_cm db ON db.sa = p.sb AND db.sb = p.sb
+       |  WHERE p.sa < p.sb),
+       |pcs_adj0 AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM pcs_pairs WHERE keep0 = 1
+       |  UNION ALL SELECT b, a FROM pcs_pairs WHERE keep0 = 1),
+       |pcs_cand1 AS MATERIALIZED (
+       |  SELECT DISTINCT pr.a, pr.b, n.y AS z
+       |  FROM pcs_pairs pr JOIN pcs_adj0 n ON n.x IN (pr.a, pr.b)
+       |  WHERE pr.keep0 = 1 AND n.y <> pr.a AND n.y <> pr.b),
+       |pcs_trip AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.z,
+       |    CASE WHEN 10000
+       |        * (pr.cab::HUGEINT * zz.c - az.c::HUGEINT * bz.c)
+       |        * (pr.cab::HUGEINT * zz.c - az.c::HUGEINT * bz.c)
+       |      <= $tauSqBp
+       |        * (pr.caa::HUGEINT * zz.c - az.c::HUGEINT * az.c)
+       |        * (pr.cbb::HUGEINT * zz.c - bz.c::HUGEINT * bz.c)
+       |    THEN 1 ELSE 0 END AS sep
+       |  FROM pcs_cand1 c
+       |  JOIN pcs_pairs pr ON pr.a = c.a AND pr.b = c.b
+       |  JOIN pc_cm zz ON zz.sa = c.z AND zz.sb = c.z
+       |  JOIN pc_cm az ON az.sa = c.a AND az.sb = c.z
+       |  JOIN pc_cm bz ON bz.sa = c.b AND bz.sb = c.z),
+       |pcs_seps AS MATERIALIZED (
+       |  SELECT a, b, min(CASE WHEN sep = 1 THEN z END) AS sepset
+       |  FROM pcs_trip GROUP BY 1, 2),
+       |pcs_out AS MATERIALIZED (
+       |  SELECT p.a, p.b, p.n, p.cab, p.keep0, s.sepset,
+       |    (CASE WHEN p.keep0 = 1 AND s.sepset IS NULL
+       |     THEN 1 ELSE 0 END)::INT AS edge
+       |  FROM pcs_pairs p LEFT JOIN pcs_seps s
+       |    ON s.a = p.a AND s.b = p.b),
+       |pcs_nc AS MATERIALIZED (
+       |  SELECT sa, sb, (c // (n * n))::HUGEINT AS ch FROM pc_cm),
+       |pcs_adj1 AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM pcs_out WHERE edge = 1
+       |  UNION ALL SELECT b, a FROM pcs_out WHERE edge = 1),
+       |pcs_cand2 AS MATERIALIZED (
+       |  SELECT e.a, e.b, n1.y AS z, n2.y AS w
+       |  FROM (SELECT a, b FROM pcs_out WHERE edge = 1) e
+       |  JOIN pcs_adj1 n1 ON n1.x = e.a
+       |  JOIN pcs_adj1 n2 ON n2.x = e.a
+       |  WHERE n1.y < n2.y AND n1.y <> e.b AND n2.y <> e.b
+       |  UNION
+       |  SELECT e.a, e.b, n1.y, n2.y
+       |  FROM (SELECT a, b FROM pcs_out WHERE edge = 1) e
+       |  JOIN pcs_adj1 n1 ON n1.x = e.b
+       |  JOIN pcs_adj1 n2 ON n2.x = e.b
+       |  WHERE n1.y < n2.y AND n1.y <> e.a AND n2.y <> e.a),
+       |pcs_cof AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.z, c.w,
+       |    mab.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - mbz.ch*(maz.ch*mww.ch - mzw.ch*maw.ch)
+       |      + mbw.ch*(maz.ch*mzw.ch - mzz.ch*maw.ch) AS cofab,
+       |    maa.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - maz.ch*(maz.ch*mww.ch - mzw.ch*maw.ch)
+       |      + maw.ch*(maz.ch*mzw.ch - mzz.ch*maw.ch) AS cofbb,
+       |    mbb.ch*(mzz.ch*mww.ch - mzw.ch*mzw.ch)
+       |      - mbz.ch*(mbz.ch*mww.ch - mzw.ch*mbw.ch)
+       |      + mbw.ch*(mbz.ch*mzw.ch - mzz.ch*mbw.ch) AS cofaa
+       |  FROM pcs_cand2 c
+       |  JOIN pcs_nc mab ON mab.sa = c.a AND mab.sb = c.b
+       |  JOIN pcs_nc maz ON maz.sa = c.a AND maz.sb = c.z
+       |  JOIN pcs_nc maw ON maw.sa = c.a AND maw.sb = c.w
+       |  JOIN pcs_nc mbz ON mbz.sa = c.b AND mbz.sb = c.z
+       |  JOIN pcs_nc mbw ON mbw.sa = c.b AND mbw.sb = c.w
+       |  JOIN pcs_nc mzw ON mzw.sa = c.z AND mzw.sb = c.w
+       |  JOIN pcs_nc maa ON maa.sa = c.a AND maa.sb = c.a
+       |  JOIN pcs_nc mbb ON mbb.sa = c.b AND mbb.sb = c.b
+       |  JOIN pcs_nc mzz ON mzz.sa = c.z AND mzz.sb = c.z
+       |  JOIN pcs_nc mww ON mww.sa = c.w AND mww.sb = c.w),
+       |pcs2_sep AS MATERIALIZED (
+       |  SELECT a, b, min(CASE WHEN 10000*cofab*cofab
+       |                     <= $tauSqBp*cofaa*cofbb
+       |                   THEN z || '~' || w END) AS sepset2
+       |  FROM pcs_cof GROUP BY 1, 2),
+       |pcs2_out AS MATERIALIZED (
+       |  SELECT o.a, o.b, o.n, o.cab, o.keep0, o.sepset, o.edge,
+       |    s.sepset2,
+       |    (CASE WHEN o.edge = 1 AND s.sepset2 IS NULL
+       |     THEN 1 ELSE 0 END)::INT AS edge2
+       |  FROM pcs_out o LEFT JOIN pcs2_sep s ON s.a = o.a AND s.b = o.b)"""
+      .stripMargin
+
+  /** [[pcOrient2]]'s CTE twin over the PC-STABLE graph: the `pcs2_out`
+    * adapter plus [[pcOrientSqlCtes]]; yields `pc_st\$meekRounds`.
+    */
+  def pcOrientStableSqlCtes(meekRounds: Int = 3): String =
+    """pcs2_sk AS MATERIALIZED (
+      |  SELECT a, b, coalesce(sepset, sepset2) AS sepset, edge2 AS edge
+      |  FROM pcs2_out),
+      |""".stripMargin + pcOrientSqlCtes(meekRounds, "pcs2_sk")
 
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.metrics.Causal
+
+/** PC-STABLE order-≤2 skeleton (Causal.pcSkeleton2Stable): the
+  * adjacency-restricted conditioning variant of Colombo & Maathuis
+  * (JMLR 15, 2014). Pinned here: exact agreement with an independent
+  * BigInt evaluator of the stable candidate policy, partitioning
+  * invariance, the candidate-subset ⇒ edge-superset relation against
+  * the unrestricted pcSkeleton2, and Meek-fixpoint adequacy of the
+  * pinned round count on the q347 wide-panel graph.
+  */
+class PcStableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pc-stable order 2 equals an independent BigInt evaluator of the " +
+      "adjacency-restricted candidate policy and is partitioning " +
+      "invariant (random panels)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val names = (0 until 5).map(i => s"s$i")
+      val nDays = 60
+      val fac = (1 to nDays).map(_ => Math.round(rnd.nextGaussian() * 300))
+      val rows = for {
+        (s, si) <- names.zipWithIndex; d <- 1 to nDays
+      } yield (s, d.toLong,
+        (if (si % 2 == 0) fac(d - 1) else -fac(d - 1) / 2) +
+          Math.round(rnd.nextGaussian() * 200) / 10 * 10)
+      val byS = rows.groupBy(_._1).map { case (s, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2)).zipWithIndex
+          .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+        s -> (1 to nDays).map(d => sorted(d.toLong))
+      }
+      val n = BigInt(nDays)
+      def c(x: String, y: String): BigInt = {
+        val (rx, ry) = (byS(x), byS(y))
+        n * rx.zip(ry).map { case (u, v) => BigInt(u) * v }.sum -
+          rx.map(BigInt(_)).sum * ry.map(BigInt(_)).sum
+      }
+      val tau = BigInt(625)
+      def sq(x: BigInt) = x * x
+      // level 0 everywhere first (PC-stable is level-synchronous: the
+      // adjacency each level reads is FROZEN at the previous level)
+      val keep0 = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+        a = names(i); b = names(j)
+      } yield (a, b) ->
+        (10000 * sq(c(a, b)) > tau * c(a, a) * c(b, b))).toMap
+      def n0(x: String): Set[String] = names.filter(y => y != x &&
+        keep0(if (x < y) (x, y) else (y, x))).toSet
+      def sep1ok(a: String, b: String, z: String): Boolean =
+        10000 * sq(c(a, b) * c(z, z) - c(a, z) * c(b, z)) <=
+          tau * (c(a, a) * c(z, z) - sq(c(a, z))) *
+            (c(b, b) * c(z, z) - sq(c(b, z)))
+      val lvl1 = keep0.map { case ((a, b), k0) =>
+        val cand = ((n0(a) ++ n0(b)) - a - b).toSeq.sorted
+        val sep = if (k0) cand.filter(z => sep1ok(a, b, z)).headOption
+          else None
+        (a, b) -> (k0, sep, k0 && sep.isEmpty)
+      }
+      def n1(x: String): Set[String] = names.filter(y => y != x && {
+        val key = if (x < y) (x, y) else (y, x); lvl1(key)._3
+      }).toSet
+      val ch = scala.collection.mutable.Map.empty[(String, String), BigInt]
+      def m(x: String, y: String) = ch.getOrElseUpdate((x, y),
+        c(x, y) / (n * n))
+      def sep2ok(a: String, b: String, z: String, w: String): Boolean = {
+        val dzw = m(z, z) * m(w, w) - sq(m(z, w))
+        val t1 = m(a, z) * m(w, w) - m(z, w) * m(a, w)
+        val t2 = m(a, z) * m(z, w) - m(z, z) * m(a, w)
+        val cofab = m(a, b) * dzw - m(b, z) * t1 + m(b, w) * t2
+        val cofbb = m(a, a) * dzw - m(a, z) * t1 + m(a, w) * t2
+        val cofaa = m(b, b) * dzw -
+          m(b, z) * (m(b, z) * m(w, w) - m(z, w) * m(b, w)) +
+          m(b, w) * (m(b, z) * m(z, w) - m(z, z) * m(b, w))
+        10000 * sq(cofab) <= tau * cofaa * cofbb
+      }
+      val expected = lvl1.map { case ((a, b), (k0, sep, edge)) =>
+        // {z,w} both from ONE endpoint's level-1 neighbor set
+        val sideA = (n1(a) - b).toSeq.sorted
+        val sideB = (n1(b) - a).toSeq.sorted
+        val cand2 = (for {
+          side <- Seq(sideA, sideB)
+          zi <- side.indices; wi <- (zi + 1) until side.size
+        } yield (side(zi), side(wi))).distinct.sortBy(p => s"${p._1}~${p._2}")
+        val sep2 = if (edge)
+          cand2.collectFirst { case (z, w) if sep2ok(a, b, z, w) => s"$z~$w" }
+          else None
+        (a, b) -> (if (edge) 1 else 0, sep2,
+          if (edge && sep2.isEmpty) 1 else 0)
+      }
+      val base = rows.toDF("series", "day", "v")
+      Seq(base, base.repartition(7)).foreach { panel =>
+        val got = Causal.pcSkeleton2Stable(panel)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getInt(6), Option(r.getString(7)), r.getInt(8))).toMap
+        assert(got == expected, s"trial $trial: got $got want $expected")
+      }
+    }
+  }
+
+  test("restricting candidates to the adjacency can only KEEP edges: " +
+      "stable edge and edge2 sets are supersets of the unrestricted " +
+      "variant's on fully co-observed panels") {
+    val pan = Bench.widePanel(spark, 12, 120).localCheckpoint(true)
+    try {
+      def sets(df: DataFrame): (Set[(String, String)], Set[(String, String)]) = {
+        val rows = df.select("a", "b", "edge", "edge2").collect()
+        (rows.filter(_.getInt(2) == 1)
+           .map(r => (r.getString(0), r.getString(1))).toSet,
+         rows.filter(_.getInt(3) == 1)
+           .map(r => (r.getString(0), r.getString(1))).toSet)
+      }
+      val (e1u, e2u) = sets(Causal.pcSkeleton2(pan, 100L))
+      val (e1s, e2s) = sets(Causal.pcSkeleton2Stable(pan, 100L))
+      assert(e1u.subsetOf(e1s),
+        s"order-1: unrestricted kept ${e1u -- e1s} that stable dropped — " +
+          "impossible, stable tests a candidate subset")
+      assert(e2u.subsetOf(e2s),
+        s"order-2: unrestricted kept ${e2u -- e2s} that stable dropped")
+      assert(e2s.nonEmpty, "the chain panel keeps edges at order 2")
+    } finally pan.unpersist()
+  }
+
+  test("q347's pinned 4 Meek rounds reach the fixpoint on its actual " +
+      "32-wide stable graph (round 5 is a no-op) and every pair row is " +
+      "present for the orientation precondition") {
+    val pan = Bench.widePanel(spark, 32, 200).localCheckpoint(true)
+    try {
+      val sk = Causal.pcSkeleton2Stable(pan, 100L).localCheckpoint(true)
+      // complete panel ⇒ the every-pair-row precondition must hold
+      Causal.assertPairRows(sk.select(col("a"), col("b"),
+        col("edge2").as("edge")))
+      def dirs(r: Int) = Causal.pcOrient2(sk, r, requirePairRows = false)
+        .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(2))
+        .toMap
+      // the stable skeleton keeps MORE edges than the unrestricted one
+      // (candidate-subset ⇒ edge-superset), so its undirected chains are
+      // longer and Meek propagation genuinely needs a 4th round here
+      // (round 4 orients X00-X02/X01-X02 on this graph; q346's
+      // unrestricted twin closes in 3)
+      val at4 = dirs(4)
+      assert(dirs(5) == at4,
+        "round 5 changed the CPDAG — q347's pinned 4 rounds truncate")
+      assert(at4.values.count(_ != 0) > 0, "the wide graph orients edges")
+    } finally pan.unpersist()
+  }
+}

@@ -749,6 +749,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"wide-panel order-2 must stay equi-join only:\n$p")
+      // the PC-STABLE twin under the same guard: its candidate stages
+      // are adjacency equi-joins (kept0/e1 against the symmetrized
+      // neighbor frame) — a cartesian or nested-loop here would mean
+      // the neighbor restriction silently degenerated to the diagonal
+      // cross-product it exists to avoid
+      val ps = graft.metrics.Causal.pcSkeleton2Stable(pan32, 100L)
+        .queryExecution.executedPlan.toString
+      assert(!ps.contains("CartesianProduct") &&
+        !ps.contains("BroadcastNestedLoopJoin"),
+        s"wide-panel PC-stable must stay equi-join only:\n$ps")
     } finally pan32.unpersist()
   }
 }
