@@ -41,6 +41,40 @@ object Bench {
         ).cast("long").as("v"))
   }
 
+  /** Deterministic BLOCK panel for the order-3 rungs: `blocks`
+    * independent 5-series cells, each three iid hash-noise sources
+    * (roles 0-2) plus two aggregates A = S0+S1+S2+eA and
+    * B = S0+S1+S2+eB (roles 3-4, own full-per-source-scale noise).
+    * Within a cell the A-B pair is dependent given any ≤2 sources and
+    * independent given all three — the smallest structure whose PC
+    * separation NEEDS conditioning order 3; across cells every pair is
+    * independent (distinct hash salts) and dies at order 0. Degree
+    * stays ≤ 4 however many blocks, so the adjacency-restricted
+    * candidate volume is linear in `blocks` while panel width is
+    * 5·blocks — the shape that separates O(E·d³) from O(p⁵).
+    */
+  def widePanel3(spark: org.apache.spark.sql.SparkSession, blocks: Int,
+      nObs: Int): org.apache.spark.sql.DataFrame = {
+    def noise(tag: String, role: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      pmod(xxhash64(lit(tag), k, role, d), lit(1000L))
+    spark.range(0, blocks.toLong * 5).select(
+        (col("id") / 5).cast("long").as("k"),
+        (col("id") % 5).cast("int").as("role"))
+      .crossJoin(spark.range(0, nObs).select(col("id").as("d")))
+      .select(
+        concat(lit("G"), lpad(col("k").cast("string"), 2, "0"),
+          lit("X"), col("role")).as("series"),
+        col("d").as("day"),
+        (when(col("role") < 3, noise("pc3src", col("role"), col("k"), col("d")))
+          .otherwise(
+            noise("pc3src", lit(0), col("k"), col("d")) +
+            noise("pc3src", lit(1), col("k"), col("d")) +
+            noise("pc3src", lit(2), col("k"), col("d")) +
+            noise("pc3own", col("role"), col("k"), col("d"))))
+          .cast("long").as("v"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -402,6 +436,43 @@ object Bench {
         median3("pcwide_p32_stable_oriented") { wideStableOnce(pan32) }
         median3("pcwide_p64_stable_oriented") { wideStableOnce(pan64) }
       } { pan32.unpersist(); pan64.unpersist() }
+    }
+
+    // Order-3 block-panel rungs (q348's dataset shape at bench widths):
+    // K independent 5-series cells, degree ≤ 4 regardless of K, every
+    // cell's A-B pair separable only at order 3. The stable ladder's
+    // whole point in one pair of numbers: candidate volume is linear in
+    // BLOCKS (O(E·d³)), not quintic in WIDTH (O(p⁵)) — 16 blocks
+    // (80 series) vs 64 blocks (320 series) should scale near-linearly
+    // in cells, while an unrestricted order-2 pass at just 80 series
+    // already pays C(78,2) ≈ 3k quadruples per surviving edge
+    val runPcblocks = only.forall(_.exists(_.startsWith("pcblocks")))
+    if (runPcblocks) {
+      val blk16 = widePanel3(spark, 16, 200).localCheckpoint(true)
+      graft.metrics.Causal.assertPairRows(
+        graft.metrics.Causal.pcSkeleton(blk16, 100L))
+      val blk64 = widePanel3(spark, 64, 200).localCheckpoint(true)
+      def blocksOnce(pan: org.apache.spark.sql.DataFrame): Unit =
+        graft.metrics.Causal.pcOrient3(
+            graft.metrics.Causal.pcSkeleton3Stable(pan, 100L), 4,
+            requirePairRows = false)
+          .groupBy("dir").count()
+          .write.mode("overwrite").format("noop").save()
+      section("pcblocks") {
+        median3("pcblocks_p80_stable3_oriented") { blocksOnce(blk16) }
+        median3("pcblocks_p320_stable3_oriented") { blocksOnce(blk64) }
+        // the unrestricted twin at 80 series: same panel, q346's
+        // order-2 pipeline — the number that shows what the adjacency
+        // restriction buys at EQUAL width (its order-2 stage tests
+        // every co-observed pair, the stable one only neighborhoods)
+        median3("pcblocks_p80_order2_unrestricted") {
+          graft.metrics.Causal.pcOrient2(
+              graft.metrics.Causal.pcSkeleton2(blk16, 100L), 3,
+              requirePairRows = false)
+            .groupBy("dir").count()
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { blk16.unpersist(); blk64.unpersist() }
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_

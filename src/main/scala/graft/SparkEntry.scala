@@ -7316,6 +7316,29 @@ object SparkEntry {
         .select(col("a"), col("b"), col("dir"))
     }),
 
+    // the conditioning ladder's third rung (q347 + one more order):
+    // order-2 survivors tested against every triple {z,w,u} drawn
+    // wholly from one endpoint's order-2 neighborhood, via 4×4-minor
+    // cofactors over the 5×5 normalized moment matrix — the SAME
+    // generated determinant text evaluated by both engines, so parity
+    // is by construction, not by parallel re-derivation. The adjacency
+    // restriction is what makes a third order affordable at all
+    // (unrestricted would be O(p⁵) per graph); the integer budget
+    // tightens to n ≤ ~300 obs (Causal.pcSkeleton3Stable scaladoc),
+    // which the 200-obs contract respects. Dataset: the BLOCK panel
+    // (Bench.widePanel3 — q346/q347's chain panel has NO order-3
+    // separations at any τ, probe-verified, so it cannot gate this
+    // stage): 8 independent 5-series cells whose A-B pair separates
+    // exactly on its source triple — 8 real order-3 removals, 8
+    // three-element sepsets flowing into orientation, 40-series width
+    "q348_pc_stable_order3_wide" -> ((s, d) => {
+      val pan = dumpGen(s, "q348_panel", Bench.widePanel3(s, 8, 200))
+      graft.metrics.Causal.pcOrient3(
+          graft.metrics.Causal.pcSkeleton3Stable(pan, PcOrientTauSqBp),
+          PcStableMeekRounds)
+        .select(col("a"), col("b"), col("dir"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -9976,6 +9999,14 @@ object SparkEntry {
         |  FROM read_parquet('__GEN_DIR__/q347_panel/*.parquet')),
         |${graft.metrics.Causal.pcStable2SqlCtes("panel", PcOrientTauSqBp)},
         |${graft.metrics.Causal.pcOrientStableSqlCtes(PcStableMeekRounds)}
+        |SELECT a, b, dir FROM pc_st$PcStableMeekRounds""".stripMargin,
+
+    "q348_pc_stable_order3_wide" ->
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q348_panel/*.parquet')),
+        |${graft.metrics.Causal.pcStable3SqlCtes("panel", PcOrientTauSqBp)},
+        |${graft.metrics.Causal.pcOrientStable3SqlCtes(PcStableMeekRounds)}
         |SELECT a, b, dir FROM pc_st$PcStableMeekRounds""".stripMargin,
 
     "q179_aqe_skew_join" ->

@@ -800,8 +800,14 @@ object Causal {
     * present — [[pcOrient2]] applies unchanged.
     */
   def pcSkeleton2Stable(panel: DataFrame, tauSqBp: Long = 625L)
-      : DataFrame = {
-    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+      : DataFrame =
+    pcStable2Core(pinTiny(rankCrossMoments(rankPanel(panel))), tauSqBp)
+
+  /** [[pcSkeleton2Stable]] minus the fact-scale moment pass, so
+    * [[pcSkeleton3Stable]] can hang the order-3 tail off the SAME
+    * checkpointed cross-moment frame.
+    */
+  private def pcStable2Core(cm: DataFrame, tauSqBp: Long): DataFrame = {
     def cAs(na: String, nb: String, out: String): DataFrame =
       cm.select(col("sa").as(na), col("sb").as(nb), col("c").as(out))
     val pairs = pinTiny(pcPairs0(cm, tauSqBp))
@@ -1004,6 +1010,200 @@ object Causal {
       |  SELECT a, b, coalesce(sepset, sepset2) AS sepset, edge2 AS edge
       |  FROM pcs2_out),
       |""".stripMargin + pcOrientSqlCtes(meekRounds, "pcs2_sk")
+
+  /** The canonical 5-variable label order (a, b, then conditioning
+    * z < w < u) and the moment-column name for an unordered label pair —
+    * `mab`, `mzw`, `muu`, … — shared by the order-3 determinant
+    * generators below so the Spark `expr` and the DuckDB CTE read the
+    * SAME identifiers.
+    */
+  private val PcVarOrder = Vector("a", "b", "z", "w", "u")
+  private def mn(x: String, y: String): String =
+    if (PcVarOrder.indexOf(x) <= PcVarOrder.indexOf(y)) s"m$x$y"
+    else s"m$y$x"
+
+  private def det2s(r: Seq[String], c: Seq[String]): String =
+    s"(${mn(r(0), c(0))}*${mn(r(1), c(1))} - " +
+      s"${mn(r(0), c(1))}*${mn(r(1), c(0))})"
+
+  private def detNs(r: Seq[String], c: Seq[String]): String =
+    if (r.size == 2) det2s(r, c)
+    else "(" + c.indices.map { j =>
+      val t = s"${mn(r.head, c(j))}*${detNs(r.tail, c.patch(j, Nil, 1))}"
+      if (j == 0) t else if (j % 2 == 0) s" + $t" else s" - $t"
+    }.mkString + ")"
+
+  /** The order-3 cofactor test rendered ONCE as arithmetic text over the
+    * 15 moment columns (maa..muu) and interpolated verbatim into both
+    * engines: ρ²_ab·{z,w,u} = cof_ab²/(cof_aa·cof_bb) over the 5×5
+    * normalized moment matrix on (a,b,z,w,u) — cof_ab the 4×4 minor
+    * deleting row a / column b (sign irrelevant, squared), cof_aa/cof_bb
+    * the principal 4×4 minors.
+    */
+  private val Det3CofAb: String =
+    detNs(Seq("b", "z", "w", "u"), Seq("a", "z", "w", "u"))
+  private val Det3CofAa: String =
+    detNs(Seq("b", "z", "w", "u"), Seq("b", "z", "w", "u"))
+  private val Det3CofBb: String =
+    detNs(Seq("a", "z", "w", "u"), Seq("a", "z", "w", "u"))
+
+  /** PC-STABLE skeleton to conditioning order 3: [[pcSkeleton2Stable]]
+    * plus one more rung of the same ladder — each order-2 survivor (a,b)
+    * tested against every unordered triple {z,w,u} drawn wholly from
+    * adj₂(a)\{b} or wholly from adj₂(b)\{a}, via the 4×4-minor cofactor
+    * identity on the 5×5 normalized moment matrix. Separated when
+    * 10000·cof_ab² ≤ τ²bp·cof_aa·cof_bb, fully rational.
+    *
+    * Integer budget: ĉ = c div n² is O(n²/12), a 4×4 determinant of
+    * those is ≤ 4!·(n²/12)⁴ and 10⁴·cof² must fit DECIMAL(38,0)/HUGEINT
+    * ≈ 1e38 ⇒ n ≤ ~300 observations — one notch tighter than order-2's
+    * n ≤ 500, and why the order-3 rung keeps the 200-obs panel contract.
+    * Candidate volume: O(E·d³) for surviving degree d — the adjacency
+    * restriction is what makes a third order AFFORDABLE at all (the
+    * unrestricted form would be O(p⁵) per graph).
+    *
+    * Output: [[pcSkeleton2Stable]]'s columns plus (sepset3 = min
+    * `z~w~u` over separating triples, edge3 = survived order ≤ 3);
+    * every co-observed pair keeps its row.
+    */
+  def pcSkeleton3Stable(panel: DataFrame, tauSqBp: Long = 625L)
+      : DataFrame = {
+    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    val sk2 = pinTiny(pcStable2Core(cm, tauSqBp))
+    val nc = cm.select(col("sa"), col("sb"),
+      expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
+    def m(x: String, y: String): DataFrame =
+      broadcast(nc.select(col("sa").as(x), col("sb").as(y),
+        col("ch").as(mn(x, y))))
+    def diag(x: String): DataFrame =
+      broadcast(nc.where(col("sa") === col("sb"))
+        .select(col("sa").as(x), col("ch").as(mn(x, x))))
+    val e2 = sk2.where(col("edge2") === 1).select(col("a"), col("b"))
+    val adj2 = e2.unionByName(
+      e2.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("x"), col("b").as("y"))
+    def side(key: String, other: String): DataFrame = e2
+      .join(broadcast(adj2.select(col("x").as(key), col("y").as("z"))),
+        Seq(key))
+      .join(broadcast(adj2.select(col("x").as(key), col("y").as("w"))),
+        Seq(key))
+      .join(broadcast(adj2.select(col("x").as(key), col("y").as("u"))),
+        Seq(key))
+      .where(col("z") < col("w") && col("w") < col("u") &&
+        col("z") =!= col(other) && col("w") =!= col(other) &&
+        col("u") =!= col(other))
+      .select(col("a"), col("b"), col("z"), col("w"), col("u"))
+    val cand3 = side("a", "b").unionByName(side("b", "a")).distinct()
+    val crossPairs = Seq(("a", "b"), ("a", "z"), ("a", "w"), ("a", "u"),
+      ("b", "z"), ("b", "w"), ("b", "u"), ("z", "w"), ("z", "u"),
+      ("w", "u"))
+    val mm = crossPairs.foldLeft(cand3) { case (df, (x, y)) =>
+      df.join(m(x, y), Seq(x, y))
+    }
+    val mmd = PcVarOrder.foldLeft(mm)((df, x) => df.join(diag(x), Seq(x)))
+    val cof = mmd
+      .withColumn("cofab", expr(Det3CofAb))
+      .withColumn("cofaa", expr(Det3CofAa))
+      .withColumn("cofbb", expr(Det3CofBb))
+      .withColumn("sep", expr(
+        s"case when 10000*cofab*cofab <= $tauSqBp*cofaa*cofbb " +
+          "then 1 else 0 end"))
+    val seps = cof.groupBy("a", "b")
+      .agg(min(when(col("sep") === 1,
+        concat(col("z"), lit("~"), col("w"), lit("~"), col("u"))))
+        .as("sepset3"))
+    sk2.join(broadcast(seps), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("n"), col("cab"), col("keep0"),
+        col("sepset"), col("edge"), col("sepset2"), col("edge2"),
+        col("sepset3"),
+        when(col("edge2") === 1 && col("sepset3").isNull, 1).otherwise(0)
+          .as("edge3"))
+  }
+
+  /** [[pcOrient]] over a [[pcSkeleton3Stable]] output: adjacency is
+    * `edge3`, blocking set is whichever order separated the pair (the
+    * `~`-membership test handles 1-, 2- and 3-element sepsets alike).
+    */
+  def pcOrient3(skeleton3: DataFrame, meekRounds: Int = 3,
+      requirePairRows: Boolean = true): DataFrame =
+    pcOrient(skeleton3.select(col("a"), col("b"),
+      coalesce(col("sepset"), col("sepset2"), col("sepset3")).as("sepset"),
+      col("edge3").as("edge")), meekRounds, requirePairRows)
+
+  /** [[pcSkeleton3Stable]] as ANSI CTEs: [[pcStable2SqlCtes]] plus the
+    * adjacency-restricted order-3 tail; yields `pcs3_out` with
+    * [[pcSkeleton2Stable]]'s columns + (sepset3, edge3). The cofactor
+    * arithmetic is the SAME generated text the Spark side evaluates.
+    */
+  def pcStable3SqlCtes(panel: String, tauSqBp: Long = 625L): String = {
+    val mmJoins = (Seq(("a", "b"), ("a", "z"), ("a", "w"), ("a", "u"),
+      ("b", "z"), ("b", "w"), ("b", "u"), ("z", "w"), ("z", "u"),
+      ("w", "u")).map { case (x, y) =>
+        s"JOIN pcs_nc ${mn(x, y)}j ON ${mn(x, y)}j.sa = c.$x " +
+          s"AND ${mn(x, y)}j.sb = c.$y"
+      } ++ PcVarOrder.map { x =>
+        s"JOIN pcs_nc ${mn(x, x)}j ON ${mn(x, x)}j.sa = c.$x " +
+          s"AND ${mn(x, x)}j.sb = c.$x"
+      }).mkString("\n  ")
+    val mmCols = (Seq(("a", "b"), ("a", "z"), ("a", "w"), ("a", "u"),
+      ("b", "z"), ("b", "w"), ("b", "u"), ("z", "w"), ("z", "u"),
+      ("w", "u")).map { case (x, y) => s"${mn(x, y)}j.ch AS ${mn(x, y)}" }
+      ++ PcVarOrder.map(x => s"${mn(x, x)}j.ch AS ${mn(x, x)}"))
+      .mkString(",\n    ")
+    pcStable2SqlCtes(panel, tauSqBp) + s""",
+       |pcs_adj2 AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM pcs2_out WHERE edge2 = 1
+       |  UNION ALL SELECT b, a FROM pcs2_out WHERE edge2 = 1),
+       |pcs_cand3 AS MATERIALIZED (
+       |  SELECT e.a, e.b, n1.y AS z, n2.y AS w, n3.y AS u
+       |  FROM (SELECT a, b FROM pcs2_out WHERE edge2 = 1) e
+       |  JOIN pcs_adj2 n1 ON n1.x = e.a
+       |  JOIN pcs_adj2 n2 ON n2.x = e.a
+       |  JOIN pcs_adj2 n3 ON n3.x = e.a
+       |  WHERE n1.y < n2.y AND n2.y < n3.y
+       |    AND n1.y <> e.b AND n2.y <> e.b AND n3.y <> e.b
+       |  UNION
+       |  SELECT e.a, e.b, n1.y, n2.y, n3.y
+       |  FROM (SELECT a, b FROM pcs2_out WHERE edge2 = 1) e
+       |  JOIN pcs_adj2 n1 ON n1.x = e.b
+       |  JOIN pcs_adj2 n2 ON n2.x = e.b
+       |  JOIN pcs_adj2 n3 ON n3.x = e.b
+       |  WHERE n1.y < n2.y AND n2.y < n3.y
+       |    AND n1.y <> e.a AND n2.y <> e.a AND n3.y <> e.a),
+       |pcs_mm3 AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.z, c.w, c.u,
+       |    $mmCols
+       |  FROM pcs_cand3 c
+       |  $mmJoins),
+       |pcs_cof3 AS MATERIALIZED (
+       |  SELECT a, b, z, w, u,
+       |    $Det3CofAb AS cofab,
+       |    $Det3CofAa AS cofaa,
+       |    $Det3CofBb AS cofbb
+       |  FROM pcs_mm3),
+       |pcs3_sep AS MATERIALIZED (
+       |  SELECT a, b, min(CASE WHEN 10000*cofab*cofab
+       |                     <= $tauSqBp*cofaa*cofbb
+       |                   THEN z || '~' || w || '~' || u END) AS sepset3
+       |  FROM pcs_cof3 GROUP BY 1, 2),
+       |pcs3_out AS MATERIALIZED (
+       |  SELECT o.a, o.b, o.n, o.cab, o.keep0, o.sepset, o.edge,
+       |    o.sepset2, o.edge2, s.sepset3,
+       |    (CASE WHEN o.edge2 = 1 AND s.sepset3 IS NULL
+       |     THEN 1 ELSE 0 END)::INT AS edge3
+       |  FROM pcs2_out o LEFT JOIN pcs3_sep s
+       |    ON s.a = o.a AND s.b = o.b)""".stripMargin
+  }
+
+  /** [[pcOrient3]]'s CTE twin over `pcs3_out`; yields
+    * `pc_st\$meekRounds`.
+    */
+  def pcOrientStable3SqlCtes(meekRounds: Int = 3): String =
+    """pcs3_sk AS MATERIALIZED (
+      |  SELECT a, b, coalesce(sepset, sepset2, sepset3) AS sepset,
+      |    edge3 AS edge
+      |  FROM pcs3_out),
+      |""".stripMargin + pcOrientSqlCtes(meekRounds, "pcs3_sk")
 
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation
