@@ -7339,6 +7339,103 @@ object SparkEntry {
         .select(col("a"), col("b"), col("dir"))
     }),
 
+    // candidate-volume census: the O(E·d^k)-vs-O(p^(k+2)) claim behind
+    // the whole PC-stable ladder, pinned as DATA instead of asserted in
+    // comments. Per conditioning order: the stable candidate count
+    // (distinct tuples the adjacency restriction actually enumerates,
+    // re-derived from the skeleton's own keep0/edge/edge2 columns with
+    // the implementation's exact side-set semantics) next to the
+    // unrestricted twin's closed-form volume (survivors × C(S-2, k)).
+    // On the 8-cell block panel the cand3 ratio alone is ~3 orders of
+    // magnitude — the census row IS the scale argument, hash-checked
+    // bitwise in both engines
+    "q349_pc_stage_census" -> ((s, d) => {
+      val pan = dumpGen(s, "q349_panel", Bench.widePanel3(s, 8, 200))
+      val sk = graft.metrics.Causal.pcSkeleton3Stable(pan, PcOrientTauSqBp)
+        .select(col("a"), col("b"), col("keep0"), col("edge"),
+          col("edge2"), col("edge3"))
+        .localCheckpoint()
+      def sym(f: DataFrame): DataFrame = f
+        .unionByName(f.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("x"), col("b").as("y"))
+      val k0 = sk.where(col("keep0") === 1).select(col("a"), col("b"))
+      val e1 = sk.where(col("edge") === 1).select(col("a"), col("b"))
+      val e2 = sk.where(col("edge2") === 1).select(col("a"), col("b"))
+      val adj0 = sym(k0); val adj1 = sym(e1); val adj2 = sym(e2)
+      def sideCands(pairsF: DataFrame, adj: DataFrame, k: Int)
+          : DataFrame = {
+        val conds = Seq("z", "w", "u").take(k)
+        def side(key: String, other: String): DataFrame =
+          conds.foldLeft(pairsF) { (df, cn) =>
+            df.join(broadcast(adj.select(col("x").as(key),
+              col("y").as(cn))), Seq(key))
+          }.where(conds.map(cn => col(cn) =!= col(other))
+              .reduce(_ && _) &&
+            conds.zip(conds.tail).map { case (p, q) => col(p) < col(q) }
+              .foldLeft(lit(true))(_ && _))
+            .select((Seq("a", "b") ++ conds).map(col): _*)
+        side("a", "b").unionByName(side("b", "a")).distinct()
+      }
+      def cnt(name: String, variant: String, f: DataFrame): DataFrame =
+        f.agg(count(lit(1)).cast("long").as("n"))
+          .select(lit(name).as("stage"), lit(variant).as("variant"),
+            col("n"))
+      val ser = sk.select(col("a").as("sn"))
+        .unionByName(sk.select(col("b").as("sn"))).distinct()
+        .agg(count(lit(1)).cast("long").as("sc"))
+      def unres(name: String, survivors: DataFrame, k: Int): DataFrame =
+        survivors.agg(count(lit(1)).cast("long").as("c")).crossJoin(ser)
+          .select(lit(name).as("stage"), lit("unrestricted").as("variant"),
+            expr(k match {
+              case 1 => "c * (sc - 2)"
+              case 2 => "c * ((sc - 2) * (sc - 3) div 2)"
+              case 3 => "c * ((sc - 2) * (sc - 3) * (sc - 4) div 6)"
+            }).cast("long").as("n"))
+      cnt("pairs", "both", sk)
+        .unionByName(cnt("keep0", "both", k0))
+        .unionByName(cnt("cand1", "stable", sideCands(k0, adj0, 1)))
+        .unionByName(unres("cand1", k0, 1))
+        .unionByName(cnt("edge1", "both", e1))
+        .unionByName(cnt("cand2", "stable", sideCands(e1, adj1, 2)))
+        .unionByName(unres("cand2", e1, 2))
+        .unionByName(cnt("edge2", "both", e2))
+        .unionByName(cnt("cand3", "stable", sideCands(e2, adj2, 3)))
+        .unionByName(unres("cand3", e2, 3))
+        .unionByName(cnt("edge3", "both",
+          sk.where(col("edge3") === 1)))
+    }),
+
+    // width-adaptive thresholding (the multiple-testing control the
+    // q349 census motivates): a fixed τ under width growth admits
+    // spurious order-0 adjacencies as P(|ρ̂|>τ)·C(p,2), so the
+    // operator's knob is τ(p,n) = Φ⁻¹(1−α/2m)/√(n−1) — Bonferroni over
+    // the m = C(p,2) tests, computed ONCE on the driver
+    // (Causal.tauSqBpForWidth, Acklam Φ⁻¹) and shared as one integer
+    // by both engines. This query pins BOTH sides of the tradeoff as
+    // data on a 160-series/32-cell block panel: per τ the keep0/edge
+    // ladder counts — fixed τ=0.1 keeps the spurious-adjacency bulge,
+    // adaptive τ≈0.33 collapses it AND prunes the true edges whose
+    // partials sit near 0.2-0.3 (the documented power price at n=200)
+    "q350_pc_width_adaptive" -> ((s, d) => {
+      val pan = dumpGen(s, "q350_panel", Bench.widePanel3(s, 32, 200))
+      def census(tau: Long): DataFrame = {
+        val sk = graft.metrics.Causal.pcSkeleton3Stable(pan, tau)
+          .select(col("keep0"), col("edge"), col("edge2"), col("edge3"))
+          .localCheckpoint()
+        def cnt(stage: String, c: Column): DataFrame =
+          sk.where(c === 1).agg(count(lit(1)).cast("long").as("n"))
+            .select(lit(tau).as("tau_sq_bp"), lit(stage).as("stage"),
+              col("n"))
+        cnt("keep0", col("keep0"))
+          .unionByName(cnt("edge1", col("edge")))
+          .unionByName(cnt("edge2", col("edge2")))
+          .unionByName(cnt("edge3", col("edge3")))
+      }
+      census(PcOrientTauSqBp)
+        .unionByName(census(
+          graft.metrics.Causal.tauSqBpForWidth(160, 200)))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -10008,6 +10105,99 @@ object SparkEntry {
         |${graft.metrics.Causal.pcStable3SqlCtes("panel", PcOrientTauSqBp)},
         |${graft.metrics.Causal.pcOrientStable3SqlCtes(PcStableMeekRounds)}
         |SELECT a, b, dir FROM pc_st$PcStableMeekRounds""".stripMargin,
+
+    "q350_pc_width_adaptive" -> {
+      def arm(tau: Long): String =
+        s"""SELECT * FROM (
+          |  WITH panel AS (
+          |    SELECT series, day, v
+          |    FROM read_parquet('__GEN_DIR__/q350_panel/*.parquet')),
+          |  ${graft.metrics.Causal.pcStable3SqlCtes("panel", tau)}
+          |  SELECT $tau::BIGINT AS tau_sq_bp, 'keep0' AS stage,
+          |    count(*)::BIGINT AS n FROM pcs3_out WHERE keep0 = 1
+          |  UNION ALL SELECT $tau::BIGINT, 'edge1', count(*)::BIGINT
+          |    FROM pcs3_out WHERE edge = 1
+          |  UNION ALL SELECT $tau::BIGINT, 'edge2', count(*)::BIGINT
+          |    FROM pcs3_out WHERE edge2 = 1
+          |  UNION ALL SELECT $tau::BIGINT, 'edge3', count(*)::BIGINT
+          |    FROM pcs3_out WHERE edge3 = 1)""".stripMargin
+      arm(PcOrientTauSqBp) + "\nUNION ALL\n" +
+        arm(graft.metrics.Causal.tauSqBpForWidth(160, 200))
+    },
+
+    "q349_pc_stage_census" ->
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q349_panel/*.parquet')),
+        |${graft.metrics.Causal.pcStable3SqlCtes("panel", PcOrientTauSqBp)},
+        |cns_k0 AS (SELECT a, b FROM pcs3_out WHERE keep0 = 1),
+        |cns_e1 AS (SELECT a, b FROM pcs3_out WHERE edge = 1),
+        |cns_e2 AS (SELECT a, b FROM pcs3_out WHERE edge2 = 1),
+        |cns_adj0 AS (SELECT a AS x, b AS y FROM cns_k0
+        |  UNION ALL SELECT b, a FROM cns_k0),
+        |cns_adj1 AS (SELECT a AS x, b AS y FROM cns_e1
+        |  UNION ALL SELECT b, a FROM cns_e1),
+        |cns_adj2 AS (SELECT a AS x, b AS y FROM cns_e2
+        |  UNION ALL SELECT b, a FROM cns_e2),
+        |cns_ser AS (SELECT count(*)::BIGINT AS sc FROM
+        |  (SELECT a FROM pcs3_out UNION SELECT b FROM pcs3_out)),
+        |cns_cand1 AS (
+        |  SELECT DISTINCT p.a, p.b, n1.y AS z
+        |  FROM cns_k0 p JOIN cns_adj0 n1 ON n1.x IN (p.a, p.b)
+        |  WHERE n1.y <> p.a AND n1.y <> p.b),
+        |cns_cand2 AS (
+        |  SELECT e.a, e.b, n1.y AS z, n2.y AS w
+        |  FROM cns_e1 e
+        |  JOIN cns_adj1 n1 ON n1.x = e.a
+        |  JOIN cns_adj1 n2 ON n2.x = e.a
+        |  WHERE n1.y < n2.y AND n1.y <> e.b AND n2.y <> e.b
+        |  UNION
+        |  SELECT e.a, e.b, n1.y, n2.y
+        |  FROM cns_e1 e
+        |  JOIN cns_adj1 n1 ON n1.x = e.b
+        |  JOIN cns_adj1 n2 ON n2.x = e.b
+        |  WHERE n1.y < n2.y AND n1.y <> e.a AND n2.y <> e.a),
+        |cns_cand3 AS (
+        |  SELECT e.a, e.b, n1.y AS z, n2.y AS w, n3.y AS u
+        |  FROM cns_e2 e
+        |  JOIN cns_adj2 n1 ON n1.x = e.a
+        |  JOIN cns_adj2 n2 ON n2.x = e.a
+        |  JOIN cns_adj2 n3 ON n3.x = e.a
+        |  WHERE n1.y < n2.y AND n2.y < n3.y
+        |    AND n1.y <> e.b AND n2.y <> e.b AND n3.y <> e.b
+        |  UNION
+        |  SELECT e.a, e.b, n1.y, n2.y, n3.y
+        |  FROM cns_e2 e
+        |  JOIN cns_adj2 n1 ON n1.x = e.b
+        |  JOIN cns_adj2 n2 ON n2.x = e.b
+        |  JOIN cns_adj2 n3 ON n3.x = e.b
+        |  WHERE n1.y < n2.y AND n2.y < n3.y
+        |    AND n1.y <> e.a AND n2.y <> e.a AND n3.y <> e.a)
+        |SELECT 'pairs' AS stage, 'both' AS variant,
+        |  count(*)::BIGINT AS n FROM pcs3_out
+        |UNION ALL SELECT 'keep0', 'both', count(*)::BIGINT FROM cns_k0
+        |UNION ALL SELECT 'cand1', 'stable', count(*)::BIGINT
+        |  FROM cns_cand1
+        |UNION ALL SELECT 'cand1', 'unrestricted',
+        |  ((SELECT count(*) FROM cns_k0)
+        |    * ((SELECT sc FROM cns_ser) - 2))::BIGINT
+        |UNION ALL SELECT 'edge1', 'both', count(*)::BIGINT FROM cns_e1
+        |UNION ALL SELECT 'cand2', 'stable', count(*)::BIGINT
+        |  FROM cns_cand2
+        |UNION ALL SELECT 'cand2', 'unrestricted',
+        |  ((SELECT count(*) FROM cns_e1)
+        |    * (((SELECT sc FROM cns_ser) - 2)
+        |       * ((SELECT sc FROM cns_ser) - 3) // 2))::BIGINT
+        |UNION ALL SELECT 'edge2', 'both', count(*)::BIGINT FROM cns_e2
+        |UNION ALL SELECT 'cand3', 'stable', count(*)::BIGINT
+        |  FROM cns_cand3
+        |UNION ALL SELECT 'cand3', 'unrestricted',
+        |  ((SELECT count(*) FROM cns_e2)
+        |    * (((SELECT sc FROM cns_ser) - 2)
+        |       * ((SELECT sc FROM cns_ser) - 3)
+        |       * ((SELECT sc FROM cns_ser) - 4) // 6))::BIGINT
+        |UNION ALL SELECT 'edge3', 'both', count(*)::BIGINT
+        |  FROM pcs3_out WHERE edge3 = 1""".stripMargin,
 
     "q179_aqe_skew_join" ->
       """WITH ev AS (

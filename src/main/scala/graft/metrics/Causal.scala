@@ -1205,6 +1205,62 @@ object Causal {
       |  FROM pcs3_out),
       |""".stripMargin + pcOrientSqlCtes(meekRounds, "pcs3_sk")
 
+  /** Φ⁻¹ — the standard normal quantile by Acklam's rational
+    * approximation (|relative error| < 1.15e-9; the widely published
+    * public-domain algorithm). Driver-side doubles only: callers round
+    * the result into ONE integer threshold that both engines then share
+    * verbatim, so no floating point ever crosses the oracle boundary.
+    */
+  private def inverseNormalCdf(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"quantile out of range: $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** WIDTH-ADAPTIVE skeleton threshold: the τ²bp that Bonferroni-
+    * controls the familywise spurious-adjacency rate at `alphaPpm` over
+    * the m = C(p,2) order-0 tests a p-series panel runs. A fixed τ is
+    * the wrong constant under width growth — spurious order-0 survivors
+    * grow as P(|ρ̂| > τ)·C(p,2) (the q349 census makes the volume
+    * visible) — so the operator's knob is τ(p, n) =
+    * Φ⁻¹(1 − α/(2m))/√(n−1), using the null sd of the Spearman
+    * coefficient, sd(ρ_s) ≈ 1/√(n−1). Returned as ceil(τ²·10⁴) — ONE
+    * integer, computed once on the driver and shared verbatim by the
+    * Spark plan and the DuckDB oracle. Power is the documented price:
+    * at n = 200, p = 160 this lands at τ ≈ 0.33, which also prunes
+    * true edges whose partials sit near 0.2-0.3 — the q350 census pins
+    * both sides of that tradeoff as data.
+    */
+  def tauSqBpForWidth(p: Int, n: Long, alphaPpm: Long = 50000L): Long = {
+    require(p >= 2 && n > 1 && alphaPpm > 0 && alphaPpm < 1000000)
+    val m = p.toLong * (p - 1) / 2
+    val z = inverseNormalCdf(1.0 - alphaPpm / 1e6 / (2.0 * m))
+    math.ceil(z * z / (n - 1).toDouble * 10000.0).toLong
+  }
+
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation
     * decisions, then `meekRounds` unrolled rounds of the FULL Meek

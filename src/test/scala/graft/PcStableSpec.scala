@@ -279,6 +279,23 @@ class PcStableSpec extends AnyFunSuite {
     } finally pan.unpersist()
   }
 
+  test("width-adaptive threshold: Acklam quantile hits the textbook " +
+      "two-sided 5% value, tau grows with width and shrinks with " +
+      "sample size, and the q350 constant is the pinned 1071 bp") {
+    // p = 2 ⇒ m = 1 test ⇒ τ = Φ⁻¹(0.975)/√(n−1); z² = 3.8415 ⇒
+    // ceil(3.8415/99·1e4) = 389 bp at n = 100 — the textbook 1.96
+    val t2 = Causal.tauSqBpForWidth(2, 100)
+    assert(t2 == 389L, s"two-series 5% threshold: got $t2")
+    assert(Causal.tauSqBpForWidth(160, 200) == 1071L,
+      "q350's interpolated constant must not drift")
+    val widths = Seq(2, 8, 32, 128, 512).map(Causal.tauSqBpForWidth(_, 200))
+    assert(widths == widths.sorted && widths.distinct == widths,
+      s"tau² strictly grows with width: $widths")
+    val ns = Seq(50L, 100L, 200L, 400L).map(Causal.tauSqBpForWidth(32, _))
+    assert(ns == ns.sorted.reverse && ns.distinct == ns,
+      s"tau² strictly shrinks with n: $ns")
+  }
+
   test("restricting candidates to the adjacency can only KEEP edges: " +
       "stable edge and edge2 sets are supersets of the unrestricted " +
       "variant's on fully co-observed panels") {
@@ -300,6 +317,43 @@ class PcStableSpec extends AnyFunSuite {
         s"order-2: unrestricted kept ${e2u -- e2s} that stable dropped")
       assert(e2s.nonEmpty, "the chain panel keeps edges at order 2")
     } finally pan.unpersist()
+  }
+
+  test("the stable ladder composes with the multi-graph fold: two " +
+      "disjoint panels folded into one frame (prefixed series, shifted " +
+      "days) yield exactly the union of their per-panel order-3 " +
+      "results") {
+    import org.apache.spark.sql.DataFrame
+    // two structurally different graphs: a 3-block order-3 panel and a
+    // 12-series chain panel — if any candidate stage leaked across
+    // graphs (a crossJoin against the global diagonal would), the
+    // folded decisions would diverge from the per-panel ones
+    val pA = Bench.widePanel3(spark, 3, 120).localCheckpoint(true)
+    val pB = Bench.widePanel(spark, 12, 120).localCheckpoint(true)
+    try {
+      def fold(tag: String, shift: Long)(p: DataFrame): DataFrame =
+        p.select(concat(lit(tag), col("series")).as("series"),
+          (col("day") + shift).as("day"), col("v"))
+      val folded = fold("L_", 0)(pA).unionByName(fold("R_", 100000L)(pB))
+      def census(df: DataFrame, strip: String => Boolean)
+          : Map[(String, String), (Int, Int, Int)] =
+        Causal.pcSkeleton3Stable(df, 100L).collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getInt(6), r.getInt(8), r.getInt(10)))
+          .filter { case ((a, _), _) => strip(a) }.toMap
+      val got = census(folded, _ => true)
+      // no cross-graph pair may even have a row: disjoint days ⇒ no
+      // co-observed cross-moment ⇒ no pair row
+      assert(got.keys.forall { case (a, b) =>
+        a.take(2) == b.take(2) }, s"cross-graph pair rows exist: " +
+        s"${got.keys.filter { case (a, b) => a.take(2) != b.take(2) }}")
+      val wantA = census(pA, _ => true).map { case ((a, b), v) =>
+        (s"L_$a", s"L_$b") -> v }
+      val wantB = census(pB, _ => true).map { case ((a, b), v) =>
+        (s"R_$a", s"R_$b") -> v }
+      assert(got == wantA ++ wantB,
+        "folded stable decisions must equal the per-panel union")
+    } finally { pA.unpersist(); pB.unpersist() }
   }
 
   test("q347's pinned 4 Meek rounds reach the fixpoint on its actual " +
