@@ -475,6 +475,47 @@ object Bench {
       } { blk16.unpersist(); blk64.unpersist() }
     }
 
+    // Structural weight-recovery rung (q352's corpus fold at 10× the
+    // observations): the A1+A1C gaussian cell regenerated at nPoints =
+    // 50,000 — 18 folded graphs, ~5.6M panel rows — through ONE
+    // laggedCrossMoments pass (virtual-lag expansion + t-keyed shuffle
+    // self-join + map-side-combined moment aggregation; broadcastB =
+    // false, the cluster shape) and the broadcast Cramer stage. n = 5e4
+    // at milli quantization is the documented integer ceiling for the
+    // k=2 determinant products (|C| ≤ ~5e15 → 10⁶·C² ≈ 2.5e37 < 10³⁸),
+    // so this rung also pins the budget boundary the scaladoc claims.
+    val runWeightrec = only.forall(_.exists(_.startsWith("weightrec")))
+    if (runWeightrec) {
+      val cfgs = graft.core.Grid.all().filter(c =>
+        (c.family == "A1" || c.family == "A1C") && c.nPoints == 5000
+          && c.noiseType == "gaussian").map(_.copy(nPoints = 50000))
+      val wide = Generate.wideFast(spark, cfgs)
+        .select(Seq(col("configId"), col("t")) ++
+          (1 to 8).map(i => col(s"X$i")): _*)
+        .localCheckpoint(true)
+      val pan = (1 to 8).map(i =>
+        wide.where(col(s"X$i").isNotNull)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            (col("configId") * 65536L + col("t")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = cfgs.flatMap(c => SparkEntry.weightLinks(
+        c.configId.toString, c.family, c.nVars, c.maxLag))
+      section("weightrec") {
+        median3("weightrec_fold18_n50k") {
+          graft.metrics.Causal.structuralBetas(
+              graft.metrics.Causal.laggedCrossMoments(pan,
+                SparkEntry.weightSpecs(links),
+                expr("t % 65536 BETWEEN 4 AND 49999"),
+                broadcastB = false),
+              SparkEntry.weightLinksDf(spark, links))
+            .groupBy("family")
+            .agg(sum(abs(col("beta_ppm") - col("effective_ppm"))))
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { wide.unpersist() }
+    }
+
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
     // matches no query name but selects the generation stages alone — the
     // fresh-JVM profiling shape). Only tokens that themselves start with

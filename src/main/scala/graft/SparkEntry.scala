@@ -7436,6 +7436,268 @@ object SparkEntry {
           graft.metrics.Causal.tauSqBpForWidth(160, 200)))
     }),
 
+    // structural edge-WEIGHT recovery (the estimation step after
+    // discovery — the q332/q339 consumers stop at edge DECISIONS; the
+    // catalog declares coefficients, CausalLink.coef, that no prior
+    // query reads back from data): per-link OLS betas by Cramer's rule
+    // over centered lagged cross-moments (Causal.laggedCrossMoments +
+    // structuralBetas, all integer, bitwise vs the oracle), scored
+    // against BOTH the declared ppm truth and the EFFECTIVE one
+    // (Parser.effectiveLinks). The A1 6-var cell is chosen because it
+    // carries a 2-parent target (X4 ← X1@2 + X5@1 — the k=2 Cramer
+    // branch) AND a §2.4-2 dead link (X5→X6@0 declares 0.85 but the
+    // EqReverse kernel reads the zero cell): the estimator recovers
+    // every live coefficient to ~1% of scale and measures the dead
+    // link at ≈0 — quirk detection from generated bytes alone.
+    // Fact-scale cost: one lagged self-join + one moment aggregation.
+    "q351_struct_betas" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q351_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links), col("t").between(2, 4999))
+      graft.metrics.Causal.structuralBetas(mom, weightLinksDf(s, links))
+        .withColumn("r2_permille", expr(
+          """(1000 * sum(cast(beta_ppm as decimal(38,0)) * cjy)
+            |  over (partition by target))
+            |div (1000000 * cast(cyy as decimal(38,0)))""".stripMargin)
+          .cast("long"))
+        .select(col("target"), col("source"), col("lag"), col("beta_ppm"),
+          col("declared_ppm"), col("effective_ppm"),
+          abs(col("beta_ppm") - col("effective_ppm")).as("abs_err_ppm"),
+          col("r2_permille"))
+    }),
+
+    // weight-recovery CENSUS at corpus grain (q351's fold, the q340
+    // discipline): the full A1+A1C gaussian n=5000 cell — 18 configs,
+    // 3 widths × 3 lags × {unconfounded, U-confounded} — generated,
+    // folded into series AND day keys, and pushed through ONE
+    // laggedCrossMoments pass (shuffle join, broadcastB=false: the
+    // megarow fold must take the cluster shape) + ONE Cramer stage.
+    // Scored per config vs the EFFECTIVE truth: the dead-contemporaneous
+    // cells (A1 widths 6/8) recover their live links and measure their
+    // dead ones at ≈0 (n_dead counts them); A1C's U confounder is WHITE
+    // and contemporaneous-only, so it inflates residuals without biasing
+    // any lagged or toposort-resolved coefficient — mean_abs_err stays
+    // at quantization grain across all 18 graphs, and that claim is the
+    // hash-checked row, not a comment. At 100k configs nothing here
+    // widens: moments stay |specs|² per config, the fold is one scan.
+    "q352_weight_recovery_census" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "A1" || c.family == "A1C") && c.nPoints == 5000
+          && c.noiseType == "gaussian")
+      val gen = dumpGen(s, "q352_gen",
+        Generate.wideFast(s, cfgs)
+          .select(Seq(col("configId"), col("t")) ++
+            (1 to 8).map(i => col(s"X$i")): _*))
+      val panel = (1 to 8).map(i =>
+        gen.where(col(s"X$i").isNotNull)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            (col("configId") * 8192 + col("t")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links),
+        expr("t % 8192 BETWEEN 4 AND 4999"), broadcastB = false)
+      graft.metrics.Causal.structuralBetas(mom, weightLinksDf(s, links))
+        .groupBy("family", "n_vars", "max_lag")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("effective_ppm") === 0, 1L).otherwise(0L))
+            .as("n_dead"),
+          expr("sum(abs(beta_ppm - effective_ppm)) div count(1)")
+            .as("mean_abs_err_ppm"),
+          max(abs(col("beta_ppm") - col("effective_ppm")))
+            .as("max_abs_err_ppm"))
+    }),
+
+    // default-vs-STRICT kernel contrast through the estimator (closing
+    // the q345 arc: the strict kernel's digest is oracle-gated, but no
+    // query showed strict mode CHANGING an inference): the same A1
+    // 6-var cell generated both ways, both panels through the same
+    // moment+Cramer machinery, one row per link with both betas side by
+    // side. The dead X5→X6 link reads β≈0 under the default kernel and
+    // β≈850000 ppm under strict — the §2.4-2 quirk and its §2.4 fix,
+    // pinned as data. All other links agree across kernels (X6 feeds
+    // nothing downstream in this cell, so only its own row moves).
+    "q353_strict_recovery_contrast" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val links = weightLinks("", "A1", 6, 2)
+      def betasFrom(dump: String, strict: Boolean): DataFrame = {
+        val gen = dumpGen(s, dump,
+          Generate.wideFast(s, Seq(cfg), strict = strict)
+            .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+        val panel = (1 to 6).map(i =>
+          gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+          .reduce(_ unionByName _)
+        graft.metrics.Causal.structuralBetas(
+          graft.metrics.Causal.laggedCrossMoments(
+            panel, weightSpecs(links), col("t").between(2, 4999)),
+          weightLinksDf(s, links))
+      }
+      betasFrom("q353_gen_default", strict = false)
+        .select(col("target"), col("source"), col("lag"),
+          col("declared_ppm"), col("effective_ppm"),
+          col("beta_ppm").as("beta_default_ppm"))
+        .join(betasFrom("q353_gen_strict", strict = true)
+            .select(col("target"), col("source"), col("lag"),
+              col("beta_ppm").as("beta_strict_ppm")),
+          Seq("target", "source", "lag"))
+    }),
+
+    // NOISE-SCALE recovery (the third leg of full model recovery:
+    // structure — the PC suite; weights — q351; this reads back the
+    // generator's declared noise amplitude): per target, the exact
+    // integer residual variance σ̂² = (10⁶·C_yy − Σβ_ppm·C_jy) div
+    // (10⁶·n²) in milli² units — the grid's gaussian noiseScale 0.1
+    // means every target's truth is EXACTLY 10⁴ (population-n²
+    // normalization; the k≤2 dof correction is <0.1% at n=4998, inside
+    // quantization grain), and the per-target R² alongside gives the
+    // full variance decomposition: upstream-signal share vs noise
+    // floor. X6's row is the quirk read a third way — its declared
+    // 0.85 parent contributes nothing, so r2≈0 while σ̂² still lands
+    // on 10⁴ (the dead link leaves pure noise, not excess variance).
+    "q354_noise_recovery" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q354_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links), col("t").between(2, 4999))
+      graft.metrics.Causal.structuralBetas(mom, weightLinksDf(s, links))
+        .groupBy("target")
+        .agg(count(lit(1)).as("n_parents"),
+          expr("""(1000 * sum(cast(beta_ppm as decimal(38,0)) * cjy))
+                 |div (1000000 * max(cast(cyy as decimal(38,0))))"""
+            .stripMargin).cast("long").as("r2_permille"),
+          expr("""(1000000 * max(cast(cyy as decimal(38,0)))
+                 |  - sum(cast(beta_ppm as decimal(38,0)) * cjy))
+                 |div (1000000 * max(cast(n as decimal(38,0))) * max(n))"""
+            .stripMargin).cast("long").as("sigma2_v"))
+        .withColumn("sigma2_truth_v", lit(10000L))
+        .withColumn("sigma2_err_v",
+          abs(col("sigma2_v") - col("sigma2_truth_v")))
+    }),
+
+    // NONLINEAR-term weight recovery (the B-family extension of q351:
+    // B1's equations are c·x² − c'·x³ + e, and the §2.4-1 quirk — the
+    // '+'-split extractor silently drops the minus-signed cubic — is a
+    // COEFFICIENT fact this estimator reads straight off the data): the
+    // regressors are power-transformed virtual series (X1² / X1³ at the
+    // link lag — same double-then-floor quantization contract both
+    // engines share bitwise), so the SAME k=2 Cramer machinery fits the
+    // quadratic and cubic terms jointly. x² is even and x³ odd in a
+    // near-symmetric series, so the two regressors separate cleanly.
+    // One row per strict term with BOTH kernels' betas: default reads
+    // β₂ ≈ declared quadratic / β₃ ≈ 0 (the dropped cubic, measured —
+    // and the first NEGATIVE-beta surface for the signed-div parity);
+    // strict reads β₃ ≈ the declared negative cubic. Dataset is the
+    // grid cell SENSITIVITY-BOOSTED (the q348 purpose-built-dataset
+    // precedent): at the catalog's σ=0.1 the power terms are
+    // statistically invisible (std(x³)≈0.004 → se(β₃)≈0.4 at any grid
+    // n — measured, double-OLS agrees with the integer pipeline to
+    // 1e-3), so the probe regenerates the SAME equations at σ=0.3 and
+    // n=50,000 where se(β₃)≈0.013 — the quirk becomes a 4-15σ read.
+    "q355_power_recovery_contrast" -> ((s, d) => {
+      val cfg = Grid.forFamily("B1").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+        .copy(nPoints = 50000, noiseScale = 0.3)
+      def betasFrom(dump: String, strict: Boolean): DataFrame = {
+        val gen = dumpGen(s, dump,
+          Generate.wideFast(s, Seq(cfg), strict = strict)
+            .select(col("t") +: (1 to 4).map(i => col(s"X$i")): _*))
+        val panel = (1 to 4).flatMap(i => Seq(
+            gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+              floor(col(s"X$i") * 1000).cast("long").as("v")),
+            gen.select(lit(s"X${i}p2").as("series"), col("t").as("day"),
+              floor(col(s"X$i") * col(s"X$i") * 1000).cast("long")
+                .as("v")),
+            gen.select(lit(s"X${i}p3").as("series"), col("t").as("day"),
+              floor(col(s"X$i") * col(s"X$i") * col(s"X$i") * 1000)
+                .cast("long").as("v"))))
+          .reduce(_ unionByName _)
+        graft.metrics.Causal.structuralBetas(
+          graft.metrics.Causal.laggedCrossMoments(panel, b1PowerSpecs(),
+            col("t").between(2, 49999)),
+          b1PowerLinksDf(s))
+      }
+      betasFrom("q355_gen_default", strict = false)
+        .select(col("target"), col("source"), col("lag"), col("pow"),
+          col("declared_ppm"), col("effective_ppm"),
+          col("beta_ppm").as("beta_default_ppm"))
+        .join(betasFrom("q355_gen_strict", strict = true)
+            .select(col("target"), col("source"), col("lag"), col("pow"),
+              col("beta_ppm").as("beta_strict_ppm")),
+          Seq("target", "source", "lag", "pow"))
+    }),
+
+    // weight recovery under IRREGULAR sampling (the A2 member of the
+    // recovery suite — and a semantic trap made into a test: A2's
+    // kernel resolves lags by NEAREST-index-to-(t_now − k·meanDiff)
+    // over past rows, a2.py:162-167, NOT by as-of/backward lookup, so
+    // an estimator aligned any other way is misspecified by
+    // construction). The design matrix is built with the generator's
+    // own rule — Lagged.nearestLagIndexView at lagMult 1 and 2, q314's
+    // operator — feeding the SAME moment+Cramer machinery through the
+    // virtualCrossMoments split (the grangerSumsFromLagged discipline).
+    // All four links recover their declared coefficients; the two
+    // contemporaneous ones need no alignment at all and pin that the
+    // lag-0 path is untouched by the irregular clock.
+    "q356_weight_recovery_irregular" -> ((s, d) => {
+      val cfg = Grid.forFamily("A2").find(c =>
+        c.nPoints == 5000 && c.nVars == 4 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q356_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: col("time") +:
+            (1 to 4).map(i => col(s"X$i")): _*))
+      val pan = (1 to 4).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val spine = gen.select(col("t"), col("time"))
+      val virtTargets = pan.select(
+        concat(col("series"), lit("@0")).as("vs"), col("t"), col("v"))
+      val virtLags = Seq(1, 2).map { k =>
+        // snap the union+sort alignment lineage (q314's rationale)
+        val lx = graft.ops.Lagged.nearestLagIndexView(
+          spine, "t", "time", lagMult = k).localCheckpoint(false)
+        lx.join(broadcast(pan.select(col("series"),
+            col("t").as("lag_idx"), col("v"))), Seq("lag_idx"))
+          .select(concat(col("series"), lit(s"@$k")).as("vs"), col("t"),
+            col("v"))
+      }
+      val virt = (virtTargets +: virtLags).reduce(_ unionByName _)
+      val links = weightLinks("", "A2", 4, 2)
+      graft.metrics.Causal.structuralBetas(
+          graft.metrics.Causal.virtualCrossMoments(virt,
+            col("t").between(2, 4999)),
+          weightLinksDf(s, links))
+        .select(col("target"), col("source"), col("lag"), col("beta_ppm"),
+          col("declared_ppm"), col("effective_ppm"),
+          abs(col("beta_ppm") - col("effective_ppm")).as("abs_err_ppm"))
+    }),
+
     // one-way ANOVA across the event-type series (the k-group member of
     // the two-sample test family q280/q156): between/within sums of
     // squares from per-group integer moments — B = Σ_g (S_g·N − S·n_g)²
@@ -7814,6 +8076,130 @@ object SparkEntry {
     * the PC capstones observe only the X panel (q329's point: the hidden
     * confounder's footprint shows in `edge` against truth_adj = 0 rows).
     */
+  /** One X-parent link row for the structural-OLS queries (q351-q353):
+    * `g` is the fold prefix ("" single-graph, configId for q352's
+    * corpus fold), `y`/`x`/`sib` the virtual lagged-series names
+    * Causal.structuralBetas joins on (sib = the target's OTHER X parent,
+    * None for single-parent targets), and the two ppm truths — declared
+    * (CausalLink.coef) and effective (Parser.effectiveLinks, §2.4-2 dead
+    * contemporaneous links zeroed). ONE driver-side list feeds BOTH the
+    * Spark frame (weightLinksDf) and the oracle's VALUES rendering
+    * (weightLinksValuesSql), so the two engines share the spec by
+    * construction.
+    */
+  private[graft] final case class WeightLink(g: String, family: String,
+      nVars: Int, maxLag: Int, target: String, source: String, lag: Int,
+      y: String, x: String, sib: Option[String],
+      declaredPpm: Long, effectivePpm: Long)
+
+  private[graft] def weightLinks(g: String, family: String, nVars: Int,
+      maxLag: Int): Seq[WeightLink] = {
+    val declared = graft.core.Parser.truthLinks(family, nVars, maxLag)
+      .filter(_.source != "U")
+    val effective = graft.core.Parser.effectiveLinks(family, nVars, maxLag)
+      .filter(_.source != "U")
+      .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
+    val pre = if (g.isEmpty) "" else s"$g|"
+    val byTarget = declared.groupBy(_.target)
+    declared.map { l =>
+      val sibs = byTarget(l.target)
+        .filterNot(o => o.source == l.source && o.lag == l.lag)
+      require(sibs.size <= 1,
+        s"structuralBetas is Cramer k<=2: ${l.target} has " +
+          s"${sibs.size + 1} X parents in $family/$nVars/$maxLag")
+      WeightLink(g, family, nVars, maxLag, l.target, l.source, l.lag,
+        s"$pre${l.target}@0", s"$pre${l.source}@${l.lag}",
+        sibs.headOption.map(o => s"$pre${o.source}@${o.lag}"),
+        math.round(l.coef * 1e6),
+        math.round(effective((l.source, l.lag, l.target)) * 1e6))
+    }
+  }
+
+  /** B1 power-term link rows (q355): one row per STRICT equation term of
+    * the B1 4-var lag-2 cell — regressors are POWER-TRANSFORMED virtual
+    * series ("X1p2@2" = X1² lagged 2), so the same k=2 Cramer machinery
+    * estimates nonlinear-term weights. declared = the strict coefficient
+    * (cubic terms NEGATIVE — b1 equations are c·x² − c'·x³ + e);
+    * effective = what the COMPAT kernel actually applies (§2.4-1: the
+    * '+'-split extractor keeps only the quadratic, so pow-3 terms carry
+    * effective 0). Columns mirror weightLinksDf plus `pow`.
+    */
+  private def b1PowerLinks(): Seq[(String, String, Int, Int, String,
+      String, String, Long, Long)] = {
+    val strict = graft.core.Parser.strictLinks("B1", 4, 2)
+    val compat = graft.core.Parser.truthLinks("B1", 4, 2)
+      .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
+    val byTarget = strict.groupBy(_.target)
+    def vn(o: graft.core.Parser.StrictLink) =
+      s"${o.source}p${o.power}@${o.lag}"
+    strict.map { sl =>
+      val sibs = byTarget(sl.target).filterNot(_ == sl)
+      require(sibs.size == 1,
+        s"b1PowerLinks expects 2 terms per target, got ${sibs.size + 1}")
+      (sl.target, sl.source, sl.lag, sl.power, s"${sl.target}@0",
+        vn(sl), vn(sibs.head), math.round(sl.coef * 1e6),
+        if (sl.power == 2)
+          math.round(compat((sl.source, sl.lag, sl.target)) * 1e6)
+        else 0L)
+    }
+  }
+
+  private def b1PowerLinksDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    b1PowerLinks().toDF("target", "source", "lag", "pow", "y", "x", "sib",
+      "declared_ppm", "effective_ppm")
+  }
+
+  private def b1PowerLinksValuesSql(): String =
+    "(VALUES " + b1PowerLinks().map { case (t, src, lag, pow, y, x, sib,
+        dp, ep) =>
+      s"('$t','$src',$lag,$pow,'$y','$x','$sib',$dp,$ep)"
+    }.mkString(",\n    ") +
+      ") AS l(target, source, lag, pow, y, x, sib, declared_ppm," +
+      " effective_ppm)"
+
+  /** Specs + panel columns for q355: targets linear at lag 0, regressors
+    * as power-transformed series at their link lags.
+    */
+  private def b1PowerSpecs(): Seq[(String, Int)] =
+    b1PowerLinks().flatMap { l =>
+      Seq((l._1, 0), (l._6.split("@")(0), l._3))
+    }.distinct
+
+  /** The (series, lag) virtual-series specs a link list needs: every
+    * target at lag 0 plus every parent at its link lag, fold-prefixed.
+    */
+  private[graft] def weightSpecs(links: Seq[WeightLink]): Seq[(String, Int)] =
+    links.flatMap { l =>
+      val pre = if (l.g.isEmpty) "" else s"${l.g}|"
+      Seq((s"$pre${l.target}", 0), (s"$pre${l.source}", l.lag))
+    }.distinct
+
+  private[graft] def weightLinksDf(s: SparkSession,
+      links: Seq[WeightLink]): DataFrame = {
+    import s.implicits._
+    links.map(l => (l.g, l.family, l.nVars, l.maxLag, l.target, l.source,
+        l.lag, l.y, l.x, l.sib, l.declaredPpm, l.effectivePpm))
+      .toDF("g", "family", "n_vars", "max_lag", "target", "source", "lag",
+        "y", "x", "sib", "declared_ppm", "effective_ppm")
+  }
+
+  /** The same links as a DuckDB VALUES CTE body (alias column names match
+    * weightLinksDf exactly — structuralBetasSqlCtes passes l.* through).
+    */
+  private def weightLinksValuesSql(links: Seq[WeightLink]): String =
+    "(VALUES " + links.map(l =>
+      s"('${l.g}','${l.family}',${l.nVars},${l.maxLag},'${l.target}'," +
+        s"'${l.source}',${l.lag},'${l.y}','${l.x}'," +
+        l.sib.map(x => s"'$x'").getOrElse("NULL::VARCHAR") +
+        s",${l.declaredPpm},${l.effectivePpm})").mkString(",\n    ") +
+      ") AS l(g, family, n_vars, max_lag, target, source, lag, y, x," +
+      " sib, declared_ppm, effective_ppm)"
+
+  private def weightSpecsValuesSql(links: Seq[WeightLink]): String =
+    "(VALUES " + weightSpecs(links).map { case (series, lag) =>
+      s"('$series',$lag)" }.mkString(",\n    ") + ") AS s(series, lag)"
+
   private def pcTruthCase(family: String, nVars: Int = 4): String = {
     val pairs = graft.core.Parser.truthLinks(family, nVars, 2)
       .filter(l => l.source != "U" && l.target != "U")
@@ -10198,6 +10584,185 @@ object SparkEntry {
         |       * ((SELECT sc FROM cns_ser) - 4) // 6))::BIGINT
         |UNION ALL SELECT 'edge3', 'both', count(*)::BIGINT
         |  FROM pcs3_out WHERE edge3 = 1""".stripMargin,
+
+    "q351_struct_betas" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q351_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT FROM gen")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 2 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT target, source, lag::INT AS lag, beta_ppm,
+        |  declared_ppm::BIGINT AS declared_ppm,
+        |  effective_ppm::BIGINT AS effective_ppm,
+        |  abs(beta_ppm - effective_ppm)::BIGINT AS abs_err_ppm,
+        |  ((1000 * sum(beta_ppm::HUGEINT * cjy) OVER (PARTITION BY target))
+        |    // (1000000 * cyy::HUGEINT))::BIGINT AS r2_permille
+        |FROM sbeta""".stripMargin
+    },
+
+    "q352_weight_recovery_census" -> {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "A1" || c.family == "A1C") && c.nPoints == 5000
+          && c.noiseType == "gaussian")
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q352_gen/*.parquet')),
+        |panel AS (
+        |  SELECT configId::VARCHAR || '|X1' AS series,
+        |    configId * 8192 + t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen WHERE X1 IS NOT NULL
+        |${(2 to 8).map(i =>
+             s"  UNION ALL SELECT configId::VARCHAR || '|X$i', " +
+               s"configId * 8192 + t, floor(X$i * 1000)::BIGINT " +
+               s"FROM gen WHERE X$i IS NOT NULL").mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t % 8192 BETWEEN 4 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT family, n_vars::INT AS n_vars, max_lag::INT AS max_lag,
+        |  count(*)::BIGINT AS n_links,
+        |  sum(CASE WHEN effective_ppm = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dead,
+        |  (sum(abs(beta_ppm - effective_ppm)) // count(*))::BIGINT
+        |    AS mean_abs_err_ppm,
+        |  max(abs(beta_ppm - effective_ppm))::BIGINT AS max_abs_err_ppm
+        |FROM sbeta GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q353_strict_recovery_contrast" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      def chain(dump: String, sfx: String): String =
+        s"""gen$sfx AS (
+          |  SELECT * FROM read_parquet('__GEN_DIR__/$dump/*.parquet')),
+          |panel$sfx AS (
+          |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+          |  FROM gen$sfx
+          |${(2 to 6).map(i =>
+               s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT " +
+                 s"FROM gen$sfx").mkString("\n")}),
+          |${graft.metrics.Causal.structuralMomentsSqlCtes(
+               s"panel$sfx", "specs", "t BETWEEN 2 AND 4999", sfx)},
+          |${graft.metrics.Causal.structuralBetasSqlCtes("links", sfx)}"""
+          .stripMargin
+      s"""WITH specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${chain("q353_gen_default", "d")},
+        |${chain("q353_gen_strict", "s")}
+        |SELECT bd.target, bd.source, bd.lag::INT AS lag,
+        |  bd.declared_ppm::BIGINT AS declared_ppm,
+        |  bd.effective_ppm::BIGINT AS effective_ppm,
+        |  bd.beta_ppm AS beta_default_ppm, bs.beta_ppm AS beta_strict_ppm
+        |FROM sbetad bd JOIN sbetas bs ON bs.target = bd.target
+        |  AND bs.source = bd.source AND bs.lag = bd.lag""".stripMargin
+    },
+
+    "q354_noise_recovery" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q354_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT FROM gen")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 2 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT target, count(*)::BIGINT AS n_parents,
+        |  ((1000 * sum(beta_ppm::HUGEINT * cjy))
+        |    // (1000000 * max(cyy::HUGEINT)))::BIGINT AS r2_permille,
+        |  ((1000000 * max(cyy::HUGEINT)
+        |      - sum(beta_ppm::HUGEINT * cjy))
+        |    // (1000000 * max(n::HUGEINT) * max(n)))::BIGINT AS sigma2_v,
+        |  10000::BIGINT AS sigma2_truth_v,
+        |  abs(((1000000 * max(cyy::HUGEINT)
+        |      - sum(beta_ppm::HUGEINT * cjy))
+        |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
+        |    AS sigma2_err_v
+        |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q355_power_recovery_contrast" -> {
+      def chain(dump: String, sfx: String): String = {
+        val unions = (1 to 4).flatMap(i => Seq(
+          s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT " +
+            s"FROM gen$sfx",
+          s"  UNION ALL SELECT 'X${i}p2', t, " +
+            s"floor(X$i * X$i * 1000)::BIGINT FROM gen$sfx",
+          s"  UNION ALL SELECT 'X${i}p3', t, " +
+            s"floor(X$i * X$i * X$i * 1000)::BIGINT FROM gen$sfx"))
+          .drop(1).mkString("\n")
+        s"""gen$sfx AS (
+          |  SELECT * FROM read_parquet('__GEN_DIR__/$dump/*.parquet')),
+          |panel$sfx AS (
+          |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+          |  FROM gen$sfx
+          |$unions),
+          |${graft.metrics.Causal.structuralMomentsSqlCtes(
+               s"panel$sfx", "specs", "t BETWEEN 2 AND 49999", sfx)},
+          |${graft.metrics.Causal.structuralBetasSqlCtes("links", sfx)}"""
+          .stripMargin
+      }
+      s"""WITH specs AS (SELECT * FROM ${
+             "(VALUES " + b1PowerSpecs().map { case (series, lag) =>
+               s"('$series',$lag)" }.mkString(",\n    ") +
+               ") AS s(series, lag)"}),
+        |links AS (SELECT * FROM ${b1PowerLinksValuesSql()}),
+        |${chain("q355_gen_default", "d")},
+        |${chain("q355_gen_strict", "s")}
+        |SELECT bd.target, bd.source, bd.lag::INT AS lag,
+        |  bd.pow::INT AS pow,
+        |  bd.declared_ppm::BIGINT AS declared_ppm,
+        |  bd.effective_ppm::BIGINT AS effective_ppm,
+        |  bd.beta_ppm AS beta_default_ppm, bs.beta_ppm AS beta_strict_ppm
+        |FROM sbetad bd JOIN sbetas bs ON bs.target = bd.target
+        |  AND bs.source = bd.source AND bs.lag = bd.lag
+        |  AND bs.pow = bd.pow""".stripMargin
+    },
+
+    "q356_weight_recovery_irregular" -> {
+      val links = weightLinks("", "A2", 4, 2)
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q356_gen/*.parquet')),
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("gen", "\"time\"",
+             lagMult = 1, sfx = "1")},
+        |${graft.ops.Lagged.nearestLagIndexSqlCtes("gen", "\"time\"",
+             lagMult = 2, sfx = "2")},
+        |pan AS (
+        |  SELECT 'X1' AS series, t, floor(X1 * 1000)::BIGINT AS v FROM gen
+        |  UNION ALL SELECT 'X2', t, floor(X2 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X3', t, floor(X3 * 1000)::BIGINT FROM gen
+        |  UNION ALL SELECT 'X4', t, floor(X4 * 1000)::BIGINT FROM gen),
+        |virt AS (
+        |  SELECT series || '@0' AS vs, t, v FROM pan
+        |  UNION ALL SELECT p.series || '@1', l.t, p.v
+        |    FROM lx1 l JOIN pan p ON p.t = l.lag_idx
+        |  UNION ALL SELECT p.series || '@2', l.t, p.v
+        |    FROM lx2 l JOIN pan p ON p.t = l.lag_idx),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t BETWEEN 2 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT target, source, lag::INT AS lag, beta_ppm,
+        |  declared_ppm::BIGINT AS declared_ppm,
+        |  effective_ppm::BIGINT AS effective_ppm,
+        |  abs(beta_ppm - effective_ppm)::BIGINT AS abs_err_ppm
+        |FROM sbeta""".stripMargin
+    },
 
     "q179_aqe_skew_join" ->
       """WITH ev AS (

@@ -65,6 +65,54 @@ object Parser {
 
   private def name(s: String): String = if (s.forall(_.isDigit)) s"X$s" else s
 
+  /** EFFECTIVE link coefficients under the DEFAULT (quirk-preserving)
+    * kernel — [[truthLinks]] with the coefficient zeroed for links whose
+    * dependency term evaluates against a not-yet-computed X[t] cell
+    * (SURVEY §2.4-2, the "zero-valued contemporaneous links"):
+    *
+    *  - EqReverse / LinkReverse (a1.py:147-192, b2.py:109-132): evaluation
+    *    walks var indices v-1..0, so a lag-0 dep on a LOWER-indexed X
+    *    source reads the zero-initialized cell → effective coef 0.0.
+    *  - ListOrder (c1.py:196-222, d3c.py:333-363): equation-list order, so
+    *    a lag-0 dep on an X source whose equation appears LATER in the
+    *    list reads zero.
+    *  - LinkPrePass (a2.py:169-201): exogenous (non-target) vars are
+    *    assigned in the pre-pass, so lag-0 deps on them are live at any
+    *    index; the target loop then runs in reverse index order, so a
+    *    lag-0 dep on a lower-indexed fellow TARGET reads zero (and the
+    *    value-≠0 rule skips that target's noise too — its series is
+    *    constant 0 when the dead dep was its only term).
+    *  - ToposortRetry resolves contemporaneous parents before use;
+    *    TwoPassShadow's quirk is value-level (D1 shadowing), not a
+    *    link-coefficient change — both return the declared links.
+    *
+    * U links are never zeroed (U is drawn before the X loop in every
+    * strategy). Strict mode (§2.4's corrected kernel) restores the
+    * declared value — the q353 default-vs-strict estimator contrast pins
+    * exactly this difference from generated data alone.
+    */
+  def effectiveLinks(family: String, nVars: Int, maxLag: Int): Vector[CausalLink] = {
+    val base = truthLinks(family, nVars, maxLag)
+    val prog = compileGen(family, nVars, maxLag)
+    def deadIdxOrder(l: CausalLink): Boolean =
+      l.lag == 0 && l.source != "U" && varIdx(l.source) < varIdx(l.target)
+    def deadListOrder(l: CausalLink): Boolean = {
+      def pos(v: String): Int = prog.eqs.indexWhere(_.targetName == v)
+      l.lag == 0 && l.source != "U" && pos(l.source) > pos(l.target)
+    }
+    prog.strategy match {
+      case Strategy.EqReverse | Strategy.LinkReverse =>
+        base.map(l => if (deadIdxOrder(l)) l.copy(coef = 0.0) else l)
+      case Strategy.ListOrder =>
+        base.map(l => if (deadListOrder(l)) l.copy(coef = 0.0) else l)
+      case Strategy.LinkPrePass =>
+        base.map(l => if (deadIdxOrder(l) &&
+          prog.linkTargets.contains(varIdx(l.source)))
+          l.copy(coef = 0.0) else l)
+      case _ => base
+    }
+  }
+
   /** a1.py:214-235 / a1c.py:278-301: (src, -lag, target) -> coef. */
   private def aStyle(eqs: Vector[String], allowU: Boolean): Vector[RawLink] = {
     val links = mutable.LinkedHashMap.empty[Vector[String], Double]

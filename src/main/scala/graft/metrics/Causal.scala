@@ -1738,4 +1738,177 @@ object Causal {
                |then 1 else 0 end""".stripMargin).cast("int")
           .as("groups_differ"))
   }
+
+  // ---------------------------------------------------------------------
+  // Structural edge-WEIGHT recovery (OLS on a declared/discovered parent
+  // set): the estimation step a consumer runs AFTER discovery. The PC /
+  // Granger operators above decide WHICH edges exist; these recover HOW
+  // STRONG each edge is, exactly — per-link OLS coefficients via Cramer's
+  // rule over centered lagged cross-moments, all integer, so the betas
+  // hash bitwise against the DuckDB oracle and can be scored against the
+  // catalog's declared coefficients (CausalLink.coef) and the kernel's
+  // EFFECTIVE ones (Parser.effectiveLinks — §2.4-2 dead links read 0).
+  // ---------------------------------------------------------------------
+
+  /** Centered cross-moments between VIRTUAL LAGGED SERIES of an aligned
+    * integer panel (series, day, v). `specs` enumerates the virtual
+    * series as (series, lag) pairs: each becomes a row stream named
+    * `series@lag` positioned at t = day + lag (so its value is the
+    * series lagged by `lag` as seen from t). `windowPred` is a predicate
+    * over column `t` selecting the COMMON regression window — pass
+    * t BETWEEN lMax AND n-1 for a 0-based regular clock (and the
+    * mod-K variant for q340-style folded panels) so every pair shares
+    * one n and the moment matrix stays Cramer-consistent; lags in specs
+    * must not exceed the window's lower bound or pairs lose rows.
+    *
+    * Output: (na, nb, n, c) with na ≤ nb (binary string order, both
+    * engines), c = n·Σab − Σa·Σb exact in LONG (|v| ≤ 1e3, n ≤ 1e5 keeps
+    * |c| ≤ ~2·n²·v² ≈ 2e16). One fact-scale equi-join on t — broadcast
+    * the build side for single-graph panels (`broadcastB`, default),
+    * shuffle for folded megarow panels (pass false: the cluster shape).
+    * Mirrored by [[structuralMomentsSqlCtes]].
+    */
+  def laggedCrossMoments(panel: DataFrame, specs: Seq[(String, Int)],
+      windowPred: Column, broadcastB: Boolean = true): DataFrame = {
+    require(specs.nonEmpty, "specs must be non-empty")
+    val spark = panel.sparkSession
+    import spark.implicits._
+    val specDf = specs.distinct.toDF("series", "lag")
+    val v = panel.join(broadcast(specDf), Seq("series"))
+      .select(concat(col("series"), lit("@"), col("lag")).as("vs"),
+        (col("day") + col("lag")).as("t"), col("v"))
+    virtualCrossMoments(v, windowPred, broadcastB)
+  }
+
+  /** The self-join + moment-aggregation core of [[laggedCrossMoments]]
+    * over a PREBUILT virtual frame (vs, t, v) — the irregular-clock path
+    * (q356) supplies its own nearest-lag alignment (the generator's own
+    * rule, Lagged.nearestLagIndexView) instead of the regular-clock
+    * index shift, exactly as grangerSumsFromLagged splits from
+    * grangerSums. Same output and knobs. Mirrored by
+    * [[structuralMomentsFromVirtualSqlCtes]].
+    */
+  def virtualCrossMoments(virt: DataFrame, windowPred: Column,
+      broadcastB: Boolean = true): DataFrame = {
+    val v = virt.where(windowPred)
+    val a = v.select(col("vs").as("na"), col("t"), col("v").as("va"))
+    val b0 = v.select(col("vs").as("nb"), col("t"), col("v").as("vb"))
+    val b = if (broadcastB) broadcast(b0) else b0
+    a.join(b, Seq("t")).where(col("na") <= col("nb"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("va").cast("decimal(38,0)")).as("sa"),
+        sum(col("vb").cast("decimal(38,0)")).as("sb"),
+        sum((col("va") * col("vb")).cast("decimal(38,0)")).as("sab"))
+      .select(col("na"), col("nb"), col("n").cast("long").as("n"),
+        expr("n*sab - sa*sb").cast("long").as("c"))
+  }
+
+  /** Per-link OLS coefficients by Cramer's rule (k ≤ 2 regressors) over a
+    * [[laggedCrossMoments]] frame. `links` rows carry virtual names:
+    * `y` (the target at lag 0), `x` (this link's regressor), `sib` (the
+    * target's OTHER regressor, NULL for single-parent targets — the k=1
+    * simple-regression branch). Every extra column of `links` passes
+    * through. Appended columns: the six centered moments and
+    *
+    *   beta_ppm = 10⁶ · (C_ss·C_jy − C_js·C_sy) div (C_jj·C_ss − C_js²)
+    *   (k=2; the k=1 branch is 10⁶·C_jy div C_jj) — exact truncating
+    *   division, identical on both engines for either sign.
+    *
+    * The moments frame is post-aggregation tiny (|specs|² rows), so all
+    * six lookups broadcast. Integer budget: the k=2 numerator is
+    * 10⁶·C·C, so |C| ≤ ~5·10¹⁵ — n ≤ ~5·10⁴ observations per graph at
+    * milli quantization — keeps every product inside DECIMAL(38,0)/
+    * HUGEINT (the weightrec bench rung runs exactly at that boundary).
+    * Mirrored by [[structuralBetasSqlCtes]].
+    */
+  def structuralBetas(moments: DataFrame, links: DataFrame): DataFrame = {
+    val m = moments.select("na", "nb", "n", "c")
+    def look(df: DataFrame, k1: String, k2: String, out: String,
+        withN: Boolean = false): DataFrame = {
+      val cols = (if (withN) Seq(col("n")) else Nil) :+ col("c").as(out)
+      df.join(broadcast(m.select(col("na") +: col("nb") +: cols: _*)),
+        least(col(k1), col(k2)) === col("na") &&
+          greatest(col(k1), col(k2)) === col("nb"), "left")
+        .drop("na", "nb")
+    }
+    // the y-diagonal lookup also carries the window size n (all pairs
+    // share it by the common-window contract) — the noise-variance
+    // consumer (q354) normalizes RSS by n² without a second moment read
+    val j = look(look(look(look(look(look(links,
+      "y", "y", "cyy", withN = true), "x", "x", "cjj"), "x", "y", "cjy"),
+      "sib", "sib", "css"), "x", "sib", "cjs"), "sib", "y", "csy")
+    j.withColumn("beta_ppm", expr(
+      """case when sib is null then
+        |  case when cjj = 0 then 0
+        |    else (1000000 * cast(cjy as decimal(38,0))) div cjj end
+        |else
+        |  case when cast(cjj as decimal(38,0))*css
+        |      - cast(cjs as decimal(38,0))*cjs = 0 then 0
+        |  else (1000000 * (cast(css as decimal(38,0))*cjy
+        |      - cast(cjs as decimal(38,0))*csy))
+        |    div (cast(cjj as decimal(38,0))*css
+        |      - cast(cjs as decimal(38,0))*cjs) end
+        |end""".stripMargin).cast("long"))
+  }
+
+  /** [[laggedCrossMoments]] as ANSI SQL: CTEs `sv$sfx`/`smc$sfx` over
+    * `\$panel(series, day, v)` and `\$specs(series, lag)`.
+    * `windowPredSql` is the same predicate over column `t`.
+    */
+  def structuralMomentsSqlCtes(panel: String, specs: String,
+      windowPredSql: String, sfx: String = ""): String =
+    s"""sv$sfx AS (
+       |  SELECT p.series || '@' || s.lag::VARCHAR AS vs,
+       |    p.day + s.lag AS t, p.v
+       |  FROM $panel p JOIN $specs s USING (series)),
+       |${structuralMomentsFromVirtualSqlCtes(s"sv$sfx", windowPredSql, sfx)}"""
+      .stripMargin
+
+  /** [[virtualCrossMoments]] as ANSI SQL over ANY virtual CTE
+    * `\$virt(vs, t, v)` — yields `svw$sfx`/`smom$sfx`/`smc$sfx`.
+    */
+  def structuralMomentsFromVirtualSqlCtes(virt: String,
+      windowPredSql: String, sfx: String = ""): String =
+    s"""svw$sfx AS (SELECT * FROM $virt WHERE $windowPredSql),
+       |smom$sfx AS (
+       |  SELECT a.vs AS na, b.vs AS nb, count(*)::HUGEINT AS n,
+       |    sum(a.v)::HUGEINT AS sa, sum(b.v)::HUGEINT AS sb,
+       |    sum(a.v::HUGEINT * b.v) AS sab
+       |  FROM svw$sfx a JOIN svw$sfx b USING (t) WHERE a.vs <= b.vs
+       |  GROUP BY 1, 2),
+       |smc$sfx AS (
+       |  SELECT na, nb, n::BIGINT AS n, (n*sab - sa*sb)::BIGINT AS c
+       |  FROM smom$sfx)""".stripMargin
+
+  /** [[structuralBetas]] as ANSI SQL over `\$links(y, x, sib, ...)` and
+    * the `smc$sfx` moments CTE. Yields `sbeta$sfx` = links.* + moments +
+    * beta_ppm (DuckDB `//` truncates toward zero on integers, matching
+    * Spark's `div` — verified for negative operands by q259).
+    */
+  def structuralBetasSqlCtes(links: String, sfx: String = ""): String =
+    s"""sbj$sfx AS (
+       |  SELECT l.*, myy.n AS n, myy.c AS cyy, mjj.c AS cjj, mjy.c AS cjy,
+       |    mss.c AS css, mjs.c AS cjs, msy.c AS csy
+       |  FROM $links l
+       |  LEFT JOIN smc$sfx myy ON myy.na = l.y AND myy.nb = l.y
+       |  LEFT JOIN smc$sfx mjj ON mjj.na = l.x AND mjj.nb = l.x
+       |  LEFT JOIN smc$sfx mjy ON mjy.na = least(l.x, l.y)
+       |    AND mjy.nb = greatest(l.x, l.y)
+       |  LEFT JOIN smc$sfx mss ON mss.na = l.sib AND mss.nb = l.sib
+       |  LEFT JOIN smc$sfx mjs ON mjs.na = least(l.x, l.sib)
+       |    AND mjs.nb = greatest(l.x, l.sib)
+       |  LEFT JOIN smc$sfx msy ON msy.na = least(l.sib, l.y)
+       |    AND msy.nb = greatest(l.sib, l.y)),
+       |sbeta$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN sib IS NULL THEN
+       |      CASE WHEN cjj = 0 THEN 0
+       |        ELSE (1000000 * cjy::HUGEINT) // cjj END
+       |    ELSE
+       |      CASE WHEN cjj::HUGEINT*css - cjs::HUGEINT*cjs = 0 THEN 0
+       |      ELSE (1000000 * (css::HUGEINT*cjy - cjs::HUGEINT*csy))
+       |        // (cjj::HUGEINT*css - cjs::HUGEINT*cjs) END
+       |    END)::BIGINT AS beta_ppm
+       |  FROM sbj$sfx)""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the round-1 scale regressions (all-pairs
@@ -760,5 +761,48 @@ class PlanSpec extends AnyFunSuite {
         !ps.contains("BroadcastNestedLoopJoin"),
         s"wide-panel PC-stable must stay equi-join only:\n$ps")
     } finally pan32.unpersist()
+  }
+
+  test("structural betas: laggedCrossMoments broadcasts the t self-join " +
+      "by default and takes the partitioned path on demand — same moments") {
+    import spark.implicits._
+    // a 3-graph folded panel in the q352 key shape
+    val panel = (for {
+      g <- 0 to 2; s <- Seq("X1", "X2"); t0 <- 0 to 19
+    } yield (s"$g|$s", (g * 64 + t0).toLong, ((t0 * 7 + g * 3) % 13).toLong))
+      .toDF("series", "day", "v")
+    val specs = (0 to 2).flatMap(g => Seq((s"$g|X1", 0), (s"$g|X2", 1)))
+    def mom(b: Boolean) = graft.metrics.Causal.laggedCrossMoments(panel,
+      specs, expr("t % 64 BETWEEN 1 AND 19"), b)
+    // isolate the knob from size-based auto-broadcast (pc-moments test's
+    // rationale: on a megarow fold the same unhinted join stays
+    // partitioned by the same stats logic this disables)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the tiny specs frame broadcasts in BOTH modes (explicit hint) —
+      // the knob under test is only the fact-scale t self-join, so the
+      // discriminator is the sort-merge node, not broadcast count
+      val pb = mom(true).queryExecution.executedPlan.toString
+      assert(!pb.contains("SortMergeJoin"),
+        s"single-graph default must broadcast the t self-join:\n$pb")
+      val ps = mom(false).queryExecution.executedPlan.toString
+      assert(ps.contains("SortMergeJoin"),
+        s"broadcastB=false must leave the t self-join partitioned:\n$ps")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    def rows(b: Boolean) = mom(b).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(true) == rows(false))
+  }
+
+  test("q352 weight-recovery fold: Cramer lookups broadcast; no cartesian " +
+      "or nested-loop anywhere") {
+    val p = plan("q352_weight_recovery_census")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the folded weight recovery must stay equi-join only:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      s"the six moment lookups must broadcast:\n$p")
   }
 }

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.generate.Generate
+import graft.metrics.Causal
+
+/** Structural edge-weight recovery (Causal.laggedCrossMoments +
+  * structuralBetas, q351-q353): pinned here —
+  *  - the integer Cramer pipeline equals a driver-side double OLS on a
+  *    planted two-regressor model (k=1 and k=2 branches);
+  *  - the common-window contract (every moment pair shares one n);
+  *  - recovery on REAL generated data: the A1 6-var cell's live
+  *    coefficients within 5% of scale, the §2.4-2 dead contemporaneous
+  *    link measured at ≈0 against a declared 0.85;
+  *  - the strict-kernel contrast (q353): strict mode restores the dead
+  *    link's declared weight and leaves every other beta bit-identical;
+  *  - Parser.effectiveLinks' dead-link census per A-family cell.
+  */
+class StructuralBetasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def betasFor(panel: DataFrame, links: Seq[(String, String, Option[String])],
+      windowLo: Int, windowHi: Int,
+      specs: Seq[(String, Int)]): Map[(String, String), Long] = {
+    import spark.implicits._
+    val linksDf = links.toDF("target", "x", "sib")
+      .withColumn("y", concat(col("target"), lit("@0")))
+    val mom = Causal.laggedCrossMoments(panel, specs,
+      col("t").between(windowLo, windowHi))
+    Causal.structuralBetas(mom, linksDf)
+      .select("target", "x", "beta_ppm").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  test("integer Cramer betas equal a driver-side double OLS on a planted " +
+      "two-regressor model (k=1 and k=2 branches)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val n = 400
+    val x1 = Array.fill(n)(rnd.nextGaussian() * 100)
+    val x2 = Array.fill(n)(rnd.nextGaussian() * 100)
+    val y = Array.tabulate(n)(t =>
+      if (t < 2) rnd.nextGaussian() * 10
+      else 0.5 * x1(t - 1) - 0.25 * x2(t - 2) + rnd.nextGaussian() * 10)
+    val z = Array.tabulate(n)(t =>
+      if (t < 1) rnd.nextGaussian() * 10
+      else 0.7 * x1(t - 1) + rnd.nextGaussian() * 10)
+    def q(v: Double): Long = math.floor(v * 10).toLong
+    val rows =
+      (0 until n).flatMap(t => Seq(
+        ("x1", t.toLong, q(x1(t))), ("x2", t.toLong, q(x2(t))),
+        ("y", t.toLong, q(y(t))), ("z", t.toLong, q(z(t)))))
+    val panel = rows.toDF("series", "day", "v")
+    val specs = Seq(("y", 0), ("z", 0), ("x1", 1), ("x2", 2))
+    val got = betasFor(panel,
+      Seq(("y", "x1@1", Some("x2@2")), ("y", "x2@2", Some("x1@1")),
+        ("z", "x1@1", None)),
+      windowLo = 2, windowHi = n - 1, specs = specs)
+
+    // driver-side double OLS on the SAME quantized window
+    val w = (2 until n).toArray
+    def series(name: String, lag: Int): Array[Double] = name match {
+      case "x1" => w.map(t => q(x1(t - lag)).toDouble)
+      case "x2" => w.map(t => q(x2(t - lag)).toDouble)
+      case "y"  => w.map(t => q(y(t)).toDouble)
+      case "z"  => w.map(t => q(z(t)).toDouble)
+    }
+    def c(a: Array[Double], b: Array[Double]): Double = {
+      val m = a.length.toDouble
+      m * a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum
+    }
+    val (ya, za, x1a, x2a) =
+      (series("y", 0), series("z", 0), series("x1", 1), series("x2", 2))
+    val det = c(x1a, x1a) * c(x2a, x2a) - c(x1a, x2a) * c(x1a, x2a)
+    val b1 = (c(x2a, x2a) * c(x1a, ya) - c(x1a, x2a) * c(x2a, ya)) / det
+    val b2 = (c(x1a, x1a) * c(x2a, ya) - c(x1a, x2a) * c(x1a, ya)) / det
+    val bz = c(x1a, za) / c(x1a, x1a)
+    val unusedYa = ya // ya documents the regressand; moments read it via specs
+    assert(unusedYa.length == n - 2)
+    assert(math.abs(got(("y", "x1@1")) / 1e6 - b1) < 1e-3, s"b1 vs $b1")
+    assert(math.abs(got(("y", "x2@2")) / 1e6 - b2) < 1e-3, s"b2 vs $b2")
+    assert(math.abs(got(("z", "x1@1")) / 1e6 - bz) < 1e-3, s"bz vs $bz")
+    assert(math.abs(got(("y", "x1@1")) / 1e6 - 0.5) < 0.05)
+    assert(math.abs(got(("y", "x2@2")) / 1e6 + 0.25) < 0.05)
+    assert(math.abs(got(("z", "x1@1")) / 1e6 - 0.7) < 0.05)
+  }
+
+  test("laggedCrossMoments common window: every pair carries the same n") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val panel = (0 until 300).flatMap(t => Seq(
+        ("a", t.toLong, rnd.nextInt(1000).toLong),
+        ("b", t.toLong, rnd.nextInt(1000).toLong),
+        ("c", t.toLong, rnd.nextInt(1000).toLong)))
+      .toDF("series", "day", "v")
+    val mom = Causal.laggedCrossMoments(panel,
+      Seq(("a", 0), ("b", 1), ("c", 3), ("a", 2)),
+      col("t").between(3, 299))
+    val ns = mom.select("n").distinct().collect().map(_.getLong(0))
+    assert(ns.toSeq == Seq(297L), s"inconsistent pair windows: ${ns.toSeq}")
+    // 4 virtual series -> 10 unordered pairs incl. diagonals
+    assert(mom.count() == 10)
+  }
+
+  test("A1 6-var cell: live coefficients recover within 5% of scale; the " +
+      "dead contemporaneous X5->X6 link (declared 0.85) measures ~0") {
+    val cfg = Grid.forFamily("A1").find(c =>
+      c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+        && c.noiseType == "gaussian").get
+    val rows = checkCell(cfg, strict = false)
+    rows.foreach { case (src, lag, tgt, eff, beta) =>
+      assert(math.abs(beta - eff) < 50000,
+        s"$src@$lag->$tgt: beta $beta vs effective $eff")
+    }
+    val dead = rows.find(r => r._1 == "X5" && r._2 == 0 && r._3 == "X6").get
+    assert(dead._4 == 0L && math.abs(dead._5) < 60000)
+  }
+
+  test("strict kernel restores the dead link's declared weight and leaves " +
+      "every other beta bit-identical (q353 contrast)") {
+    val cfg = Grid.forFamily("A1").find(c =>
+      c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+        && c.noiseType == "gaussian").get
+    val dflt = checkCell(cfg, strict = false)
+      .map(r => (r._1, r._2, r._3) -> r._5).toMap
+    val strict = checkCell(cfg, strict = true)
+      .map(r => (r._1, r._2, r._3) -> r._5).toMap
+    assert(math.abs(strict(("X5", 0, "X6")) - 850000L) < 50000)
+    dflt.keys.filterNot(_ == ("X5", 0, "X6")).foreach { k =>
+      assert(dflt(k) == strict(k), s"$k moved across kernels")
+    }
+  }
+
+  test("effectiveLinks dead-contemporaneous census per A-family cell") {
+    def deadCount(family: String, nVars: Int, maxLag: Int): Int =
+      Parser.effectiveLinks(family, nVars, maxLag)
+        .count(l => l.coef == 0.0 && l.source != "U")
+    assert(deadCount("A1", 4, 2) == 0)
+    assert(deadCount("A1", 6, 2) == 1) // X5->X6@0
+    assert(deadCount("A1", 8, 2) == 2) // X7->X8@0, X5->X6@0
+    assert(deadCount("A1C", 6, 2) == 0) // ToposortRetry resolves
+    // declared coefs untouched elsewhere
+    val eff = Parser.effectiveLinks("A1", 6, 2)
+      .map(l => (l.source, l.lag, l.target) -> l.coef).toMap
+    assert(eff(("X5", 0, "X6")) == 0.0)
+    assert(eff(("X4", 0, "X3")) == 0.35)
+  }
+
+  test("q354: residual variance recovers the generator's σ=0.1 " +
+      "(σ²_v = 10⁴ milli²) within 3% on every target; the dead-link " +
+      "target X6 reads r²≈0 with a full noise floor") {
+    val rows = SparkEntry.queries("q354_noise_recovery")(spark, "unused")
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val s2 = r.getAs[Long]("sigma2_v")
+      assert(math.abs(s2 - 10000L) < 300,
+        s"${r.getAs[String]("target")}: sigma2_v $s2")
+    }
+    val x6 = rows.find(_.getAs[String]("target") == "X6").get
+    assert(x6.getAs[Long]("r2_permille") <= 1)
+  }
+
+  test("q355: quadratic coefficients recover under BOTH kernels; the " +
+      "§2.4-1 dropped cubic reads ≈0 default and ≈declared (negative) " +
+      "strict") {
+    val rows = SparkEntry
+      .queries("q355_power_recovery_contrast")(spark, "unused").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (pow, dec, bd, bs) = (r.getAs[Int]("pow"),
+        r.getAs[Long]("declared_ppm"),
+        r.getAs[Long]("beta_default_ppm"), r.getAs[Long]("beta_strict_ppm"))
+      if (pow == 2) {
+        assert(math.abs(bd - dec) < 50000, s"default beta2 $bd vs $dec")
+        assert(math.abs(bs - dec) < 50000, s"strict beta2 $bs vs $dec")
+      } else {
+        assert(dec < 0, "cubic terms declare negative coefficients")
+        assert(math.abs(bd) < 50000, s"default must drop the cubic: $bd")
+        assert(math.abs(bs - dec) < 50000, s"strict beta3 $bs vs $dec")
+      }
+    }
+  }
+
+  test("q356: irregular A2 recovery via the generator's nearest-lag " +
+      "alignment lands every declared coefficient within 5% of scale") {
+    val rows = SparkEntry
+      .queries("q356_weight_recovery_irregular")(spark, "unused").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val err = r.getAs[Long]("abs_err_ppm")
+      assert(err < 50000, s"${r.getAs[String]("target")}: err $err")
+    }
+    // the A2 4-var cell has no dead links: LinkPrePass contemporaneous
+    // deps here all read higher-indexed (already-computed) targets
+    assert(Parser.effectiveLinks("A2", 4, 2) ==
+      Parser.truthLinks("A2", 4, 2))
+  }
+
+  /** Generate the cell (optionally strict), run the full moment+Cramer
+    * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
+    */
+  private def checkCell(cfg: GenConfig,
+      strict: Boolean): Seq[(String, Int, String, Long, Long)] = {
+    import spark.implicits._
+    val gen = Generate.wideFast(spark, Seq(cfg), strict = strict)
+      .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*)
+      .localCheckpoint()
+    val panel = (1 to 6).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    val declared = Parser.truthLinks("A1", 6, 2).filter(_.source != "U")
+    val effective = Parser.effectiveLinks("A1", 6, 2)
+      .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
+    val byTarget = declared.groupBy(_.target)
+    val links = declared.map { l =>
+      val sib = byTarget(l.target)
+        .filterNot(o => o.source == l.source && o.lag == l.lag)
+        .headOption.map(o => s"${o.source}@${o.lag}")
+      (l.target, l.source, l.lag, s"${l.target}@0",
+        s"${l.source}@${l.lag}", sib,
+        math.round(effective((l.source, l.lag, l.target)) * 1e6))
+    }
+    val specs = links.flatMap(l => Seq((l._1, 0), (l._2, l._3))).distinct
+    val linksDf = links.toDF("target", "source", "lag", "y", "x", "sib",
+      "effective_ppm")
+    val mom = Causal.laggedCrossMoments(panel, specs,
+      col("t").between(2, cfg.nPoints - 1))
+    Causal.structuralBetas(mom, linksDf)
+      .select("source", "lag", "target", "effective_ppm", "beta_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+  }
+}
