@@ -7651,6 +7651,80 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // HOLDOUT-validated weight recovery (the train/test discipline the
+    // text pipeline applies to samplers — q93's leakage-safe split —
+    // applied to the estimation layer): betas fit on the clock's FIRST
+    // half only, then scored on the SECOND half via the exact quadratic
+    // form over TEST-window moments — SSE_test = C_yy + Σ_j [β_j²·C_jj
+    // + β_j·β_sib·C_j,sib − 2·β_j·C_jy] (each link row contributes its
+    // own square and its half of the single cross term, so the k=2 sum
+    // closes without a dedicated pair stage) — everything integer with
+    // declared truncation points, both engines bitwise. The pinned
+    // claim: σ̂²_test/σ̂²_train stays within a few percent of 1000‰ on
+    // every target (k ≤ 2 on n=2500 cannot overfit) AND both halves sit
+    // on the generator's exact 10⁴ noise floor — the estimator
+    // GENERALIZES, it does not memorize its window.
+    "q357_weight_recovery_holdout" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q357_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val momTr = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links), col("t").between(2, 2499))
+      val momTe = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links), col("t").between(2500, 4999))
+      val bt = graft.metrics.Causal.structuralBetas(
+          momTr, weightLinksDf(s, links))
+        .select(col("target"), col("y"), col("x"), col("sib"),
+          col("beta_ppm"), col("n").as("ntr"), col("cyy").as("cyytr"),
+          col("cjy").as("cjytr"))
+      val bsib = bt.join(
+        bt.select(col("target").as("target2"), col("x").as("sib2"),
+          col("beta_ppm").as("beta_sib0")),
+        col("target2") === col("target") && col("sib2") === col("sib"),
+        "left").drop("target2", "sib2")
+        .withColumn("beta_sib", coalesce(col("beta_sib0"), lit(0L)))
+      def lookTe(df: DataFrame, k1: String, k2: String, out: String,
+          withN: Boolean = false): DataFrame = {
+        val cols = (if (withN) Seq(col("n").as("nte")) else Nil) :+
+          col("c").as(out)
+        df.join(broadcast(momTe.select(col("na") +: col("nb") +: cols: _*)),
+          least(col(k1), col(k2)) === col("na") &&
+            greatest(col(k1), col(k2)) === col("nb"), "left")
+          .drop("na", "nb")
+      }
+      val tj = lookTe(lookTe(lookTe(lookTe(bsib,
+        "y", "y", "cyyte", withN = true), "x", "x", "cjjte"),
+        "x", "y", "cjyte"), "x", "sib", "cjste")
+      tj.groupBy("target")
+        .agg(count(lit(1)).as("n_parents"),
+          expr("""(1000000 * max(cast(cyytr as decimal(38,0)))
+                 |  - sum(cast(beta_ppm as decimal(38,0)) * cjytr))
+                 |div (1000000 * max(cast(ntr as decimal(38,0))) * max(ntr))"""
+            .stripMargin).cast("long").as("sigma2_train_v"),
+          expr("""(max(cast(cyyte as decimal(38,0)))
+                 |  + sum(
+                 |    (cast(beta_ppm as decimal(38,0)) * beta_ppm * cjjte)
+                 |      div 1000000000000
+                 |    + (cast(beta_ppm as decimal(38,0)) * beta_sib
+                 |        * coalesce(cjste, 0)) div 1000000000000
+                 |    - (2 * cast(beta_ppm as decimal(38,0)) * cjyte)
+                 |      div 1000000))
+                 |div (max(cast(nte as decimal(38,0))) * max(nte))"""
+            .stripMargin).cast("long").as("sigma2_test_v"))
+        .withColumn("ratio_permille", expr(
+          """case when sigma2_train_v = 0 then 0
+            |else (1000 * sigma2_test_v) div sigma2_train_v end"""
+            .stripMargin).cast("long"))
+    }),
+
     // weight recovery under IRREGULAR sampling (the A2 member of the
     // recovery suite — and a semantic trap made into a test: A2's
     // kernel resolves lags by NEAREST-index-to-(t_now − k·meanDiff)
@@ -10762,6 +10836,61 @@ object SparkEntry {
         |  effective_ppm::BIGINT AS effective_ppm,
         |  abs(beta_ppm - effective_ppm)::BIGINT AS abs_err_ppm
         |FROM sbeta""".stripMargin
+    },
+
+    "q357_weight_recovery_holdout" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q357_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT FROM gen")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 2 AND 2499", "tr")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links", "tr")},
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 2500 AND 4999", "te")},
+        |bt AS (
+        |  SELECT target, y, x, sib, beta_ppm, n AS ntr, cyy AS cyytr,
+        |    cjy AS cjytr
+        |  FROM sbetatr),
+        |bsib AS (
+        |  SELECT b1.*, coalesce(b2.beta_ppm, 0) AS beta_sib
+        |  FROM bt b1 LEFT JOIN bt b2
+        |    ON b2.target = b1.target AND b2.x = b1.sib),
+        |tj AS (
+        |  SELECT b.*, myy.n AS nte, myy.c AS cyyte, mjj.c AS cjjte,
+        |    mjy.c AS cjyte, mjs.c AS cjste
+        |  FROM bsib b
+        |  LEFT JOIN smcte myy ON myy.na = b.y AND myy.nb = b.y
+        |  LEFT JOIN smcte mjj ON mjj.na = b.x AND mjj.nb = b.x
+        |  LEFT JOIN smcte mjy ON mjy.na = least(b.x, b.y)
+        |    AND mjy.nb = greatest(b.x, b.y)
+        |  LEFT JOIN smcte mjs ON mjs.na = least(b.x, b.sib)
+        |    AND mjs.nb = greatest(b.x, b.sib)),
+        |agg AS (
+        |  SELECT target, count(*)::BIGINT AS n_parents,
+        |    ((1000000 * max(cyytr::HUGEINT)
+        |        - sum(beta_ppm::HUGEINT * cjytr))
+        |      // (1000000 * max(ntr::HUGEINT) * max(ntr)))::BIGINT
+        |      AS sigma2_train_v,
+        |    ((max(cyyte::HUGEINT) + sum(
+        |        (beta_ppm::HUGEINT * beta_ppm * cjjte) // 1000000000000
+        |        + (beta_ppm::HUGEINT * beta_sib * coalesce(cjste, 0))
+        |          // 1000000000000
+        |        - (2 * beta_ppm::HUGEINT * cjyte) // 1000000))
+        |      // (max(nte::HUGEINT) * max(nte)))::BIGINT AS sigma2_test_v
+        |  FROM tj GROUP BY 1)
+        |SELECT target, n_parents, sigma2_train_v, sigma2_test_v,
+        |  (CASE WHEN sigma2_train_v = 0 THEN 0
+        |    ELSE (1000 * sigma2_test_v) // sigma2_train_v END)::BIGINT
+        |    AS ratio_permille
+        |FROM agg""".stripMargin
     },
 
     "q179_aqe_skew_join" ->

@@ -206,6 +206,19 @@ class StructuralBetasSpec extends AnyFunSuite {
       Parser.truthLinks("A2", 4, 2))
   }
 
+  test("q357: train-half betas generalize — test/train residual-variance " +
+      "ratio within ±10% of 1000 permille, both halves on the 1e4 floor") {
+    val rows = SparkEntry
+      .queries("q357_weight_recovery_holdout")(spark, "unused").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val ratio = r.getAs[Long]("ratio_permille")
+      assert(ratio > 900 && ratio < 1100,
+        s"${r.getAs[String]("target")}: ratio $ratio")
+      assert(math.abs(r.getAs[Long]("sigma2_test_v") - 10000L) < 500)
+    }
+  }
+
   /** Generate the cell (optionally strict), run the full moment+Cramer
     * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
     */
