@@ -7651,6 +7651,64 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // STREAMING weight recovery (the estimation sibling of q344's
+    // streaming Granger monitor: edge WEIGHTS that update as data
+    // arrives): the A1 6-var cell's design tuples — per link (y at t,
+    // x at t−lag, sibling at its own lag, 0 when none) — stream in 2
+    // time-ordered micro-batches through transformWithState whose
+    // per-link state is the 9 mergeable design sums; each batch emits
+    // prefix sums and the beta stays in the ONE shared
+    // Causal.structuralBetasFromSums, so the emission log is "the edge
+    // weights as of each batch" (n=198 prefix rows, then n=398 full
+    // rows — 14 rows, estimates visibly tightening toward the
+    // effective truth as evidence accumulates). Oracle replays the
+    // emission model with q344's batch-prefix fold and the same shared
+    // beta CTE; spec pins stream ≡ batch against laggedCrossMoments +
+    // structuralBetas on the full window.
+    "q358_stream_weight_recovery" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2 &&
+          c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q358_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 400)
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val gl = gen
+        .join(gen.select(col("t").as("t1") +:
+            (1 to 6).map(i => col(s"X$i").as(s"L1X$i")): _*),
+          col("t1") === col("t") - 1)
+        .join(gen.select(col("t").as("t2") +:
+            (1 to 6).map(i => col(s"X$i").as(s"L2X$i")): _*),
+          col("t2") === col("t") - 2)
+        .where(col("t").between(2, 399))
+      def q(series: String, lag: Int): Column =
+        floor((if (lag == 0) col(series) else col(s"L$lag$series"))
+          * 1000).cast("long")
+      val tuples = streamWeightLinks().map { case (k, tgt, src, lag, hs,
+          sibSeries, sibLag, _) =>
+        gl.select(lit(k).as("link"), q(tgt, 0).as("yv"),
+          q(src, lag).as("xv"),
+          (if (hs == 1) q(sibSeries, sibLag) else lit(0L)).as("sv"),
+          col("t"))
+      }.reduce(_ unionByName _)
+      val dumpSig = Option(new java.io.File(s"$genDir/q358_gen")
+          .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString(";")
+      val log = graft.streaming.StatefulOps.weightSumsTws(s, tuples,
+        "t", 200L, s"$genDir/q358_weight_split", s"q358:$dumpSig",
+        s"graft_stream_weights_${System.nanoTime()}")
+      import s.implicits._
+      val linksDf = streamWeightLinks()
+        .map(l => (l._1, l._2, l._3, l._4, l._5, l._8))
+        .toDF("link", "target", "source", "lag", "has_sib",
+          "effective_ppm")
+      graft.metrics.Causal.structuralBetasFromSums(
+          log.join(broadcast(linksDf), Seq("link")))
+        .select(col("target"), col("source"), col("lag"), col("n"),
+          col("beta_ppm"), col("effective_ppm"))
+    }),
+
     // HOLDOUT-validated weight recovery (the train/test discipline the
     // text pipeline applies to samplers — q93's leakage-safe split —
     // applied to the estimation layer): betas fit on the clock's FIRST
@@ -8239,6 +8297,29 @@ object SparkEntry {
     b1PowerLinks().flatMap { l =>
       Seq((l._1, 0), (l._6.split("@")(0), l._3))
     }.distinct
+
+  /** q358's per-link stream rows: (link key, target, source, lag,
+    * has_sib, sib series/lag, effective ppm) — ONE list feeding the
+    * Spark design-tuple builder, the broadcast decode join, and the
+    * oracle VALUES twin.
+    */
+  private def streamWeightLinks(): Seq[(String, String, String, Int, Int,
+      String, Int, Long)] =
+    weightLinks("", "A1", 6, 2).map { l =>
+      val (sibSeries, sibLag) = l.sib match {
+        case Some(v) => val p = v.split("@"); (p(0), p(1).toInt)
+        case None => ("", 0)
+      }
+      (s"${l.target}<${l.source}@${l.lag}", l.target, l.source, l.lag,
+        if (l.sib.isDefined) 1 else 0, sibSeries, sibLag, l.effectivePpm)
+    }
+
+  private def streamWeightLinksValuesSql(): String =
+    "(VALUES " + streamWeightLinks().map { case (k, t, src, lag, hs, _, _,
+        ep) =>
+      s"('$k','$t','$src',$lag,$hs,$ep)"
+    }.mkString(",\n    ") +
+      ") AS l(link, target, source, lag, has_sib, effective_ppm)"
 
   /** The (series, lag) virtual-series specs a link list needs: every
     * target at lag 0 plus every parent at its link lag, fold-prefixed.
@@ -10891,6 +10972,53 @@ object SparkEntry {
         |    ELSE (1000 * sigma2_test_v) // sigma2_train_v END)::BIGINT
         |    AS ratio_permille
         |FROM agg""".stripMargin
+    },
+
+    "q358_stream_weight_recovery" -> {
+      val tupSelects = streamWeightLinks().map { case (k, tgt, src, lag,
+          hs, sibSeries, sibLag, _) =>
+        def qc(series: String, l: Int): String =
+          if (l == 0) s"floor($series * 1000)::BIGINT"
+          else s"floor(L$l$series * 1000)::BIGINT"
+        val sv = if (hs == 1) qc(sibSeries, sibLag) else "0::BIGINT"
+        s"  SELECT '$k' AS link, ${qc(tgt, 0)} AS yv, " +
+          s"${qc(src, lag)} AS xv, $sv AS sv, t FROM gl"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q358_gen/*.parquet')),
+        |gl AS (
+        |  SELECT a.*,
+        |${(1 to 6).map(i => s"    b.X$i AS L1X$i,").mkString("\n")}
+        |${(1 to 6).map(i => s"    c.X$i AS L2X$i")
+             .mkString(",\n")}
+        |  FROM gen a
+        |  JOIN gen b ON b.t = a.t - 1
+        |  JOIN gen c ON c.t = a.t - 2
+        |  WHERE a.t BETWEEN 2 AND 399),
+        |tup AS (
+        |$tupSelects),
+        |links AS (SELECT * FROM ${streamWeightLinksValuesSql()}),
+        |sums AS (
+        |  SELECT link, count(*)::BIGINT AS n, sum(yv)::BIGINT AS sy,
+        |    sum(xv)::BIGINT AS sx, sum(sv)::BIGINT AS ss,
+        |    sum(xv * xv)::BIGINT AS sxx, sum(sv * sv)::BIGINT AS sss,
+        |    sum(xv * yv)::BIGINT AS sxy, sum(sv * yv)::BIGINT AS ssy,
+        |    sum(xv * sv)::BIGINT AS sxs
+        |  FROM tup WHERE t < 200 GROUP BY 1
+        |  UNION ALL
+        |  SELECT link, count(*)::BIGINT, sum(yv)::BIGINT, sum(xv)::BIGINT,
+        |    sum(sv)::BIGINT, sum(xv * xv)::BIGINT, sum(sv * sv)::BIGINT,
+        |    sum(xv * yv)::BIGINT, sum(sv * yv)::BIGINT,
+        |    sum(xv * sv)::BIGINT
+        |  FROM tup GROUP BY 1),
+        |wf AS (
+        |  SELECT s.*, l.target, l.source, l.lag, l.has_sib,
+        |    l.effective_ppm
+        |  FROM sums s JOIN links l USING (link)),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes("wf")}
+        |SELECT target, source, lag::INT AS lag, n, beta_ppm,
+        |  effective_ppm::BIGINT AS effective_ppm
+        |FROM sbsum""".stripMargin
     },
 
     "q179_aqe_skew_join" ->

@@ -1852,6 +1852,60 @@ object Causal {
         |end""".stripMargin).cast("long"))
   }
 
+  /** The Cramer k ≤ 2 beta from RAW design sums — the streaming twin of
+    * [[structuralBetas]] (q358): input rows carry the 9 mergeable sums a
+    * [[graft.streaming.StatefulOps.WeightSumsProcessor]] emits per link
+    * per batch (y = target, x = the link's regressor, s = the sibling,
+    * fed as 0 for single-parent links) plus a caller-joined `has_sib`
+    * flag (0/1 — the all-zero s channel makes det degenerate, so the
+    * k=1 branch cannot be inferred from the sums alone). Centered
+    * moments and the beta expression are the SAME arithmetic as
+    * [[structuralBetas]]; pinned stream≡batch by spec. Mirrored by
+    * [[structuralBetasFromSumsSqlCtes]].
+    */
+  def structuralBetasFromSums(sums: DataFrame): DataFrame =
+    sums
+      .withColumn("cjj", expr("n*sxx - sx*sx"))
+      .withColumn("css", expr("n*sss - ss*ss"))
+      .withColumn("cjs", expr("n*sxs - sx*ss"))
+      .withColumn("cjy", expr("n*sxy - sx*sy"))
+      .withColumn("csy", expr("n*ssy - ss*sy"))
+      .withColumn("beta_ppm", expr(
+        """case when has_sib = 0 then
+          |  case when cjj = 0 then 0
+          |    else (1000000 * cast(cjy as decimal(38,0))) div cjj end
+          |else
+          |  case when cast(cjj as decimal(38,0))*css
+          |      - cast(cjs as decimal(38,0))*cjs = 0 then 0
+          |  else (1000000 * (cast(css as decimal(38,0))*cjy
+          |      - cast(cjs as decimal(38,0))*csy))
+          |    div (cast(cjj as decimal(38,0))*css
+          |      - cast(cjs as decimal(38,0))*cjs) end
+          |end""".stripMargin).cast("long"))
+
+  /** [[structuralBetasFromSums]] as ANSI SQL over
+    * `\$sums(link, n, sy, sx, ss, sxx, sss, sxy, ssy, sxs, has_sib, ...)`
+    * — yields `sbsum$sfx` = sums.* + the centered moments + beta_ppm.
+    */
+  def structuralBetasFromSumsSqlCtes(sums: String, sfx: String = ""): String =
+    s"""sbsc$sfx AS (
+       |  SELECT *, n::HUGEINT*sxx - sx::HUGEINT*sx AS cjj,
+       |    n::HUGEINT*sss - ss::HUGEINT*ss AS css,
+       |    n::HUGEINT*sxs - sx::HUGEINT*ss AS cjs,
+       |    n::HUGEINT*sxy - sx::HUGEINT*sy AS cjy,
+       |    n::HUGEINT*ssy - ss::HUGEINT*sy AS csy
+       |  FROM $sums),
+       |sbsum$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN has_sib = 0 THEN
+       |      CASE WHEN cjj = 0 THEN 0 ELSE (1000000 * cjy) // cjj END
+       |    ELSE
+       |      CASE WHEN cjj*css - cjs*cjs = 0 THEN 0
+       |      ELSE (1000000 * (css*cjy - cjs*csy)) // (cjj*css - cjs*cjs)
+       |      END
+       |    END)::BIGINT AS beta_ppm
+       |  FROM sbsc$sfx)""".stripMargin
+
   /** [[laggedCrossMoments]] as ANSI SQL: CTEs `sv$sfx`/`smc$sfx` over
     * `\$panel(series, day, v)` and `\$specs(series, lag)`.
     * `windowPredSql` is the same predicate over column `t`.

@@ -134,6 +134,72 @@ object StatefulOps {
     StreamSupport.runToMemory(out, queryName, outputMode = "update")
   }
 
+  final case class WeightSumsRow(link: String, n: Long,
+      sy: Long, sx: Long, ss: Long, sxx: Long, sss: Long,
+      sxy: Long, ssy: Long, sxs: Long)
+
+  /** Running structural-OLS sufficient statistics per LINK — the q358
+    * streaming weight monitor (the estimation sibling of the q344
+    * Granger one). State is one fixed-size row of the 9 mergeable sums
+    * the batch Cramer stage needs for a k ≤ 2 design (y = target, x =
+    * this link's regressor, s = the sibling regressor, fed as 0 for
+    * single-parent links); each batch that touches a link emits its
+    * PREFIX sums, so the log is "the design-moment matrix as of each
+    * batch" and the beta arithmetic stays in the one shared
+    * `Causal.structuralBetasFromSums` downstream.
+    */
+  class WeightSumsProcessor
+      extends StatefulProcessor[String, (String, Long, Long, Long),
+        WeightSumsRow] {
+    @transient private var state: ValueState[WeightSumsRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[WeightSumsRow]("wsums",
+        Encoders.product[WeightSumsRow], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[WeightSumsRow] = {
+      var st = if (state.exists()) state.get()
+               else WeightSumsRow(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      var touched = false
+      while (rows.hasNext) {
+        val (_, y, x, sv) = rows.next()
+        st = WeightSumsRow(key, st.n + 1, st.sy + y, st.sx + x, st.ss + sv,
+          st.sxx + x * x, st.sss + sv * sv, st.sxy + x * y,
+          st.ssy + sv * y, st.sxs + x * sv)
+        touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update(st)
+        Iterator.single(st)
+      }
+    }
+  }
+
+  /** The q358 harness: per-link running design sums via
+    * transformWithState over a caller-built 2-batch time split of design
+    * tuples `(link, yv, xv, sv)` — the [[grangerSumsTws]] shape verbatim.
+    */
+  def weightSumsTws(spark: SparkSession, tuples: DataFrame,
+      splitCol: String, boundary: Long, splitDir: String, cacheKey: String,
+      queryName: String): DataFrame = withRocksDbProvider(spark) {
+    import spark.implicits._
+    val cols = tuples.select(col("link"), col("yv"), col("xv"), col("sv"),
+      col(splitCol))
+    val src = StreamSupport.splitFilesStream(spark, splitDir, cacheKey) {
+      Seq(cols.where(col(splitCol) < boundary).drop(splitCol),
+        cols.where(col(splitCol) >= boundary).drop(splitCol))
+    }
+    val out = src.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new WeightSumsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+    StreamSupport.runToMemory(out, queryName, outputMode = "update")
+  }
+
   /** The q183 harness: per-type running stats via transformWithState over
     * the 2-batch parity split (even event ids then odd), update-mode memory
     * sink = the emission log. transformWithState REQUIRES the RocksDB state

@@ -219,6 +219,32 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q358 stream ≡ batch: the final emission's betas equal the batch " +
+      "moment+Cramer pipeline bitwise") {
+    val stream = SparkEntry
+      .queries("q358_stream_weight_recovery")(spark, "unused").collect()
+    assert(stream.length == 14)
+    val fin = stream.filter(_.getAs[Long]("n") == 398L)
+      .map(r => (r.getAs[String]("target"), r.getAs[String]("source"),
+        r.getAs[Int]("lag")) -> r.getAs[Long]("beta_ppm")).toMap
+    assert(fin.size == 7)
+    // the batch twin over the SAME dumped rows and window
+    val gen = spark.read.parquet(SparkEntry.genDir + "/q358_gen")
+    val panel = (1 to 6).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    val links = SparkEntry.weightLinks("", "A1", 6, 2)
+    val batch = Causal.structuralBetas(
+        Causal.laggedCrossMoments(panel, SparkEntry.weightSpecs(links),
+          col("t").between(2, 399)),
+        SparkEntry.weightLinksDf(spark, links))
+      .select("target", "source", "lag", "beta_ppm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(fin == batch, s"stream $fin vs batch $batch")
+  }
+
   /** Generate the cell (optionally strict), run the full moment+Cramer
     * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
     */
