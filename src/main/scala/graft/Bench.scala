@@ -516,6 +516,45 @@ object Bench {
       } { wide.unpersist() }
     }
 
+    // Deployment-width weight recovery: dense vs PAIR-RESTRICTED moments
+    // (q359's operator at 4× its width). A 256-series chain link set is
+    // k=1 — the Cramer stage reads 511 of the 32,896 unordered pairs —
+    // so the dense Gram's 256²-per-t fan-out is almost entirely wasted
+    // work; the sparse path routes the wanted-pair frame into the join
+    // first and fans out |wanted| per t instead. The rung pair is the
+    // measured evidence for the O(links)-vs-O(p²) claim in the
+    // virtualCrossMomentsSparse scaladoc.
+    val runWeightwide = only.forall(_.exists(_.startsWith("weightwide")))
+    if (runWeightwide) {
+      val pan = widePanel(spark, 256, 10000)
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v")).localCheckpoint(true)
+      import spark.implicits._
+      def nm(i: Int) = f"X$i%02d"
+      val links = (1 until 256).map(i => (nm(i), nm(i - 1), 0,
+        s"${nm(i)}@0", s"${nm(i - 1)}@0", None: Option[String]))
+      val linksDf = links
+        .toDF("target", "source", "lag", "y", "x", "sib")
+      val wanted = links.flatMap { l =>
+        val (a, b) = if (l._5 <= l._4) (l._5, l._4) else (l._4, l._5)
+        Seq((l._4, l._4), (l._5, l._5), (a, b))
+      }.distinct.toDF("na", "nb")
+      def betaSum(mom: org.apache.spark.sql.DataFrame): Unit =
+        graft.metrics.Causal.structuralBetas(mom, linksDf)
+          .agg(sum(abs(col("beta_ppm"))))
+          .write.mode("overwrite").format("noop").save()
+      section("weightwide") {
+        median3("weightwide_p256_sparse") {
+          betaSum(graft.metrics.Causal.virtualCrossMomentsSparse(
+            virt, wanted, col("t").between(0, 9999)))
+        }
+        median3("weightwide_p256_dense") {
+          betaSum(graft.metrics.Causal.virtualCrossMoments(
+            virt, col("t").between(0, 9999), broadcastB = false))
+        }
+      } { virt.unpersist() }
+    }
+
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_
     // matches no query name but selects the generation stages alone — the
     // fresh-JVM profiling shape). Only tokens that themselves start with

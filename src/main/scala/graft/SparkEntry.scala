@@ -7651,6 +7651,37 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // weight recovery at deployment WIDTH through the PAIR-RESTRICTED
+    // moment path (the O(links)-not-O(p²) form): 63 chain links over
+    // the 64-series wide panel (q346's dataset family), where the
+    // dense Gram would fan every t out 64² ways to feed a k=1 Cramer
+    // stage that reads 127 pairs — virtualCrossMomentsSparse routes
+    // the wanted-pair frame into the join BEFORE aggregation, and the
+    // weightwide bench pair measures the dense-vs-sparse gap at
+    // p=256. Output is the full 63-link contemporaneous beta census,
+    // bitwise against the oracle's identical sparse CTE chain; the
+    // spec pins sparse ≡ dense-restricted on shared inputs.
+    "q359_weight_recovery_wide" -> ((s, d) => {
+      val pan = dumpGen(s, "q359_panel", Bench.widePanel(s, 64, 10000))
+      import s.implicits._
+      def nm(i: Int) = f"X$i%02d"
+      val links = (1 until 64).map(i => (nm(i), nm(i - 1), 0,
+        s"${nm(i)}@0", s"${nm(i - 1)}@0", None: Option[String]))
+      val linksDf = links
+        .toDF("target", "source", "lag", "y", "x", "sib")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val wanted = links.flatMap { l =>
+        val (a, b) = if (l._5 <= l._4) (l._5, l._4) else (l._4, l._5)
+        Seq((l._4, l._4), (l._5, l._5), (a, b))
+      }.distinct.toDF("na", "nb")
+      graft.metrics.Causal.structuralBetas(
+          graft.metrics.Causal.virtualCrossMomentsSparse(virt, wanted,
+            col("t").between(0, 9999)),
+          linksDf)
+        .select(col("target"), col("source"), col("beta_ppm"))
+    }),
+
     // STREAMING weight recovery (the estimation sibling of q344's
     // streaming Granger monitor: edge WEIGHTS that update as data
     // arrives): the A1 6-var cell's design tuples — per link (y at t,
@@ -11019,6 +11050,29 @@ object SparkEntry {
         |SELECT target, source, lag::INT AS lag, n, beta_ppm,
         |  effective_ppm::BIGINT AS effective_ppm
         |FROM sbsum""".stripMargin
+    },
+
+    "q359_weight_recovery_wide" -> {
+      def nm(i: Int) = f"X$i%02d"
+      val links = (1 until 64).map(i => (nm(i), nm(i - 1)))
+      val wantedRows = links.flatMap { case (t, src) =>
+        Seq(s"('$t@0','$t@0')", s"('$src@0','$src@0')",
+          s"('$src@0','$t@0')")
+      }.distinct.mkString(",\n    ")
+      val linkRows = links.map { case (t, src) =>
+        s"('$t','$src',0,'$t@0','$src@0',NULL::VARCHAR)"
+      }.mkString(",\n    ")
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q359_panel/*.parquet')),
+        |virt AS (SELECT series || '@0' AS vs, day AS t, v FROM panel),
+        |wanted AS (SELECT * FROM (VALUES $wantedRows) AS w(na, nb)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(target, source, lag, y, x, sib)),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t BETWEEN 0 AND 9999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT target, source, beta_ppm FROM sbeta""".stripMargin
     },
 
     "q179_aqe_skew_join" ->

@@ -1852,6 +1852,53 @@ object Causal {
         |end""".stripMargin).cast("long"))
   }
 
+  /** PAIR-RESTRICTED cross-moments for WIDE panels (q359): the dense
+    * [[virtualCrossMoments]] computes the full |specs|² Gram — right for
+    * narrow estimation and Cramer consumers that read most pairs — but a
+    * deployment-width k=1 link set needs only O(links) of the O(p²)
+    * pairs, and at p = 256 the dense self-join fans every t out 65k ways
+    * to feed a stage that reads ~500. Routing the WANTED pair frame
+    * (na ≤ nb, canonicalized like the dense output) into the join
+    * BEFORE aggregation turns the per-t fan-out from |specs|² into
+    * |wanted|: a ⋈ wanted on na (broadcast — the pair list is
+    * link-sized), then ⋈ the virtual frame on (nb, t). Output contract
+    * identical to the dense op restricted to `wanted` (spec-pinned).
+    * Mirrored by [[sparseMomentsSqlCtes]].
+    */
+  def virtualCrossMomentsSparse(virt: DataFrame, wanted: DataFrame,
+      windowPred: Column): DataFrame = {
+    val v = virt.where(windowPred)
+    val a = v.select(col("vs").as("na"), col("t"), col("v").as("va"))
+    val b = v.select(col("vs").as("nb"), col("t"), col("v").as("vb"))
+    a.join(broadcast(wanted.select("na", "nb")), Seq("na"))
+      .join(b, Seq("nb", "t"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("va").cast("decimal(38,0)")).as("sa"),
+        sum(col("vb").cast("decimal(38,0)")).as("sb"),
+        sum((col("va") * col("vb")).cast("decimal(38,0)")).as("sab"))
+      .select(col("na"), col("nb"), col("n").cast("long").as("n"),
+        expr("n*sab - sa*sb").cast("long").as("c"))
+  }
+
+  /** [[virtualCrossMomentsSparse]] as ANSI SQL over `\$virt(vs, t, v)`
+    * and `\$wanted(na, nb)` — yields `smc$sfx`, the same CTE name the
+    * beta stages consume.
+    */
+  def sparseMomentsSqlCtes(virt: String, wanted: String,
+      windowPredSql: String, sfx: String = ""): String =
+    s"""svw$sfx AS (SELECT * FROM $virt WHERE $windowPredSql),
+       |smom$sfx AS (
+       |  SELECT w.na, w.nb, count(*)::HUGEINT AS n,
+       |    sum(a.v)::HUGEINT AS sa, sum(b.v)::HUGEINT AS sb,
+       |    sum(a.v::HUGEINT * b.v) AS sab
+       |  FROM svw$sfx a JOIN $wanted w ON w.na = a.vs
+       |  JOIN svw$sfx b ON b.vs = w.nb AND b.t = a.t
+       |  GROUP BY 1, 2),
+       |smc$sfx AS (
+       |  SELECT na, nb, n::BIGINT AS n, (n*sab - sa*sb)::BIGINT AS c
+       |  FROM smom$sfx)""".stripMargin
+
   /** The Cramer k ≤ 2 beta from RAW design sums — the streaming twin of
     * [[structuralBetas]] (q358): input rows carry the 9 mergeable sums a
     * [[graft.streaming.StatefulOps.WeightSumsProcessor]] emits per link

@@ -245,6 +245,31 @@ class StructuralBetasSpec extends AnyFunSuite {
     assert(fin == batch, s"stream $fin vs batch $batch")
   }
 
+  test("sparse pair-restricted moments equal the dense Gram restricted " +
+      "to the wanted pairs (q359's path, shared widePanel input)") {
+    import spark.implicits._
+    val virt = Bench.widePanel(spark, 8, 150)
+      .select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+    def nm(i: Int) = f"X$i%02d"
+    val wanted = (1 until 8).flatMap { i =>
+      Seq((s"${nm(i)}@0", s"${nm(i)}@0"),
+        (s"${nm(i - 1)}@0", s"${nm(i - 1)}@0"),
+        (s"${nm(i - 1)}@0", s"${nm(i)}@0"))
+    }.distinct
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val sparse = toMap(Causal.virtualCrossMomentsSparse(virt,
+      wanted.toDF("na", "nb"), col("t").between(0, 149)))
+    val denseAll = toMap(Causal.virtualCrossMoments(virt,
+      col("t").between(0, 149)))
+    assert(sparse.keySet == wanted.toSet)
+    sparse.foreach { case (k, v) =>
+      assert(denseAll(k) == v, s"pair $k: sparse $v vs dense ${denseAll(k)}")
+    }
+  }
+
   /** Generate the cell (optionally strict), run the full moment+Cramer
     * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
     */
