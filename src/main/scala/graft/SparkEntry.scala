@@ -7651,6 +7651,66 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // IRREGULAR weight recovery at CORPUS grain (q356's fold, q352's
+    // discipline, per-config nearest-lag alignment): A2's 4-var
+    // gaussian cells (3 lags) plus ALL NINE A2C gaussian cells — the
+    // reference's most extreme quirk read through the estimator: A2C's
+    // extractor drops every link ('e' in rhs, a2c.py:226-251), so the
+    // family generates PURE NOISE while its truth dict declares edges;
+    // Parser.effectiveLinks' compiled-dep presence rule zeroes them
+    // all, and the census shows n_dead = n_links with betas at noise
+    // grain for every A2C config. The alignment is per config:
+    // nearestLagIndexView(partitionCols = configId, lagMult = k) for
+    // every link lag, each config's own meanDiff — then ONE folded
+    // moment pass (shuffle path) + ONE Cramer stage. A2 6/8-var cells
+    // are deliberately excluded: their value-≠0 rule CASCADES the dead
+    // X5→X6 link into constant-zero X6/X7 series whose lagged reads
+    // leak only the first max_lag noise rows — a ratio-of-tiny-moments
+    // regime documented here rather than published as a stable census.
+    "q360_irregular_recovery_census" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        ((c.family == "A2" && c.nVars == 4) || c.family == "A2C")
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+      val gen = dumpGen(s, "q360_gen",
+        Generate.wideFast(s, cfgs)
+          .select(Seq(col("configId"), col("t"), col("time")) ++
+            (1 to 8).map(i => col(s"X$i")): _*))
+      val pan = (1 to 8).map(i =>
+        gen.where(col(s"X$i").isNotNull)
+          .select(col("configId"), lit(s"X$i").as("series"), col("t"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      val spine = gen.select(col("configId"), col("t"), col("time"))
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      val lagsNeeded = links.map(_.lag).filter(_ > 0).distinct.sorted
+      val virtT = pan.select(
+        concat(col("configId"), lit("|"), col("series"), lit("@0"))
+          .as("vs"),
+        (col("configId") * 8192 + col("t")).as("t"), col("v"))
+      val virtL = lagsNeeded.map { k =>
+        val lx = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
+          Seq("configId"), k).localCheckpoint(false)
+        lx.join(pan.select(col("configId"), col("series"),
+            col("t").as("lag_idx"), col("v")), Seq("configId", "lag_idx"))
+          .select(concat(col("configId"), lit("|"), col("series"),
+              lit(s"@$k")).as("vs"),
+            (col("configId") * 8192 + col("t")).as("t"), col("v"))
+      }
+      val virt = (virtT +: virtL).reduce(_ unionByName _)
+      val mom = graft.metrics.Causal.virtualCrossMoments(virt,
+        expr("t % 8192 BETWEEN 4 AND 4999"), broadcastB = false)
+      graft.metrics.Causal.structuralBetas(mom, weightLinksDf(s, links))
+        .groupBy("family", "n_vars", "max_lag")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("effective_ppm") === 0, 1L).otherwise(0L))
+            .as("n_dead"),
+          expr("sum(abs(beta_ppm - effective_ppm)) div count(1)")
+            .as("mean_abs_err_ppm"),
+          max(abs(col("beta_ppm") - col("effective_ppm")))
+            .as("max_abs_err_ppm"))
+    }),
+
     // weight recovery at deployment WIDTH through the PAIR-RESTRICTED
     // moment path (the O(links)-not-O(p²) form): 63 chain links over
     // the 64-series wide panel (q346's dataset family), where the
@@ -11050,6 +11110,52 @@ object SparkEntry {
         |SELECT target, source, lag::INT AS lag, n, beta_ppm,
         |  effective_ppm::BIGINT AS effective_ppm
         |FROM sbsum""".stripMargin
+    },
+
+    "q360_irregular_recovery_census" -> {
+      val cfgs = Grid.all().filter(c =>
+        ((c.family == "A2" && c.nVars == 4) || c.family == "A2C")
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      val lagsNeeded = links.map(_.lag).filter(_ > 0).distinct.sorted
+      val lxBlocks = lagsNeeded.map(k =>
+        graft.ops.Lagged.nearestLagIndexSqlCtes("spine", "\"time\"",
+          Seq("configId"), lagMult = k, sfx = s"$k")).mkString(",\n")
+      val virtLag = lagsNeeded.map(k =>
+        s"  UNION ALL SELECT p.configId::VARCHAR || '|' || p.series || " +
+          s"'@$k', p.configId * 8192 + l.t, p.v\n" +
+          s"    FROM lx$k l JOIN pan p ON p.configId = l.configId " +
+          s"AND p.t = l.lag_idx").mkString("\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q360_gen/*.parquet')),
+        |spine AS (SELECT configId, t, "time" FROM gen),
+        |$lxBlocks,
+        |pan AS (
+        |  SELECT configId, 'X1' AS series, t,
+        |    floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen WHERE X1 IS NOT NULL
+        |${(2 to 8).map(i =>
+             s"  UNION ALL SELECT configId, 'X$i', t, " +
+               s"floor(X$i * 1000)::BIGINT FROM gen WHERE X$i IS NOT NULL")
+             .mkString("\n")}),
+        |virt AS (
+        |  SELECT configId::VARCHAR || '|' || series || '@0' AS vs,
+        |    configId * 8192 + t AS t, v
+        |  FROM pan
+        |$virtLag),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t % 8192 BETWEEN 4 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT family, n_vars::INT AS n_vars, max_lag::INT AS max_lag,
+        |  count(*)::BIGINT AS n_links,
+        |  sum(CASE WHEN effective_ppm = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dead,
+        |  (sum(abs(beta_ppm - effective_ppm)) // count(*))::BIGINT
+        |    AS mean_abs_err_ppm,
+        |  max(abs(beta_ppm - effective_ppm))::BIGINT AS max_abs_err_ppm
+        |FROM sbeta GROUP BY 1, 2, 3""".stripMargin
     },
 
     "q359_weight_recovery_wide" -> {

@@ -94,22 +94,39 @@ object Parser {
   def effectiveLinks(family: String, nVars: Int, maxLag: Int): Vector[CausalLink] = {
     val base = truthLinks(family, nVars, maxLag)
     val prog = compileGen(family, nVars, maxLag)
+    // a published link with NO corresponding compiled dependency term is
+    // dead outright — the A2C extreme (its `'e' in rhs` filter drops
+    // EVERY link, a2c.py:226-251, so the whole family generates pure
+    // noise while its truth dict still declares edges)
+    def compiled(l: CausalLink): Boolean = {
+      val deps: Seq[GTerm.Dep] =
+        if (prog.eqs.nonEmpty)
+          prog.eqs.filter(_.targetName == l.target)
+            .flatMap(_.terms.collect { case d: GTerm.Dep => d })
+        else {
+          val ti = varIdx(l.target)
+          if (ti >= 0 && ti < prog.byVar.length) prog.byVar(ti) else Nil
+        }
+      deps.exists(d => d.srcName == l.source && d.lag == l.lag)
+    }
     def deadIdxOrder(l: CausalLink): Boolean =
       l.lag == 0 && l.source != "U" && varIdx(l.source) < varIdx(l.target)
     def deadListOrder(l: CausalLink): Boolean = {
       def pos(v: String): Int = prog.eqs.indexWhere(_.targetName == v)
       l.lag == 0 && l.source != "U" && pos(l.source) > pos(l.target)
     }
+    val present = base.map(l =>
+      if (compiled(l)) l else l.copy(coef = 0.0))
     prog.strategy match {
       case Strategy.EqReverse | Strategy.LinkReverse =>
-        base.map(l => if (deadIdxOrder(l)) l.copy(coef = 0.0) else l)
+        present.map(l => if (deadIdxOrder(l)) l.copy(coef = 0.0) else l)
       case Strategy.ListOrder =>
-        base.map(l => if (deadListOrder(l)) l.copy(coef = 0.0) else l)
+        present.map(l => if (deadListOrder(l)) l.copy(coef = 0.0) else l)
       case Strategy.LinkPrePass =>
-        base.map(l => if (deadIdxOrder(l) &&
+        present.map(l => if (deadIdxOrder(l) &&
           prog.linkTargets.contains(varIdx(l.source)))
           l.copy(coef = 0.0) else l)
-      case _ => base
+      case _ => present
     }
   }
 

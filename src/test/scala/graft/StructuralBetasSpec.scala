@@ -270,6 +270,70 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("effectiveLinks empirical audit: every link it flags DEAD shows " +
+      "~zero sample correlation in generated data; live contemporaneous " +
+      "A-family links show strong correlation (dead links are lag-0 by " +
+      "construction, so no alignment is needed even for irregular " +
+      "families)") {
+    // C/D3 (trend/season) excluded: their shared deterministic trend
+    // correlates ALL series, so plain corr cannot falsify deadness there
+    val cells = for {
+      fam <- Seq("A1", "A1C", "A2", "A2C", "B1", "B1C", "B2", "B2C")
+      v <- Seq(6, 8)
+    } yield (fam, v, 2)
+    cells.foreach { case (fam, v, lag) =>
+      val cfg = Grid.forFamily(fam).find(c =>
+        c.nPoints == 3000 && c.nVars == v && c.maxLag == lag &&
+          c.noiseType != "student_t").get
+      val eff = Parser.effectiveLinks(fam, v, lag)
+        .filter(l => l.source != "U" && l.lag == 0)
+      if (eff.nonEmpty) {
+        val series = Kernel.generate(cfg)
+        def colv(name: String): Array[Double] = {
+          val i = name.drop(1).toInt - 1
+          series.x.map(_(i))
+        }
+        def corr(a: Array[Double], b: Array[Double]): Double = {
+          val n = a.length
+          val (ma, mb) = (a.sum / n, b.sum / n)
+          val cov = a.zip(b).map(p => (p._1 - ma) * (p._2 - mb)).sum
+          val va = a.map(x => (x - ma) * (x - ma)).sum
+          val vb = b.map(x => (x - mb) * (x - mb)).sum
+          if (va == 0 || vb == 0) 0.0 else cov / math.sqrt(va * vb)
+        }
+        eff.foreach { l =>
+          val r = corr(colv(l.source), colv(l.target))
+          if (l.coef == 0.0)
+            assert(math.abs(r) < 0.12,
+              s"$fam/$v/$lag ${l.source}->${l.target}: flagged dead but " +
+                s"|corr| = $r")
+          else if (fam.startsWith("A") && l.func == "linear")
+            assert(math.abs(r) > 0.2,
+              s"$fam/$v/$lag ${l.source}->${l.target}: flagged live " +
+                s"(coef ${l.coef}) but |corr| = $r")
+        }
+      }
+    }
+  }
+
+  test("q360: folded irregular census — A2 4-var cells recover declared " +
+      "coefficients; EVERY A2C link reads dead (the all-noise quirk) " +
+      "with betas at noise grain") {
+    val rows = SparkEntry
+      .queries("q360_irregular_recovery_census")(spark, "unused").collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_abs_err_ppm") < 50000,
+        s"${r.getAs[String]("family")}/${r.getAs[Int]("n_vars")}: " +
+          s"mean err ${r.getAs[Long]("mean_abs_err_ppm")}")
+      if (r.getAs[String]("family") == "A2C")
+        assert(r.getAs[Long]("n_dead") == r.getAs[Long]("n_links"),
+          "A2C generates pure noise — every declared link must be dead")
+      else
+        assert(r.getAs[Long]("n_dead") == 0L)
+    }
+  }
+
   /** Generate the cell (optionally strict), run the full moment+Cramer
     * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
     */
