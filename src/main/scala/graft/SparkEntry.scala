@@ -7651,6 +7651,75 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // SEASONAL/NONLINEAR weight recovery with deterministic-component
+    // adjustment (the C-family member — trend + season + cos/sin/power
+    // links, the full generative vocabulary through one estimator):
+    // the kernel's KNOWN deterministic parts (trend_i = 0.01·(i+1)·
+    // 0.5·t; season_i = 0.5·(sin(2πt/12+φ_i)+0.5·cos(4πt/12+φ_i)),
+    // φ_i = 2πi/8 — same JVM Math calls as the kernel) are subtracted
+    // AT DUMP TIME alongside the func-transformed regressors, so the
+    // oracle reads shared bytes and never recomputes a transcendental.
+    // One moment pass carries BOTH target variants: the detrended
+    // betas recover every live coefficient (cos/sin/x²/x³ alike) and
+    // read the ListOrder-dead X5→X6 link (declared 0.85, its sin term
+    // evaluated before X5 exists) at ≈0 — the one dead-rule the corr
+    // audit cannot pin (the shared trend correlates all C series);
+    // the NAIVE twin regressed on raw targets shows what skipping the
+    // adjustment costs, per link, as data. n=500 cell: the trending
+    // power channels (X4² ≈ 256 max here) keep every moment inside
+    // the LONG/decimal budget that n=5000's t²-grown values would blow.
+    "q361_seasonal_recovery_contrast" -> ((s, d) => {
+      val cfg = Grid.forFamily("C1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2).get
+      val links = c1Links()
+      def trendC(i: Int): Column = lit(0.01 * (i + 1) * 0.5) * col("t")
+      def seasonC(i: Int): Column = {
+        val phase = 2.0 * math.Pi * i / 8.0
+        lit(0.5) * (sin(lit(2.0 * math.Pi) * col("t") / lit(12.0)
+            + lit(phase))
+          + lit(0.5) * cos(lit(4.0 * math.Pi) * col("t") / lit(12.0)
+            + lit(phase)))
+      }
+      val halfPi = math.Pi / 2.0
+      val gen = dumpGen(s, "q361_gen",
+        Generate.wideFast(s, Seq(cfg)).select(
+          Seq(col("t")) ++
+            (1 to 6).map(i => col(s"X$i")) ++
+            (1 to 6).map(i => (col(s"X$i") - trendC(i - 1) -
+              seasonC(i - 1)).as(s"X${i}t")) ++
+            (1 to 6).flatMap(i => Seq(
+              cos(col(s"X$i") * lit(halfPi)).as(s"cX$i"),
+              sin(col(s"X$i") * lit(halfPi)).as(s"sX$i"),
+              (col(s"X$i") * col(s"X$i")).as(s"p2X$i"),
+              (col(s"X$i") * col(s"X$i") * col(s"X$i")).as(s"p3X$i"))): _*))
+      // virtual channels: detrended + naive targets at lag 0, transformed
+      // regressors at their link lags — one moment pass for both variants
+      def ch(colName: String, vs: String, lag: Int): DataFrame =
+        gen.select(lit(vs).as("vs"), (col("t") + lag).as("t"),
+          floor(col(colName) * 1000).cast("long").as("v"))
+      val targets = (1 to 6).flatMap(i => Seq(
+        ch(s"X${i}t", s"X$i~@0", 0), ch(s"X$i", s"X$i@0", 0)))
+      val regs = links.map(l => (l._5.split("@")(0), l._5, l._3))
+        .distinct.map { case (series, vs, lag) => ch(series, vs, lag) }
+      val virt = (targets ++ regs).reduce(_ unionByName _)
+      val mom = graft.metrics.Causal.virtualCrossMoments(virt,
+        col("t").between(2, 499))
+      import s.implicits._
+      def linksDf(naive: Boolean): DataFrame = links.map { l =>
+        val y = if (naive) s"${l._1}@0" else l._6
+        (l._1, l._2, l._3, l._4, y, l._5, l._7, l._8, l._9)
+      }.toDF("target", "source", "lag", "func", "y", "x", "sib",
+        "declared_ppm", "effective_ppm")
+      val det = graft.metrics.Causal.structuralBetas(mom, linksDf(false))
+        .select(col("target"), col("source"), col("lag"), col("func"),
+          col("declared_ppm"), col("effective_ppm"),
+          col("beta_ppm").as("beta_detrended_ppm"))
+      val nai = graft.metrics.Causal.structuralBetas(mom, linksDf(true))
+        .select(col("target"), col("source"), col("lag"),
+          col("beta_ppm").as("beta_naive_ppm"))
+      det.join(nai, Seq("target", "source", "lag"))
+    }),
+
     // IRREGULAR weight recovery at CORPUS grain (q356's fold, q352's
     // discipline, per-config nearest-lag alignment): A2's 4-var
     // gaussian cells (3 lags) plus ALL NINE A2C gaussian cells — the
@@ -8388,6 +8457,41 @@ object SparkEntry {
     b1PowerLinks().flatMap { l =>
       Seq((l._1, 0), (l._6.split("@")(0), l._3))
     }.distinct
+
+  /** q361's C1 link rows: one per X link of the 6-var lag-2 cell, with
+    * FUNC-TRANSFORMED regressor virtual names ("cX1@2" = cos(X1·π/2)
+    * lagged 2; prefixes c/s/p2/p3 for cos/sin/x²/x³) and BOTH target
+    * variants — detrended ("X4~@0", the kernel's deterministic trend +
+    * season subtracted at dump time) and naive raw ("X4@0"). One list
+    * feeds the Spark frames and the oracle VALUES twin.
+    */
+  private def c1Links(): Seq[(String, String, Int, String, String, String,
+      Option[String], Long, Long)] = {
+    val declared = graft.core.Parser.truthLinks("C1", 6, 2)
+      .filter(_.source != "U")
+    val effective = graft.core.Parser.effectiveLinks("C1", 6, 2)
+      .filter(_.source != "U")
+      .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
+    def pre(func: String): String = func match {
+      case "cos" => "c"
+      case "sin" => "s"
+      case "power2" => "p2"
+      case "power3" => "p3"
+      case other => throw new IllegalStateException(s"C1 func $other")
+    }
+    val byTarget = declared.groupBy(_.target)
+    declared.map { l =>
+      val sibs = byTarget(l.target)
+        .filterNot(o => o.source == l.source && o.lag == l.lag)
+      require(sibs.size <= 1, s"C1 k>2 at ${l.target}")
+      (l.target, l.source, l.lag, l.func,
+        s"${pre(l.func)}${l.source}@${l.lag}",
+        s"${l.target}~@0",
+        sibs.headOption.map(o => s"${pre(o.func)}${o.source}@${o.lag}"),
+        math.round(l.coef * 1e6),
+        math.round(effective((l.source, l.lag, l.target)) * 1e6))
+    }
+  }
 
   /** q358's per-link stream rows: (link key, target, source, lag,
     * has_sib, sib series/lag, effective ppm) — ONE list feeding the
@@ -11110,6 +11214,49 @@ object SparkEntry {
         |SELECT target, source, lag::INT AS lag, n, beta_ppm,
         |  effective_ppm::BIGINT AS effective_ppm
         |FROM sbsum""".stripMargin
+    },
+
+    "q361_seasonal_recovery_contrast" -> {
+      val links = c1Links()
+      def vals(naive: Boolean): String =
+        "(VALUES " + links.map { l =>
+          val y = if (naive) s"${l._1}@0" else l._6
+          s"('${l._1}','${l._2}',${l._3},'${l._4}','$y','${l._5}'," +
+            l._7.map(x => s"'$x'").getOrElse("NULL::VARCHAR") +
+            s",${l._8},${l._9})"
+        }.mkString(",\n    ") +
+          ") AS l(target, source, lag, func, y, x, sib, declared_ppm," +
+          " effective_ppm)"
+      val targetCh = (1 to 6).flatMap(i => Seq(
+        s"  UNION ALL SELECT 'X$i~@0' AS vs, t, " +
+          s"floor(X${i}t * 1000)::BIGINT AS v FROM gen",
+        s"  UNION ALL SELECT 'X$i@0' AS vs, t, " +
+          s"floor(X$i * 1000)::BIGINT AS v FROM gen"))
+      val regCh = links.map(l => (l._5.split("@")(0), l._5, l._3))
+        .distinct.map { case (series, vs, lag) =>
+          s"  UNION ALL SELECT '$vs' AS vs, t + $lag AS t, " +
+            s"floor($series * 1000)::BIGINT AS v FROM gen" }
+      val channels = (targetCh ++ regCh).mkString("\n")
+        .replaceFirst("  UNION ALL ", "  ")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q361_gen/*.parquet')),
+        |virt AS (
+        |$channels),
+        |linksd AS (SELECT * FROM ${vals(naive = false)}),
+        |linksn AS (SELECT * FROM ${vals(naive = true)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t BETWEEN 2 AND 499")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksd", "d",
+             momSfx = "")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksn", "n",
+             momSfx = "")}
+        |SELECT d.target, d.source, d.lag::INT AS lag, d.func,
+        |  d.declared_ppm::BIGINT AS declared_ppm,
+        |  d.effective_ppm::BIGINT AS effective_ppm,
+        |  d.beta_ppm AS beta_detrended_ppm,
+        |  n.beta_ppm AS beta_naive_ppm
+        |FROM sbetad d JOIN sbetan n ON n.target = d.target
+        |  AND n.source = d.source AND n.lag = d.lag""".stripMargin
     },
 
     "q360_irregular_recovery_census" -> {

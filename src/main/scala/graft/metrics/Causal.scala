@@ -1987,19 +1987,21 @@ object Causal {
     * beta_ppm (DuckDB `//` truncates toward zero on integers, matching
     * Spark's `div` — verified for negative operands by q259).
     */
-  def structuralBetasSqlCtes(links: String, sfx: String = ""): String =
+  def structuralBetasSqlCtes(links: String, sfx: String = "",
+      momSfx: String = null): String = {
+    val m = s"smc${Option(momSfx).getOrElse(sfx)}"
     s"""sbj$sfx AS (
        |  SELECT l.*, myy.n AS n, myy.c AS cyy, mjj.c AS cjj, mjy.c AS cjy,
        |    mss.c AS css, mjs.c AS cjs, msy.c AS csy
        |  FROM $links l
-       |  LEFT JOIN smc$sfx myy ON myy.na = l.y AND myy.nb = l.y
-       |  LEFT JOIN smc$sfx mjj ON mjj.na = l.x AND mjj.nb = l.x
-       |  LEFT JOIN smc$sfx mjy ON mjy.na = least(l.x, l.y)
+       |  LEFT JOIN $m myy ON myy.na = l.y AND myy.nb = l.y
+       |  LEFT JOIN $m mjj ON mjj.na = l.x AND mjj.nb = l.x
+       |  LEFT JOIN $m mjy ON mjy.na = least(l.x, l.y)
        |    AND mjy.nb = greatest(l.x, l.y)
-       |  LEFT JOIN smc$sfx mss ON mss.na = l.sib AND mss.nb = l.sib
-       |  LEFT JOIN smc$sfx mjs ON mjs.na = least(l.x, l.sib)
+       |  LEFT JOIN $m mss ON mss.na = l.sib AND mss.nb = l.sib
+       |  LEFT JOIN $m mjs ON mjs.na = least(l.x, l.sib)
        |    AND mjs.nb = greatest(l.x, l.sib)
-       |  LEFT JOIN smc$sfx msy ON msy.na = least(l.sib, l.y)
+       |  LEFT JOIN $m msy ON msy.na = least(l.sib, l.y)
        |    AND msy.nb = greatest(l.sib, l.y)),
        |sbeta$sfx AS (
        |  SELECT *,
@@ -2012,4 +2014,5 @@ object Causal {
        |        // (cjj::HUGEINT*css - cjs::HUGEINT*cjs) END
        |    END)::BIGINT AS beta_ppm
        |  FROM sbj$sfx)""".stripMargin
+  }
 }

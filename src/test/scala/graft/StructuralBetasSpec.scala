@@ -334,6 +334,31 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q361: detrended C1 recovery lands every cos/sin/x²/x³ " +
+      "coefficient within 2% and reads the ListOrder-dead X5->X6 link " +
+      "at ~0; the naive (raw-target) twin is visibly biased") {
+    val rows = SparkEntry
+      .queries("q361_seasonal_recovery_contrast")(spark, "unused")
+      .collect()
+    assert(rows.length == 7)
+    var naiveBias = 0L
+    rows.foreach { r =>
+      val (eff, bd, bn) = (r.getAs[Long]("effective_ppm"),
+        r.getAs[Long]("beta_detrended_ppm"),
+        r.getAs[Long]("beta_naive_ppm"))
+      assert(math.abs(bd - eff) < 20000,
+        s"${r.getAs[String]("target")}<-${r.getAs[String]("source")}" +
+          s"(${r.getAs[String]("func")}): detrended $bd vs effective $eff")
+      naiveBias = math.max(naiveBias, math.abs(bn - eff))
+    }
+    val dead = rows.find(_.getAs[String]("target") == "X6").get
+    assert(dead.getAs[Long]("declared_ppm") == 850000L &&
+      dead.getAs[Long]("effective_ppm") == 0L)
+    // skipping the deterministic-component adjustment costs >10x the
+    // detrended error on at least one link (measured ~1.4M ppm here)
+    assert(naiveBias > 200000, s"naive max bias only $naiveBias")
+  }
+
   /** Generate the cell (optionally strict), run the full moment+Cramer
     * pipeline, return (source, lag, target, effective_ppm, beta_ppm).
     */
