@@ -7651,6 +7651,60 @@ object SparkEntry {
           Seq("target", "source", "lag", "pow"))
     }),
 
+    // MISSING-DATA recovery census + the D1 shadow quirk as an
+    // estimator read (completing effectiveLinks over all six
+    // evaluation strategies): D1's two-pass shadowing records each
+    // pass-1 equation's last dep SOURCE in var_values, so pass 2 skips
+    // the X1/X3 equations — those series are EXACTLY 0 — and the
+    // surviving pass-1 targets read only zeroed sources; every link in
+    // the 4-var cell is therefore effectively dead, and the integer
+    // pipeline proves it the strongest way available: max |beta| = 0
+    // EXACTLY per config (zero channels hit the Cjj=0 / Cjy=0 guards,
+    // not a tolerance). The fold carries the three MCAR rates in one
+    // plan over PAIRWISE-COMPLETE moments — masked cells drop out of
+    // the panel before the virtual expansion, so each pair carries its
+    // own n, and the published min/max pair n per config reads the
+    // 10/20/30% missingness straight off the moment matrix.
+    "q362_shadow_census" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        c.family == "D1" && c.nVars == 4 && c.maxLag == 2
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+      val gen = dumpGen(s, "q362_gen",
+        Generate.wideFast(s, cfgs)
+          .select(Seq(col("configId"), col("t")) ++
+            (1 to 4).map(i => col(s"X$i")) :+ col("maskBits"): _*))
+      val pan = (1 to 4).map(i =>
+        gen.where(col("maskBits").bitwiseAND(lit(1 << (i - 1))) === 0)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            (col("configId") * 8192 + col("t")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val wlinks = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, "D1", 4, 2))
+      val mcarOf = cfgs.map(c =>
+        c.configId.toString -> math.round(c.mcarProb * 1000)).toMap
+      import s.implicits._
+      val linksDf = wlinks.map(l => (l.g, mcarOf(l.g), l.target, l.source,
+          l.lag, l.y, l.x, l.sib, l.declaredPpm, l.effectivePpm))
+        .toDF("g", "mcar_permille", "target", "source", "lag", "y", "x",
+          "sib", "declared_ppm", "effective_ppm")
+      // lower bound 4, not 2: the first max_lag rows are pure noise
+      // (SURVEY quirk) and a lag-2 virtual channel at t=2 reads day 0 —
+      // two leaked noise rows would turn the exact-zero dead channels
+      // into unstable tiny-moment ratios (measured: 1.57M ppm at 10%
+      // MCAR with bound 2, exactly 0 at bound 4)
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        pan, weightSpecs(wlinks),
+        expr("t % 8192 BETWEEN 4 AND 4999"), broadcastB = false)
+      graft.metrics.Causal.structuralBetas(mom, linksDf)
+        .groupBy("mcar_permille")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("effective_ppm") === 0, 1L).otherwise(0L))
+            .as("n_dead"),
+          max(abs(col("beta_ppm"))).as("max_abs_beta_ppm"),
+          min(col("n")).as("min_pair_n"), max(col("n")).as("max_pair_n"))
+    }),
+
     // SEASONAL/NONLINEAR weight recovery with deterministic-component
     // adjustment (the C-family member — trend + season + cos/sin/power
     // links, the full generative vocabulary through one estimator):
@@ -11214,6 +11268,46 @@ object SparkEntry {
         |SELECT target, source, lag::INT AS lag, n, beta_ppm,
         |  effective_ppm::BIGINT AS effective_ppm
         |FROM sbsum""".stripMargin
+    },
+
+    "q362_shadow_census" -> {
+      val cfgs = Grid.all().filter(c =>
+        c.family == "D1" && c.nVars == 4 && c.maxLag == 2
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+      val wlinks = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, "D1", 4, 2))
+      val mcarOf = cfgs.map(c =>
+        c.configId.toString -> math.round(c.mcarProb * 1000)).toMap
+      val linkRows = wlinks.map(l =>
+        s"('${l.g}',${mcarOf(l.g)},'${l.target}','${l.source}',${l.lag}," +
+          s"'${l.y}','${l.x}'," +
+          l.sib.map(x => s"'$x'").getOrElse("NULL::VARCHAR") +
+          s",${l.declaredPpm},${l.effectivePpm})").mkString(",\n    ")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q362_gen/*.parquet')),
+        |panel AS (
+        |  SELECT configId::VARCHAR || '|X1' AS series,
+        |    configId * 8192 + t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen WHERE (maskBits & 1) = 0
+        |${(2 to 4).map(i =>
+             s"  UNION ALL SELECT configId::VARCHAR || '|X$i', " +
+               s"configId * 8192 + t, floor(X$i * 1000)::BIGINT " +
+               s"FROM gen WHERE (maskBits & ${1 << (i - 1)}) = 0")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(wlinks)}),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(g, mcar_permille, target, source, lag, y, x, sib,
+        |    declared_ppm, effective_ppm)),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t % 8192 BETWEEN 4 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")}
+        |SELECT mcar_permille::BIGINT AS mcar_permille,
+        |  count(*)::BIGINT AS n_links,
+        |  sum(CASE WHEN effective_ppm = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dead,
+        |  max(abs(beta_ppm))::BIGINT AS max_abs_beta_ppm,
+        |  min(n)::BIGINT AS min_pair_n, max(n)::BIGINT AS max_pair_n
+        |FROM sbeta GROUP BY 1""".stripMargin
     },
 
     "q361_seasonal_recovery_contrast" -> {

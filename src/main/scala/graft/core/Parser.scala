@@ -82,9 +82,17 @@ object Parser {
     *    lag-0 dep on a lower-indexed fellow TARGET reads zero (and the
     *    value-≠0 rule skips that target's noise too — its series is
     *    constant 0 when the dead dep was its only term).
-    *  - ToposortRetry resolves contemporaneous parents before use;
-    *    TwoPassShadow's quirk is value-level (D1 shadowing), not a
-    *    link-coefficient change — both return the declared links.
+    *  - TwoPassShadow (d1.py:136-204): pass 1 evaluates lag-only
+    *    equations and records each one's LAST dep SOURCE name in
+    *    var_values; pass 2 SKIPS any equation whose target was so
+    *    recorded — those vars stay exactly 0 (the documented D1 X1/X3
+    *    quirk), so links INTO a skipped target and links FROM one (its
+    *    series is constant 0 at every lag) are both effective 0. For
+    *    the shipped D1 4-var cells this kills the whole graph: the
+    *    surviving pass-1 targets read only zeroed sources, leaving
+    *    every X series either exactly 0 or pure noise.
+    *  - ToposortRetry resolves contemporaneous parents before use and
+    *    returns the declared links.
     *
     * U links are never zeroed (U is drawn before the X loop in every
     * strategy). Strict mode (§2.4's corrected kernel) restores the
@@ -125,6 +133,20 @@ object Parser {
       case Strategy.LinkPrePass =>
         present.map(l => if (deadIdxOrder(l) &&
           prog.linkTargets.contains(varIdx(l.source)))
+          l.copy(coef = 0.0) else l)
+      case Strategy.TwoPassShadow =>
+        // replay the shadow protocol on equation metadata (kernel order)
+        val vv = scala.collection.mutable.Set.empty[String]
+        prog.eqs.foreach(eq => if (eq.pass1Eligible) vv += eq.shadowName)
+        val zeroVars = scala.collection.mutable.Set.empty[String]
+        prog.eqs.foreach { eq =>
+          if (!eq.pass1Eligible) {
+            if (vv.contains(eq.targetName)) zeroVars += eq.targetName
+            else vv += eq.targetName
+          }
+        }
+        present.map(l => if (l.source != "U" && zeroVars.contains(l.source)
+            || zeroVars.contains(l.target))
           l.copy(coef = 0.0) else l)
       case _ => present
     }

@@ -278,8 +278,9 @@ class StructuralBetasSpec extends AnyFunSuite {
     // C/D3 (trend/season) excluded: their shared deterministic trend
     // correlates ALL series, so plain corr cannot falsify deadness there
     val cells = for {
-      fam <- Seq("A1", "A1C", "A2", "A2C", "B1", "B1C", "B2", "B2C")
-      v <- Seq(6, 8)
+      fam <- Seq("A1", "A1C", "A2", "A2C", "B1", "B1C", "B2", "B2C",
+        "D1", "D1C")
+      v <- Seq(4, 6, 8)
     } yield (fam, v, 2)
     cells.foreach { case (fam, v, lag) =>
       val cfg = Grid.forFamily(fam).find(c =>
@@ -357,6 +358,25 @@ class StructuralBetasSpec extends AnyFunSuite {
     // skipping the deterministic-component adjustment costs >10x the
     // detrended error on at least one link (measured ~1.4M ppm here)
     assert(naiveBias > 200000, s"naive max bias only $naiveBias")
+  }
+
+  test("q362: D1's shadow quirk through the estimator — every link dead, " +
+      "max |beta| EXACTLY 0 per MCAR rate, pairwise n reading the " +
+      "missingness") {
+    val rows = SparkEntry.queries("q362_shadow_census")(spark, "unused")
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dead") == r.getAs[Long]("n_links"))
+      assert(r.getAs[Long]("max_abs_beta_ppm") == 0L,
+        s"mcar ${r.getAs[Long]("mcar_permille")}: " +
+          s"beta ${r.getAs[Long]("max_abs_beta_ppm")}")
+      // pair n tracks the per-rate survival of 4996 window rows
+      val (p, lo) = (r.getAs[Long]("mcar_permille"),
+        r.getAs[Long]("min_pair_n"))
+      val expect = (4996L * (1000 - p)) / 1000
+      assert(math.abs(lo - expect) < 150, s"mcar $p: min n $lo vs $expect")
+    }
   }
 
   /** Generate the cell (optionally strict), run the full moment+Cramer
