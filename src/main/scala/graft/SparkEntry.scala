@@ -7705,6 +7705,97 @@ object SparkEntry {
           min(col("n")).as("min_pair_n"), max(col("n")).as("max_pair_n"))
     }),
 
+    // COEFFICIENT-LEVEL INFERENCE (the fourth leg of model recovery:
+    // structure — the PC suite; weights — q351; noise scale — q354;
+    // this adds the Wald test that says which recovered weights are
+    // STATISTICALLY real): exact-integer standard errors and t² per
+    // link from the SAME six centered moments — no second data pass,
+    // every division the shared truncating div, so both engines agree
+    // bitwise (Causal.structuralInference / structuralInferenceSqlCtes).
+    // On the A1 6-var cell the live links separate from the §2.4-2 dead
+    // X5→X6 link (declared 0.85, never applied) by orders of magnitude
+    // in t², and the published `significant` flag is the 5% Wald verdict
+    // (t² > 3.841) — the quirk surfaced a fourth way: as a hypothesis-
+    // test decision, not just a small beta.
+    "q363_beta_ttest" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q363_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links), col("t").between(2, 4999))
+      graft.metrics.Causal.structuralInference(
+          graft.metrics.Causal.structuralBetas(mom,
+            weightLinksDf(s, links)))
+        .select(col("target"), col("source"), col("lag"), col("beta_ppm"),
+          col("effective_ppm"), col("k_parents"), col("se2_ppm2"),
+          col("t2_milli"),
+          (col("t2_milli") > lit(3841L)).cast("int").as("significant"))
+    }),
+
+    // inference census at CORPUS grain (q352's 18-graph fold through the
+    // Wald readout): the full A1+A1C gaussian n=5000 cell in ONE moment
+    // pass, each link's t² thresholded at the 5% critical value and
+    // scored per config against the EFFECTIVE truth as a STRUCTURE
+    // decision — live links should test significant, §2.4-2-dead ones
+    // should not. Measured: 18/18 configs classify every link correctly
+    // (n_sig_live = n_live, n_sig_dead = 0; min live t² ≥ 42× the
+    // critical value, max dead t² below it), U-confounded A1C cells
+    // included (U is white and contemporaneous-only: it widens se²
+    // without manufacturing dead-link significance). n_cover is the
+    // companion CALIBRATION read — the sqrt-free 95% Wald interval
+    // covers the effective truth on 154/163 links ≈ 94.5%, right at
+    // nominal. Structure recovery by hypothesis testing alone, as
+    // hash-checked rows.
+    "q364_inference_census" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "A1" || c.family == "A1C") && c.nPoints == 5000
+          && c.noiseType == "gaussian")
+      val gen = dumpGen(s, "q364_gen",
+        Generate.wideFast(s, cfgs)
+          .select(Seq(col("configId"), col("t")) ++
+            (1 to 8).map(i => col(s"X$i")): _*))
+      val panel = (1 to 8).map(i =>
+        gen.where(col(s"X$i").isNotNull)
+          .select(concat(col("configId"), lit(s"|X$i")).as("series"),
+            (col("configId") * 8192 + col("t")).as("day"),
+            floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, weightSpecs(links),
+        expr("t % 8192 BETWEEN 4 AND 4999"), broadcastB = false)
+      val live = col("effective_ppm") =!= 0
+      val sig = col("t2_milli") > lit(3841L)
+      // CI calibration read the sqrt-free way: the 95% Wald interval
+      // covers the effective truth iff the diff's own Wald statistic
+      // (1000·(β−eff)² div se²) stays at or under the same critical
+      // value — integer arithmetic only, shared by both engines
+      val cover = col("se2_ppm2").isNotNull && col("se2_ppm2") > 0 &&
+        expr("""(1000 * cast(beta_ppm - effective_ppm as decimal(38,0))
+               |  * (beta_ppm - effective_ppm)) div se2_ppm2"""
+          .stripMargin) <= lit(3841L)
+      graft.metrics.Causal.structuralInference(
+          graft.metrics.Causal.structuralBetas(mom,
+            weightLinksDf(s, links)))
+        .groupBy("family", "n_vars", "max_lag")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(live, 1L).otherwise(0L)).as("n_live"),
+          sum(when(live && sig, 1L).otherwise(0L)).as("n_sig_live"),
+          sum(when(!live && sig, 1L).otherwise(0L)).as("n_sig_dead"),
+          sum(when(cover, 1L).otherwise(0L)).as("n_cover"),
+          min(when(live, col("t2_milli"))).as("min_live_t2_milli"),
+          max(when(!live, col("t2_milli"))).as("max_dead_t2_milli"))
+    }),
+
     // SEASONAL/NONLINEAR weight recovery with deterministic-component
     // adjustment (the C-family member — trend + season + cos/sin/power
     // links, the full generative vocabulary through one estimator):
@@ -11098,6 +11189,70 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q363_beta_ttest" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q363_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT FROM gen")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 2 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |${graft.metrics.Causal.structuralInferenceSqlCtes()}
+        |SELECT target, source, lag::INT AS lag, beta_ppm,
+        |  effective_ppm::BIGINT AS effective_ppm,
+        |  k_parents::BIGINT AS k_parents, se2_ppm2, t2_milli,
+        |  (t2_milli > 3841)::INT AS significant
+        |FROM sttest""".stripMargin
+    },
+
+    "q364_inference_census" -> {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "A1" || c.family == "A1C") && c.nPoints == 5000
+          && c.noiseType == "gaussian")
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, c.nVars, c.maxLag))
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q364_gen/*.parquet')),
+        |panel AS (
+        |  SELECT configId::VARCHAR || '|X1' AS series,
+        |    configId * 8192 + t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen WHERE X1 IS NOT NULL
+        |${(2 to 8).map(i =>
+             s"  UNION ALL SELECT configId::VARCHAR || '|X$i', " +
+               s"configId * 8192 + t, floor(X$i * 1000)::BIGINT " +
+               s"FROM gen WHERE X$i IS NOT NULL").mkString("\n")}),
+        |specs AS (SELECT * FROM ${weightSpecsValuesSql(links)}),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t % 8192 BETWEEN 4 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |${graft.metrics.Causal.structuralInferenceSqlCtes()}
+        |SELECT family, n_vars::INT AS n_vars, max_lag::INT AS max_lag,
+        |  count(*)::BIGINT AS n_links,
+        |  sum(CASE WHEN effective_ppm <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_live,
+        |  sum(CASE WHEN effective_ppm <> 0 AND t2_milli > 3841
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_sig_live,
+        |  sum(CASE WHEN effective_ppm = 0 AND t2_milli > 3841
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_sig_dead,
+        |  sum(CASE WHEN se2_ppm2 IS NOT NULL AND se2_ppm2 > 0
+        |    AND (1000 * (beta_ppm - effective_ppm)::HUGEINT
+        |      * (beta_ppm - effective_ppm)) // se2_ppm2 <= 3841
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_cover,
+        |  min(CASE WHEN effective_ppm <> 0 THEN t2_milli END)
+        |    AS min_live_t2_milli,
+        |  max(CASE WHEN effective_ppm = 0 THEN t2_milli END)
+        |    AS max_dead_t2_milli
+        |FROM sttest GROUP BY 1, 2, 3""".stripMargin
     },
 
     "q355_power_recovery_contrast" -> {

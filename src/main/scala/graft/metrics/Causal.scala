@@ -1852,6 +1852,49 @@ object Causal {
         |end""".stripMargin).cast("long"))
   }
 
+  /** Per-link OLS INFERENCE appended to a [[structuralBetas]] frame
+    * (q363/q364): exact-integer standard errors and Wald t² per
+    * coefficient from the SAME six centered moments — no second data
+    * pass. With C the centered-moment matrix (c = n·Σ centered
+    * products), σ̂² = RSS/(n−k−1) and Var(β̂_j) = σ̂²·n·(C⁻¹)_jj:
+    *
+    *   rss_scaled = 10⁶·C_yy − Σ_j β_j_ppm·C_jy     (= 10⁶·n·RSS ≥ 0)
+    *   d_jj       = C_jj (k=1) | det(C) div C_ss (k=2)
+    *   se2_ppm2   = (10⁶·rss_scaled) div ((n−k−1)·d_jj)
+    *   t2_milli   = (1000·β_ppm²) div se2_ppm2
+    *
+    * Every division is the shared truncating div, so both engines agree
+    * bitwise; pre-dividing det by C_ss keeps all products inside
+    * DECIMAL(38,0)/HUGEINT at the documented n ≤ 5·10⁴ milli budget
+    * (10⁶·rss ≤ 10²⁷; 10³·β² ≤ 10¹⁵), and its O(1/d_jj) truncation is
+    * far below ppm grain. The regressor count k and the RSS window key
+    * on `y` — the fold-prefixed target virtual name — so the frame
+    * stays per-graph-correct under multi-graph folds. Degenerate
+    * guards (zero design moment, non-positive dof, sub-ppm² variance)
+    * yield NULL rather than a fabricated verdict. Mirrored by
+    * [[structuralInferenceSqlCtes]].
+    */
+  def structuralInference(betas: DataFrame): DataFrame =
+    betas
+      .withColumn("k_parents", expr("count(1) over (partition by y)"))
+      .withColumn("rss_scaled", expr(
+        """1000000 * cast(cyy as decimal(38,0))
+          |  - sum(cast(beta_ppm as decimal(38,0)) * cjy)
+          |      over (partition by y)""".stripMargin))
+      .withColumn("d_jj", expr(
+        """case when sib is null then cast(cjj as decimal(38,0))
+          |else (cast(cjj as decimal(38,0))*css
+          |  - cast(cjs as decimal(38,0))*cjs) div css end""".stripMargin))
+      .withColumn("se2_ppm2", expr(
+        """case when d_jj <= 0 or n - k_parents - 1 <= 0 then null
+          |else (1000000 * rss_scaled)
+          |  div ((n - k_parents - 1) * d_jj) end""".stripMargin)
+        .cast("long"))
+      .withColumn("t2_milli", expr(
+        """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+          |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+          |  div se2_ppm2 end""".stripMargin).cast("long"))
+
   /** PAIR-RESTRICTED cross-moments for WIDE panels (q359): the dense
     * [[virtualCrossMoments]] computes the full |specs|² Gram — right for
     * narrow estimation and Cramer consumers that read most pairs — but a
@@ -2015,4 +2058,31 @@ object Causal {
        |    END)::BIGINT AS beta_ppm
        |  FROM sbj$sfx)""".stripMargin
   }
+
+  /** [[structuralInference]] as ANSI SQL downstream of `sbeta$sfx` —
+    * yields `sttest$sfx` = sbeta.* + k_parents + rss_scaled + d_jj +
+    * se2_ppm2 + t2_milli, the same truncating-div arithmetic.
+    */
+  def structuralInferenceSqlCtes(sfx: String = ""): String =
+    s"""sinf$sfx AS (
+       |  SELECT *, count(*) OVER (PARTITION BY y) AS k_parents,
+       |    1000000 * cyy::HUGEINT
+       |      - sum(beta_ppm::HUGEINT * cjy) OVER (PARTITION BY y)
+       |      AS rss_scaled,
+       |    (CASE WHEN sib IS NULL THEN cjj::HUGEINT
+       |      ELSE (cjj::HUGEINT*css - cjs::HUGEINT*cjs) // css END)
+       |      AS d_jj
+       |  FROM sbeta$sfx),
+       |sse$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN d_jj <= 0 OR n - k_parents - 1 <= 0 THEN NULL
+       |      ELSE (1000000 * rss_scaled)
+       |        // ((n - k_parents - 1) * d_jj) END)::BIGINT AS se2_ppm2
+       |  FROM sinf$sfx),
+       |sttest$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0 THEN NULL
+       |      ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+       |      END)::BIGINT AS t2_milli
+       |  FROM sse$sfx)""".stripMargin
 }

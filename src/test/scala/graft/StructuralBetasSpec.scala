@@ -140,6 +140,95 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("integer Wald inference equals driver-side double OLS standard " +
+      "errors and t² on the planted model (k=1 and k=2 branches)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val n = 400
+    val x1 = Array.fill(n)(rnd.nextGaussian() * 100)
+    val x2 = Array.fill(n)(rnd.nextGaussian() * 100)
+    val y = Array.tabulate(n)(t =>
+      if (t < 2) rnd.nextGaussian() * 10
+      else 0.5 * x1(t - 1) - 0.25 * x2(t - 2) + rnd.nextGaussian() * 10)
+    val z = Array.tabulate(n)(t =>
+      if (t < 1) rnd.nextGaussian() * 10
+      else 0.7 * x1(t - 1) + rnd.nextGaussian() * 10)
+    def q(v: Double): Long = math.floor(v * 10).toLong
+    val panel = (0 until n).flatMap(t => Seq(
+        ("x1", t.toLong, q(x1(t))), ("x2", t.toLong, q(x2(t))),
+        ("y", t.toLong, q(y(t))), ("z", t.toLong, q(z(t)))))
+      .toDF("series", "day", "v")
+    val linksDf = Seq(
+        ("y", "x1@1", Some("x2@2")), ("y", "x2@2", Some("x1@1")),
+        ("z", "x1@1", None))
+      .toDF("target", "x", "sib")
+      .withColumn("y", concat(col("target"), lit("@0")))
+    val mom = Causal.laggedCrossMoments(panel,
+      Seq(("y", 0), ("z", 0), ("x1", 1), ("x2", 2)),
+      col("t").between(2, n - 1))
+    val got = Causal.structuralInference(
+        Causal.structuralBetas(mom, linksDf))
+      .select("target", "x", "k_parents", "se2_ppm2", "t2_milli")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // double-precision OLS inference on the SAME quantized window
+    val w = (2 until n).toArray
+    val m = w.length.toDouble
+    def series(name: String, lag: Int): Array[Double] = name match {
+      case "x1" => w.map(t => q(x1(t - lag)).toDouble)
+      case "x2" => w.map(t => q(x2(t - lag)).toDouble)
+      case "y"  => w.map(t => q(y(t)).toDouble)
+      case "z"  => w.map(t => q(z(t)).toDouble)
+    }
+    def s(a: Array[Double], b: Array[Double]): Double = {
+      val mu = (a.sum / a.length, b.sum / b.length)
+      a.zip(b).map(p => (p._1 - mu._1) * (p._2 - mu._2)).sum
+    }
+    val (ya, za, x1a, x2a) =
+      (series("y", 0), series("z", 0), series("x1", 1), series("x2", 2))
+    val detS = s(x1a, x1a) * s(x2a, x2a) - s(x1a, x2a) * s(x1a, x2a)
+    val b1 = (s(x2a, x2a) * s(x1a, ya) - s(x1a, x2a) * s(x2a, ya)) / detS
+    val b2 = (s(x1a, x1a) * s(x2a, ya) - s(x1a, x2a) * s(x1a, ya)) / detS
+    val bz = s(x1a, za) / s(x1a, x1a)
+    def check(key: (String, String), varBeta: Double, beta: Double,
+        k: Long): Unit = {
+      val (kGot, se2, t2) = got(key)
+      assert(kGot == k, s"$key k_parents $kGot vs $k")
+      assert(math.abs(se2 - 1e12 * varBeta) < 0.01 * 1e12 * varBeta + 2,
+        s"$key se2_ppm2 $se2 vs ${1e12 * varBeta}")
+      val t2d = 1000.0 * beta * beta / varBeta
+      assert(math.abs(t2 - t2d) < 0.02 * t2d + 2, s"$key t2 $t2 vs $t2d")
+    }
+    val rssY = s(ya, ya) - b1 * s(x1a, ya) - b2 * s(x2a, ya)
+    val sig2Y = rssY / (m - 3)
+    check(("y", "x1@1"), sig2Y * s(x2a, x2a) / detS, b1, 2L)
+    check(("y", "x2@2"), sig2Y * s(x1a, x1a) / detS, b2, 2L)
+    val rssZ = s(za, za) - bz * s(x1a, za)
+    check(("z", "x1@1"), (rssZ / (m - 2)) / s(x1a, x1a), bz, 1L)
+  }
+
+  test("q363: every live A1 link tests significant at 5% Wald; the dead " +
+      "X5->X6 link does not — orders-of-magnitude t² separation") {
+    val rows = SparkEntry.queries("q363_beta_ttest")(spark, "unused")
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (eff, t2, sig) = (r.getAs[Long]("effective_ppm"),
+        r.getAs[Long]("t2_milli"), r.getAs[Int]("significant"))
+      assert(r.getAs[Long]("se2_ppm2") > 0)
+      if (eff != 0) {
+        assert(sig == 1 && t2 > 100000L,
+          s"live ${r.getAs[String]("source")}->${r.getAs[String]("target")}" +
+            s" t2_milli $t2")
+      } else {
+        assert(sig == 0 && t2 <= 3841L,
+          s"dead link t2_milli $t2 reads significant")
+      }
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
