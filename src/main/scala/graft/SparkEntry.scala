@@ -7705,6 +7705,123 @@ object SparkEntry {
           min(col("n")).as("min_pair_n"), max(col("n")).as("max_pair_n"))
     }),
 
+    // BLOCK-MISSING irregular NONLINEAR recovery census (the LIVE-link
+    // missing-data counterpart of q362's all-dead D1 shadow: D2's
+    // 4-var cells keep every declared coefficient effective, so this
+    // is the census that RECOVERS weights under missingness rather
+    // than proving them dead — and D2 is the full composition: block
+    // masking × irregular clock × B-family quadratic equations with
+    // the §2.4-1 dropped cubic). Regressors are SQUARED nearest-lag
+    // channels (the compat kernel applies coef·x² only — d2.py's
+    // '+'-split extractor keeps the leading quadratic and silently
+    // drops the minus-signed cubic, the same quirk q355 measures on
+    // B1); masked cells drop out of BOTH channel kinds BEFORE the
+    // per-config alignment, while the alignment spine keeps every t —
+    // the generator computes on the full irregular clock and masks at
+    // OUTPUT, so lag resolution must read the unmasked grid. The
+    // estimator is COMPLETE-CASE: only folded t's where all 10
+    // channels co-observe enter the moments, because the Cramer
+    // ratios are only n-free when every moment shares ONE window —
+    // naive pairwise-complete moments mix n_jy ≈ (1−p)²N with n_jj ≈
+    // (1−p)N and attenuate β by ≈(1−p) (measured before the fix:
+    // 13-22% mean error GROWING with block rate; complete-case
+    // restores it to sampling noise). The published complete_n per
+    // config is the honest cost of that choice, and it exposes a real
+    // phenomenon: the irregular nearest-lag offset is heavy-tailed
+    // (median ~10 indices at this density), so a lag read often lands
+    // in the ADJACENT block — whether that block is masked is
+    // per-config phase luck (measured: P(source masked at lag idx |
+    // row complete) = 86% for one block-0.2 cell vs 5% for its
+    // block-0.1 neighbor), collapsing some cells' complete_n from
+    // ~19k to ~500. The census therefore publishes BOTH the raw error
+    // and max_diff_t2_milli — the worst per-link Wald distance from
+    // effective truth under q363's integer inference — pinning that
+    // the error is exactly the size the surviving n predicts, not
+    // bias. Cells are the 18 D2+D2C gaussian grid cells SENSITIVITY-
+    // BOOSTED per the q355 precedent (same equations at n=50,000,
+    // σ=0.3: at the catalog's σ=0.1 the x² signal is ~2.5% of the
+    // noise sd and statistically invisible). Only squared channels
+    // the link set names are emitted, so the moment fan stays ~10
+    // channels per config, not 4·(1+lags).
+    "q365_block_missing_recovery" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "D2" || c.family == "D2C") && c.nVars == 4
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+        .map(_.copy(nPoints = 50000, noiseScale = 0.3))
+      val gen = dumpGen(s, "q365_gen",
+        Generate.wideFast(s, cfgs)
+          .select(Seq(col("configId"), col("t"), col("time")) ++
+            (1 to 4).map(i => col(s"X$i")) :+ col("maskBits"): _*))
+      def pan(sq: Boolean): DataFrame = (1 to 4).map { i =>
+        val v = if (sq) col(s"X$i") * col(s"X$i") else col(s"X$i")
+        gen.where(col("maskBits").bitwiseAND(lit(1 << (i - 1))) === 0)
+          .select(col("configId"),
+            lit(s"X$i" + (if (sq) "p2" else "")).as("series"), col("t"),
+            floor(v * 1000).cast("long").as("v"))
+      }.reduce(_ unionByName _)
+      val panLin = pan(sq = false)
+      val panSq = pan(sq = true).localCheckpoint(false)
+      val spine = gen.select(col("configId"), col("t"), col("time"))
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, 4, c.maxLag))
+      val blockOf = cfgs.map(c =>
+        c.configId.toString -> math.round(c.blockProb * 1000)).toMap
+      def p2(v: String): String = v.replace("@", "p2@")
+      import s.implicits._
+      val linksDf = links.map(l => (l.g, l.family, l.maxLag,
+          blockOf(l.g), l.target, l.source, l.lag, l.y, p2(l.x),
+          l.sib.map(p2), l.declaredPpm, l.effectivePpm))
+        .toDF("g", "family", "max_lag", "block_permille", "target",
+          "source", "lag", "y", "x", "sib", "declared_ppm",
+          "effective_ppm")
+      // squared channels only where a link reads them: lag -> sources
+      val srcByLag = links.map(l => (l.lag, s"${l.source}p2")).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val virtT = panLin.select(
+        concat(col("configId"), lit("|"), col("series"), lit("@0"))
+          .as("vs"),
+        (col("configId") * 65536L + col("t")).as("t"), col("v"))
+      val virtSq0 = panSq
+        .where(col("series").isin(srcByLag.getOrElse(0, Nil): _*))
+        .select(concat(col("configId"), lit("|"), col("series"),
+            lit("@0")).as("vs"),
+          (col("configId") * 65536L + col("t")).as("t"), col("v"))
+      val virtL = srcByLag.keys.filter(_ > 0).toSeq.sorted.map { k =>
+        val lx = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
+          Seq("configId"), k).localCheckpoint(false)
+        lx.join(panSq
+            .where(col("series").isin(srcByLag(k): _*))
+            .select(col("configId"), col("series"),
+              col("t").as("lag_idx"), col("v")), Seq("configId", "lag_idx"))
+          .select(concat(col("configId"), lit("|"), col("series"),
+              lit(s"@$k")).as("vs"),
+            (col("configId") * 65536L + col("t")).as("t"), col("v"))
+      }
+      val virtAll = (Seq(virtT, virtSq0) ++ virtL).reduce(_ unionByName _)
+      // complete-case cut: the folded t key encodes the config, so one
+      // groupBy finds the t's where the full 10-channel frame co-observes
+      val completeT = virtAll.groupBy("t")
+        .agg(count(lit(1)).as("nch")).where(col("nch") === 10)
+        .select("t")
+      val virt = virtAll.join(completeT, Seq("t"))
+      val mom = graft.metrics.Causal.virtualCrossMoments(virt,
+        expr("t % 65536 BETWEEN 4 AND 49999"), broadcastB = false)
+      val diffT2 = expr(
+        """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+          |else (1000 * cast(beta_ppm - effective_ppm as decimal(38,0))
+          |  * (beta_ppm - effective_ppm)) div se2_ppm2 end""".stripMargin)
+      graft.metrics.Causal.structuralInference(
+          graft.metrics.Causal.structuralBetas(mom, linksDf))
+        .groupBy("family", "max_lag", "block_permille")
+        .agg(count(lit(1)).as("n_links"),
+          expr("sum(abs(beta_ppm - effective_ppm)) div count(1)")
+            .as("mean_abs_err_ppm"),
+          max(abs(col("beta_ppm") - col("effective_ppm")))
+            .as("max_abs_err_ppm"),
+          max(diffT2).as("max_diff_t2_milli"),
+          min(col("n")).as("complete_n"))
+    }),
+
     // COEFFICIENT-LEVEL INFERENCE (the fourth leg of model recovery:
     // structure — the PC suite; weights — q351; noise scale — q354;
     // this adds the Wald test that says which recovered weights are
@@ -11189,6 +11306,83 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q365_block_missing_recovery" -> {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "D2" || c.family == "D2C") && c.nVars == 4
+          && c.nPoints == 5000 && c.noiseType == "gaussian")
+        .map(_.copy(nPoints = 50000, noiseScale = 0.3))
+      val links = cfgs.flatMap(c =>
+        weightLinks(c.configId.toString, c.family, 4, c.maxLag))
+      val blockOf = cfgs.map(c =>
+        c.configId.toString -> math.round(c.blockProb * 1000)).toMap
+      def p2(v: String): String = v.replace("@", "p2@")
+      val linkRows = links.map(l =>
+        s"('${l.g}','${l.family}',${l.maxLag},${blockOf(l.g)}," +
+          s"'${l.target}','${l.source}',${l.lag},'${l.y}','${p2(l.x)}'," +
+          l.sib.map(x => s"'${p2(x)}'").getOrElse("NULL::VARCHAR") +
+          s",${l.declaredPpm},${l.effectivePpm})").mkString(",\n    ")
+      val srcByLag = links.map(l => (l.lag, s"${l.source}p2")).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      def inList(ss: Seq[String]): String =
+        ss.map(x => s"'$x'").mkString("(", ", ", ")")
+      val lagsNeeded = srcByLag.keys.filter(_ > 0).toSeq.sorted
+      val lxBlocks = lagsNeeded.map(k =>
+        graft.ops.Lagged.nearestLagIndexSqlCtes("spine", "\"time\"",
+          Seq("configId"), lagMult = k, sfx = s"$k")).mkString(",\n")
+      val virtLag = lagsNeeded.map(k =>
+        s"  UNION ALL SELECT p.configId::VARCHAR || '|' || p.series || " +
+          s"'@$k', p.configId * 65536 + l.t, p.v\n" +
+          s"    FROM lx$k l JOIN pan p ON p.configId = l.configId " +
+          s"AND p.t = l.lag_idx " +
+          s"WHERE p.series IN ${inList(srcByLag(k))}").mkString("\n")
+      val sqRows = (1 to 4).map(i =>
+        s"  UNION ALL SELECT configId, 'X${i}p2', t, " +
+          s"floor(X$i * X$i * 1000)::BIGINT FROM gen " +
+          s"WHERE (maskBits & ${1 << (i - 1)}) = 0").mkString("\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q365_gen/*.parquet')),
+        |spine AS (SELECT configId, t, "time" FROM gen),
+        |$lxBlocks,
+        |pan AS (
+        |  SELECT configId, 'X1' AS series, t,
+        |    floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen WHERE (maskBits & 1) = 0
+        |${(2 to 4).map(i =>
+             s"  UNION ALL SELECT configId, 'X$i', t, " +
+               s"floor(X$i * 1000)::BIGINT FROM gen " +
+               s"WHERE (maskBits & ${1 << (i - 1)}) = 0")
+             .mkString("\n")}
+        |$sqRows),
+        |virtall AS (
+        |  SELECT configId::VARCHAR || '|' || series || '@0' AS vs,
+        |    configId * 65536 + t AS t, v
+        |  FROM pan
+        |  WHERE series NOT LIKE '%p2'
+        |    OR series IN ${inList(srcByLag.getOrElse(0, Nil))}
+        |$virtLag),
+        |ct AS (SELECT t FROM virtall GROUP BY t HAVING count(*) = 10),
+        |virt AS (SELECT v.* FROM virtall v JOIN ct USING (t)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(g, family, max_lag, block_permille, target, source, lag,
+        |    y, x, sib, declared_ppm, effective_ppm)),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t % 65536 BETWEEN 4 AND 49999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |${graft.metrics.Causal.structuralInferenceSqlCtes()}
+        |SELECT family, max_lag::INT AS max_lag,
+        |  block_permille::BIGINT AS block_permille,
+        |  count(*)::BIGINT AS n_links,
+        |  (sum(abs(beta_ppm - effective_ppm)) // count(*))::BIGINT
+        |    AS mean_abs_err_ppm,
+        |  max(abs(beta_ppm - effective_ppm))::BIGINT AS max_abs_err_ppm,
+        |  max(CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0 THEN NULL
+        |    ELSE (1000 * (beta_ppm - effective_ppm)::HUGEINT
+        |      * (beta_ppm - effective_ppm)) // se2_ppm2 END)::BIGINT
+        |    AS max_diff_t2_milli,
+        |  min(n)::BIGINT AS complete_n
+        |FROM sttest GROUP BY 1, 2, 3""".stripMargin
     },
 
     "q363_beta_ttest" -> {

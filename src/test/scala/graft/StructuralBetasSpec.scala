@@ -229,6 +229,25 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q365: block-missing D2/D2C complete-case recovery — every link " +
+      "within 4 se of effective truth (the n-collapse cells included), " +
+      "well-populated cells within 10% of scale") {
+    val rows = SparkEntry
+      .queries("q365_block_missing_recovery")(spark, "unused").collect()
+    assert(rows.length == 18)
+    rows.foreach { r =>
+      val (n, t2, err) = (r.getAs[Long]("complete_n"),
+        r.getAs[Long]("max_diff_t2_milli"),
+        r.getAs[Long]("mean_abs_err_ppm"))
+      assert(n >= 400, s"complete_n $n collapsed below the statistical floor")
+      // 4σ in milli-t² units: the calibration claim that survives the
+      // block-aliasing n collapse (measured max 10.8 at 3.3σ)
+      assert(t2 <= 16000, s"a beta sits ${t2 / 1000.0} t² from truth")
+      if (n >= 5000) assert(err <= 100000,
+        s"well-populated cell (n=$n) mean err $err ppm")
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
