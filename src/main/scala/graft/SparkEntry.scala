@@ -7822,6 +7822,72 @@ object SparkEntry {
           min(col("n")).as("complete_n"))
     }),
 
+    // LAG IDENTIFICATION by integer RSS sweep (model selection on the
+    // lag axis — the one structural coordinate no previous query
+    // recovers from data: PC finds the skeleton, q351 the weights at
+    // the DECLARED lag; this reads the lag itself): for every A1
+    // 6-var link, the regressor lag is swept over candidates 0..4
+    // with the sibling pinned at its true lag, each variant fit by
+    // the same k≤2 Cramer stage, and the variant RSS (10⁶·C_yy −
+    // Σβ·C_jy, exact integers) ranked — argmin is the identified lag,
+    // ties to the smaller candidate. Every LIVE link identifies its
+    // true lag exactly, with the published gap_permille (RSS rise of
+    // the runner-up) measuring HOW decisively — 75-207‰ here; the
+    // §2.4-2 dead X5→X6 link is the negative control: its RSS profile
+    // is flat (gap_permille = 0 — its best_lag is just the tie-break
+    // landing on the smallest candidate), so "no identifiable lag" is
+    // itself a data read, the deadness surfaced a FIFTH way.
+    "q366_lag_identification" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q366_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val cands = 0 to 4
+      val specs = (links.map(l => (l.target, 0)) ++
+        links.flatMap(l => cands.map(c => (l.source, c)))).distinct
+      import s.implicits._
+      val rows = links.flatMap { l =>
+        cands.flatMap { c =>
+          val vk = s"${l.target}<${l.source}|$c"
+          val swept = (vk, l.target, l.source, l.lag, c,
+            l.effectivePpm, 1, l.y, s"${l.source}@$c", l.sib)
+          val sib = l.sib.map(sv => (vk, l.target, l.source, l.lag, c,
+            l.effectivePpm, 0, l.y, sv, Some(s"${l.source}@$c")))
+          Seq(swept) ++ sib
+        }
+      }
+      val linksDf = rows.toDF("vk", "target", "source", "true_lag",
+        "cand", "effective_ppm", "swept", "y", "x", "sib")
+      val mom = graft.metrics.Causal.laggedCrossMoments(
+        panel, specs, col("t").between(4, 4999))
+      val betas = graft.metrics.Causal.structuralBetas(mom, linksDf)
+        .withColumn("rss_scaled", expr(
+          """1000000 * cast(cyy as decimal(38,0))
+            |  - sum(cast(beta_ppm as decimal(38,0)) * cjy)
+            |      over (partition by vk)""".stripMargin))
+        .where(col("swept") === 1)
+      betas
+        .withColumn("rk", expr(
+          """row_number() over (partition by target, source
+            |  order by rss_scaled, cand)""".stripMargin))
+        .withColumn("next_rss", expr(
+          """lead(rss_scaled, 1) over (partition by target, source
+            |  order by rss_scaled, cand)""".stripMargin))
+        .where(col("rk") === 1)
+        .select(col("target"), col("source"), col("true_lag"),
+          col("effective_ppm"), col("cand").as("best_lag"),
+          (col("cand") === col("true_lag")).cast("int").as("identified"),
+          expr("((next_rss - rss_scaled) * 1000 div rss_scaled)")
+            .cast("long").as("gap_permille"))
+    }),
+
     // COEFFICIENT-LEVEL INFERENCE (the fourth leg of model recovery:
     // structure — the PC suite; weights — q351; noise scale — q354;
     // this adds the Wald test that says which recovered weights are
@@ -11383,6 +11449,61 @@ object SparkEntry {
         |    AS max_diff_t2_milli,
         |  min(n)::BIGINT AS complete_n
         |FROM sttest GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q366_lag_identification" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      val cands = 0 to 4
+      val specs = (links.map(l => (l.target, 0)) ++
+        links.flatMap(l => cands.map(c => (l.source, c)))).distinct
+      val specRows = specs.map { case (series, lag) =>
+        s"('$series',$lag)" }.mkString(",\n    ")
+      val linkRows = links.flatMap { l =>
+        cands.flatMap { c =>
+          val vk = s"${l.target}<${l.source}|$c"
+          val swept = s"('$vk','${l.target}','${l.source}',${l.lag},$c," +
+            s"${l.effectivePpm},1,'${l.y}','${l.source}@$c'," +
+            l.sib.map(x => s"'$x'").getOrElse("NULL::VARCHAR") + ")"
+          val sib = l.sib.map(sv =>
+            s"('$vk','${l.target}','${l.source}',${l.lag},$c," +
+              s"${l.effectivePpm},0,'${l.y}','$sv','${l.source}@$c')")
+          Seq(swept) ++ sib
+        }
+      }.mkString(",\n    ")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q366_gen/*.parquet')),
+        |panel AS (
+        |  SELECT 'X1' AS series, t AS day, floor(X1 * 1000)::BIGINT AS v
+        |  FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i', t, floor(X$i * 1000)::BIGINT FROM gen")
+             .mkString("\n")}),
+        |specs AS (SELECT * FROM (VALUES $specRows) AS s(series, lag)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(vk, target, source, true_lag, cand, effective_ppm, swept,
+        |    y, x, sib)),
+        |${graft.metrics.Causal.structuralMomentsSqlCtes(
+             "panel", "specs", "t BETWEEN 4 AND 4999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |rss AS (
+        |  SELECT *, 1000000 * cyy::HUGEINT
+        |      - sum(beta_ppm::HUGEINT * cjy) OVER (PARTITION BY vk)
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY target, source
+        |      ORDER BY rss_scaled, cand) AS rk,
+        |    lead(rss_scaled, 1) OVER (PARTITION BY target, source
+        |      ORDER BY rss_scaled, cand) AS next_rss
+        |  FROM rss WHERE swept = 1)
+        |SELECT target, source, true_lag::INT AS true_lag,
+        |  effective_ppm::BIGINT AS effective_ppm,
+        |  cand::INT AS best_lag,
+        |  (cand = true_lag)::INT AS identified,
+        |  (((next_rss - rss_scaled) * 1000) // rss_scaled)::BIGINT
+        |    AS gap_permille
+        |FROM ranked WHERE rk = 1""".stripMargin
     },
 
     "q363_beta_ttest" -> {

@@ -248,6 +248,26 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q366: every live link's lag is identified exactly by the RSS " +
+      "sweep with a decisive gap; the dead link's profile is flat") {
+    val rows = SparkEntry
+      .queries("q366_lag_identification")(spark, "unused").collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (eff, ident, gap) = (r.getAs[Long]("effective_ppm"),
+        r.getAs[Int]("identified"), r.getAs[Long]("gap_permille"))
+      if (eff != 0) {
+        assert(ident == 1,
+          s"${r.getAs[String]("source")}->${r.getAs[String]("target")} " +
+            s"best_lag ${r.getAs[Int]("best_lag")} vs " +
+            s"true ${r.getAs[Int]("true_lag")}")
+        assert(gap >= 50, s"indecisive identification: gap $gap permille")
+      } else {
+        assert(gap <= 5, s"dead link shows an RSS structure: gap $gap")
+      }
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
