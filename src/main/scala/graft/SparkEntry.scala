@@ -7822,6 +7822,79 @@ object SparkEntry {
           min(col("n")).as("complete_n"))
     }),
 
+    // OUT-OF-SAMPLE FORECAST CALIBRATION (the prediction leg of model
+    // recovery — every prior query measures the FIT; this measures
+    // whether the fitted model's uncertainty is honest out of sample):
+    // betas, intercept (via train channel means) and σ̂² are estimated
+    // on the FIRST half of the A1 6-var cell, then every second-half
+    // row gets a one-step-ahead prediction ŷ = ȳ + Σβ(x−x̄) from REAL
+    // lagged values and a 95% interval verdict — all exact integers:
+    // D = 10⁶·n·(y−ŷ) and the sqrt-free coverage test
+    // 10⁴·D²·(n−k−1) ≤ 38416·10⁶·n·rss keeps every product inside
+    // DECIMAL(38,0)/HUGEINT with NO division at all. Per target, 2,500
+    // test decisions → cover_permille ≈ 950 on every row INCLUDING the
+    // dead-link target X6 (its fitted model is a tiny spurious beta +
+    // intercept, and the interval still calibrates because σ̂ absorbed
+    // the full noise floor). q357 checks aggregate holdout variance;
+    // this is row-level interval calibration with a train-frozen
+    // intercept — genuinely out of sample.
+    "q367_forecast_calibration" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 5000 && c.nVars == 6 && c.maxLag == 2
+          && c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q367_gen",
+        Generate.wideFast(s, Seq(cfg))
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val panel = (1 to 6).map(i =>
+        gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+        .reduce(_ unionByName _)
+      val links = weightLinks("", "A1", 6, 2)
+      val specs = weightSpecs(links)
+      val virt = specs.map { case (series, k) =>
+        panel.where(col("series") === series)
+          .select(lit(s"$series@$k").as("vs"),
+            (col("day") + k).as("t"), col("v"))
+      }.reduce(_ unionByName _)
+      val momTr = graft.metrics.Causal.virtualCrossMoments(virt,
+        col("t").between(2, 2499))
+      val binf = graft.metrics.Causal.structuralInference(
+        graft.metrics.Causal.structuralBetas(momTr,
+          weightLinksDf(s, links)))
+      val stats = virt.where(col("t").between(2, 2499))
+        .groupBy("vs").agg(count(lit(1)).as("cn"),
+          sum(col("v")).as("cs"))
+      val test = virt.where(col("t").between(2500, 4999))
+      val contrib = binf
+        .select(col("target"), col("y"), col("x"), col("beta_ppm"),
+          col("k_parents"), col("rss_scaled"), col("n").as("ntr"))
+        .join(broadcast(stats.select(col("vs").as("x"),
+          col("cn").as("nx"), col("cs").as("sx"))), Seq("x"))
+        .join(test.select(col("vs").as("x"), col("t"),
+          col("v").as("xv")), Seq("x"))
+        .withColumn("dx", expr(
+          "cast(beta_ppm as decimal(38,0)) * (nx * xv - sx)"))
+        .groupBy("target", "y", "t")
+        .agg(sum(col("dx")).as("sdx"), max(col("k_parents")).as("kp"),
+          max(col("rss_scaled")).as("rss"), max(col("ntr")).as("ntr"))
+      contrib
+        .join(broadcast(stats.select(col("vs").as("y"),
+          col("cn").as("ny"), col("cs").as("sy"))), Seq("y"))
+        .join(test.select(col("vs").as("y"), col("t"),
+          col("v").as("yv")), Seq("y", "t"))
+        .withColumn("dnum", expr(
+          "1000000 * (cast(ny as decimal(38,0)) * yv - sy) - sdx"))
+        .withColumn("cover", expr(
+          """case when 10000 * dnum * dnum * (ntr - kp - 1)
+            |  <= 38416000000 * cast(ntr as decimal(38,0)) * rss
+            |then 1L else 0L end""".stripMargin))
+        .groupBy("target")
+        .agg(max(col("kp")).as("n_parents"),
+          count(lit(1)).as("n_test"), sum(col("cover")).as("n_cover"))
+        .withColumn("cover_permille",
+          expr("(1000 * n_cover) div n_test"))
+    }),
+
     // LAG IDENTIFICATION by integer RSS sweep (model selection on the
     // lag axis — the one structural coordinate no previous query
     // recovers from data: PC finds the skeleton, q351 the weights at
@@ -11449,6 +11522,54 @@ object SparkEntry {
         |    AS max_diff_t2_milli,
         |  min(n)::BIGINT AS complete_n
         |FROM sttest GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q367_forecast_calibration" -> {
+      val links = weightLinks("", "A1", 6, 2)
+      val specs = weightSpecs(links)
+      val virtRows = specs.map { case (series, k) =>
+        s"SELECT '$series@$k' AS vs, t + $k AS t, " +
+          s"floor($series * 1000)::BIGINT AS v FROM gen"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q367_gen/*.parquet')),
+        |virt AS (
+        |  $virtRows),
+        |links AS (SELECT * FROM ${weightLinksValuesSql(links)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t BETWEEN 2 AND 2499")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |${graft.metrics.Causal.structuralInferenceSqlCtes()},
+        |stats AS (
+        |  SELECT vs, count(*)::HUGEINT AS cn, sum(v)::HUGEINT AS cs
+        |  FROM virt WHERE t BETWEEN 2 AND 2499 GROUP BY 1),
+        |test AS (SELECT vs, t, v FROM virt WHERE t BETWEEN 2500 AND 4999),
+        |contrib AS (
+        |  SELECT b.target, b.y, xt.t,
+        |    sum(b.beta_ppm::HUGEINT * (sx.cn * xt.v - sx.cs)) AS sdx,
+        |    max(b.k_parents) AS kp, max(b.rss_scaled) AS rss,
+        |    max(b.n) AS ntr
+        |  FROM sttest b
+        |  JOIN stats sx ON sx.vs = b.x
+        |  JOIN test xt ON xt.vs = b.x
+        |  GROUP BY 1, 2, 3),
+        |prows AS (
+        |  SELECT c.target, c.t,
+        |    1000000 * (sy.cn * yt.v - sy.cs) - c.sdx AS dnum,
+        |    c.kp, c.rss, c.ntr
+        |  FROM contrib c
+        |  JOIN stats sy ON sy.vs = c.y
+        |  JOIN test yt ON yt.vs = c.y AND yt.t = c.t),
+        |cov AS (
+        |  SELECT target, max(kp)::BIGINT AS n_parents,
+        |    count(*)::BIGINT AS n_test,
+        |    sum(CASE WHEN 10000 * dnum * dnum * (ntr - kp - 1)
+        |      <= 38416000000 * ntr::HUGEINT * rss
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_cover
+        |  FROM prows GROUP BY 1)
+        |SELECT target, n_parents, n_test, n_cover,
+        |  ((1000 * n_cover) // n_test)::BIGINT AS cover_permille
+        |FROM cov""".stripMargin
     },
 
     "q366_lag_identification" -> {

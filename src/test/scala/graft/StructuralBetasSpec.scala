@@ -268,6 +268,19 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q367: one-step-ahead 95% prediction intervals calibrate out of " +
+      "sample on every target (X6's noise-floor model included)") {
+    val rows = SparkEntry
+      .queries("q367_forecast_calibration")(spark, "unused").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val cp = r.getAs[Long]("cover_permille")
+      assert(cp >= 930 && cp <= 970,
+        s"${r.getAs[String]("target")}: coverage $cp permille off nominal")
+      assert(r.getAs[Long]("n_test") == 2500L)
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
