@@ -7786,10 +7786,14 @@ object SparkEntry {
         .select(concat(col("configId"), lit("|"), col("series"),
             lit("@0")).as("vs"),
           (col("configId") * 65536L + col("t")).as("t"), col("v"))
-      val virtL = srcByLag.keys.filter(_ > 0).toSeq.sorted.map { k =>
-        val lx = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
-          Seq("configId"), k).localCheckpoint(false)
-        lx.join(panSq
+      val lagsK = srcByLag.keys.filter(_ > 0).toSeq.sorted
+      // ONE fused alignment pass for all four lags (the per-lag calls
+      // each re-sorted the same 900k-row spine)
+      val lx = graft.ops.Lagged.nearestLagIndicesView(spine, "t", "time",
+        Seq("configId"), lagsK).localCheckpoint(false)
+      val virtL = lagsK.map { k =>
+        lx.where(col("lag_mult") === k).drop("lag_mult")
+          .join(panSq
             .where(col("series").isin(srcByLag(k): _*))
             .select(col("configId"), col("series"),
               col("t").as("lag_idx"), col("v")), Seq("configId", "lag_idx"))
@@ -7797,7 +7801,11 @@ object SparkEntry {
               lit(s"@$k")).as("vs"),
             (col("configId") * 65536L + col("t")).as("t"), col("v"))
       }
+      // checkpoint the union ONCE: both the completeness cut and the
+      // moment pass read it, and recomputing it means re-running the
+      // alignment joins twice
       val virtAll = (Seq(virtT, virtSq0) ++ virtL).reduce(_ unionByName _)
+        .localCheckpoint(false)
       // complete-case cut: the folded t key encodes the config, so one
       // groupBy finds the t's where the full 10-channel frame co-observes
       val completeT = virtAll.groupBy("t")
@@ -8158,10 +8166,13 @@ object SparkEntry {
         concat(col("configId"), lit("|"), col("series"), lit("@0"))
           .as("vs"),
         (col("configId") * 8192 + col("t")).as("t"), col("v"))
+      // ONE fused alignment pass for all lags (the per-lag calls each
+      // re-sorted the same spine — the q365 lesson applied here too)
+      val lxAll = graft.ops.Lagged.nearestLagIndicesView(spine, "t",
+        "time", Seq("configId"), lagsNeeded).localCheckpoint(false)
       val virtL = lagsNeeded.map { k =>
-        val lx = graft.ops.Lagged.nearestLagIndexView(spine, "t", "time",
-          Seq("configId"), k).localCheckpoint(false)
-        lx.join(pan.select(col("configId"), col("series"),
+        lxAll.where(col("lag_mult") === k).drop("lag_mult")
+          .join(pan.select(col("configId"), col("series"),
             col("t").as("lag_idx"), col("v")), Seq("configId", "lag_idx"))
           .select(concat(col("configId"), lit("|"), col("series"),
               lit(s"@$k")).as("vs"),

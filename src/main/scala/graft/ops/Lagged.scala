@@ -49,7 +49,23 @@ object Lagged {
     * Output: (partitionCols..., idxCol, lag_idx).
     */
   def nearestLagIndexView(spine: DataFrame, idxCol: String, tsCol: String,
-      partitionCols: Seq[String] = Nil, lagMult: Int = 1): DataFrame = {
+      partitionCols: Seq[String] = Nil, lagMult: Int = 1): DataFrame =
+    nearestLagIndicesView(spine, idxCol, tsCol, partitionCols,
+      Seq(lagMult)).drop("lag_mult")
+
+  /** Multi-lag [[nearestLagIndexView]]: ALL requested lag multiples in
+    * ONE union + ONE sort per partition (q365's four per-lag passes each
+    * re-sorted the same spine; fusing them is a |lags|× cut on the
+    * dominant window cost). Per lag the probe stream and tie rules are
+    * IDENTICAL to the single-lag op — probes only read carried data
+    * rows, so interleaving probes of different lags never changes a
+    * carry — pinned bitwise-equal per lag by OpsSpec.
+    *
+    * Output: (partitionCols..., idxCol, lag_mult, lag_idx).
+    */
+  def nearestLagIndicesView(spine: DataFrame, idxCol: String,
+      tsCol: String, partitionCols: Seq[String] = Nil,
+      lagMults: Seq[Int] = Seq(1)): DataFrame = {
     val keys = if (partitionCols.isEmpty) Seq("_pk") else partitionCols
     val keyed =
       if (partitionCols.isEmpty) spine.withColumn("_pk", lit(1)) else spine
@@ -59,14 +75,16 @@ object Lagged {
         count(lit(1)).as("_n"))
     val withMd = keyed.join(broadcast(st), keys)
       .withColumn("_md",
-        (col("_mx") - col("_mn")) / (col("_n") - lit(1)) * lagMult)
+        (col("_mx") - col("_mn")) / (col("_n") - lit(1)))
     val data = withMd.select(keys.map(col) :+
       col(tsCol).cast("double").as("_ts") :+ lit(0).as("_kind") :+
-      col(idxCol).cast("long").as("_idx"): _*)
+      col(idxCol).cast("long").as("_idx") :+ lit(0).as("_k"): _*)
     val probes = withMd.where(col(idxCol) >= 1)
+      .withColumn("_k", explode(lit(lagMults.toArray)))
       .select(keys.map(col) :+
-        (col(tsCol).cast("double") - col("_md")).as("_ts") :+
-        lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx"): _*)
+        (col(tsCol).cast("double") - col("_md") * col("_k")).as("_ts") :+
+        lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx") :+
+        col("_k"): _*)
     // _idx DESC inside an equal-_ts group: the carried (= last) data row
     // is then the SMALLEST index among duplicate timestamps, matching
     // np.argmin's first-hit rule on a spine with repeated clocks
@@ -95,6 +113,7 @@ object Lagged {
       (col("_b").isNull ||
         (col("_f.ts") - col("_ts")) < (col("_ts") - col("_b.ts")))
     carried.select(partitionCols.map(col) :+ col("_idx").as(idxCol) :+
+      col("_k").as("lag_mult") :+
       when(takeFwd, col("_f.idx"))
         .otherwise(coalesce(col("_b.idx"), lit(0L))).as("lag_idx"): _*)
   }

@@ -101,6 +101,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestLagIndicesView: the fused multi-lag pass equals the per-" +
+      "lag single calls bitwise (irregular clock, partitioned spine)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for {
+      p <- Seq("a", "b")
+      (ts, i) <- {
+        var acc = rnd.nextDouble()
+        Array.fill(200) { acc += 0.05 + rnd.nextDouble(); acc }.zipWithIndex
+      }
+    } yield (p, i.toLong, ts)
+    val spine = rows.toDF("s", "t", "time")
+    val lags = Seq(1, 2, 3, 4)
+    val fused = Lagged.nearestLagIndicesView(spine, "t", "time",
+        Seq("s"), lags)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    lags.foreach { k =>
+      val single = Lagged.nearestLagIndexView(spine, "t", "time",
+          Seq("s"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(single.size == 2 * 199)
+      single.foreach { case ((s, t), idx) =>
+        assert(fused((s, t, k)) == idx, s"($s, $t, lag $k)")
+      }
+    }
+  }
+
   test("nearestLagIndexView is partition-local with partitionCols") {
     import spark.implicits._
     // two series with different clocks: indices must resolve per-series
