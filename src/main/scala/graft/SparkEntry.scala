@@ -7830,6 +7830,69 @@ object SparkEntry {
           min(col("n")).as("complete_n"))
     }),
 
+    // STREAMING INFERENCE (q358's weight monitor upgraded to a
+    // significance monitor: the 10th running sum — syy — closes C_yy,
+    // hence RSS, σ̂², se² and the Wald verdict, ALL per link per
+    // micro-batch from one fixed-size state row; the monitor's
+    // emission log is "which edges are statistically real as of each
+    // batch"): the A1 n=500 design tuples stream in THREE time-ordered
+    // batches (prefix n = 48 / 198 / 398) and the verdicts SHARPEN as
+    // evidence arrives — at n=48 only the two strongest links (t² ≈
+    // 7.7-10.7) clear the bar, the weakest (X1@2→X4, β = 0.25) flips
+    // to significant only at the full n=398, and the §2.4-2 dead
+    // X5→X6 link stays non-significant at EVERY prefix while its se²
+    // column shrinks ∝1/n — evidence accumulation as hash-checked
+    // rows. The
+    // oracle replays the batch prefixes and the same from-sums
+    // arithmetic (Causal.structuralInferenceFromSums, the streaming
+    // twin of q363's operator; stream ≡ batch pinned by spec).
+    "q368_stream_inference" -> ((s, d) => {
+      val cfg = Grid.forFamily("A1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2 &&
+          c.noiseType == "gaussian").get
+      val gen = dumpGen(s, "q368_gen",
+        Generate.wideFast(s, Seq(cfg)).where(col("t") < 400)
+          .select(col("t") +: (1 to 6).map(i => col(s"X$i")): _*))
+      val gl = gen
+        .join(gen.select(col("t").as("t1") +:
+            (1 to 6).map(i => col(s"X$i").as(s"L1X$i")): _*),
+          col("t1") === col("t") - 1)
+        .join(gen.select(col("t").as("t2") +:
+            (1 to 6).map(i => col(s"X$i").as(s"L2X$i")): _*),
+          col("t2") === col("t") - 2)
+        .where(col("t").between(2, 399))
+      def q(series: String, lag: Int): Column =
+        floor((if (lag == 0) col(series) else col(s"L$lag$series"))
+          * 1000).cast("long")
+      val tuples = streamWeightLinks().map { case (k, tgt, src, lag, hs,
+          sibSeries, sibLag, _) =>
+        gl.select(lit(k).as("link"), q(tgt, 0).as("yv"),
+          q(src, lag).as("xv"),
+          (if (hs == 1) q(sibSeries, sibLag) else lit(0L)).as("sv"),
+          col("t"))
+      }.reduce(_ unionByName _)
+      val dumpSig = Option(new java.io.File(s"$genDir/q368_gen")
+          .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString(";")
+      val log = graft.streaming.StatefulOps.weightSums2Tws(s, tuples,
+        "t", Seq(50L, 200L), s"$genDir/q368_weight_split",
+        s"q368:$dumpSig", s"graft_stream_inference_${System.nanoTime()}")
+      import s.implicits._
+      val linksDf = streamWeightLinks()
+        .map(l => (l._1, l._2, l._3, l._4, l._5, l._8))
+        .toDF("link", "target", "source", "lag", "has_sib",
+          "effective_ppm")
+      graft.metrics.Causal.structuralInferenceFromSums(
+          graft.metrics.Causal.structuralBetasFromSums(
+            log.join(broadcast(linksDf), Seq("link"))))
+        .select(col("target"), col("source"), col("lag"), col("n"),
+          col("beta_ppm"), col("se2_ppm2"), col("t2_milli"),
+          (col("t2_milli") > lit(3841L)).cast("int").as("significant"),
+          col("effective_ppm"))
+    }),
+
     // OUT-OF-SAMPLE FORECAST CALIBRATION (the prediction leg of model
     // recovery — every prior query measures the FIT; this measures
     // whether the fitted model's uncertainty is honest out of sample):
@@ -11533,6 +11596,56 @@ object SparkEntry {
         |    AS max_diff_t2_milli,
         |  min(n)::BIGINT AS complete_n
         |FROM sttest GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q368_stream_inference" -> {
+      val tupSelects = streamWeightLinks().map { case (k, tgt, src, lag,
+          hs, sibSeries, sibLag, _) =>
+        def qc(series: String, l: Int): String =
+          if (l == 0) s"floor($series * 1000)::BIGINT"
+          else s"floor(L$l$series * 1000)::BIGINT"
+        val sv = if (hs == 1) qc(sibSeries, sibLag) else "0::BIGINT"
+        s"  SELECT '$k' AS link, ${qc(tgt, 0)} AS yv, " +
+          s"${qc(src, lag)} AS xv, $sv AS sv, t FROM gl"
+      }.mkString("\n  UNION ALL\n")
+      def prefixSums(pred: String): String =
+        s"""  SELECT link, count(*)::BIGINT AS n, sum(yv)::BIGINT AS sy,
+          |    sum(xv)::BIGINT AS sx, sum(sv)::BIGINT AS ss,
+          |    sum(yv * yv)::BIGINT AS syy,
+          |    sum(xv * xv)::BIGINT AS sxx, sum(sv * sv)::BIGINT AS sss,
+          |    sum(xv * yv)::BIGINT AS sxy, sum(sv * yv)::BIGINT AS ssy,
+          |    sum(xv * sv)::BIGINT AS sxs
+          |  FROM tup$pred GROUP BY 1""".stripMargin
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q368_gen/*.parquet')),
+        |gl AS (
+        |  SELECT a.*,
+        |${(1 to 6).map(i => s"    b.X$i AS L1X$i,").mkString("\n")}
+        |${(1 to 6).map(i => s"    c.X$i AS L2X$i")
+             .mkString(",\n")}
+        |  FROM gen a
+        |  JOIN gen b ON b.t = a.t - 1
+        |  JOIN gen c ON c.t = a.t - 2
+        |  WHERE a.t BETWEEN 2 AND 399),
+        |tup AS (
+        |$tupSelects),
+        |links AS (SELECT * FROM ${streamWeightLinksValuesSql()}),
+        |sums AS (
+        |${prefixSums(" WHERE t < 50")}
+        |  UNION ALL
+        |${prefixSums(" WHERE t < 200")}
+        |  UNION ALL
+        |${prefixSums("")}),
+        |wf AS (
+        |  SELECT s.*, l.target, l.source, l.lag, l.has_sib,
+        |    l.effective_ppm
+        |  FROM sums s JOIN links l USING (link)),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes("wf")},
+        |${graft.metrics.Causal.structuralInferenceFromSumsSqlCtes()}
+        |SELECT target, source, lag::INT AS lag, n, beta_ppm,
+        |  se2_ppm2, t2_milli, (t2_milli > 3841)::INT AS significant,
+        |  effective_ppm::BIGINT AS effective_ppm
+        |FROM stsum""".stripMargin
     },
 
     "q367_forecast_calibration" -> {

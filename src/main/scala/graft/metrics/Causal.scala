@@ -1973,6 +1973,85 @@ object Causal {
           |      - cast(cjs as decimal(38,0))*cjs) end
           |end""".stripMargin).cast("long"))
 
+  /** Wald inference from RAW design sums — [[structuralInference]]'s
+    * streaming twin (q368): the 10-sum row (the 9 of
+    * [[structuralBetasFromSums]] plus syy) closes everything per link
+    * with no window at all — the sibling beta comes from the SAME
+    * Cramer system read the other way, so
+    *
+    *   cyy        = n·syy − sy²
+    *   β_s        = 10⁶·(C_jj·C_sy − C_js·C_jy) div det   (0 when the
+    *                all-zero sibling channel makes det = 0)
+    *   rss_scaled = 10⁶·cyy − β·C_jy − β_s·C_sy
+    *   d_jj, se2_ppm2, t2_milli as in [[structuralInference]]
+    *
+    * k = has_sib + 1. Mirrored by
+    * [[structuralInferenceFromSumsSqlCtes]]; the streaming monitor
+    * emits one such verdict per link per micro-batch.
+    */
+  def structuralInferenceFromSums(betas: DataFrame): DataFrame =
+    betas
+      .withColumn("cyy", expr("n*syy - sy*sy"))
+      .withColumn("beta_sib_ppm", expr(
+        """case when has_sib = 0 then 0
+          |when cast(cjj as decimal(38,0))*css
+          |  - cast(cjs as decimal(38,0))*cjs = 0 then 0
+          |else (1000000 * (cast(cjj as decimal(38,0))*csy
+          |    - cast(cjs as decimal(38,0))*cjy))
+          |  div (cast(cjj as decimal(38,0))*css
+          |    - cast(cjs as decimal(38,0))*cjs) end""".stripMargin)
+        .cast("long"))
+      .withColumn("rss_scaled", expr(
+        """1000000 * cast(cyy as decimal(38,0))
+          |  - cast(beta_ppm as decimal(38,0)) * cjy
+          |  - cast(beta_sib_ppm as decimal(38,0)) * csy""".stripMargin))
+      .withColumn("d_jj", expr(
+        """case when has_sib = 0 then cast(cjj as decimal(38,0))
+          |else (cast(cjj as decimal(38,0))*css
+          |  - cast(cjs as decimal(38,0))*cjs) div css end""".stripMargin))
+      .withColumn("se2_ppm2", expr(
+        """case when d_jj <= 0 or n - has_sib - 2 <= 0 then null
+          |else (1000000 * rss_scaled)
+          |  div ((n - has_sib - 2) * d_jj) end""".stripMargin)
+        .cast("long"))
+      .withColumn("t2_milli", expr(
+        """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+          |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+          |  div se2_ppm2 end""".stripMargin).cast("long"))
+
+  /** [[structuralInferenceFromSums]] as ANSI SQL downstream of
+    * `sbsum$sfx` (which must carry syy and has_sib) — yields
+    * `stsum$sfx` = sbsum.* + cyy + beta_sib_ppm + rss_scaled + d_jj +
+    * se2_ppm2 + t2_milli.
+    */
+  def structuralInferenceFromSumsSqlCtes(sfx: String = ""): String =
+    s"""stsa$sfx AS (
+       |  SELECT *, n::HUGEINT*syy - sy::HUGEINT*sy AS cyy,
+       |    (CASE WHEN has_sib = 0 THEN 0
+       |      WHEN cjj*css - cjs*cjs = 0 THEN 0
+       |      ELSE (1000000 * (cjj*csy - cjs*cjy)) // (cjj*css - cjs*cjs)
+       |      END)::BIGINT AS beta_sib_ppm
+       |  FROM sbsum$sfx),
+       |stsb$sfx AS (
+       |  SELECT *,
+       |    1000000 * cyy - beta_ppm::HUGEINT * cjy
+       |      - beta_sib_ppm::HUGEINT * csy AS rss_scaled,
+       |    (CASE WHEN has_sib = 0 THEN cjj
+       |      ELSE (cjj*css - cjs*cjs) // css END) AS d_jj
+       |  FROM stsa$sfx),
+       |stsc$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN d_jj <= 0 OR n - has_sib - 2 <= 0 THEN NULL
+       |      ELSE (1000000 * rss_scaled)
+       |        // ((n - has_sib - 2) * d_jj) END)::BIGINT AS se2_ppm2
+       |  FROM stsb$sfx),
+       |stsum$sfx AS (
+       |  SELECT *,
+       |    (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0 THEN NULL
+       |      ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+       |      END)::BIGINT AS t2_milli
+       |  FROM stsc$sfx)""".stripMargin
+
   /** [[structuralBetasFromSums]] as ANSI SQL over
     * `\$sums(link, n, sy, sx, ss, sxx, sss, sxy, ssy, sxs, has_sib, ...)`
     * — yields `sbsum$sfx` = sums.* + the centered moments + beta_ppm.

@@ -138,6 +138,74 @@ object StatefulOps {
       sy: Long, sx: Long, ss: Long, sxx: Long, sss: Long,
       sxy: Long, ssy: Long, sxs: Long)
 
+  /** [[WeightSumsRow]] plus the regressand's own square sum — the 10th
+    * sum that turns the streaming weight monitor into a streaming
+    * INFERENCE monitor (q368): syy closes C_yy, hence RSS, σ̂², se² and
+    * the Wald verdict, all computable per emission from this one row.
+    */
+  final case class WeightSums2Row(link: String, n: Long,
+      sy: Long, sx: Long, ss: Long, syy: Long, sxx: Long, sss: Long,
+      sxy: Long, ssy: Long, sxs: Long)
+
+  /** [[WeightSumsProcessor]] with the syy channel (q368). */
+  class WeightSums2Processor
+      extends StatefulProcessor[String, (String, Long, Long, Long),
+        WeightSums2Row] {
+    @transient private var state: ValueState[WeightSums2Row] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[WeightSums2Row]("wsums2",
+        Encoders.product[WeightSums2Row], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[WeightSums2Row] = {
+      var st = if (state.exists()) state.get()
+               else WeightSums2Row(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+                 0L, 0L)
+      var touched = false
+      while (rows.hasNext) {
+        val (_, y, x, sv) = rows.next()
+        st = WeightSums2Row(key, st.n + 1, st.sy + y, st.sx + x,
+          st.ss + sv, st.syy + y * y, st.sxx + x * x, st.sss + sv * sv,
+          st.sxy + x * y, st.ssy + sv * y, st.sxs + x * sv)
+        touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update(st)
+        Iterator.single(st)
+      }
+    }
+  }
+
+  /** The q368 harness: [[weightSumsTws]] with the 10-sum state and an
+    * ARBITRARY prefix ladder — `boundaries` split the tuple stream into
+    * |boundaries|+1 time-ordered micro-batches, so the emission log is
+    * one inference snapshot per link per batch.
+    */
+  def weightSums2Tws(spark: SparkSession, tuples: DataFrame,
+      splitCol: String, boundaries: Seq[Long], splitDir: String,
+      cacheKey: String, queryName: String): DataFrame =
+    withRocksDbProvider(spark) {
+      import spark.implicits._
+      val cols = tuples.select(col("link"), col("yv"), col("xv"),
+        col("sv"), col(splitCol))
+      val cuts = (Long.MinValue +: boundaries) :+ Long.MaxValue
+      val src = StreamSupport.splitFilesStream(spark, splitDir, cacheKey) {
+        cuts.sliding(2).map { case Seq(lo, hi) =>
+          cols.where(col(splitCol) >= lo && col(splitCol) < hi)
+            .drop(splitCol)
+        }.toSeq
+      }
+      val out = src.as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new WeightSums2Processor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+      StreamSupport.runToMemory(out, queryName, outputMode = "update")
+    }
+
   /** Running structural-OLS sufficient statistics per LINK — the q358
     * streaming weight monitor (the estimation sibling of the q344
     * Granger one). State is one fixed-size row of the 9 mergeable sums

@@ -281,6 +281,53 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q368 stream ≡ batch: final inference emissions equal the " +
+      "windowed structuralInference bitwise; verdicts sharpen with n") {
+    val rows = SparkEntry
+      .queries("q368_stream_inference")(spark, "unused").collect()
+    assert(rows.length == 21)
+    // the dead link never tests significant at any prefix
+    rows.filter(_.getAs[Long]("effective_ppm") == 0L).foreach { r =>
+      assert(r.getAs[Int]("significant") == 0,
+        s"dead link significant at n=${r.getAs[Long]("n")}")
+    }
+    val fin = rows.filter(_.getAs[Long]("n") == 398L)
+    assert(fin.length == 7)
+    fin.filter(_.getAs[Long]("effective_ppm") != 0L).foreach { r =>
+      assert(r.getAs[Int]("significant") == 1)
+    }
+    // the weakest link (X1@2 -> X4) FLIPS: not significant on the
+    // 48-row prefix, significant on the full window
+    val weak = rows.filter(r => r.getAs[String]("target") == "X4" &&
+      r.getAs[String]("source") == "X1")
+    assert(weak.find(_.getAs[Long]("n") == 48L)
+      .get.getAs[Int]("significant") == 0)
+    assert(weak.find(_.getAs[Long]("n") == 398L)
+      .get.getAs[Int]("significant") == 1)
+    // bitwise parity with the WINDOWED inference operator at full n
+    val gen = spark.read.parquet(SparkEntry.genDir + "/q368_gen")
+    val panel = (1 to 6).map(i =>
+      gen.select(lit(s"X$i").as("series"), col("t").as("day"),
+        floor(col(s"X$i") * 1000).cast("long").as("v")))
+      .reduce(_ unionByName _)
+    val links = SparkEntry.weightLinks("", "A1", 6, 2)
+    val batch = Causal.structuralInference(Causal.structuralBetas(
+        Causal.laggedCrossMoments(panel, SparkEntry.weightSpecs(links),
+          col("t").between(2, 399)),
+        SparkEntry.weightLinksDf(spark, links)))
+      .select("target", "x", "se2_ppm2", "t2_milli").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val xOf = links.map(l => (l.target, l.source) -> l.x).toMap
+    fin.foreach { r =>
+      val key = (r.getAs[String]("target"),
+        xOf((r.getAs[String]("target"), r.getAs[String]("source"))))
+      assert(batch(key) ==
+        (r.getAs[Long]("se2_ppm2"), r.getAs[Long]("t2_milli")),
+        s"stream/batch inference mismatch at $key")
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
