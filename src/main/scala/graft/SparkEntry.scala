@@ -7705,6 +7705,117 @@ object SparkEntry {
           min(col("n")).as("min_pair_n"), max(col("n")).as("max_pair_n"))
     }),
 
+    // MAXIMAL-FAMILY recovery census — D3/D3C, every generative
+    // mechanism the catalog owns COMPOSED in one estimator pass:
+    // func-transformed links (cos/sin/x²/x³) × trend + CONTINUOUS-time
+    // season (evaluated at the irregular timestamps, not the index —
+    // the C2 rule) × nearest-lag alignment × MCAR∪block masking ×
+    // mixed gaussian/t(3) noise. The kernel's KNOWN deterministic
+    // parts are subtracted at dump time with the same JVM Math calls
+    // and expression order the kernel uses, func regressors are dumped
+    // alongside (both engines read shared bytes — no transcendental is
+    // ever recomputed cross-engine), masked cells drop before the
+    // fused 4-lag alignment, and the estimator is COMPLETE-CASE with a
+    // PER-CONFIG expected-channel count (8 for lag-2 cells, 9 for
+    // lag-3/4 — unlike q365's uniform 10). At n=500 with 20-50%
+    // per-variable missingness the surviving complete_n runs 48-259,
+    // so the census publishes the q365 calibration pair: raw error
+    // AND the worst per-link Wald distance from effective truth —
+    // thin-n cells are honest about their width instead of claiming
+    // tight recovery. 24 graphs (3 lags × 2 MCAR × 2 block rates ×
+    // {D3, D3C}) in ONE moment pass.
+    "q369_maximal_recovery" -> ((s, d) => {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "D3" || c.family == "D3C") && c.nVars == 4
+          && c.nPoints == 500 && c.mixRatio == 0.5)
+      // kernel formulas (Kernel.scala trend/season precompute): trend =
+      // trendStrength·(i+1)·0.5·t; season = seasonalStrength·(sin(2π·
+      // τ/12 + φ_i) + 0.5·cos(4π·τ/12 + φ_i)), φ_i = 2πi/8, τ = TIME
+      // (continuousSeason). All 24 cells carry trend 0.01 / seasonal
+      // 0.5 (grid-pinned); same multiply/divide order as the kernel.
+      def trendC(i: Int): Column = lit(0.01 * (i + 1) * 0.5) * col("t")
+      def seasonC(i: Int): Column = {
+        val phase = 2.0 * math.Pi * i / 8.0
+        lit(0.5) * (sin(lit(2.0 * math.Pi) * col("time") / lit(12.0)
+            + lit(phase))
+          + lit(0.5) * cos(lit(4.0 * math.Pi) * col("time") / lit(12.0)
+            + lit(phase)))
+      }
+      val gen = dumpGen(s, "q369_gen",
+        Generate.wideFast(s, cfgs).select(
+          Seq(col("configId"), col("t"), col("time"), col("maskBits")) ++
+            (1 to 4).map(i =>
+              (col(s"X$i") - trendC(i - 1) - seasonC(i - 1))
+                .as(s"X${i}t")) ++
+            Seq(cos(col("X1") * lit(math.Pi / 2)).as("cX1"),
+              cos(col("X2") * lit(math.Pi / 2)).as("cX2"),
+              sin(col("X3") * lit(math.Pi / 2)).as("sX3"),
+              (col("X4") * col("X4")).as("p2X4"),
+              (col("X2") * col("X2") * col("X2")).as("p3X2")): _*))
+      val spine = gen.select(col("configId"), col("t"), col("time"))
+      val lx = graft.ops.Lagged.nearestLagIndicesView(spine, "t", "time",
+        Seq("configId"), Seq(1, 2, 3, 4)).localCheckpoint(false)
+      def idsAt(lags: Int*): Seq[Long] =
+        cfgs.filter(c => lags.contains(c.maxLag)).map(_.configId)
+      def chan(vsName: String, valueCol: String, maskVar: Int, lag: Int,
+          cfgIds: Seq[Long]): DataFrame = {
+        val base = gen
+          .where(col("maskBits").bitwiseAND(lit(1 << (maskVar - 1))) === 0)
+          .where(if (cfgIds == null) lit(true)
+            else col("configId").isin(cfgIds: _*))
+        if (lag == 0)
+          base.select(
+            concat(col("configId"), lit(s"|$vsName@0")).as("vs"),
+            (col("configId") * 8192 + col("t")).as("t"),
+            floor(col(valueCol) * 1000).cast("long").as("v"))
+        else lx.where(col("lag_mult") === lag).drop("lag_mult")
+          .join(base.select(col("configId"), col("t").as("lag_idx"),
+            col(valueCol)), Seq("configId", "lag_idx"))
+          .select(
+            concat(col("configId"), lit(s"|$vsName@$lag")).as("vs"),
+            (col("configId") * 8192 + col("t")).as("t"),
+            floor(col(valueCol) * 1000).cast("long").as("v"))
+      }
+      val virtAll = ((1 to 4).map(i =>
+          chan(s"X$i~", s"X${i}t", i, 0, null)) ++ Seq(
+          chan("p2X4", "p2X4", 4, 0, null),
+          chan("p3X2", "p3X2", 2, 0, null),
+          chan("sX3", "sX3", 3, 1, null),
+          chan("cX1", "cX1", 1, 2, idsAt(2, 3)),
+          chan("cX2", "cX2", 2, 3, idsAt(3, 4)),
+          chan("cX1", "cX1", 1, 4, idsAt(4))))
+        .reduce(_ unionByName _).localCheckpoint(false)
+      import s.implicits._
+      val expDf = cfgs.map(c =>
+        (c.configId, if (c.maxLag == 2) 8L else 9L)).toDF("cfgid", "exp")
+      val completeT = virtAll.groupBy("t")
+        .agg(count(lit(1)).as("nch"))
+        .join(broadcast(expDf), expr("t div 8192") === col("cfgid"))
+        .where(col("nch") === col("exp"))
+        .select("t")
+      val virt = virtAll.join(completeT, Seq("t"))
+      val links = d3Links(cfgs)
+      val linksDf = links.toDF("g", "family", "max_lag", "mcar_permille",
+        "block_permille", "target", "source", "lag", "func", "y", "x",
+        "sib", "declared_ppm", "effective_ppm")
+      val mom = graft.metrics.Causal.virtualCrossMoments(virt,
+        expr("t % 8192 BETWEEN 4 AND 499"), broadcastB = false)
+      val diffT2 = expr(
+        """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+          |else (1000 * cast(beta_ppm - effective_ppm as decimal(38,0))
+          |  * (beta_ppm - effective_ppm)) div se2_ppm2 end""".stripMargin)
+      graft.metrics.Causal.structuralInference(
+          graft.metrics.Causal.structuralBetas(mom, linksDf))
+        .groupBy("family", "max_lag", "mcar_permille", "block_permille")
+        .agg(count(lit(1)).as("n_links"),
+          expr("sum(abs(beta_ppm - effective_ppm)) div count(1)")
+            .as("mean_abs_err_ppm"),
+          max(abs(col("beta_ppm") - col("effective_ppm")))
+            .as("max_abs_err_ppm"),
+          max(diffT2).as("max_diff_t2_milli"),
+          min(col("n")).as("complete_n"))
+    }),
+
     // BLOCK-MISSING irregular NONLINEAR recovery census (the LIVE-link
     // missing-data counterpart of q362's all-dead D1 shadow: D2's
     // 4-var cells keep every declared coefficient effective, so this
@@ -8963,6 +9074,43 @@ object SparkEntry {
         s"${pre(l.func)}${l.source}@${l.lag}",
         s"${l.target}~@0",
         sibs.headOption.map(o => s"${pre(o.func)}${o.source}@${o.lag}"),
+        math.round(l.coef * 1e6),
+        math.round(effective((l.source, l.lag, l.target)) * 1e6))
+    }
+  }
+
+  /** q369's D3/D3C link rows: one per X link of a folded 4-var cell,
+    * with FUNC-TRANSFORMED regressor virtual names (q361's c/s/p2/p3
+    * prefix scheme) and the DETRENDED target ("g|X4~@0"). One list
+    * feeds the Spark frame and the oracle VALUES twin.
+    */
+  private def d3Links(cfgs: Seq[graft.core.GenConfig]): Seq[(String,
+      String, Int, Long, Long, String, String, Int, String, String,
+      String, Option[String], Long, Long)] = cfgs.flatMap { c =>
+    val declared = graft.core.Parser.truthLinks(c.family, 4, c.maxLag)
+      .filter(_.source != "U")
+    val effective = graft.core.Parser.effectiveLinks(c.family, 4,
+        c.maxLag).filter(_.source != "U")
+      .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
+    def pre(func: String): String = func match {
+      case "cos" => "c"
+      case "sin" => "s"
+      case "power2" => "p2"
+      case "power3" => "p3"
+      case other => throw new IllegalStateException(s"D3 func $other")
+    }
+    val g = c.configId.toString
+    val byT = declared.groupBy(_.target)
+    declared.map { l =>
+      val sibs = byT(l.target)
+        .filterNot(o => o.source == l.source && o.lag == l.lag)
+      require(sibs.size <= 1, s"D3 k>2 at ${l.target}")
+      (g, c.family, c.maxLag, math.round(c.mcarProb * 1000),
+        math.round(c.blockProb * 1000), l.target, l.source, l.lag,
+        l.func, s"$g|${l.target}~@0",
+        s"$g|${pre(l.func)}${l.source}@${l.lag}",
+        sibs.headOption.map(o =>
+          s"$g|${pre(o.func)}${o.source}@${o.lag}"),
         math.round(l.coef * 1e6),
         math.round(effective((l.source, l.lag, l.target)) * 1e6))
     }
@@ -11519,6 +11667,81 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q369_maximal_recovery" -> {
+      val cfgs = Grid.all().filter(c =>
+        (c.family == "D3" || c.family == "D3C") && c.nVars == 4
+          && c.nPoints == 500 && c.mixRatio == 0.5)
+      val links = d3Links(cfgs)
+      val linkRows = links.map { case (g, fam, ml, mcar, blk, tgt, src,
+          lag, func, y, x, sib, dp, ep) =>
+        s"('$g','$fam',$ml,$mcar,$blk,'$tgt','$src',$lag,'$func'," +
+          s"'$y','$x'," +
+          sib.map(v => s"'$v'").getOrElse("NULL::VARCHAR") + s",$dp,$ep)"
+      }.mkString(",\n    ")
+      def ids(lags: Int*): String = cfgs
+        .filter(c => lags.contains(c.maxLag)).map(_.configId)
+        .mkString("(", ", ", ")")
+      val expRows = cfgs.map(c =>
+        s"(${c.configId}, ${if (c.maxLag == 2) 8 else 9})")
+        .mkString(",\n    ")
+      val lxBlocks = (1 to 4).map(k =>
+        graft.ops.Lagged.nearestLagIndexSqlCtes("spine", "\"time\"",
+          Seq("configId"), lagMult = k, sfx = s"$k")).mkString(",\n")
+      def chan0(vs: String, vc: String, mv: Int): String =
+        s"  SELECT configId::VARCHAR || '|$vs@0' AS vs, " +
+          s"configId*8192 + t AS t, floor($vc * 1000)::BIGINT AS v " +
+          s"FROM gen WHERE (maskBits & ${1 << (mv - 1)}) = 0"
+      def chanL(vs: String, vc: String, mv: Int, k: Int,
+          idsIn: String): String =
+        s"  SELECT p.configId::VARCHAR || '|$vs@$k', " +
+          s"p.configId*8192 + l.t, floor(p.$vc * 1000)::BIGINT " +
+          s"FROM lx$k l JOIN gen p ON p.configId = l.configId " +
+          s"AND p.t = l.lag_idx " +
+          s"WHERE (p.maskBits & ${1 << (mv - 1)}) = 0" +
+          (if (idsIn == null) "" else s" AND p.configId IN $idsIn")
+      val channels = ((1 to 4).map(i => chan0(s"X$i~", s"X${i}t", i)) ++
+        Seq(chan0("p2X4", "p2X4", 4), chan0("p3X2", "p3X2", 2),
+          chanL("sX3", "sX3", 3, 1, null),
+          chanL("cX1", "cX1", 1, 2, ids(2, 3)),
+          chanL("cX2", "cX2", 2, 3, ids(3, 4)),
+          chanL("cX1", "cX1", 1, 4, ids(4))))
+        .mkString("\n  UNION ALL\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q369_gen/*.parquet')),
+        |spine AS (SELECT configId, t, "time" FROM gen),
+        |$lxBlocks,
+        |virtall AS (
+        |$channels),
+        |expd AS (SELECT * FROM (VALUES $expRows) AS e(cfgid, exp)),
+        |ct AS (
+        |  SELECT c.t FROM (
+        |    SELECT t, count(*) AS nch FROM virtall GROUP BY t) c
+        |  JOIN expd e ON e.cfgid = c.t // 8192
+        |  WHERE c.nch = e.exp),
+        |virt AS (SELECT v.* FROM virtall v JOIN ct USING (t)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(g, family, max_lag, mcar_permille, block_permille,
+        |    target, source, lag, func, y, x, sib, declared_ppm,
+        |    effective_ppm)),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t % 8192 BETWEEN 4 AND 499")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |${graft.metrics.Causal.structuralInferenceSqlCtes()}
+        |SELECT family, max_lag::INT AS max_lag,
+        |  mcar_permille::BIGINT AS mcar_permille,
+        |  block_permille::BIGINT AS block_permille,
+        |  count(*)::BIGINT AS n_links,
+        |  (sum(abs(beta_ppm - effective_ppm)) // count(*))::BIGINT
+        |    AS mean_abs_err_ppm,
+        |  max(abs(beta_ppm - effective_ppm))::BIGINT AS max_abs_err_ppm,
+        |  max(CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0 THEN NULL
+        |    ELSE (1000 * (beta_ppm - effective_ppm)::HUGEINT
+        |      * (beta_ppm - effective_ppm)) // se2_ppm2 END)::BIGINT
+        |    AS max_diff_t2_milli,
+        |  min(n)::BIGINT AS complete_n
+        |FROM sttest GROUP BY 1, 2, 3, 4""".stripMargin
     },
 
     "q365_block_missing_recovery" -> {

@@ -328,6 +328,23 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q369: the maximal D3/D3C composition recovers every func-link " +
+      "weight within 4 se of effective truth; complete-case n stays " +
+      "above the statistical floor on all 24 graphs") {
+    val rows = SparkEntry
+      .queries("q369_maximal_recovery")(spark, "unused").collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val (n, t2, err) = (r.getAs[Long]("complete_n"),
+        r.getAs[Long]("max_diff_t2_milli"),
+        r.getAs[Long]("mean_abs_err_ppm"))
+      assert(n >= 40, s"complete_n $n below the floor")
+      assert(t2 <= 16000, s"a beta sits ${t2 / 1000.0} t² from truth")
+      if (n >= 150) assert(err <= 25000,
+        s"well-populated cell (n=$n) mean err $err ppm")
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
