@@ -192,4 +192,80 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       case None    => spark.conf.unset(provKey)
     }
   }
+
+  test("transformWithState restart covers the q368 inference monitor's " +
+      "10-sum state: syy continues across the kill, log equals an " +
+      "uninterrupted run") {
+    import spark.implicits._
+    val base = s"/tmp/graft_tws2_ckpt_${System.nanoTime()}"
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+
+    // 3 links × 40 rows of deterministic design tuples in the q368 shape
+    val tuples = spark.range(0, 120).select(
+      concat(lit("l"), col("id") % 3).as("link"),
+      (col("id") / 3).cast("long").as("day"),
+      ((col("id") * 7) % 100).cast("long").as("yv"),
+      ((col("id") * 11) % 100).cast("long").as("xv"),
+      ((col("id") * 13) % 100).cast("long").as("sv"))
+    tuples.where(col("day") < 20).drop("day")
+      .coalesce(1).write.parquet(s"$base/h1")
+    tuples.where(col("day") >= 20).drop("day")
+      .coalesce(1).write.parquet(s"$base/h2")
+    val sch = spark.read.parquet(s"$base/h1").schema
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(outBase: String): Unit = {
+        val src = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val out = src.as[(String, Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.StatefulOps.WeightSums2Processor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF()
+        val q = out.writeStream
+          .outputMode("update")
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(s"$outBase/data")
+          }
+          .option("checkpointLocation", s"$outBase/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+
+      copyParts(s"$base/h1", srcDir)
+      runOnce(s"$base/run")
+      copyParts(s"$base/h2", srcDir)
+      runOnce(s"$base/run")
+
+      def sink(p: String): Seq[(Long, String, Long, Long, Long)] =
+        spark.read.parquet(p)
+          .select(col("batch_id"), col("link"), col("n"),
+            col("syy"), col("sxs"))
+          .as[(Long, String, Long, Long, Long)]
+          .collect().toSeq.sorted
+      val restarted = sink(s"$base/run/data")
+      assert(restarted.map(r => (r._1, r._3)).sorted ==
+        Seq((0L, 20L), (0L, 20L), (0L, 20L), (1L, 40L), (1L, 40L), (1L, 40L)),
+        s"expected per-link prefix counts (batch 0: n=20, batch 1: n=40), " +
+          s"got $restarted")
+
+      runOnce(s"$base/ref")
+      val reference = sink(s"$base/ref/data")
+      assert(restarted == reference && restarted.nonEmpty,
+        s"kill+resume emission log must equal the uninterrupted run's:\n" +
+          s"  restarted: $restarted\n  reference: $reference")
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
 }
