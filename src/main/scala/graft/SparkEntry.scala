@@ -7705,6 +7705,82 @@ object SparkEntry {
           min(col("n")).as("min_pair_n"), max(col("n")).as("max_pair_n"))
     }),
 
+    // LARGE-SCALE MULTIPLE TESTING with Benjamini-Hochberg FDR control
+    // (the operation a 100-TB deployment actually runs: thousands of
+    // simultaneous edge hypotheses, not seven): 585 candidate pairs of
+    // the deterministic 64-series chain panel — distance-1/2/3 pairs
+    // are REAL effects of graded strength (the 4-ancestor MA window
+    // makes ρ ≈ 0.56 / 0.24 / 0.024 and exactly 0 beyond distance 3),
+    // distance-4..10 pairs are 399 EXACT nulls — each tested by the
+    // k=1 Wald t² from pair-restricted sparse moments, then the BH
+    // step-up executed entirely on the t² scale: rank by t² desc and
+    // compare against the driver-shared χ²₁ quantile ladder
+    // Q(1−α·k/m) (Causal.chi2InvMilliLadder — no p-value column ever
+    // materializes), k* = max passing rank, discoveries = ranks ≤ k*.
+    // The census publishes per-distance discovery counts plus the
+    // REALIZED false-discovery rate (false = distance ≥ 4) and k* —
+    // multiplicity control as hash-checked rows. The inference here is
+    // row-local k=1 (each pair its own regression), so the windowed
+    // structuralInference is deliberately NOT used — its per-target
+    // window would pool unrelated hypotheses sharing a series.
+    "q370_bh_fdr" -> ((s, d) => {
+      val pan = dumpGen(s, "q370_panel", Bench.widePanel(s, 64, 20000))
+      import s.implicits._
+      def nm(i: Int) = f"X$i%02d"
+      val cands = for { dd <- 1 to 10; i <- 0 until 64 - dd }
+        yield (nm(i), nm(i + dd), dd)
+      val linksDf = cands.map { case (a, b, dist) =>
+        (s"$a<$b", dist, s"$b@0", s"$a@0", None: Option[String]) }
+        .toDF("pair", "dist", "y", "x", "sib")
+      val wanted = cands.flatMap { case (a, b, _) =>
+        Seq((s"$a@0", s"$a@0"), (s"$b@0", s"$b@0"), (s"$a@0", s"$b@0")) }
+        .distinct.toDF("na", "nb")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val mom = graft.metrics.Causal.virtualCrossMomentsSparse(virt,
+        wanted, col("t").between(0, 19999))
+      val inf = graft.metrics.Causal.structuralBetas(mom, linksDf)
+        .withColumn("rss_scaled", expr(
+          """1000000 * cast(cyy as decimal(38,0))
+            |  - cast(beta_ppm as decimal(38,0)) * cjy""".stripMargin))
+        .withColumn("se2_ppm2", expr(
+          """case when cjj <= 0 or n - 2 <= 0 then null
+            |else (1000000 * rss_scaled)
+            |  div ((n - 2) * cast(cjj as decimal(38,0))) end"""
+            .stripMargin).cast("long"))
+        .withColumn("t2_milli", expr(
+          """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+            |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+            |  div se2_ppm2 end""".stripMargin).cast("long"))
+      val lutDf = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      val ranked = inf
+        .withColumn("rk", expr(
+          "row_number() over (order by coalesce(t2_milli, -1) desc, pair)"))
+        .join(broadcast(lutDf), Seq("rk"))
+        .withColumn("k_star", expr(
+          """max(case when t2_milli >= q_milli then rk end)
+            |  over ()""".stripMargin))
+        .withColumn("disc",
+          (col("rk") <= coalesce(col("k_star"), lit(0L))).cast("int"))
+      val summary = ranked.agg(
+        max(col("k_star")).cast("long").as("k_star"),
+        sum(col("disc")).as("n_disc_total"),
+        sum(when(col("disc") === 1 && col("dist") >= 4, 1L)
+          .otherwise(0L)).as("n_false_disc"))
+        .withColumn("fdr_permille", expr(
+          """case when n_disc_total = 0 then 0
+            |else (1000 * n_false_disc) div n_disc_total end"""
+            .stripMargin))
+      ranked.groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("disc")).as("n_disc"),
+          min(col("t2_milli")).as("min_t2_milli"),
+          max(col("t2_milli")).as("max_t2_milli"))
+        .crossJoin(broadcast(summary))
+    }),
+
     // MAXIMAL-FAMILY recovery census — D3/D3C, every generative
     // mechanism the catalog owns COMPOSED in one estimator pass:
     // func-transformed links (cos/sin/x²/x³) × trend + CONTINUOUS-time
@@ -11667,6 +11743,76 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q370_bh_fdr" -> {
+      def nm(i: Int) = f"X$i%02d"
+      val cands = for { dd <- 1 to 10; i <- 0 until 64 - dd }
+        yield (nm(i), nm(i + dd), dd)
+      val linkRows = cands.map { case (a, b, dist) =>
+        s"('$a<$b',$dist,'$b@0','$a@0',NULL::VARCHAR)" }
+        .mkString(",\n    ")
+      val wantedRows = cands.flatMap { case (a, b, _) =>
+        Seq(s"('$a@0','$a@0')", s"('$b@0','$b@0')", s"('$a@0','$b@0')") }
+        .distinct.mkString(",\n    ")
+      val lutRows = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+        .zipWithIndex.map { case (q, i) => s"(${i + 1}, $q)" }
+        .mkString(",\n    ")
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q370_panel/*.parquet')),
+        |virt AS (SELECT series || '@0' AS vs, day AS t, v FROM panel),
+        |wanted AS (SELECT * FROM (VALUES $wantedRows) AS w(na, nb)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(pair, dist, y, x, sib)),
+        |lut AS (SELECT * FROM (VALUES $lutRows) AS q(rk, q_milli)),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t BETWEEN 0 AND 19999")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |inf AS (
+        |  SELECT *,
+        |    1000000 * cyy::HUGEINT - beta_ppm::HUGEINT * cjy
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |inf2 AS (
+        |  SELECT *, (CASE WHEN cjj <= 0 OR n - 2 <= 0 THEN NULL
+        |    ELSE (1000000 * rss_scaled)
+        |      // ((n - 2) * cjj::HUGEINT) END)::BIGINT AS se2_ppm2
+        |  FROM inf),
+        |inf3 AS (
+        |  SELECT *, (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0
+        |    THEN NULL
+        |    ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+        |    END)::BIGINT AS t2_milli
+        |  FROM inf2),
+        |rk0 AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY coalesce(t2_milli, -1) DESC, pair) AS rk
+        |  FROM inf3),
+        |rkd AS (SELECT r.*, q.q_milli FROM rk0 r JOIN lut q USING (rk)),
+        |pass AS (
+        |  SELECT *, max(CASE WHEN t2_milli >= q_milli THEN rk END)
+        |    OVER () AS k_star
+        |  FROM rkd),
+        |dsc AS (
+        |  SELECT *, (rk <= coalesce(k_star, 0))::INT AS disc
+        |  FROM pass),
+        |summ AS (
+        |  SELECT max(k_star)::BIGINT AS k_star,
+        |    sum(disc)::BIGINT AS n_disc_total,
+        |    sum(CASE WHEN disc = 1 AND dist >= 4 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_false_disc
+        |  FROM dsc),
+        |summ2 AS (
+        |  SELECT *, (CASE WHEN n_disc_total = 0 THEN 0
+        |    ELSE (1000 * n_false_disc) // n_disc_total END)::BIGINT
+        |    AS fdr_permille
+        |  FROM summ)
+        |SELECT dist::INT AS dist, count(*)::BIGINT AS n_pairs,
+        |  sum(disc)::BIGINT AS n_disc,
+        |  min(t2_milli) AS min_t2_milli, max(t2_milli) AS max_t2_milli,
+        |  s.k_star, s.n_disc_total, s.n_false_disc, s.fdr_permille
+        |FROM dsc, summ2 s GROUP BY 1, 6, 7, 8, 9""".stripMargin
     },
 
     "q369_maximal_recovery" -> {

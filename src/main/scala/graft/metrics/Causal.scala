@@ -1261,6 +1261,26 @@ object Causal {
     math.ceil(z * z / (n - 1).toDouble * 10000.0).toLong
   }
 
+  /** χ²₁ upper-quantile ladder for Benjamini-Hochberg FDR control
+    * (q370): Q(1 − α·k/m) in t²-MILLI units for k = 1..m, via
+    * Q(1 − x) = Φ⁻¹(1 − x/2)² on the same Acklam Φ⁻¹ the
+    * width-adaptive threshold uses. The BH step-up rule on the p scale
+    * (reject ranks 1..k*, k* = max{k : p₍ₖ₎ ≤ α·k/m}) is EXACTLY the
+    * t² comparison t²₍ₖ₎ ≥ ladder(k) under the Wald χ²₁ null, so the
+    * whole procedure needs no p-value column — m driver-side doubles
+    * quantized ONCE to milli and shipped to both engines as literals,
+    * cross-engine parity by construction.
+    */
+  def chi2InvMilliLadder(m: Int, alphaPpm: Long = 50000L)
+      : IndexedSeq[Long] = {
+    require(m >= 1 && alphaPpm > 0 && alphaPpm < 1000000)
+    (1 to m).map { k =>
+      val x = alphaPpm.toDouble / 1e6 * k / m
+      val z = inverseNormalCdf(1.0 - x / 2.0)
+      math.round(z * z * 1000.0)
+    }
+  }
+
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation
     * decisions, then `meekRounds` unrolled rounds of the FULL Meek

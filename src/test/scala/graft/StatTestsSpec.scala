@@ -684,4 +684,29 @@ class StatTestsSpec extends AnyFunSuite {
       out.getAs[Long]("mean_treated_micro") -
         out.getAs[Long]("mean_control_micro"))
   }
+
+  test("q370 BH-FDR: every distance-1/2 effect discovered, realized FDR " +
+      "under the 5% target across 585 simultaneous hypotheses, and the " +
+      "chi-square ladder matches the BH p-rule definition") {
+    val rows = SparkEntry.queries("q370_bh_fdr")(
+      spark, "unused").collect()
+    assert(rows.length == 10)
+    val byD = rows.map(r => r.getAs[Int]("dist") -> r).toMap
+    // strong tiers: full power
+    Seq(1, 2).foreach { dd =>
+      assert(byD(dd).getAs[Long]("n_disc") == byD(dd).getAs[Long]("n_pairs"),
+        s"distance-$dd effects missed")
+    }
+    // nulls: realized FDR at or under the nominal 5% (permille scale)
+    val fdr = rows.head.getAs[Long]("fdr_permille")
+    assert(fdr <= 50, s"realized FDR $fdr permille exceeds the 5% target")
+    assert(rows.head.getAs[Long]("n_disc_total") >=
+      byD(1).getAs[Long]("n_pairs") + byD(2).getAs[Long]("n_pairs"))
+    // ladder definition: Q(1-alpha*k/m) is monotone decreasing and its
+    // endpoints bracket the classic single-test and full-alpha quantiles
+    val lad = Causal.chi2InvMilliLadder(585)
+    assert(lad.zip(lad.tail).forall { case (a, b) => a >= b })
+    assert(lad.head > 15000 && math.abs(lad.last - 3841) <= 1,
+      s"ladder endpoints ${lad.head} / ${lad.last}")
+  }
 }
