@@ -26,10 +26,17 @@ object Bench {
     def noise(s: org.apache.spark.sql.Column,
         d: org.apache.spark.sql.Column) =
       pmod(xxhash64(lit("pcwide"), s, d), lit(1000L))
+    // lpad TRUNCATES strings longer than the pad width (SQL semantics),
+    // so a fixed width-2 pad silently COLLIDED series 100..999 onto
+    // 10..99 at p > 100 — the p=256 weightwide rung measured a
+    // 100-series panel with duplicate rows until this width went
+    // dynamic. p ≤ 100 callers keep their byte-identical X00..X99
+    // names (their oracles hash those bytes).
+    val w = if (p > 100) 3 else 2
     spark.range(0, p).select(col("id").as("s"))
       .crossJoin(spark.range(0, nObs).select(col("id").as("d")))
       .select(
-        concat(lit("X"), lpad(col("s").cast("string"), 2, "0")).as("series"),
+        concat(lit("X"), lpad(col("s").cast("string"), w, "0")).as("series"),
         col("d").as("day"),
         (noise(col("s"), col("d"))
           + when(col("s") >= 1, noise(col("s") - 1, col("d")) * 8)
@@ -55,6 +62,7 @@ object Bench {
     */
   def widePanel3(spark: org.apache.spark.sql.SparkSession, blocks: Int,
       nObs: Int): org.apache.spark.sql.DataFrame = {
+    require(blocks <= 99, s"widePanel3 block names pad to width 2")
     def noise(tag: String, role: org.apache.spark.sql.Column,
         k: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       pmod(xxhash64(lit(tag), k, role, d), lit(1000L))
@@ -530,7 +538,8 @@ object Bench {
       val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
         col("day").as("t"), col("v")).localCheckpoint(true)
       import spark.implicits._
-      def nm(i: Int) = f"X$i%02d"
+      // 3-digit names in lockstep with widePanel's dynamic pad at p > 100
+      def nm(i: Int) = f"X$i%03d"
       val links = (1 until 256).map(i => (nm(i), nm(i - 1), 0,
         s"${nm(i)}@0", s"${nm(i - 1)}@0", None: Option[String]))
       val linksDf = links
@@ -553,6 +562,53 @@ object Bench {
             virt, col("t").between(0, 9999), broadcastB = false))
         }
       } { virt.unpersist() }
+    }
+
+    // Multiple-testing at deployment width (q370's BH-FDR procedure at
+    // ~9× the hypothesis count): the 512-series chain panel — 5,065
+    // simultaneous pair hypotheses (distance 1..10) in ONE plan. The
+    // only fact-scale stage is the pair-restricted sparse moment pass;
+    // the Wald t² arithmetic, the 5k-row rank window and the broadcast
+    // χ²-ladder join all ride the post-aggregation frame, so the
+    // hypothesis count moves the wanted-pair broadcast, never the
+    // panel scan — the scale shape that makes "test 100k edges on
+    // 100 TB" a one-shuffle statement.
+    val runBhfdr = only.forall(_.exists(_.startsWith("bhfdr")))
+    if (runBhfdr) {
+      val pan = widePanel(spark, 512, 10000).localCheckpoint(true)
+      import spark.implicits._
+      def bnm(i: Int) = f"X$i%03d"
+      val cands = for { dd <- 1 to 10; i <- 0 until 512 - dd }
+        yield (bnm(i), bnm(i + dd), dd)
+      val linksDf = cands.map { case (a, b, dist) =>
+        (s"$a<$b", dist, s"$b@0", s"$a@0", None: Option[String]) }
+        .toDF("pair", "dist", "y", "x", "sib")
+      val wanted = cands.flatMap { case (a, b, _) =>
+        Seq((s"$a@0", s"$a@0"), (s"$b@0", s"$b@0"), (s"$a@0", s"$b@0")) }
+        .distinct.toDF("na", "nb")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val lutDf = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      section("bhfdr") {
+        median3("bhfdr_p512_5k_hypotheses") {
+          graft.metrics.Causal.waldK1(
+              graft.metrics.Causal.structuralBetas(
+                graft.metrics.Causal.virtualCrossMomentsSparse(virt,
+                  wanted, col("t").between(0, 9999)), linksDf))
+            .withColumn("rk", expr(
+              """row_number() over (
+                |  order by coalesce(t2_milli, -1) desc, pair)"""
+                .stripMargin))
+            .join(broadcast(lutDf), Seq("rk"))
+            .withColumn("k_star", expr(
+              "max(case when t2_milli >= q_milli then rk end) over ()"))
+            .where(col("rk") <= coalesce(col("k_star"), lit(0L)))
+            .groupBy("dist").count()
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { pan.unpersist() }
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_

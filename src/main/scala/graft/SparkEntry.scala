@@ -7739,19 +7739,8 @@ object SparkEntry {
         col("day").as("t"), col("v"))
       val mom = graft.metrics.Causal.virtualCrossMomentsSparse(virt,
         wanted, col("t").between(0, 19999))
-      val inf = graft.metrics.Causal.structuralBetas(mom, linksDf)
-        .withColumn("rss_scaled", expr(
-          """1000000 * cast(cyy as decimal(38,0))
-            |  - cast(beta_ppm as decimal(38,0)) * cjy""".stripMargin))
-        .withColumn("se2_ppm2", expr(
-          """case when cjj <= 0 or n - 2 <= 0 then null
-            |else (1000000 * rss_scaled)
-            |  div ((n - 2) * cast(cjj as decimal(38,0))) end"""
-            .stripMargin).cast("long"))
-        .withColumn("t2_milli", expr(
-          """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
-            |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
-            |  div se2_ppm2 end""".stripMargin).cast("long"))
+      val inf = graft.metrics.Causal.waldK1(
+        graft.metrics.Causal.structuralBetas(mom, linksDf))
       val lutDf = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
         .zipWithIndex.map { case (q, i) => (i + 1, q) }
         .toDF("rk", "q_milli")

@@ -1915,6 +1915,28 @@ object Causal {
           |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
           |  div se2_ppm2 end""".stripMargin).cast("long"))
 
+  /** Row-local k=1 Wald inference — [[structuralInference]] without the
+    * per-target window, for MULTIPLE-TESTING consumers (q370, the
+    * bhfdr bench rung) whose link rows are INDEPENDENT hypotheses that
+    * may share a target series (a window keyed on `y` would pool them
+    * into one fictitious joint model): each row's rss/se²/t² come from
+    * its own four moments, k = 1, dof = n−2. Same truncating-div
+    * arithmetic and DECIMAL(38,0)/HUGEINT budget as the windowed op.
+    */
+  def waldK1(betas: DataFrame): DataFrame = betas
+    .withColumn("rss_scaled", expr(
+      """1000000 * cast(cyy as decimal(38,0))
+        |  - cast(beta_ppm as decimal(38,0)) * cjy""".stripMargin))
+    .withColumn("se2_ppm2", expr(
+      """case when cjj <= 0 or n - 2 <= 0 then null
+        |else (1000000 * rss_scaled)
+        |  div ((n - 2) * cast(cjj as decimal(38,0))) end""".stripMargin)
+      .cast("long"))
+    .withColumn("t2_milli", expr(
+      """case when se2_ppm2 is null or se2_ppm2 <= 0 then null
+        |else (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+        |  div se2_ppm2 end""".stripMargin).cast("long"))
+
   /** PAIR-RESTRICTED cross-moments for WIDE panels (q359): the dense
     * [[virtualCrossMoments]] computes the full |specs|² Gram — right for
     * narrow estimation and Cramer consumers that read most pairs — but a
