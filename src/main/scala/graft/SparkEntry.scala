@@ -7770,6 +7770,83 @@ object SparkEntry {
         .crossJoin(broadcast(summary))
     }),
 
+    // FDR vs FWER — the two multiplicity regimes measured head-to-head
+    // on block-structured truth (q370 proved BH controls its rate;
+    // this measures what that control COSTS relative to Bonferroni,
+    // which is exactly the width-adaptive PC rule's regime): the
+    // 32-block panel (160 series; within a block the two aggregates
+    // correlate with each source at ρ = 0.5 and with each other at
+    // 0.75, sources mutually null, everything cross-block null) at
+    // n = 60 — chosen so the 192 aggregate-source pairs sit on the
+    // DETECTION BOUNDARY (t² ≈ 19 vs thresholds ≈ 15) while the 32
+    // A-B pairs are far above it. 1,395 windowed pair hypotheses, one
+    // Wald t² frame, BOTH rules read from the same χ²₁ ladder — BH as
+    // the step-up against Q(1−α·k/m), Bonferroni as the fixed rank-1
+    // cut Q(1−α/m). The census rows are the tradeoff as data: per
+    // rule, discoveries split by tier (ab / as / null), realized FDR,
+    // and boundary-tier power — BH buys its extra power on the
+    // borderline tier at a bounded, published false-discovery price.
+    "q371_fdr_vs_fwer" -> ((s, d) => {
+      val pan = dumpGen(s, "q371_panel", Bench.widePanel3(s, 32, 60))
+      import s.implicits._
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, s"$b@0", s"$a@0", None: Option[String])
+      }
+      val linksDf = cands.toDF("pair", "tier", "y", "x", "sib")
+      val wanted = cands.flatMap { case (_, _, y, x, _) =>
+        val (a, b) = if (x <= y) (x, y) else (y, x)
+        Seq((x, x), (y, y), (a, b))
+      }.distinct.toDF("na", "nb")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val mom = graft.metrics.Causal.virtualCrossMomentsSparse(virt,
+        wanted, col("t").between(0, 59))
+      val lutDf = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      val bonfMilli = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+        .head
+      val scored = graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(mom, linksDf))
+        .withColumn("rk", expr(
+          """row_number() over (
+            |  order by coalesce(t2_milli, -1) desc, pair)""".stripMargin))
+        .join(broadcast(lutDf), Seq("rk"))
+        .withColumn("k_star", expr(
+          "max(case when t2_milli >= q_milli then rk end) over ()"))
+        .withColumn("disc_bh",
+          (col("rk") <= coalesce(col("k_star"), lit(0L))).cast("int"))
+        .withColumn("disc_bonf",
+          (col("t2_milli") >= lit(bonfMilli)).cast("int"))
+        .localCheckpoint()
+      def ruleAgg(rule: String, disc: Column): DataFrame = scored.agg(
+        lit(rule).as("rule"),
+        count(lit(1)).as("n_hyp"),
+        sum(disc).as("n_disc"),
+        sum(when(disc === 1 && col("tier") === "ab", 1L).otherwise(0L))
+          .as("n_disc_ab"),
+        sum(when(disc === 1 && col("tier") === "as", 1L).otherwise(0L))
+          .as("n_disc_as"),
+        sum(when(disc === 1 && col("tier") === "null", 1L).otherwise(0L))
+          .as("n_false"),
+        sum(when(col("tier") === "ab", 1L).otherwise(0L)).as("n_ab"),
+        sum(when(col("tier") === "as", 1L).otherwise(0L)).as("n_as"))
+        .withColumn("fdr_permille", expr(
+          """case when n_disc = 0 then 0
+            |else (1000 * n_false) div n_disc end""".stripMargin))
+        .withColumn("power_as_permille",
+          expr("(1000 * n_disc_as) div n_as"))
+      ruleAgg("bh", col("disc_bh"))
+        .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
+    }),
+
     // MAXIMAL-FAMILY recovery census — D3/D3C, every generative
     // mechanism the catalog owns COMPOSED in one estimator pass:
     // func-transformed links (cos/sin/x²/x³) × trend + CONTINUOUS-time
@@ -11732,6 +11809,91 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q371_fdr_vs_fwer" -> {
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, s"$b@0", s"$a@0")
+      }
+      val linkRows = cands.map { case (p, tier, y, x) =>
+        s"('$p','$tier','$y','$x',NULL::VARCHAR)" }.mkString(",\n    ")
+      val wantedRows = cands.flatMap { case (_, _, y, x) =>
+        val (a, b) = if (x <= y) (x, y) else (y, x)
+        Seq(s"('$x','$x')", s"('$y','$y')", s"('$a','$b')")
+      }.distinct.mkString(",\n    ")
+      val lut = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+      val lutRows = lut.zipWithIndex
+        .map { case (q, i) => s"(${i + 1}, $q)" }.mkString(",\n    ")
+      def agg(rule: String, disc: String): String =
+        s"""  SELECT '$rule' AS rule, count(*)::BIGINT AS n_hyp,
+          |    sum($disc)::BIGINT AS n_disc,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'ab' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_disc_ab,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'as' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_disc_as,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'null' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_false,
+          |    sum(CASE WHEN tier = 'ab' THEN 1 ELSE 0 END)::BIGINT
+          |      AS n_ab,
+          |    sum(CASE WHEN tier = 'as' THEN 1 ELSE 0 END)::BIGINT
+          |      AS n_as
+          |  FROM dsc""".stripMargin
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q371_panel/*.parquet')),
+        |virt AS (SELECT series || '@0' AS vs, day AS t, v FROM panel),
+        |wanted AS (SELECT * FROM (VALUES $wantedRows) AS w(na, nb)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(pair, tier, y, x, sib)),
+        |lut AS (SELECT * FROM (VALUES $lutRows) AS q(rk, q_milli)),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t BETWEEN 0 AND 59")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |inf AS (
+        |  SELECT *,
+        |    1000000 * cyy::HUGEINT - beta_ppm::HUGEINT * cjy
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |inf2 AS (
+        |  SELECT *, (CASE WHEN cjj <= 0 OR n - 2 <= 0 THEN NULL
+        |    ELSE (1000000 * rss_scaled)
+        |      // ((n - 2) * cjj::HUGEINT) END)::BIGINT AS se2_ppm2
+        |  FROM inf),
+        |inf3 AS (
+        |  SELECT *, (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0
+        |    THEN NULL
+        |    ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+        |    END)::BIGINT AS t2_milli
+        |  FROM inf2),
+        |rk0 AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY coalesce(t2_milli, -1) DESC, pair) AS rk
+        |  FROM inf3),
+        |rkd AS (SELECT r.*, q.q_milli FROM rk0 r JOIN lut q USING (rk)),
+        |pass AS (
+        |  SELECT *, max(CASE WHEN t2_milli >= q_milli THEN rk END)
+        |    OVER () AS k_star
+        |  FROM rkd),
+        |dsc AS (
+        |  SELECT *, (rk <= coalesce(k_star, 0))::INT AS disc_bh,
+        |    (t2_milli >= ${lut.head})::INT AS disc_bonf
+        |  FROM pass),
+        |aggd AS (
+        |${agg("bh", "disc_bh")}
+        |  UNION ALL
+        |${agg("bonferroni", "disc_bonf")})
+        |SELECT *,
+        |  (CASE WHEN n_disc = 0 THEN 0
+        |    ELSE (1000 * n_false) // n_disc END)::BIGINT AS fdr_permille,
+        |  ((1000 * n_disc_as) // n_as)::BIGINT AS power_as_permille
+        |FROM aggd""".stripMargin
     },
 
     "q370_bh_fdr" -> {

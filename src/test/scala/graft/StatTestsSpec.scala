@@ -709,4 +709,25 @@ class StatTestsSpec extends AnyFunSuite {
     assert(lad.head > 15000 && math.abs(lad.last - 3841) <= 1,
       s"ladder endpoints ${lad.head} / ${lad.last}")
   }
+
+  test("q371 FDR vs FWER: both rules find every strong pair; BH buys " +
+      "measurably more boundary-tier power at a bounded FDR price, " +
+      "Bonferroni stays false-free") {
+    val rows = SparkEntry.queries("q371_fdr_vs_fwer")(spark, "unused")
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    val (bh, bf) = (rows("bh"), rows("bonferroni"))
+    Seq(bh, bf).foreach { r =>
+      assert(r.getAs[Long]("n_hyp") == 1395L)
+      assert(r.getAs[Long]("n_disc_ab") == 32L, "a strong A-B pair missed")
+    }
+    assert(bh.getAs[Long]("fdr_permille") <= 50,
+      s"BH realized FDR ${bh.getAs[Long]("fdr_permille")}")
+    assert(bf.getAs[Long]("n_false") == 0,
+      "Bonferroni admitted a false discovery at FWER grain")
+    val (pBh, pBf) = (bh.getAs[Long]("power_as_permille"),
+      bf.getAs[Long]("power_as_permille"))
+    assert(pBh >= pBf + 100,
+      s"expected a measurable BH power edge on the boundary tier: " +
+        s"$pBh vs $pBf")
+  }
 }
