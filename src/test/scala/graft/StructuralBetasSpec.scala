@@ -345,6 +345,33 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q372: blind harmonic estimation recovers trend + all four " +
+      "seasonal coefficients on every in-model series; power-term " +
+      "targets absorb transmitted polynomial trend (the model-class " +
+      "boundary as data)") {
+    val rows = SparkEntry
+      .queries("q372_harmonic_estimation")(spark, "unused").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (comp, ok, err, truth) = (r.getAs[String]("component"),
+        r.getAs[Int]("in_model"), r.getAs[Long]("abs_err_ppm"),
+        r.getAs[Long]("truth_ppm"))
+      if (ok == 1) {
+        if (comp == "trend")
+          assert(err <= math.abs(truth) / 20,
+            s"${r.getAs[String]("series")} trend err $err vs $truth")
+        else assert(err <= 60000,
+          s"${r.getAs[String]("series")} $comp err $err")
+      } else if (comp == "trend") {
+        // X1/X3 carry X2³/X4² — polynomial trend outside the basis;
+        // the linear slope must visibly absorb it
+        assert(err > math.abs(truth),
+          s"expected trend absorption on a power-term target, err $err")
+      }
+    }
+    assert(rows.count(_.getAs[Int]("in_model") == 0) == 10)
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
