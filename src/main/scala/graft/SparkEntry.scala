@@ -7823,6 +7823,123 @@ object SparkEntry {
           abs(col("beta_ppm") - col("truth_ppm")).as("abs_err_ppm"))
     }),
 
+    // BLIND-ADJUSTED recovery — the q372 arc closed end-to-end:
+    // estimate the deterministic components (q372's 30 regressions),
+    // subtract the ESTIMATES (integer channel arithmetic from the
+    // stage-1 betas — no known-truth constant enters the blind path),
+    // then recover the func-link weights on the blindly adjusted
+    // targets, side by side with the KNOWN-detrending twin from the
+    // SAME moment pass. Measured: the in-model targets' blind betas
+    // track the known ones with a drift that mirrors their stage-1
+    // trend misestimate — X2's link to 0.9%, X4/X5's links to 10-17%
+    // (q372 put their slope reads 2-4% off; the residual trend left in
+    // the blind channel attenuates the func betas) — while the two
+    // power-term targets (X1, X3) inherit the absorbed polynomial
+    // trend and collapse by ≥ 300k ppm. The full pipeline (estimate →
+    // adjust → recover) works without being told anything, and the
+    // known-twin column prices each adjustment error per link.
+    "q373_blind_adjusted_recovery" -> ((s, d) => {
+      val cfg = Grid.forFamily("C1").find(c =>
+        c.nPoints == 500 && c.nVars == 6 && c.maxLag == 2).get
+      val links = c1Links()
+      def trendC(i: Int): Column = lit(0.01 * (i + 1) * 0.5) * col("t")
+      def seasonC(i: Int): Column = {
+        val phase = 2.0 * math.Pi * i / 8.0
+        lit(0.5) * (sin(lit(2.0 * math.Pi) * col("t") / lit(12.0)
+            + lit(phase))
+          + lit(0.5) * cos(lit(4.0 * math.Pi) * col("t") / lit(12.0)
+            + lit(phase)))
+      }
+      val halfPi = math.Pi / 2.0
+      val gen = dumpGen(s, "q373_gen",
+        Generate.wideFast(s, Seq(cfg)).select(
+          Seq(col("t")) ++
+            (1 to 6).map(i => col(s"X$i")) ++
+            (1 to 6).map(i => (col(s"X$i") - trendC(i - 1) -
+              seasonC(i - 1)).as(s"X${i}t")) ++
+            Seq(
+              sin(lit(2.0 * math.Pi) * col("t") / lit(12.0)).as("s1"),
+              cos(lit(2.0 * math.Pi) * col("t") / lit(12.0)).as("c1"),
+              sin(lit(4.0 * math.Pi) * col("t") / lit(12.0)).as("s2"),
+              cos(lit(4.0 * math.Pi) * col("t") / lit(12.0)).as("c2")) ++
+            (1 to 6).flatMap(i => Seq(
+              cos(col(s"X$i") * lit(halfPi)).as(s"cX$i"),
+              sin(col(s"X$i") * lit(halfPi)).as(s"sX$i"),
+              (col(s"X$i") * col(s"X$i")).as(s"p2X$i"),
+              (col(s"X$i") * col(s"X$i") * col(s"X$i"))
+                .as(s"p3X$i"))): _*))
+      // ---- stage 1: q372's component estimation on THIS dump ----
+      val targets1 = (1 to 6).map(i =>
+        gen.select(lit(s"X$i@0").as("vs"), col("t"),
+          floor(col(s"X$i") * 1000).cast("long").as("v")))
+      val tChan = gen.select(lit("tt@0").as("vs"), col("t"),
+        col("t").cast("long").as("v"))
+      val basis = Seq("s1", "c1", "s2", "c2").map(b =>
+        gen.select(lit(s"$b@0").as("vs"), col("t"),
+          floor(col(b) * 1000).cast("long").as("v")))
+      val mom1 = graft.metrics.Causal.virtualCrossMoments(
+        (targets1 ++ Seq(tChan) ++ basis).reduce(_ unionByName _),
+        col("t").between(0, 491))
+      import s.implicits._
+      val hLinksDf = harmonicLinks().toDF("series", "component", "y",
+        "x", "sib", "truth_ppm", "in_model")
+      val comps = graft.metrics.Causal.structuralBetas(mom1, hLinksDf)
+        .groupBy("series")
+        .agg(
+          max(when(col("component") === "trend", col("beta_ppm")))
+            .as("bt"),
+          max(when(col("component") === "s1", col("beta_ppm")))
+            .as("bs1"),
+          max(when(col("component") === "c1", col("beta_ppm")))
+            .as("bc1"),
+          max(when(col("component") === "s2", col("beta_ppm")))
+            .as("bs2"),
+          max(when(col("component") === "c2", col("beta_ppm")))
+            .as("bc2"))
+        .localCheckpoint()
+      // ---- stage 2: blind + known target channels, func regressors ----
+      def m(c: String): Column = floor(col(c) * 1000).cast("long")
+      val blind = (1 to 6).map { i =>
+        gen.crossJoin(broadcast(comps.where(col("series") === s"X$i")
+            .drop("series")))
+          .select(lit(s"X$i^@0").as("vs"), col("t"),
+            expr(s"""(1000000 * ${s"floor(X$i * 1000)"}
+              |  - bt * t
+              |  - bs1 * floor(s1 * 1000) - bc1 * floor(c1 * 1000)
+              |  - bs2 * floor(s2 * 1000) - bc2 * floor(c2 * 1000))
+              |div 1000000""".stripMargin).cast("long").as("v"))
+      }
+      val known = (1 to 6).map(i =>
+        gen.select(lit(s"X$i~@0").as("vs"), col("t"),
+          m(s"X${i}t").as("v")))
+      val regs = links.map(l => (l._5.split("@")(0), l._5, l._3))
+        .distinct.map { case (series, vs, lag) =>
+          gen.select(lit(vs).as("vs"), (col("t") + lag).as("t"),
+            m(series).as("v")) }
+      val mom2 = graft.metrics.Causal.virtualCrossMoments(
+        (blind ++ known ++ regs).reduce(_ unionByName _),
+        col("t").between(2, 491))
+      val inModel = graft.core.Parser.truthLinks("C1", 6, 2)
+        .filter(_.source != "U")
+        .map(l => l.target -> (if (Set("cos", "sin")(l.func)) 1 else 0))
+        .toMap
+      def linksDf(blindY: Boolean): DataFrame = links.map { l =>
+        val y = if (blindY) s"${l._1}^@0" else l._6
+        (l._1, l._2, l._3, l._4, y, l._5, l._7, l._9, inModel(l._1))
+      }.toDF("target", "source", "lag", "func", "y", "x", "sib",
+        "effective_ppm", "in_model")
+      val kn = graft.metrics.Causal.structuralBetas(mom2, linksDf(false))
+        .select(col("target"), col("source"), col("lag"), col("func"),
+          col("in_model"), col("effective_ppm"),
+          col("beta_ppm").as("beta_known_ppm"))
+      val bl = graft.metrics.Causal.structuralBetas(mom2, linksDf(true))
+        .select(col("target"), col("source"), col("lag"),
+          col("beta_ppm").as("beta_blind_ppm"))
+      kn.join(bl, Seq("target", "source", "lag"))
+        .withColumn("blind_vs_known_ppm",
+          abs(col("beta_blind_ppm") - col("beta_known_ppm")))
+    }),
+
     // FDR vs FWER — the two multiplicity regimes measured head-to-head
     // on block-structured truth (q370 proved BH controls its rate;
     // this measures what that control COSTS relative to Bonferroni,
@@ -11901,6 +12018,84 @@ object SparkEntry {
         |    // (1000000 * max(n::HUGEINT) * max(n))) - 10000)::BIGINT
         |    AS sigma2_err_v
         |FROM sbeta GROUP BY 1""".stripMargin
+    },
+
+    "q373_blind_adjusted_recovery" -> {
+      val links = c1Links()
+      val inModel = graft.core.Parser.truthLinks("C1", 6, 2)
+        .filter(_.source != "U")
+        .map(l => l.target -> (if (Set("cos", "sin")(l.func)) 1 else 0))
+        .toMap
+      def vals(blindY: Boolean): String =
+        "(VALUES " + links.map { l =>
+          val y = if (blindY) s"${l._1}^@0" else l._6
+          s"('${l._1}','${l._2}',${l._3},'${l._4}','$y','${l._5}'," +
+            l._7.map(x => s"'$x'").getOrElse("NULL::VARCHAR") +
+            s",${l._9},${inModel(l._1)})"
+        }.mkString(",\n    ") +
+          ") AS l(target, source, lag, func, y, x, sib, effective_ppm," +
+          " in_model)"
+      val basisRows = Seq("s1", "c1", "s2", "c2").map(b =>
+        s"  UNION ALL SELECT '$b@0', t, floor($b * 1000)::BIGINT FROM gen")
+        .mkString("\n")
+      val blindRows = (1 to 6).map(i =>
+        s"""  SELECT 'X$i^@0' AS vs, g.t,
+          |    ((1000000 * floor(g.X$i * 1000)::BIGINT
+          |      - p.bt * g.t
+          |      - p.bs1 * floor(g.s1 * 1000)::BIGINT
+          |      - p.bc1 * floor(g.c1 * 1000)::BIGINT
+          |      - p.bs2 * floor(g.s2 * 1000)::BIGINT
+          |      - p.bc2 * floor(g.c2 * 1000)::BIGINT) // 1000000)
+          |      ::BIGINT AS v
+          |  FROM gen g JOIN pb p ON p.series = 'X$i'""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      val knownRows = (1 to 6).map(i =>
+        s"  UNION ALL SELECT 'X$i~@0', t, floor(X${i}t * 1000)::BIGINT " +
+          s"FROM gen").mkString("\n")
+      val regRows = links.map(l => (l._5.split("@")(0), l._5, l._3))
+        .distinct.map { case (series, vs, lag) =>
+          s"  UNION ALL SELECT '$vs', t + $lag, " +
+            s"floor($series * 1000)::BIGINT FROM gen" }.mkString("\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q373_gen/*.parquet')),
+        |virt1 AS (
+        |  SELECT 'X1@0' AS vs, t, floor(X1 * 1000)::BIGINT AS v FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i@0', t, floor(X$i * 1000)::BIGINT " +
+               s"FROM gen").mkString("\n")}
+        |  UNION ALL SELECT 'tt@0', t, t::BIGINT FROM gen
+        |$basisRows),
+        |hlinks AS (SELECT * FROM ${harmonicLinksValuesSql()}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt1", "t BETWEEN 0 AND 491", "h")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("hlinks", "h")},
+        |pb AS (
+        |  SELECT series,
+        |    max(CASE WHEN component = 'trend' THEN beta_ppm END) AS bt,
+        |    max(CASE WHEN component = 's1' THEN beta_ppm END) AS bs1,
+        |    max(CASE WHEN component = 'c1' THEN beta_ppm END) AS bc1,
+        |    max(CASE WHEN component = 's2' THEN beta_ppm END) AS bs2,
+        |    max(CASE WHEN component = 'c2' THEN beta_ppm END) AS bc2
+        |  FROM sbetah GROUP BY 1),
+        |virt AS (
+        |$blindRows
+        |$knownRows
+        |$regRows),
+        |linksk AS (SELECT * FROM ${vals(blindY = false)}),
+        |linksb AS (SELECT * FROM ${vals(blindY = true)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t BETWEEN 2 AND 491")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksk", "k",
+             momSfx = "")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksb", "b",
+             momSfx = "")}
+        |SELECT k.target, k.source, k.lag::INT AS lag, k.func,
+        |  k.in_model::INT AS in_model,
+        |  k.effective_ppm::BIGINT AS effective_ppm,
+        |  k.beta_ppm AS beta_known_ppm, b.beta_ppm AS beta_blind_ppm,
+        |  abs(b.beta_ppm - k.beta_ppm)::BIGINT AS blind_vs_known_ppm
+        |FROM sbetak k JOIN sbetab b ON b.target = k.target
+        |  AND b.source = k.source AND b.lag = k.lag""".stripMargin
     },
 
     "q372_harmonic_estimation" -> {

@@ -372,6 +372,28 @@ class StructuralBetasSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Int]("in_model") == 0) == 10)
   }
 
+  test("q373: the blind estimate->adjust->recover pipeline tracks the " +
+      "known-detrending twin on in-model targets and collapses on the " +
+      "power-term targets — adjustment error priced per link") {
+    val rows = SparkEntry
+      .queries("q373_blind_adjusted_recovery")(spark, "unused").collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (ok, drift) = (r.getAs[Int]("in_model"),
+        r.getAs[Long]("blind_vs_known_ppm"))
+      if (ok == 1) assert(drift <= 60000,
+        s"${r.getAs[String]("source")}->${r.getAs[String]("target")} " +
+          s"blind drift $drift ppm")
+      else assert(drift >= 200000,
+        s"expected the power-term collapse, drift $drift")
+    }
+    // the known twin itself recovers effective truth (q361's contract)
+    rows.filter(_.getAs[Int]("in_model") == 1).foreach { r =>
+      assert(math.abs(r.getAs[Long]("beta_known_ppm") -
+        r.getAs[Long]("effective_ppm")) < 20000)
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
