@@ -881,12 +881,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val rerunJson = defensiveReruns.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    // the honesty flag the r11 verdict demanded: any entry >5 s whose runs
-    // STILL spread ≥2x after the defensive re-measure is published as
-    // contended — a reader must not take its median as a quiet-host number
+    // the honesty flag the r11 verdict demanded, tightened per r12: any
+    // entry whose OWN run list spreads >2x with a >5 s peak is published
+    // as contended — regardless of whether its section anchors held or
+    // its median stayed small (r12 missed pcwide_p32_stable_oriented at
+    // runs 11.0/5.3/3.4/3.2/3.2: median 3.4 s looked quiet, but a reader
+    // comparing maxima would re-derive contention by hand). Keying on the
+    // run-list max subsumes the old median>5 criterion.
     val contendedEntries = runs.collect {
-      case (n, vs) if results.get(n).exists(_ > 5.0) &&
-        vs.max > 2.0 * vs.min => n
+      case (n, vs) if vs.max > 5.0 && vs.max > 2.0 * vs.min => n
     }
     val contendedJson = contendedEntries.map("\"" + _ + "\"")
       .mkString("[", ",", "]")

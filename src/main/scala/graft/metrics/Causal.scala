@@ -1270,6 +1270,19 @@ object Causal {
     * whole procedure needs no p-value column — m driver-side doubles
     * quantized ONCE to milli and shipped to both engines as literals,
     * cross-engine parity by construction.
+    *
+    * Large-n approximation, stated: the exact finite-sample null of the
+    * integer Wald t² from an OLS fit is F(1, n−k−1), not χ²₁ — the χ²₁
+    * quantile is its n→∞ limit and is SMALLER in the far tail (at
+    * q371's n=60 the extreme Bonferroni cut is ≈17.2 on this ladder vs
+    * ≈22 for F(1,58)), so at small n the BH/FWER rules built on it are
+    * looser than nominal. Deployment grain is day-panels with n in the
+    * thousands, where the gap is negligible; small-n boundary designs
+    * (q371) carry the caveat in their census comments. The milli
+    * quantization uses ceil, not round: discretization then only ever
+    * TIGHTENS the cut (matching tauSqBpForWidth's ceil), so a t² within
+    * 1 milli of the exact threshold can only flip toward non-rejection,
+    * never toward a rejection the exact p-scale rule would not make.
     */
   def chi2InvMilliLadder(m: Int, alphaPpm: Long = 50000L)
       : IndexedSeq[Long] = {
@@ -1277,7 +1290,7 @@ object Causal {
     (1 to m).map { k =>
       val x = alphaPpm.toDouble / 1e6 * k / m
       val z = inverseNormalCdf(1.0 - x / 2.0)
-      math.round(z * z * 1000.0)
+      math.ceil(z * z * 1000.0).toLong
     }
   }
 

@@ -66,6 +66,11 @@ object Lagged {
   def nearestLagIndicesView(spine: DataFrame, idxCol: String,
       tsCol: String, partitionCols: Seq[String] = Nil,
       lagMults: Seq[Int] = Seq(1)): DataFrame = {
+    // an empty list would yield zero probe rows (downstream joins silently
+    // drop everything); duplicates would emit duplicated (idx, lag_mult)
+    // rows — same guards as laggedCrossMoments
+    require(lagMults.nonEmpty, "nearestLagIndicesView: lagMults is empty")
+    val lags = lagMults.distinct
     val keys = if (partitionCols.isEmpty) Seq("_pk") else partitionCols
     val keyed =
       if (partitionCols.isEmpty) spine.withColumn("_pk", lit(1)) else spine
@@ -80,7 +85,7 @@ object Lagged {
       col(tsCol).cast("double").as("_ts") :+ lit(0).as("_kind") :+
       col(idxCol).cast("long").as("_idx") :+ lit(0).as("_k"): _*)
     val probes = withMd.where(col(idxCol) >= 1)
-      .withColumn("_k", explode(lit(lagMults.toArray)))
+      .withColumn("_k", explode(lit(lags.toArray)))
       .select(keys.map(col) :+
         (col(tsCol).cast("double") - col("_md") * col("_k")).as("_ts") :+
         lit(1).as("_kind") :+ col(idxCol).cast("long").as("_idx") :+
