@@ -17,6 +17,21 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM read_parquet('__GEN_DIR__/q345_strict_wide/*.parquet')
         |GROUP BY family""".stripMargin,
 
+    "q374_strict_d3c_digest" ->
+      s"""SELECT family, count(*) AS n_rows,
+        |  ${sumMicroSql("greatest(least(X1, 1e6), -1e6)")} AS sum_x1c_micro,
+        |  ${sumMicroSql("greatest(least(X6, 1e6), -1e6)")} AS sum_x6c_micro,
+        |  ${sumMicroSql("U")} AS sum_u_micro,
+        |  ${sumMicroSql("\"time\"")} AS sum_time_micro,
+        |  sum(maskBits::BIGINT)::BIGINT AS mask_sum,
+        |  sum(CASE WHEN maskBits <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_masked_rows,
+        |  sum(CASE WHEN (maskBits & 1) = 0 THEN
+        |    floor(greatest(least(X1, 1e6), -1e6) * 1e6)::BIGINT
+        |    END)::BIGINT AS sum_x1_obs_micro
+        |FROM read_parquet('__GEN_DIR__/q374_strict_wide/*.parquet')
+        |GROUP BY family""".stripMargin,
+
     "q346_pc_wide_oriented" ->
       s"""WITH panel AS (
         |  SELECT series, day, v

@@ -1952,6 +1952,40 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
           ExactStats.sumMicro(col("time")).as("sum_time_micro"))
     }),
 
+    // strict mode on the MAXIMAL family (r12 verdict #2): q345 gates the
+    // three strict corrections on regular-sampling A1/B2, but they only
+    // COMPOSE with irregular continuous timestamps, MCAR∪block masks,
+    // mixed noise and U in D3C — that composition had specs
+    // (StrictModeSpec) but no CORRECTNESS row. Same q345/q30 pattern:
+    // the strict kernel dump is written once, both engines aggregate it
+    // to exact micro sums — X sums (strict parser retains the cubic
+    // links the compat parser drops), U sums (confounder channel,
+    // never masked), time sums (strict honest-min-gap irregular
+    // timestamps), and the mask census (bit sum + masked-row count +
+    // unmasked-cell X1 sum) pinning that MCAR∪block composes with the
+    // strict values unchanged
+    "q374_strict_d3c_digest" -> ((s, d) => {
+      val cfg = Grid.forFamily("D3C").find(c =>
+        c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2 &&
+          c.mixRatio == 0.5 && c.mcarProb == 0.1 &&
+          c.blockProb == 0.1).get
+      def cl(c: Column) = greatest(least(c, lit(1e6)), lit(-1e6))
+      dumpGen(s, "q374_strict_wide",
+          Generate.wideFast(s, Seq(cfg), strict = true))
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_rows"),
+          ExactStats.sumMicro(cl(col("X1"))).as("sum_x1c_micro"),
+          ExactStats.sumMicro(cl(col("X6"))).as("sum_x6c_micro"),
+          ExactStats.sumMicro(col("U")).as("sum_u_micro"),
+          ExactStats.sumMicro(col("time")).as("sum_time_micro"),
+          sum(col("maskBits").cast("long")).as("mask_sum"),
+          sum(when(col("maskBits") =!= 0, 1L).otherwise(0L))
+            .as("n_masked_rows"),
+          ExactStats.sumMicro(when(
+            col("maskBits").bitwiseAND(lit(1)) === 0, cl(col("X1"))))
+            .as("sum_x1_obs_micro"))
+    }),
+
     // PC at deployment WIDTH as a correctness row (the pcwide bench
     // rung's bitwise twin): q336/q337 gate the order-2 machinery at 6
     // series; this gates it at 32 — the width where a candidate-

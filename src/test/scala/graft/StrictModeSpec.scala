@@ -79,6 +79,32 @@ class StrictModeSpec extends AnyFunSuite {
     }
   }
 
+  test("strict composes in the maximal family (D3C: min-gap, masks, U) — q374's cell") {
+    // the q374 oracle row's config: every mechanism at once — mixed noise,
+    // irregular sampling, MCAR∪block, U²
+    val c = Grid.forFamily("D3C").find(c =>
+      c.nPoints == 1000 && c.nVars == 6 && c.maxLag == 2 &&
+        c.mixRatio == 0.5 && c.mcarProb == 0.1 && c.blockProb == 0.1).get
+    val s = Kernel.generate(c, strict = true)
+    val n = c.nPoints
+    // strict correction 3 survives the composition: honest min-gap, end at 100
+    val gaps = (1 until n).map(t => s.times(t) - s.times(t - 1))
+    val g = math.min(0.1, 100.0 / n)
+    assert(gaps.min >= g - 1e-9, s"strict D3C min gap ${gaps.min} < $g")
+    assert(math.abs(s.times(n - 1) - 100.0) < 1e-9)
+    // masks still apply (MCAR .1 ∪ block .1 over 6 vars) and U is never masked
+    val cellRate = (0 until n).map(t =>
+      java.lang.Integer.bitCount(s.mask(t))).sum.toDouble / (6.0 * n)
+    assert(cellRate > 0.15 && cellRate < 0.40, s"mask cell rate $cellRate")
+    assert(s.mask.forall(m => (m & ~0x3f) == 0), "mask bits beyond the 6 X vars")
+    assert(s.u.forall(v => !v.isNaN), "U must stay fully observed")
+    // strict values genuinely diverge from compat in this family (cubic
+    // retention + contemporaneous resolution both fire)
+    val comp = Kernel.generate(c, strict = false)
+    assert((0 until n).exists(t => s.x(t)(0) != comp.x(t)(0)),
+      "strict D3C must change X1 values vs compat")
+  }
+
   test("nothing else: untouched configs generate bitwise identically") {
     // A1C (native toposort), D1/D1C (shadowing preserved), A1 4-var (chain
     // already resolves in reverse order) — none touched by the three fixes

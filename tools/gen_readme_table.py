@@ -1,8 +1,11 @@
-"""Regenerate README.md's capability table from SparkEntry.scala.
+"""Regenerate README.md's capability table from the query registry.
 
 One row per driver query: name -> capability (first sentence of the comment
 block above the entry) -> graft entry point exercised -> specs referencing
 it. Replaces the region between the capability-table markers in README.md.
+The registry lives in src/main/scala/graft/entries/Queries*.scala (split
+from the former single SparkEntry map in round 13); oracle keys come from
+the matching Oracles*.scala traits.
 Usage: python3 tools/gen_readme_table.py
 """
 import glob
@@ -10,24 +13,18 @@ import os
 import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SRC = os.path.join(ROOT, 'src/main/scala/graft/SparkEntry.scala')
+ENTRY_DIR = os.path.join(ROOT, 'src/main/scala/graft/entries')
 README = os.path.join(ROOT, 'README.md')
 
-text = open(SRC).read()
+KEY = r'"((?:q\d+|_gen)[^"]*)" *->'
+entry_re = re.compile(KEY + r' *\(\((s|spark), *d\)')
 
-# the queries map runs from `def queries` to `def oracleSql`
-qstart = text.index('def queries')
-qend = text.index('def oracleSql')
-qbody = text[qstart:qend]
-oracle_keys = set(re.findall(r'"((?:q\d+|_gen)[^"]*)" *->', text[qend:]))
-
-entry_re = re.compile(r'"((?:q\d+|_gen)[^"]*)" *-> *\(\((s|spark), *d\)')
-entries = list(entry_re.finditer(qbody))
-
-lines = qbody.split('\n')
+oracle_keys = set()
+for p in glob.glob(os.path.join(ENTRY_DIR, 'Oracles*.scala')):
+    oracle_keys |= set(re.findall(KEY, open(p).read()))
 
 
-def comment_above(pos):
+def comment_above(qbody, lines, pos):
     """First sentence of the contiguous // block right above an offset."""
     ln = qbody[:pos].count('\n')
     block = []
@@ -65,27 +62,31 @@ for p in glob.glob(os.path.join(ROOT, 'src/test/scala/graft/*.scala')):
     specs_text[os.path.basename(p).replace('.scala', '')] = open(p).read()
 
 rows = []
-for i, m in enumerate(entries):
-    name = m.group(1)
-    body_end = entries[i + 1].start() if i + 1 < len(entries) else len(qbody)
-    body = qbody[m.start():body_end]
-    call = CALL.search(body)
-    if call:
-        entry = f'`graft.{call.group(1)}.{call.group(2)}`'
-    elif '.sql(' in body or 's.sql' in body:
-        entry = 'SQL (`SparkEntry`)'
-    else:
-        entry = 'DataFrame (`SparkEntry`)'
-    qkey = name.split('_')[0]
-    if qkey.startswith('q'):
-        specs = sorted(sp for sp, t in specs_text.items()
-                       if re.search(rf'\b{qkey}_', t) or name in t)
-    else:  # `_gen` and friends: exact-name references only
-        specs = sorted(sp for sp, t in specs_text.items() if f'"{name}"' in t)
-    cap = comment_above(m.start()).replace('|', '\\|')
-    rows.append((name, cap, entry, ', '.join(specs) if specs else '—'))
-    if name not in oracle_keys:
-        raise SystemExit(f'query {name} has no oracleSql entry')
+for p in sorted(glob.glob(os.path.join(ENTRY_DIR, 'Queries*.scala'))):
+    qbody = open(p).read()
+    lines = qbody.split('\n')
+    entries = list(entry_re.finditer(qbody))
+    for i, m in enumerate(entries):
+        name = m.group(1)
+        body_end = entries[i + 1].start() if i + 1 < len(entries) else len(qbody)
+        body = qbody[m.start():body_end]
+        call = CALL.search(body)
+        if call:
+            entry = f'`graft.{call.group(1)}.{call.group(2)}`'
+        elif '.sql(' in body or 's.sql' in body:
+            entry = 'SQL (`SparkEntry`)'
+        else:
+            entry = 'DataFrame (`SparkEntry`)'
+        qkey = name.split('_')[0]
+        if qkey.startswith('q'):
+            specs = sorted(sp for sp, t in specs_text.items()
+                           if re.search(rf'\b{qkey}_', t) or name in t)
+        else:  # `_gen` and friends: exact-name references only
+            specs = sorted(sp for sp, t in specs_text.items() if f'"{name}"' in t)
+        cap = comment_above(qbody, lines, m.start()).replace('|', '\\|')
+        rows.append((name, cap, entry, ', '.join(specs) if specs else '—'))
+        if name not in oracle_keys:
+            raise SystemExit(f'query {name} has no oracleSql entry')
 
 rows.sort(key=lambda r: (r[0] != '_gen', r[0]))
 
