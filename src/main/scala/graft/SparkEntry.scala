@@ -276,11 +276,14 @@ object SparkEntry
     * season subtracted at dump time) and naive raw ("X4@0"). One list
     * feeds the Spark frames and the oracle VALUES twin.
     */
-  private[graft] def c1Links(): Seq[(String, String, Int, String, String, String,
+  // family parameter: C2's 6-var lag-2 catalog IS the C1 dynamics
+  // (c2.py:19-58 reuses the C1 equations); q375 reads the links under
+  // family "C2" so the effective coefficients stay family-honest
+  private[graft] def c1Links(family: String = "C1"): Seq[(String, String, Int, String, String, String,
       Option[String], Long, Long)] = {
-    val declared = graft.core.Parser.truthLinks("C1", 6, 2)
+    val declared = graft.core.Parser.truthLinks(family, 6, 2)
       .filter(_.source != "U")
-    val effective = graft.core.Parser.effectiveLinks("C1", 6, 2)
+    val effective = graft.core.Parser.effectiveLinks(family, 6, 2)
       .filter(_.source != "U")
       .map(l => ((l.source, l.lag, l.target), l.coef)).toMap
     def pre(func: String): String = func match {
@@ -346,13 +349,13 @@ object SparkEntry
     * kernel's season expansion and trend formula (one list feeding the
     * Spark frame and the oracle VALUES twin).
     */
-  private[graft] def harmonicLinks(): Seq[(String, String, String, String,
+  private[graft] def harmonicLinks(family: String = "C1"): Seq[(String, String, String, String,
       Option[String], Long, Int)] = {
     // a series' own struct term decides whether the linear+harmonic
     // model CONTAINS its truth: cos/sin terms are bounded (in_model=1);
     // power terms of TRENDING parents inject polynomial trend the
     // basis cannot represent (in_model=0 — the mis-specification read)
-    val funcOf = graft.core.Parser.truthLinks("C1", 6, 2)
+    val funcOf = graft.core.Parser.truthLinks(family, 6, 2)
       .filter(_.source != "U").map(l => l.target -> l.func).toMap
     (1 to 6).flatMap { i =>
       val phase = 2.0 * math.Pi * (i - 1) / 8.0
@@ -372,8 +375,8 @@ object SparkEntry
     }
   }
 
-  private[graft] def harmonicLinksValuesSql(): String =
-    "(VALUES " + harmonicLinks().map { case (ser, comp, y, x, sib, tp,
+  private[graft] def harmonicLinksValuesSql(family: String = "C1"): String =
+    "(VALUES " + harmonicLinks(family).map { case (ser, comp, y, x, sib, tp,
         ok) =>
       s"('$ser','$comp','$y','$x'," +
         sib.map(v => s"'$v'").getOrElse("NULL::VARCHAR") + s",$tp,$ok)"

@@ -338,6 +338,96 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |  AND b.source = k.source AND b.lag = k.lag""".stripMargin
     },
 
+    "q375_blind_harmonic_irregular" -> {
+      val links = c1Links("C2")
+      val inModel = graft.core.Parser.truthLinks("C2", 6, 2)
+        .filter(_.source != "U")
+        .map(l => l.target -> (if (Set("cos", "sin")(l.func)) 1 else 0))
+        .toMap
+      def vals(blindY: Boolean): String =
+        "(VALUES " + links.map { l =>
+          val y = if (blindY) s"${l._1}^@0" else l._6
+          s"('${l._1}','${l._2}',${l._3},'${l._4}','$y','${l._5}'," +
+            l._7.map(x => s"'$x'").getOrElse("NULL::VARCHAR") +
+            s",${l._9},${inModel(l._1)})"
+        }.mkString(",\n    ") +
+          ") AS l(target, source, lag, func, y, x, sib, effective_ppm," +
+          " in_model)"
+      val basisRows = Seq("s1", "c1", "s2", "c2").map(b =>
+        s"  UNION ALL SELECT '$b@0', t, floor($b * 1000)::BIGINT FROM gen")
+        .mkString("\n")
+      val blindRows = (1 to 6).map(i =>
+        s"""  SELECT 'X$i^@0' AS vs, g.t,
+          |    ((1000000 * floor(g.X$i * 1000)::BIGINT
+          |      - p.bt * g.t
+          |      - p.bs1 * floor(g.s1 * 1000)::BIGINT
+          |      - p.bc1 * floor(g.c1 * 1000)::BIGINT
+          |      - p.bs2 * floor(g.s2 * 1000)::BIGINT
+          |      - p.bc2 * floor(g.c2 * 1000)::BIGINT) // 1000000)
+          |      ::BIGINT AS v
+          |  FROM gen g JOIN pb p ON p.series = 'X$i'""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      val knownRows = (1 to 6).map(i =>
+        s"  UNION ALL SELECT 'X$i~@0', t, floor(X${i}t * 1000)::BIGINT " +
+          s"FROM gen").mkString("\n")
+      val lagsNeeded = links.map(_._3).filter(_ > 0).distinct.sorted
+      val lxBlocks = lagsNeeded.map(k =>
+        graft.ops.Lagged.nearestLagIndexSqlCtes("spine", "\"time\"",
+          Nil, lagMult = k, sfx = s"$k")).mkString(",\n")
+      val regRows = links.map(l => (l._5.split("@")(0), l._5, l._3))
+        .distinct.map {
+          case (chan, vs, 0) =>
+            s"  UNION ALL SELECT '$vs', t, " +
+              s"floor($chan * 1000)::BIGINT FROM gen"
+          case (chan, vs, k) =>
+            s"  UNION ALL SELECT '$vs', l.t, " +
+              s"floor(g.$chan * 1000)::BIGINT " +
+              s"FROM lx$k l JOIN gen g ON g.t = l.lag_idx"
+        }.mkString("\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q375_gen/*.parquet')),
+        |spine AS (SELECT t, "time" FROM gen),
+        |$lxBlocks,
+        |virt1 AS (
+        |  SELECT 'X1@0' AS vs, t, floor(X1 * 1000)::BIGINT AS v FROM gen
+        |${(2 to 6).map(i =>
+             s"  UNION ALL SELECT 'X$i@0', t, floor(X$i * 1000)::BIGINT " +
+               s"FROM gen").mkString("\n")}
+        |  UNION ALL SELECT 'tt@0', t, t::BIGINT FROM gen
+        |$basisRows),
+        |hlinks AS (SELECT * FROM ${harmonicLinksValuesSql("C2")}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt1", "t BETWEEN 0 AND 499", "h")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("hlinks", "h")},
+        |pb AS (
+        |  SELECT series,
+        |    max(CASE WHEN component = 'trend' THEN beta_ppm END) AS bt,
+        |    max(CASE WHEN component = 's1' THEN beta_ppm END) AS bs1,
+        |    max(CASE WHEN component = 'c1' THEN beta_ppm END) AS bc1,
+        |    max(CASE WHEN component = 's2' THEN beta_ppm END) AS bs2,
+        |    max(CASE WHEN component = 'c2' THEN beta_ppm END) AS bc2
+        |  FROM sbetah GROUP BY 1),
+        |virt AS (
+        |$blindRows
+        |$knownRows
+        |$regRows),
+        |linksk AS (SELECT * FROM ${vals(blindY = false)}),
+        |linksb AS (SELECT * FROM ${vals(blindY = true)}),
+        |${graft.metrics.Causal.structuralMomentsFromVirtualSqlCtes(
+             "virt", "t BETWEEN 2 AND 499")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksk", "k",
+             momSfx = "")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("linksb", "b",
+             momSfx = "")}
+        |SELECT k.target, k.source, k.lag::INT AS lag, k.func,
+        |  k.in_model::INT AS in_model,
+        |  k.effective_ppm::BIGINT AS effective_ppm,
+        |  k.beta_ppm AS beta_known_ppm, b.beta_ppm AS beta_blind_ppm,
+        |  abs(b.beta_ppm - k.beta_ppm)::BIGINT AS blind_vs_known_ppm
+        |FROM sbetak k JOIN sbetab b ON b.target = k.target
+        |  AND b.source = k.source AND b.lag = k.lag""".stripMargin
+    },
+
     "q372_harmonic_estimation" -> {
       val basisRows = Seq("s1", "c1", "s2", "c2").map(b =>
         s"  UNION ALL SELECT '$b@0', t, floor($b * 1000)::BIGINT FROM gen")

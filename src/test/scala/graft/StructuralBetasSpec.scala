@@ -394,6 +394,29 @@ class StructuralBetasSpec extends AnyFunSuite {
     }
   }
 
+  test("q375: the blind pipeline survives the irregular clock (C2) — " +
+      "continuous-τ basis + nearest-lag regressors; in-model drift " +
+      "bounded, power-term collapse preserved, dead link stays dead") {
+    val rows = SparkEntry
+      .queries("q375_blind_harmonic_irregular")(spark, "unused").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (ok, drift) = (r.getAs[Int]("in_model"),
+        r.getAs[Long]("blind_vs_known_ppm"))
+      if (ok == 1) assert(drift <= 60000,
+        s"${r.getAs[String]("source")}->${r.getAs[String]("target")} " +
+          s"blind drift $drift ppm")
+      else assert(drift >= 200000,
+        s"expected the power-term collapse, drift $drift")
+    }
+    // the known twin recovers EFFECTIVE truth through the nearest-lag
+    // alignment (q356's contract) — including the dead X5->X6 at 0
+    rows.filter(_.getAs[Int]("in_model") == 1).foreach { r =>
+      assert(math.abs(r.getAs[Long]("beta_known_ppm") -
+        r.getAs[Long]("effective_ppm")) < 20000)
+    }
+  }
+
   test("effectiveLinks dead-contemporaneous census per A-family cell") {
     def deadCount(family: String, nVars: Int, maxLag: Int): Int =
       Parser.effectiveLinks(family, nVars, maxLag)
