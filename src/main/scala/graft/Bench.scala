@@ -443,6 +443,16 @@ object Bench {
         median3("pcwide_p64_order2_oriented") { wideOnce(pan64) }
         median3("pcwide_p32_stable_oriented") { wideStableOnce(pan32) }
         median3("pcwide_p64_stable_oriented") { wideStableOnce(pan64) }
+        // p=128 STABLE-only rung (r12 verdict #4: the third point of the
+        // width scaling law, fitted in ARCHITECTURE.md): 8128 pairs, but
+        // conditioning stays adjacency-restricted — an unrestricted
+        // order-2 pass here would enumerate 8128·C(126,2)≈64M quadruples
+        // for no additional information, so the unrestricted ladder
+        // deliberately stops at p=64 and the stable ladder carries the
+        // width story from here up (with pcblocks at p=320 above it)
+        val pan128 = widePanel(spark, 128, 200).localCheckpoint(true)
+        median3("pcwide_p128_stable_oriented") { wideStableOnce(pan128) }
+        pan128.unpersist()
       } { pan32.unpersist(); pan64.unpersist() }
     }
 

@@ -763,6 +763,22 @@ class PlanSpec extends AnyFunSuite {
     } finally pan32.unpersist()
   }
 
+  test("p=128 wide panel: the PC-stable conditioning stages stay moment-" +
+      "enumerated equi-joins at the scaling-law rung's width") {
+    // the pcwide_p128_stable_oriented bench rung's exact input: at 8128
+    // pairs an unrestricted order-2 pass would enumerate ~64M quadruples;
+    // the adjacency restriction only means anything if the plan still
+    // contains zero cartesian/nested-loop nodes at this width
+    val pan128 = Bench.widePanel(spark, 128, 200).localCheckpoint(true)
+    try {
+      val ps = graft.metrics.Causal.pcSkeleton2Stable(pan128, 100L)
+        .queryExecution.executedPlan.toString
+      assert(!ps.contains("CartesianProduct") &&
+        !ps.contains("BroadcastNestedLoopJoin"),
+        s"p=128 PC-stable must stay equi-join only:\n$ps")
+    } finally pan128.unpersist()
+  }
+
   test("structural betas: laggedCrossMoments broadcasts the t self-join " +
       "by default and takes the partitioned path on demand — same moments") {
     import spark.implicits._
