@@ -619,6 +619,69 @@ object Bench {
             .write.mode("overwrite").format("noop").save()
         }
       } { pan.unpersist() }
+
+      // catalog-grain multiplicity (r12 verdict #6): ONE BH pass over
+      // the whole catalog's lag-1 cross-predictive Wald census — every
+      // ordered pair of every one of the 2,592 sweep configs,
+      // 864·(12+30+56) = 84,672 simultaneous k=1 hypotheses
+      // (y = Xj, x = Xi@1 — q370's marginal-Wald contract; waldK1's
+      // RSS/SE arithmetic is k=1-only, so the AR-controlled variant
+      // lives in grangerDecide, not here) through the SAME waldK1 +
+      // ladder machinery (oracle-gated at a reduced grid by q376).
+      // Fact scale:
+      // one pair-restricted sparse moment pass over the ~6.2M-row
+      // folded virtual panel; the 85k hypothesis rows ride
+      // post-aggregation frames (driver-built links/ladder broadcasts,
+      // one 85k-row rank window), so corpus size moves only the moment
+      // pass — "BH over the whole catalog" stays a one-shuffle
+      // statement. X values clamp to ±1e3 before milli quantization
+      // (the sweepDigest discipline: a handful of D2/D2C cells diverge)
+      // to keep every Cramer product inside DECIMAL(38,0).
+      val cfgsAll = graft.core.Grid.all()
+      val wideC = Generate.wideFast(spark, cfgsAll).where(col("t") < 200)
+      val virtC = (1 to 8).map { i =>
+        val m = floor(greatest(least(col(s"X$i"), lit(1e3)), lit(-1e3))
+          * 1000).cast("long").as("v")
+        val base = wideC.where(col(s"X$i").isNotNull)
+        base.select(concat(col("configId"), lit(s"|X$i@0")).as("vs"),
+            (col("configId") * 65536 + col("t")).as("t"), m)
+          .unionByName(base.select(
+            concat(col("configId"), lit(s"|X$i@1")).as("vs"),
+            (col("configId") * 65536 + col("t") + 1).as("t"), m))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val hypsC = cfgsAll.flatMap { c =>
+        for { i <- 1 to c.nVars; j <- 1 to c.nVars if i != j } yield {
+          val g = c.configId
+          (s"$g|X$i>X$j", c.family, s"$g|X$j@0", s"$g|X$i@1",
+            None: Option[String])
+        }
+      }
+      val linksC = hypsC.toDF("pair", "family", "y", "x", "sib")
+      def cnp(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      val wantedC = hypsC.flatMap { case (_, _, y, x, _) =>
+        Seq((y, y), (x, x), cnp(x, y))
+      }.distinct.toDF("na", "nb")
+      val lutC = graft.metrics.Causal.chi2InvMilliLadder(hypsC.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      section("bhfdr_catalog") {
+        median3("bhfdr_catalog_85k_hypotheses") {
+          graft.metrics.Causal.waldK1(
+              graft.metrics.Causal.structuralBetas(
+                graft.metrics.Causal.virtualCrossMomentsSparse(virtC,
+                  wantedC, (col("t") % 65536).between(1, 199)), linksC))
+            .withColumn("rk", expr(
+              """row_number() over (
+                |  order by coalesce(t2_milli, -1) desc, pair)"""
+                .stripMargin))
+            .join(broadcast(lutC), Seq("rk"))
+            .withColumn("k_star", expr(
+              "max(case when t2_milli >= q_milli then rk end) over ()"))
+            .where(col("rk") <= coalesce(col("k_star"), lit(0L)))
+            .groupBy("family").count()
+            .write.mode("overwrite").format("noop").save()
+        }
+      } { virtC.unpersist() }
     }
 
     // the gen section also participates in the ONLY filter (e.g. ONLY=gen_

@@ -537,6 +537,86 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q376_bh_catalog_census" -> {
+      val cfgs = graft.core.Grid.forFamily("A1").filter(_.nVars == 4)
+      val hyps = cfgs.flatMap { c =>
+        val direct = graft.core.Parser.truthLinks("A1", 4, c.maxLag)
+          .map(l => (l.source, l.target)).toSet
+        for { i <- 1 to 4; j <- 1 to 4 if i != j } yield {
+          val g = c.configId
+          val tier = if (direct((s"X$i", s"X$j"))) "edge" else "none"
+          (s"$g|X$i>X$j", tier, s"$g|X$j@0", s"$g|X$i@1")
+        }
+      }
+      val linkRows = hyps.map { case (p, tier, y, x) =>
+        s"('$p','$tier','$y','$x',NULL::VARCHAR)" }.mkString(",\n    ")
+      def cnp(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      val wantedRows = hyps.flatMap { case (_, _, y, x) =>
+        val (ca, cb) = cnp(x, y)
+        Seq(s"('$y','$y')", s"('$x','$x')", s"('$ca','$cb')")
+      }.distinct.mkString(",\n    ")
+      val lutRows = graft.metrics.Causal.chi2InvMilliLadder(hyps.size)
+        .zipWithIndex.map { case (q, i) => s"(${i + 1}, $q)" }
+        .mkString(",\n    ")
+      val chanRows = (1 to 4).flatMap { i =>
+        val v = s"floor(greatest(least(X$i, 1000), -1000) * 1000)::BIGINT"
+        Seq(
+          s"  SELECT configId::VARCHAR || '|X$i@0' AS vs, " +
+            s"configId * 65536 + t AS t, $v AS v FROM gen",
+          s"  SELECT configId::VARCHAR || '|X$i@1', " +
+            s"configId * 65536 + t + 1, $v FROM gen")
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q376_gen/*.parquet')),
+        |virt AS (
+        |$chanRows),
+        |wanted AS (SELECT * FROM (VALUES $wantedRows) AS w(na, nb)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(pair, tier, y, x, sib)),
+        |lut AS (SELECT * FROM (VALUES $lutRows) AS q(rk, q_milli)),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t % 65536 BETWEEN 1 AND 199")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |inf AS (
+        |  SELECT *,
+        |    1000000 * cyy::HUGEINT - beta_ppm::HUGEINT * cjy
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |inf2 AS (
+        |  SELECT *, (CASE WHEN cjj <= 0 OR n - 2 <= 0 THEN NULL
+        |    ELSE (1000000 * rss_scaled)
+        |      // ((n - 2) * cjj::HUGEINT) END)::BIGINT AS se2_ppm2
+        |  FROM inf),
+        |inf3 AS (
+        |  SELECT *, (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0
+        |    THEN NULL
+        |    ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+        |    END)::BIGINT AS t2_milli
+        |  FROM inf2),
+        |rk0 AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY coalesce(t2_milli, -1) DESC, pair) AS rk
+        |  FROM inf3),
+        |rkd AS (SELECT r.*, q.q_milli FROM rk0 r JOIN lut q USING (rk)),
+        |pass AS (
+        |  SELECT *, max(CASE WHEN t2_milli >= q_milli THEN rk END)
+        |    OVER () AS k_star
+        |  FROM rkd),
+        |dsc AS (
+        |  SELECT *, (rk <= coalesce(k_star, 0))::INT AS disc
+        |  FROM pass),
+        |sm AS (SELECT max(k_star)::BIGINT AS k_star,
+        |  sum(disc)::BIGINT AS n_disc_total FROM dsc)
+        |SELECT d.tier, count(*)::BIGINT AS n_hyp,
+        |  sum(d.disc)::BIGINT AS n_disc,
+        |  max(d.t2_milli)::BIGINT AS max_t2_milli,
+        |  sum(CASE WHEN d.t2_milli IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_t2_null,
+        |  sm.k_star, sm.n_disc_total
+        |FROM dsc d, sm
+        |GROUP BY d.tier, sm.k_star, sm.n_disc_total""".stripMargin
+    },
+
     "q370_bh_fdr" -> {
       def nm(i: Int) = f"X$i%02d"
       val cands = for { dd <- 1 to 10; i <- 0 until 64 - dd }

@@ -2870,6 +2870,83 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // catalog-grain multiplicity (r12 verdict #6, the
+    // bhfdr_catalog_85k_hypotheses bench rung's oracle twin at a
+    // reduced grid): ONE BH step-up pass over a whole sub-catalog's
+    // lag-1 cross-predictive Wald census — all 24 A1 4-var configs ×
+    // 12 ordered pairs = 288 simultaneous k=1 hypotheses (y = Xj,
+    // x = Xi@1, q370's marginal-Wald contract — waldK1's RSS/SE
+    // arithmetic is k=1-only; the AR-controlled decision lives in
+    // grangerDecide), the configId-folded virtual-channel panel, ONE
+    // pair-restricted sparse moment pass, the waldK1 t² and the
+    // 288-rung χ²₁ ladder. Hypotheses are tiered by the declared graph
+    // (direct edge at any lag vs none — A1's 4-var chain makes every
+    // pair an ancestor, so "none" discoveries are indirect paths, not
+    // procedure failures). Measured: k* = 27 of 288 pass — 23 of the
+    // 112 edge-tier hypotheses (the marginal lag-1 read fires on links
+    // whose declared lag manifests at lag 1; the chain's lag-2/3/4
+    // links mostly stay below the ladder at n=199, max t² 44.2 vs the
+    // 13.3 none-tier peak) plus 4 indirect-path correlations
+    "q376_bh_catalog_census" -> ((s, d) => {
+      val cfgs = Grid.forFamily("A1").filter(_.nVars == 4)
+      val gen = dumpGen(s, "q376_gen",
+        Generate.wideFast(s, cfgs).where(col("t") < 200)
+          .select(col("configId"), col("t"),
+            col("X1"), col("X2"), col("X3"), col("X4")))
+      def mcl(i: Int) = floor(greatest(least(col(s"X$i"), lit(1e3)),
+        lit(-1e3)) * 1000).cast("long")
+      val virt = (1 to 4).map { i =>
+        gen.select(concat(col("configId"), lit(s"|X$i@0")).as("vs"),
+            (col("configId") * 65536 + col("t")).as("t"),
+            mcl(i).as("v"))
+          .unionByName(gen.select(
+            concat(col("configId"), lit(s"|X$i@1")).as("vs"),
+            (col("configId") * 65536 + col("t") + 1).as("t"),
+            mcl(i).as("v")))
+      }.reduce(_ unionByName _)
+      val hyps = cfgs.flatMap { c =>
+        val direct = graft.core.Parser.truthLinks("A1", 4, c.maxLag)
+          .map(l => (l.source, l.target)).toSet
+        for { i <- 1 to 4; j <- 1 to 4 if i != j } yield {
+          val g = c.configId
+          val tier = if (direct((s"X$i", s"X$j"))) "edge" else "none"
+          (s"$g|X$i>X$j", tier, s"$g|X$j@0", s"$g|X$i@1",
+            None: Option[String])
+        }
+      }
+      import s.implicits._
+      val linksDf = hyps.toDF("pair", "tier", "y", "x", "sib")
+      def cnp(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      val wanted = hyps.flatMap { case (_, _, y, x, _) =>
+        Seq((y, y), (x, x), cnp(x, y))
+      }.distinct.toDF("na", "nb")
+      val lutDf = graft.metrics.Causal.chi2InvMilliLadder(hyps.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      val ranked = graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(
+            graft.metrics.Causal.virtualCrossMomentsSparse(virt, wanted,
+              (col("t") % 65536).between(1, 199)), linksDf))
+        .withColumn("rk", expr(
+          """row_number() over (
+            |  order by coalesce(t2_milli, -1) desc, pair)""".stripMargin))
+        .join(broadcast(lutDf), Seq("rk"))
+        .withColumn("k_star", expr(
+          "max(case when t2_milli >= q_milli then rk end) over ()"))
+        .withColumn("disc",
+          (col("rk") <= coalesce(col("k_star"), lit(0L))).cast("int"))
+      val summary = ranked.agg(
+        max(col("k_star")).cast("long").as("k_star"),
+        sum(col("disc")).as("n_disc_total"))
+      ranked.groupBy("tier")
+        .agg(count(lit(1)).as("n_hyp"),
+          sum(col("disc")).as("n_disc"),
+          max(col("t2_milli")).as("max_t2_milli"),
+          sum(when(col("t2_milli").isNull, 1L).otherwise(0L))
+            .as("n_t2_null"))
+        .crossJoin(broadcast(summary))
+    }),
+
     // MAXIMAL-FAMILY recovery census — D3/D3C, every generative
     // mechanism the catalog owns COMPOSED in one estimator pass:
     // func-transformed links (cos/sin/x²/x³) × trend + CONTINUOUS-time

@@ -730,4 +730,24 @@ class StatTestsSpec extends AnyFunSuite {
       s"expected a measurable BH power edge on the boundary tier: " +
         s"$pBh vs $pBf")
   }
+
+  test("q376 catalog-grain BH census: one step-up pass over a whole " +
+      "sub-catalog's 288 lag-1 hypotheses — edge-tier discoveries " +
+      "dominate, every hypothesis scores") {
+    val rows = SparkEntry.queries("q376_bh_catalog_census")(spark, "unused")
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    assert(rows.keySet == Set("edge", "none"))
+    val (e, n) = (rows("edge"), rows("none"))
+    assert(e.getAs[Long]("n_hyp") + n.getAs[Long]("n_hyp") == 288L)
+    // deterministic kernel + shared ladder: the census is a constant
+    assert(e.getAs[Long]("k_star") == 27L &&
+      e.getAs[Long]("n_disc_total") == 27L)
+    assert(e.getAs[Long]("n_disc") == 23L && n.getAs[Long]("n_disc") == 4L)
+    // every pair co-observed over the full shared window — no NULL t²
+    assert(e.getAs[Long]("n_t2_null") == 0L &&
+      n.getAs[Long]("n_t2_null") == 0L)
+    // discoveries concentrate on declared edges: 23/112 vs 4/176
+    assert(e.getAs[Long]("n_disc") * n.getAs[Long]("n_hyp") >
+      n.getAs[Long]("n_disc") * e.getAs[Long]("n_hyp") * 5)
+  }
 }
