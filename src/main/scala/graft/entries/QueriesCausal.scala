@@ -2870,6 +2870,86 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // EXACT finite-sample multiplicity thresholds (the r12 ADVICE
+    // small-n finding, closed as a measured rung instead of a
+    // docstring): under the finite-sample null the integer Wald t² is
+    // F(1, n−2), not χ²₁ — at this panel's n=60 the asymptotic ladder
+    // is anticonservative (head rung 17.080 vs the exact 20.055). This
+    // reruns q371's block-structured design with BOTH ladders from the
+    // SAME ranking pass: because the F rungs dominate the χ² rungs
+    // elementwise and BH's step-up reads the same t² order, each F
+    // discovery set is NESTED inside its χ² twin — the census prices
+    // the correction as rows. Measured: BH 225 → 221 (the exact rule
+    // drops 2 boundary-tier 'as' pairs AND 2 of the asymptotic rule's
+    // 9 false discoveries — power the χ² ladder was claiming without
+    // finite-sample license); Bonferroni 150 → 131 (19 boundary 'as'
+    // pairs sit between the 17.080 asymptotic and 20.055 exact FWER
+    // cuts; n_false stays 0 under both, so on THIS design the FWER
+    // anticonservativity never materialized as a false positive —
+    // exactly the distinction the r12 ADVICE drew)
+    "q377_fdr_exact_f_ladder" -> ((s, d) => {
+      val pan = dumpGen(s, "q377_panel", Bench.widePanel3(s, 32, 60))
+      import s.implicits._
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, s"$b@0", s"$a@0", None: Option[String])
+      }
+      val linksDf = cands.toDF("pair", "tier", "y", "x", "sib")
+      val wanted = cands.flatMap { case (_, _, y, x, _) =>
+        val (a, b) = if (x <= y) (x, y) else (y, x)
+        Seq((x, x), (y, y), (a, b))
+      }.distinct.toDF("na", "nb")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val mom = graft.metrics.Causal.virtualCrossMomentsSparse(virt,
+        wanted, col("t").between(0, 59))
+      // n=60 rows, k=1 → the exact null is F(1, 58)
+      val chiLad = graft.metrics.Causal.chi2InvMilliLadder(cands.size)
+      val fLad = graft.metrics.Causal.fInvMilliLadder(cands.size, 58)
+      val lutDf = chiLad.zip(fLad).zipWithIndex.map {
+        case ((qc, qf), i) => (i + 1, qc, qf) }
+        .toDF("rk", "q_chi_milli", "q_f_milli")
+      val scored = graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(mom, linksDf))
+        .withColumn("rk", expr(
+          """row_number() over (
+            |  order by coalesce(t2_milli, -1) desc, pair)""".stripMargin))
+        .join(broadcast(lutDf), Seq("rk"))
+        .withColumn("k_star_chi", expr(
+          "max(case when t2_milli >= q_chi_milli then rk end) over ()"))
+        .withColumn("k_star_f", expr(
+          "max(case when t2_milli >= q_f_milli then rk end) over ()"))
+        .withColumn("disc_bh_chi",
+          (col("rk") <= coalesce(col("k_star_chi"), lit(0L))).cast("int"))
+        .withColumn("disc_bh_f",
+          (col("rk") <= coalesce(col("k_star_f"), lit(0L))).cast("int"))
+        .withColumn("disc_bonf_chi",
+          (col("t2_milli") >= lit(chiLad.head)).cast("int"))
+        .withColumn("disc_bonf_f",
+          (col("t2_milli") >= lit(fLad.head)).cast("int"))
+        .localCheckpoint()
+      def ruleAgg(rule: String, disc: Column): DataFrame = scored.agg(
+        lit(rule).as("rule"),
+        count(lit(1)).as("n_hyp"),
+        sum(disc).as("n_disc"),
+        sum(when(disc === 1 && col("tier") === "ab", 1L).otherwise(0L))
+          .as("n_disc_ab"),
+        sum(when(disc === 1 && col("tier") === "as", 1L).otherwise(0L))
+          .as("n_disc_as"),
+        sum(when(disc === 1 && col("tier") === "null", 1L).otherwise(0L))
+          .as("n_false"))
+      ruleAgg("bh_chi2", col("disc_bh_chi"))
+        .unionByName(ruleAgg("bh_f58", col("disc_bh_f")))
+        .unionByName(ruleAgg("bonf_chi2", col("disc_bonf_chi")))
+        .unionByName(ruleAgg("bonf_f58", col("disc_bonf_f")))
+    }),
+
     // catalog-grain multiplicity (r12 verdict #6, the
     // bhfdr_catalog_85k_hypotheses bench rung's oracle twin at a
     // reduced grid): ONE BH step-up pass over a whole sub-catalog's

@@ -1294,6 +1294,103 @@ object Causal {
     }
   }
 
+  /** Regularized incomplete beta I_x(a, b) by the standard Lentz
+    * continued fraction (the classical public algorithm; |rel err|
+    * ~1e-14 over the Student-t use range). Driver-side doubles only —
+    * same contract as [[inverseNormalCdf]]: results are rounded into
+    * integer thresholds both engines share verbatim.
+    */
+  private def regIncompleteBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    def betacf(a: Double, b: Double, x: Double): Double = {
+      val eps = 1e-15; val fpmin = 1e-300
+      val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+      var c = 1.0
+      var d = 1.0 - qab * x / qap
+      if (math.abs(d) < fpmin) d = fpmin
+      d = 1.0 / d
+      var h = d
+      var m = 1
+      var done = false
+      while (m <= 300 && !done) {
+        val m2 = 2 * m
+        var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d; h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d
+        val del = d * c; h *= del
+        if (math.abs(del - 1.0) < eps) done = true
+        m += 1
+      }
+      h
+    }
+    val lnBeta = lnGamma(a) + lnGamma(b) - lnGamma(a + b)
+    val front = math.exp(a * math.log(x) + b * math.log1p(-x) - lnBeta)
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+    else 1.0 - front * betacf(b, a, 1.0 - x) / b *
+      math.exp(lnBeta - (lnGamma(b) + lnGamma(a) - lnGamma(a + b)))
+  }
+
+  /** ln Γ by the Lanczos series (g=7, the widely published coefficient
+    * set; |rel err| < 1e-13 for positive arguments).
+    */
+  private def lnGamma(x: Double): Double = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)
+    else {
+      val xx = x - 1.0
+      var a = g(0)
+      val t = xx + 7.5
+      var i = 1
+      while (i < 9) { a += g(i) / (xx + i); i += 1 }
+      0.5 * math.log(2.0 * math.Pi) + (xx + 0.5) * math.log(t) - t +
+        math.log(a)
+    }
+  }
+
+  /** Two-sided Student-t tail: P(|T_dof| > t) = I_{dof/(dof+t²)}(dof/2, ½). */
+  private def tTwoSidedTail(t: Double, dof: Int): Double =
+    regIncompleteBeta(dof / 2.0, 0.5, dof / (dof + t * t))
+
+  /** EXACT finite-sample ladder for the BH/FWER procedures on OLS Wald
+    * t² (q377, the [[chi2InvMilliLadder]] small-n correction the r12
+    * ADVICE flagged): under the finite-sample null the integer Wald t²
+    * is F(1, dof) = t(dof)², so the rung is Q_{F(1,dof)}(1 − α·k/m) =
+    * tinv(1 − α·k/(2m), dof)², found by monotone bisection on the exact
+    * two-sided t tail (60 halvings of [0, 10⁶] → ~1e-10 absolute,
+    * far inside the milli grain). ceil-quantized like the χ² ladder so
+    * discretization only tightens. At dof → ∞ this converges to the
+    * χ² ladder from above — the F rung is ALWAYS ≥ its χ² twin, which
+    * is exactly the anticonservativity gap q377 measures (at q371's
+    * m=1395, dof=58: head rung 20.055 vs χ²'s 17.080; at the k=m tail,
+    * 4.007 vs 3.842).
+    */
+  def fInvMilliLadder(m: Int, dof: Int, alphaPpm: Long = 50000L)
+      : IndexedSeq[Long] = {
+    require(m >= 1 && dof >= 1 && alphaPpm > 0 && alphaPpm < 1000000)
+    (1 to m).map { k =>
+      val q = alphaPpm.toDouble / 1e6 * k / m // two-sided tail target
+      var lo = 0.0; var hi = 1e6
+      var i = 0
+      while (i < 80) {
+        val mid = 0.5 * (lo + hi)
+        if (tTwoSidedTail(mid, dof) > q) lo = mid else hi = mid
+        i += 1
+      }
+      val t = 0.5 * (lo + hi)
+      math.ceil(t * t * 1000.0).toLong
+    }
+  }
+
   /** PC orientation phase over a [[pcSkeleton]] output: collider
     * (v-structure) detection from the skeleton's own order-≤1 separation
     * decisions, then `meekRounds` unrolled rounds of the FULL Meek

@@ -731,6 +731,47 @@ class StatTestsSpec extends AnyFunSuite {
         s"$pBh vs $pBf")
   }
 
+  test("fInvMilliLadder: exact F(1,dof) rungs match published t " +
+      "quantiles, dominate the chi-square ladder, and converge to it") {
+    // ceil(tinv(1-α/2, dof)² · 1000) against reference t quantiles
+    // (t(1,.975)=12.706204736, t(5,.975)=2.570581836, t(58,.975)=2.001717484)
+    assert(Causal.fInvMilliLadder(1, 1).head == 161448L)
+    assert(Causal.fInvMilliLadder(1, 5).head == 6608L)
+    assert(Causal.fInvMilliLadder(1, 58).head == 4007L)
+    // q371's boundary design: the exact head rung vs the asymptotic one
+    val f58 = Causal.fInvMilliLadder(1395, 58)
+    val chi = Causal.chi2InvMilliLadder(1395)
+    assert(f58.head == 20055L && chi.head == 17080L)
+    // finite-sample correction only ever TIGHTENS: elementwise dominance
+    assert(f58.zip(chi).forall { case (f, c) => f >= c })
+    // and vanishes at large dof (≤1 milli of quantization slack)
+    assert(Causal.fInvMilliLadder(100, 1000000).zip(
+      Causal.chi2InvMilliLadder(100)).forall { case (f, c) =>
+      (f - c) >= 0 && (f - c) <= 1 })
+  }
+
+  test("q377 exact-F vs asymptotic-chi2 ladders: nested discovery sets, " +
+      "no strong pair lost, the correction priced in boundary rows") {
+    val rows = SparkEntry.queries("q377_fdr_exact_f_ladder")(spark, "unused")
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows.keySet ==
+      Set("bh_chi2", "bh_f58", "bonf_chi2", "bonf_f58"))
+    // every rule keeps all 32 strong A-B pairs
+    rows.values.foreach(r => assert(r.getAs[Long]("n_disc_ab") == 32L))
+    // exact-F discovery sets nest inside their chi2 twins, per column
+    for (c <- Seq("n_disc", "n_disc_as", "n_false")) {
+      assert(rows("bh_f58").getAs[Long](c) <= rows("bh_chi2").getAs[Long](c))
+      assert(rows("bonf_f58").getAs[Long](c) <=
+        rows("bonf_chi2").getAs[Long](c))
+    }
+    // FWER rules stay false-free under BOTH ladders on this design
+    assert(rows("bonf_chi2").getAs[Long]("n_false") == 0L &&
+      rows("bonf_f58").getAs[Long]("n_false") == 0L)
+    // the correction has measurable bite at n=60 (19 Bonferroni rows)
+    assert(rows("bonf_chi2").getAs[Long]("n_disc") -
+      rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
+  }
+
   test("q376 catalog-grain BH census: one step-up pass over a whole " +
       "sub-catalog's 288 lag-1 hypotheses — edge-tier discoveries " +
       "dominate, every hypothesis scores") {
