@@ -537,6 +537,69 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q378_stream_bh_monitor" -> {
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, b, a)
+      }
+      val linkRows = cands.map { case (p, tier, ys, xs) =>
+        s"('$p','$tier','$ys','$xs')" }.mkString(",\n    ")
+      val lutRows = Seq(20, 40, 60).flatMap { n =>
+        graft.metrics.Causal.fInvMilliLadder(cands.size, n - 2)
+          .zipWithIndex.map { case (q, i) => s"($n, ${i + 1}, $q)" }
+      }.mkString(",\n    ")
+      def prefix(p: Int): String =
+        s"""sums$p AS (
+          |  SELECT link, tier, 0::INT AS has_sib, count(*)::BIGINT AS n,
+          |    sum(yv)::BIGINT AS sy, sum(xv)::BIGINT AS sx,
+          |    sum(sv)::BIGINT AS ss, sum(yv*yv)::BIGINT AS syy,
+          |    sum(xv*xv)::BIGINT AS sxx, sum(sv*sv)::BIGINT AS sss,
+          |    sum(xv*yv)::BIGINT AS sxy, sum(sv*yv)::BIGINT AS ssy,
+          |    sum(xv*sv)::BIGINT AS sxs
+          |  FROM tup WHERE day < $p GROUP BY 1, 2),
+          |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes(
+               s"sums$p", s"p$p")},
+          |${graft.metrics.Causal.structuralInferenceFromSumsSqlCtes(
+               s"p$p")},
+          |rk$p AS (
+          |  SELECT *, row_number() OVER (
+          |    ORDER BY coalesce(t2_milli, -1) DESC, link) AS rk
+          |  FROM stsump$p),
+          |ks$p AS (
+          |  SELECT r.*, q.q_milli,
+          |    max(CASE WHEN r.t2_milli >= q.q_milli THEN r.rk END)
+          |      OVER () AS k_star
+          |  FROM rk$p r JOIN lut q ON q.n = $p AND q.rk = r.rk),
+          |cen$p AS (
+          |  SELECT n, tier, count(*)::BIGINT AS n_hyp,
+          |    sum((rk <= coalesce(k_star, 0))::INT)::BIGINT AS n_disc,
+          |    max(k_star)::BIGINT AS k_star
+          |  FROM ks$p GROUP BY 1, 2)""".stripMargin
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q378_panel/*.parquet')),
+        |tl AS (SELECT * FROM (VALUES $linkRows) AS l(link, tier, ys, xs)),
+        |tup AS (
+        |  SELECT l.link, l.tier, a.day, b.v AS yv, a.v AS xv,
+        |    0::BIGINT AS sv
+        |  FROM tl l
+        |  JOIN panel a ON a.series = l.xs
+        |  JOIN panel b ON b.series = l.ys AND b.day = a.day),
+        |lut AS (SELECT * FROM (VALUES $lutRows) AS q(n, rk, q_milli)),
+        |${prefix(20)},
+        |${prefix(40)},
+        |${prefix(60)}
+        |SELECT * FROM cen20
+        |UNION ALL SELECT * FROM cen40
+        |UNION ALL SELECT * FROM cen60""".stripMargin
+    },
+
     "q377_fdr_exact_f_ladder" -> {
       def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
       val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {

