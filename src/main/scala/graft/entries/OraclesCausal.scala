@@ -537,6 +537,89 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q380_block_bootstrap_ci" -> {
+      val links = weightLinks("", "A1", 4, 2)
+      def lk(l: WeightLink) = s"${l.target}~${l.source}@${l.lag}"
+      val tupRows = links.map { l =>
+        if (l.lag == 0)
+          s"""  SELECT '${lk(l)}' AS link, t AS day,
+            |    floor(${l.target} * 1000)::BIGINT AS yv,
+            |    floor(${l.source} * 1000)::BIGINT AS xv
+            |  FROM gen WHERE t BETWEEN 2 AND 481""".stripMargin
+        else
+          s"""  SELECT '${lk(l)}' AS link, g.t AS day,
+            |    floor(g.${l.target} * 1000)::BIGINT AS yv,
+            |    floor(p.${l.source} * 1000)::BIGINT AS xv
+            |  FROM gen g JOIN gen p ON p.t = g.t - ${l.lag}
+            |  WHERE g.t BETWEEN 2 AND 481""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val metaRows = links.map(l =>
+        s"('${lk(l)}','${l.target}','${l.source}',${l.lag}," +
+          s"${l.effectivePpm})").mkString(",\n    ")
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, 478).head
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q380_gen/*.parquet')),
+        |tup AS (
+        |$tupRows),
+        |blocks AS (
+        |  SELECT b, b + off AS day
+        |  FROM range(2, 473) t(b), range(0, 10) o(off)),
+        |bsum AS (
+        |  SELECT link, b, count(*)::BIGINT AS bn,
+        |    sum(yv)::BIGINT AS bsy, sum(xv)::BIGINT AS bsx,
+        |    sum(yv*yv)::BIGINT AS bsyy, sum(xv*xv)::BIGINT AS bsxx,
+        |    sum(xv*yv)::BIGINT AS bsxy
+        |  FROM tup JOIN blocks USING (day) GROUP BY 1, 2),
+        |choices AS (
+        |  SELECT k, (k * 2654435761 + slot * 40503) % 2147483647
+        |    % 471 + 2 AS b
+        |  FROM range(1, 200) t(k), range(0, 48) s2(slot)),
+        |rsum AS (
+        |  SELECT link, k, sum(bn)::BIGINT AS n, sum(bsy)::BIGINT AS sy,
+        |    sum(bsx)::BIGINT AS sx, 0::BIGINT AS ss,
+        |    sum(bsyy)::BIGINT AS syy, sum(bsxx)::BIGINT AS sxx,
+        |    0::BIGINT AS sss, sum(bsxy)::BIGINT AS sxy,
+        |    0::BIGINT AS ssy, 0::BIGINT AS sxs, 0::INT AS has_sib
+        |  FROM choices JOIN bsum USING (b) GROUP BY 1, 2),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes("rsum")},
+        |rkd AS (
+        |  SELECT link, beta_ppm, row_number() OVER (
+        |    PARTITION BY link ORDER BY beta_ppm, k) AS rk
+        |  FROM sbsum),
+        |ci AS (
+        |  SELECT link,
+        |    max(CASE WHEN rk = 5 THEN beta_ppm END)::BIGINT
+        |      AS ci_lo_ppm,
+        |    max(CASE WHEN rk = 195 THEN beta_ppm END)::BIGINT
+        |      AS ci_hi_ppm
+        |  FROM rkd GROUP BY 1),
+        |osum AS (
+        |  SELECT link, count(*)::BIGINT AS n, sum(yv)::BIGINT AS sy,
+        |    sum(xv)::BIGINT AS sx, 0::BIGINT AS ss,
+        |    sum(yv*yv)::BIGINT AS syy, sum(xv*xv)::BIGINT AS sxx,
+        |    0::BIGINT AS sss, sum(xv*yv)::BIGINT AS sxy,
+        |    0::BIGINT AS ssy, 0::BIGINT AS sxs, 0::INT AS has_sib
+        |  FROM tup GROUP BY 1),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes(
+             "osum", "o")},
+        |${graft.metrics.Causal.structuralInferenceFromSumsSqlCtes("o")},
+        |meta AS (SELECT * FROM (VALUES $metaRows)
+        |  AS m(link, target, source, lag, effective_ppm))
+        |SELECT m.target, m.source, m.lag::INT AS lag,
+        |  m.effective_ppm::BIGINT AS effective_ppm,
+        |  o.beta_ppm AS beta_obs_ppm, c.ci_lo_ppm, c.ci_hi_ppm,
+        |  (c.ci_hi_ppm - c.ci_lo_ppm)::BIGINT AS boot_width_ppm,
+        |  o.se2_ppm2,
+        |  (c.ci_lo_ppm <= m.effective_ppm
+        |    AND m.effective_ppm <= c.ci_hi_ppm)::INT AS boot_covers,
+        |  (CASE WHEN o.se2_ppm2 IS NULL THEN NULL ELSE
+        |    (1000::HUGEINT * (o.beta_ppm - m.effective_ppm)
+        |       * (o.beta_ppm - m.effective_ppm)
+        |     <= $fCut * o.se2_ppm2::HUGEINT) END)::INT AS param_covers
+        |FROM meta m JOIN stsumo o USING (link) JOIN ci c USING (link)"""
+        .stripMargin
+    },
+
     "q379_permutation_null" -> {
       def bnm(k: Int, r: Int) = s"G${"%02d".format(k)}X$r"
       val cands =

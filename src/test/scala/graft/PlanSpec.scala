@@ -763,6 +763,14 @@ class PlanSpec extends AnyFunSuite {
     } finally pan32.unpersist()
   }
 
+  test("q376 catalog-grain BH census: sparse moments + ladder stay " +
+      "equi-join only — hypothesis count must never become a cartesian") {
+    val p = plan("q376_bh_catalog_census")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the catalog census must stay equi-join only:\n$p")
+  }
+
   test("p=128 wide panel: the PC-stable conditioning stages stay moment-" +
       "enumerated equi-joins at the scaling-law rung's width") {
     // the pcwide_p128_stable_oriented bench rung's exact input: at 8128

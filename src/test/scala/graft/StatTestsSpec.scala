@@ -772,6 +772,23 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q380 block bootstrap: order-statistic CIs cover effective truth " +
+      "on every link and agree with the parametric F-interval") {
+    val rows = SparkEntry.queries("q380_block_bootstrap_ci")(spark, "unused")
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (t, s2) = (r.getAs[String]("target"), r.getAs[String]("source"))
+      assert(r.getAs[Int]("boot_covers") == 1, s"$s2->$t bootstrap miss")
+      assert(r.getAs[Int]("param_covers") == 1, s"$s2->$t parametric miss")
+      // a real interval, not a degenerate point or the whole line
+      val w = r.getAs[Long]("boot_width_ppm")
+      assert(w > 10000 && w < 1000000, s"$s2->$t width $w")
+      assert(r.getAs[Long]("ci_lo_ppm") <= r.getAs[Long]("beta_obs_ppm") &&
+        r.getAs[Long]("beta_obs_ppm") <= r.getAs[Long]("ci_hi_ppm"))
+    }
+  }
+
   test("q379 permutation null: distribution-free and parametric verdicts " +
       "certify each other — all true pairs by both, null false rates at " +
       "the nominal level") {
