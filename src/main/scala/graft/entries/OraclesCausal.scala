@@ -537,6 +537,51 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q381_hc0_robust_se" -> {
+      val n = 240
+      val k = 1000000000000L / (n.toLong * n)
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, n - 2).head
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q381_panel/*.parquet')),
+        |sums AS (
+        |  SELECT j, tier, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(x)::BIGINT AS sx, 0::BIGINT AS ss,
+        |    sum(y*y)::BIGINT AS syy, sum(x*x)::BIGINT AS sxx,
+        |    0::BIGINT AS sss, sum(x*y)::BIGINT AS sxy,
+        |    0::BIGINT AS ssy, 0::BIGINT AS sxs, 0::INT AS has_sib
+        |  FROM gen GROUP BY 1, 2),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes("sums")},
+        |${graft.metrics.Causal.structuralInferenceFromSumsSqlCtes("")},
+        |meat AS (
+        |  SELECT g.j, sum(mm::HUGEINT * mm) AS meat FROM (
+        |    SELECT g.j,
+        |      (240 * g.x - i.sx)::HUGEINT *
+        |        ((1000000 * (240 * g.y - i.sy)
+        |          - i.beta_ppm::HUGEINT * (240 * g.x - i.sx))
+        |         // 1000000) AS mm
+        |    FROM gen g JOIN stsum i USING (j)) g
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT i.*, m.meat,
+        |    (CASE WHEN i.cjj = 0 THEN NULL ELSE
+        |      ($k::HUGEINT * m.meat) // (i.cjj::HUGEINT * i.cjj)
+        |      END)::BIGINT AS se2_hc0_ppm2
+        |  FROM stsum i JOIN meat m USING (j)),
+        |scored2 AS (
+        |  SELECT *,
+        |    (CASE WHEN se2_hc0_ppm2 IS NULL OR se2_hc0_ppm2 <= 0
+        |      THEN NULL ELSE
+        |      (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_hc0_ppm2
+        |      END)::BIGINT AS t2_hc0_milli
+        |  FROM scored)
+        |SELECT tier, count(*)::BIGINT AS n_pairs,
+        |  sum((t2_milli >= $fCut)::INT)::BIGINT AS n_rej_classical,
+        |  sum((t2_hc0_milli >= $fCut)::INT)::BIGINT AS n_rej_hc0,
+        |  sum((1000 * se2_hc0_ppm2) // se2_ppm2)::BIGINT
+        |    AS sum_se2_ratio_permille
+        |FROM scored2 GROUP BY tier""".stripMargin
+    },
+
     "q380_block_bootstrap_ci" -> {
       val links = weightLinks("", "A1", 4, 2)
       def lk(l: WeightLink) = s"${l.target}~${l.source}@${l.lag}"

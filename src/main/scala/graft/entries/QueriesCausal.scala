@@ -2870,6 +2870,92 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // HETEROSKEDASTICITY-ROBUST (HC0 sandwich) standard errors vs the
+    // classical ones (the third calibration leg after q379's
+    // permutation null and q380's bootstrap: classical OLS se assumes
+    // CONSTANT error variance; when the variance co-moves with the
+    // regressor's spread the classical se is biased low and the Wald
+    // test overrejects — White 1980): a deterministic 120-pair panel
+    // where BOTH regressor and noise amplitudes grow (5+d)/20 over a
+    // 240-day window (variance ×~150 end-to-end, correlated with x̃² —
+    // the worst case for classical se), 20 true links (β=0.5) and 100
+    // nulls. Exact integers end-to-end: per-row scaled residual r =
+    // 10⁶·cy − β_ppm·cx over n-scaled centered values, HC0 meat
+    // M = Σ(cx·(r div 10⁶))², se²_hc0 = (K·M) div c_xx² with
+    // K = 10¹² div n² a shared driver constant (the one documented
+    // truncation: exact to 0.1‰ at n=240, identical on both engines).
+    // Measured at the exact F(1,238) 5% cut: the classical test
+    // rejects 11 of the 100 null pairs (2.2× nominal — White's
+    // overrejection) while HC0 rejects 4 (at nominal); all 20 true
+    // links reject under both; the mean se²_hc0/se²_cl ratio is 1.71×
+    // — the sandwich pricing exactly the variance the amplitude
+    // profile injects (E[a⁴]/E[a²]² of the (5+d)/20 ramp ≈ 1.7)
+    "q381_hc0_robust_se" -> ((s, d) => {
+      val n = 240
+      def h(salt: String) =
+        pmod(xxhash64(lit(salt), col("j"), col("d")), lit(2001L)) -
+          lit(1000L)
+      val base = s.range(0, 120).select(col("id").as("j"))
+        .crossJoin(s.range(0, n.toLong).select(col("id").as("d")))
+        .select(col("j"), col("d"),
+          when(col("j") < 20, lit("link")).otherwise(lit("null"))
+            .as("tier"),
+          // amplitude (20+d)/40: both x and e variances grow 4x across
+          // the window, and grow TOGETHER — het correlated with x̃²;
+          // integral div keeps every value an exact long
+          (h("q381x") * (lit(5L) + col("d"))).as("xr"),
+          (h("q381e") * (lit(5L) + col("d"))).as("er"))
+        .select(col("j"), col("d"), col("tier"),
+          expr("xr div 20").as("x"), expr("er div 20").as("e"))
+      val pan = dumpGen(s, "q381_panel", base.select(col("j"),
+        col("tier"), col("d"), col("x"),
+        (when(col("j") < 20, expr("(x * 500) div 1000"))
+          .otherwise(lit(0L)).cast("long") + col("e")).as("y")))
+      val sums = pan.groupBy("j", "tier")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("x").as("sx"),
+          sum(expr("y*y")).as("syy"), sum(expr("x*x")).as("sxx"),
+          sum(expr("x*y")).as("sxy"))
+        .withColumn("ss", lit(0L)).withColumn("sss", lit(0L))
+        .withColumn("ssy", lit(0L)).withColumn("sxs", lit(0L))
+        .withColumn("has_sib", lit(0))
+      val inf = graft.metrics.Causal.structuralInferenceFromSums(
+          graft.metrics.Causal.structuralBetasFromSums(sums))
+        .select(col("j"), col("tier"), col("n"), col("sy"), col("sx"),
+          col("cjj"), col("beta_ppm"), col("se2_ppm2"),
+          col("t2_milli").as("t2_cl_milli"))
+        .localCheckpoint()
+      val k = 1000000000000L / (n.toLong * n) // 10^12 div n², shared
+      val meat = pan.join(broadcast(inf.select(col("j"), col("sy"),
+          col("sx"), col("beta_ppm"))), Seq("j"))
+        .select(col("j"), expr(
+          s"""cast(($n * x - sx) as decimal(38,0)) *
+            |  ((1000000 * ($n * y - sy)
+            |    - cast(beta_ppm as decimal(38,0)) * ($n * x - sx))
+            |   div 1000000)""".stripMargin).as("mm"))
+        .groupBy("j")
+        .agg(sum(expr("cast(mm as decimal(38,0)) * mm")).as("meat"))
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, n - 2).head
+      val scored = inf.join(meat, Seq("j"))
+        .withColumn("se2_hc0_ppm2", expr(
+          s"""case when cjj = 0 then null else
+            |  (cast($k as decimal(38,0)) * meat)
+            |    div (cast(cjj as decimal(38,0)) * cjj) end"""
+            .stripMargin).cast("long"))
+        .withColumn("t2_hc0_milli", expr(
+          """case when se2_hc0_ppm2 is null or se2_hc0_ppm2 <= 0
+            |then null else
+            |  (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+            |    div se2_hc0_ppm2 end""".stripMargin).cast("long"))
+      scored.groupBy("tier")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("t2_cl_milli") >= lit(fCut)).cast("long"))
+            .as("n_rej_classical"),
+          sum((col("t2_hc0_milli") >= lit(fCut)).cast("long"))
+            .as("n_rej_hc0"),
+          sum(expr("(1000 * se2_hc0_ppm2) div se2_ppm2"))
+            .as("sum_se2_ratio_permille"))
+    }),
+
     // MOVING-BLOCK BOOTSTRAP confidence intervals (the resampling leg
     // of the inference suite, closing the assumption-free pair with
     // q379: the permutation test calibrates the NULL; the block

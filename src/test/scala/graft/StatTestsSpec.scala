@@ -772,6 +772,25 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q381 HC0 robust se: the sandwich corrects classical overrejection " +
+      "under regressor-correlated heteroskedasticity, keeps all links") {
+    val rows = SparkEntry.queries("q381_hc0_robust_se")(spark, "unused")
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    val (nl, lk) = (rows("null"), rows("link"))
+    // classical overrejects; HC0 stays within ~nominal on 100 nulls
+    assert(nl.getAs[Long]("n_rej_classical") >= 2 *
+      nl.getAs[Long]("n_rej_hc0"),
+      s"cl=${nl.getAs[Long]("n_rej_classical")} " +
+        s"hc0=${nl.getAs[Long]("n_rej_hc0")}")
+    assert(nl.getAs[Long]("n_rej_hc0") <= 8L)
+    // robustness costs no power on the true links
+    assert(lk.getAs[Long]("n_rej_classical") == 20L &&
+      lk.getAs[Long]("n_rej_hc0") == 20L)
+    // the sandwich prices the injected variance: mean ratio ≈ 1.7x
+    val meanRatio = nl.getAs[Long]("sum_se2_ratio_permille") / 100
+    assert(meanRatio > 1400 && meanRatio < 2100, s"ratio $meanRatio")
+  }
+
   test("q380 block bootstrap: order-statistic CIs cover effective truth " +
       "on every link and agree with the parametric F-interval") {
     val rows = SparkEntry.queries("q380_block_bootstrap_ci")(spark, "unused")
