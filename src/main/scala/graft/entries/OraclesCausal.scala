@@ -537,6 +537,88 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q382_bh_vs_by" -> {
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, s"$b@0", s"$a@0")
+      }
+      val linkRows = cands.map { case (p, tier, y, x) =>
+        s"('$p','$tier','$y','$x',NULL::VARCHAR)" }.mkString(",\n    ")
+      val wantedRows = cands.flatMap { case (_, _, y, x) =>
+        val (a, b) = if (x <= y) (x, y) else (y, x)
+        Seq(s"('$x','$x')", s"('$y','$y')", s"('$a','$b')")
+      }.distinct.mkString(",\n    ")
+      val bhLad = graft.metrics.Causal.fInvMilliLadder(cands.size, 58)
+      val byLad = graft.metrics.Causal.byInvMilliLadder(cands.size, 58)
+      val lutRows = bhLad.zip(byLad).zipWithIndex.map {
+        case ((qb, qy), i) => s"(${i + 1}, $qb, $qy)" }.mkString(",\n    ")
+      def agg(rule: String, disc: String): String =
+        s"""  SELECT '$rule' AS rule, count(*)::BIGINT AS n_hyp,
+          |    sum($disc)::BIGINT AS n_disc,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'ab' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_disc_ab,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'as' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_disc_as,
+          |    sum(CASE WHEN $disc = 1 AND tier = 'null' THEN 1 ELSE 0
+          |      END)::BIGINT AS n_false
+          |  FROM dsc""".stripMargin
+      s"""WITH panel AS (
+        |  SELECT series, day, v
+        |  FROM read_parquet('__GEN_DIR__/q382_panel/*.parquet')),
+        |virt AS (SELECT series || '@0' AS vs, day AS t, v FROM panel),
+        |wanted AS (SELECT * FROM (VALUES $wantedRows) AS w(na, nb)),
+        |links AS (SELECT * FROM (VALUES $linkRows)
+        |  AS l(pair, tier, y, x, sib)),
+        |lut AS (SELECT * FROM (VALUES $lutRows)
+        |  AS q(rk, q_bh_milli, q_by_milli)),
+        |${graft.metrics.Causal.sparseMomentsSqlCtes(
+             "virt", "wanted", "t BETWEEN 0 AND 59")},
+        |${graft.metrics.Causal.structuralBetasSqlCtes("links")},
+        |inf AS (
+        |  SELECT *,
+        |    1000000 * cyy::HUGEINT - beta_ppm::HUGEINT * cjy
+        |      AS rss_scaled
+        |  FROM sbeta),
+        |inf2 AS (
+        |  SELECT *, (CASE WHEN cjj <= 0 OR n - 2 <= 0 THEN NULL
+        |    ELSE (1000000 * rss_scaled)
+        |      // ((n - 2) * cjj::HUGEINT) END)::BIGINT AS se2_ppm2
+        |  FROM inf),
+        |inf3 AS (
+        |  SELECT *, (CASE WHEN se2_ppm2 IS NULL OR se2_ppm2 <= 0
+        |    THEN NULL
+        |    ELSE (1000 * beta_ppm::HUGEINT * beta_ppm) // se2_ppm2
+        |    END)::BIGINT AS t2_milli
+        |  FROM inf2),
+        |rk0 AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY coalesce(t2_milli, -1) DESC, pair) AS rk
+        |  FROM inf3),
+        |rkd AS (SELECT r.*, q.q_bh_milli, q.q_by_milli
+        |  FROM rk0 r JOIN lut q USING (rk)),
+        |pass AS (
+        |  SELECT *,
+        |    max(CASE WHEN t2_milli >= q_bh_milli THEN rk END)
+        |      OVER () AS k_star_bh,
+        |    max(CASE WHEN t2_milli >= q_by_milli THEN rk END)
+        |      OVER () AS k_star_by
+        |  FROM rkd),
+        |dsc AS (
+        |  SELECT *,
+        |    (rk <= coalesce(k_star_bh, 0))::INT AS disc_bh,
+        |    (rk <= coalesce(k_star_by, 0))::INT AS disc_by
+        |  FROM pass)
+        |${agg("bh_f58", "disc_bh")}
+        |UNION ALL
+        |${agg("by_f58", "disc_by")}""".stripMargin
+    },
+
     "q381_hc0_robust_se" -> {
       val n = 240
       val k = 1000000000000L / (n.toLong * n)

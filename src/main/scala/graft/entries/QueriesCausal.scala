@@ -2870,6 +2870,75 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // BH vs BENJAMINI-YEKUTIELI under dependence (the multiplicity
+    // suite's dependence-robustness rung: BH's FDR guarantee needs
+    // independent or PRDS statistics — but a catalog census computes
+    // every hypothesis from ONE shared panel, exactly where arbitrary
+    // dependence lives; BY 2001 divides the step-up thresholds by
+    // H_m = Σ1/i ≈ ln m + γ, buying a guarantee that holds under ANY
+    // dependence). Same q371/q377 block design, both EXACT-F ladders
+    // from one ranking pass — BY's rungs dominate BH's elementwise
+    // (H_1395 ≈ 7.87), so its discovery set nests inside. Measured:
+    // BY keeps all 32 strong pairs and 155 of BH's 182 boundary-tier
+    // discoveries while dropping ALL 7 of BH's false discoveries —
+    // the H_m factor prices out exactly the tail where the false
+    // discoveries lived, at a 15% boundary-power cost
+    "q382_bh_vs_by" -> ((s, d) => {
+      val pan = dumpGen(s, "q382_panel", Bench.widePanel3(s, 32, 60))
+      import s.implicits._
+      def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
+      val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {
+        val (a, b) = (snm(i), snm(i + dd))
+        val tier =
+          if (i / 5 != (i + dd) / 5) "null"
+          else if (i % 5 >= 3 && (i + dd) % 5 >= 3) "ab"
+          else if (i % 5 >= 3 || (i + dd) % 5 >= 3) "as"
+          else "null"
+        (s"$a<$b", tier, s"$b@0", s"$a@0", None: Option[String])
+      }
+      val linksDf = cands.toDF("pair", "tier", "y", "x", "sib")
+      val wanted = cands.flatMap { case (_, _, y, x, _) =>
+        val (a, b) = if (x <= y) (x, y) else (y, x)
+        Seq((x, x), (y, y), (a, b))
+      }.distinct.toDF("na", "nb")
+      val virt = pan.select(concat(col("series"), lit("@0")).as("vs"),
+        col("day").as("t"), col("v"))
+      val mom = graft.metrics.Causal.virtualCrossMomentsSparse(virt,
+        wanted, col("t").between(0, 59))
+      val bhLad = graft.metrics.Causal.fInvMilliLadder(cands.size, 58)
+      val byLad = graft.metrics.Causal.byInvMilliLadder(cands.size, 58)
+      val lutDf = bhLad.zip(byLad).zipWithIndex.map {
+        case ((qb, qy), i) => (i + 1, qb, qy) }
+        .toDF("rk", "q_bh_milli", "q_by_milli")
+      val scored = graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(mom, linksDf))
+        .withColumn("rk", expr(
+          """row_number() over (
+            |  order by coalesce(t2_milli, -1) desc, pair)""".stripMargin))
+        .join(broadcast(lutDf), Seq("rk"))
+        .withColumn("k_star_bh", expr(
+          "max(case when t2_milli >= q_bh_milli then rk end) over ()"))
+        .withColumn("k_star_by", expr(
+          "max(case when t2_milli >= q_by_milli then rk end) over ()"))
+        .withColumn("disc_bh",
+          (col("rk") <= coalesce(col("k_star_bh"), lit(0L))).cast("int"))
+        .withColumn("disc_by",
+          (col("rk") <= coalesce(col("k_star_by"), lit(0L))).cast("int"))
+        .localCheckpoint()
+      def ruleAgg(rule: String, disc: Column): DataFrame = scored.agg(
+        lit(rule).as("rule"),
+        count(lit(1)).as("n_hyp"),
+        sum(disc).as("n_disc"),
+        sum(when(disc === 1 && col("tier") === "ab", 1L).otherwise(0L))
+          .as("n_disc_ab"),
+        sum(when(disc === 1 && col("tier") === "as", 1L).otherwise(0L))
+          .as("n_disc_as"),
+        sum(when(disc === 1 && col("tier") === "null", 1L).otherwise(0L))
+          .as("n_false"))
+      ruleAgg("bh_f58", col("disc_bh"))
+        .unionByName(ruleAgg("by_f58", col("disc_by")))
+    }),
+
     // HETEROSKEDASTICITY-ROBUST (HC0 sandwich) standard errors vs the
     // classical ones (the third calibration leg after q379's
     // permutation null and q380's bootstrap: classical OLS se assumes

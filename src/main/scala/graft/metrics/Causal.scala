@@ -1379,15 +1379,41 @@ object Causal {
     require(m >= 1 && dof >= 1 && alphaPpm > 0 && alphaPpm < 1000000)
     (1 to m).map { k =>
       val q = alphaPpm.toDouble / 1e6 * k / m // two-sided tail target
-      var lo = 0.0; var hi = 1e6
-      var i = 0
-      while (i < 80) {
-        val mid = 0.5 * (lo + hi)
-        if (tTwoSidedTail(mid, dof) > q) lo = mid else hi = mid
-        i += 1
-      }
-      val t = 0.5 * (lo + hi)
-      math.ceil(t * t * 1000.0).toLong
+      fQuantMilli(q, dof)
+    }
+  }
+
+  /** Q_{F(1,dof)}(1 − q) in t²-milli (ceil), by the same bisection the
+    * ladder uses — factored out so the BY ladder can scale q.
+    */
+  private def fQuantMilli(q: Double, dof: Int): Long = {
+    var lo = 0.0; var hi = 1e6
+    var i = 0
+    while (i < 80) {
+      val mid = 0.5 * (lo + hi)
+      if (tTwoSidedTail(mid, dof) > q) lo = mid else hi = mid
+      i += 1
+    }
+    val t = 0.5 * (lo + hi)
+    math.ceil(t * t * 1000.0).toLong
+  }
+
+  /** Benjamini-Yekutieli 2001 ladder (q382): BH's step-up thresholds
+    * divided by the harmonic number H_m = Σ_{i≤m} 1/i, which makes the
+    * FDR bound hold under ARBITRARY dependence between the test
+    * statistics (BH's own guarantee needs independence or PRDS; a
+    * catalog census over one shared panel is exactly where arbitrary
+    * dependence lives). Rung k = Q_{F(1,dof)}(1 − α·k/(m·H_m)) — the
+    * exact finite-sample quantile, ceil-quantized; dominates the BH/F
+    * ladder elementwise by construction (H_m > 1 for m > 1).
+    */
+  def byInvMilliLadder(m: Int, dof: Int, alphaPpm: Long = 50000L)
+      : IndexedSeq[Long] = {
+    require(m >= 1 && dof >= 1 && alphaPpm > 0 && alphaPpm < 1000000)
+    val hm = (1 to m).map(1.0 / _).sum
+    (1 to m).map { k =>
+      val q = alphaPpm.toDouble / 1e6 * k / (m * hm)
+      fQuantMilli(q, dof)
     }
   }
 

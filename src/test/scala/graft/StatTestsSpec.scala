@@ -772,6 +772,25 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q382 BH vs BY: the dependence-robust rule nests inside BH, keeps " +
+      "every strong pair, and drops all of BH's false discoveries here") {
+    val rows = SparkEntry.queries("q382_bh_vs_by")(spark, "unused")
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    val (bh, by) = (rows("bh_f58"), rows("by_f58"))
+    // nesting (BY thresholds dominate): per-column containment
+    for (c <- Seq("n_disc", "n_disc_ab", "n_disc_as", "n_false"))
+      assert(by.getAs[Long](c) <= bh.getAs[Long](c), c)
+    // no strong pair lost; the H_m factor's bite lands on the tail
+    assert(by.getAs[Long]("n_disc_ab") == 32L)
+    assert(by.getAs[Long]("n_false") == 0L)
+    assert(by.getAs[Long]("n_disc_as") >= 100L,
+      "BY should keep most of the boundary tier on this design")
+    // the BY ladder itself dominates the BH one elementwise
+    val bhL = Causal.fInvMilliLadder(1395, 58)
+    val byL = Causal.byInvMilliLadder(1395, 58)
+    assert(byL.zip(bhL).forall { case (y, b) => y >= b })
+  }
+
   test("q381 HC0 robust se: the sandwich corrects classical overrejection " +
       "under regressor-correlated heteroskedasticity, keeps all links") {
     val rows = SparkEntry.queries("q381_hc0_robust_se")(spark, "unused")
