@@ -766,9 +766,14 @@ class PlanSpec extends AnyFunSuite {
   test("q376 catalog-grain BH census: sparse moments + ladder stay " +
       "equi-join only — hypothesis count must never become a cartesian") {
     val p = plan("q376_bh_catalog_census")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"the catalog census must stay equi-join only:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the catalog census must not plan a cartesian:\n$p")
+    // exactly ONE nested-loop join is intended: the 1-row global
+    // summary broadcast onto the 2-row tier census (q370's documented
+    // crossJoin-of-tiny pattern) — anything more means a moment or
+    // ladder stage degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the tiny summary attach may nested-loop:\n$p")
   }
 
   test("p=128 wide panel: the PC-stable conditioning stages stay moment-" +
