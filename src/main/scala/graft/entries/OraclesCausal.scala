@@ -537,6 +537,68 @@ private[graft] trait OraclesCausal { this: SparkEntry.type =>
         |FROM aggd""".stripMargin
     },
 
+    "q383_newey_west_hac" -> {
+      val n = 240
+      val L = 5
+      val k = 1000000000000L / (n.toLong * n)
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, n - 2).head
+      def se2(meatCol: String, denomScale: Int): String =
+        s"""(CASE WHEN cjj = 0 OR $meatCol <= 0 THEN NULL ELSE
+          |  ($k::HUGEINT * $meatCol)
+          |    // ($denomScale * cjj::HUGEINT * cjj) END)::BIGINT"""
+          .stripMargin
+      def t2(se2Col: String): String =
+        s"""(CASE WHEN $se2Col IS NULL OR $se2Col <= 0 THEN NULL ELSE
+          |  (1000 * beta_ppm::HUGEINT * beta_ppm) // $se2Col
+          |  END)::BIGINT""".stripMargin
+      s"""WITH gen AS (
+        |  SELECT * FROM read_parquet('__GEN_DIR__/q383_panel/*.parquet')),
+        |sums AS (
+        |  SELECT j, tier, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(x)::BIGINT AS sx, 0::BIGINT AS ss,
+        |    sum(y*y)::BIGINT AS syy, sum(x*x)::BIGINT AS sxx,
+        |    0::BIGINT AS sss, sum(x*y)::BIGINT AS sxy,
+        |    0::BIGINT AS ssy, 0::BIGINT AS sxs, 0::INT AS has_sib
+        |  FROM gen GROUP BY 1, 2),
+        |${graft.metrics.Causal.structuralBetasFromSumsSqlCtes("sums")},
+        |${graft.metrics.Causal.structuralInferenceFromSumsSqlCtes("")},
+        |scores AS (
+        |  SELECT g.j, g.d,
+        |    ($n * g.x - i.sx)::HUGEINT *
+        |      ((1000000 * ($n * g.y - i.sy)
+        |        - i.beta_ppm::HUGEINT * ($n * g.x - i.sx))
+        |       // 1000000) AS mm
+        |  FROM gen g JOIN stsum i USING (j)),
+        |lagged AS (
+        |  SELECT a.j, r.l, a.mm, b.mm AS mm2
+        |  FROM scores a
+        |  CROSS JOIN range(0, ${L + 1}) r(l)
+        |  JOIN scores b ON b.j = a.j AND b.d = a.d - r.l),
+        |meat AS (
+        |  SELECT j,
+        |    sum(CASE WHEN l = 0 THEN (${L + 1})::HUGEINT * mm * mm2
+        |      ELSE 2::HUGEINT * (${L + 1} - l) * mm * mm2 END)
+        |      AS wsum_nw,
+        |    sum(CASE WHEN l = 0 THEN mm::HUGEINT * mm2 END) AS meat_hc0
+        |  FROM lagged GROUP BY 1),
+        |scored AS (
+        |  SELECT i.*, m.wsum_nw, m.meat_hc0,
+        |    ${se2("m.wsum_nw", L + 1)} AS se2_nw_ppm2,
+        |    ${se2("m.meat_hc0", 1)} AS se2_hc0_ppm2
+        |  FROM stsum i JOIN meat m USING (j)),
+        |scored2 AS (
+        |  SELECT *, ${t2("se2_nw_ppm2")} AS t2_nw_milli,
+        |    ${t2("se2_hc0_ppm2")} AS t2_hc0_milli
+        |  FROM scored)
+        |SELECT tier, count(*)::BIGINT AS n_pairs,
+        |  sum((t2_milli >= $fCut)::INT)::BIGINT AS n_rej_classical,
+        |  sum((t2_hc0_milli >= $fCut)::INT)::BIGINT AS n_rej_hc0,
+        |  sum((t2_nw_milli >= $fCut)::INT)::BIGINT AS n_rej_nw,
+        |  sum((1000 * se2_nw_ppm2) // se2_ppm2)::BIGINT
+        |    AS sum_se2_nw_ratio_permille
+        |FROM scored2 GROUP BY tier""".stripMargin
+    },
+
     "q382_bh_vs_by" -> {
       def snm(i: Int) = s"G${"%02d".format(i / 5)}X${i % 5}"
       val cands = for { dd <- 1 to 9; i <- 0 until 160 - dd } yield {

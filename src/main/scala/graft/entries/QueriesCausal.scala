@@ -2870,6 +2870,123 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
         .unionByName(ruleAgg("bonferroni", col("disc_bonf")))
     }),
 
+    // NEWEY-WEST (HAC) standard errors under SERIAL dependence (the
+    // fourth calibration leg, completing the robust-se family with
+    // q381: HC0 fixes heteroskedasticity but still assumes
+    // UNCORRELATED errors; when both regressor and noise are serially
+    // correlated — every time series' normal condition — the score
+    // m_t = x̃_t·ê_t autocorrelates positively and classical AND HC0
+    // variances are biased low together): a deterministic 120-pair
+    // panel whose x and e are MA(3) smoothings of hash noise (score
+    // autocorrelation ≈ 0.5 at lag 1), 20 links + 100 nulls over 240
+    // days. The Bartlett-kernel sandwich in exact integers: S_l =
+    // Σ_t m_t·m_{t−l} from ONE self-join of the q381 score rows,
+    // with Bartlett weights at L=5 folded UNDIVIDED into the se²
+    // denominator (w_sum reaches ~10²⁸; an intermediate `div (L+1)`
+    // would pass through Spark's IntegralDivide and wrap at LONG —
+    // found by this query's own big-integer cross-check), se²_nw =
+    // (K·w_sum) div ((L+1)·c_xx²). Measured at the exact F(1,238) 5%
+    // cut: classical rejects 19/100 nulls and HC0 20/100 (both ~4×
+    // nominal — HC0 is blind to serial dependence by construction);
+    // Newey-West rejects 13 with a 1.71× mean se² correction, and all
+    // 20 links reject under all three. The residual excess over
+    // nominal is HAC's documented finite-sample downward bias at
+    // moderate n (raising L to 8 or 12 does not move it — measured —
+    // which is why prewhitening/fixed-b refinements exist); the rung
+    // prices both what the Bartlett sandwich buys and what it honestly
+    // cannot
+    "q383_newey_west_hac" -> ((s, d) => {
+      val n = 240
+      val L = 5
+      def h(salt: String, off: Int) =
+        pmod(xxhash64(lit(salt), col("j"), col("d") + lit(off)),
+          lit(2001L)) - lit(1000L)
+      def ma3(salt: String) = h(salt, 0) + h(salt, 1) + h(salt, 2)
+      val base = s.range(0, 120).select(col("id").as("j"))
+        .crossJoin(s.range(0, n.toLong).select(col("id").as("d")))
+        .select(col("j"), col("d"),
+          when(col("j") < 20, lit("link")).otherwise(lit("null"))
+            .as("tier"),
+          ma3("q383x").as("x"), ma3("q383e").as("e"))
+      val pan = dumpGen(s, "q383_panel", base.select(col("j"),
+        col("tier"), col("d"), col("x"),
+        (when(col("j") < 20, expr("(x * 500) div 1000"))
+          .otherwise(lit(0L)).cast("long") + col("e")).as("y")))
+      val sums = pan.groupBy("j", "tier")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("x").as("sx"),
+          sum(expr("y*y")).as("syy"), sum(expr("x*x")).as("sxx"),
+          sum(expr("x*y")).as("sxy"))
+        .withColumn("ss", lit(0L)).withColumn("sss", lit(0L))
+        .withColumn("ssy", lit(0L)).withColumn("sxs", lit(0L))
+        .withColumn("has_sib", lit(0))
+      val inf = graft.metrics.Causal.structuralInferenceFromSums(
+          graft.metrics.Causal.structuralBetasFromSums(sums))
+        .select(col("j"), col("tier"), col("n"), col("sy"), col("sx"),
+          col("cjj"), col("beta_ppm"), col("se2_ppm2"),
+          col("t2_milli").as("t2_cl_milli"))
+        .localCheckpoint()
+      // per-row scores m_t (q381's exact-integer residual construction)
+      val scores = pan.join(broadcast(inf.select(col("j"), col("sy"),
+          col("sx"), col("beta_ppm"))), Seq("j"))
+        .select(col("j"), col("d"), expr(
+          s"""cast(($n * x - sx) as decimal(38,0)) *
+            |  ((1000000 * ($n * y - sy)
+            |    - cast(beta_ppm as decimal(38,0)) * ($n * x - sx))
+            |   div 1000000)""".stripMargin).as("mm"))
+        .localCheckpoint()
+      // lagged self-join: S_l for l = 0..L in ONE equi-join pass —
+      // lags exploded onto the probe side, joined on (j, d − l)
+      val lagged = scores
+        .withColumn("l", explode(lit((0 to L).toArray)))
+        .withColumn("d2", col("d") - col("l"))
+        .join(scores.select(col("j"), col("d").as("d2"),
+          col("mm").as("mm2")), Seq("j", "d2"))
+      // the Bartlett numerator stays an UNDIVIDED decimal (w_sum can
+      // reach ~10²⁸ — a `div (L+1)` here would pass through Spark's
+      // IntegralDivide and silently wrap at LONG range); the (L+1)
+      // denominator folds into the se² divisor instead, identically on
+      // both engines
+      val meat = lagged
+        .select(col("j"), col("l"),
+          expr("cast(mm as decimal(38,0)) * mm2").as("p"))
+        .groupBy("j")
+        .agg(sum(expr(
+          s"""case when l = 0 then ($L + 1) * p
+            |else 2 * ($L + 1 - l) * p end""".stripMargin))
+          .as("wsum_nw"))
+      // HC0 twin from the SAME scores (l = 0 only), for the 3-way read
+      val meat0 = scores.groupBy("j")
+        .agg(sum(expr("cast(mm as decimal(38,0)) * mm")).as("meat_hc0"))
+      val k = 1000000000000L / (n.toLong * n)
+      val fCut = graft.metrics.Causal.fInvMilliLadder(1, n - 2).head
+      def se2(meatCol: String, denomScale: Int): String =
+        s"""case when cjj = 0 or $meatCol <= 0 then null else
+          |  (cast($k as decimal(38,0)) * $meatCol)
+          |    div ($denomScale * cast(cjj as decimal(38,0)) * cjj) end"""
+          .stripMargin
+      def t2(se2Col: String): String =
+        s"""case when $se2Col is null or $se2Col <= 0 then null else
+          |  (1000 * cast(beta_ppm as decimal(38,0)) * beta_ppm)
+          |    div $se2Col end""".stripMargin
+      val scored = inf.join(meat, Seq("j")).join(meat0, Seq("j"))
+        .withColumn("se2_nw_ppm2",
+          expr(se2("wsum_nw", L + 1)).cast("long"))
+        .withColumn("se2_hc0_ppm2", expr(se2("meat_hc0", 1)).cast("long"))
+        .withColumn("t2_nw_milli", expr(t2("se2_nw_ppm2")).cast("long"))
+        .withColumn("t2_hc0_milli",
+          expr(t2("se2_hc0_ppm2")).cast("long"))
+      scored.groupBy("tier")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("t2_cl_milli") >= lit(fCut)).cast("long"))
+            .as("n_rej_classical"),
+          sum((col("t2_hc0_milli") >= lit(fCut)).cast("long"))
+            .as("n_rej_hc0"),
+          sum((col("t2_nw_milli") >= lit(fCut)).cast("long"))
+            .as("n_rej_nw"),
+          sum(expr("(1000 * se2_nw_ppm2) div se2_ppm2"))
+            .as("sum_se2_nw_ratio_permille"))
+    }),
+
     // BH vs BENJAMINI-YEKUTIELI under dependence (the multiplicity
     // suite's dependence-robustness rung: BH's FDR guarantee needs
     // independent or PRDS statistics — but a catalog census computes

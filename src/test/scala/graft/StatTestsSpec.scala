@@ -772,6 +772,26 @@ class StatTestsSpec extends AnyFunSuite {
       rows("bonf_f58").getAs[Long]("n_disc") >= 10L)
   }
 
+  test("q383 Newey-West HAC: the Bartlett sandwich corrects serial-" +
+      "dependence overrejection that HC0 cannot see, keeps all links") {
+    val rows = SparkEntry.queries("q383_newey_west_hac")(spark, "unused")
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    val (nl, lk) = (rows("null"), rows("link"))
+    // HC0 is blind to serial dependence: it tracks classical here
+    assert(math.abs(nl.getAs[Long]("n_rej_hc0") -
+      nl.getAs[Long]("n_rej_classical")) <= 3)
+    // NW cuts the overrejection by at least a quarter
+    assert(4 * nl.getAs[Long]("n_rej_nw") <=
+      3 * nl.getAs[Long]("n_rej_classical"),
+      s"cl=${nl.getAs[Long]("n_rej_classical")} " +
+        s"nw=${nl.getAs[Long]("n_rej_nw")}")
+    // robustness costs no power on the true links
+    assert(lk.getAs[Long]("n_rej_nw") == 20L)
+    // the sandwich prices the injected score autocovariance (~1.7x)
+    val meanRatio = nl.getAs[Long]("sum_se2_nw_ratio_permille") / 100
+    assert(meanRatio > 1400 && meanRatio < 2100, s"ratio $meanRatio")
+  }
+
   test("q382 BH vs BY: the dependence-robust rule nests inside BH, keeps " +
       "every strong pair, and drops all of BH's false discoveries here") {
     val rows = SparkEntry.queries("q382_bh_vs_by")(spark, "unused")
