@@ -84,8 +84,22 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime() // published as wall_s: the r13 bench's
+    // true wall (~1,760 s of runs for a published 664 s total) was invisible
+    // until reconstructed from the run lists — record it first-class
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r13 verdict #1: the always-on median-of-3 defense executed ~3x the
+    // published total and blew the driver's timeout. Default is now ONE
+    // timed run per entry, re-measuring (median-of-3) only entries that
+    // deviate >1.5x from the committed previous-round median — bounded by
+    // BenchPolicy.RemeasureCap — or whose section anchor dipped. The full
+    // ladder survives behind SPARK_GRAFT_BENCH_FULL=1 (builder's closing
+    // record on a quiet host).
+    val fullDefense =
+      sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_.trim.nonEmpty)
+    val prevMedians = BenchPolicy.loadPrevMedians()
+    var remeasuresLeft = BenchPolicy.RemeasureCap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -177,9 +191,13 @@ object Bench {
         curSectionEntries.foreach { case (n, thunk) =>
           // sub-0.5 s entries sit below the noise floor; >120 s entries
           // are the multi-minute stalls the adjacent anchors already
-          // condemn (tripling them would burn the round's bench budget)
+          // condemn (tripling them would burn the round's bench budget).
+          // Fast mode draws anchor-triggered re-runs from the same bounded
+          // budget as deviation-triggered ones (wall-clock discipline).
           if (!failed.contains(n) && results.get(n).exists(m =>
-              m > 0.5 && m < 120.0)) {
+              m > 0.5 && m < 120.0)
+              && (fullDefense || { val ok = remeasuresLeft > 0
+                   if (ok) remeasuresLeft -= 1; ok })) {
             val t = thunk()
             val all = runs.getOrElse(n, Seq(results(n))) :+ t
             runs(n) = all
@@ -209,32 +227,29 @@ object Bench {
         }
       }
       val t1 = once()
-      // re-measure anything non-trivial and report the MEDIAN of 3: a single
-      // contended measurement (r2: q51 13.3 s vs 0.9 s steady-state) otherwise
-      // reads as a plan defect, while min-of-2 hid how often contention hit.
-      // Sub-0.5 s entries are left single-shot — they are below the host's
-      // noise floor and tripling them would dominate the suite wall-clock.
-      if (t1 > 0.5 && !failed.contains(name)) {
-        val t2 = once()
-        val t3 = once()
-        // a >3x spread inside the triple means at least one run was
-        // contended (r7: q177's runs spanned 1.3-8.7 s on identical plans)
-        // — the median of such a triple is itself a coin flip, and driver
-        // round-over-round comparisons read the flip as a regression. Take
-        // two more runs and report the median of 5; the extra cost lands
-        // only on entries the host is actively disturbing. The widening
-        // cap sat at 30 s through r9 and exempted exactly the big entries
-        // that most needed a re-measure (a 6.8 s corpus write published
-        // 133.7 s); it is now 120 s — only a genuine multi-minute stall
-        // is left un-tripled, and those carry the adjacent disk anchors.
-        val base = Seq(t1, t2, t3)
-        val all = if (base.max > 3.0 * base.min && base.min < 120.0)
-          base ++ Seq(once(), once())
-        else base
-        val sorted = all.sorted
-        runs(name) = all
-        results(name) = sorted(all.size / 2)
-      } else results(name) = t1
+      // Full mode: median-of-3 for anything non-trivial (a single contended
+      // measurement — r2: q51 13.3 s vs 0.9 s steady-state — otherwise
+      // reads as a plan defect), with the r10 adaptive widening to 5 when
+      // the triple itself spreads >3x (its median is a coin flip; the 120 s
+      // cap leaves only multi-minute stalls un-tripled, condemned by their
+      // adjacent disk anchors instead). Sub-0.5 s entries stay single-shot
+      // — below the host's noise floor.
+      // Fast mode (default): single run, escalating to a median-of-3 only
+      // on >1.5x deviation from the committed previous median (or for
+      // entries with no committed median — new this round), within the
+      // shared re-measure budget.
+      val all: Seq[Double] =
+        if (failed.contains(name) || t1 <= 0.5) Seq(t1)
+        else if (fullDefense) {
+          val base = Seq(t1, once(), once())
+          if (BenchPolicy.widen(base)) base ++ Seq(once(), once()) else base
+        } else if (BenchPolicy.needsRemeasure(t1, prevMedians.get(name))
+            && remeasuresLeft > 0) {
+          remeasuresLeft -= 1
+          Seq(t1, once(), once())
+        } else Seq(t1)
+      if (all.size > 1) runs(name) = all
+      results(name) = all.sorted.apply(all.size / 2)
       curSectionEntries += name -> (() => once())
       // queries are independent: release this query's cached plans,
       // localCheckpoint blocks and broadcasts before the next measurement —
@@ -248,15 +263,22 @@ object Bench {
       }()
     }
 
-    def median3(name: String)(f: => Unit): Unit = {
-      val base = Seq(time(f), time(f), time(f))
-      // same adaptive widening (and the same raised 120 s cap) as the
-      // query loop: a contended triple (gen_full_sweep_fast r7:
-      // 0.33-4.87 s) gets two more runs
-      val ts = if (base.max > 3.0 * base.min && base.min < 120.0)
-        base ++ Seq(time(f), time(f))
-      else base
-      runs(name) = ts
+    // rung-entry measurement under the same fast/full policy as the query
+    // loop (full: median-of-3 with adaptive widening — a contended triple
+    // like gen_full_sweep_fast r7's 0.33-4.87 s gets two more runs; fast:
+    // one run, deviation-triggered median-of-3 within the shared budget)
+    def measureEntry(name: String)(f: => Unit): Unit = {
+      val t1 = time(f)
+      val ts: Seq[Double] =
+        if (fullDefense) {
+          val base = Seq(t1, time(f), time(f))
+          if (BenchPolicy.widen(base)) base ++ Seq(time(f), time(f)) else base
+        } else if (BenchPolicy.needsRemeasure(t1, prevMedians.get(name))
+            && remeasuresLeft > 0) {
+          remeasuresLeft -= 1
+          Seq(t1, time(f), time(f))
+        } else Seq(t1)
+      if (ts.size > 1) runs(name) = ts
       results(name) = ts.sorted.apply(ts.size / 2)
       curSectionEntries += name -> (() => time(f))
     }
@@ -283,8 +305,8 @@ object Bench {
             minJaccard = 0.8, maxDocFreq = 1000L)
           .write.mode("overwrite").format("noop").save()
       section("dedup_skew") {
-        median3("dedup_skew_uniform") { jac(docs) }
-        median3("dedup_skew_planted_99pct") { jac(planted) }
+        measureEntry("dedup_skew_uniform") { jac(docs) }
+        measureEntry("dedup_skew_planted_99pct") { jac(planted) }
       } { docs.unpersist(); planted.unpersist() }
     }
 
@@ -299,7 +321,7 @@ object Bench {
       val edges = graft.core.Parser.truthLinks("A1", 4, 2).zipWithIndex
         .map { case (l, i) => (i, l.source, l.lag, l.target) }
       section("shd") {
-        median3("shd_panel_1m_graphs") {
+        measureEntry("shd_panel_1m_graphs") {
           val (truth, pred) = graft.metrics.Metrics.perturbedGraphs(
             spark, 1000000L, edges)
           graft.metrics.Metrics.scoreAll(truth, pred)
@@ -345,7 +367,7 @@ object Bench {
       // requirePairRows = false
       graft.metrics.Causal.assertPairRows(graft.metrics.Causal.pcSkeleton(pan))
       section("pcsweep_fold") {
-      median3("pcsweep_catalog_fold") {
+      measureEntry("pcsweep_catalog_fold") {
         graft.metrics.Causal.pcOrient(
             graft.metrics.Causal.pcSkeleton(pan), 3,
             requirePairRows = false)
@@ -360,7 +382,7 @@ object Bench {
       // folded 864-config ranked panel is megarows — the partitioned
       // shuffle path is the cluster-shaped plan, same rationale as the
       // 2592 rung below
-      median3("pcsweep_catalog_tau6") {
+      measureEntry("pcsweep_catalog_tau6") {
         graft.metrics.Causal.pcSkeletonTauSweep(pan,
             graft.metrics.Causal.TauSweepBps, broadcastRankJoin = false)
           .groupBy("tau_sq_bp").agg(sum("edge"))
@@ -383,7 +405,7 @@ object Bench {
       graft.metrics.Causal.assertPairRows(
         graft.metrics.Causal.pcSkeleton(panAll, broadcastRankJoin = false))
       section("pcsweep_2592") {
-        median3("pcsweep_catalog_2592_shuffle") {
+        measureEntry("pcsweep_catalog_2592_shuffle") {
           graft.metrics.Causal.pcOrient(
               graft.metrics.Causal.pcSkeleton(panAll,
                 broadcastRankJoin = false), 3,
@@ -414,20 +436,18 @@ object Bench {
       val pan64 = widePanel(spark, 64, 200).localCheckpoint(true)
       graft.metrics.Causal.assertPairRows(
         graft.metrics.Causal.pcSkeleton(pan64, 100L))
-      def wideOnce(pan: org.apache.spark.sql.DataFrame): Unit =
-        graft.metrics.Causal.pcOrient2(
-            graft.metrics.Causal.pcSkeleton2(pan, 100L), 3,
-            requirePairRows = false)
-          .groupBy("dir").count()
-          .write.mode("overwrite").format("noop").save()
-      // PC-STABLE twins (q347): conditioning candidates from the
+      // PC-STABLE ladder (q347): conditioning candidates from the
       // surviving adjacency, not every co-observed series — the
       // O(E·d²)-not-O(p⁴) form. On these chain panels the order-2
       // candidate volume drops from 496·C(30,2)≈216k (p=32) /
       // 2016·C(62,2)≈3.8M (p=64) to the few thousand quadruples the
-      // actual neighborhoods admit; the rung pair (stable vs
-      // unrestricted at both widths) is the measured evidence that the
-      // restriction, not the width, controls the cost
+      // actual neighborhoods admit. The UNRESTRICTED p=32/p=64 twins that
+      // measured that contrast directly were retired in r14 (net-zero
+      // suite-wall policy, ARCHITECTURE.md): the stable p=32/64/128
+      // ladder carries the width scaling law, pcblocks_p80_order2_
+      // unrestricted keeps the stable-vs-unrestricted contrast at equal
+      // width, and the retired rungs' last numbers (2.6/4.4 s) live in
+      // the committed r13 BENCHDETAIL history.
       def wideStableOnce(pan: org.apache.spark.sql.DataFrame): Unit =
         graft.metrics.Causal.pcOrient2(
             graft.metrics.Causal.pcSkeleton2Stable(pan, 100L), 4,
@@ -435,23 +455,16 @@ object Bench {
           .groupBy("dir").count()
           .write.mode("overwrite").format("noop").save()
       section("pcwide") {
-        median3("pcwide_p32_order2_oriented") { wideOnce(pan32) }
-        // the p=64 rung: ~2016 pairs, ~11k order-1 triples, ~350k order-2
-        // cofactor quadruples — the slope from 32 to 64 is the measured
-        // evidence that the polynomial stages grow as panel arithmetic
-        // (broadcast equi-joins over moment rows), not as plan blow-up
-        median3("pcwide_p64_order2_oriented") { wideOnce(pan64) }
-        median3("pcwide_p32_stable_oriented") { wideStableOnce(pan32) }
-        median3("pcwide_p64_stable_oriented") { wideStableOnce(pan64) }
+        measureEntry("pcwide_p32_stable_oriented") { wideStableOnce(pan32) }
+        measureEntry("pcwide_p64_stable_oriented") { wideStableOnce(pan64) }
         // p=128 STABLE-only rung (r12 verdict #4: the third point of the
         // width scaling law, fitted in ARCHITECTURE.md): 8128 pairs, but
         // conditioning stays adjacency-restricted — an unrestricted
         // order-2 pass here would enumerate 8128·C(126,2)≈64M quadruples
-        // for no additional information, so the unrestricted ladder
-        // deliberately stops at p=64 and the stable ladder carries the
-        // width story from here up (with pcblocks at p=320 above it)
+        // for no additional information — the stable ladder carries the
+        // width story (with pcblocks at p=320 above it)
         val pan128 = widePanel(spark, 128, 200).localCheckpoint(true)
-        median3("pcwide_p128_stable_oriented") { wideStableOnce(pan128) }
+        measureEntry("pcwide_p128_stable_oriented") { wideStableOnce(pan128) }
         pan128.unpersist()
       } { pan32.unpersist(); pan64.unpersist() }
     }
@@ -477,13 +490,13 @@ object Bench {
           .groupBy("dir").count()
           .write.mode("overwrite").format("noop").save()
       section("pcblocks") {
-        median3("pcblocks_p80_stable3_oriented") { blocksOnce(blk16) }
-        median3("pcblocks_p320_stable3_oriented") { blocksOnce(blk64) }
+        measureEntry("pcblocks_p80_stable3_oriented") { blocksOnce(blk16) }
+        measureEntry("pcblocks_p320_stable3_oriented") { blocksOnce(blk64) }
         // the unrestricted twin at 80 series: same panel, q346's
         // order-2 pipeline — the number that shows what the adjacency
         // restriction buys at EQUAL width (its order-2 stage tests
         // every co-observed pair, the stable one only neighborhoods)
-        median3("pcblocks_p80_order2_unrestricted") {
+        measureEntry("pcblocks_p80_order2_unrestricted") {
           graft.metrics.Causal.pcOrient2(
               graft.metrics.Causal.pcSkeleton2(blk16, 100L), 3,
               requirePairRows = false)
@@ -520,7 +533,7 @@ object Bench {
       val links = cfgs.flatMap(c => SparkEntry.weightLinks(
         c.configId.toString, c.family, c.nVars, c.maxLag))
       section("weightrec") {
-        median3("weightrec_fold18_n50k") {
+        measureEntry("weightrec_fold18_n50k") {
           graft.metrics.Causal.structuralBetas(
               graft.metrics.Causal.laggedCrossMoments(pan,
                 SparkEntry.weightSpecs(links),
@@ -563,11 +576,11 @@ object Bench {
           .agg(sum(abs(col("beta_ppm"))))
           .write.mode("overwrite").format("noop").save()
       section("weightwide") {
-        median3("weightwide_p256_sparse") {
+        measureEntry("weightwide_p256_sparse") {
           betaSum(graft.metrics.Causal.virtualCrossMomentsSparse(
             virt, wanted, col("t").between(0, 9999)))
         }
-        median3("weightwide_p256_dense") {
+        measureEntry("weightwide_p256_dense") {
           betaSum(graft.metrics.Causal.virtualCrossMoments(
             virt, col("t").between(0, 9999), broadcastB = false))
         }
@@ -602,7 +615,7 @@ object Bench {
         .zipWithIndex.map { case (q, i) => (i + 1, q) }
         .toDF("rk", "q_milli")
       section("bhfdr") {
-        median3("bhfdr_p512_5k_hypotheses") {
+        measureEntry("bhfdr_p512_5k_hypotheses") {
           graft.metrics.Causal.waldK1(
               graft.metrics.Causal.structuralBetas(
                 graft.metrics.Causal.virtualCrossMomentsSparse(virt,
@@ -665,7 +678,7 @@ object Bench {
         .zipWithIndex.map { case (q, i) => (i + 1, q) }
         .toDF("rk", "q_milli")
       section("bhfdr_catalog") {
-        median3("bhfdr_catalog_85k_hypotheses") {
+        measureEntry("bhfdr_catalog_85k_hypotheses") {
           graft.metrics.Causal.waldK1(
               graft.metrics.Causal.structuralBetas(
                 graft.metrics.Causal.virtualCrossMomentsSparse(virtC,
@@ -727,10 +740,10 @@ object Bench {
           .groupBy("o_orderpriority")
           .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")))
           .write.mode("overwrite").format("noop").save()
-      median3("qscale_agg_1x") { priceAgg(li) }
-      median3("qscale_agg_100x") { priceAgg(li100) }
-      median3("qscale_join_1x") { revJoin(li) }
-      median3("qscale_join_100x") { revJoin(li100) }
+      measureEntry("qscale_agg_1x") { priceAgg(li) }
+      measureEntry("qscale_agg_100x") { priceAgg(li100) }
+      measureEntry("qscale_join_1x") { revJoin(li) }
+      measureEntry("qscale_join_100x") { revJoin(li100) }
       } { scala.reflect.io.Directory(
             new java.io.File(dir100)).deleteRecursively() }
     }
@@ -790,17 +803,17 @@ object Bench {
       def bm25(df: org.apache.spark.sql.DataFrame): Unit =
         graft.text.Index.bm25TopK(df, "doc_id", "text", probe, k = 5)
           .write.mode("overwrite").format("noop").save()
-      median3("dscale_exact_dedup_1x") { dedup(docs) }
-      median3("dscale_exact_dedup_100x") { dedup(d100) }
-      median3("dscale_quality_1x") { qual(docs) }
-      median3("dscale_quality_100x") { qual(d100) }
+      measureEntry("dscale_exact_dedup_1x") { dedup(docs) }
+      measureEntry("dscale_exact_dedup_100x") { dedup(d100) }
+      measureEntry("dscale_quality_1x") { qual(docs) }
+      measureEntry("dscale_quality_100x") { qual(d100) }
       // BM25's probe join is O(corpus × probes) on this 31-token head-heavy
       // vocabulary (every posting row meets ~all 100 probes sharing its
       // token): the 100× rung is an honest ~2.5 B-row join but costs
       // ~100 s × median3 — the 10× rung (≈250 M joined rows) carries the
       // same linearity evidence at a round-budget-compatible cost
-      median3("dscale_bm25_1x") { bm25(docs) }
-      median3("dscale_bm25_10x") {
+      measureEntry("dscale_bm25_1x") { bm25(docs) }
+      measureEntry("dscale_bm25_10x") {
         bm25(d100.where(col("doc_id") < maxDoc * 10L)) }
       // the realistic-vocabulary twins: same probe density (1 per 50 docs
       // of the 1x corpus), fresh text per doc so the 10x rung grows real
@@ -809,8 +822,8 @@ object Bench {
       def bm25z(df: org.apache.spark.sql.DataFrame): Unit =
         graft.text.Index.bm25TopK(df, "doc_id", "text", zprobe, k = 5)
           .write.mode("overwrite").format("noop").save()
-      median3("dscale_bm25_zipf_1x") { bm25z(z1) }
-      median3("dscale_bm25_zipf_10x") { bm25z(z10) }
+      measureEntry("dscale_bm25_zipf_1x") { bm25z(z1) }
+      measureEntry("dscale_bm25_zipf_10x") { bm25z(z10) }
       } { z1.unpersist(); z10.unpersist()
           scala.reflect.io.Directory(
             new java.io.File(dDir)).deleteRecursively() }
@@ -826,14 +839,14 @@ object Bench {
     // should see kernel + write cost, not the query suite's garbage
     System.gc()
     // full-sweep generation: every config of all 18 families (BASELINE headline)
-    median3("gen_full_sweep") {
+    measureEntry("gen_full_sweep") {
       Generate.series(spark, Grid.all()).toDF()
         .agg(count(lit(1)), sum("x1")).collect()
     }
 
     // same sweep through the InternalRow fast path (no typed-Encoder layer;
     // bitwise-identical output per GenerateSpec)
-    median3("gen_full_sweep_fast") {
+    measureEntry("gen_full_sweep_fast") {
       Generate.wideFast(spark, Grid.all())
         .agg(count(lit(1)), sum("X1")).collect()
     }
@@ -845,7 +858,7 @@ object Bench {
     // single-shot caught a host stall and published 133.7 s as if it were
     // a regression (CorpusSpec separately proves the output diffs clean
     // against the shipped tree; re-runs overwrite via the atomic renames)
-    median3("gen_corpus_4320_csv_write") {
+    measureEntry("gen_corpus_4320_csv_write") {
       graft.generate.Sinks.writeFullCorpus(spark, corpusDir)
     }
     } { scala.reflect.io.Directory(
@@ -879,12 +892,20 @@ object Bench {
     def scaleOnce(): Double = time {
       Generate.writeParquet(Generate.wideFast(spark, scaleCfgs), scaleDir)
     }
-    // median-of-3 like the rest of the suite, but bail to the measured runs
-    // if the host is badly contended (a single write has been observed at
-    // 45↔270 s with identical binaries) — tripling a 4-minute stall would
-    // burn the round's bench budget for no signal
+    // same fast/full policy as the suite, with one extra bail: if the host
+    // is badly contended (a single write has been observed at 45↔270 s
+    // with identical binaries) keep the measured run — tripling a 4-minute
+    // stall would burn the round's bench budget for no signal
     val w1 = scaleOnce()
-    val wRuns = if (w1 > 60.0) Seq(w1) else Seq(w1, scaleOnce(), scaleOnce())
+    val wRuns =
+      if (w1 > 60.0) Seq(w1)
+      else if (fullDefense) Seq(w1, scaleOnce(), scaleOnce())
+      else if (BenchPolicy.needsRemeasure(w1,
+          prevMedians.get("gen_scale_25m_partitioned_write"))
+          && remeasuresLeft > 0) {
+        remeasuresLeft -= 1
+        Seq(w1, scaleOnce(), scaleOnce())
+      } else Seq(w1)
     runs("gen_scale_25m_partitioned_write") = wRuns
     results("gen_scale_25m_partitioned_write") = wRuns.sorted.apply(wRuns.size / 2)
     Thread.sleep(1000) // listener bus is async — let it drain
@@ -961,12 +982,25 @@ object Bench {
     // runs 11.0/5.3/3.4/3.2/3.2: median 3.4 s looked quiet, but a reader
     // comparing maxima would re-derive contention by hand). Keying on the
     // run-list max subsumes the old median>5 criterion.
-    val contendedEntries = runs.collect {
-      case (n, vs) if vs.max > 5.0 && vs.max > 2.0 * vs.min => n
-    }
-    val contendedJson = contendedEntries.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sections":$sectionsJson,"defensive_reruns":$rerunJson,"contended_entries":$contendedJson,"sf":"$sfDir"}"""
+    val contendedSelfEntries = runs.collect {
+      case (n, vs) if BenchPolicy.contendedSelf(vs) => n
+    }.toSeq
+    // r13 verdict #6, the previous-round-aware twin: an entry whose median
+    // regressed >1.5x vs the committed record while its MIN run still hits
+    // the old time is contention, not code (dscale_bm25_10x r13:
+    // 15.4/8.4/14.2 vs committed 9.0 — published as a 1.6x regression)
+    val contendedPrevEntries = runs.collect {
+      case (n, vs) if prevMedians.get(n).exists(p =>
+        BenchPolicy.contendedVsPrev(results(n), vs.min, p)) => n
+    }.toSeq
+    val contendedJson =
+      (contendedSelfEntries ++ contendedPrevEntries).distinct
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedPrevJson = contendedPrevEntries
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wallS = (System.nanoTime() - wallT0) / 1e9
+    val mode = if (fullDefense) "full" else "fast"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall_s":${f1(wallS)},"mode":"$mode","remeasure_budget_left":$remeasuresLeft,"queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sections":$sectionsJson,"defensive_reruns":$rerunJson,"contended_entries":$contendedJson,"contended_vs_prev":$contendedPrevJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json artifact has historically kept only the
     // log TAIL, truncating the per-query map and making regression-vs-noise

@@ -1331,9 +1331,10 @@ object Causal {
     }
     val lnBeta = lnGamma(a) + lnGamma(b) - lnGamma(a + b)
     val front = math.exp(a * math.log(x) + b * math.log1p(-x) - lnBeta)
+    // ln B(a,b) is symmetric in (a,b), so the swapped branch reuses the
+    // same front factor — this is the standard 1 − front·cf(b,a,1−x)/b form
     if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
-    else 1.0 - front * betacf(b, a, 1.0 - x) / b *
-      math.exp(lnBeta - (lnGamma(b) + lnGamma(a) - lnGamma(a + b)))
+    else 1.0 - front * betacf(b, a, 1.0 - x) / b
   }
 
   /** ln Γ by the Lanczos series (g=7, the widely published coefficient
@@ -1388,6 +1389,14 @@ object Causal {
     */
   private def fQuantMilli(q: Double, dof: Int): Long = {
     var lo = 0.0; var hi = 1e6
+    // the fixed [0, 1e6] bracket silently SATURATED for tiny tails at
+    // very small dof (t(1) quantile ≈ 2/(π·q) exceeds 1e6 below
+    // q ≈ 6.4e-7) and returned an understated — anticonservative —
+    // threshold with no error. Grow hi geometrically until the exact
+    // tail at hi is at or below the target, so the quantile is inside
+    // the bracket before bisecting; latent for every current caller
+    // (dof ≥ 18), guarded for the ones a user writes.
+    while (tTwoSidedTail(hi, dof) > q && hi < 1e300) { lo = hi; hi *= 64.0 }
     var i = 0
     while (i < 80) {
       val mid = 0.5 * (lo + hi)

@@ -178,8 +178,15 @@ private[streaming] object StreamSupport {
   // sink tables THIS module created and has not yet dropped — scoping the
   // cleanup to this set (not a name-prefix sweep of the whole catalog) so an
   // unrelated user/test temp view that happens to match a prefix is never
-  // unpersisted or dropped out from under its owner
-  private val createdSinks = scala.collection.mutable.LinkedHashSet.empty[String]
+  // unpersisted or dropped out from under its owner. Keyed by creating
+  // THREAD: Verify's concurrent workers each run stream queries serially,
+  // and r14's first parallel run proved cross-thread cleanup is a race (a
+  // worker's `drop previous sinks` fired between a sibling's sink
+  // registration and its table read → TABLE_OR_VIEW_NOT_FOUND on 7 stream
+  // queries). A thread only ever drops ITS OWN previous sinks; the residue
+  // is bounded at one small sink table per worker thread.
+  private val createdSinks =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
   /** Data-carrying micro-batch count of the most recent runToMemory drain
     * (set after processAllAvailable; used by specs to prove split sources
@@ -197,15 +204,18 @@ private[streaming] object StreamSupport {
     // harness queries use unique (nanoTime-suffixed) sink names, so stale
     // sinks are never overwritten by name reuse — drop previous runs' cached
     // sink tables here or a bench loop pins every past result in memory
+    val tid = Thread.currentThread().getId
     createdSinks.synchronized {
-      createdSinks.filter(_ != queryName).foreach { name =>
+      createdSinks.toSeq.collect {
+        case (name, owner) if owner == tid && name != queryName => name
+      }.foreach { name =>
         try {
           spark.table(name).unpersist()
           spark.catalog.dropTempView(name)
         } catch { case _: Throwable => () }
         createdSinks -= name
       }
-      createdSinks += queryName
+      createdSinks(queryName) = tid
     }
     val q = df.writeStream
       .outputMode(outputMode)

@@ -748,6 +748,14 @@ class StatTestsSpec extends AnyFunSuite {
     assert(Causal.fInvMilliLadder(100, 1000000).zip(
       Causal.chi2InvMilliLadder(100)).forall { case (f, c) =>
       (f - c) >= 0 && (f - c) <= 1 })
+    // r13 ADVICE: the bisection bracket must GROW past 1e6 when the exact
+    // quantile lies beyond it (dof=1, q=5e-7: t(1) quantile = tan(π/2·
+    // (1−q)) ≈ 2/(πq) ≈ 1.273e6) instead of silently saturating to an
+    // anticonservative ceil(1e6²·1000) = 1e15. Truth: t = 1.2732395e6,
+    // milli rung ceil(t²·1000) ≈ 1.62114e15.
+    val deep = Causal.fInvMilliLadder(2, 1, alphaPpm = 1L).head
+    assert(deep > 1.62e15 && deep < 1.63e15,
+      s"dof=1 deep-tail rung saturated or overshot: $deep")
   }
 
   test("q377 exact-F vs asymptotic-chi2 ladders: nested discovery sets, " +
