@@ -1742,7 +1742,7 @@ object SparkEntry
          |  GROUP BY p.vec_id),
          |p$i AS (SELECT vec_id AS id, ${i}::BIGINT AS rnd, dmin AS dm
          |        FROM d$i ORDER BY dmin DESC, vec_id LIMIT 1),
-         |c$i AS (SELECT id, rnd, dm FROM c${i - 1}
+         |c$i AS MATERIALIZED (SELECT id, rnd, dm FROM c${i - 1}
          |        UNION ALL SELECT id, rnd, dm FROM p$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -2127,8 +2127,12 @@ private[graft] trait QueriesCausal { this: SparkEntry.type =>
     // partials sit near 0.2-0.3 (the documented power price at n=200)
     "q350_pc_width_adaptive" -> ((s, d) => {
       val pan = dumpGen(s, "q350_panel", Bench.widePanel3(s, 32, 200))
+      // the rank/moment head is τ-free: compute it ONCE and hang both
+      // census tails off it (r14 optimization; the oracle already shares
+      // its pc_cm CTE the same way) — halves the query's fact-scale work
+      val cm = graft.metrics.Causal.pcMoments(pan)
       def census(tau: Long): DataFrame = {
-        val sk = graft.metrics.Causal.pcSkeleton3Stable(pan, tau)
+        val sk = graft.metrics.Causal.pcSkeleton3StableFromCm(cm, tau)
           .select(col("keep0"), col("edge"), col("edge2"), col("edge3"))
           .localCheckpoint()
         def cnt(stage: String, c: Column): DataFrame =

@@ -437,14 +437,31 @@ object Causal {
     val b0 = ranked.select(col("series").as("sb"), col("day"),
       col("r").as("rb"))
     val b = if (broadcastB) broadcast(b0) else b0
+    // LONG accumulation in the fact-scale aggregate (the hot path of every
+    // pc* consumer): ranks are ≤ n per series, so Σr_a r_b ≤ n³ — and the
+    // OUTPUT contract already requires C = n·Σab − Σa·Σb to fit the long it
+    // is cast to, i.e. n⁴ ≲ 2⁶³ ⇒ n ≤ ~55k observations per co-observed
+    // pair, which implies n³ fits a long sum with 5 decimal orders of
+    // headroom. A DECIMAL(38,0) buffer here therefore bought no extra range
+    // (the final cast bound binds first) while costing a non-compact
+    // Decimal allocation per row in the hottest aggregation the engine
+    // runs; only the final n·Σab − Σa·Σb combine needs 128-bit width, and
+    // that runs once per OUTPUT pair, not once per joined row. Values are
+    // bitwise identical inside the documented budget (MomentSumSpec pins
+    // long-vs-decimal equality at the n = 55k boundary).
     a.join(b, Seq("day"))
       .groupBy("sa", "sb")
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("ra").cast("decimal(38,0)")).as("sra"),
-        sum(col("rb").cast("decimal(38,0)")).as("srb"),
-        sum((col("ra") * col("rb")).cast("decimal(38,0)")).as("srab"))
-      .select(col("sa"), col("sb"), col("n").cast("long").as("n"),
-        expr("n*srab - sra*srb").cast("long").as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sra"),
+        sum(col("rb")).as("srb"),
+        // widen the INT ranks before the product: row_number is
+        // IntegerType, and an int·int product overflows (ANSI error) past
+        // n = 46,341 — one notch inside the n ≤ 55k contract above
+        sum(col("ra").cast("long") * col("rb")).as("srab"))
+      .select(col("sa"), col("sb"), col("n"),
+        expr("""cast(cast(n as decimal(38,0)) * srab
+               |  - cast(sra as decimal(38,0)) * srb as long)""".stripMargin)
+          .as("c"))
   }
 
   /** PC-algorithm skeleton to conditioning order 1 over the Spearman rank
@@ -474,9 +491,7 @@ object Causal {
 
   def pcSkeleton(panel: DataFrame, tauSqBp: Long = 625L,
       broadcastRankJoin: Boolean = true): DataFrame =
-    pcSkeletonMoments(
-      pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin)),
-      tauSqBp)
+    pcSkeletonMoments(pcMoments(panel, broadcastRankJoin), tauSqBp)
 
   /** The canonical τ² stability ladder in basis points: τ = 0.05, 0.10,
     * 0.15, 0.20, 0.25 ([[pcSkeleton]]'s default), 0.30 — ONE value
@@ -501,7 +516,7 @@ object Causal {
   def pcSkeletonTauSweep(panel: DataFrame, tauSqBps: Seq[Long],
       broadcastRankJoin: Boolean = true): DataFrame = {
     require(tauSqBps.nonEmpty, "tauSqBps must be non-empty")
-    val cm = pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin))
+    val cm = pcMoments(panel, broadcastRankJoin)
     tauSqBps.map(t =>
         pcSkeletonMoments(cm, t).withColumn("tau_sq_bp", lit(t)))
       .reduce(_ unionByName _)
@@ -662,7 +677,7 @@ object Causal {
     * (≤ p²·C(p,2) rows) on broadcast frames.
     */
   def pcSkeleton2(panel: DataFrame, tauSqBp: Long = 625L): DataFrame = {
-    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
+    val cm = pcMoments(panel)
     val sk1 = pinTiny(pcSkeletonMoments(cm, tauSqBp))
     val nc = cm.select(col("sa"), col("sb"),
       expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
@@ -801,7 +816,7 @@ object Causal {
     */
   def pcSkeleton2Stable(panel: DataFrame, tauSqBp: Long = 625L)
       : DataFrame =
-    pcStable2Core(pinTiny(rankCrossMoments(rankPanel(panel))), tauSqBp)
+    pcStable2Core(pcMoments(panel), tauSqBp)
 
   /** [[pcSkeleton2Stable]] minus the fact-scale moment pass, so
     * [[pcSkeleton3Stable]] can hang the order-3 tail off the SAME
@@ -1067,8 +1082,25 @@ object Causal {
     * every co-observed pair keeps its row.
     */
   def pcSkeleton3Stable(panel: DataFrame, tauSqBp: Long = 625L)
+      : DataFrame =
+    pcSkeleton3StableFromCm(pcMoments(panel), tauSqBp)
+
+  /** The τ-FREE fact-scale stage of every pcSkeleton* variant — rank,
+    * cross-moment, materialize — exposed so a MULTI-τ consumer (q350's
+    * dual-τ census) pays the panel scan once and hangs one decision tail
+    * per τ off the same checkpointed moment frame (the DataFrame twin of
+    * what [[pcMomentSqlCtes]]/[[pcDecisionSqlCtes]] already split on the
+    * oracle side). `broadcastRankJoin` as in [[pcSkeleton]].
+    */
+  def pcMoments(panel: DataFrame, broadcastRankJoin: Boolean = true)
+      : DataFrame =
+    pinTiny(rankCrossMoments(rankPanel(panel), broadcastRankJoin))
+
+  /** [[pcSkeleton3Stable]] minus the fact-scale moment pass, off a
+    * [[pcMoments]] frame — τ-sweep consumers reuse one cm across tails.
+    */
+  def pcSkeleton3StableFromCm(cm: DataFrame, tauSqBp: Long = 625L)
       : DataFrame = {
-    val cm = pinTiny(rankCrossMoments(rankPanel(panel)))
     val sk2 = pinTiny(pcStable2Core(cm, tauSqBp))
     val nc = cm.select(col("sa"), col("sb"),
       expr("cast(c div (n * n) as decimal(38,0))").as("ch"))
@@ -1959,14 +1991,27 @@ object Causal {
     val a = v.select(col("vs").as("na"), col("t"), col("v").as("va"))
     val b0 = v.select(col("vs").as("nb"), col("t"), col("v").as("vb"))
     val b = if (broadcastB) broadcast(b0) else b0
+    // LONG accumulation in the per-t fan-out aggregate — the single
+    // fact-scale stage of every estimation/inference consumer (the dense
+    // p=256 rung pushes 650M joined rows through this agg). Budget:
+    // Σ|v_a·v_b| < 2⁶³ per pair, i.e. n·max|v|² ≤ 9.2e18 — at the
+    // documented n ≤ 5·10⁴ milli-quantization window that allows
+    // |v| ≤ 1.3e7 (|X| ≤ 13,000 pre-milli), two orders above the ±1e3
+    // clamp every caller applies; the 128-bit-needing combine
+    // n·Σab − Σa·Σb runs per OUTPUT pair on the decimal casts below.
+    // Bitwise identical to the old DECIMAL(38,0) buffers inside that
+    // budget (MomentSumSpec) and C must fit the long it is cast to
+    // exactly as before.
     a.join(b, Seq("t")).where(col("na") <= col("nb"))
       .groupBy("na", "nb")
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("va").cast("decimal(38,0)")).as("sa"),
-        sum(col("vb").cast("decimal(38,0)")).as("sb"),
-        sum((col("va") * col("vb")).cast("decimal(38,0)")).as("sab"))
-      .select(col("na"), col("nb"), col("n").cast("long").as("n"),
-        expr("n*sab - sa*sb").cast("long").as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va")).as("sa"),
+        sum(col("vb")).as("sb"),
+        sum(col("va") * col("vb")).as("sab"))
+      .select(col("na"), col("nb"), col("n"),
+        expr("""cast(cast(n as decimal(38,0)) * sab
+               |  - cast(sa as decimal(38,0)) * sb as long)""".stripMargin)
+          .as("c"))
   }
 
   /** Per-link OLS coefficients by Cramer's rule (k ≤ 2 regressors) over a
@@ -2100,15 +2145,20 @@ object Causal {
     val v = virt.where(windowPred)
     val a = v.select(col("vs").as("na"), col("t"), col("v").as("va"))
     val b = v.select(col("vs").as("nb"), col("t"), col("v").as("vb"))
+    // LONG accumulation under the same budget as [[virtualCrossMoments]]
+    // (Σ|v_a·v_b| < 2⁶³ per pair); the 128-bit combine rides the decimal
+    // casts per output pair. Bitwise identical inside the budget.
     a.join(broadcast(wanted.select("na", "nb")), Seq("na"))
       .join(b, Seq("nb", "t"))
       .groupBy("na", "nb")
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("va").cast("decimal(38,0)")).as("sa"),
-        sum(col("vb").cast("decimal(38,0)")).as("sb"),
-        sum((col("va") * col("vb")).cast("decimal(38,0)")).as("sab"))
-      .select(col("na"), col("nb"), col("n").cast("long").as("n"),
-        expr("n*sab - sa*sb").cast("long").as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va")).as("sa"),
+        sum(col("vb")).as("sb"),
+        sum(col("va") * col("vb")).as("sab"))
+      .select(col("na"), col("nb"), col("n"),
+        expr("""cast(cast(n as decimal(38,0)) * sab
+               |  - cast(sa as decimal(38,0)) * sb as long)""".stripMargin)
+          .as("c"))
   }
 
   /** [[virtualCrossMomentsSparse]] as ANSI SQL over `\$virt(vs, t, v)`
@@ -2125,7 +2175,7 @@ object Causal {
        |  FROM svw$sfx a JOIN $wanted w ON w.na = a.vs
        |  JOIN svw$sfx b ON b.vs = w.nb AND b.t = a.t
        |  GROUP BY 1, 2),
-       |smc$sfx AS (
+       |smc$sfx AS MATERIALIZED (
        |  SELECT na, nb, n::BIGINT AS n, (n*sab - sa*sb)::BIGINT AS c
        |  FROM smom$sfx)""".stripMargin
 
@@ -2280,6 +2330,13 @@ object Causal {
     */
   def structuralMomentsFromVirtualSqlCtes(virt: String,
       windowPredSql: String, sfx: String = ""): String =
+    // smc MATERIALIZED (r14, driver-budget): structuralBetasSqlCtes joins
+    // this CTE SIX times, and DuckDB inlines a plain CTE per reference —
+    // re-running the fact-scale self-join+aggregation (and everything
+    // upstream of it: the virtual union, nearest-lag windows, gen scan)
+    // once per moment lookup. q365's oracle measured 221 s of which ~6/6
+    // were that recomputation; materializing the ≤|specs|²-row moment
+    // frame is evaluation-strategy only — bytes out are identical.
     s"""svw$sfx AS (SELECT * FROM $virt WHERE $windowPredSql),
        |smom$sfx AS (
        |  SELECT a.vs AS na, b.vs AS nb, count(*)::HUGEINT AS n,
@@ -2287,7 +2344,7 @@ object Causal {
        |    sum(a.v::HUGEINT * b.v) AS sab
        |  FROM svw$sfx a JOIN svw$sfx b USING (t) WHERE a.vs <= b.vs
        |  GROUP BY 1, 2),
-       |smc$sfx AS (
+       |smc$sfx AS MATERIALIZED (
        |  SELECT na, nb, n::BIGINT AS n, (n*sab - sa*sb)::BIGINT AS c
        |  FROM smom$sfx)""".stripMargin
 
