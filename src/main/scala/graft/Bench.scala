@@ -99,7 +99,12 @@ object Bench {
     val fullDefense =
       sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_.trim.nonEmpty)
     val prevMedians = BenchPolicy.loadPrevMedians()
-    var remeasuresLeft = BenchPolicy.RemeasureCap
+    // two-tranche budget (r14 verdict #1): heavy entries (committed median
+    // > 5 s) draw from a reserved pool cheap deviants cannot drain, so the
+    // expensive tail can never again publish an un-defended contended
+    // single sample (r14: q365 published 211.6 s vs its 12.5 s committed
+    // median after sub-second deviants exhausted the shared budget)
+    val remeasureBudget = new BenchPolicy.RemeasureBudget()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -196,8 +201,8 @@ object Bench {
           // budget as deviation-triggered ones (wall-clock discipline).
           if (!failed.contains(n) && results.get(n).exists(m =>
               m > 0.5 && m < 120.0)
-              && (fullDefense || { val ok = remeasuresLeft > 0
-                   if (ok) remeasuresLeft -= 1; ok })) {
+              && (fullDefense
+                || remeasureBudget.draw(results(n), prevMedians.get(n)))) {
             val t = thunk()
             val all = runs.getOrElse(n, Seq(results(n))) :+ t
             runs(n) = all
@@ -244,8 +249,7 @@ object Bench {
           val base = Seq(t1, once(), once())
           if (BenchPolicy.widen(base)) base ++ Seq(once(), once()) else base
         } else if (BenchPolicy.needsRemeasure(t1, prevMedians.get(name))
-            && remeasuresLeft > 0) {
-          remeasuresLeft -= 1
+            && remeasureBudget.draw(t1, prevMedians.get(name))) {
           Seq(t1, once(), once())
         } else Seq(t1)
       if (all.size > 1) runs(name) = all
@@ -274,8 +278,7 @@ object Bench {
           val base = Seq(t1, time(f), time(f))
           if (BenchPolicy.widen(base)) base ++ Seq(time(f), time(f)) else base
         } else if (BenchPolicy.needsRemeasure(t1, prevMedians.get(name))
-            && remeasuresLeft > 0) {
-          remeasuresLeft -= 1
+            && remeasureBudget.draw(t1, prevMedians.get(name))) {
           Seq(t1, time(f), time(f))
         } else Seq(t1)
       if (ts.size > 1) runs(name) = ts
@@ -902,8 +905,8 @@ object Bench {
       else if (fullDefense) Seq(w1, scaleOnce(), scaleOnce())
       else if (BenchPolicy.needsRemeasure(w1,
           prevMedians.get("gen_scale_25m_partitioned_write"))
-          && remeasuresLeft > 0) {
-        remeasuresLeft -= 1
+          && remeasureBudget.draw(w1,
+            prevMedians.get("gen_scale_25m_partitioned_write"))) {
         Seq(w1, scaleOnce(), scaleOnce())
       } else Seq(w1)
     runs("gen_scale_25m_partitioned_write") = wRuns
@@ -1000,7 +1003,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val wallS = (System.nanoTime() - wallT0) / 1e9
     val mode = if (fullDefense) "full" else "fast"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall_s":${f1(wallS)},"mode":"$mode","remeasure_budget_left":$remeasuresLeft,"queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sections":$sectionsJson,"defensive_reruns":$rerunJson,"contended_entries":$contendedJson,"contended_vs_prev":$contendedPrevJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall_s":${f1(wallS)},"mode":"$mode","remeasure_budget_left":${remeasureBudget.left},"queries":$qs,"remeasured":$rr,"failed":$fl,"gen_scale":$genScale,"gen_scale_10x":$genScale10x,"disk_anchor":$anchor,"sections":$sectionsJson,"defensive_reruns":$rerunJson,"contended_entries":$contendedJson,"contended_vs_prev":$contendedPrevJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json artifact has historically kept only the
     // log TAIL, truncating the per-query map and making regression-vs-noise

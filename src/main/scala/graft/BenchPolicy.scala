@@ -21,6 +21,47 @@ object BenchPolicy {
     */
   val RemeasureCap = 20
 
+  /** Committed-median threshold above which an entry counts as HEAVY: a
+    * single contended sample of such an entry dominates the published
+    * total, so its defense must not depend on how many cheap deviants came
+    * before it. r14's miss: the shared 20-entry budget drained on
+    * sub-second deviants in the first contended sections, and
+    * q365_block_missing_recovery then published an un-defended 211.6 s
+    * single sample — ~17x its committed 12.5 s median — inflating
+    * bench_total by ~200 s (r14 verdict #1).
+    */
+  val HeavyMedianSec = 5.0
+
+  /** Of RemeasureCap, this many draws are RESERVED for heavy entries.
+    * Cheap entries can only drain RemeasureCap − HeavyReserve; heavy
+    * entries draw the reserve first and fall back to the general pool.
+    */
+  val HeavyReserve = 10
+
+  /** Heavy = the committed previous median says so; for entries with no
+    * committed history, the measured first run is the only size signal.
+    */
+  def isHeavy(t1: Double, prev: Option[Double]): Boolean =
+    prev.getOrElse(t1) > HeavyMedianSec
+
+  /** The two-tranche re-measure budget (r14 verdict #1). Mutable by design
+    * — Bench threads one instance through the whole run — but the draw
+    * rule is pure enough to pin in BenchPolicySpec: heavy entries draw
+    * reserve-then-general, cheap entries general-only, so no sequence of
+    * cheap deviants can leave a heavy outlier un-defended.
+    */
+  final class RemeasureBudget(cap: Int = RemeasureCap,
+      reserve: Int = HeavyReserve) {
+    private var general = math.max(0, cap - reserve)
+    private var heavy = math.min(cap, reserve)
+    def draw(t1: Double, prev: Option[Double]): Boolean = synchronized {
+      if (isHeavy(t1, prev) && heavy > 0) { heavy -= 1; true }
+      else if (general > 0) { general -= 1; true }
+      else false
+    }
+    def left: Int = synchronized(general + heavy)
+  }
+
   /** Fast-mode deviation trigger: a single run this far above the committed
     * previous median is either a regression or contention — either way it
     * deserves a median-of-3 before publication. 1.5x (not 2x) so the

@@ -2033,7 +2033,20 @@ object Causal {
     * Mirrored by [[structuralBetasSqlCtes]].
     */
   def structuralBetas(moments: DataFrame, links: DataFrame): DataFrame = {
-    val m = moments.select("na", "nb", "n", "c")
+    // Materialize the pair-grain moment frame ONCE before the six lookup
+    // broadcasts hang off it. Without this, each broadcast is its own AQE
+    // stage that re-runs the moment aggregation's reduce side (the map
+    // side dedupes through exchange reuse, the final agg + broadcast build
+    // do not — six stages re-read the partial-agg shuffle; unifying the
+    // six projections does NOT fix it, column pruning restores the
+    // asymmetry — see plans/r15/*_executed.txt). The frame is BOUNDED at
+    // one row per requested pair (≤ ~115k at the 85k-hypothesis rung) —
+    // never corpus-scale — so the pin is safe at any input size, the same
+    // pinTiny discipline the pc path uses. Measured r15 (MomentsProbe,
+    // interleaved): bhfdr_catalog 22.3 → 16.0 s, weightwide_p256_dense
+    // 6.7 → 5.1 s; outputs bitwise identical (checkpoint is
+    // value-neutral).
+    val m = pinTiny(moments.select("na", "nb", "n", "c"))
     def look(df: DataFrame, k1: String, k2: String, out: String,
         withN: Boolean = false): DataFrame = {
       val cols = (if (withN) Seq(col("n")) else Nil) :+ col("c").as(out)
@@ -2148,8 +2161,15 @@ object Causal {
     // LONG accumulation under the same budget as [[virtualCrossMoments]]
     // (Σ|v_a·v_b| < 2⁶³ per pair); the 128-bit combine rides the decimal
     // casts per output pair. Bitwise identical inside the budget.
+    // The (nb, t) join builds a hash table of the virtual frame instead of
+    // sort-merging: the probe side is the a ⋈ wanted fan-out (|wanted|
+    // rows per co-observed t — 23M rows at the 85k-hypothesis rung), and
+    // sorting it by a (string, long) key cost more than the whole hash
+    // build (guide §3.1; r15 interleaved medians 19.2 → 16.6 s). Build
+    // size is bounded per partition by AQE partition sizing, not by
+    // corpus scale — the panel is hash-split across the shuffle.
     a.join(broadcast(wanted.select("na", "nb")), Seq("na"))
-      .join(b, Seq("nb", "t"))
+      .join(b.hint("shuffle_hash"), Seq("nb", "t"))
       .groupBy("na", "nb")
       .agg(count(lit(1)).as("n"),
         sum(col("va")).as("sa"),

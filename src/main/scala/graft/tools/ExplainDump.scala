@@ -24,9 +24,18 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // GRAFT_EXPLAIN_EXEC=1: run the frame (noop sink) FIRST and dump the
+    // final adaptive plan — AQE's stage-cache reuse (ReusedExchange /
+    // table-cache hits of canonically-identical broadcast subtrees) only
+    // exists in the executed plan, never in the static one
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").exists(_.trim.nonEmpty)
     names.foreach { name =>
       try {
         val df = frame(spark, sfDir, name)
+        // collect(), not a noop write: the write command wraps the plan in
+        // its OWN QueryExecution, leaving df.queryExecution unexecuted
+        // (isFinalPlan=false). Only used on aggregate-to-few-rows frames.
+        if (exec) df.collect()
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
@@ -85,6 +94,57 @@ object ExplainDump {
         graft.metrics.Causal.virtualCrossMomentsSparse(virt, wanted,
           col("t").between(0, 9999)), linksDf)
         .agg(sum(abs(col("beta_ppm"))))
+    }
+    // r14 verdict #8: the pc-path moment stage runs inside eager
+    // localCheckpoints, so the final query plans cannot witness it — dump
+    // the PRE-CHECKPOINT moment plan for the p=320 block rung so moment
+    // optimizations on this path have plan evidence
+    case "pcmoments_p320_pre_checkpoint" =>
+      graft.metrics.Causal.rankCrossMoments(
+        graft.metrics.Causal.rankPanel(Bench.widePanel3(s, 64, 200)),
+        broadcastB = true)
+    case "bhfdr_catalog_85k_hypotheses" => {
+      import s.implicits._
+      val cfgsAll = graft.core.Grid.all()
+      val wideC = graft.generate.Generate.wideFast(s, cfgsAll)
+        .where(col("t") < 200)
+      val virtC = (1 to 8).map { i =>
+        val m = floor(greatest(least(col(s"X$i"), lit(1e3)), lit(-1e3))
+          * 1000).cast("long").as("v")
+        val base = wideC.where(col(s"X$i").isNotNull)
+        base.select(concat(col("configId"), lit(s"|X$i@0")).as("vs"),
+            (col("configId") * 65536 + col("t")).as("t"), m)
+          .unionByName(base.select(
+            concat(col("configId"), lit(s"|X$i@1")).as("vs"),
+            (col("configId") * 65536 + col("t") + 1).as("t"), m))
+      }.reduce(_ unionByName _)
+      val hypsC = cfgsAll.flatMap { c =>
+        for { i <- 1 to c.nVars; j <- 1 to c.nVars if i != j } yield {
+          val g = c.configId
+          (s"$g|X$i>X$j", c.family, s"$g|X$j@0", s"$g|X$i@1",
+            None: Option[String])
+        }
+      }
+      val linksC = hypsC.toDF("pair", "family", "y", "x", "sib")
+      def cnp(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+      val wantedC = hypsC.flatMap { case (_, _, y, x, _) =>
+        Seq((y, y), (x, x), cnp(x, y))
+      }.distinct.toDF("na", "nb")
+      val lutC = graft.metrics.Causal.chi2InvMilliLadder(hypsC.size)
+        .zipWithIndex.map { case (q, i) => (i + 1, q) }
+        .toDF("rk", "q_milli")
+      graft.metrics.Causal.waldK1(
+          graft.metrics.Causal.structuralBetas(
+            graft.metrics.Causal.virtualCrossMomentsSparse(virtC,
+              wantedC, (col("t") % 65536).between(1, 199)), linksC))
+        .withColumn("rk", expr(
+          """row_number() over (
+            |  order by coalesce(t2_milli, -1) desc, pair)""".stripMargin))
+        .join(broadcast(lutC), Seq("rk"))
+        .withColumn("k_star", expr(
+          "max(case when t2_milli >= q_milli then rk end) over ()"))
+        .where(col("rk") <= coalesce(col("k_star"), lit(0L)))
+        .groupBy("family").count()
     }
     case "dscale_quality_100x" => {
       val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")

@@ -45,6 +45,36 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!BenchPolicy.needsRemeasure(0.3, None))       // new but trivial
   }
 
+  test("RemeasureBudget: the r14 q365 miss cannot recur (heavy reserve)") {
+    // r14: the 20-entry shared budget drained on sub-second deviants in the
+    // first contended sections (q01-q118 all drew triples), and
+    // q365_block_missing_recovery — measured 211.6 s against a committed
+    // 12.5 s median, a 17x outlier — got NO re-run and published the
+    // contended single sample. Reproduce the sequence: 25 cheap deviants
+    // draw first, then q365 asks.
+    val b = new BenchPolicy.RemeasureBudget()
+    val cheapGranted = (1 to 25).count(_ => b.draw(1.2, Some(0.45)))
+    assert(cheapGranted == BenchPolicy.RemeasureCap - BenchPolicy.HeavyReserve,
+      "cheap deviants must only drain the general tranche")
+    // the heavy tail still gets defended: q365 (committed 12.5 s) and the
+    // other r14 heavy outliers (q370 3.9, q373 4.1 are sub-5s committed →
+    // cheap; bhfdr_catalog 17.3, weightwide 10.8, dscale_quality 10-14,
+    // dscale_bm25 13 → heavy) all draw from the reserve
+    assert(b.draw(211.6, Some(12.5)), "q365 must draw from the heavy reserve")
+    assert(b.draw(99.4, Some(17.3)))  // bhfdr_catalog_85k
+    assert(b.draw(44.1, Some(10.8)))  // weightwide_p256_dense
+    assert(b.left == BenchPolicy.HeavyReserve - 3)
+    // a NEW heavy entry (no committed median) classifies by its own t1
+    assert(BenchPolicy.isHeavy(30.0, None))
+    assert(!BenchPolicy.isHeavy(1.0, None))
+    // heavy entries fall back to the general pool once the reserve is gone
+    val b2 = new BenchPolicy.RemeasureBudget(cap = 3, reserve = 1)
+    assert(b2.draw(20.0, Some(10.0))) // reserve
+    assert(b2.draw(20.0, Some(10.0))) // falls back to general
+    assert(b2.draw(20.0, Some(10.0))) // general
+    assert(!b2.draw(20.0, Some(10.0)) && b2.left == 0)
+  }
+
   test("widen: >3x spread inside a triple, 120 s stall cap") {
     assert(BenchPolicy.widen(Seq(0.33, 1.0, 4.87)))
     assert(!BenchPolicy.widen(Seq(2.0, 2.5, 3.0)))
